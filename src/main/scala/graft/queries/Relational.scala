@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational operator coverage for SURVEY.md §2 (scans S1-S2, predicates
+  * P1-P9, joins J3/J7/J8, aggregates A1-A7, windows W1-W3, sorts §2.6, set
+  * ops §2.7), expressed over the driver test corpus.
+  *
+  * Contract: every query has a DuckDB oracle in [[oracles]] with IDENTICAL
+  * output column names and value arithmetic (exact-representable results:
+  * integer-valued doubles, bigint cents, epoch micros — never
+  * order-dependent float accumulation).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S1: chunk-table scan + range filter + projection + sort
+    // (ref: P/sql/_ppdb_sql.py:97-125 — SELECT 4 cols WHERE id >= x ORDER BY t)
+    "s1_chunk_scan" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .where($"event_id" >= 500L)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts").as("ts_us"))
+        .orderBy($"ts_us", $"event_id")
+    }),
+
+    // S2: compositional AND-ed predicates + configurable order
+    // (ref: P/bigquery/ppdb_bigquery.py:501-544)
+    "s2_pred_compose" -> ((s, d) => {
+      import s.implicits._
+      val preds = Seq($"o_orderstatus" === "O", $"o_totalprice" > 50000.0)
+      preds.foldLeft(orders(s, d))(_ filter _)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // P2: SELECT * EXCEPT(cols) — projection by dropping
+    // (ref: P/bigquery/chunk_promoter.py:299)
+    "p2_select_except" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .drop("l_shipdate", "l_tax", "l_extendedprice", "l_discount")
+        .where($"l_orderkey" < 100L)
+    }),
+
+    // P6/P7: IN-list and NOT-IN set predicates
+    // (ref: P/sql/_ppdb_sql.py:205; P/bigquery/ppdb_bigquery.py:564-568)
+    "p7_in_list" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .where($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+        .select($"o_orderkey", $"o_orderpriority")
+    }),
+    "p6_not_in" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .where(!$"o_orderstatus".isin("F", "P"))
+        .select($"o_orderkey", $"o_orderstatus")
+    }),
+
+    // P9: existence probe (SELECT 1 WHERE pk = x LIMIT 1)
+    // (ref: P/sql/_ppdb_sql.py:143-149)
+    "p9_exists_probe" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d).where($"l_orderkey" === 1L).limit(1)
+        .select(lit(1).as("one"))
+    }),
+
+    // J3: semi-join restriction (customers that have orders)
+    // (ref: fill_diaobject_validity_end.sql:25-30)
+    "j3_semi_join" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d)
+        .join(orders(s, d).select($"o_custkey"), $"c_custkey" === $"o_custkey",
+          "left_semi")
+        .select($"c_custkey", $"c_name")
+    }),
+
+    // J6/J7: anti-join (replication frontier: ids not yet copied)
+    // (ref: P/replicator.py:106-110)
+    "j7_frontier_anti" -> ((s, d) => {
+      import s.implicits._
+      part(s, d)
+        .join(lineitem(s, d).select($"l_partkey"),
+          $"p_partkey" === $"l_partkey", "left_anti")
+        .select($"p_partkey", $"p_name")
+    }),
+
+    // J8: consistency equi-join + mismatch filter
+    // (ref: P/replicator.py:230-240)
+    "j8_consistency_join" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).join(customer(s, d), $"o_custkey" === $"c_custkey")
+        .where($"c_acctbal" < 0.0)
+        .select($"o_orderkey", $"c_custkey", $"c_acctbal")
+    }),
+
+    // P8 + outer join: open-interval style IS NULL probe
+    // (customers with no orders via left join null test)
+    "p8_null_probe" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d)
+        .join(orders(s, d).select($"o_custkey").distinct(),
+          $"c_custkey" === $"o_custkey", "left_outer")
+        .where($"o_custkey".isNull)
+        .select($"c_custkey", $"c_name")
+    }),
+
+    // A1-lite + A7: multi-aggregate with exact arithmetic (bigint cents)
+    "q1_agg" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sum(round($"l_extendedprice" * 100).cast("long"))
+            .as("sum_price_cents"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A2/A3: distinct projection
+    "a2_distinct" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).select($"o_orderpriority").distinct()
+    }),
+
+    // A4/A5: global min / sum aggregates (frontier min, update-count sum)
+    // (ref: P/replicator.py:214; updates_manager.py:130)
+    "a4_min_sum" -> ((s, d) => {
+      import s.implicits._
+      events(s, d).agg(
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"),
+        sum(round($"value" * 100).cast("long")).as("sum_value_cents"),
+        count(lit(1)).as("n"))
+    }),
+
+    // Joined agg: per-nation order revenue through customer dim
+    // (broadcast the small dims — nation/region are tiny at any SF)
+    "q3_join_agg" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .join(customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          sum(round($"o_totalprice" * 100).cast("long")).as("rev_cents"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // W1: rank() over partition (ref: P/sql/_ppdb_sql.py:211-216)
+    "w1_rank" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, d)
+        .withColumn("rnk", rank().over(w))
+        .select($"event_id", $"user_id", $"rnk")
+    }),
+
+    // W2: LEAD successor lookup — the validity-interval fill
+    // (ref: fill_diaobject_validity_end.sql:16-31)
+    "w2_lead_validity" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, d)
+        .select($"event_id", $"user_id",
+          unix_micros($"ts").as("start_us"),
+          unix_micros(lead($"ts", 1).over(w)).as("end_us"))
+    }),
+
+    // W3: last-write-wins dedup via descending row_number
+    // (ref: P/bigquery/updates/expanded_updates_table.py:173-204)
+    "w3_lww_dedup" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".desc, $"event_id".desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id")
+    }),
+
+    // §2.6: ordered top-k
+    "topk_orders" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .select($"o_orderkey", $"o_totalprice")
+        .limit(10)
+    }),
+
+    // §2.7: union-by-concatenation (WRITE_APPEND accumulation)
+    "set_union_all" -> ((s, d) => {
+      import s.implicits._
+      val e = events(s, d).select($"event_id", $"event_type")
+      e.where($"event_type" === "error")
+        .unionByName(e.where($"event_type" === "signup"))
+    }),
+
+    // §2.7: set difference (ids - found)
+    // (ref: P/sql/_ppdb_sql.py:312-314)
+    "set_except" -> ((s, d) => {
+      import s.implicits._
+      val e = events(s, d)
+      e.where($"event_type" === "signup").select($"user_id")
+        .except(e.where($"event_type" === "churn").select($"user_id"))
+    }),
+
+    // T5: contiguous-prefix barrier (promote only an uninterrupted run)
+    // (ref: P/bigquery/ppdb_bigquery.py:546-576)
+    "t5_staged_prefix" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d)
+      val firstBad = o.where($"o_orderstatus" =!= "O")
+        .agg(min($"o_orderkey").as("bad"))
+      o.join(broadcast(firstBad))
+        .where($"o_orderkey" < coalesce($"bad", lit(Long.MaxValue)))
+        .select($"o_orderkey", $"o_orderstatus")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_chunk_scan" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events WHERE event_id >= 500 ORDER BY ts_us, event_id""".stripMargin,
+    "s2_pred_compose" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 50000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "p2_select_except" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |       l_returnflag, l_linestatus
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
+    "p7_in_list" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
+    "p6_not_in" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus NOT IN ('F', 'P')""".stripMargin,
+    "p9_exists_probe" ->
+      "SELECT 1 AS one FROM lineitem WHERE l_orderkey = 1 LIMIT 1",
+    "j3_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "j7_frontier_anti" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)""".stripMargin,
+    "j8_consistency_join" ->
+      """SELECT o_orderkey, c_custkey, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal < 0.0""".stripMargin,
+    "p8_null_probe" ->
+      """SELECT c_custkey, c_name
+        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c_custkey = o_custkey
+        |WHERE o_custkey IS NULL""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "a2_distinct" ->
+      "SELECT DISTINCT o_orderpriority FROM orders",
+    "a4_min_sum" ->
+      """SELECT min(event_id) AS min_id, max(event_id) AS max_id,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+        |       count(*) AS n
+        |FROM events""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT n_name,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "w1_rank" ->
+      """SELECT event_id, user_id,
+        |       rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+        |FROM events""".stripMargin,
+    "w2_lead_validity" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS start_us,
+        |       epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS end_us
+        |FROM events""".stripMargin,
+    "w3_lww_dedup" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "set_union_all" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, event_type FROM events WHERE event_type = 'signup'""".stripMargin,
+    "set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'churn'""".stripMargin,
+    "t5_staged_prefix" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey < coalesce(
+        |  (SELECT min(o_orderkey) FROM orders WHERE o_orderstatus <> 'O'),
+        |  9223372036854775807)""".stripMargin
+  )
+}
