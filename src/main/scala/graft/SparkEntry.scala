@@ -21,11 +21,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Cdc.queries
+      graft.queries.Cdc.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.Cdc.oracles
+      graft.queries.Cdc.oracles ++
+      graft.queries.TextOps.oracles ++
+      graft.queries.VectorOps.oracles
 }

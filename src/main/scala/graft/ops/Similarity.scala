@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  *  - [[cosine]] / [[dot]]: ordered-fold arithmetic in double precision so
+  *    results are bit-reproducible across engines;
+  *  - [[bruteForceTopK]]: exact baseline — one pass over the corpus per
+  *    query, no shuffle (scan + local top-k via orderBy.limit);
+  *  - [[lshBuckets]] / [[lshTopK]]: random-hyperplane LSH — the scale
+  *    path: each vector lands in one bucket per table, the query probes
+  *    only its buckets, so the scan cost drops from O(N) to O(N / 2^bits)
+  *    per table at 100 TB.
+  */
+object Similarity {
+
+  /** Element-wise dot product in double precision, ordered accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against a literal query vector. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * a fixed integer mix mapped into [-1, 1). Same formula is
+    * reproducible in SQL for oracle checks.
+    */
+  private def plane(bit: Int, dim: Int): Double = {
+    val x = (bit.toLong * 2654435761L + dim.toLong * 40503L + 97L) % 10007L
+    (x.toDouble / 5003.5) - 1.0
+  }
+
+  /** Random-hyperplane signature: bit i = (v · plane_i) >= 0. */
+  def lshSignature(vec: Column, bits: Int, dims: Int): Column =
+    (0 until bits).map { i =>
+      val planeArr = array((0 until dims).map(d => lit(plane(i, d))): _*)
+      when(dot(vec, planeArr) >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucket assignment for the whole corpus. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dims: Int): DataFrame =
+    df.withColumn("bucket", lshSignature(col(vecCol), bits, dims))
+
+  /** ANN top-k: probe only the query's LSH bucket, rank by exact cosine
+    * within it. Recall < 1 by construction; raise `bits` tables or use
+    * multi-probe for higher recall.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], bits: Int, k: Int): DataFrame = {
+    val dims = query.length
+    val q = array(query.map(lit): _*)
+    val qSig = lshSignature(q, bits, dims)
+    lshBuckets(df, idCol, vecCol, bits, dims)
+      .where(col("bucket") === qSig)
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-neighbors above a cosine threshold via LSH bucketing:
+    * self-join within buckets only (shuffle on bucket id), then exact
+    * cosine verification.
+    */
+  def lshNearPairs(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dims: Int, threshold: Double): DataFrame = {
+    val b = lshBuckets(df, idCol, vecCol, bits, dims)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, and document
+  * fingerprinting. All pure `Column` expressions built from codegen'd
+  * built-ins — no UDFs — so they stay inside whole-stage codegen and scale
+  * linearly with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segmentation: word pieces of letters, digits, or
+    * single punctuation, approximating a byte-pair tokenizer's pre-split.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Fraction of tokens found in `stopwords` (0.0 when the doc is empty). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        size(filter(toks, t => array_contains(sw, t))).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Punctuation-character ratio over total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("double") / length(text).cast("double"))
+
+  /** Composite quality score in [0,1]: rewards stopword presence (fluency
+    * proxy), penalizes extreme token lengths and punctuation density.
+    * Fixed IEEE op order so an external oracle can reproduce it exactly.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val sr = stopwordRatio(text, stopwords)
+    val mtl = meanTokenLen(text)
+    val pr = punctRatio(text)
+    val lenOk = when(mtl >= 3.0 && mtl <= 10.0, lit(1.0)).otherwise(lit(0.0))
+    sr * lit(0.4) + lenOk * lit(0.4) + (lit(1.0) - pr) * lit(0.2)
+  }
+
+  /** Language lexicons for the n-gram/stopword language-ID heuristic. */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "es"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist", "ein"))
+
+  /** Count of tokens present in one language's lexicon. */
+  def langScore(text: Column, lexicon: Seq[String]): Column = {
+    val lex = array(lexicon.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(lex, t)))
+  }
+
+  /** Heuristic language ID: argmax of per-language lexicon hit counts with
+    * deterministic precedence (en > es > de on ties; 'und' = undetermined
+    * when no lexicon matches).
+    */
+  def langId(text: Column): Column = {
+    val scores = langLexicons.map { case (lang, lex) => lang -> langScore(text, lex) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Rolling polynomial fingerprint over the document's characters:
+    * fold(chars, acc = (acc * 31 + code) mod 1e9+7). Deterministic,
+    * order-sensitive, reproducible in any engine with an ordered fold.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      regexp_extract_all(text, lit("."), lit(0)),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * exact + near deduplication (sha-groupBy, n-gram Jaccard, MinHash+LSH,
+  * SimHash), language ID, quality scoring, token counting, and document
+  * fingerprinting. DuckDB oracles reproduce the exact arithmetic (all
+  * hashes are ordered polynomial folds, not engine-private murmur3).
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared SQL fragments for the oracles
+  private val P = "1000000007"
+
+  /** char-level rolling hash of expression `e` (matches Dedup.charHash). */
+  private def sqlCharHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(regexp_extract_all($e, '.'), ch -> ascii(ch))), " +
+      s"(acc, x) -> (acc * 31 + x) % $P)"
+
+  /** distinct word 3-gram shingles of `e` (matches Dedup.shingles(n=3)). */
+  private def sqlShingles(e: String): String =
+    s"list_distinct([array_to_string(toks[i:i+2], ' ') " +
+      s"FOR i IN range(1, len(toks) - 1)])"
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup via content hash groupBy (32-byte shuffle key)
+    "dd1_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(documents(s, d), "doc_id", "text")),
+
+    // exact n-gram Jaccard near-dup pairs (shingle explode + equi-join)
+    "dd2_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 3, 0.6)),
+
+    // MinHash + LSH banding with exact-Jaccard verification (scale path)
+    "dd3_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)),
+
+    // SimHash signatures
+    "dd5_simhash" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select($"doc_id", Dedup.simhash($"text").as("simhash"))
+    }),
+
+    // language ID (lexicon-score heuristic)
+    "ts1_langid" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select($"doc_id", TextAnalysis.langId($"text").as("pred_lang"))
+    }),
+
+    // quality scoring: token stats + punctuation + stopword ratio
+    "ts2_quality" -> ((s, d) => {
+      import s.implicits._
+      val sw = TextAnalysis.langLexicons.head._2
+      documents(s, d).select(
+        $"doc_id",
+        TextAnalysis.tokenCount($"text").as("n_tokens"),
+        TextAnalysis.meanTokenLen($"text").as("mean_tok_len"),
+        TextAnalysis.punctRatio($"text").as("punct_ratio"),
+        TextAnalysis.stopwordRatio($"text", sw).as("stopword_ratio"),
+        TextAnalysis.qualityScore($"text", sw).as("quality"))
+    }),
+
+    // token counting: whitespace + BPE-ish regex segmentation
+    "ts3_tokens" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(
+        $"doc_id",
+        TextAnalysis.tokenCount($"text").as("n_ws_tokens"),
+        size(TextAnalysis.bpeTokens($"text")).as("n_bpe_tokens"))
+    }),
+
+    // document fingerprint (rolling char hash)
+    "ts4_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select($"doc_id",
+        TextAnalysis.fingerprint($"text").as("fp"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      """SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dd2_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, ${sqlShingles("text")} AS sh FROM t
+         |      WHERE len(toks) >= 3),
+         |n AS (SELECT doc_id, len(sh) AS cnt FROM s),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(common AS DOUBLE) / CAST(na.cnt + nb.cnt - common AS DOUBLE) AS jaccard
+         |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(na.cnt + nb.cnt - common AS DOUBLE) >= 0.6""".stripMargin,
+
+    "dd3_minhash_lsh" -> {
+      // 8 hash slots, 4 bands of 2 — mirror Dedup.minhashSignature seeds
+      val slots = (0 until 8).map { i =>
+        val a = 2 * i + 1; val b = 7919 * i + 13
+        s"list_min(list_transform(hs, hv -> ($a * hv + $b) % $P))"
+      }.mkString(",\n         ")
+      val bands = (0 until 4).map { bnd =>
+        val lo = bnd * 2 + 1
+        s"SELECT doc_id, txt, $bnd AS band, " +
+          s"array_to_string(sig[$lo:${lo + 1}], '_') AS bucket FROM sig"
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH t AS (SELECT doc_id, text AS txt, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |s AS (SELECT doc_id, txt,
+         |             list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                            FOR i IN range(1, len(toks) - 1)]) AS sh
+         |      FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT doc_id, txt, sh,
+         |             list_transform(sh, sg -> ${sqlCharHash("sg")}) AS hs
+         |      FROM s),
+         |sig AS (SELECT doc_id, txt, sh,
+         |        [$slots] AS sig FROM h),
+         |banded AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |              AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+         |FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin
+    },
+
+    "dd5_simhash" ->
+      s"""SELECT doc_id,
+         |  list_sum(list_transform(range(0, 63), j ->
+         |    CASE WHEN list_sum(list_transform(hs, hv ->
+         |           CASE WHEN (hv & (CAST(1 AS BIGINT) << j)) <> 0
+         |                THEN 1 ELSE -1 END)) > 0
+         |         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS simhash
+         |FROM (SELECT doc_id,
+         |        list_transform(string_split(text, ' '), w ->
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(regexp_extract_all(w, '.'), ch -> ascii(ch))),
+         |            (acc, x) -> (acc * 131 + x) % 4611686018427387847)) AS hs
+         |      FROM documents)""".stripMargin,
+
+    "ts1_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN en = best AND best > 0 THEN 'en'
+        |       WHEN es = best AND best > 0 THEN 'es'
+        |       WHEN de = best AND best > 0 THEN 'de'
+        |       ELSE 'und' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id, en, es, de, greatest(en, es, de) AS best FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS en,
+        |      len(list_filter(toks, t -> t IN ('el','la','de','y','en','que','es'))) AS es,
+        |      len(list_filter(toks, t -> t IN ('der','die','das','und','zu','ist','ein'))) AS de
+        |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |          FROM documents)))""".stripMargin,
+
+    "ts2_quality" ->
+      """SELECT doc_id, n_tokens, mean_tok_len, punct_ratio, stopword_ratio,
+        |       stopword_ratio * 0.4 +
+        |       (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+        |             THEN 1.0 ELSE 0.0 END) * 0.4 +
+        |       (1.0 - punct_ratio) * 0.2 AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+        |              / CAST(len(toks) AS DOUBLE) END AS mean_tok_len,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks, t ->
+        |                t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |              / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+        |        FROM documents))""".stripMargin,
+
+    "ts3_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "ts4_fingerprint" ->
+      s"SELECT doc_id, ${sqlCharHash("text")} AS fp FROM documents"
+  )
+}

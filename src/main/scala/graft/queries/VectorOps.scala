@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.Similarity
+
+/** Similarity-search operators over the `embeddings` table
+  * (64-dim array<float>): brute-force cosine top-k baseline and the
+  * LSH-bucketed ANN scale path. Oracles reproduce the exact ordered-fold
+  * double arithmetic, so cosine values are bit-identical in DuckDB.
+  */
+object VectorOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DIMS = 64
+  private val BITS = 8
+
+  /** SQL for the ordered-fold dot product of list exprs `a`·`b`. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${DIMS + 1}), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
+
+  private def sqlCosine(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  /** SQL for the random-hyperplane LSH signature of list expr `v` —
+    * mirrors Similarity.plane / Similarity.lshSignature bit for bit.
+    */
+  private def sqlLshSig(v: String): String = {
+    val dotPlane = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${DIMS + 1}), dd -> CAST($v[dd] AS DOUBLE) * " +
+      s"(CAST((bb * 2654435761 + (dd - 1) * 40503 + 97) % 10007 AS DOUBLE) " +
+      s"/ 5003.5 - 1.0))), (acc, x) -> acc + x)"
+    s"list_sum(list_transform(range(0, $BITS), bb -> " +
+      s"CASE WHEN $dotPlane >= 0.0 THEN CAST(1 AS BIGINT) << bb " +
+      s"ELSE CAST(0 AS BIGINT) END))"
+  }
+
+  /** The corpus query vector: embedding of vec_id = 0 (collected once at
+    * plan-build; a single 64-float row).
+    */
+  private def queryVec(s: SparkSession, d: String): Seq[Float] = {
+    import s.implicits._
+    embeddings(s, d).where($"vec_id" === 0L).select($"embedding")
+      .head().getSeq[Float](0)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // brute-force exact cosine top-k (baseline): scan + local top-k
+    "sim1_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding",
+        queryVec(s, d), 20)),
+
+    // LSH-bucketed ANN top-k (scale path): probe one bucket only
+    "sim2_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding",
+        queryVec(s, d), BITS, 20)),
+
+    // LSH all-pairs near-neighbors with exact cosine verification
+    "sim3_lsh_pairs" -> ((s, d) =>
+      Similarity.lshNearPairs(embeddings(s, d), "vec_id", "embedding",
+        BITS, DIMS, 0.3))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim1_cosine_topk" ->
+      s"""SELECT vec_id, ${sqlCosine("e.embedding", "q.qv")} AS cos
+         |FROM embeddings e
+         |CROSS JOIN (SELECT embedding AS qv FROM embeddings
+         |            WHERE vec_id = 0) q
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "sim2_lsh_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv, ${sqlLshSig("embedding")} AS qsig
+         |           FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT vec_id, embedding, ${sqlLshSig("embedding")} AS sig
+         |      FROM embeddings)
+         |SELECT vec_id, ${sqlCosine("b.embedding", "q.qv")} AS cos
+         |FROM b CROSS JOIN q WHERE b.sig = q.qsig
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "sim3_lsh_pairs" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${sqlLshSig("embedding")} AS sig
+         |            FROM embeddings)
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |       ${sqlCosine("x.embedding", "y.embedding")} AS cos
+         |FROM bk x JOIN bk y ON x.sig = y.sig AND x.vec_id < y.vec_id
+         |WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.3""".stripMargin
+  )
+}
