@@ -1,0 +1,206 @@
+package graft.replicate
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.VersionedCatalog
+import graft.functions.SpatialCell
+import graft.ops.PpdbOps
+import graft.schema.{PpdbSchema, UpdateRecord}
+
+/** The staged (lakehouse) pipeline — the Spark re-expression of the
+  * reference's BigQuery backend:
+  *
+  *  1. [[exportChunk]]: chunk → parquet dir + manifest, status=exported
+  *     (ppdb_bigquery.py:403-488);
+  *  2. [[stageChunks]]: load exported chunk dirs into the staging tables
+  *     with the chunk id column attached, status=staged (the external
+  *     Dataflow job in the reference, test_chunk_promoter.py:146-190);
+  *  3. [[promote]]: staging → internal for a contiguous staged prefix —
+  *     insert with computed cell column, LEAD validity fill scoped to
+  *     touched objects, LWW update merge, latest snapshot, staged-row
+  *     delete, status=promoted — all published as ONE atomic commit
+  *     (chunk_promoter.py:117-348).
+  *
+  * Scale notes: staging tables are partitioned by apdb_replica_chunk so
+  * the staged-row delete (S15) is a partition drop, not a rewrite; the
+  * promote rewrite touches internal tables once per batch of chunks, not
+  * per chunk; the snapshot write is cell-sorted for spatial locality.
+  */
+final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
+    exportRoot: String) {
+
+  val schemaVersion = "graft-ppdb:0.1.0"
+
+  private def emptyDf(schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  def init(): Unit = {
+    if (!catalog.exists("internal.DiaObject")) {
+      catalog.commit(Map(
+        "internal.DiaObject" -> emptyDf(PpdbSchema.diaObject),
+        "internal.DiaSource" -> emptyDf(PpdbSchema.diaSource),
+        "internal.DiaForcedSource" -> emptyDf(PpdbSchema.diaForcedSource),
+        "staging.DiaObject" -> emptyDf(PpdbSchema.diaObject
+          .add("apdb_replica_chunk", "long", nullable = false)),
+        "staging.DiaSource" -> emptyDf(PpdbSchema.diaSource
+          .add("apdb_replica_chunk", "long", nullable = false)),
+        "staging.DiaForcedSource" -> emptyDf(PpdbSchema.diaForcedSource
+          .add("apdb_replica_chunk", "long", nullable = false)),
+        "staging.updates" -> emptyDf(PpdbSchema.expandedUpdates),
+        "PpdbReplicaChunk" -> emptyDf(PpdbSchema.replicaChunk)))
+    }
+  }
+
+  def chunkDir(chunkId: Long): String = s"$exportRoot/chunk_$chunkId"
+
+  /** Step 1: export a chunk to parquet + manifest (S4/S5/S6). Empty chunks
+    * short-circuit to status=skipped (T8).
+    */
+  def exportChunk(chunk: ChunkData): String = {
+    val dir = chunkDir(chunk.chunkId)
+    val tables = Map(
+      "DiaObject" -> chunk.diaObjects,
+      "DiaSource" -> chunk.diaSources,
+      "DiaForcedSource" -> chunk.diaForcedSources)
+    val counts = tables.map { case (t, df) => t -> df.count() }
+    val isEmpty = counts.values.forall(_ == 0L) && chunk.updates.isEmpty
+
+    val tableDirs =
+      if (isEmpty) Map.empty[String, String]
+      else {
+        val dirs = tables.map { case (t, df) =>
+          val d = s"$dir/$t"
+          // snappy parquet, subchunk column dropped (S4 exclude_columns)
+          df.drop("apdb_replica_subchunk")
+            .write.mode("overwrite").option("compression", "snappy").parquet(d)
+          t -> d
+        }
+        val upd = PpdbOps.expandUpdates(spark, chunk.updates)
+        upd.write.mode("overwrite").parquet(s"$dir/updates")
+        dirs + ("updates" -> s"$dir/updates")
+      }
+    val manifest = ChunkManifest.build(chunk.chunkId, schemaVersion,
+      chunk.updates.size.toLong, tableDirs,
+      counts + ("updates" -> chunk.updates.size.toLong))
+    new java.io.File(dir).mkdirs()
+    ChunkManifest.write(manifest, dir)
+
+    val status = if (isEmpty) PpdbSchema.ChunkStatus.Skipped
+      else PpdbSchema.ChunkStatus.Exported
+    upsertChunkRow(chunk, status, Some(dir))
+    dir
+  }
+
+  /** Step 2: load exported chunks into staging (validating manifests), add
+    * the chunk id column, partition by it, status=staged.
+    */
+  def stageChunks(chunkIds: Seq[Long]): Unit = {
+    val toStage = chunkIds.filter { id => statusOf(id).contains(PpdbSchema.ChunkStatus.Exported) }
+    if (toStage.isEmpty) return
+    toStage.foreach { id =>
+      val problems = ChunkManifest.validate(chunkDir(id))
+      if (problems.nonEmpty)
+        throw new IllegalStateException(
+          s"chunk $id manifest invalid: ${problems.mkString("; ")}")
+    }
+    val writes = PpdbSchema.dataTables.map { t =>
+      val existing = catalog.read(spark, s"staging.$t")
+      val added = toStage.map { id =>
+        spark.read.parquet(s"${chunkDir(id)}/$t")
+          .withColumn("apdb_replica_chunk", lit(id))
+      }.reduce(_ unionByName _)
+      s"staging.$t" -> existing.unionByName(added)
+    }.toMap
+    val updWrites = {
+      val existing = catalog.read(spark, "staging.updates")
+      val added = toStage.map { id =>
+        spark.read.schema(PpdbSchema.expandedUpdates)
+          .parquet(s"${chunkDir(id)}/updates")
+      }.reduce(_ unionByName _)
+      "staging.updates" -> existing.unionByName(added)
+    }
+    val chunkTable = setStatus(toStage, PpdbSchema.ChunkStatus.Staged)
+    catalog.commit(writes + updWrites + ("PpdbReplicaChunk" -> chunkTable))
+  }
+
+  /** Step 3: promote the contiguous staged prefix (T5) into the internal
+    * tables and refresh the public latest snapshot. One atomic commit.
+    */
+  def promote(): Seq[Long] = {
+    val chunks = catalog.read(spark, "PpdbReplicaChunk")
+    val ids = PpdbOps.promotableChunkIds(chunks)
+    if (ids.isEmpty) return Nil
+
+    val inChunks = col("apdb_replica_chunk").isin(ids: _*)
+
+    // J9: staged rows for the batch, realigned to internal schema
+    val stagedObj = catalog.read(spark, "staging.DiaObject").where(inChunks)
+      .drop("apdb_replica_chunk")
+    val internalObj = catalog.read(spark, "internal.DiaObject")
+    val unionObj = internalObj.unionByName(
+      stagedObj.select(internalObj.columns.map(col).toSeq: _*))
+
+    // W2/J3: close superseded validity intervals, scoped to touched objects
+    val filled =
+      PpdbOps.fillValidityEnd(unionObj, stagedObj.select("diaObjectId"))
+
+    val newTables = Seq("DiaSource", "DiaForcedSource").map { t =>
+      val staged = catalog.read(spark, s"staging.$t").where(inChunks)
+        .drop("apdb_replica_chunk")
+      val internal = catalog.read(spark, s"internal.$t")
+      s"internal.$t" -> internal.unionByName(
+        staged.select(internal.columns.map(col).toSeq: _*))
+    }.toMap + ("internal.DiaObject" -> filled)
+
+    // T6/W3 + A1 + J4/J5: latest-only update patches, merged per table
+    val updates = catalog.read(spark, "staging.updates").where(inChunks)
+    val patched = PpdbOps.applyUpdates(
+      newTables.map { case (k, v) => k.stripPrefix("internal.") -> v },
+      updates)
+    val internalWrites = patched.map { case (t, df) => s"internal.$t" -> df }
+
+    // S14: public latest-version snapshot, cell-clustered
+    val snapshot = PpdbOps.latestSnapshot(internalWrites("internal.DiaObject"))
+
+    // S15: staged-row delete = retain the complement (partition drop shape)
+    val stagingWrites = (PpdbSchema.dataTables.map(t => s"staging.$t") :+
+      "staging.updates").map { t =>
+      t -> catalog.read(spark, t).where(!inChunks)
+    }.toMap
+
+    val chunkTable = setStatus(ids, PpdbSchema.ChunkStatus.Promoted)
+
+    catalog.commit(internalWrites ++ stagingWrites ++ Map(
+      "public.DiaObjectLast" -> snapshot,
+      "PpdbReplicaChunk" -> chunkTable))
+    ids
+  }
+
+  // ----------------------------------------------------------------- helpers
+
+  private def statusOf(chunkId: Long): Option[String] =
+    catalog.read(spark, "PpdbReplicaChunk")
+      .where(col("apdb_replica_chunk") === chunkId)
+      .select("status").collect().headOption.map(_.getString(0))
+
+  private def setStatus(ids: Seq[Long], status: String): DataFrame = {
+    val chunks = catalog.read(spark, "PpdbReplicaChunk")
+    chunks.withColumn("status",
+      when(col("apdb_replica_chunk").isin(ids: _*), lit(status))
+        .otherwise(col("status")))
+  }
+
+  private def upsertChunkRow(chunk: ChunkData, status: String,
+      uri: Option[String]): Unit = {
+    val chunks = catalog.read(spark, "PpdbReplicaChunk")
+    val row = spark.createDataFrame(
+      java.util.List.of(Row(chunk.chunkId, chunk.lastUpdateTimeUs,
+        chunk.uniqueId, System.currentTimeMillis() * 1000L, status,
+        uri.orNull, chunk.updates.size.toLong)),
+      PpdbSchema.replicaChunk)
+    catalog.commit(Map("PpdbReplicaChunk" ->
+      chunks.where(col("apdb_replica_chunk") =!= chunk.chunkId)
+        .unionByName(row)))
+  }
+}

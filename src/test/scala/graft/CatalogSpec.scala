@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.catalog.VersionedCatalog
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("commit publishes atomically and reads are snapshots") {
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    cat.commit(Map("t" -> Seq(1, 2, 3).toDF("x")))
+    val snap = cat.read(spark, "t")
+    assert(snap.count() == 3)
+
+    cat.commit(Map("t" -> Seq(4, 5).toDF("x")))
+    // old snapshot still readable (immutable version dir)
+    assert(snap.count() == 3)
+    assert(cat.read(spark, "t").count() == 2)
+  }
+
+  test("multi-table commit is all-or-nothing for readers") {
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    cat.commit(Map("a" -> Seq(1).toDF("x"), "b" -> Seq(1).toDF("x")))
+    // simulate crash between data write and publish: write a version dir
+    // by hand, never move the pointer
+    val orphan = Paths.get(cat.root, "a", "v99999999")
+    Seq(9, 9, 9).toDF("x").write.parquet(orphan.toString)
+    assert(cat.read(spark, "a").count() == 1, "unpublished write invisible")
+    // vacuum removes the orphan
+    assert(cat.vacuum() >= 1)
+    assert(!Files.exists(orphan))
+    assert(cat.read(spark, "a").count() == 1)
+  }
+
+  test("untouched tables carry over across commits (zero-copy)") {
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    cat.commit(Map("a" -> Seq(1).toDF("x"), "b" -> Seq(2).toDF("x")))
+    val (_, dirs1) = cat.current
+    cat.commit(Map("a" -> Seq(10).toDF("x")))
+    val (_, dirs2) = cat.current
+    assert(dirs1("b") == dirs2("b"), "b's data dir unchanged")
+    assert(dirs1("a") != dirs2("a"))
+  }
+
+  test("clone is zero-copy and independent after rewrite") {
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    cat.commit(Map("src" -> Seq(1, 2).toDF("x")))
+    cat.clone("src", "dst")
+    assert(cat.read(spark, "dst").count() == 2)
+    val (_, dirs) = cat.current
+    assert(dirs("src") == dirs("dst"))
+    cat.commit(Map("dst" -> Seq(1, 2, 3).toDF("x")))
+    assert(cat.read(spark, "src").count() == 2)
+    assert(cat.read(spark, "dst").count() == 3)
+  }
+
+  test("drop removes table from pointer") {
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    cat.commit(Map("t" -> Seq(1).toDF("x")))
+    cat.drop("t")
+    assert(!cat.exists("t"))
+    intercept[IllegalArgumentException] { cat.read(spark, "t") }
+  }
+}

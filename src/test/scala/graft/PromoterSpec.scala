@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.VersionedCatalog
+import graft.replicate._
+import graft.schema.PpdbSchema
+
+class PromoterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): (Promoter, TestApdb) = {
+    val cat = new VersionedCatalog(tmpDir("promo"))
+    val p = new Promoter(spark, cat, tmpDir("export"))
+    p.init()
+    (p, new TestApdb(spark, nObjects = 6, nChunks = 3))
+  }
+
+  test("export writes parquet + valid manifest; stage loads it") {
+    val (p, apdb) = fresh()
+    val dir = p.exportChunk(apdb.chunkData(1))
+    assert(ChunkManifest.validate(dir).isEmpty, "manifest self-validates")
+    p.stageChunks(Seq(1L))
+    val staged = p.`catalog`.read(spark, "staging.DiaObject")
+    assert(staged.count() == 6)
+    assert(staged.select("apdb_replica_chunk").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("tampered chunk file fails manifest validation at stage time") {
+    val (p, apdb) = fresh()
+    val dir = p.exportChunk(apdb.chunkData(1))
+    val parquet = Files.list(Paths.get(dir, "DiaObject")).iterator()
+    var f: java.nio.file.Path = null
+    while (parquet.hasNext) {
+      val c = parquet.next()
+      if (c.toString.endsWith(".parquet")) f = c
+    }
+    Files.write(f, "corrupt".getBytes)
+    intercept[IllegalStateException] { p.stageChunks(Seq(1L)) }
+  }
+
+  test("empty chunk is skipped (T8) and never blocks promotion") {
+    val (p, apdb) = fresh()
+    val empty = apdb.chunkData(1).copy(
+      diaObjects = apdb.chunkData(1).diaObjects.limit(0),
+      diaSources = apdb.chunkData(1).diaSources.limit(0),
+      diaForcedSources = apdb.chunkData(1).diaForcedSources.limit(0),
+      updates = Nil)
+    p.exportChunk(empty)
+    val st = p.`catalog`.read(spark, "PpdbReplicaChunk")
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(st == Seq(PpdbSchema.ChunkStatus.Skipped))
+    // chunk 2 stages and promotes straight past the skipped chunk 1
+    p.exportChunk(apdb.chunkData(2))
+    p.stageChunks(Seq(2L))
+    assert(p.promote() == Seq(2L))
+  }
+
+  test("promote applies only the contiguous staged prefix") {
+    val (p, apdb) = fresh()
+    Seq(1L, 2L, 3L).foreach(id => p.exportChunk(apdb.chunkData(id)))
+    p.stageChunks(Seq(1L, 3L)) // 2 stays exported -> barrier after 1
+    assert(p.promote() == Seq(1L))
+
+    val internal = p.`catalog`.read(spark, "internal.DiaObject")
+    assert(internal.count() == 6)
+    // staged rows for promoted chunk removed, chunk 3 still staged
+    val remaining = p.`catalog`.read(spark, "staging.DiaObject")
+      .select("apdb_replica_chunk").distinct().collect().map(_.getLong(0)).toSet
+    assert(remaining == Set(3L))
+
+    // stage chunk 2 -> now 2 and 3 promote together, validity chains close
+    p.stageChunks(Seq(2L))
+    assert(p.promote() == Seq(2L, 3L))
+    val objects = p.`catalog`.read(spark, "internal.DiaObject")
+    assert(objects.count() == 18)
+    val opens = objects.where($"validityEndMjdTai".isNull).count()
+    assert(opens == 6, "one open interval per object")
+
+    // public snapshot is the open rows, cell-clustered
+    val snap = p.`catalog`.read(spark, "public.DiaObjectLast")
+    assert(snap.count() == 6)
+    assert(snap.columns.contains("cellId"))
+    assert(!snap.columns.contains("validityEndMjdTai"))
+    // nothing left to promote
+    assert(p.promote().isEmpty)
+  }
+}
