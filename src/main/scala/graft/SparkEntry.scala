@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Cdc.queries ++
       graft.queries.TextOps.queries ++
-      graft.queries.VectorOps.queries
+      graft.queries.VectorOps.queries ++
+      graft.queries.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Cdc.oracles ++
       graft.queries.TextOps.oracles ++
-      graft.queries.VectorOps.oracles
+      graft.queries.VectorOps.oracles ++
+      graft.queries.StreamOps.oracles
 }

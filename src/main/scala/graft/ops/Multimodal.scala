@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video payloads ride as opaque `binary` columns next to typed metadata,
+  * and per-item decode / feature-extraction runs as partition-local batch
+  * functions (`mapPartitions` over a typed Dataset — the Scala analog of
+  * `mapInPandas`: one JVM call per batch, vectorizable inside, no
+  * per-row driver involvement, schema declared up front).
+  *
+  * The actual codec step is a STUB — image/audio libraries are not in this
+  * environment — implemented as a deterministic fake derived from the
+  * payload bytes, so the Spark-side contract (schemas, batch shape,
+  * partitioning, null handling) is real and tested while the codec is
+  * swappable.
+  */
+object Multimodal {
+
+  /** A media item: opaque payload + typed envelope. */
+  final case class MediaItem(media_id: Long, kind: String,
+      payload: Array[Byte])
+
+  final case class DecodedMeta(media_id: Long, kind: String, width: Int,
+      height: Int, channels: Int, sampleRate: Int, nFrames: Int,
+      sizeBytes: Long)
+
+  final case class MediaFeature(media_id: Long, embedding: Array[Float])
+
+  final case class Frame(media_id: Long, frameIndex: Int,
+      payload: Array[Byte])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  // ------------------------------------------------------------- STUB codec
+
+  /** STUB decode: deterministic pseudo-metadata from the payload bytes.
+    * Replace with a real codec (javax.imageio / ffmpeg bindings) in a
+    * production deployment; everything downstream only sees the schema.
+    */
+  private[ops] def stubDecode(item: MediaItem): DecodedMeta = {
+    val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+    var h = 1125899906842597L
+    bytes.foreach(b => h = h * 31 + b)
+    val pos = (h & Long.MaxValue)
+    DecodedMeta(item.media_id, item.kind,
+      width = (pos % 640L).toInt + 1,
+      height = ((pos / 640L) % 480L).toInt + 1,
+      channels = if (item.kind == "audio") 2 else 3,
+      sampleRate = if (item.kind == "audio") 16000 else 0,
+      nFrames = if (item.kind == "video") (pos % 240L).toInt + 1 else 1,
+      sizeBytes = bytes.length.toLong)
+  }
+
+  /** STUB feature extractor: fixed-size embedding from byte histogram —
+    * stands in for a vision/audio encoder with the same batched calling
+    * convention and output schema.
+    */
+  private[ops] def stubFeatures(item: MediaItem, dims: Int): MediaFeature = {
+    val acc = new Array[Float](dims)
+    val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+    var i = 0
+    while (i < bytes.length) {
+      acc((bytes(i) & 0xff) % dims) += 1.0f
+      i += 1
+    }
+    val n = math.max(1, bytes.length).toFloat
+    MediaFeature(item.media_id, acc.map(_ / n))
+  }
+
+  // --------------------------------------------------------- Spark plumbing
+
+  /** Attach payloads to any table: `payloadFrom` is typically a storage
+    * pointer dereference; here, a column expression producing binary.
+    */
+  def asMedia(df: DataFrame, idCol: String, kindCol: Column,
+      payloadCol: Column): Dataset[MediaItem] = {
+    implicit val enc = Encoders.product[MediaItem]
+    df.select(col(idCol).cast("long").as("media_id"),
+      kindCol.as("kind"), payloadCol.as("payload")).as[MediaItem]
+  }
+
+  /** Decode metadata partition-locally (batch per partition, codec called
+    * once per item inside the JVM — no shuffle, linear scan).
+    */
+  def decodeMeta(items: Dataset[MediaItem]): Dataset[DecodedMeta] = {
+    implicit val enc = Encoders.product[DecodedMeta]
+    items.mapPartitions(_.map(stubDecode))
+  }
+
+  /** Feature extraction with the same batch shape; `dims` fixed up front
+    * so the output schema is static.
+    */
+  def extractFeatures(items: Dataset[MediaItem], dims: Int = 64)
+      : Dataset[MediaFeature] = {
+    implicit val enc = Encoders.product[MediaFeature]
+    items.mapPartitions(_.map(stubFeatures(_, dims)))
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th frame becomes a
+    * row (1→N explode, partition-local). STUB frame splitter: fixed-size
+    * byte windows standing in for real demuxed frames.
+    */
+  def sampleFrames(items: Dataset[MediaItem], stride: Int,
+      frameBytes: Int = 256): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    items.filter(_.kind == "video").mapPartitions(_.flatMap { item =>
+      val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+      val nFrames = math.max(1, bytes.length / frameBytes)
+      (0 until nFrames by stride).iterator.map { f =>
+        Frame(item.media_id, f,
+          bytes.slice(f * frameBytes, (f + 1) * frameBytes))
+      }
+    })
+  }
+
+  /** Resize stub: metadata-only transform (a real impl rewrites payload
+    * bytes; the pipeline contract — pure function of (payload, target
+    * size) — is identical).
+    */
+  def resizeMeta(meta: Dataset[DecodedMeta], maxSide: Int): Dataset[DecodedMeta] = {
+    implicit val enc = Encoders.product[DecodedMeta]
+    meta.map { m =>
+      val s = math.max(m.width, m.height)
+      if (s <= maxSide) m
+      else {
+        val scale = maxSide.toDouble / s
+        m.copy(width = math.max(1, (m.width * scale).toInt),
+          height = math.max(1, (m.height * scale).toInt))
+      }
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.streaming.EventStreams
+
+/** Batch-mode gate entries for the streaming/incremental operators (the
+  * identical logical plans run under readStream — see
+  * graft.streaming.EventStreams and StreamingSpec) and the multimodal
+  * metadata path.
+  */
+object StreamOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // T1-analog: tumbling event-time window aggregate (runs identically
+    // under readStream with a watermark)
+    "st1_window_agg" -> ((s, d) => EventStreams.windowedCounts(events(s, d))),
+
+    // sessionization (gap = 30 min) — lag + running-sum islands
+    "st2_sessionize" -> ((s, d) =>
+      EventStreams.sessionize(events(s, d), gapUs = 1800L * 1000000L)),
+
+    // multimodal metadata: documents as binary payloads with arithmetic
+    // pseudo-decode (the mapPartitions codec path is spec-tested; this
+    // entry checks the schema/derivation plumbing against the oracle)
+    "mm1_media_meta" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.ops.Dedup.charHash($"text")
+      documents(s, d).select(
+        $"doc_id",
+        octet_length($"text".cast("binary")).as("n_bytes"),
+        (pmod(h, lit(640L)) + 1L).as("fake_width"),
+        // h < 1e9+7 so double division stays exact; floor == integer div
+        (pmod(floor(h / 640.0).cast("long"), lit(480L)) + 1L).as("fake_height"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st1_window_agg" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
+        |       event_type, count(*) AS n,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st2_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         sum(CASE WHEN prev_us IS NULL
+        |                    OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM t)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        |FROM m GROUP BY user_id, session_seq""".stripMargin,
+    "mm1_media_meta" ->
+      ("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       (CH % 640) + 1 AS fake_width,
+        |       CAST(((CH // 640) % 480) AS BIGINT) + 1 AS fake_height
+        |FROM documents""".stripMargin).replace("CH",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
+          "(acc, x) -> (acc * 31 + x) % 1000000007)")
+  )
+}

@@ -63,7 +63,18 @@ object VectorOps {
     // LSH all-pairs near-neighbors with exact cosine verification
     "sim3_lsh_pairs" -> ((s, d) =>
       Similarity.lshNearPairs(embeddings(s, d), "vec_id", "embedding",
-        BITS, DIMS, 0.3))
+        BITS, DIMS, 0.3)),
+
+    // embedding-cosine near-dup (exact all-pairs baseline for dedup —
+    // the LSH-bucketed variant above is the scale path)
+    "dd4_embed_neardup" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("v"))
+      e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          Similarity.cosine(col("x.v"), col("y.v")).as("cos"))
+        .where(col("cos") >= 0.4)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,6 +100,12 @@ object VectorOps {
          |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
          |       ${sqlCosine("x.embedding", "y.embedding")} AS cos
          |FROM bk x JOIN bk y ON x.sig = y.sig AND x.vec_id < y.vec_id
-         |WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.3""".stripMargin
+         |WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.3""".stripMargin,
+
+    "dd4_embed_neardup" ->
+      s"""SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |       ${sqlCosine("x.embedding", "y.embedding")} AS cos
+         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+         |WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.4""".stripMargin
   )
 }

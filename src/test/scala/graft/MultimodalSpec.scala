@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus() = {
+    val rows = Seq(
+      (1L, "image", "img-payload-one".getBytes("UTF-8")),
+      (2L, "audio", "audio-bytes".getBytes("UTF-8")),
+      (3L, "video", ("frame" * 400).getBytes("UTF-8")), // 2000 bytes
+      (4L, "image", Array.emptyByteArray))
+    Multimodal.asMedia(rows.toDF("id", "kind", "payload"),
+      "id", $"kind", $"payload")
+  }
+
+  test("decodeMeta: schema, determinism, null/empty safety") {
+    val meta = Multimodal.decodeMeta(corpus()).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta.size == 4)
+    assert(meta(1L).width >= 1 && meta(1L).width <= 640)
+    assert(meta(1L).height >= 1 && meta(1L).height <= 480)
+    assert(meta(2L).channels == 2 && meta(2L).sampleRate == 16000)
+    assert(meta(3L).nFrames >= 1)
+    assert(meta(4L).sizeBytes == 0L)
+    // deterministic across runs
+    val again = Multimodal.decodeMeta(corpus()).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta == again)
+  }
+
+  test("extractFeatures: fixed dims, normalized histogram") {
+    val feats = Multimodal.extractFeatures(corpus(), dims = 16).collect()
+      .map(f => f.media_id -> f.embedding).toMap
+    assert(feats.values.forall(_.length == 16))
+    val s = feats(1L).sum
+    assert(math.abs(s - 1.0f) < 1e-5, s"histogram sums to 1, got $s")
+    assert(feats(4L).forall(_ == 0.0f), "empty payload -> zero vector")
+  }
+
+  test("sampleFrames: only video, stride respected, windows correct") {
+    val frames = Multimodal.sampleFrames(corpus(), stride = 3,
+      frameBytes = 256).collect()
+    assert(frames.forall(_.media_id == 3L))
+    val idx = frames.map(_.frameIndex).sorted.toSeq
+    assert(idx == (0 until (2000 / 256) by 3).toSeq)
+    assert(frames.forall(_.payload.length <= 256))
+  }
+
+  test("resizeMeta caps the long side and keeps aspect") {
+    val meta = Seq(DecodedMeta(1L, "image", 640, 480, 3, 0, 1, 10L),
+      DecodedMeta(2L, "image", 100, 50, 3, 0, 1, 10L)).toDS()
+    val resized = Multimodal.resizeMeta(meta, 320).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(resized(1L).width == 320 && resized(1L).height == 240)
+    assert(resized(2L).width == 100 && resized(2L).height == 50, "no upscale")
+  }
+}

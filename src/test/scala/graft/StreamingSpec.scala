@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("windowed counts: streaming result equals batch result") {
+    val batch = EventStreams.windowedCounts(graft.Tables.events(spark, sf))
+    val srcDir = tmpDir("stream-src")
+    graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    // complete mode so windows still open at end-of-stream are emitted too
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "wincounts",
+      EventStreams.windowedCounts(_), outputMode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("wincounts")
+
+    assert(streamed.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+      "streaming (AvailableNow, complete) == batch")
+  }
+
+  test("batch sessionization: gap splits sessions per user") {
+    val ev = Seq(
+      // user 1: two sessions (gap of 2h), user 2: one session
+      (1L, 1L, "2024-01-01 00:00:00"), (2L, 1L, "2024-01-01 00:10:00"),
+      (3L, 1L, "2024-01-01 02:30:00"),
+      (4L, 2L, "2024-01-01 01:00:00"))
+      .toDF("event_id", "user_id", "t")
+      .select($"event_id", $"user_id", to_timestamp($"t").as("ts"))
+    val sessions = EventStreams.sessionize(ev, gapUs = 3600L * 1000000L)
+      .orderBy("user_id", "session_seq").collect()
+    assert(sessions.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("streaming sessionization with session_window") {
+    val srcDir = tmpDir("stream-sess")
+    graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "sessions",
+      EventStreams.sessionizeStreaming(_, "30 minutes"))
+    q.awaitTermination(120000)
+    val got = spark.table("sessions")
+    assert(got.count() > 0)
+    assert(got.columns.toSet == Set("user_id", "session_start_us", "n_events"))
+  }
+}
