@@ -41,14 +41,11 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word n-gram shingles of a text column (empty when fewer than
-    * n words).
+    * n words). Single-pass expression (see TextExprs) with the same
+    * semantics as split + window concat + array_distinct.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextExprs.shingleStrings(text, n)
 
   /** Exact n-gram Jaccard near-dup pairs: docs sharing ≥ `threshold`
     * Jaccard similarity over word `n`-gram shingle sets. Returns
@@ -61,12 +58,18 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // persisted: read by the pair self-join (twice) and the count join
     val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist()
     val counts = sh.select(col("doc"), size(col("sh")).as("cnt"))
+    // join on a 64-bit shingle hash: 8-byte shuffle keys instead of
+    // ~20-byte strings (shingles are distinct per doc, so equal hashes in
+    // a pair = equal shingles up to 2^-64 collisions)
     val ex = sh.select(col("doc"), explode(col("sh")).as("shingle"))
+      .select(col("doc"), xxhash64(col("shingle")).as("shingle_h"))
     val pairs = ex.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+        col("a.shingle_h") === col("b.shingle_h") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs
@@ -81,21 +84,35 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature: for each of `numHashes` permutations i, the min of
-    * (a_i * shingleHash + b_i) mod P over the document's shingles.
-    * Deterministic seeds; a_i odd to be invertible mod 2^k-ish ranges.
+  /** Per-word polynomial char hashes (chars hashed once per word, not once
+    * per shingle — 3× less char work than shingle-string hashing).
     */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val sh = shingles(text, n)
-    val hashes = transform(sh, s =>
-      aggregate(regexp_extract_all(s, lit("."), lit(0)), lit(0L),
+  def wordHashes(text: Column): Column =
+    transform(split(text, " "), w =>
+      aggregate(regexp_extract_all(w, lit("."), lit(0)), lit(0L),
         (acc, c) => (acc * 31L + ascii(c)) % P))
+
+  /** Distinct n-word shingle hashes: per-word polynomial char hash, then
+    * fold(h = 0; h = (h*31 + wordHash) mod P) over each n-window —
+    * identical arithmetic is reproducible in the oracle. Empty array when
+    * the doc has fewer than n words. Single-pass expression.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.TextExprs.shingleHashes(text, n)
+
+  /** MinHash slots over precomputed shingle hashes: slot i = min of
+    * (a_i * h + b_i) mod P. Deterministic seeds.
+    */
+  def signatureOf(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       val a = 2L * i + 1L
       val b = 7919L * i + 13L
-      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(P)))
+      array_min(transform(sh, h => (lit(a) * h + lit(b)) % lit(P)))
     }: _*)
-  }
+
+  /** MinHash signature of a text column (convenience composition). */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    signatureOf(shingleHashes(text, n), numHashes)
 
   /** MinHash+LSH candidate pairs verified by exact Jaccard.
     *
@@ -109,28 +126,31 @@ object Dedup {
       n: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sig = df
-      .select(col(idCol).as("doc"), col(textCol).as("txt"),
-        minhashSignature(col(textCol), n, numHashes).as("sig"))
-      .where(size(shingles(col("txt"), n)) > 0)
-    val banded = sig.select(col("doc"), col("txt"),
+    // shingle hashes + signature materialized ONCE and persisted — the
+    // banded self-join would otherwise recompute the whole text-hash
+    // pipeline on both sides
+    val base = df
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", signatureOf(col("sh"), numHashes))
+      .persist()
+    val banded = base.select(col("doc"),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_",
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("doc"), col("txt"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc"), col("bb.band"), col("bb.bucket"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("a.txt").as("txt_a"),
-        col("b.doc").as("id_b"), col("b.txt").as("txt_b"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    // verify candidates with exact Jaccard over the same shingle sets
-    val withSets = cand
-      .withColumn("sh_a", shingles(col("txt_a"), n))
-      .withColumn("sh_b", shingles(col("txt_b"), n))
-    withSets.select(col("id_a"), col("id_b"),
+    // verify candidates with exact Jaccard over the precomputed sets
+    cand
+      .join(base.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
           .as("jaccard"))

@@ -106,27 +106,27 @@ object TextOps {
          |WHERE CAST(common AS DOUBLE) / CAST(na.cnt + nb.cnt - common AS DOUBLE) >= 0.6""".stripMargin,
 
     "dd3_minhash_lsh" -> {
-      // 8 hash slots, 4 bands of 2 — mirror Dedup.minhashSignature seeds
+      // 8 hash slots, 4 bands of 2 — mirror Dedup word-hash shingles and
+      // signatureOf seeds exactly
       val slots = (0 until 8).map { i =>
         val a = 2 * i + 1; val b = 7919 * i + 13
-        s"list_min(list_transform(hs, hv -> ($a * hv + $b) % $P))"
+        s"list_min(list_transform(sh, hv -> ($a * hv + $b) % $P))"
       }.mkString(",\n         ")
       val bands = (0 until 4).map { bnd =>
         val lo = bnd * 2 + 1
-        s"SELECT doc_id, txt, $bnd AS band, " +
+        s"SELECT doc_id, $bnd AS band, " +
           s"array_to_string(sig[$lo:${lo + 1}], '_') AS bucket FROM sig"
       }.mkString("\n      UNION ALL\n      ")
-      s"""WITH t AS (SELECT doc_id, text AS txt, string_split(text, ' ') AS toks
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
          |           FROM documents),
-         |s AS (SELECT doc_id, txt,
-         |             list_distinct([array_to_string(toks[i:i+2], ' ')
-         |                            FOR i IN range(1, len(toks) - 1)]) AS sh
-         |      FROM t WHERE len(toks) >= 3),
-         |h AS (SELECT doc_id, txt, sh,
-         |             list_transform(sh, sg -> ${sqlCharHash("sg")}) AS hs
-         |      FROM s),
-         |sig AS (SELECT doc_id, txt, sh,
-         |        [$slots] AS sig FROM h),
+         |w AS (SELECT doc_id,
+         |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+         |      FROM t),
+         |s AS (SELECT doc_id,
+         |             list_distinct([((wh[i] * 31 + wh[i+1]) % $P * 31 + wh[i+2]) % $P
+         |                            FOR i IN range(1, len(wh) - 1)]) AS sh
+         |      FROM w WHERE len(wh) >= 3),
+         |sig AS (SELECT doc_id, sh, [$slots] AS sig FROM s),
          |banded AS ($bands),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM banded a JOIN banded b

@@ -67,14 +67,8 @@ object VectorOps {
 
     // embedding-cosine near-dup (exact all-pairs baseline for dedup —
     // the LSH-bucketed variant above is the scale path)
-    "dd4_embed_neardup" -> ((s, d) => {
-      import s.implicits._
-      val e = embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("v"))
-      e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-          Similarity.cosine(col("x.v"), col("y.v")).as("cos"))
-        .where(col("cos") >= 0.4)
-    })
+    "dd4_embed_neardup" -> ((s, d) =>
+      Similarity.exactNearPairs(embeddings(s, d), "vec_id", "embedding", 0.4))
   )
 
   val oracles: Map[String, String] = Map(
