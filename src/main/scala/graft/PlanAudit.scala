@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality audit: prints `explain(formatted)` for representative
+  * queries and checks the properties that matter at 100 TB — filters and
+  * projections reaching the parquet scan, small dims broadcast, windows
+  * partitioned on their keys, custom expressions staying inside
+  * whole-stage codegen.
+  *
+  * Usage: runMain graft.PlanAudit [sfDir] [queryName ...]
+  * With no query names, audits a representative subset and exits non-zero
+  * on any failed property.
+  */
+object PlanAudit {
+
+  final case class Check(query: String, property: String,
+      test: String => Boolean)
+
+  /** plan-text properties per audited query */
+  val checks: Seq[Check] = Seq(
+    Check("s1_chunk_scan", "range filter pushed to parquet scan",
+      p => p.contains("PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id,500)]")),
+    Check("s1_chunk_scan", "column pruning (4-col ReadSchema)",
+      p => "ReadSchema:.*event_id.*ts.*user_id.*event_type".r
+        .findFirstIn(p).isDefined || p.contains("struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string")),
+    Check("q3_join_agg", "nation dim broadcast",
+      p => p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange")),
+    Check("q1_agg", "partial aggregation before shuffle",
+      p => p.contains("partial_sum") && p.contains("hashpartitioning(l_returnflag")),
+    Check("w2_lead_validity", "window partitioned by user_id",
+      p => p.contains("Window") && p.contains("hashpartitioning(user_id")),
+    Check("j3_semi_join", "semi join, not inner+distinct",
+      p => p.contains("LeftSemi")),
+    Check("j7_frontier_anti", "anti join",
+      p => p.contains("LeftAnti")),
+    Check("p2_select_except", "orderkey filter pushed",
+      p => p.contains("LessThan(l_orderkey,100)")),
+    Check("sim1_cosine_topk", "top-k as TakeOrderedAndProject (no full sort)",
+      p => p.contains("TakeOrderedAndProject")),
+    Check("dd1_exact_dedup", "single shuffle on content hash",
+      p => p.contains("hashpartitioning(content_sha") &&
+        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.drop(1)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (names.nonEmpty) {
+      names.foreach { n =>
+        println(s"\n========== $n ==========")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
+      spark.stop(); return
+    }
+
+    var failed = 0
+    checks.groupBy(_.query).toSeq.sortBy(_._1).foreach { case (q, cs) =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      cs.foreach { c =>
+        val ok = c.test(plan)
+        if (!ok) failed += 1
+        println(f"${if (ok) "OK  " else "FAIL"}  $q%-22s ${c.property}")
+        if (!ok) println(plan.linesIterator.take(40).mkString("\n"))
+      }
+    }
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}
