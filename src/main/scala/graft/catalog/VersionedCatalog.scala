@@ -6,6 +6,22 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Per-table change inside one atomic commit.
+  *
+  *  - `rewrite`: replace the table's contents (old dirs dereferenced);
+  *  - `append`: add a delta directory, existing dirs carry over untouched
+  *    — ingest cost is O(delta), not O(table);
+  *  - `dropLabels`: dereference previously-appended dirs by label —
+  *    deletion cost is O(metadata) when deletes align with append
+  *    boundaries (e.g. staged chunks appended per chunk id).
+  *
+  * rewrite and append are mutually exclusive for one table.
+  */
+final case class TableDelta(
+    rewrite: Option[DataFrame] = None,
+    appends: Seq[(DataFrame, String)] = Nil,
+    dropLabels: Set[String] = Set.empty)
+
 /** Versioned multi-table Parquet catalog with snapshot isolation and an
   * atomic multi-table commit — the Spark-native replacement for the
   * reference's zero-copy clone + atomic swap + single-transaction store
@@ -14,24 +30,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout:
   * {{{
   *   root/
-  *     _CURRENT                      <- JSON pointer {commit, tables:{name: dataDir}}
-  *     <table>/v000000N/ (parquet)   <- immutable version directories
+  *     _CURRENT                        <- JSON pointer {commit, tables:{name:[dirs]}}
+  *     <table>/v000000N[_label]/ ...   <- immutable data directories
   * }}}
   *
   * Semantics:
-  *  - Readers resolve `_CURRENT` once and read immutable version dirs →
-  *    snapshot isolation for free.
-  *  - A commit writes NEW version dirs for the touched tables only, then
-  *    atomically replaces `_CURRENT` (tmp file + ATOMIC_MOVE). Untouched
-  *    tables keep their old dirs in the new pointer — that IS the
-  *    reference's zero-copy clone (S12), with no data movement.
+  *  - A table's contents = the union of its listed directories; readers
+  *    resolve `_CURRENT` once and read immutable dirs → snapshot
+  *    isolation for free.
+  *  - A commit materializes new dirs for rewritten/appended tables only,
+  *    then atomically replaces `_CURRENT` (tmp file + ATOMIC_MOVE).
+  *    Untouched tables keep their dir lists — the reference's zero-copy
+  *    clone (S12) with no data movement.
+  *  - Appends and label-drops are metadata-only for every byte not in the
+  *    delta: at 100 TB, per-chunk ingest writes the chunk and one pointer.
   *  - Crash anywhere before the pointer move publishes nothing; orphan
-  *    version dirs are garbage-collected by [[vacuum]].
+  *    dirs are garbage-collected by [[vacuum]].
   *  - Single-writer assumption, like the reference's replication pipeline.
-  *
-  * At 100 TB the pointer file is O(#tables) bytes; commits cost only the
-  * rewritten partitions plus one metadata rename, and a snapshot read
-  * never blocks a concurrent commit.
   */
 final class VersionedCatalog(val root: String) {
 
@@ -40,8 +55,8 @@ final class VersionedCatalog(val root: String) {
 
   Files.createDirectories(rootPath)
 
-  /** Current pointer state: commit id and table → data dir. */
-  def current: (Long, Map[String, String]) =
+  /** Current pointer state: commit id and table → data dirs. */
+  def current: (Long, Map[String, Seq[String]]) =
     if (!Files.exists(pointer)) (0L, Map.empty)
     else parse(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8))
 
@@ -49,34 +64,57 @@ final class VersionedCatalog(val root: String) {
 
   def exists(table: String): Boolean = current._2.contains(table)
 
-  /** Snapshot read of one table at the current commit. */
+  /** Snapshot read of one table at the current commit (union of its
+    * directories; empty dirs-list yields an empty scan is impossible —
+    * tables always have ≥1 dir).
+    */
   def read(spark: SparkSession, table: String): DataFrame = {
-    val dirs = current._2
-    val dir = dirs.getOrElse(table,
+    val dirs = current._2.getOrElse(table,
       throw new IllegalArgumentException(
-        s"table '$table' not in catalog $root (have ${dirs.keys.mkString(",")})"))
-    spark.read.parquet(dir)
+        s"table '$table' not in catalog $root (have ${current._2.keys.mkString(",")})"))
+    spark.read.parquet(dirs: _*)
   }
 
-  /** Atomically publish new contents for `writes` (other tables keep their
-    * current version dirs). Each DataFrame is fully materialized to a new
-    * immutable version dir before the pointer moves; a crash mid-commit
-    * publishes nothing.
+  /** Rewrite-only commit (the common promote/store shape). */
+  def commit(writes: Map[String, DataFrame]): Long =
+    commitAll(writes.map { case (t, df) => t -> TableDelta(rewrite = Some(df)) })
+
+  /** Atomic multi-table commit of rewrites, append deltas, and label
+    * drops. Every DataFrame is fully materialized to immutable dirs
+    * before the single pointer move; a crash mid-commit publishes
+    * nothing.
     */
-  def commit(writes: Map[String, DataFrame]): Long = synchronized {
+  def commitAll(deltas: Map[String, TableDelta]): Long = synchronized {
     val (commitId, dirs) = current
     val next = commitId + 1
-    val newDirs = writes.map { case (table, df) =>
-      val dir = rootPath.resolve(table).resolve(f"v$next%08d").toString
-      df.write.mode("overwrite").parquet(dir)
-      table -> dir
+    val newDirs = deltas.map { case (table, d) =>
+      require(d.rewrite.isEmpty || d.appends.isEmpty,
+        s"$table: rewrite and append are exclusive")
+      val existing = dirs.getOrElse(table, Nil)
+      val kept = existing.filterNot(p => d.dropLabels.exists(l =>
+        Paths.get(p).getFileName.toString.endsWith(s"_$l")))
+      val updated = d.rewrite match {
+        case Some(df) => Seq(write(df, table, next, ""))
+        case None =>
+          kept ++ d.appends.map { case (df, l) => write(df, table, next, l) }
+      }
+      table -> updated
     }
     publish(next, dirs ++ newDirs)
     next
   }
 
-  /** Zero-copy clone: register `from`'s current data dir under a new table
-    * name. No data is read or written (the reference's CREATE TABLE CLONE).
+  private def write(df: DataFrame, table: String, commit: Long,
+      label: String): String = {
+    val suffix = if (label.isEmpty) "" else s"_$label"
+    val dir = rootPath.resolve(table).resolve(f"v$commit%08d$suffix").toString
+    df.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Zero-copy clone: register `from`'s current dir list under a new
+    * table name. No data is read or written (the reference's CREATE TABLE
+    * CLONE).
     */
   def clone(from: String, to: String): Unit = synchronized {
     val (commitId, dirs) = current
@@ -91,9 +129,10 @@ final class VersionedCatalog(val root: String) {
     publish(commitId + 1, dirs - table)
   }
 
-  /** Delete version dirs no longer referenced by `_CURRENT`. */
+  /** Delete data dirs no longer referenced by `_CURRENT`. */
   def vacuum(): Int = synchronized {
-    val live = current._2.values.map(Paths.get(_).toAbsolutePath.toString).toSet
+    val live = current._2.values.flatten
+      .map(Paths.get(_).toAbsolutePath.toString).toSet
     var removed = 0
     if (Files.exists(rootPath)) {
       Files.list(rootPath).iterator().asScala
@@ -107,34 +146,37 @@ final class VersionedCatalog(val root: String) {
     removed
   }
 
-  private def publish(commitId: Long, dirs: Map[String, String]): Unit = {
+  private def publish(commitId: Long, dirs: Map[String, Seq[String]]): Unit = {
     val tmp = rootPath.resolve(s"_CURRENT.tmp.$commitId")
     Files.write(tmp, render(commitId, dirs).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  // minimal flat JSON (no nested quoting needed: paths and table names)
-  private def render(commitId: Long, dirs: Map[String, String]): String = {
-    val entries = dirs.toSeq.sortBy(_._1)
-      .map { case (t, d) => s""""${esc(t)}":"${esc(d)}"""" }
-      .mkString(",")
+  // minimal flat JSON: {"commit":N,"tables":{"name":["dir",...],...}}
+  private def render(commitId: Long, dirs: Map[String, Seq[String]]): String = {
+    val entries = dirs.toSeq.sortBy(_._1).map { case (t, ds) =>
+      s""""${esc(t)}":${ds.map(d => s""""${esc(d)}"""").mkString("[", ",", "]")}"""
+    }.mkString(",")
     s"""{"commit":$commitId,"tables":{$entries}}"""
   }
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  private def parse(json: String): (Long, Map[String, String]) = {
+  private def parse(json: String): (Long, Map[String, Seq[String]]) = {
     val commit = """"commit"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(0L)
-    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     val tablesBody = json.indexOf("\"tables\"") match {
       case -1 => ""
       case i => json.substring(json.indexOf('{', i) + 1)
     }
-    val dirs = entry.findAllMatchIn(tablesBody)
-      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\[([^\]]*)\]""".r
+    val str = """"((?:[^"\\]|\\.)*)"""".r
+    val dirs = entry.findAllMatchIn(tablesBody).map { m =>
+      unesc(m.group(1)) ->
+        str.findAllMatchIn(m.group(2)).map(s => unesc(s.group(1))).toSeq
+    }.toMap
     (commit, dirs)
   }
 

@@ -3,7 +3,7 @@ package graft.replicate
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.catalog.VersionedCatalog
+import graft.catalog.{TableDelta, VersionedCatalog}
 import graft.ops.PpdbOps
 import graft.schema.{PpdbSchema, UpdateRecord}
 
@@ -66,6 +66,12 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
 
   /** Exactly-once, in-order chunk store (T3): re-storing a known chunk id
     * is a no-op; chunk ids must arrive in ascending order.
+    *
+    * Cost model at scale: the fact tables (the 100 TB of a PPDB) are
+    * ingested as APPEND deltas — one new directory per chunk, zero
+    * rewrite — unless an update record patches them. DiaObject is
+    * rewritten (the LEAD fill mutates prior rows) but is bounded by the
+    * object catalog, orders of magnitude smaller than the fact volume.
     */
   def store(chunk: ChunkData): Unit = {
     val chunks = catalog.read(spark, "PpdbReplicaChunk")
@@ -85,24 +91,25 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
       if (chunk.diaObjects.isEmpty) objectsAll
       else PpdbOps.fillValidityEnd(objectsAll, chunk.diaObjects)
 
-    // 2. append-only fact tables
-    val sourcesAll = sources.unionByName(
-      chunk.diaSources.select(sources.columns.map(col).toSeq: _*))
-    val forcedAll = forced.unionByName(
-      chunk.diaForcedSources.select(forced.columns.map(col).toSeq: _*))
+    val srcDelta = chunk.diaSources.select(sources.columns.map(col).toSeq: _*)
+    val fsrcDelta = chunk.diaForcedSources.select(forced.columns.map(col).toSeq: _*)
 
-    // 3. ordered update records: LWW collapse + per-table patch merge,
-    //    with existence validation (J6) matching the SQL backend's
-    //    per-row check (P/sql/_ppdb_sql.py:303-314)
+    // 2. ordered update records: LWW collapse + per-table patch merge on
+    //    the tables they touch, with existence validation (J6) matching
+    //    the SQL backend's per-row check (P/sql/_ppdb_sql.py:303-314)
     val tables0 = Map(
-      "DiaObject" -> filled, "DiaSource" -> sourcesAll,
-      "DiaForcedSource" -> forcedAll)
+      "DiaObject" -> filled,
+      "DiaSource" -> sources.unionByName(srcDelta),
+      "DiaForcedSource" -> forced.unionByName(fsrcDelta))
+    var touched: Set[String] = Set.empty
     val tables =
       if (chunk.updates.isEmpty) tables0
       else {
         val expanded = PpdbOps.expandUpdates(spark, chunk.updates)
         val latest = PpdbOps.latestOnly(expanded).cache()
-        PpdbSchema.dataTables.foreach { t =>
+        touched = latest.select("table_name").distinct()
+          .collect().map(_.getString(0)).toSet
+        PpdbSchema.dataTables.filter(touched).foreach { t =>
           val spec = PpdbOps.mergeSpecs(t)
           val patch = PpdbOps.buildPatch(latest, spec)
           val dangling = PpdbOps.danglingUpdates(tables0(t), patch, spec)
@@ -115,7 +122,7 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
         PpdbOps.applyUpdates(tables0, expanded)
       }
 
-    // 4. chunk bookkeeping row
+    // 3. chunk bookkeeping row (appended; the control table stays tiny)
     val newChunkRow = spark.createDataFrame(
       java.util.List.of(Row(chunk.chunkId, chunk.lastUpdateTimeUs,
         chunk.uniqueId, System.currentTimeMillis() * 1000L,
@@ -123,8 +130,16 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
         chunk.updates.size.toLong)),
       PpdbSchema.replicaChunk)
 
-    // 5. single atomic commit covering data + bookkeeping
-    catalog.commit(tables ++ Map(
-      "PpdbReplicaChunk" -> chunks.unionByName(newChunkRow)))
+    // 4. single atomic commit: DiaObject rewrite + fact appends (or
+    //    rewrites when patched) + bookkeeping append
+    val label = s"chunk${chunk.chunkId}"
+    def factDelta(name: String, delta: org.apache.spark.sql.DataFrame) =
+      if (touched.contains(name)) TableDelta(rewrite = Some(tables(name)))
+      else TableDelta(appends = Seq(delta -> label))
+    catalog.commitAll(Map(
+      "DiaObject" -> TableDelta(rewrite = Some(tables("DiaObject"))),
+      "DiaSource" -> factDelta("DiaSource", srcDelta),
+      "DiaForcedSource" -> factDelta("DiaForcedSource", fsrcDelta),
+      "PpdbReplicaChunk" -> TableDelta(appends = Seq(newChunkRow -> label))))
   }
 }

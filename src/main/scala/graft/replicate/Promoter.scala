@@ -3,7 +3,7 @@ package graft.replicate
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.catalog.VersionedCatalog
+import graft.catalog.{TableDelta, VersionedCatalog}
 import graft.functions.SpatialCell
 import graft.ops.PpdbOps
 import graft.schema.{PpdbSchema, UpdateRecord}
@@ -104,24 +104,21 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
         throw new IllegalStateException(
           s"chunk $id manifest invalid: ${problems.mkString("; ")}")
     }
+    // per-chunk labeled appends: staging grows by metadata + delta bytes
+    // only, and the staged-row delete at promote time is a directory drop
     val writes = PpdbSchema.dataTables.map { t =>
-      val existing = catalog.read(spark, s"staging.$t")
-      val added = toStage.map { id =>
+      s"staging.$t" -> TableDelta(appends = toStage.map { id =>
         spark.read.parquet(s"${chunkDir(id)}/$t")
-          .withColumn("apdb_replica_chunk", lit(id))
-      }.reduce(_ unionByName _)
-      s"staging.$t" -> existing.unionByName(added)
+          .withColumn("apdb_replica_chunk", lit(id)) -> s"chunk$id"
+      })
     }.toMap
-    val updWrites = {
-      val existing = catalog.read(spark, "staging.updates")
-      val added = toStage.map { id =>
-        spark.read.schema(PpdbSchema.expandedUpdates)
-          .parquet(s"${chunkDir(id)}/updates")
-      }.reduce(_ unionByName _)
-      "staging.updates" -> existing.unionByName(added)
-    }
+    val updWrites = "staging.updates" -> TableDelta(appends = toStage.map { id =>
+      spark.read.schema(PpdbSchema.expandedUpdates)
+        .parquet(s"${chunkDir(id)}/updates") -> s"chunk$id"
+    })
     val chunkTable = setStatus(toStage, PpdbSchema.ChunkStatus.Staged)
-    catalog.commit(writes + updWrites + ("PpdbReplicaChunk" -> chunkTable))
+    catalog.commitAll(writes + updWrites +
+      ("PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))))
   }
 
   /** Step 3: promote the contiguous staged prefix (T5) into the internal
@@ -145,35 +142,50 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     val filled =
       PpdbOps.fillValidityEnd(unionObj, stagedObj.select("diaObjectId"))
 
-    val newTables = Seq("DiaSource", "DiaForcedSource").map { t =>
+    val factDeltas = Seq("DiaSource", "DiaForcedSource").map { t =>
       val staged = catalog.read(spark, s"staging.$t").where(inChunks)
         .drop("apdb_replica_chunk")
       val internal = catalog.read(spark, s"internal.$t")
-      s"internal.$t" -> internal.unionByName(
-        staged.select(internal.columns.map(col).toSeq: _*))
-    }.toMap + ("internal.DiaObject" -> filled)
+      t -> staged.select(internal.columns.map(col).toSeq: _*)
+    }.toMap
 
-    // T6/W3 + A1 + J4/J5: latest-only update patches, merged per table
+    // T6/W3 + A1 + J4/J5: latest-only update patches, merged per table.
+    // Tables untouched by updates stay append-only (no rewrite).
     val updates = catalog.read(spark, "staging.updates").where(inChunks)
-    val patched = PpdbOps.applyUpdates(
-      newTables.map { case (k, v) => k.stripPrefix("internal.") -> v },
-      updates)
-    val internalWrites = patched.map { case (t, df) => s"internal.$t" -> df }
+    val touched = updates.select("table_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    val full = factDeltas.map { case (t, delta) =>
+      t -> catalog.read(spark, s"internal.$t").unionByName(delta)
+    } + ("DiaObject" -> filled)
+    val patched =
+      if (touched.isEmpty) full else PpdbOps.applyUpdates(full, updates)
 
     // S14: public latest-version snapshot, cell-clustered
-    val snapshot = PpdbOps.latestSnapshot(internalWrites("internal.DiaObject"))
+    val snapshot = PpdbOps.latestSnapshot(patched("DiaObject"))
 
-    // S15: staged-row delete = retain the complement (partition drop shape)
+    val batchLabel = s"promo${ids.head}_${ids.last}"
+    val internalWrites: Map[String, TableDelta] =
+      Map("internal.DiaObject" ->
+        TableDelta(rewrite = Some(patched("DiaObject")))) ++
+        factDeltas.map { case (t, delta) =>
+          s"internal.$t" -> (
+            if (touched.contains(t)) TableDelta(rewrite = Some(patched(t)))
+            else TableDelta(appends = Seq(delta -> batchLabel)))
+        }
+
+    // S15: staged-row delete = DIRECTORY DROP of the promoted chunks'
+    // labeled append dirs (metadata-only, no rewrite)
+    val dropLabels = ids.map(id => s"chunk$id").toSet
     val stagingWrites = (PpdbSchema.dataTables.map(t => s"staging.$t") :+
       "staging.updates").map { t =>
-      t -> catalog.read(spark, t).where(!inChunks)
+      t -> TableDelta(dropLabels = dropLabels)
     }.toMap
 
     val chunkTable = setStatus(ids, PpdbSchema.ChunkStatus.Promoted)
 
-    catalog.commit(internalWrites ++ stagingWrites ++ Map(
-      "public.DiaObjectLast" -> snapshot,
-      "PpdbReplicaChunk" -> chunkTable))
+    catalog.commitAll(internalWrites ++ stagingWrites ++ Map(
+      "public.DiaObjectLast" -> TableDelta(rewrite = Some(snapshot)),
+      "PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))))
     ids
   }
 

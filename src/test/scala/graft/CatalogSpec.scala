@@ -55,6 +55,27 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read(spark, "dst").count() == 3)
   }
 
+  test("labeled appends accumulate; drops are directory dereferences") {
+    import graft.catalog.TableDelta
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    cat.commit(Map("t" -> Seq(1).toDF("x")))
+    val baseDirs = cat.current._2("t")
+    cat.commitAll(Map("t" -> TableDelta(appends = Seq(
+      Seq(2).toDF("x") -> "chunk1", Seq(3).toDF("x") -> "chunk2"))))
+    assert(cat.read(spark, "t").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 3))
+    // base dir carried over untouched (no rewrite on append)
+    assert(cat.current._2("t").startsWith(baseDirs))
+    assert(cat.current._2("t").size == 3)
+
+    cat.commitAll(Map("t" -> TableDelta(dropLabels = Set("chunk1"))))
+    assert(cat.read(spark, "t").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 3))
+    assert(cat.current._2("t").size == 2)
+    // dropped dir survives on disk until vacuum, then is removed
+    assert(cat.vacuum() >= 1)
+  }
+
   test("drop removes table from pointer") {
     val cat = new VersionedCatalog(tmpDir("cat"))
     cat.commit(Map("t" -> Seq(1).toDF("x")))

@@ -91,6 +91,19 @@ class ReplicationSpec extends SparkSpec {
     assert(PpdbOps.latestSnapshot(objects).count() == 10)
   }
 
+  test("fact tables ingest as appends, not rewrites (100 TB posture)") {
+    val apdb = new TestApdb(spark, 5, 3)
+    val ppdb = freshPpdb()
+    new Replicator(spark, apdb, ppdb).runOnce(nowUs = farFuture)
+    val (_, dirs) = ppdb.catalog.current
+    // init dir + one labeled append dir per chunk, original dir intact
+    assert(dirs("DiaSource").size == 4, dirs("DiaSource").mkString(","))
+    assert(dirs("DiaForcedSource").size == 4)
+    assert(dirs("DiaSource").exists(_.contains("v00000001")),
+      "initial version dir never rewritten")
+    assert(dirs("DiaSource").count(_.contains("_chunk")) == 3)
+  }
+
   test("exactly-once: second poll copies nothing and changes nothing") {
     val apdb = new TestApdb(spark, 5, 2)
     val ppdb = freshPpdb()
