@@ -1,0 +1,74 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.schema.VersionTuple
+
+/** Declared-schema registry persisted next to the catalog data (the
+  * reference's Felis-YAML-driven table management + version compat checks,
+  * P/sql/_ppdb_sql_base.py:374-447 and 333-372, re-expressed over Spark's
+  * own StructType JSON serialization).
+  *
+  * One JSON file per table under `root/_schemas/<table>.json` carrying the
+  * StructType and the writer's schema version. [[check]] enforces the
+  * VersionTuple compatibility rule before a table is opened.
+  */
+final class SchemaRegistry(root: String) {
+
+  private val dir: Path = Paths.get(root, "_schemas")
+  Files.createDirectories(dir)
+
+  private def fileOf(table: String): Path =
+    dir.resolve(table.replace("/", "_") + ".json")
+
+  def put(table: String, schema: StructType,
+      version: VersionTuple = VersionTuple.Current): Unit = {
+    val json =
+      s"""{"version":"${version.render}","schema":${schema.json}}"""
+    val tmp = dir.resolve(s".${table.replace("/", "_")}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, fileOf(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def get(table: String): Option[(VersionTuple, StructType)] = {
+    val f = fileOf(table)
+    if (!Files.exists(f)) None
+    else {
+      val json = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val v = """"version"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json)
+        .map(m => VersionTuple.parse(m.group(1)))
+        .getOrElse(VersionTuple.Current)
+      val schemaJson = json.substring(json.indexOf("\"schema\":") + 9,
+        json.length - 1)
+      Some((v, DataType.fromJson(schemaJson).asInstanceOf[StructType]))
+    }
+  }
+
+  def tables: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json")).toSeq.sorted
+  }
+
+  /** Enforce the compat rule: running code must be able to read what was
+    * written. Throws with a precise message otherwise.
+    */
+  def check(table: String,
+      code: VersionTuple = VersionTuple.Current): StructType =
+    get(table) match {
+      case None =>
+        throw new IllegalStateException(s"no declared schema for '$table'")
+      case Some((stored, schema)) =>
+        if (!code.compatibleWith(stored))
+          throw new IllegalStateException(
+            s"schema version mismatch for '$table': stored ${stored.render}, " +
+              s"code ${code.render} (majors must match, code minor >= stored)")
+        schema
+    }
+}

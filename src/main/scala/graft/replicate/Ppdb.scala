@@ -87,9 +87,11 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
     //    (LEAD fill scoped to the touched object ids, W2+J3)
     val objectsAll = objects.unionByName(
       chunk.diaObjects.select(objects.columns.map(col).toSeq: _*))
-    val filled =
+    val filled = graft.Metrics.time("update_validity_time",
+        "table" -> "DiaObject") {
       if (chunk.diaObjects.isEmpty) objectsAll
       else PpdbOps.fillValidityEnd(objectsAll, chunk.diaObjects)
+    }
 
     val srcDelta = chunk.diaSources.select(sources.columns.map(col).toSeq: _*)
     val fsrcDelta = chunk.diaForcedSources.select(forced.columns.map(col).toSeq: _*)
@@ -136,10 +138,14 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
     def factDelta(name: String, delta: org.apache.spark.sql.DataFrame) =
       if (touched.contains(name)) TableDelta(rewrite = Some(tables(name)))
       else TableDelta(appends = Seq(delta -> label))
+    graft.Metrics.time("store_data_time",
+        "chunk_id" -> chunk.chunkId.toString) {
     catalog.commitAll(Map(
       "DiaObject" -> TableDelta(rewrite = Some(tables("DiaObject"))),
       "DiaSource" -> factDelta("DiaSource", srcDelta),
       "DiaForcedSource" -> factDelta("DiaForcedSource", fsrcDelta),
       "PpdbReplicaChunk" -> TableDelta(appends = Seq(newChunkRow -> label))))
+    }
+    ()
   }
 }

@@ -57,7 +57,9 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
   /** Step 1: export a chunk to parquet + manifest (S4/S5/S6). Empty chunks
     * short-circuit to status=skipped (T8).
     */
-  def exportChunk(chunk: ChunkData): String = {
+  def exportChunk(chunk: ChunkData): String =
+      graft.Metrics.time("write_parquet_time",
+        "chunk_id" -> chunk.chunkId.toString) {
     val dir = chunkDir(chunk.chunkId)
     val tables = Map(
       "DiaObject" -> chunk.diaObjects,

@@ -48,7 +48,14 @@ final class Replicator(spark: SparkSession, source: ApdbSource, ppdb: PpdbSpark,
     val ids = settled.select("apdb_replica_chunk")
       .orderBy("apdb_replica_chunk").collect().map(_.getLong(0)).toSeq
 
-    ids.foreach { id => ppdb.store(source.chunkData(id)) }
+    ids.foreach { id =>
+      graft.Metrics.time("replicate_chunk_time", "chunk_id" -> id.toString) {
+        val data = graft.Metrics.time("get_chunks_time",
+          "chunk_id" -> id.toString)(source.chunkData(id))
+        graft.Metrics.time("store_chunks_time",
+          "chunk_id" -> id.toString)(ppdb.store(data))
+      }
+    }
     ids
   }
 }
