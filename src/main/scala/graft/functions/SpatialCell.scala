@@ -101,21 +101,26 @@ object SpatialCell {
     asin(sqrt(a)) * 2.0 / d2r <= radiusDeg
   }
 
-  /** Cone search with coarse cell pruning: `cellId IN (covering cells)`
-    * prunes row groups when the table is sorted by cellId; the exact
-    * haversine predicate filters the survivors.
+  /** Cone search with coarse cell pruning. The Morton code's hierarchical
+    * prefix property means the level-L ancestor of a level-`level` cell is
+    * just `cellId >> 2*(level-L)` — so the covering box is enumerated at a
+    * coarse `pruneLevel` (bounded cell count regardless of radius) and
+    * applied as a shifted IN-set that still skips row groups on
+    * cell-sorted data. The exact haversine predicate filters survivors.
     */
   def coneSearch(df: org.apache.spark.sql.DataFrame, raCol: String,
       decCol: String, cellCol: String, centerRa: Double, centerDec: Double,
-      radiusDeg: Double, level: Int = DefaultLevel)
+      radiusDeg: Double, level: Int = DefaultLevel, pruneLevel: Int = 6)
       : org.apache.spark.sql.DataFrame = {
+    val pl = math.min(level, pruneLevel)
     val decPad = radiusDeg
     val raPad = radiusDeg / math.max(1e-9,
       math.cos(math.min(89.9, math.abs(centerDec) + radiusDeg) * math.Pi / 180.0))
     val cells = SpatialCellMath.cellsForBox(
       centerRa - raPad, centerRa + raPad,
-      centerDec - decPad, centerDec + decPad, level)
-    df.where(col(cellCol).isin(cells: _*))
+      centerDec - decPad, centerDec + decPad, pl)
+    df.where(shiftrightunsigned(col(cellCol), 2 * (level - pl))
+        .isin(cells: _*))
       .where(withinCone(col(raCol), col(decCol), centerRa, centerDec, radiusDeg))
   }
 }

@@ -75,6 +75,74 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF (inverted-file) coarse quantizer: k-means centroids trained with
+    * a fixed number of Lloyd iterations as pure DataFrame aggregations —
+    * deterministic (seed-free: initial centroids are the first k vectors
+    * by id), so index builds are reproducible. Returns the centroid table
+    * (centroid_id, centroid: array<double>).
+    *
+    * At scale each iteration is one scan + one groupBy(centroid) shuffle;
+    * k centroids broadcast to the scan.
+    */
+  def ivfTrain(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var centroids = df.orderBy(col(idCol)).limit(k)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        transform(col(vecCol), _.cast("double")).as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(df, idCol, vecCol, centroids)
+      centroids = assigned
+        .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col("centroid_id"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("centroid_id"),
+          transform(col("dm"), s => s.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (max cosine; deterministic
+    * lowest-id tie-break). Centroids are broadcast.
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col("centroid_id"),
+        cosine(col(vecCol), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("sim").desc, col("centroid_id"))))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"))
+
+  /** IVF ANN top-k: probe the `nprobe` centroids nearest the query and
+    * rank only their member lists by exact cosine. Scan cost drops from
+    * O(N) to O(N * nprobe / k) once the index (assignments) is built.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, assignments: DataFrame, query: Seq[Float],
+      k: Int, nprobe: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val probed = centroids
+      .select(col("centroid_id"), cosine(col("centroid"), q).as("sim"))
+      .orderBy(col("sim").desc, col("centroid_id")).limit(nprobe)
+      .select("centroid_id")
+    df.join(assignments, Seq(idCol))
+      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs near-neighbors above a cosine threshold via LSH bucketing:
     * self-join within buckets only (shuffle on bucket id), then exact
     * cosine verification.

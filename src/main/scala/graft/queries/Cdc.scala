@@ -129,8 +129,46 @@ object Cdc {
         .select($"event_id",
           (unix_micros($"ts") / lit(86400000000.0) + lit(40587.0))
             .as("mjd_utc"))
+    }),
+
+    // F4 + S14 read path: Z-order spatial cell (custom codegen Expression)
+    // + cone search with cell pruning and exact haversine predicate.
+    // Synthetic sky positions derived from event columns.
+    "f4_cone_search" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.SpatialCell
+      val sky = events(s, d).select($"event_id",
+        (($"value" * 7.0) % 360.0).as("ra"),
+        (($"user_id" * 1.2345) % 180.0 - 90.0).as("dec"))
+        .withColumn("cell_id", SpatialCell.spatialCell($"ra", $"dec", 12))
+      SpatialCell.coneSearch(sky, "ra", "dec", "cell_id",
+        centerRa = 180.0, centerDec = 0.0, radiusDeg = 30.0, level = 12)
+        .select($"event_id", $"ra", $"dec", $"cell_id")
     })
   )
+
+  /** DuckDB rendering of the Morton cell id at level 12 for coordinate
+    * SQL exprs `ra`/`dec` — bit-for-bit the SpatialCellMath arithmetic.
+    */
+  private def sqlCell(ra: String, dec: String): String = {
+    val x = s"CAST(floor((((($ra) % 360.0) + 360.0) % 360.0) / 360.0 * 4096) AS BIGINT)"
+    val y = s"CAST(floor((($dec) + 90.0) / 180.0 * 4096) AS BIGINT)"
+    s"""list_sum(list_transform(range(0, 12), b ->
+       |   ((((least(4095, greatest(0, $x)) >> b) & 1) << (2*b)) +
+       |    (((least(4095, greatest(0, $y)) >> b) & 1) << (2*b + 1)))))""".stripMargin
+  }
+
+  /** Haversine within-cone predicate matching SpatialCell.withinCone's
+    * exact IEEE op sequence (center 180,0, radius 30deg).
+    */
+  private val sqlCone: String = {
+    val d2r = "(pi() / 180.0)"
+    s"""(asin(sqrt(
+       |  sin((dec - 0.0) * $d2r / 2.0) * sin((dec - 0.0) * $d2r / 2.0) +
+       |  cos(dec * $d2r) * cos(0.0 * $d2r) *
+       |  sin((ra - 180.0) * $d2r / 2.0) * sin((ra - 180.0) * $d2r / 2.0)
+       |)) * 2.0 / $d2r) <= 30.0""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "f1_json_extract" ->
@@ -180,6 +218,15 @@ object Cdc {
         |FROM lineitem WHERE l_orderkey < 200""".stripMargin,
     "f6_mjd_convert" ->
       """SELECT event_id, epoch_us(ts) / 86400000000.0 + 40587.0 AS mjd_utc
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "f4_cone_search" ->
+      s"""WITH sky AS (
+         |  SELECT event_id,
+         |         (value * CAST(7.0 AS DOUBLE)) % 360.0 AS ra,
+         |         (user_id * CAST(1.2345 AS DOUBLE)) % 180.0 - 90.0 AS dec
+         |  FROM events)
+         |SELECT event_id, ra, dec, ${sqlCell("ra", "dec")} AS cell_id
+         |FROM sky WHERE $sqlCone""".stripMargin
   )
 }

@@ -68,7 +68,20 @@ object VectorOps {
     // embedding-cosine near-dup (exact all-pairs baseline for dedup —
     // the LSH-bucketed variant above is the scale path)
     "dd4_embed_neardup" -> ((s, d) =>
-      Similarity.exactNearPairs(embeddings(s, d), "vec_id", "embedding", 0.4))
+      Similarity.exactNearPairs(embeddings(s, d), "vec_id", "embedding", 0.4)),
+
+    // IVF ANN top-k: deterministic k-means coarse quantizer, probe the
+    // 4 nearest of 16 centroids. No SQL oracle (iterative training isn't
+    // SQL-expressible) -> driver records the rows-only check; exactness
+    // and recall are spec-tested in SimilaritySpec.
+    "sim4_ivf_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val centroids = Similarity.ivfTrain(e, "vec_id", "embedding",
+        k = 16, iters = 2).cache()
+      val assignments = Similarity.assign(e, "vec_id", "embedding", centroids)
+      Similarity.ivfTopK(e, "vec_id", "embedding", centroids, assignments,
+        queryVec(s, d), k = 20, nprobe = 4)
+    })
   )
 
   val oracles: Map[String, String] = Map(
