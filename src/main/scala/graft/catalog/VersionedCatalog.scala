@@ -129,11 +129,16 @@ final class VersionedCatalog(val root: String) {
     publish(commitId + 1, dirs - table)
   }
 
-  /** Delete data dirs no longer referenced by `_CURRENT`. */
+  /** Delete data dirs no longer referenced by `_CURRENT`, plus stale
+    * pointer tmp files left by a crash before ATOMIC_MOVE.
+    */
   def vacuum(): Int = synchronized {
     val live = current._2.values.flatten
       .map(Paths.get(_).toAbsolutePath.toString).toSet
     var removed = 0
+    Files.list(rootPath).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("_CURRENT.tmp."))
+      .foreach { stale => Files.deleteIfExists(stale); removed += 1 }
     if (Files.exists(rootPath)) {
       Files.list(rootPath).iterator().asScala
         .filter(p => Files.isDirectory(p)).foreach { tableDir =>

@@ -51,6 +51,37 @@ object TextHashing {
     seen.toArray
   }
 
+  /** 63-bit SimHash, identical arithmetic to the composable formulation
+    * (word split on single space, per-word polynomial code-point hash mod
+    * 4611686018427387847, per-bit ±1 votes, sign bits).
+    */
+  def simhash(text: String): Long = {
+    val M = 4611686018427387847L
+    val words = text.split(" ", -1)
+    val votes = new Array[Int](63)
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      var h = 0L
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        h = (h * 131L + cp) % M
+        i += Character.charCount(cp)
+      }
+      var j = 0
+      while (j < 63) {
+        if ((h & (1L << j)) != 0L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      wi += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 63) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
   def shingleStrings(text: String, n: Int): Array[String] = {
     val words = text.split(" ", -1)
     if (words.length < n) return Array.empty
@@ -96,9 +127,24 @@ case class ShingleStringExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** 63-bit SimHash of a text column (single-pass). */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashing.simhash(s.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextExprs {
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(text), n))
   def shingleStrings(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleStringExpr(ColumnBridge.expression(text), n))
+  def simhash(text: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text)))
 }

@@ -159,25 +159,11 @@ object Dedup {
 
   /** 63-bit SimHash over word tokens: bit j of the signature is the sign
     * of the sum over tokens of (+1 if bit j of tokenHash else -1).
-    * Bit tests use precomputed power-of-two masks (engine-portable — no
-    * variable shift amounts).
+    * Single-pass expression (TextExprs.simhash) with arithmetic identical
+    * to the portable per-bit-vote formulation the oracle replays.
     */
-  def simhash(text: Column): Column = {
-    val toks = split(text, " ")
-    val hashes = transform(toks, t =>
-      aggregate(regexp_extract_all(t, lit("."), lit(0)), lit(0L),
-        (acc, c) => (acc * 131L + ascii(c)) % lit(4611686018427387847L)))
-    val powers = array((0 to 62).map(j => lit(1L << j)): _*)
-    aggregate(
-      sequence(lit(0), lit(62)),
-      lit(0L),
-      (acc, j) => {
-        val mask = get(powers, j) // 0-based
-        val vote = aggregate(hashes, lit(0L),
-          (v, h) => v + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
-        acc + when(vote > 0, mask).otherwise(lit(0L))
-      })
-  }
+  def simhash(text: Column): Column =
+    graft.functions.TextExprs.simhash(text)
 
   /** Hamming distance between two simhash signatures. */
   def hammingDist(a: Column, b: Column): Column =

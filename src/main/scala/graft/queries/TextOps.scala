@@ -49,6 +49,18 @@ object TextOps {
       documents(s, d).select($"doc_id", Dedup.simhash($"text").as("simhash"))
     }),
 
+    // SimHash near-dup pairs: signatures + Hamming-distance self-join
+    "dd6_simhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val sig = documents(s, d)
+        .select($"doc_id", Dedup.simhash($"text").as("sh"))
+        .persist()
+      sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          Dedup.hammingDist(col("a.sh"), col("b.sh")).as("dist"))
+        .where(col("dist") <= 6)
+    }),
+
     // language ID (lexicon-score heuristic)
     "ts1_langid" -> ((s, d) => {
       import s.implicits._
@@ -153,6 +165,25 @@ object TextOps {
          |            list_transform(regexp_extract_all(w, '.'), ch -> ascii(ch))),
          |            (acc, x) -> (acc * 131 + x) % 4611686018427387847)) AS hs
          |      FROM documents)""".stripMargin,
+
+    "dd6_simhash_pairs" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(0, 63), j ->
+         |      CASE WHEN list_sum(list_transform(hs, hv ->
+         |             CASE WHEN (hv & (CAST(1 AS BIGINT) << j)) <> 0
+         |                  THEN 1 ELSE -1 END)) > 0
+         |           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS sh
+         |  FROM (SELECT doc_id,
+         |          list_transform(string_split(text, ' '), w ->
+         |            list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(regexp_extract_all(w, '.'), ch -> ascii(ch))),
+         |              (acc, x) -> (acc * 131 + x) % 4611686018427387847)) AS hs
+         |        FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       bit_count(xor(a.sh, b.sh)) AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 6""".stripMargin,
 
     "ts1_langid" ->
       """SELECT doc_id,
