@@ -59,6 +59,31 @@ class PromoterSpec extends SparkSpec {
     assert(p.promote() == Seq(2L))
   }
 
+  test("update records flow through export->stage->promote with LWW merge") {
+    import graft.schema.UpdateRecord._
+    val cat = new VersionedCatalog(tmpDir("promo"))
+    val p = new Promoter(spark, cat, tmpDir("export"))
+    p.init()
+    val t0 = 1640995200000000000L
+    val updates = Map(2L -> Seq(
+      // two conflicting reassigns of a chunk-1 source; later time wins
+      (2L, ReassignDiaSourceToDiaObject(t0, 0, 100000L, 1001L): graft.schema.UpdateRecord),
+      (2L, ReassignDiaSourceToDiaObject(t0 + 1000000000L, 1, 100000L, 1003L): graft.schema.UpdateRecord)))
+    val apdb = new TestApdb(spark, 4, 2, updates)
+    Seq(1L, 2L).foreach(id => p.exportChunk(apdb.chunkData(id)))
+    p.stageChunks(Seq(1L, 2L))
+    assert(p.promote() == Seq(1L, 2L))
+    val src = cat.read(spark, "internal.DiaSource")
+      .where($"diaSourceId" === 100000L).collect()
+    assert(src.length == 1 && src.head.getLong(3) == 1003L,
+      "latest reassign applied through the staged pipeline")
+    // fact table stayed append-only despite DiaObject rewrite? DiaSource
+    // was patched, so it must have been rewritten (single dir)
+    assert(cat.current._2("internal.DiaSource").size == 1)
+    assert(cat.current._2("internal.DiaForcedSource").size == 2,
+      "unpatched fact table promoted as append")
+  }
+
   test("promote applies only the contiguous staged prefix") {
     val (p, apdb) = fresh()
     Seq(1L, 2L, 3L).foreach(id => p.exportChunk(apdb.chunkData(id)))
