@@ -48,7 +48,8 @@ final case class TableDelta(
   *    dirs are garbage-collected by [[vacuum]].
   *  - Single-writer assumption, like the reference's replication pipeline.
   */
-final class VersionedCatalog(val root: String) {
+final class VersionedCatalog(val root: String,
+    writeOptions: String => Map[String, String] = VersionedCatalog.NoOptions) {
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("_CURRENT")
@@ -108,7 +109,7 @@ final class VersionedCatalog(val root: String) {
       label: String): String = {
     val suffix = if (label.isEmpty) "" else s"_$label"
     val dir = rootPath.resolve(table).resolve(f"v$commit%08d$suffix").toString
-    df.write.mode("overwrite").parquet(dir)
+    df.write.mode("overwrite").options(writeOptions(table)).parquet(dir)
     dir
   }
 
@@ -192,5 +193,25 @@ final class VersionedCatalog(val root: String) {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.foreach(deleteRecursively)
     Files.deleteIfExists(p)
+  }
+}
+
+object VersionedCatalog {
+  val NoOptions: String => Map[String, String] = _ => Map.empty
+
+  /** Per-table parquet options for the PPDB layout: bloom filters on the
+    * point-lookup id columns (the Spark stand-in for the reference's
+    * BigQuery search indexes, dataset_builder.py:255-265) — parquet
+    * min/max stats alone can't skip on high-cardinality unsorted ids.
+    */
+  val ppdbWriteOptions: String => Map[String, String] = {
+    case t if t.endsWith("DiaObject") || t.endsWith("DiaObjectLast") =>
+      Map("parquet.bloom.filter.enabled#diaObjectId" -> "true")
+    case t if t.endsWith("DiaSource") =>
+      Map("parquet.bloom.filter.enabled#diaSourceId" -> "true",
+        "parquet.bloom.filter.enabled#diaObjectId" -> "true")
+    case t if t.endsWith("DiaForcedSource") =>
+      Map("parquet.bloom.filter.enabled#diaObjectId" -> "true")
+    case _ => Map.empty
   }
 }

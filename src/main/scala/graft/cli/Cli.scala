@@ -34,7 +34,8 @@ object Cli {
   def main(args: Array[String]): Unit = args.toList match {
     case "create" :: root :: Nil =>
       val spark = session()
-      val ppdb = new PpdbSpark(spark, new VersionedCatalog(root))
+      val ppdb = new PpdbSpark(spark,
+        new VersionedCatalog(root, VersionedCatalog.ppdbWriteOptions))
       ppdb.init()
       val reg = new SchemaRegistry(root)
       Seq("DiaObject" -> PpdbSchema.diaObject,
@@ -71,7 +72,8 @@ object Cli {
       }
       val spark = session()
       graft.Metrics.logEnabled = true
-      val ppdb = new PpdbSpark(spark, new VersionedCatalog(root))
+      val ppdb = new PpdbSpark(spark,
+        new VersionedCatalog(root, VersionedCatalog.ppdbWriteOptions))
       ppdb.init()
       val source = new SyntheticApdb(spark, nObjects, nChunks)
       val copied = new Replicator(spark, source, ppdb)
