@@ -1,0 +1,43 @@
+package graft
+
+import graft.catalog.VersionedCatalog
+import graft.functions.SpatialCellMath
+
+class GraftSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("catalog tables are queryable through spark.sql") {
+    val cat = new VersionedCatalog(tmpDir("sess"))
+    cat.commit(Map(
+      "internal.DiaObject" -> Seq((1L, 45.0, -30.0), (2L, 200.0, 10.0))
+        .toDF("diaObjectId", "ra", "dec")))
+    val got = GraftSession.sql(spark, cat,
+      "SELECT diaObjectId FROM internal_DiaObject WHERE ra > 100 ORDER BY 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("spatial_cell and vec_dot are callable from SQL") {
+    GraftSession.registerFunctions(spark)
+    val cell = spark.sql("SELECT spatial_cell(45.0D, -30.0D, 12)")
+      .head().getLong(0)
+    assert(cell == SpatialCellMath.cell(45.0, -30.0, 12))
+    val cellDefault = spark.sql("SELECT spatial_cell(45.0D, -30.0D)")
+      .head().getLong(0)
+    assert(cellDefault == cell)
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+  }
+
+  test("views track the snapshot the mount saw; remount advances") {
+    val cat = new VersionedCatalog(tmpDir("sess"))
+    cat.commit(Map("t" -> Seq(1).toDF("x")))
+    GraftSession.mount(spark, cat)
+    assert(spark.sql("SELECT count(*) FROM t").head().getLong(0) == 1L)
+    cat.commit(Map("t" -> Seq(1, 2).toDF("x")))
+    GraftSession.mount(spark, cat)
+    assert(spark.sql("SELECT count(*) FROM t").head().getLong(0) == 2L)
+  }
+}
