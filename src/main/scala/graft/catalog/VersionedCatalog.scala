@@ -113,6 +113,21 @@ final class VersionedCatalog(val root: String,
     dir
   }
 
+  /** Compaction: rewrite a table's accumulated append dirs into one
+    * (optionally sorted) dir — the maintenance pass that bounds file and
+    * directory counts under append-only ingest. Readers are unaffected
+    * (old dirs stay live until the pointer swaps); reclaim space with
+    * [[vacuum]] afterwards.
+    */
+  def compact(spark: SparkSession, table: String,
+      sortCols: Seq[String] = Nil, targetPartitions: Int = 0): Long = {
+    var df = read(spark, table)
+    if (targetPartitions > 0) df = df.repartition(targetPartitions)
+    if (sortCols.nonEmpty)
+      df = df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+    commit(Map(table -> df))
+  }
+
   /** Zero-copy clone: register `from`'s current dir list under a new
     * table name. No data is read or written (the reference's CREATE TABLE
     * CLONE).

@@ -84,6 +84,42 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Frequency-capped Jaccard near-dup pairs — the 100 TB-scale variant:
+    * shingles occurring in more than `maxDocFreq` documents are excluded
+    * from CANDIDATE GENERATION (they are stop-shingles that would create
+    * quadratic pair blowup), but verification computes the TRUE Jaccard
+    * over the full shingle sets. Recall trade-off: a pair whose every
+    * common shingle is hot is missed; any surfaced pair carries its exact
+    * similarity. (The CCNet/Gopher-style dedup compromise.)
+    */
+  def jaccardPairsCapped(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist()
+    val ex = sh.select(col("doc"), explode(col("sh")).as("shingle"))
+    // doc-frequency filter: only shingles rare enough to be discriminative
+    // (and in >= 2 docs, or they cannot produce a pair)
+    val keep = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select("shingle")
+    // persisted: the candidate self-join would otherwise recompute the
+    // explode + doc-frequency aggregation on both sides
+    val kept = ex.join(keep, Seq("shingle"), "left_semi").persist()
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Per-word polynomial char hashes (chars hashed once per word, not once
     * per shingle — 3× less char work than shingle-string hashing).
     */

@@ -38,6 +38,12 @@ object TextOps {
     "dd2_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 3, 0.6)),
 
+    // frequency-capped Jaccard (stop-shingle filter on candidate
+    // generation, exact verification — the CCNet-style scale variant)
+    "dd2b_jaccard_capped" -> ((s, d) =>
+      Dedup.jaccardPairsCapped(documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.6, maxDocFreq = 50)),
+
     // MinHash + LSH banding with exact-Jaccard verification (scale path)
     "dd3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
@@ -116,6 +122,23 @@ object TextOps {
          |       CAST(common AS DOUBLE) / CAST(na.cnt + nb.cnt - common AS DOUBLE) AS jaccard
          |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
          |WHERE CAST(common AS DOUBLE) / CAST(na.cnt + nb.cnt - common AS DOUBLE) >= 0.6""".stripMargin,
+
+    "dd2b_jaccard_capped" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, ${sqlShingles("text")} AS sh FROM t
+         |      WHERE len(toks) >= 3),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |keep AS (SELECT shingle FROM e GROUP BY shingle
+         |         HAVING count(*) >= 2 AND count(*) <= 50),
+         |k AS (SELECT doc_id, shingle FROM e WHERE shingle IN (SELECT shingle FROM keep)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM k a JOIN k b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+         |FROM cand JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin,
 
     "dd3_minhash_lsh" -> {
       // 8 hash slots, 4 bands of 2 — mirror Dedup word-hash shingles and

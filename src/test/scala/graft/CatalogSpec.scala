@@ -76,6 +76,21 @@ class CatalogSpec extends SparkSpec {
     assert(cat.vacuum() >= 1)
   }
 
+  test("compact folds append dirs into one and preserves contents") {
+    import graft.catalog.TableDelta
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    cat.commit(Map("t" -> Seq(1).toDF("x")))
+    cat.commitAll(Map("t" -> TableDelta(appends = Seq(
+      Seq(2).toDF("x") -> "c1", Seq(3).toDF("x") -> "c2",
+      Seq(4).toDF("x") -> "c3"))))
+    assert(cat.current._2("t").size == 4)
+    cat.compact(spark, "t", targetPartitions = 1)
+    assert(cat.current._2("t").size == 1)
+    assert(cat.read(spark, "t").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 3, 4))
+    assert(cat.vacuum() >= 4, "old dirs reclaimed")
+  }
+
   test("drop removes table from pointer") {
     val cat = new VersionedCatalog(tmpDir("cat"))
     cat.commit(Map("t" -> Seq(1).toDF("x")))
