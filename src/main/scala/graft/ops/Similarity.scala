@@ -143,6 +143,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe ANN top-k: probe the query's LSH bucket plus every
+    * 1-bit-flip neighbor bucket (bits+1 probes) — recovers most of the
+    * recall lost to near-boundary hyperplane flips for ~(bits+1)/2^bits
+    * of the corpus scanned.
+    */
+  def lshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], bits: Int, k: Int): DataFrame = {
+    val dims = query.length
+    val q = array(query.map(lit): _*)
+    val qSig = lshSignature(q, bits, dims)
+    val probes = qSig +: (0 until bits).map(i => qSig.bitwiseXOR(1L << i))
+    lshBuckets(df, idCol, vecCol, bits, dims)
+      .where(probes.map(col("bucket") === _).reduce(_ || _))
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs near-neighbors above a cosine threshold via LSH bucketing:
     * self-join within buckets only (shuffle on bucket id), then exact
     * cosine verification.

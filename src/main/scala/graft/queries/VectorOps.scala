@@ -60,6 +60,11 @@ object VectorOps {
       Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding",
         queryVec(s, d), BITS, 20)),
 
+    // multi-probe LSH ANN: query bucket + all 1-bit-flip neighbors
+    "sim2b_lsh_multiprobe" -> ((s, d) =>
+      Similarity.lshTopKMultiProbe(embeddings(s, d), "vec_id", "embedding",
+        queryVec(s, d), BITS, 20)),
+
     // LSH all-pairs near-neighbors with exact cosine verification
     "sim3_lsh_pairs" -> ((s, d) =>
       Similarity.lshNearPairs(embeddings(s, d), "vec_id", "embedding",
@@ -99,6 +104,17 @@ object VectorOps {
          |      FROM embeddings)
          |SELECT vec_id, ${sqlCosine("b.embedding", "q.qv")} AS cos
          |FROM b CROSS JOIN q WHERE b.sig = q.qsig
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "sim2b_lsh_multiprobe" ->
+      s"""WITH q AS (SELECT embedding AS qv, ${sqlLshSig("embedding")} AS qsig
+         |           FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT vec_id, embedding, ${sqlLshSig("embedding")} AS sig
+         |      FROM embeddings)
+         |SELECT vec_id, ${sqlCosine("b.embedding", "q.qv")} AS cos
+         |FROM b CROSS JOIN q
+         |WHERE b.sig = q.qsig OR len(list_filter(range(0, $BITS),
+         |      i -> b.sig = xor(q.qsig, CAST(1 AS BIGINT) << i))) > 0
          |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
 
     "sim3_lsh_pairs" ->

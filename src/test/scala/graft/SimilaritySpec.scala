@@ -54,6 +54,18 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${approx.intersect(exact).size}/10")
   }
 
+  test("multi-probe LSH recall >= single-probe recall") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryVec, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val single = Similarity.lshTopK(emb, "vec_id", "embedding", queryVec,
+      bits = 8, k = 10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val multi = Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
+      queryVec, bits = 8, k = 10).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(multi.intersect(exact).size >= single.intersect(exact).size)
+    assert(multi.contains(0L), "query's own bucket always probed")
+  }
+
   test("LSH topK probes only the query bucket") {
     val got = Similarity.lshTopK(emb, "vec_id", "embedding", queryVec,
       bits = 8, k = 5).collect()
