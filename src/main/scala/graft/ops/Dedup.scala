@@ -94,7 +94,10 @@ object Dedup {
     */
   def jaccardPairsCapped(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    // hash shingles (8-byte elements): the candidate explode and the
+    // verification arrays shuffle long[]s, not strings
+    val sh = df.select(col(idCol).as("doc"),
+        shingleHashes(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .persist()
     val ex = sh.select(col("doc"), explode(col("sh")).as("shingle"))

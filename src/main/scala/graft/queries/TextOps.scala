@@ -42,7 +42,7 @@ object TextOps {
     // generation, exact verification — the CCNet-style scale variant)
     "dd2b_jaccard_capped" -> ((s, d) =>
       Dedup.jaccardPairsCapped(documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.6, maxDocFreq = 50)),
+        n = 3, threshold = 0.6, maxDocFreq = 20)),
 
     // MinHash + LSH banding with exact-Jaccard verification (scale path)
     "dd3_minhash_lsh" -> ((s, d) =>
@@ -125,11 +125,15 @@ object TextOps {
 
     "dd2b_jaccard_capped" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |s AS (SELECT doc_id, ${sqlShingles("text")} AS sh FROM t
-         |      WHERE len(toks) >= 3),
+         |w AS (SELECT doc_id, list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+         |      FROM t),
+         |s AS (SELECT doc_id,
+         |             list_distinct([((wh[i] * 31 + wh[i+1]) % $P * 31 + wh[i+2]) % $P
+         |                            FOR i IN range(1, len(wh) - 1)]) AS sh
+         |      FROM w WHERE len(wh) >= 3),
          |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
          |keep AS (SELECT shingle FROM e GROUP BY shingle
-         |         HAVING count(*) >= 2 AND count(*) <= 50),
+         |         HAVING count(*) >= 2 AND count(*) <= 20),
          |k AS (SELECT doc_id, shingle FROM e WHERE shingle IN (SELECT shingle FROM keep)),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM k a JOIN k b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
