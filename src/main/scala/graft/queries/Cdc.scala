@@ -226,7 +226,8 @@ object Cdc {
          |         (value * CAST(7.0 AS DOUBLE)) % 360.0 AS ra,
          |         (user_id * CAST(1.2345 AS DOUBLE)) % 180.0 - 90.0 AS dec
          |  FROM events)
-         |SELECT event_id, ra, dec, ${sqlCell("ra", "dec")} AS cell_id
+         |SELECT event_id, ra, dec,
+         |       CAST(${sqlCell("ra", "dec")} AS BIGINT) AS cell_id
          |FROM sky WHERE $sqlCone""".stripMargin
   )
 }

@@ -263,19 +263,22 @@ object Relational {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_cents,
         |       count(*) AS n
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "a2_distinct" ->
       "SELECT DISTINCT o_orderpriority FROM orders",
     "a4_min_sum" ->
       """SELECT min(event_id) AS min_id, max(event_id) AS max_id,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_cents,
         |       count(*) AS n
         |FROM events""".stripMargin,
     "q3_join_agg" ->
       """SELECT n_name,
-        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS rev_cents,
         |       count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey

@@ -42,7 +42,8 @@ object StreamOps {
     "st1_window_agg" ->
       """SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
         |       event_type, count(*) AS n,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st2_sessionize" ->
       """WITH t AS (
@@ -52,10 +53,10 @@ object StreamOps {
         |  FROM events),
         |m AS (
         |  SELECT user_id, event_id, ts_us,
-        |         sum(CASE WHEN prev_us IS NULL
+        |         CAST(sum(CASE WHEN prev_us IS NULL
         |                    OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
         |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |  FROM t)
         |SELECT user_id, session_seq, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us

@@ -181,11 +181,12 @@ object TextOps {
 
     "dd5_simhash" ->
       s"""SELECT doc_id,
-         |  list_sum(list_transform(range(0, 63), j ->
+         |  CAST(list_sum(list_transform(range(0, 63), j ->
          |    CASE WHEN list_sum(list_transform(hs, hv ->
          |           CASE WHEN (hv & (CAST(1 AS BIGINT) << j)) <> 0
          |                THEN 1 ELSE -1 END)) > 0
-         |         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS simhash
+         |         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END))
+         |    AS BIGINT) AS simhash
          |FROM (SELECT doc_id,
          |        list_transform(string_split(text, ' '), w ->
          |          list_reduce(list_prepend(CAST(0 AS BIGINT),

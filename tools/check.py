@@ -50,7 +50,8 @@ for name, sql in sorted(oracle.items()):
         continue
     got = con.execute(
         f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
-    gcols = [d[0] for d in got.description]
+    gdesc = got.description
+    gcols = [d[0] for d in gdesc]
     grows = got.fetchall()
     try:
         exp = con.execute(sql)
@@ -59,6 +60,17 @@ for name, sql in sorted(oracle.items()):
         continue
     ecols = [d[0] for d in exp.description]
     erows = exp.fetchall()
+    # The driver's hasher is type-sensitive: DuckDB HUGEINT (from
+    # sum(BIGINT)/list_sum) vs Spark BIGINT hash-mismatches even when every
+    # value is equal. Catch the type skew locally.
+    gtypes = dict(zip(gcols, [str(d[1]) for d in gdesc]))
+    etypes = dict(zip(ecols, [str(d[1]) for d in exp.description]))
+    tmism = {c: (gtypes[c], etypes[c]) for c in gtypes
+             if c in etypes and gtypes[c] != etypes[c]}
+    if tmism:
+        fails.append((name, f"column TYPES differ (driver hash is "
+                      f"type-sensitive): {tmism}"))
+        continue
     gc, gr = norm(grows, gcols)
     ec, er = norm(erows, ecols)
     if gc != ec:
