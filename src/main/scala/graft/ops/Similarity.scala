@@ -77,6 +77,18 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
 
+  /** Deterministic seeded coarse quantizer: the first k corpus vectors by
+    * id become the inverted-file centroids (centroid_id = the seed's own
+    * id). No training iterations, so the quantizer — and therefore the
+    * whole IVF probe — is exactly reproducible in portable SQL; the
+    * Lloyd-refined variant is [[ivfTrain]].
+    */
+  def ivfSeedCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("centroid_id"),
+        transform(col(vecCol), _.cast("double")).as("centroid"))
+
   /** IVF (inverted-file) coarse quantizer: k-means centroids trained with
     * a fixed number of Lloyd iterations as pure DataFrame aggregations —
     * deterministic (seed-free: initial centroids are the first k vectors
@@ -90,9 +102,7 @@ object Similarity {
       iters: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    var centroids = df.orderBy(col(idCol)).limit(k)
-      .select(monotonically_increasing_id().as("centroid_id"),
-        transform(col(vecCol), _.cast("double")).as("centroid"))
+    var centroids = ivfSeedCentroids(df, idCol, vecCol, k)
     for (_ <- 0 until iters) {
       val assigned = assign(df, idCol, vecCol, centroids)
       centroids = assigned
@@ -110,7 +120,9 @@ object Similarity {
   }
 
   /** Assign each vector to its nearest centroid (max cosine; deterministic
-    * lowest-id tie-break). Centroids are broadcast.
+    * lowest-id tie-break). Centroids are broadcast, and the argmax is one
+    * map-side-combining aggregation (max of a (sim, -id) struct) — no
+    * window, so one shuffle instead of two.
     */
   def assign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
@@ -118,11 +130,10 @@ object Similarity {
       .crossJoin(broadcast(centroids))
       .select(col(idCol), col("centroid_id"),
         cosine(col(vecCol), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-          .orderBy(col("sim").desc, col("centroid_id"))))
-      .where(col("rn") === 1)
-      .select(col(idCol), col("centroid_id"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), (-col("centroid_id")).as("neg_cid")))
+        .as("best"))
+      .select(col(idCol), (-col("best.neg_cid")).as("centroid_id"))
 
   /** IVF ANN top-k: probe the `nprobe` centroids nearest the query and
     * rank only their member lists by exact cosine. Scan cost drops from

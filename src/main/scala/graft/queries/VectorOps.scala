@@ -75,14 +75,15 @@ object VectorOps {
     "dd4_embed_neardup" -> ((s, d) =>
       Similarity.exactNearPairs(embeddings(s, d), "vec_id", "embedding", 0.4)),
 
-    // IVF ANN top-k: deterministic k-means coarse quantizer, probe the
-    // 4 nearest of 16 centroids. No SQL oracle (iterative training isn't
-    // SQL-expressible) -> driver records the rows-only check; exactness
-    // and recall are spec-tested in SimilaritySpec.
+    // IVF ANN top-k: deterministic seeded coarse quantizer (first 16
+    // vectors by id; SQL-expressible, so the full probe path has an exact
+    // oracle), probe the 4 nearest cells. Lloyd-refined k-means training
+    // stays spec-tested in SimilaritySpec (iterative means aren't
+    // order-independent, so that variant can't be bit-matched in SQL).
     "sim4_ivf_topk" -> ((s, d) => {
       val e = embeddings(s, d)
-      val centroids = Similarity.ivfTrain(e, "vec_id", "embedding",
-        k = 16, iters = 2).cache()
+      val centroids =
+        Similarity.ivfSeedCentroids(e, "vec_id", "embedding", 16).cache()
       val assignments = Similarity.assign(e, "vec_id", "embedding", centroids)
       Similarity.ivfTopK(e, "vec_id", "embedding", centroids, assignments,
         queryVec(s, d), k = 20, nprobe = 4)
@@ -129,6 +130,31 @@ object VectorOps {
       s"""SELECT x.vec_id AS id_a, y.vec_id AS id_b,
          |       ${sqlCosine("x.embedding", "y.embedding")} AS cos
          |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-         |WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.4""".stripMargin
+         |WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.4""".stripMargin,
+
+    // seeded-quantizer IVF: centroids = first 16 vectors by id, nearest
+    // cell per vector (cos DESC, centroid_id tie-break), probe the 4
+    // cells nearest the query, exact cosine rank within them
+    "sim4_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id,
+         |                  list_transform(embedding,
+         |                    x -> CAST(x AS DOUBLE)) AS centroid
+         |           FROM embeddings ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT vec_id, centroid_id FROM (
+         |        SELECT e.vec_id, c.centroid_id,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY ${sqlCosine("e.embedding", "c.centroid")}
+         |                   DESC, c.centroid_id) AS rn
+         |        FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |p AS (SELECT centroid_id FROM c CROSS JOIN q
+         |      ORDER BY ${sqlCosine("c.centroid", "q.qv")} DESC, centroid_id
+         |      LIMIT 4)
+         |SELECT e.vec_id, ${sqlCosine("e.embedding", "q.qv")} AS cos
+         |FROM embeddings e
+         |JOIN a ON e.vec_id = a.vec_id
+         |JOIN p ON a.centroid_id = p.centroid_id
+         |CROSS JOIN q
+         |ORDER BY cos DESC, e.vec_id LIMIT 20""".stripMargin
   )
 }
