@@ -40,7 +40,11 @@ object PlanAudit {
       p => p.contains("TakeOrderedAndProject")),
     Check("dd1_exact_dedup", "single shuffle on content hash",
       p => p.contains("hashpartitioning(content_sha") &&
-        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1))
+        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
+    Check("dd6_simhash_pairs", "banded equi-join, not nested-loop pairs",
+      p => !p.contains("BroadcastNestedLoopJoin") &&
+        (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin"))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

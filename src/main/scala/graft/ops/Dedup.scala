@@ -207,4 +207,34 @@ object Dedup {
   /** Hamming distance between two simhash signatures. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxDist` via pigeonhole
+    * banding: the signature splits into `maxDist + 1` disjoint bit-bands,
+    * and a pair differing in ≤ maxDist bits must agree EXACTLY on at least
+    * one band — so candidate generation is an equi-join on (band, bits)
+    * (shuffle-partitioned, no cross product) instead of an O(N²)
+    * nested-loop self-join. Verification is one xor+popcount per
+    * candidate. Returns (id_a, id_b, dist), id_a < id_b, each pair once.
+    */
+  def simhashBandedPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val numBands = maxDist + 1
+    val width = 64 / numBands // the last band absorbs the remainder bits
+    // persisted: the banded self-join reads the signature scan twice
+    val sig = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh"))
+      .persist()
+    val banded = sig.select(col("doc"), col("sh"),
+      posexplode(array((0 until numBands).map { i =>
+        val off = i * width
+        val w = if (i == numBands - 1) 64 - off else width
+        shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1L))
+      }: _*)).as(Seq("band", "bits")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        hammingDist(col("a.sh"), col("b.sh")).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
 }

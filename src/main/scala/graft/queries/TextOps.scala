@@ -55,17 +55,11 @@ object TextOps {
       documents(s, d).select($"doc_id", Dedup.simhash($"text").as("simhash"))
     }),
 
-    // SimHash near-dup pairs: signatures + Hamming-distance self-join
-    "dd6_simhash_pairs" -> ((s, d) => {
-      import s.implicits._
-      val sig = documents(s, d)
-        .select($"doc_id", Dedup.simhash($"text").as("sh"))
-        .persist()
-      sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          Dedup.hammingDist(col("a.sh"), col("b.sh")).as("dist"))
-        .where(col("dist") <= 6)
-    }),
+    // SimHash near-dup pairs: pigeonhole-banded equi-join on signature
+    // bit-bands (dist ≤ 6 ⇒ one of 7 bands matches exactly), Hamming
+    // verification on candidates only — no O(N²) nested-loop join
+    "dd6_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashBandedPairs(documents(s, d), "doc_id", "text", 6)),
 
     // language ID (lexicon-score heuristic)
     "ts1_langid" -> ((s, d) => {
