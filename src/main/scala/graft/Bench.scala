@@ -1,12 +1,26 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 
 /** Per-round benchmark main: times every SparkEntry query on the scale
   * factor in SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":...,"value":total,"unit":"sec","queries":{...},"sf":...}.
   */
 object Bench {
+
+  /** Force FULL evaluation of every output column: aggregate an xxhash64
+    * over all columns of every row (combined with bit_xor — overflow-free
+    * under ANSI). A bare `count()` lets Catalyst prune unreferenced
+    * projections, so map-only queries would time the scan instead of
+    * their expressions.
+    */
+  def force(df: DataFrame): Long = {
+    val r = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(bit_xor(col("h"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,12 +36,12 @@ object Bench {
     // warm the JVM/codegen paths once so the first timed query doesn't
     // absorb all of Spark's startup cost
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    try SparkEntry.queries.head._2(spark, sfDir).count()
+    try force(SparkEntry.queries.head._2(spark, sfDir))
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop persisted intermediates so one query's cache can't squeeze
       // the execution memory of the queries after it

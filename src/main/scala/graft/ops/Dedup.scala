@@ -99,26 +99,57 @@ object Dedup {
     val sh = df.select(col(idCol).as("doc"),
         shingleHashes(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
+      .withColumn("cnt", size(col("sh")))
       .persist()
     val ex = sh.select(col("doc"), explode(col("sh")).as("shingle"))
-    // doc-frequency filter: only shingles rare enough to be discriminative
-    // (and in >= 2 docs, or they cannot produce a pair)
-    val keep = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= maxDocFreq)
+    // pass 1: doc frequency (map-side partial counts, skew-safe). Only the
+    // HOT stop-shingles are materialized — by construction at most
+    // corpus/maxDocFreq of them, tiny in practice — so the cap filter is a
+    // broadcast anti-join, not a second shuffle of the exploded table.
+    val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
       .select("shingle")
-    // persisted: the candidate self-join would otherwise recompute the
-    // explode + doc-frequency aggregation on both sides
-    val kept = ex.join(keep, Seq("shingle"), "left_semi").persist()
-    val cand = kept.as("a").join(kept.as("b"),
+    val kept = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // per-doc counts: total shingles and how many of them are hot — the
+    // hot count bounds how much the capped pair-count can undercount
+    val keptCnt = kept.groupBy("doc").agg(count(lit(1)).as("kept_cnt"))
+    val stats = sh.select(col("doc"), col("cnt"))
+      .join(keptCnt, Seq("doc"), "left")
+      .select(col("doc"), col("cnt"),
+        (col("cnt") - coalesce(col("kept_cnt"), lit(0L))).as("hot_cnt"))
+    // pass 2: shared-rare-shingle count per pair. The equi-join on shingle
+    // fans out ≤ maxDocFreq matches per row (hot shingles are gone), so
+    // there is no quadratic blowup at any corpus size, and the count
+    // aggregate shuffles bare (id, id, n) rows — no arrays.
+    val ck = kept.as("a").join(kept.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("ck"))
+    // upper-bound pre-filter: true common ≤ ck + min(hot_a, hot_b), so
+    // a conservative jaccard bound prunes candidates that cannot reach
+    // the threshold — typically ~all of them — before any array work
+    val survivors = ck
+      .join(stats.select(col("doc").as("id_a"), col("cnt").as("cnt_a"),
+        col("hot_cnt").as("hot_a")), Seq("id_a"))
+      .join(stats.select(col("doc").as("id_b"), col("cnt").as("cnt_b"),
+        col("hot_cnt").as("hot_b")), Seq("id_b"))
+      .withColumn("ubc",
+        (col("ck") + least(col("hot_a"), col("hot_b"))).cast("double"))
+      .where(col("ubc") / (col("cnt_a") + col("cnt_b") - col("ubc"))
+        >= threshold)
+      .select("id_a", "id_b")
+    // exact verification of the few survivors over the full shingle sets:
+    // |union| = cnt_a + cnt_b − |∩| (arrays are distinct), so one
+    // array_intersect per survivor and a bit-identical division
+    survivors
+      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a"),
+        col("cnt").as("cnt_a")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b"),
+        col("cnt").as("cnt_b")), Seq("id_b"))
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        (col("common") / (col("cnt_a") + col("cnt_b") - col("common")))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
@@ -220,21 +251,31 @@ object Dedup {
       maxDist: Int): DataFrame = {
     val numBands = maxDist + 1
     val width = 64 / numBands // the last band absorbs the remainder bits
+    def off(i: Int): Int = i * width
+    def w(i: Int): Int = if (i == numBands - 1) 64 - off(i) else width
     // persisted: the banded self-join reads the signature scan twice
     val sig = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh"))
       .persist()
     val banded = sig.select(col("doc"), col("sh"),
       posexplode(array((0 until numBands).map { i =>
-        val off = i * width
-        val w = if (i == numBands - 1) 64 - off else width
-        shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1L))
+        shiftrightunsigned(col("sh"), off(i)).bitwiseAND(lit((1L << w(i)) - 1L))
       }: _*)).as(Seq("band", "bits")))
+    // a pair matching on k bands comes out of the join k times; keep only
+    // the row from the FIRST matching band (lowest zero band of sh_a⊕sh_b)
+    // — a codegen'd per-row filter instead of a distinct() shuffle of the
+    // duplicated candidates
+    val xorc = col("a.sh").bitwiseXOR(col("b.sh"))
+    val firstMatch = (numBands - 1 to 0 by -1)
+      .foldLeft(lit(-1): Column) { (acc, i) =>
+        when(shiftrightunsigned(xorc, off(i))
+          .bitwiseAND(lit((1L << w(i)) - 1L)) === 0L, lit(i)).otherwise(acc)
+      }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.doc") < col("b.doc"))
+      .where(col("a.band") === firstMatch)
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
         hammingDist(col("a.sh"), col("b.sh")).as("dist"))
       .where(col("dist") <= maxDist)
-      .distinct()
   }
 }
