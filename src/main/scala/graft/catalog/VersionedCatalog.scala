@@ -13,14 +13,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    — ingest cost is O(delta), not O(table);
   *  - `dropLabels`: dereference previously-appended dirs by label —
   *    deletion cost is O(metadata) when deletes align with append
-  *    boundaries (e.g. staged chunks appended per chunk id).
+  *    boundaries (e.g. staged chunks appended per chunk id);
+  *  - `dropDirs`: dereference specific data dirs by exact path — the
+  *    partition-scoped patch primitive: drop only the dirs containing
+  *    patched keys and append their patched replacement, leaving every
+  *    other directory's bytes untouched.
   *
   * rewrite and append are mutually exclusive for one table.
   */
 final case class TableDelta(
     rewrite: Option[DataFrame] = None,
     appends: Seq[(DataFrame, String)] = Nil,
-    dropLabels: Set[String] = Set.empty)
+    dropLabels: Set[String] = Set.empty,
+    dropDirs: Set[String] = Set.empty)
 
 /** Versioned multi-table Parquet catalog with snapshot isolation and an
   * atomic multi-table commit — the Spark-native replacement for the
@@ -92,8 +97,10 @@ final class VersionedCatalog(val root: String,
       require(d.rewrite.isEmpty || d.appends.isEmpty,
         s"$table: rewrite and append are exclusive")
       val existing = dirs.getOrElse(table, Nil)
-      val kept = existing.filterNot(p => d.dropLabels.exists(l =>
-        Paths.get(p).getFileName.toString.endsWith(s"_$l")))
+      val kept = existing
+        .filterNot(p => d.dropLabels.exists(l =>
+          Paths.get(p).getFileName.toString.endsWith(s"_$l")))
+        .filterNot(d.dropDirs.contains)
       val updated = d.rewrite match {
         case Some(df) => Seq(write(df, table, next, ""))
         case None =>
@@ -111,6 +118,33 @@ final class VersionedCatalog(val root: String,
     val dir = rootPath.resolve(table).resolve(f"v$commit%08d$suffix").toString
     df.write.mode("overwrite").options(writeOptions(table)).parquet(dir)
     dir
+  }
+
+  /** The table's data dirs that contain at least one row whose `keyCols`
+    * match a row of `keys` — the dir-level pruning probe behind
+    * partition-scoped patching. The probe is a broadcast-semi-join scan
+    * tagged with input_file_name (parquet column pruning reads only the
+    * key columns; bloom filters and min/max stats skip row groups), and
+    * only the distinct matching FILE paths are collected — bounded by the
+    * table's file count, not its rows.
+    */
+  def dirsTouching(spark: SparkSession, table: String,
+      keyCols: Seq[String], keys: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, input_file_name}
+    val dirs = current._2.getOrElse(table, Nil)
+    if (dirs.isEmpty) return Nil
+    val matches = spark.read.parquet(dirs: _*)
+      .select(keyCols.map(org.apache.spark.sql.functions.col) :+
+        input_file_name().as("_file"): _*)
+      .join(broadcast(keys.select(
+        keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()),
+        keyCols.toSeq, "left_semi")
+      .select("_file").distinct()
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath)
+    dirs.filter { d =>
+      val abs = Paths.get(d).toAbsolutePath.toString
+      matches.exists(f => f.startsWith(abs + "/"))
+    }
   }
 
   /** Compaction: rewrite a table's accumulated append dirs into one

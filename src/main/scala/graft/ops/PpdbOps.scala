@@ -120,6 +120,18 @@ object PpdbOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Distinct record keys touched by a table's latest-only updates, typed
+    * to the target table's key columns — the scope used for dir-level
+    * pruning and scoped merges.
+    */
+  def patchKeys(latest: DataFrame, spec: MergeSpec,
+      target: DataFrame): DataFrame =
+    latest.where(col("table_name") === spec.table)
+      .select(spec.keys.zipWithIndex.map { case (k, i) =>
+        col("record_id").getItem(i).cast(target.schema(k).dataType).as(k)
+      }: _*)
+      .distinct()
+
   /** Hand-rolled MERGE (J4/J5): broadcast the patch, left-outer join on
     * the (composite) key, rewrite each patchable field with
     * IF(present[, AND value non-null], new, old) (F3). Produces the full

@@ -69,9 +69,11 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
     *
     * Cost model at scale: the fact tables (the 100 TB of a PPDB) are
     * ingested as APPEND deltas — one new directory per chunk, zero
-    * rewrite — unless an update record patches them. DiaObject is
-    * rewritten (the LEAD fill mutates prior rows) but is bounded by the
-    * object catalog, orders of magnitude smaller than the fact volume.
+    * rewrite — and when an update record patches them, only the
+    * DIRECTORIES containing patched keys are rewritten
+    * ([[VersionedCatalog.dirsTouching]]). The DiaObject validity fill is
+    * likewise scoped to the dirs holding this chunk's object ids, so the
+    * per-chunk cost is O(chunk + touched dirs), never O(table).
     */
   def store(chunk: ChunkData): Unit = {
     val chunks = catalog.read(spark, "PpdbReplicaChunk")
@@ -82,47 +84,73 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
     val objects = catalog.read(spark, "DiaObject")
     val sources = catalog.read(spark, "DiaSource")
     val forced = catalog.read(spark, "DiaForcedSource")
+    val label = s"chunk${chunk.chunkId}"
 
-    // 1. insert new DiaObject versions, then close superseded intervals
-    //    (LEAD fill scoped to the touched object ids, W2+J3)
-    val objectsAll = objects.unionByName(
+    val latestOpt =
+      if (chunk.updates.isEmpty) None
+      else Some(PpdbOps.latestOnly(
+        PpdbOps.expandUpdates(spark, chunk.updates)).cache())
+    val touched: Set[String] = latestOpt.fold(Set.empty[String]) {
+      _.select("table_name").distinct().collect().map(_.getString(0)).toSet
+    }
+
+    // 1. DiaObject: insert new versions and close superseded intervals
+    //    (LEAD fill, W2+J3) — scoped to the dirs holding this chunk's
+    //    object ids or patched object ids; other dirs carry over as-is
+    val objSpec = PpdbOps.mergeSpecs("DiaObject")
+    val objPatch = latestOpt.filter(_ => touched("DiaObject"))
+      .map(l => PpdbOps.buildPatch(l, objSpec))
+    val objScope = chunk.diaObjects.select("diaObjectId")
+      .unionByName(latestOpt.fold(emptyDf(objects.select("diaObjectId").schema))(
+        l => PpdbOps.patchKeys(l, objSpec, objects)))
+      .distinct()
+    val objAffected =
+      catalog.dirsTouching(spark, "DiaObject", Seq("diaObjectId"), objScope)
+    val objBase =
+      if (objAffected.isEmpty) emptyDf(objects.schema)
+      else spark.read.parquet(objAffected: _*)
+    val objectsScoped = objBase.unionByName(
       chunk.diaObjects.select(objects.columns.map(col).toSeq: _*))
     val filled = graft.Metrics.time("update_validity_time",
         "table" -> "DiaObject") {
-      if (chunk.diaObjects.isEmpty) objectsAll
-      else PpdbOps.fillValidityEnd(objectsAll, chunk.diaObjects)
+      if (chunk.diaObjects.isEmpty) objectsScoped
+      else PpdbOps.fillValidityEnd(objectsScoped, chunk.diaObjects)
     }
 
     val srcDelta = chunk.diaSources.select(sources.columns.map(col).toSeq: _*)
     val fsrcDelta = chunk.diaForcedSources.select(forced.columns.map(col).toSeq: _*)
 
-    // 2. ordered update records: LWW collapse + per-table patch merge on
-    //    the tables they touch, with existence validation (J6) matching
-    //    the SQL backend's per-row check (P/sql/_ppdb_sql.py:303-314)
-    val tables0 = Map(
-      "DiaObject" -> filled,
-      "DiaSource" -> sources.unionByName(srcDelta),
-      "DiaForcedSource" -> forced.unionByName(fsrcDelta))
-    var touched: Set[String] = Set.empty
-    val tables =
-      if (chunk.updates.isEmpty) tables0
-      else {
-        val expanded = PpdbOps.expandUpdates(spark, chunk.updates)
-        val latest = PpdbOps.latestOnly(expanded).cache()
-        touched = latest.select("table_name").distinct()
-          .collect().map(_.getString(0)).toSet
-        PpdbSchema.dataTables.filter(touched).foreach { t =>
-          val spec = PpdbOps.mergeSpecs(t)
-          val patch = PpdbOps.buildPatch(latest, spec)
-          val dangling = PpdbOps.danglingUpdates(tables0(t), patch, spec)
-          val bad = dangling.limit(1).collect()
-          if (bad.nonEmpty)
-            throw new IllegalStateException(
-              s"chunk ${chunk.chunkId}: update for missing $t row " +
-                bad.head.toString)
-        }
-        PpdbOps.applyUpdates(tables0, expanded)
+    // 2. ordered update records (LWW collapse + per-table patch merge,
+    //    J4/J5) with existence validation (J6). Validation runs against
+    //    the scoped rows: any existing row with a patched key lives in an
+    //    affected dir (the dir probe includes the patch keys), so
+    //    "missing from scope" == "missing from table".
+    def scopedFact(t: String, full: DataFrame,
+        delta: DataFrame): TableDelta = {
+      if (!touched(t)) return TableDelta(appends = Seq(delta -> label))
+      val spec = PpdbOps.mergeSpecs(t)
+      val latest = latestOpt.get
+      val patch = PpdbOps.buildPatch(latest, spec)
+      val keys = PpdbOps.patchKeys(latest, spec, full)
+      val affected = catalog.dirsTouching(spark, t, spec.keys, keys)
+      val base =
+        if (affected.isEmpty) emptyDf(full.schema)
+        else spark.read.parquet(affected: _*)
+          .select(full.columns.map(col).toSeq: _*)
+      val rows = base.unionByName(delta)
+      requireNoDangling(t, chunk.chunkId, rows, patch, spec)
+      val patched = PpdbOps.mergePatch(rows, patch, spec)
+      TableDelta(dropDirs = affected.toSet, appends = Seq(patched -> label))
+    }
+    val objDelta = {
+      objPatch.foreach { p =>
+        requireNoDangling("DiaObject", chunk.chunkId, filled, p, objSpec)
       }
+      val objPatched =
+        objPatch.fold(filled)(p => PpdbOps.mergePatch(filled, p, objSpec))
+      TableDelta(dropDirs = objAffected.toSet,
+        appends = Seq(objPatched -> label))
+    }
 
     // 3. chunk bookkeeping row (appended; the control table stays tiny)
     val newChunkRow = spark.createDataFrame(
@@ -132,20 +160,25 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
         chunk.updates.size.toLong)),
       PpdbSchema.replicaChunk)
 
-    // 4. single atomic commit: DiaObject rewrite + fact appends (or
-    //    rewrites when patched) + bookkeeping append
-    val label = s"chunk${chunk.chunkId}"
-    def factDelta(name: String, delta: org.apache.spark.sql.DataFrame) =
-      if (touched.contains(name)) TableDelta(rewrite = Some(tables(name)))
-      else TableDelta(appends = Seq(delta -> label))
+    // 4. single atomic commit: scoped DiaObject + fact appends (scoped
+    //    rewrites only where patched) + bookkeeping append
     graft.Metrics.time("store_data_time",
         "chunk_id" -> chunk.chunkId.toString) {
     catalog.commitAll(Map(
-      "DiaObject" -> TableDelta(rewrite = Some(tables("DiaObject"))),
-      "DiaSource" -> factDelta("DiaSource", srcDelta),
-      "DiaForcedSource" -> factDelta("DiaForcedSource", fsrcDelta),
+      "DiaObject" -> objDelta,
+      "DiaSource" -> scopedFact("DiaSource", sources, srcDelta),
+      "DiaForcedSource" -> scopedFact("DiaForcedSource", forced, fsrcDelta),
       "PpdbReplicaChunk" -> TableDelta(appends = Seq(newChunkRow -> label))))
     }
     ()
+  }
+
+  private def requireNoDangling(table: String, chunkId: Long,
+      target: DataFrame, patch: DataFrame,
+      spec: PpdbOps.MergeSpec): Unit = {
+    val bad = PpdbOps.danglingUpdates(target, patch, spec).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"chunk $chunkId: update for missing $table row " + bad.head.toString)
   }
 }

@@ -125,6 +125,14 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
 
   /** Step 3: promote the contiguous staged prefix (T5) into the internal
     * tables and refresh the public latest snapshot. One atomic commit.
+    *
+    * Partition-scoped rewrites: the internal tables are unions of
+    * immutable directories, and promotion only rewrites the directories
+    * that actually hold a staged or patched key (located with the
+    * catalog's pruned [[VersionedCatalog.dirsTouching]] probe). Every
+    * other directory's bytes carry over untouched — so one stray update
+    * record against a 100 TB fact table costs a per-dir rewrite, not a
+    * table rewrite.
     */
   def promote(): Seq[Long] = {
     val chunks = catalog.read(spark, "PpdbReplicaChunk")
@@ -132,48 +140,77 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     if (ids.isEmpty) return Nil
 
     val inChunks = col("apdb_replica_chunk").isin(ids: _*)
+    val batchLabel = s"promo${ids.head}_${ids.last}"
+
+    // T6/W3: latest-only update patches for the batch
+    val updates = catalog.read(spark, "staging.updates").where(inChunks)
+    val latest = PpdbOps.latestOnly(updates).cache()
+    val touched = latest.select("table_name").distinct()
+      .collect().map(_.getString(0)).toSet
 
     // J9: staged rows for the batch, realigned to internal schema
     val stagedObj = catalog.read(spark, "staging.DiaObject").where(inChunks)
       .drop("apdb_replica_chunk")
     val internalObj = catalog.read(spark, "internal.DiaObject")
-    val unionObj = internalObj.unionByName(
-      stagedObj.select(internalObj.columns.map(col).toSeq: _*))
 
-    // W2/J3: close superseded validity intervals, scoped to touched objects
+    // DiaObject: W2/J3 validity fill + A1/J4 patch, scoped to the dirs
+    // holding a staged or patched object id
+    val objSpec = PpdbOps.mergeSpecs("DiaObject")
+    val objPatch =
+      if (touched("DiaObject")) Some(PpdbOps.buildPatch(latest, objSpec))
+      else None
+    val objScope = stagedObj.select("diaObjectId")
+      .unionByName(PpdbOps.patchKeys(latest, objSpec, internalObj))
+      .distinct()
+    val objAffected = catalog.dirsTouching(spark, "internal.DiaObject",
+      Seq("diaObjectId"), objScope)
+    val objBase =
+      if (objAffected.isEmpty) emptyDf(internalObj.schema)
+      else spark.read.parquet(objAffected: _*)
+    val unionObj = objBase.unionByName(
+      stagedObj.select(internalObj.columns.map(col).toSeq: _*))
     val filled =
       PpdbOps.fillValidityEnd(unionObj, stagedObj.select("diaObjectId"))
+    val objPatched =
+      objPatch.fold(filled)(p => PpdbOps.mergePatch(filled, p, objSpec))
 
-    val factDeltas = Seq("DiaSource", "DiaForcedSource").map { t =>
-      val staged = catalog.read(spark, s"staging.$t").where(inChunks)
-        .drop("apdb_replica_chunk")
-      val internal = catalog.read(spark, s"internal.$t")
-      t -> staged.select(internal.columns.map(col).toSeq: _*)
-    }.toMap
+    // S14: the snapshot derives from the FULL post-commit object catalog:
+    // untouched dirs ∪ the patched scope (a read, not a rewrite)
+    val objUnaffected = catalog.current._2("internal.DiaObject")
+      .filterNot(objAffected.contains)
+    val fullObjAfter = (
+      if (objUnaffected.isEmpty) emptyDf(internalObj.schema)
+      else spark.read.parquet(objUnaffected: _*)).unionByName(objPatched)
+    val snapshot = PpdbOps.latestSnapshot(fullObjAfter)
 
-    // T6/W3 + A1 + J4/J5: latest-only update patches, merged per table.
-    // Tables untouched by updates stay append-only (no rewrite).
-    val updates = catalog.read(spark, "staging.updates").where(inChunks)
-    val touched = updates.select("table_name").distinct()
-      .collect().map(_.getString(0)).toSet
-    val full = factDeltas.map { case (t, delta) =>
-      t -> catalog.read(spark, s"internal.$t").unionByName(delta)
-    } + ("DiaObject" -> filled)
-    val patched =
-      if (touched.isEmpty) full else PpdbOps.applyUpdates(full, updates)
-
-    // S14: public latest-version snapshot, cell-clustered
-    val snapshot = PpdbOps.latestSnapshot(patched("DiaObject"))
-
-    val batchLabel = s"promo${ids.head}_${ids.last}"
-    val internalWrites: Map[String, TableDelta] =
-      Map("internal.DiaObject" ->
-        TableDelta(rewrite = Some(patched("DiaObject")))) ++
-        factDeltas.map { case (t, delta) =>
-          s"internal.$t" -> (
-            if (touched.contains(t)) TableDelta(rewrite = Some(patched(t)))
-            else TableDelta(appends = Seq(delta -> batchLabel)))
+    // fact tables: plain append when untouched by updates; when patched,
+    // rewrite ONLY the dirs containing patched keys (plus the new delta)
+    val factWrites: Map[String, TableDelta] =
+      Seq("DiaSource", "DiaForcedSource").map { t =>
+        val name = s"internal.$t"
+        val internal = catalog.read(spark, name)
+        val delta = catalog.read(spark, s"staging.$t").where(inChunks)
+          .drop("apdb_replica_chunk")
+          .select(internal.columns.map(col).toSeq: _*)
+        if (!touched(t)) name -> TableDelta(appends = Seq(delta -> batchLabel))
+        else {
+          val spec = PpdbOps.mergeSpecs(t)
+          val patch = PpdbOps.buildPatch(latest, spec)
+          val keys = PpdbOps.patchKeys(latest, spec, internal)
+          val affected = catalog.dirsTouching(spark, name, spec.keys, keys)
+          val base =
+            if (affected.isEmpty) emptyDf(internal.schema)
+            else spark.read.parquet(affected: _*)
+              .select(internal.columns.map(col).toSeq: _*)
+          val patched = PpdbOps.mergePatch(base.unionByName(delta), patch, spec)
+          name -> TableDelta(dropDirs = affected.toSet,
+            appends = Seq(patched -> batchLabel))
         }
+      }.toMap
+
+    val internalWrites: Map[String, TableDelta] = factWrites +
+      ("internal.DiaObject" -> TableDelta(dropDirs = objAffected.toSet,
+        appends = Seq(objPatched -> batchLabel)))
 
     // S15: staged-row delete = DIRECTORY DROP of the promoted chunks'
     // labeled append dirs (metadata-only, no rewrite)

@@ -84,6 +84,7 @@ class PromoterSpec extends SparkSpec {
 
   test("update records flow through export->stage->promote with LWW merge") {
     import graft.schema.UpdateRecord._
+    import scala.jdk.CollectionConverters._
     val cat = new VersionedCatalog(tmpDir("promo"))
     val p = new Promoter(spark, cat, tmpDir("export"))
     p.init()
@@ -93,18 +94,44 @@ class PromoterSpec extends SparkSpec {
       (2L, ReassignDiaSourceToDiaObject(t0, 0, 100000L, 1001L): graft.schema.UpdateRecord),
       (2L, ReassignDiaSourceToDiaObject(t0 + 1000000000L, 1, 100000L, 1003L): graft.schema.UpdateRecord)))
     val apdb = new TestApdb(spark, 4, 2, updates)
-    Seq(1L, 2L).foreach(id => p.exportChunk(apdb.chunkData(id)))
-    p.stageChunks(Seq(1L, 2L))
-    assert(p.promote() == Seq(1L, 2L))
+
+    def fileState(dir: String): Map[String, (Long, java.nio.file.attribute.FileTime)] =
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => f.toString -> (Files.size(f), Files.getLastModifiedTime(f)))
+        .toMap
+
+    // promote chunk 1 alone so its fact rows land in their own batch dir
+    p.exportChunk(apdb.chunkData(1))
+    p.stageChunks(Seq(1L))
+    assert(p.promote() == Seq(1L))
+    val srcDir1 = cat.current._2("internal.DiaSource")
+      .find(_.endsWith("_promo1_1")).get
+    val fsrcDir1 = cat.current._2("internal.DiaForcedSource")
+      .find(_.endsWith("_promo1_1")).get
+    val fsrcBefore = fileState(fsrcDir1)
+
+    // chunk 2 carries the updates that patch a chunk-1 DiaSource row
+    p.exportChunk(apdb.chunkData(2))
+    p.stageChunks(Seq(2L))
+    assert(p.promote() == Seq(2L))
     val src = cat.read(spark, "internal.DiaSource")
       .where($"diaSourceId" === 100000L).collect()
     assert(src.length == 1 && src.head.getLong(3) == 1003L,
       "latest reassign applied through the staged pipeline")
-    // fact table stayed append-only despite DiaObject rewrite? DiaSource
-    // was patched, so it must have been rewritten (single dir)
-    assert(cat.current._2("internal.DiaSource").size == 1)
-    assert(cat.current._2("internal.DiaForcedSource").size == 2,
-      "unpatched fact table promoted as append")
+
+    // partition-scoped patch: only the dir holding the patched key was
+    // dereferenced; the untouched DiaForcedSource chunk-1 dir survives in
+    // the pointer with every file byte-identical (size + mtime)
+    assert(!cat.current._2("internal.DiaSource").contains(srcDir1),
+      "patched dir dereferenced")
+    assert(cat.current._2("internal.DiaForcedSource").contains(fsrcDir1),
+      "unpatched fact dir carried over")
+    assert(fileState(fsrcDir1) == fsrcBefore,
+      "unpatched fact dir untouched on disk")
+    // no patched-key row lost or duplicated across the scoped rewrite
+    assert(cat.read(spark, "internal.DiaSource").count() ==
+      apdb.chunkData(1).diaSources.count() + apdb.chunkData(2).diaSources.count())
   }
 
   test("promote applies only the contiguous staged prefix") {

@@ -161,6 +161,18 @@ class ReplicationSpec extends SparkSpec {
       .where($"diaObjectId" === 1002L && $"visit" === 2L && $"detector" === 2)
       .collect()
     assert(fsrc.length == 1 && fsrc.head.getDouble(8) == 60021.0)
+
+    // partition-scoped patching: only the chunk dirs holding patched keys
+    // were dereferenced; every other chunk's dir carried over untouched
+    val dirs = ppdb.catalog.current._2
+    assert(!dirs("DiaSource").exists(_.endsWith("_chunk1")),
+      "patched DiaSource chunk-1 dir dereferenced")
+    assert(dirs("DiaSource").exists(_.endsWith("_chunk2")),
+      "untouched DiaSource chunk-2 dir survives")
+    assert(dirs("DiaForcedSource").exists(_.endsWith("_chunk1")),
+      "untouched DiaForcedSource chunk-1 dir survives")
+    assert(!dirs("DiaForcedSource").exists(_.endsWith("_chunk2")),
+      "patched DiaForcedSource chunk-2 dir dereferenced")
   }
 
   test("dangling update record aborts the chunk store (J6)") {
