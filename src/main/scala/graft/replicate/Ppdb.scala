@@ -3,9 +3,9 @@ package graft.replicate
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.catalog.{TableDelta, VersionedCatalog}
+import graft.catalog.{MetadataTable, TableDelta, VersionedCatalog}
 import graft.ops.PpdbOps
-import graft.schema.{PpdbSchema, UpdateRecord}
+import graft.schema.{PpdbSchema, UpdateRecord, VersionTuple}
 
 /** One replica chunk's payload: the three table deltas plus ordered update
   * records (P/ppdb.py:117-153).
@@ -40,10 +40,20 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
 
   val schemaVersion = "graft-ppdb:0.1.0"
 
+  /** Persisted key/value metadata (reference `metadata` table,
+    * P/sql/_ppdb_sql_base.py:151-154).
+    */
+  val meta = new MetadataTable(spark, catalog)
+
   private def emptyDf(schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-  /** Idempotent initialization: publish empty versions of all tables. */
+  /** Idempotent initialization: publish empty versions of all tables and
+    * record the schema/code versions in the metadata table. Reopening an
+    * existing store instead CHECKS the stored versions against the
+    * running code (P/sql/_ppdb_sql_base.py:156-158,333-372) and refuses
+    * incompatible stores.
+    */
   def init(): Unit = {
     if (!catalog.exists("DiaObject")) {
       catalog.commit(Map(
@@ -51,7 +61,25 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
         "DiaSource" -> emptyDf(PpdbSchema.diaSource),
         "DiaForcedSource" -> emptyDf(PpdbSchema.diaForcedSource),
         "PpdbReplicaChunk" -> emptyDf(PpdbSchema.replicaChunk)))
-    }
+      meta.init()
+      meta.set(MetadataTable.SchemaVersionKey,
+        PpdbSchema.schemaVersion.render, force = true)
+      meta.set(MetadataTable.CodeVersionKey,
+        VersionTuple.Current.render, force = true)
+    } else checkVersions()
+  }
+
+  /** Refuse stores written by an incompatible schema or newer code line. */
+  def checkVersions(): Unit = {
+    def check(key: String, running: VersionTuple): Unit =
+      meta.get(key).map(VersionTuple.parse).foreach { stored =>
+        if (!running.compatibleWith(stored))
+          throw new IllegalStateException(
+            s"$key: running ${running.render} cannot read stored " +
+              s"${stored.render}")
+      }
+    check(MetadataTable.SchemaVersionKey, PpdbSchema.schemaVersion)
+    check(MetadataTable.CodeVersionKey, VersionTuple.Current)
   }
 
   def replicaChunks(minId: Option[Long] = None): DataFrame = {
@@ -60,9 +88,8 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
     filtered.orderBy("last_update_time_us")
   }
 
-  def metadata: Map[String, String] = Map(
-    "schema_version" -> schemaVersion,
-    "catalog_root" -> catalog.root)
+  def metadata: Map[String, String] =
+    meta.items + ("catalog_root" -> catalog.root)
 
   /** Exactly-once, in-order chunk store (T3): re-storing a known chunk id
     * is a no-op; chunk ids must arrive in ascending order.

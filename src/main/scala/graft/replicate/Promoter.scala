@@ -3,10 +3,10 @@ package graft.replicate
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.catalog.{TableDelta, VersionedCatalog}
+import graft.catalog.{MetadataTable, TableDelta, VersionedCatalog}
 import graft.functions.SpatialCell
 import graft.ops.PpdbOps
-import graft.schema.{PpdbSchema, UpdateRecord}
+import graft.schema.{PpdbSchema, UpdateRecord, VersionTuple}
 
 /** The staged (lakehouse) pipeline — the Spark re-expression of the
   * reference's BigQuery backend:
@@ -32,10 +32,19 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
 
   val schemaVersion = "graft-ppdb:0.1.0"
 
+  /** Persisted key/value metadata (reference `metadata` table). */
+  val meta = new MetadataTable(spark, catalog)
+
   private def emptyDf(schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   def init(): Unit = {
+    if (catalog.exists("internal.DiaObject")) return
+    meta.init()
+    meta.set(MetadataTable.SchemaVersionKey,
+      PpdbSchema.schemaVersion.render, force = true)
+    meta.set(MetadataTable.CodeVersionKey,
+      VersionTuple.Current.render, force = true)
     if (!catalog.exists("internal.DiaObject")) {
       catalog.commit(Map(
         "internal.DiaObject" -> emptyDf(PpdbSchema.diaObject),

@@ -13,6 +13,12 @@ import org.apache.spark.sql.types._
   */
 object PpdbSchema {
 
+  /** Version of this data model (the reference test schema declares
+    * 0.1.1, test_apdb_schema.yaml:4); stored in the metadata table and
+    * compatibility-checked on reopen.
+    */
+  val schemaVersion: VersionTuple = VersionTuple(0, 1, 1)
+
   val diaObject: StructType = StructType(Seq(
     StructField("diaObjectId", LongType, nullable = false),
     StructField("validityStartMjdTai", DoubleType, nullable = false),
