@@ -77,6 +77,23 @@ object PlanAudit {
         if (!ok) println(plan.linesIterator.take(40).mkString("\n"))
       }
     }
+
+    // catalog fact-table layout: a time-range read over bucketed appends
+    // must plan a partition filter on the derived bucket column
+    {
+      import spark.implicits._
+      val cat = new graft.catalog.VersionedCatalog(
+        java.nio.file.Files.createTempDirectory("audit_cat").toString)
+      cat.commit(Map("audit.DiaSource" ->
+        Seq((1L, 60010.0), (2L, 60040.0), (3L, 60100.0))
+          .toDF("diaObjectId", "midpointMjdTai")))
+      val plan = cat.readRange(spark, "audit.DiaSource", 60005.0, 60020.0)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      val ok = plan.contains("PartitionFilters") && plan.contains("mjd_bucket")
+      if (!ok) { failed += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      println(f"${if (ok) "OK  " else "FAIL"}  ${"catalog_readRange"}%-22s time-bucket partition pruning")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -27,6 +27,20 @@ final case class TableDelta(
     dropLabels: Set[String] = Set.empty,
     dropDirs: Set[String] = Set.empty)
 
+/** Physical layout for a time-series fact table: rows are hive-partitioned
+  * by a derived time bucket (`mjd_bucket` = floor(column / widthDays)) and
+  * sorted within partitions by `sortCols` — the Spark mapping of the
+  * reference's secondary indexes on (midpointMjdTai) and (diaObjectId)
+  * (test_apdb_schema.yaml:206-219,288-293): time-range scans prune whole
+  * partition directories, and id lookups within a bucket skip row groups
+  * via min/max stats + bloom filters.
+  */
+final case class TimeBucket(column: String, widthDays: Double,
+    sortCols: Seq[String] = Nil) {
+  val bucketCol = "mjd_bucket"
+  def bucketOf(v: Double): Long = math.floor(v / widthDays).toLong
+}
+
 /** Versioned multi-table Parquet catalog with snapshot isolation and an
   * atomic multi-table commit — the Spark-native replacement for the
   * reference's zero-copy clone + atomic swap + single-transaction store
@@ -54,7 +68,8 @@ final case class TableDelta(
   *  - Single-writer assumption, like the reference's replication pipeline.
   */
 final class VersionedCatalog(val root: String,
-    writeOptions: String => Map[String, String] = VersionedCatalog.NoOptions) {
+    writeOptions: String => Map[String, String] = VersionedCatalog.NoOptions,
+    layouts: String => Option[TimeBucket] = VersionedCatalog.ppdbLayouts) {
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("_CURRENT")
@@ -72,13 +87,52 @@ final class VersionedCatalog(val root: String,
 
   /** Snapshot read of one table at the current commit (union of its
     * directories; empty dirs-list yields an empty scan is impossible —
-    * tables always have ≥1 dir).
+    * tables always have ≥1 dir). Layout tables read per-dir so each dir's
+    * hive partitioning resolves independently; the derived bucket column
+    * is dropped, keeping the logical schema identical to the unbucketed
+    * layout.
     */
   def read(spark: SparkSession, table: String): DataFrame = {
-    val dirs = current._2.getOrElse(table,
+    val dirs = tableDirs(table)
+    layouts(table) match {
+      case None => spark.read.parquet(dirs: _*)
+      case Some(tb) => dirs.map(readDir(spark, _, tb, None)).reduce(_ unionByName _)
+    }
+  }
+
+  /** Time-range read of a layout table: the range becomes a partition
+    * filter on the derived bucket column per directory (whole bucket dirs
+    * pruned at planning, `PartitionFilters` in the scan) plus the exact
+    * predicate on the time column. Falls back to a plain read for tables
+    * without a time-bucket layout (callers keep their own predicate).
+    */
+  def readRange(spark: SparkSession, table: String, lo: Double,
+      hi: Double): DataFrame =
+    layouts(table) match {
+      case None => read(spark, table)
+      case Some(tb) =>
+        tableDirs(table).map(readDir(spark, _, tb, Some((lo, hi))))
+          .reduce(_ unionByName _)
+          .where(org.apache.spark.sql.functions.col(tb.column).between(lo, hi))
+    }
+
+  private def tableDirs(table: String): Seq[String] =
+    current._2.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' not in catalog $root (have ${current._2.keys.mkString(",")})"))
-    spark.read.parquet(dirs: _*)
+
+  private def readDir(spark: SparkSession, dir: String, tb: TimeBucket,
+      range: Option[(Double, Double)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(dir)
+    val pruned = range match {
+      case Some((lo, hi)) if df.columns.contains(tb.bucketCol) =>
+        df.where(col(tb.bucketCol) >= tb.bucketOf(lo) &&
+          col(tb.bucketCol) <= tb.bucketOf(hi))
+      case _ => df
+    }
+    if (pruned.columns.contains(tb.bucketCol)) pruned.drop(tb.bucketCol)
+    else pruned
   }
 
   /** Rewrite-only commit (the common promote/store shape). */
@@ -114,9 +168,22 @@ final class VersionedCatalog(val root: String,
 
   private def write(df: DataFrame, table: String, commit: Long,
       label: String): String = {
+    import org.apache.spark.sql.functions.{col, floor, lit}
     val suffix = if (label.isEmpty) "" else s"_$label"
     val dir = rootPath.resolve(table).resolve(f"v$commit%08d$suffix").toString
-    df.write.mode("overwrite").options(writeOptions(table)).parquet(dir)
+    layouts(table) match {
+      // partitionBy with zero rows writes no schema-bearing file, so empty
+      // deltas fall through to a plain (schema-preserving) parquet write
+      case Some(tb) if df.columns.contains(tb.column) && !df.isEmpty =>
+        df.withColumn(tb.bucketCol,
+            floor(col(tb.column) / lit(tb.widthDays)).cast("long"))
+          .sortWithinPartitions(
+            (tb.bucketCol +: tb.sortCols).map(col): _*)
+          .write.mode("overwrite").options(writeOptions(table))
+          .partitionBy(tb.bucketCol).parquet(dir)
+      case _ =>
+        df.write.mode("overwrite").options(writeOptions(table)).parquet(dir)
+    }
     dir
   }
 
@@ -133,9 +200,13 @@ final class VersionedCatalog(val root: String,
     import org.apache.spark.sql.functions.{broadcast, input_file_name}
     val dirs = current._2.getOrElse(table, Nil)
     if (dirs.isEmpty) return Nil
-    val matches = spark.read.parquet(dirs: _*)
-      .select(keyCols.map(org.apache.spark.sql.functions.col) :+
-        input_file_name().as("_file"): _*)
+    // per-dir scans (layout dirs are hive-partitioned, plain dirs aren't);
+    // only the key columns survive, so mixed layouts union cleanly
+    val matches = dirs.map { d =>
+      spark.read.parquet(d)
+        .select(keyCols.map(org.apache.spark.sql.functions.col) :+
+          input_file_name().as("_file"): _*)
+    }.reduce(_ unionByName _)
       .join(broadcast(keys.select(
         keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()),
         keyCols.toSeq, "left_semi")
@@ -262,5 +333,18 @@ object VersionedCatalog {
     case t if t.endsWith("DiaForcedSource") =>
       Map("parquet.bloom.filter.enabled#diaObjectId" -> "true")
     case _ => Map.empty
+  }
+
+  /** Default physical layouts: the fact tables (the 100 TB of a PPDB)
+    * bucket by 30-day midpointMjdTai windows, sorted within by
+    * diaObjectId — the SURVEY §4 mapping of the reference's secondary
+    * indexes. Staging tables stay chunk-labeled (they live for one
+    * promote cycle; partitioning them buys nothing).
+    */
+  val ppdbLayouts: String => Option[TimeBucket] = {
+    case t if !t.startsWith("staging.") &&
+        (t.endsWith("DiaSource") || t.endsWith("DiaForcedSource")) =>
+      Some(TimeBucket("midpointMjdTai", 30.0, Seq("diaObjectId")))
+    case _ => None
   }
 }

@@ -98,4 +98,36 @@ class CatalogSpec extends SparkSpec {
     assert(!cat.exists("t"))
     intercept[IllegalArgumentException] { cat.read(spark, "t") }
   }
+
+  test("time-bucket layout: range reads prune partition dirs") {
+    import org.apache.spark.sql.functions.input_file_name
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    // midpointMjdTai spans three 30-day buckets: 2000, 2001, 2003
+    def rows(ids: Seq[Long], mjds: Seq[Double]) =
+      ids.zip(mjds).toDF("diaObjectId", "midpointMjdTai")
+    cat.commit(Map("facts.DiaSource" ->
+      rows(Seq(1L, 2L, 3L), Seq(60010.0, 60040.0, 60100.0))))
+    cat.commitAll(Map("facts.DiaSource" -> graft.catalog.TableDelta(
+      appends = Seq(rows(Seq(4L), Seq(60015.0)) -> "c2"))))
+
+    // logical schema unchanged (bucket column internal to the layout)
+    assert(cat.read(spark, "facts.DiaSource").columns.toSeq ==
+      Seq("diaObjectId", "midpointMjdTai"))
+    assert(cat.read(spark, "facts.DiaSource").count() == 4)
+
+    // range read returns exactly the in-range rows...
+    val ranged = cat.readRange(spark, "facts.DiaSource", 60005.0, 60020.0)
+    assert(ranged.select("diaObjectId").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 4L))
+    // ...the plan carries a partition filter on the bucket column...
+    val plan = ranged.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("mjd_bucket"),
+      plan.linesIterator.take(30).mkString("\n"))
+    // ...and fewer files are scanned than a full read touches
+    def filesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().count()
+    assert(filesOf(ranged) < filesOf(cat.read(spark, "facts.DiaSource")),
+      "partition pruning skipped at least one bucket dir")
+  }
 }
