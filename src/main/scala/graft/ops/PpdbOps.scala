@@ -42,6 +42,25 @@ object PpdbOps {
     rest.unionByName(filled)
   }
 
+  /** Legacy-schema DiaObject shim (DM-52215; P/sql/_ppdb_sql.py:86-90):
+    * converts the timestamp-typed `validityStart`/`validityEnd` variant to
+    * the modern MJD TAI double columns on read — in place, preserving
+    * column order and NULL open intervals. No-op for modern inputs, so
+    * every downstream operator (fill, merge, snapshot) sees one schema.
+    */
+  def modernizeDiaObject(df: DataFrame): DataFrame =
+    if (df.columns.contains("validityStartMjdTai")) df
+    else df.select(df.columns.map {
+      case "validityStart" =>
+        graft.functions.TaiTime.mjdTai(unix_micros(col("validityStart")))
+          .as("validityStartMjdTai")
+      case "validityEnd" =>
+        when(col("validityEnd").isNotNull,
+          graft.functions.TaiTime.mjdTai(unix_micros(col("validityEnd"))))
+          .as("validityEndMjdTai")
+      case c => col(c)
+    }.toSeq: _*)
+
   // ------------------------------------------------------------ update CDC
 
   /** Driver-side conversion of typed update records into the long-format

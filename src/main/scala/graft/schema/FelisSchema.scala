@@ -32,6 +32,23 @@ object FelisSchema {
       .getOrElse(throw new IllegalArgumentException(s"no table $name"))
   }
 
+  /** Legacy validity-timestamp detection (the reference's DM-52215
+    * handling, P/sql/_ppdb_sql.py:86-90,456-471): older schema lines name
+    * DiaObject's validity columns `validityStart`/`validityEnd` with
+    * timestamp type; the modern form is `validityStartMjdTai`/
+    * `validityEndMjdTai` double MJD TAI. Detected once at schema load.
+    */
+  def usesMjdTai(schema: SchemaDef): Boolean =
+    schema.tables.find(_.name == "DiaObject")
+      .forall(_.columns.exists(_.name == "validityStartMjdTai"))
+
+  /** The (start, end) validity column names for this schema variant
+    * (P/sql/_ppdb_sql.py:190-195).
+    */
+  def validityColumns(schema: SchemaDef): (String, String) =
+    if (usesMjdTai(schema)) ("validityStartMjdTai", "validityEndMjdTai")
+    else ("validityStart", "validityEnd")
+
   /** Felis → Spark type map (union of the reference's three maps). */
   def felisToSpark(t: String): DataType = t match {
     case "boolean" => BooleanType

@@ -102,4 +102,58 @@ class FelisSchemaSpec extends SparkSpec {
       assert(ref.dataType == f.dataType && ref.nullable == f.nullable, f.name)
     }
   }
+
+  val legacyYaml: String =
+    """---
+      |name: "ApdbSchema"
+      |version: "0.0.9"
+      |tables:
+      |- name: DiaObject
+      |  columns:
+      |  - name: diaObjectId
+      |    datatype: long
+      |    nullable: false
+      |  - name: validityStart
+      |    datatype: timestamp
+      |    nullable: false
+      |  - name: validityEnd
+      |    datatype: timestamp
+      |    nullable: true
+      |""".stripMargin
+
+  test("legacy validityStart-timestamp schema variant detected at load") {
+    val legacy = FelisSchema.parse(legacyYaml)
+    assert(!FelisSchema.usesMjdTai(legacy))
+    assert(FelisSchema.validityColumns(legacy) ==
+      ("validityStart", "validityEnd"))
+    assert(legacy.table("DiaObject").structType("validityStart").dataType ==
+      TimestampType)
+
+    val modern = FelisSchema.parse(yaml)
+    assert(FelisSchema.usesMjdTai(modern))
+    assert(FelisSchema.validityColumns(modern) ==
+      ("validityStartMjdTai", "validityEndMjdTai"))
+  }
+
+  test("legacy DiaObject converts to MJD TAI doubles on read") {
+    import org.apache.spark.sql.Row
+    import graft.functions.TaiTime
+    val legacySchema = FelisSchema.parse(legacyYaml)
+      .table("DiaObject").structType
+    // 2022-01-01T00:00:00Z (TAI-UTC = 37 s) and an open interval
+    val t0us = 1640995200000000L
+    val rows = java.util.List.of(
+      Row(1L, new java.sql.Timestamp(t0us / 1000L), null))
+    val legacy = spark.createDataFrame(rows, legacySchema)
+    val modern = graft.ops.PpdbOps.modernizeDiaObject(legacy)
+    assert(modern.columns.toSeq ==
+      Seq("diaObjectId", "validityStartMjdTai", "validityEndMjdTai"),
+      "in-place rename preserves column order")
+    val r = modern.collect().head
+    assert(r.getDouble(1) == TaiTime.utcMicrosToMjdTai(t0us))
+    assert(r.isNullAt(2), "open interval stays NULL")
+    // idempotent on modern inputs
+    assert(graft.ops.PpdbOps.modernizeDiaObject(modern).columns.toSeq ==
+      modern.columns.toSeq)
+  }
 }
