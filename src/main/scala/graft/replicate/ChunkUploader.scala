@@ -1,0 +1,134 @@
+package graft.replicate
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.schema.PpdbSchema
+
+/** Raised when a chunk cannot be uploaded; the chunk's remote prefix has
+  * already been rolled back when this escapes
+  * (P/bigquery/chunk_uploader.py:57-75 ChunkUploadError semantics).
+  */
+final class ChunkUploadException(val chunkId: Long, msg: String,
+    cause: Throwable = null)
+    extends RuntimeException(s"chunk $chunkId: $msg", cause)
+
+/** Remote-FS chunk uploader (S10/S11) — the engine's counterpart of the
+  * reference's GCS uploader (P/bigquery/chunk_uploader.py:99-301): polls
+  * for EXPORTED chunks and, per chunk,
+  *
+  *  1. validates the local manifest and its files (presence + size +
+  *     sha256 — a superset of the reference's presence check);
+  *  2. copies the parquet files then the manifest to
+  *     `<remoteRoot>/<chunkId>/` through the Hadoop FileSystem API, so
+  *     the target can be file://, hdfs://, s3a://, ...;
+  *  3. flips the chunk row to status=uploaded with the remote URI;
+  *  4. fires the staging notification hook (the reference's Pub/Sub
+  *     message to the Dataflow staging job — here a callback that e.g.
+  *     triggers [[Promoter.stageChunks]]).
+  *
+  * ANY failure rolls back by recursively deleting the chunk's remote
+  * prefix before the error propagates — a reader of the remote store
+  * never observes a partial chunk. Empty chunks upload only their
+  * manifest and keep their local status (reference behavior).
+  *
+  * Loop knobs mirror the reference CLI (P/cli/options.py:142-154 and
+  * chunk_uploader.py:127-178): `exitOnEmpty` ends [[run]] when a poll
+  * finds nothing; `exitOnError` propagates the first failure instead of
+  * logging and continuing; the intervals pace polls and uploads.
+  */
+final class ChunkUploader(
+    spark: SparkSession,
+    promoter: Promoter,
+    remoteRoot: String,
+    notify: (Long, String) => Unit = (_, _) => (),
+    exitOnEmpty: Boolean = true,
+    exitOnError: Boolean = false,
+    waitIntervalMs: Long = 1000L,
+    uploadIntervalMs: Long = 0L) {
+
+  private val conf = spark.sparkContext.hadoopConfiguration
+
+  /** One polling pass over exported chunks; returns the ids uploaded.
+    * With `exitOnError` unset, a failed chunk is skipped (it stays
+    * exported for the next pass) and later chunks still process.
+    */
+  def runOnce(): Seq[Long] = {
+    val exported = promoter.catalog.read(spark, "PpdbReplicaChunk")
+      .where(col("status") === PpdbSchema.ChunkStatus.Exported)
+      .select("apdb_replica_chunk")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    exported.filter { id =>
+      try { uploadChunk(id); true }
+      catch {
+        case e: ChunkUploadException =>
+          if (exitOnError) throw e
+          false
+      }
+    }
+  }
+
+  /** Reference run-loop: poll, upload, sleep — until an empty poll (when
+    * `exitOnEmpty`) or `maxPolls` passes.
+    */
+  def run(maxPolls: Int = Int.MaxValue): Unit = {
+    var polls = 0
+    var done = false
+    while (!done && polls < maxPolls) {
+      val uploaded = runOnce()
+      polls += 1
+      if (uploaded.isEmpty && exitOnEmpty) done = true
+      else if (!done) {
+        if (uploadIntervalMs > 0 && uploaded.nonEmpty)
+          Thread.sleep(uploadIntervalMs)
+        else if (uploaded.isEmpty) Thread.sleep(waitIntervalMs)
+      }
+    }
+  }
+
+  /** Upload one chunk with rollback-on-failure. */
+  def uploadChunk(chunkId: Long): Unit = {
+    val localDir = promoter.chunkDir(chunkId)
+    val problems = ChunkManifest.validate(localDir, conf)
+    if (problems.nonEmpty)
+      throw new ChunkUploadException(chunkId,
+        s"invalid local chunk: ${problems.mkString("; ")}")
+    val manifest = ChunkManifest.read(localDir, conf)
+    if (manifest.entries.isEmpty && !manifest.isEmptyChunk)
+      throw new ChunkUploadException(chunkId,
+        s"no files to upload in $localDir for non-empty chunk")
+
+    val remotePrefix = new HPath(remoteRoot, chunkId.toString)
+    val fs: FileSystem = remotePrefix.getFileSystem(conf)
+    try {
+      graft.Metrics.time("upload_files_time",
+          "chunk_id" -> chunkId.toString) {
+        // overwrite=false: a fresh prefix never holds these names (failed
+        // attempts rolled the prefix back), so an existing destination is
+        // itself an inconsistency worth failing on
+        manifest.entries.foreach { e =>
+          val src = new HPath(localDir, e.fileName)
+          val dst = new HPath(remotePrefix, e.fileName)
+          fs.mkdirs(dst.getParent)
+          fs.copyFromLocalFile(false, false, src, dst)
+        }
+        fs.copyFromLocalFile(false, false,
+          new HPath(localDir, ChunkManifest.FileName),
+          new HPath(remotePrefix, ChunkManifest.FileName))
+      }
+      if (!manifest.isEmptyChunk) {
+        val uri = fs.makeQualified(remotePrefix).toString
+        promoter.markUploaded(chunkId, uri)
+        notify(chunkId, uri)
+      }
+    } catch {
+      case e: Throwable =>
+        // no partial chunks remotely: drop the whole prefix, keep the
+        // local files for debugging (chunk_uploader.py:291-301)
+        try fs.delete(remotePrefix, true)
+        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+        throw new ChunkUploadException(chunkId, "upload failed", e)
+    }
+  }
+}

@@ -30,9 +30,8 @@ final case class ChunkManifest(chunkId: Long, schemaVersion: String,
 object ChunkManifest {
   val FileName = "manifest.json"
 
-  def sha256Of(f: File): String = {
+  def sha256Of(in: java.io.InputStream): String = {
     val md = MessageDigest.getInstance("SHA-256")
-    val in = new FileInputStream(f)
     try {
       val buf = new Array[Byte](1 << 20)
       var n = in.read(buf)
@@ -40,6 +39,8 @@ object ChunkManifest {
     } finally in.close()
     md.digest().map("%02x".format(_)).mkString
   }
+
+  def sha256Of(f: File): String = sha256Of(new FileInputStream(f))
 
   /** Build a manifest over the parquet files of `tableDirs` (table →
     * directory written for this chunk) with externally-counted rows.
@@ -63,26 +64,58 @@ object ChunkManifest {
     Files.write(Paths.get(dir, FileName),
       m.render.getBytes(StandardCharsets.UTF_8))
 
-  /** Parse + validate a written manifest: files must exist with matching
-    * size and checksum (chunk_uploader.py:214-231 semantics). Returns
-    * human-readable problems; empty = valid.
+  private val entryRe =
+    """\{"table":"([^"]*)","file":"([^"]*)","row_count":(\d+),"sha256":"([^"]*)","size_bytes":(\d+)\}""".r
+
+  /** Parse a manifest from any Hadoop-FS directory (local path, file://,
+    * hdfs://, s3a://, ...).
     */
-  def validate(dir: String): Seq[String] = {
-    val f = Paths.get(dir, FileName)
-    if (!Files.exists(f)) return Seq(s"missing $FileName in $dir")
-    val json = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-    val entry = """\{"table":"([^"]*)","file":"([^"]*)","row_count":(\d+),"sha256":"([^"]*)","size_bytes":(\d+)\}""".r
-    entry.findAllMatchIn(json).flatMap { m =>
-      val file = new File(dir, m.group(2))
-      if (m.group(2).contains("..") || m.group(2).startsWith("/") ||
-          m.group(2).count(_ == '/') > 1)
-        Seq(s"unsafe file name ${m.group(2)}")
-      else if (!file.exists()) Seq(s"missing file ${m.group(2)}")
-      else if (file.length() != m.group(5).toLong)
-        Seq(s"size mismatch for ${m.group(2)}")
-      else if (sha256Of(file) != m.group(4))
-        Seq(s"sha256 mismatch for ${m.group(2)}")
-      else Nil
+  def read(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): ChunkManifest = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val in = fs.open(new org.apache.hadoop.fs.Path(dirPath, FileName))
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 1 << 16, false)
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val head =
+      """"chunk_id":(\d+),"schema_version":"([^"]*)","is_empty_chunk":(true|false),"update_count":(\d+)""".r
+        .findFirstMatchIn(json)
+        .getOrElse(throw new IllegalStateException(s"bad manifest in $dir"))
+    val entries = entryRe.findAllMatchIn(json).map { m =>
+      ManifestEntry(m.group(1), m.group(2), m.group(3).toLong, m.group(4),
+        m.group(5).toLong)
     }.toSeq
+    ChunkManifest(head.group(1).toLong, head.group(2),
+      head.group(3).toBoolean, head.group(4).toLong, entries)
+  }
+
+  /** Parse + validate a written manifest: files must exist with matching
+    * size and checksum (chunk_uploader.py:214-231 semantics). Goes through
+    * the Hadoop FileSystem API, so the directory may be local or remote.
+    * Returns human-readable problems; empty = valid.
+    */
+  def validate(dir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dirPath = new HPath(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (!fs.exists(new HPath(dirPath, FileName)))
+      return Seq(s"missing $FileName in $dir")
+    read(dir, conf).entries.flatMap { e =>
+      val p = new HPath(dirPath, e.fileName)
+      if (e.fileName.contains("..") || e.fileName.startsWith("/") ||
+          e.fileName.count(_ == '/') > 1)
+        Seq(s"unsafe file name ${e.fileName}")
+      else if (!fs.exists(p)) Seq(s"missing file ${e.fileName}")
+      else if (fs.getFileStatus(p).getLen != e.sizeBytes)
+        Seq(s"size mismatch for ${e.fileName}")
+      else if (sha256Of(fs.open(p)) != e.sha256)
+        Seq(s"sha256 mismatch for ${e.fileName}")
+      else Nil
+    }
   }
 }

@@ -103,14 +103,42 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     dir
   }
 
-  /** Step 2: load exported chunks into staging (validating manifests), add
-    * the chunk id column, partition by it, status=staged.
+  /** Flip one exported chunk to status=uploaded recording its remote URI
+    * (S10; set by [[ChunkUploader]] after a complete upload).
+    */
+  def markUploaded(chunkId: Long, uri: String): Unit = {
+    val chunks = catalog.read(spark, "PpdbReplicaChunk")
+    val hit = col("apdb_replica_chunk") === chunkId
+    catalog.commit(Map("PpdbReplicaChunk" -> chunks
+      .withColumn("status",
+        when(hit, lit(PpdbSchema.ChunkStatus.Uploaded))
+          .otherwise(col("status")))
+      .withColumn("uri", when(hit, lit(uri)).otherwise(col("uri")))))
+    ()
+  }
+
+  /** Step 2: load chunks into staging (validating manifests), add the
+    * chunk id column, partition by it, status=staged. Exported chunks
+    * load from their local export dir; uploaded chunks load from their
+    * recorded remote URI (any Hadoop FS — the reference's
+    * Dataflow-stages-from-GCS step).
     */
   def stageChunks(chunkIds: Seq[Long]): Unit = {
-    val toStage = chunkIds.filter { id => statusOf(id).contains(PpdbSchema.ChunkStatus.Exported) }
-    if (toStage.isEmpty) return
-    toStage.foreach { id =>
-      val problems = ChunkManifest.validate(chunkDir(id))
+    val rows = catalog.read(spark, "PpdbReplicaChunk")
+      .where(col("apdb_replica_chunk").isin(chunkIds: _*))
+      .select("apdb_replica_chunk", "status", "uri").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2)))))
+      .toMap
+    val sources: Seq[(Long, String)] = chunkIds.flatMap { id =>
+      rows.get(id).collect {
+        case (PpdbSchema.ChunkStatus.Exported, _) => id -> chunkDir(id)
+        case (PpdbSchema.ChunkStatus.Uploaded, Some(uri)) => id -> uri
+      }
+    }
+    if (sources.isEmpty) return
+    val hconf = spark.sparkContext.hadoopConfiguration
+    sources.foreach { case (id, src) =>
+      val problems = ChunkManifest.validate(src, hconf)
       if (problems.nonEmpty)
         throw new IllegalStateException(
           s"chunk $id manifest invalid: ${problems.mkString("; ")}")
@@ -118,18 +146,20 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     // per-chunk labeled appends: staging grows by metadata + delta bytes
     // only, and the staged-row delete at promote time is a directory drop
     val writes = PpdbSchema.dataTables.map { t =>
-      s"staging.$t" -> TableDelta(appends = toStage.map { id =>
-        spark.read.parquet(s"${chunkDir(id)}/$t")
+      s"staging.$t" -> TableDelta(appends = sources.map { case (id, src) =>
+        spark.read.parquet(s"$src/$t")
           .withColumn("apdb_replica_chunk", lit(id)) -> s"chunk$id"
       })
     }.toMap
-    val updWrites = "staging.updates" -> TableDelta(appends = toStage.map { id =>
-      spark.read.schema(PpdbSchema.expandedUpdates)
-        .parquet(s"${chunkDir(id)}/updates") -> s"chunk$id"
-    })
-    val chunkTable = setStatus(toStage, PpdbSchema.ChunkStatus.Staged)
+    val updWrites = "staging.updates" -> TableDelta(appends =
+      sources.map { case (id, src) =>
+        spark.read.schema(PpdbSchema.expandedUpdates)
+          .parquet(s"$src/updates") -> s"chunk$id"
+      })
+    val chunkTable = setStatus(sources.map(_._1), PpdbSchema.ChunkStatus.Staged)
     catalog.commitAll(writes + updWrites +
       ("PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))))
+    ()
   }
 
   /** Step 3: promote the contiguous staged prefix (T5) into the internal
@@ -238,11 +268,6 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
   }
 
   // ----------------------------------------------------------------- helpers
-
-  private def statusOf(chunkId: Long): Option[String] =
-    catalog.read(spark, "PpdbReplicaChunk")
-      .where(col("apdb_replica_chunk") === chunkId)
-      .select("status").collect().headOption.map(_.getString(0))
 
   private def setStatus(ids: Seq[Long], status: String): DataFrame = {
     val chunks = catalog.read(spark, "PpdbReplicaChunk")

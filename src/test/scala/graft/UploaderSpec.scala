@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.catalog.VersionedCatalog
+import graft.replicate._
+import graft.schema.PpdbSchema
+
+/** Remote-FS chunk uploader (S10/S11): full-fidelity upload through the
+  * Hadoop FileSystem API, uploaded-state staging, rollback of partial
+  * uploads, and the reference's loop knobs.
+  */
+class UploaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(nChunks: Int): (Promoter, TestApdb, String) = {
+    val cat = new VersionedCatalog(tmpDir("promo"))
+    val p = new Promoter(spark, cat, tmpDir("export"))
+    p.init()
+    (p, new TestApdb(spark, nObjects = 4, nChunks = nChunks),
+      "file://" + tmpDir("remote"))
+  }
+
+  test("uploads chunk files + manifest, flips status, notifies (S10/S11)") {
+    val (p, apdb, remote) = fresh(2)
+    Seq(1L, 2L).foreach(id => p.exportChunk(apdb.chunkData(id)))
+    var notified = Vector.empty[(Long, String)]
+    val up = new ChunkUploader(spark, p, remote,
+      notify = (id, uri) => notified :+= (id, uri))
+    assert(up.runOnce() == Seq(1L, 2L))
+
+    val rows = p.catalog.read(spark, "PpdbReplicaChunk")
+      .select("apdb_replica_chunk", "status", "uri")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(rows(1L)._1 == PpdbSchema.ChunkStatus.Uploaded)
+    assert(rows(1L)._2 != null && rows(1L)._2.endsWith("/1"))
+    assert(notified.map(_._1) == Vector(1L, 2L))
+
+    // the remote copy validates against its own manifest (sizes + sha256)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    assert(ChunkManifest.validate(rows(1L)._2, hconf).isEmpty,
+      "remote chunk is a byte-faithful copy")
+
+    // staging works FROM THE REMOTE URI: remove the local export dirs
+    Seq(1L, 2L).foreach { id =>
+      val dir = Paths.get(p.chunkDir(id))
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    p.stageChunks(Seq(1L, 2L))
+    assert(p.promote() == Seq(1L, 2L))
+    assert(p.catalog.read(spark, "internal.DiaObject").count() == 8)
+  }
+
+  test("partial upload rolls back the whole remote prefix") {
+    val (p, apdb, remote) = fresh(1)
+    p.exportChunk(apdb.chunkData(1))
+    // sabotage: the manifest's remote target already exists, so the
+    // manifest copy fails AFTER the parquet files have gone up
+    val prefix = Paths.get(remote.stripPrefix("file://"), "1")
+    Files.createDirectories(prefix)
+    Files.write(prefix.resolve(ChunkManifest.FileName), "junk".getBytes)
+    val up = new ChunkUploader(spark, p, remote)
+    assert(up.runOnce().isEmpty, "failed chunk reported not-uploaded")
+    assert(!Files.exists(prefix),
+      "no partial chunk remains under the remote prefix")
+    // chunk stays exported for a retry; next pass succeeds
+    val status = p.catalog.read(spark, "PpdbReplicaChunk")
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(status == Seq(PpdbSchema.ChunkStatus.Exported))
+    assert(up.runOnce() == Seq(1L))
+  }
+
+  test("exitOnError propagates; exitOnEmpty ends the run loop") {
+    val (p, apdb, remote) = fresh(1)
+    p.exportChunk(apdb.chunkData(1))
+    val prefix = Paths.get(remote.stripPrefix("file://"), "1")
+    Files.createDirectories(prefix)
+    Files.write(prefix.resolve(ChunkManifest.FileName), "junk".getBytes)
+    val strict = new ChunkUploader(spark, p, remote, exitOnError = true)
+    intercept[ChunkUploadException] { strict.runOnce() }
+    // tolerant run loop: first poll fails the chunk, uploads nothing, and
+    // exitOnEmpty does not trigger (non-empty poll); bound the loop
+    val tolerant = new ChunkUploader(spark, p, remote, exitOnEmpty = true,
+      waitIntervalMs = 1L)
+    tolerant.run(maxPolls = 3)
+    val status = p.catalog.read(spark, "PpdbReplicaChunk")
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(status == Seq(PpdbSchema.ChunkStatus.Uploaded),
+      "retry within the run loop succeeded after rollback")
+  }
+}
