@@ -35,6 +35,18 @@ object StreamOps {
         (pmod(h, lit(640L)) + 1L).as("fake_width"),
         // h < 1e9+7 so double division stays exact; floor == integer div
         (pmod(floor(h / 640.0).cast("long"), lit(480L)) + 1L).as("fake_height"))
+    }),
+
+    // multimodal frame sampling: the 1→N partition-local explode through
+    // the real Dataset[MediaItem] plumbing (stub demuxer: fixed-size byte
+    // windows), every 4th frame kept
+    "mm2_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal.asMedia(
+        documents(s, d), "doc_id", lit("video"), $"text".cast("binary"))
+      graft.ops.Multimodal.sampleFrames(media, stride = 4)
+        .select($"media_id", $"frameIndex".cast("long").as("frame_index"),
+          octet_length($"payload").cast("long").as("frame_bytes"))
     })
   )
 
@@ -61,6 +73,14 @@ object StreamOps {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM m GROUP BY user_id, session_seq""".stripMargin,
+    "mm2_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_index,
+        |       CAST(least(256, octet_length(CAST(text AS BLOB)) - f * 256)
+        |         AS BIGINT) AS frame_bytes
+        |FROM documents,
+        |     unnest(range(0, greatest(1, octet_length(CAST(text AS BLOB))
+        |       // 256), 4)) AS t(f)""".stripMargin,
+
     "mm1_media_meta" ->
       ("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         |       (CH % 640) + 1 AS fake_width,

@@ -94,6 +94,40 @@ object TextOps {
       import s.implicits._
       documents(s, d).select($"doc_id",
         TextAnalysis.fingerprint($"text").as("fp"))
+    }),
+
+    // deterministic hash sampling: ~10% of the corpus, reproducible on
+    // any engine (multiplicative hash on the id, overflow-safe) — the
+    // "hold out a dev slice" pipeline step
+    "ts5_sample" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .where(($"doc_id" % 1000003L) * 2654435761L % 97L < 10L)
+        .select($"doc_id", $"source")
+    }),
+
+    // per-source corpus stats: doc counts, total whitespace tokens,
+    // English share — the "which sources feed the mixture" report
+    "ts6_source_stats" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount($"text").cast("long")).cast("long")
+          .as("sum_tokens"),
+        count(when($"lang" === "en", 1)).as("n_en"))
+    }),
+
+    // normalized (C4-style fuzzy-exact) dedup: lowercase, strip
+    // non-alphanumerics, collapse whitespace, then hash-groupBy — same
+    // single-shuffle shape as dd1 on the normalized key
+    "dd7_normalized_dedup" -> ((s, d) => {
+      import s.implicits._
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+      documents(s, d)
+        .select($"doc_id", sha2(norm, 256).as("content_sha"))
+        .groupBy("content_sha")
+        .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
     })
   )
 
@@ -102,6 +136,26 @@ object TextOps {
       """SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "ts5_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((doc_id % 1000003) * 2654435761) % 97 < 10""".stripMargin,
+
+    "ts6_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |         AS sum_tokens,
+        |       count(CASE WHEN lang = 'en' THEN 1 END) AS n_en
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "dd7_normalized_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT sha256(norm) AS content_sha, min(doc_id) AS canonical_id,
+        |       count(*) AS n_copies
+        |FROM n GROUP BY 1""".stripMargin,
 
     "dd2_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
