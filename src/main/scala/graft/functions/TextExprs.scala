@@ -82,6 +82,23 @@ object TextHashing {
     sig
   }
 
+  /** Rolling polynomial char hash, identical arithmetic to the composable
+    * `aggregate(regexp_extract_all(text, '.'), 0, (acc, c) ->
+    * (acc*31 + ascii(c)) % P)` formulation the DuckDB oracles replay:
+    * fold over code points, skipping newlines (`.` matches any char
+    * except \n in both Java regex and RE2).
+    */
+  def charHash(text: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (cp != '\n') h = (h * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   def shingleStrings(text: String, n: Int): Array[String] = {
     val words = text.split(" ", -1)
     if (words.length < n) return Array.empty
@@ -127,6 +144,19 @@ case class ShingleStringExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Rolling polynomial char hash of a text column (single-pass). */
+case class CharHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_hash"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashing.charHash(s.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** 63-bit SimHash of a text column (single-pass). */
 case class SimHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -147,4 +177,6 @@ object TextExprs {
     ColumnBridge.column(ShingleStringExpr(ColumnBridge.expression(text), n))
   def simhash(text: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text)))
+  def charHash(text: Column): Column =
+    ColumnBridge.column(CharHashExpr(ColumnBridge.expression(text)))
 }

@@ -23,13 +23,11 @@ object Dedup {
   val P: Long = 1000000007L
 
   /** Ordered polynomial char hash — reproducible in any engine with an
-    * ordered fold (see TextAnalysis.fingerprint).
+    * ordered fold (single-pass expression; arithmetic identical to the
+    * `aggregate(regexp_extract_all(...))` formulation the oracles replay).
     */
   def charHash(text: Column): Column =
-    aggregate(
-      regexp_extract_all(text, lit("."), lit(0)),
-      lit(0L),
-      (acc, c) => (acc * 31L + ascii(c)) % P)
+    graft.functions.TextExprs.charHash(text)
 
   /** Exact dedup: canonical id (min) + multiplicity per distinct content
     * hash. Group on sha256 rather than the raw text so the shuffle key is

@@ -89,8 +89,5 @@ object TextAnalysis {
     * order-sensitive, reproducible in any engine with an ordered fold.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      regexp_extract_all(text, lit("."), lit(0)),
-      lit(0L),
-      (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+    graft.functions.TextExprs.charHash(text)
 }
