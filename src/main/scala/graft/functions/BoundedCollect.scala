@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Aggregation buffer: exact element count plus at most `cap` collected
+  * elements (collection stops at the cap, the count never does).
+  */
+final class BoundedBuf(var n: Long, val elems: ArrayBuffer[Long])
+
+/** Size-capped collect with an exact count — the skew-safe primitive for
+  * frequency-capped dedup: `groupBy(key).agg(bounded_collect(v, cap))`
+  * returns struct(df = exact group size, ds = up to `cap` collected
+  * values, sorted). Memory per group is bounded by `cap` at ANY corpus
+  * size (a mega-hot key costs cap longs, not its full membership list),
+  * unlike collect_list, so doc-frequency capping and bucket building fuse
+  * into ONE shuffle. `ds` is complete (and deterministic, post-sort)
+  * exactly when df ≤ cap — callers discard over-cap groups by df.
+  */
+case class BoundedCollectLong(child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BoundedBuf] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bounded_collect"
+  override def dataType: DataType = StructType(Seq(
+    StructField("df", LongType, nullable = false),
+    StructField("ds", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def createAggregationBuffer(): BoundedBuf =
+    new BoundedBuf(0L, new ArrayBuffer[Long](math.min(cap, 16)))
+
+  override def update(buf: BoundedBuf, input: InternalRow): BoundedBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.n += 1L
+      if (buf.elems.length < cap) buf.elems += v.asInstanceOf[Long]
+    }
+    buf
+  }
+
+  override def merge(buf: BoundedBuf, other: BoundedBuf): BoundedBuf = {
+    buf.n += other.n
+    var i = 0
+    while (buf.elems.length < cap && i < other.elems.length) {
+      buf.elems += other.elems(i); i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: BoundedBuf): Any =
+    InternalRow(buf.n,
+      new GenericArrayData(buf.elems.toArray.sorted[Long]))
+
+  override def serialize(buf: BoundedBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 4 + 8 * buf.elems.length)
+    bb.putLong(buf.n).putInt(buf.elems.length)
+    buf.elems.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getLong
+    val len = bb.getInt
+    val elems = new ArrayBuffer[Long](len)
+    var i = 0
+    while (i < len) { elems += bb.getLong; i += 1 }
+    new BoundedBuf(n, elems)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedCollectLong =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedCollectLong =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object BoundedCollect {
+  /** struct(df, ds): exact group count + up to `cap` sorted values. */
+  def boundedCollect(v: Column, cap: Int): Column =
+    ColumnBridge.column(
+      BoundedCollectLong(ColumnBridge.expression(v), cap)
+        .toAggregateExpression())
+}

@@ -100,29 +100,33 @@ object Dedup {
       .withColumn("cnt", size(col("sh")))
       .persist()
     val ex = sh.select(col("doc"), explode(col("sh")).as("shingle"))
-    // pass 1: doc frequency (map-side partial counts, skew-safe). Only the
-    // HOT stop-shingles are materialized — by construction at most
-    // corpus/maxDocFreq of them, tiny in practice — so the cap filter is a
-    // broadcast anti-join, not a second shuffle of the exploded table.
-    val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDocFreq)
-      .select("shingle")
-    val kept = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // ONE shuffle does doc-frequency capping AND bucket building: the
+    // bounded-collect aggregate keeps an exact per-shingle count but at
+    // most maxDocFreq member docs, so memory per key is capped even for
+    // a mega-hot stop-shingle at 100 TB, and buckets for rare shingles
+    // (df ≤ cap) come out complete and sorted. Persisted: read by the
+    // per-doc counts and the pair expansion.
+    val rare = ex.groupBy("shingle")
+      .agg(graft.functions.BoundedCollect
+        .boundedCollect(col("doc"), maxDocFreq).as("bc"))
+      .where(col("bc.df") <= maxDocFreq)
+      .select(col("bc.ds").as("ds"))
+      .persist()
     // per-doc counts: total shingles and how many of them are hot — the
     // hot count bounds how much the capped pair-count can undercount
-    val keptCnt = kept.groupBy("doc").agg(count(lit(1)).as("kept_cnt"))
+    val keptCnt = rare.select(explode(col("ds")).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("kept_cnt"))
     val stats = sh.select(col("doc"), col("cnt"))
       .join(keptCnt, Seq("doc"), "left")
       .select(col("doc"), col("cnt"),
         (col("cnt") - coalesce(col("kept_cnt"), lit(0L))).as("hot_cnt"))
-    // pass 2: shared-rare-shingle count per pair. The equi-join on shingle
-    // fans out ≤ maxDocFreq matches per row (hot shingles are gone), so
-    // there is no quadratic blowup at any corpus size, and the count
-    // aggregate shuffles bare (id, id, n) rows — no arrays.
-    val ck = kept.as("a").join(kept.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("ck"))
+    // shared-rare-shingle count per pair: in-bucket ordered expansion
+    // (O(cap²) per bucket at any corpus size), then a count aggregate
+    // shuffling bare (id, id, n) rows — no arrays
+    val ck = rare.where(size(col("ds")) >= 2)
+      .select(explode(orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ck"))
     // upper-bound pre-filter: true common ≤ ck + min(hot_a, hot_b), so
     // a conservative jaccard bound prunes candidates that cannot reach
     // the threshold — typically ~all of them — before any array work
@@ -151,6 +155,15 @@ object Dedup {
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** All ordered (a,b) element pairs of a sorted array — the in-bucket
+    * candidate expansion for capped dedup (buckets are ≤ maxDocFreq long,
+    * so the lambda cost is bounded per bucket).
+    */
+  private def orderedPairs(ds: Column): Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)), y =>
+        struct(x.as("a"), y.as("b")))))
 
   /** Per-word polynomial char hashes (chars hashed once per word, not once
     * per shingle — 3× less char work than shingle-string hashing).
