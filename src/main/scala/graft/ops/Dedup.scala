@@ -105,21 +105,24 @@ object Dedup {
     // most maxDocFreq member docs, so memory per key is capped even for
     // a mega-hot stop-shingle at 100 TB, and buckets for rare shingles
     // (df ≤ cap) come out complete and sorted. Persisted: read by the
-    // per-doc counts and the pair expansion.
-    val rare = ex.groupBy("shingle")
+    // hot-set extraction and the pair expansion.
+    val freq = ex.groupBy("shingle")
       .agg(graft.functions.BoundedCollect
         .boundedCollect(col("doc"), maxDocFreq).as("bc"))
-      .where(col("bc.df") <= maxDocFreq)
-      .select(col("bc.ds").as("ds"))
       .persist()
-    // per-doc counts: total shingles and how many of them are hot — the
-    // hot count bounds how much the capped pair-count can undercount
-    val keptCnt = rare.select(explode(col("ds")).as("doc"))
-      .groupBy("doc").agg(count(lit(1)).as("kept_cnt"))
+    val rare = freq.where(col("bc.df") <= maxDocFreq)
+      .select(col("bc.ds").as("ds"))
+    // per-doc hot-shingle count (bounds how much the capped pair-count
+    // can undercount): the hot stop-shingle set is tiny by construction,
+    // so this is a broadcast semi-join probe whose groupBy shuffles only
+    // the hot OCCURRENCES — a sliver of the exploded table
+    val hotSet = freq.where(col("bc.df") > maxDocFreq).select("shingle")
+    val hotCnt = ex.join(broadcast(hotSet), Seq("shingle"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("hot_cnt"))
     val stats = sh.select(col("doc"), col("cnt"))
-      .join(keptCnt, Seq("doc"), "left")
+      .join(hotCnt, Seq("doc"), "left")
       .select(col("doc"), col("cnt"),
-        (col("cnt") - coalesce(col("kept_cnt"), lit(0L))).as("hot_cnt"))
+        coalesce(col("hot_cnt"), lit(0L)).as("hot_cnt"))
     // shared-rare-shingle count per pair: in-bucket ordered expansion
     // (O(cap²) per bucket at any corpus size), then a count aggregate
     // shuffling bare (id, id, n) rows — no arrays
