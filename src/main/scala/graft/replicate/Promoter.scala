@@ -213,14 +213,24 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     val objPatched =
       objPatch.fold(filled)(p => PpdbOps.mergePatch(filled, p, objSpec))
 
-    // S14: the snapshot derives from the FULL post-commit object catalog:
-    // untouched dirs ∪ the patched scope (a read, not a rewrite)
-    val objUnaffected = catalog.current._2("internal.DiaObject")
-      .filterNot(objAffected.contains)
-    val fullObjAfter = (
-      if (objUnaffected.isEmpty) emptyDf(internalObj.schema)
-      else spark.read.parquet(objUnaffected: _*)).unionByName(objPatched)
-    val snapshot = PpdbOps.latestSnapshot(fullObjAfter)
+    // S14: the public snapshot is scoped the same way as the source
+    // table — only the snapshot dirs holding a scoped object id are
+    // rewritten: their out-of-scope rows carry over, the in-scope rows
+    // are replaced by the scope's new open intervals (an object whose
+    // interval closed simply disappears). Every other snapshot dir's
+    // bytes are untouched.
+    val snapNew = PpdbOps.latestSnapshot(objPatched)
+    val snapTable = "public.DiaObjectLast"
+    val snapAffected =
+      if (!catalog.exists(snapTable)) Nil
+      else catalog.dirsTouching(spark, snapTable, Seq("diaObjectId"), objScope)
+    val snapBase =
+      if (snapAffected.isEmpty) emptyDf(snapNew.schema)
+      else spark.read.parquet(snapAffected: _*)
+        .join(broadcast(objScope), Seq("diaObjectId"), "left_anti")
+        .select(snapNew.columns.map(col).toSeq: _*)
+    val snapshotDelta = TableDelta(dropDirs = snapAffected.toSet,
+      appends = Seq(snapBase.unionByName(snapNew) -> batchLabel))
 
     // fact tables: plain append when untouched by updates; when patched,
     // rewrite ONLY the dirs containing patched keys (plus the new delta)
@@ -262,7 +272,7 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     val chunkTable = setStatus(ids, PpdbSchema.ChunkStatus.Promoted)
 
     catalog.commitAll(internalWrites ++ stagingWrites ++ Map(
-      "public.DiaObjectLast" -> TableDelta(rewrite = Some(snapshot)),
+      "public.DiaObjectLast" -> snapshotDelta,
       "PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))))
     ids
   }

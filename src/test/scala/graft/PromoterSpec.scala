@@ -134,6 +134,54 @@ class PromoterSpec extends SparkSpec {
       apdb.chunkData(1).diaSources.count() + apdb.chunkData(2).diaSources.count())
   }
 
+  test("disjoint-object promote leaves prior object/snapshot dirs untouched") {
+    import scala.jdk.CollectionConverters._
+    val cat = new VersionedCatalog(tmpDir("promo"))
+    val p = new Promoter(spark, cat, tmpDir("export"))
+    p.init()
+    // chunks carry DISJOINT object populations (ids offset per chunk)
+    val apdb = new TestApdb(spark, nObjects = 4, nChunks = 2) {
+      override def chunkData(id: Long): graft.replicate.ChunkData = {
+        val base = super.chunkData(id)
+        val off = id * 10000L
+        base.copy(
+          diaObjects = base.diaObjects
+            .withColumn("diaObjectId", col("diaObjectId") + off),
+          diaSources = base.diaSources
+            .withColumn("diaObjectId", col("diaObjectId") + off),
+          diaForcedSources = base.diaForcedSources
+            .withColumn("diaObjectId", col("diaObjectId") + off))
+      }
+    }
+    def fileState(dirs: Seq[String]) = dirs.flatMap { d =>
+      Files.walk(Paths.get(d)).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => f.toString ->
+          ((Files.size(f), Files.getLastModifiedTime(f))))
+    }.toMap
+
+    p.exportChunk(apdb.chunkData(1))
+    p.stageChunks(Seq(1L))
+    assert(p.promote() == Seq(1L))
+    val objDirs1 = cat.current._2("internal.DiaObject")
+      .filter(_.contains("_promo"))
+    val snapDirs1 = cat.current._2("public.DiaObjectLast")
+    val before = fileState(objDirs1 ++ snapDirs1)
+
+    p.exportChunk(apdb.chunkData(2))
+    p.stageChunks(Seq(2L))
+    assert(p.promote() == Seq(2L))
+    // chunk 2's objects are disjoint, so chunk 1's object and snapshot
+    // dirs stay in the pointer with every file byte-identical
+    assert(objDirs1.forall(cat.current._2("internal.DiaObject").contains),
+      "prior DiaObject dir carried over")
+    assert(snapDirs1.forall(cat.current._2("public.DiaObjectLast").contains),
+      "prior snapshot dir carried over")
+    assert(fileState(objDirs1 ++ snapDirs1) == before, "bytes untouched")
+    // snapshot content: one open row per object across both populations
+    assert(cat.read(spark, "public.DiaObjectLast").count() == 8)
+  }
+
   test("promote applies only the contiguous staged prefix") {
     val (p, apdb) = fresh()
     Seq(1L, 2L, 3L).foreach(id => p.exportChunk(apdb.chunkData(id)))
