@@ -13,6 +13,7 @@ import graft.schema.PpdbSchema
   * Usage:
   *   runMain graft.cli.Cli create <catalogRoot>
   *   runMain graft.cli.Cli list-chunks <catalogRoot>
+  *   runMain graft.cli.Cli upload <catalogRoot> <exportRoot> <remoteRoot>
   *   runMain graft.cli.Cli promote <catalogRoot> <exportRoot>
   *   runMain graft.cli.Cli demo <catalogRoot> [nObjects nChunks]
   *   runMain graft.cli.Cli vacuum <catalogRoot>
@@ -50,6 +51,18 @@ object Cli {
       val spark = session()
       new PpdbSpark(spark, new VersionedCatalog(root))
         .replicaChunks().show(1000, truncate = false)
+      spark.stop()
+
+    case "upload" :: root :: exportRoot :: remoteRoot :: Nil =>
+      val spark = session()
+      val promoter = new Promoter(spark, new VersionedCatalog(root), exportRoot)
+      promoter.init()
+      val uploader = new ChunkUploader(spark, promoter, remoteRoot,
+        exitOnEmpty = true,
+        exitOnError = sys.env.get("GRAFT_EXIT_ON_ERROR").contains("1"))
+      val ids = uploader.runOnce()
+      println(if (ids.isEmpty) "nothing to upload"
+        else s"uploaded chunks ${ids.mkString(", ")} to $remoteRoot")
       spark.stop()
 
     case "promote" :: root :: exportRoot :: Nil =>
@@ -91,7 +104,7 @@ object Cli {
     case other =>
       System.err.println(
         s"unknown command: ${other.mkString(" ")}\n" +
-          "commands: create | list-chunks | promote | vacuum | demo")
+          "commands: create | list-chunks | upload | promote | vacuum | demo")
       sys.exit(2)
   }
 }
