@@ -187,6 +187,17 @@ final class VersionedCatalog(val root: String,
     dir
   }
 
+  /** Read an explicit subset of a table's data dirs (the scoped-patch
+    * base): per-dir scans so each dir's physical layout (hive-partitioned
+    * or plain) resolves independently, projected to `columns`.
+    */
+  def readDirs(spark: SparkSession, dirs: Seq[String],
+      columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    dirs.map(d => spark.read.parquet(d).select(columns.map(col): _*))
+      .reduce(_ unionByName _)
+  }
+
   /** The table's data dirs that contain at least one row whose `keyCols`
     * match a row of `keys` — the dir-level pruning probe behind
     * partition-scoped patching. The probe is a broadcast-semi-join scan

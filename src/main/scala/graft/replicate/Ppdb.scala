@@ -135,7 +135,7 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
       catalog.dirsTouching(spark, "DiaObject", Seq("diaObjectId"), objScope)
     val objBase =
       if (objAffected.isEmpty) emptyDf(objects.schema)
-      else spark.read.parquet(objAffected: _*)
+      else catalog.readDirs(spark, objAffected, objects.columns.toSeq)
     val objectsScoped = objBase.unionByName(
       chunk.diaObjects.select(objects.columns.map(col).toSeq: _*))
     val filled = graft.Metrics.time("update_validity_time",
@@ -162,8 +162,7 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
       val affected = catalog.dirsTouching(spark, t, spec.keys, keys)
       val base =
         if (affected.isEmpty) emptyDf(full.schema)
-        else spark.read.parquet(affected: _*)
-          .select(full.columns.map(col).toSeq: _*)
+        else catalog.readDirs(spark, affected, full.columns.toSeq)
       val rows = base.unionByName(delta)
       requireNoDangling(t, chunk.chunkId, rows, patch, spec)
       val patched = PpdbOps.mergePatch(rows, patch, spec)

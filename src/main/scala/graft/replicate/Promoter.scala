@@ -205,7 +205,7 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
       Seq("diaObjectId"), objScope)
     val objBase =
       if (objAffected.isEmpty) emptyDf(internalObj.schema)
-      else spark.read.parquet(objAffected: _*)
+      else catalog.readDirs(spark, objAffected, internalObj.columns.toSeq)
     val unionObj = objBase.unionByName(
       stagedObj.select(internalObj.columns.map(col).toSeq: _*))
     val filled =
@@ -226,9 +226,8 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
       else catalog.dirsTouching(spark, snapTable, Seq("diaObjectId"), objScope)
     val snapBase =
       if (snapAffected.isEmpty) emptyDf(snapNew.schema)
-      else spark.read.parquet(snapAffected: _*)
+      else catalog.readDirs(spark, snapAffected, snapNew.columns.toSeq)
         .join(broadcast(objScope), Seq("diaObjectId"), "left_anti")
-        .select(snapNew.columns.map(col).toSeq: _*)
     val snapshotDelta = TableDelta(dropDirs = snapAffected.toSet,
       appends = Seq(snapBase.unionByName(snapNew) -> batchLabel))
 
@@ -249,8 +248,7 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
           val affected = catalog.dirsTouching(spark, name, spec.keys, keys)
           val base =
             if (affected.isEmpty) emptyDf(internal.schema)
-            else spark.read.parquet(affected: _*)
-              .select(internal.columns.map(col).toSeq: _*)
+            else catalog.readDirs(spark, affected, internal.columns.toSeq)
           val patched = PpdbOps.mergePatch(base.unionByName(delta), patch, spec)
           name -> TableDelta(dropDirs = affected.toSet,
             appends = Seq(patched -> batchLabel))
