@@ -15,16 +15,32 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object MetricsListener {
 
+  /** Sum file-scan output rows, descending through AQE wrappers
+    * (AdaptiveSparkPlanExec and materialized query stages are leaf nodes
+    * to the plain collect, hiding every scan under them).
+    */
+  private def scanRows(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val self = p match {
+      case s: FileSourceScanExec =>
+        s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      case _ => 0L
+    }
+    val deeper = p match {
+      case a: AdaptiveSparkPlanExec => scanRows(a.executedPlan)
+      case q: QueryStageExec => scanRows(q.plan)
+      case other => other.children.map(scanRows).sum
+    }
+    self + deeper
+  }
+
   final class Listener extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
-        durationNs: Long): Unit = {
-      val scanRows = qe.executedPlan.collectWithSubqueries {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-          s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
-      }.sum
+        durationNs: Long): Unit =
       Metrics.record("query_execution_time", durationNs / 1e9,
-        Map("action" -> funcName, "scan_rows" -> scanRows.toString))
-    }
+        Map("action" -> funcName,
+          "scan_rows" -> scanRows(qe.executedPlan).toString))
 
     override def onFailure(funcName: String, qe: QueryExecution,
         exception: Exception): Unit =

@@ -48,6 +48,23 @@ final class MetadataTable(spark: SparkSession, catalog: VersionedCatalog,
     existed
   }
 
+  /** Refuse a store whose recorded schema/code versions the running code
+    * cannot read (major mismatch, or stored minor newer than running).
+    * Missing keys pass — pre-metadata stores stay openable.
+    */
+  def checkCompatibility(schemaRunning: graft.schema.VersionTuple,
+      codeRunning: graft.schema.VersionTuple): Unit = {
+    def check(key: String, running: graft.schema.VersionTuple): Unit =
+      get(key).map(graft.schema.VersionTuple.parse).foreach { stored =>
+        if (!running.compatibleWith(stored))
+          throw new IllegalStateException(
+            s"$key: running ${running.render} cannot read stored " +
+              s"${stored.render}")
+      }
+    check(MetadataTable.SchemaVersionKey, schemaRunning)
+    check(MetadataTable.CodeVersionKey, codeRunning)
+  }
+
   private def write(m: Map[String, String]): Unit = {
     val rows = m.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
     catalog.commit(Map(table ->

@@ -172,15 +172,24 @@ final class VersionedCatalog(val root: String,
     val suffix = if (label.isEmpty) "" else s"_$label"
     val dir = rootPath.resolve(table).resolve(f"v$commit%08d$suffix").toString
     layouts(table) match {
-      // partitionBy with zero rows writes no schema-bearing file, so empty
-      // deltas fall through to a plain (schema-preserving) parquet write
-      case Some(tb) if df.columns.contains(tb.column) && !df.isEmpty =>
+      case Some(tb) if df.columns.contains(tb.column) =>
         df.withColumn(tb.bucketCol,
             floor(col(tb.column) / lit(tb.widthDays)).cast("long"))
           .sortWithinPartitions(
             (tb.bucketCol +: tb.sortCols).map(col): _*)
           .write.mode("overwrite").options(writeOptions(table))
           .partitionBy(tb.bucketCol).parquet(dir)
+        // partitionBy with zero rows leaves no schema-bearing file; patch
+        // in a plain empty write built FROM THE SCHEMA (no plan re-run —
+        // an emptiness pre-check would evaluate the whole delta twice)
+        if (!Files.walk(Paths.get(dir)).iterator().asScala
+            .exists(_.toString.endsWith(".parquet"))) {
+          val spark = df.sparkSession
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              df.schema)
+            .write.mode("overwrite").options(writeOptions(table)).parquet(dir)
+        }
       case _ =>
         df.write.mode("overwrite").options(writeOptions(table)).parquet(dir)
     }

@@ -101,6 +101,10 @@ final class ChunkUploader(
 
     val remotePrefix = new HPath(remoteRoot, chunkId.toString)
     val fs: FileSystem = remotePrefix.getFileSystem(conf)
+    // rollback scope = the file transfer only. Once the transfer is
+    // complete the remote chunk is valid, so a later status-commit or
+    // notification failure must NOT delete it — that would leave the
+    // chunk wedged (status advanced or advancing, remote gone).
     try {
       graft.Metrics.time("upload_files_time",
           "chunk_id" -> chunkId.toString) {
@@ -117,11 +121,6 @@ final class ChunkUploader(
           new HPath(localDir, ChunkManifest.FileName),
           new HPath(remotePrefix, ChunkManifest.FileName))
       }
-      if (!manifest.isEmptyChunk) {
-        val uri = fs.makeQualified(remotePrefix).toString
-        promoter.markUploaded(chunkId, uri)
-        notify(chunkId, uri)
-      }
     } catch {
       case e: Throwable =>
         // no partial chunks remotely: drop the whole prefix, keep the
@@ -129,6 +128,19 @@ final class ChunkUploader(
         try fs.delete(remotePrefix, true)
         catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
         throw new ChunkUploadException(chunkId, "upload failed", e)
+    }
+    if (!manifest.isEmptyChunk) {
+      val uri = fs.makeQualified(remotePrefix).toString
+      try {
+        promoter.markUploaded(chunkId, uri)
+        notify(chunkId, uri)
+      } catch {
+        case e: Throwable =>
+          // remote bytes are intact; surface the failure without deleting
+          // them — an un-flipped chunk retries, a flipped one can stage
+          throw new ChunkUploadException(chunkId,
+            "post-upload bookkeeping failed (remote chunk intact)", e)
+      }
     }
   }
 }

@@ -105,7 +105,13 @@ object ChunkManifest {
     val fs = dirPath.getFileSystem(conf)
     if (!fs.exists(new HPath(dirPath, FileName)))
       return Seq(s"missing $FileName in $dir")
-    read(dir, conf).entries.flatMap { e =>
+    val manifest =
+      try read(dir, conf)
+      catch {
+        case e: Exception =>
+          return Seq(s"unreadable $FileName in $dir: ${e.getMessage}")
+      }
+    manifest.entries.flatMap { e =>
       val p = new HPath(dirPath, e.fileName)
       if (e.fileName.contains("..") || e.fileName.startsWith("/") ||
           e.fileName.count(_ == '/') > 1)

@@ -70,17 +70,8 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
   }
 
   /** Refuse stores written by an incompatible schema or newer code line. */
-  def checkVersions(): Unit = {
-    def check(key: String, running: VersionTuple): Unit =
-      meta.get(key).map(VersionTuple.parse).foreach { stored =>
-        if (!running.compatibleWith(stored))
-          throw new IllegalStateException(
-            s"$key: running ${running.render} cannot read stored " +
-              s"${stored.render}")
-      }
-    check(MetadataTable.SchemaVersionKey, PpdbSchema.schemaVersion)
-    check(MetadataTable.CodeVersionKey, VersionTuple.Current)
-  }
+  def checkVersions(): Unit =
+    meta.checkCompatibility(PpdbSchema.schemaVersion, VersionTuple.Current)
 
   def replicaChunks(minId: Option[Long] = None): DataFrame = {
     val base = catalog.read(spark, "PpdbReplicaChunk")

@@ -39,14 +39,17 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   def init(): Unit = {
-    if (catalog.exists("internal.DiaObject")) return
+    if (catalog.exists("internal.DiaObject")) {
+      // reopen: refuse stores written by an incompatible schema/code line
+      meta.checkCompatibility(PpdbSchema.schemaVersion, VersionTuple.Current)
+      return
+    }
     meta.init()
     meta.set(MetadataTable.SchemaVersionKey,
       PpdbSchema.schemaVersion.render, force = true)
     meta.set(MetadataTable.CodeVersionKey,
       VersionTuple.Current.render, force = true)
-    if (!catalog.exists("internal.DiaObject")) {
-      catalog.commit(Map(
+    catalog.commit(Map(
         "internal.DiaObject" -> emptyDf(PpdbSchema.diaObject),
         "internal.DiaSource" -> emptyDf(PpdbSchema.diaSource),
         "internal.DiaForcedSource" -> emptyDf(PpdbSchema.diaForcedSource),
@@ -58,7 +61,7 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
           .add("apdb_replica_chunk", "long", nullable = false)),
         "staging.updates" -> emptyDf(PpdbSchema.expandedUpdates),
         "PpdbReplicaChunk" -> emptyDf(PpdbSchema.replicaChunk)))
-    }
+    ()
   }
 
   def chunkDir(chunkId: Long): String = s"$exportRoot/chunk_$chunkId"
@@ -218,8 +221,11 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     // rewritten: their out-of-scope rows carry over, the in-scope rows
     // are replaced by the scope's new open intervals (an object whose
     // interval closed simply disappears). Every other snapshot dir's
-    // bytes are untouched.
-    val snapNew = PpdbOps.latestSnapshot(objPatched)
+    // bytes are untouched. snapNew is restricted to the SCOPE: objPatched
+    // also carries out-of-scope rows that merely shared a dir with scoped
+    // ids, and those keep their existing snapshot rows via snapBase.
+    val snapNew = PpdbOps.latestSnapshot(
+      objPatched.join(broadcast(objScope), Seq("diaObjectId"), "left_semi"))
     val snapTable = "public.DiaObjectLast"
     val snapAffected =
       if (!catalog.exists(snapTable)) Nil

@@ -182,6 +182,38 @@ class PromoterSpec extends SparkSpec {
     assert(cat.read(spark, "public.DiaObjectLast").count() == 8)
   }
 
+  test("subset promote over a shared dir does not duplicate snapshot rows") {
+    val cat = new VersionedCatalog(tmpDir("promo"))
+    val p = new Promoter(spark, cat, tmpDir("export"))
+    p.init()
+    // chunk 2 re-observes only HALF the objects of chunk 1, so its scope
+    // shares an internal/snapshot dir with out-of-scope objects
+    val apdb = new TestApdb(spark, nObjects = 4, nChunks = 2) {
+      override def chunkData(id: Long): graft.replicate.ChunkData = {
+        val base = super.chunkData(id)
+        if (id == 1L) base
+        else base.copy(
+          diaObjects = base.diaObjects.where($"diaObjectId" < 1002L),
+          diaSources = base.diaSources.where($"diaObjectId" < 1002L),
+          diaForcedSources =
+            base.diaForcedSources.where($"diaObjectId" < 1002L))
+      }
+    }
+    p.exportChunk(apdb.chunkData(1)); p.stageChunks(Seq(1L))
+    assert(p.promote() == Seq(1L))
+    p.exportChunk(apdb.chunkData(2)); p.stageChunks(Seq(2L))
+    assert(p.promote() == Seq(2L))
+
+    val snap = cat.read(spark, "public.DiaObjectLast")
+    assert(snap.count() == 4, "one open row per object, no duplicates")
+    assert(snap.select("diaObjectId").distinct().count() == 4)
+    // re-observed objects carry the newer version (chunk 2's nDiaSources)
+    val byId = snap.select("diaObjectId", "nDiaSources").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byId(1000L) == 2 && byId(1001L) == 2)
+    assert(byId(1002L) == 1 && byId(1003L) == 1)
+  }
+
   test("promote applies only the contiguous staged prefix") {
     val (p, apdb) = fresh()
     Seq(1L, 2L, 3L).foreach(id => p.exportChunk(apdb.chunkData(id)))

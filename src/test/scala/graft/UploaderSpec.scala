@@ -73,6 +73,22 @@ class UploaderSpec extends SparkSpec {
     assert(up.runOnce() == Seq(1L))
   }
 
+  test("corrupt manifest is a per-chunk failure, not a loop crash") {
+    val (p, apdb, remote) = fresh(2)
+    Seq(1L, 2L).foreach(id => p.exportChunk(apdb.chunkData(id)))
+    // truncate chunk 1's manifest so it cannot even be parsed
+    Files.write(Paths.get(p.chunkDir(1), ChunkManifest.FileName),
+      "{\"chunk_id\":".getBytes)
+    val up = new ChunkUploader(spark, p, remote)
+    assert(up.runOnce() == Seq(2L),
+      "healthy chunk still uploads past the corrupt one")
+    val status = p.catalog.read(spark, "PpdbReplicaChunk")
+      .orderBy($"apdb_replica_chunk")
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(status == Seq(PpdbSchema.ChunkStatus.Exported,
+      PpdbSchema.ChunkStatus.Uploaded))
+  }
+
   test("exitOnError propagates; exitOnEmpty ends the run loop") {
     val (p, apdb, remote) = fresh(1)
     p.exportChunk(apdb.chunkData(1))
