@@ -54,6 +54,74 @@ object EventStreams {
         max(col("ts_us")).as("session_end_us"))
   }
 
+  /** A user's open session while streaming. */
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** A closed session emitted by [[sessionizeStateful]]. */
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Custom-state streaming sessionization: per-user
+    * `flatMapGroupsWithState` keeps the open session as explicit state,
+    * emits a session when a gap exceeds `gapUs`, and closes idle sessions
+    * through an event-time timeout at the watermark — the hand-rolled
+    * form of session_window for when session semantics outgrow it (e.g.
+    * emitting counts mid-session or capping session length). Within each
+    * micro-batch a group's rows are buffered and processed in event-time
+    * order; across batches the watermark bounds disorder. Works on a
+    * batch Dataset too (state is per-invocation there, so the trailing
+    * open session of each user is simply not emitted — same contract as
+    * the streaming form before its timeout fires).
+    */
+  def sessionizeStateful(events: DataFrame, gapUs: Long,
+      watermark: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val streaming = events.isStreaming
+    // the watermarked ts column must survive the projection for
+    // event-time timeout to resolve
+    base.select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.startUs, s.lastUs, s.n))
+          } else {
+            val ts = rows.map(_._3).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  cur = Some(SessionState(s.startUs, math.max(s.lastUs, t),
+                    s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(user, s.startUs, s.lastUs, s.n)
+                  cur = Some(SessionState(t, t, 1L))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the open session once the watermark passes its gap
+              if (streaming)
+                state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+            }
+            out.iterator
+          }
+      }
+      .toDF()
+  }
+
   /** Streaming sessionization via session_window (state handled by the
     * engine; append-mode with watermark).
     */

@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) matches batch") {
+    val gapUs = 1800L * 1000000L
+    val srcDir = tmpDir("stream-fmgs")
+    graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "fmgs_sessions",
+      EventStreams.sessionizeStateful(_, gapUs))
+    q.awaitTermination(120000)
+    val streamed = spark.table("fmgs_sessions")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+
+    // Gap-closed (non-trailing) sessions MUST all be emitted; trailing
+    // sessions MAY also appear when the final watermark passes their
+    // event-time timeout. So: all-batch ⊇ streamed ⊇ batch-closed.
+    val batchAll = EventStreams.sessionize(
+        graft.Tables.events(spark, sf), gapUs)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("session_seq").desc)))
+    val all = batchAll
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    val closed = batchAll.where($"rn" =!= 1)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(all).isEmpty,
+      "every streamed session is a true batch session")
+    assert(closed.exceptAll(streamed).isEmpty,
+      "every gap-closed batch session was emitted")
+  }
+
   test("streaming sessionization with session_window") {
     val srcDir = tmpDir("stream-sess")
     graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
