@@ -69,7 +69,8 @@ final case class TimeBucket(column: String, widthDays: Double,
   */
 final class VersionedCatalog(val root: String,
     writeOptions: String => Map[String, String] = VersionedCatalog.NoOptions,
-    layouts: String => Option[TimeBucket] = VersionedCatalog.ppdbLayouts) {
+    layouts: String => Option[TimeBucket] = VersionedCatalog.ppdbLayouts,
+    statsCols: String => Seq[String] = VersionedCatalog.ppdbStatsCols) {
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("_CURRENT")
@@ -168,12 +169,23 @@ final class VersionedCatalog(val root: String,
 
   private def write(df: DataFrame, table: String, commit: Long,
       label: String): String = {
-    import org.apache.spark.sql.functions.{col, floor, lit}
+    import org.apache.spark.sql.functions.{col, floor, lit, max, min}
     val suffix = if (label.isEmpty) "" else s"_$label"
     val dir = rootPath.resolve(table).resolve(f"v$commit%08d$suffix").toString
+    // zone-map sidecar: per-dir min/max of the table's probe columns,
+    // collected by observe() DURING the write job (no extra pass) and
+    // written next to the data; dirsTouching prunes whole dirs on it
+    val zCols = statsCols(table).filter(df.columns.contains)
+    val obs = if (zCols.isEmpty) None
+      else Some(new org.apache.spark.sql.Observation())
+    val observed = obs.fold(df) { o =>
+      val aggs = zCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      df.observe(o, aggs.head, aggs.tail: _*)
+    }
     layouts(table) match {
-      case Some(tb) if df.columns.contains(tb.column) =>
-        df.withColumn(tb.bucketCol,
+      case Some(tb) if observed.columns.contains(tb.column) =>
+        observed.withColumn(tb.bucketCol,
             floor(col(tb.column) / lit(tb.widthDays)).cast("long"))
           .sortWithinPartitions(
             (tb.bucketCol +: tb.sortCols).map(col): _*)
@@ -191,9 +203,39 @@ final class VersionedCatalog(val root: String,
             .write.mode("overwrite").options(writeOptions(table)).parquet(dir)
         }
       case _ =>
-        df.write.mode("overwrite").options(writeOptions(table)).parquet(dir)
+        observed.write.mode("overwrite").options(writeOptions(table))
+          .parquet(dir)
     }
+    obs.foreach(o => writeZoneMap(dir, zCols, o.get))
     dir
+  }
+
+  private def writeZoneMap(dir: String, cols: Seq[String],
+      m: Map[String, Any]): Unit = {
+    val entries = cols.flatMap { c =>
+      (m.get(s"min_$c"), m.get(s"max_$c")) match {
+        case (Some(lo), Some(hi)) if lo != null && hi != null =>
+          Some(s""""${esc(c)}":["$lo","$hi"]""")
+        case _ => None // empty delta: no bounds, dir never pruned
+      }
+    }
+    if (entries.nonEmpty)
+      Files.write(Paths.get(dir, VersionedCatalog.ZoneMapFile),
+        s"{${entries.mkString(",")}}".getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Parsed zone map of a dir: column → (min, max) as BigDecimal. */
+  private def zoneMap(dir: String): Map[String, (BigDecimal, BigDecimal)] = {
+    val p = Paths.get(dir, VersionedCatalog.ZoneMapFile)
+    if (!Files.exists(p)) return Map.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    """"((?:[^"\\]|\\.)*)":\["([^"]*)","([^"]*)"\]""".r
+      .findAllMatchIn(json).flatMap { m =>
+        try Some(unesc(m.group(1)) ->
+          ((BigDecimal(m.group(2)), BigDecimal(m.group(3)))))
+        catch { case _: NumberFormatException => None }
+      }.toMap
   }
 
   /** Read an explicit subset of a table's data dirs (the scoped-patch
@@ -217,8 +259,28 @@ final class VersionedCatalog(val root: String,
     */
   def dirsTouching(spark: SparkSession, table: String,
       keyCols: Seq[String], keys: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.functions.{broadcast, input_file_name}
-    val dirs = current._2.getOrElse(table, Nil)
+    import org.apache.spark.sql.functions.{broadcast, input_file_name, max, min}
+    val allDirs = current._2.getOrElse(table, Nil)
+    if (allDirs.isEmpty) return Nil
+    // zone-map pruning first: a dir whose recorded [min,max] for a probe
+    // column cannot overlap the probe keys' bounds is skipped without
+    // touching its files — so a point patch against a table of N
+    // range-labeled dirs scans O(overlapping) dirs, not O(N)
+    val probeCol = keyCols.head
+    val boundsRow = keys.agg(min(org.apache.spark.sql.functions.col(probeCol)),
+      max(org.apache.spark.sql.functions.col(probeCol))).head()
+    val dirs =
+      if (boundsRow.isNullAt(0)) return Nil // no probe keys at all
+      else {
+        val (pLo, pHi) = (BigDecimal(boundsRow.get(0).toString),
+          BigDecimal(boundsRow.get(1).toString))
+        allDirs.filter { d =>
+          zoneMap(d).get(probeCol) match {
+            case Some((lo, hi)) => hi >= pLo && lo <= pHi
+            case None => true // no zone map: cannot prune, must scan
+          }
+        }
+      }
     if (dirs.isEmpty) return Nil
     // per-dir scans (layout dirs are hive-partitioned, plain dirs aren't);
     // only the key columns survive, so mixed layouts union cleanly
@@ -338,6 +400,22 @@ final class VersionedCatalog(val root: String,
 
 object VersionedCatalog {
   val NoOptions: String => Map[String, String] = _ => Map.empty
+  val NoStats: String => Seq[String] = _ => Nil
+
+  /** Sidecar file recording a dir's per-column [min,max] zone map. */
+  val ZoneMapFile = "_RANGE.json"
+
+  /** Default zone-map columns: the id columns the scoped-patch probe
+    * filters on. Chunked ingest assigns ids in ranges, so per-dir bounds
+    * are tight and point patches prune almost every dir driver-side.
+    */
+  val ppdbStatsCols: String => Seq[String] = {
+    case t if t.endsWith("DiaSource") => Seq("diaSourceId", "diaObjectId")
+    case t if t.endsWith("DiaForcedSource") => Seq("diaObjectId")
+    case t if t.endsWith("DiaObject") || t.endsWith("DiaObjectLast") =>
+      Seq("diaObjectId")
+    case _ => Nil
+  }
 
   /** Per-table parquet options for the PPDB layout: bloom filters on the
     * point-lookup id columns (the Spark stand-in for the reference's

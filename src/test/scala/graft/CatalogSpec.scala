@@ -99,6 +99,37 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException] { cat.read(spark, "t") }
   }
 
+  test("zone-map sidecars prune dirs from the patch probe") {
+    import graft.catalog.TableDelta
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    def rows(ids: Range) =
+      ids.map(i => (i.toLong, 60000.0 + i)).toDF("diaObjectId", "midpointMjdTai")
+    cat.commit(Map("z.DiaForcedSource" -> rows(1 to 10)))
+    cat.commitAll(Map("z.DiaForcedSource" -> TableDelta(
+      appends = Seq(rows(100 to 110) -> "c2"))))
+    val dirs = cat.current._2("z.DiaForcedSource")
+    assert(dirs.forall(d => Files.exists(Paths.get(d,
+      VersionedCatalog.ZoneMapFile))), "every written dir has a zone map")
+
+    // corrupt the second dir's data; a probe inside the FIRST dir's id
+    // range must succeed without ever opening the corrupted files
+    val dirB = dirs(1)
+    Files.walk(Paths.get(dirB)).iterator()
+      .forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet")) Files.write(p, "junk".getBytes)
+      }
+    val probeA = Seq(5L).toDF("diaObjectId")
+    assert(cat.dirsTouching(spark, "z.DiaForcedSource",
+      Seq("diaObjectId"), probeA) == Seq(dirs.head),
+      "zone map pruned the out-of-range dir driver-side")
+    // a probe overlapping dir B's range DOES have to read it (and trips
+    // over the corruption) — evidence the prune, not luck, skipped it
+    intercept[Exception] {
+      cat.dirsTouching(spark, "z.DiaForcedSource",
+        Seq("diaObjectId"), Seq(105L).toDF("diaObjectId"))
+    }
+  }
+
   test("time-bucket layout: range reads prune partition dirs") {
     import org.apache.spark.sql.functions.input_file_name
     val cat = new VersionedCatalog(tmpDir("cat"))
