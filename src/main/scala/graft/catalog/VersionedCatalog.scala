@@ -172,10 +172,13 @@ final class VersionedCatalog(val root: String,
     import org.apache.spark.sql.functions.{col, floor, lit, max, min}
     val suffix = if (label.isEmpty) "" else s"_$label"
     val dir = rootPath.resolve(table).resolve(f"v$commit%08d$suffix").toString
-    // zone-map sidecar: per-dir min/max of the table's probe columns,
-    // collected by observe() DURING the write job (no extra pass) and
-    // written next to the data; dirsTouching prunes whole dirs on it
-    val zCols = statsCols(table).filter(df.columns.contains)
+    // zone-map sidecar: per-dir min/max of the table's NUMERIC probe
+    // columns, collected by observe() DURING the write job (no extra
+    // pass) and written next to the data; dirsTouching prunes whole dirs
+    // on it. Non-numeric stats columns are ignored (their values are not
+    // JSON-safe to interpolate, and the probe only prunes numerically).
+    val zCols = statsCols(table).filter(c => df.columns.contains(c) &&
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val obs = if (zCols.isEmpty) None
       else Some(new org.apache.spark.sql.Observation())
     val observed = obs.fold(df) { o =>
@@ -265,17 +268,26 @@ final class VersionedCatalog(val root: String,
     // zone-map pruning first: a dir whose recorded [min,max] for a probe
     // column cannot overlap the probe keys' bounds is skipped without
     // touching its files — so a point patch against a table of N
-    // range-labeled dirs scans O(overlapping) dirs, not O(N)
+    // range-labeled dirs scans O(overlapping) dirs, not O(N). Only
+    // applies when the probe column is numeric AND some dir actually has
+    // bounds for it; otherwise skip the extra bounds action entirely.
     val probeCol = keyCols.head
-    val boundsRow = keys.agg(min(org.apache.spark.sql.functions.col(probeCol)),
-      max(org.apache.spark.sql.functions.col(probeCol))).head()
+    val zms = allDirs.map(d => d -> zoneMap(d)).toMap
+    val canPrune =
+      keys.schema(probeCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        zms.values.exists(_.contains(probeCol))
     val dirs =
-      if (boundsRow.isNullAt(0)) return Nil // no probe keys at all
+      if (!canPrune) allDirs
       else {
+        val boundsRow = keys
+          .agg(min(org.apache.spark.sql.functions.col(probeCol)),
+            max(org.apache.spark.sql.functions.col(probeCol))).head()
+        if (boundsRow.isNullAt(0)) return Nil // no probe keys at all
         val (pLo, pHi) = (BigDecimal(boundsRow.get(0).toString),
           BigDecimal(boundsRow.get(1).toString))
         allDirs.filter { d =>
-          zoneMap(d).get(probeCol) match {
+          zms(d).get(probeCol) match {
             case Some((lo, hi)) => hi >= pLo && lo <= pHi
             case None => true // no zone map: cannot prune, must scan
           }

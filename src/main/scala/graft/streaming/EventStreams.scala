@@ -54,69 +54,79 @@ object EventStreams {
         max(col("ts_us")).as("session_end_us"))
   }
 
-  /** A user's open session while streaming. */
-  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  /** A user's buffered event times awaiting session closure. */
+  final case class SessionBuffer(tsUs: Seq[Long])
 
   /** A closed session emitted by [[sessionizeStateful]]. */
   final case class SessionOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long)
 
   /** Custom-state streaming sessionization: per-user
-    * `flatMapGroupsWithState` keeps the open session as explicit state,
-    * emits a session when a gap exceeds `gapUs`, and closes idle sessions
-    * through an event-time timeout at the watermark — the hand-rolled
-    * form of session_window for when session semantics outgrow it (e.g.
-    * emitting counts mid-session or capping session length). Within each
-    * micro-batch a group's rows are buffered and processed in event-time
-    * order; across batches the watermark bounds disorder. Works on a
-    * batch Dataset too (state is per-invocation there, so the trailing
-    * open session of each user is simply not emitted — same contract as
-    * the streaming form before its timeout fires).
+    * `flatMapGroupsWithState` buffers event times as explicit state and
+    * emits a session only once the WATERMARK passes its end + gap — the
+    * point after which no admissible event (the operator drops rows below
+    * the watermark) can extend or bridge it. That makes the output EXACT
+    * for any disorder the watermark admits, including late events
+    * arriving in a later micro-batch, unlike eager close-on-gap
+    * operators. State per user is bounded by the watermark horizon.
+    * Event-time timeouts re-finalize idle users. On a batch Dataset the
+    * watermark is +∞ by construction (no more data can come), so every
+    * session — trailing included — is emitted.
     */
   def sessionizeStateful(events: DataFrame, gapUs: Long,
       watermark: String = "30 minutes"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val base =
-      if (events.isStreaming) events.withWatermark("ts", watermark) else events
     val streaming = events.isStreaming
+    val base =
+      if (streaming) events.withWatermark("ts", watermark) else events
     // the watermarked ts column must survive the projection for
     // event-time timeout to resolve
     base.select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionBuffer, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
-            state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(user, s.startUs, s.lastUs, s.n))
+            state: GroupState[SessionBuffer]) =>
+          val buf = (state.getOption.map(_.tsUs).getOrElse(Seq.empty) ++
+            rows.map(_._3)).sorted
+          if (buf.isEmpty) {
+            if (state.exists) state.remove()
+            Iterator.empty
           } else {
-            val ts = rows.map(_._3).toArray.sorted
-            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.lastUs <= gapUs =>
-                  cur = Some(SessionState(s.startUs, math.max(s.lastUs, t),
-                    s.n + 1))
-                case Some(s) =>
-                  out += SessionOut(user, s.startUs, s.lastUs, s.n)
-                  cur = Some(SessionState(t, t, 1L))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L))
-              }
+            // split the sorted buffer into gap-delimited sessions
+            val sessions =
+              scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            var start = buf.head; var last = buf.head; var n = 1L
+            buf.tail.foreach { t =>
+              if (t - last <= gapUs) { last = t; n += 1 }
+              else { sessions += ((start, last, n)); start = t; last = t; n = 1L }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // close the open session once the watermark passes its gap
-              if (streaming)
-                state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+            sessions += ((start, last, n))
+            // a session is final iff no admissible future event can land
+            // within its gap: end + gap < watermark (batch: everything)
+            val wmUs =
+              if (streaming) state.getCurrentWatermarkMs() * 1000L
+              else Long.MaxValue
+            val firstOpen = sessions.indexWhere(_._2 + gapUs >= wmUs)
+            val (emit, keepFrom) =
+              if (firstOpen < 0) (sessions.toSeq, None)
+              else (sessions.take(firstOpen).toSeq,
+                Some(sessions(firstOpen)._1))
+            keepFrom match {
+              case None => if (state.exists) state.remove()
+              case Some(from) =>
+                state.update(SessionBuffer(buf.dropWhile(_ < from)))
+                // fire once the watermark can close the earliest open
+                // session (ceil to ms + margin — flooring would fire
+                // before end + gap and is rejected when at the watermark)
+                val dueMs = (sessions(firstOpen)._2 + gapUs) / 1000L + 2L
+                state.setTimeoutTimestamp(
+                  math.max(dueMs, state.getCurrentWatermarkMs() + 1L))
             }
-            out.iterator
+            emit.iterator.map { case (s, e, c) => SessionOut(user, s, e, c) }
           }
       }
       .toDF()

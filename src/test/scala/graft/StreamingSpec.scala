@@ -52,24 +52,24 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("fmgs_sessions")
       .select("user_id", "session_start_us", "session_end_us", "n_events")
 
-    // Gap-closed (non-trailing) sessions MUST all be emitted; trailing
-    // sessions MAY also appear when the final watermark passes their
-    // event-time timeout. So: all-batch ⊇ streamed ⊇ batch-closed.
-    val batchAll = EventStreams.sessionize(
-        graft.Tables.events(spark, sf), gapUs)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-          .orderBy(col("session_seq").desc)))
-    val all = batchAll
+    // Watermark-exact contract: a session is emitted iff the final
+    // watermark (maxTs − delay) passed its end + gap. Every emitted
+    // session must be a true batch session; every definitively-closed
+    // one (with slack for internal ms arithmetic) must be emitted.
+    val wmDelayUs = 1800L * 1000000L // sessionizeStateful default 30 min
+    val maxTsUs = graft.Tables.events(spark, sf)
+      .agg(max(unix_micros($"ts"))).head().getLong(0)
+    val finalWmUs = maxTsUs - wmDelayUs
+    val all = EventStreams.sessionize(graft.Tables.events(spark, sf), gapUs)
       .select("user_id", "session_start_us", "session_end_us", "n_events")
-    val closed = batchAll.where($"rn" =!= 1)
-      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    val required = all
+      .where($"session_end_us" + gapUs < finalWmUs - 5000L)
 
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(all).isEmpty,
       "every streamed session is a true batch session")
-    assert(closed.exceptAll(streamed).isEmpty,
-      "every gap-closed batch session was emitted")
+    assert(required.exceptAll(streamed).isEmpty,
+      "every watermark-closed batch session was emitted")
   }
 
   test("streaming sessionization with session_window") {
