@@ -144,6 +144,43 @@ case class ShingleStringExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** MinHash signature over precomputed shingle hashes: slot i = min over
+  * the array of (a_i*h + b_i) mod P with a_i = 2i+1, b_i = 7919i+13 —
+  * the same arithmetic as `array_min(transform(sh, h -> (a*h+b) % P))`
+  * per slot, but all `numHashes` slots in ONE pass over the array
+  * instead of `numHashes` interpreted lambda traversals. Empty input
+  * yields all-null slots (as array_min over an empty array would).
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return new GenericArrayData(new Array[Any](numHashes))
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val P = TextHashing.P
+    var j = 0
+    while (j < m) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = ((2L * i + 1L) * h + 7919L * i + 13L) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Rolling polynomial char hash of a text column (single-pass). */
 case class CharHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -179,4 +216,6 @@ object TextExprs {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text)))
   def charHash(text: Column): Column =
     ColumnBridge.column(CharHashExpr(ColumnBridge.expression(text)))
+  def minhashSig(sh: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(sh), numHashes))
 }

@@ -188,11 +188,7 @@ object Dedup {
     * (a_i * h + b_i) mod P. Deterministic seeds.
     */
   def signatureOf(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      val a = 2L * i + 1L
-      val b = 7919L * i + 13L
-      array_min(transform(sh, h => (lit(a) * h + lit(b)) % lit(P)))
-    }: _*)
+    graft.functions.TextExprs.minhashSig(sh, numHashes)
 
   /** MinHash signature of a text column (convenience composition). */
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
