@@ -197,8 +197,12 @@ final class VersionedCatalog(val root: String,
         // partitionBy with zero rows leaves no schema-bearing file; patch
         // in a plain empty write built FROM THE SCHEMA (no plan re-run —
         // an emptiness pre-check would evaluate the whole delta twice)
-        if (!Files.walk(Paths.get(dir)).iterator().asScala
-            .exists(_.toString.endsWith(".parquet"))) {
+        val anyParquet = {
+          val walk = Files.walk(Paths.get(dir))
+          try walk.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+          finally walk.close()
+        }
+        if (!anyParquet) {
           val spark = df.sparkSession
           spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

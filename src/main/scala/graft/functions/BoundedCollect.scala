@@ -6,6 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -31,6 +32,13 @@ case class BoundedCollectLong(child: Expression, cap: Int,
     extends TypedImperativeAggregate[BoundedBuf] {
 
   override def children: Seq[Expression] = Seq(child)
+  // reject non-long inputs at analysis time — update() casts to Long and
+  // would otherwise throw ClassCastException deep inside the aggregate
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so check here)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bounded_collect requires a BIGINT input, got ${child.dataType.simpleString}")
   override def nullable: Boolean = false
   override def prettyName: String = "bounded_collect"
   override def dataType: DataType = StructType(Seq(

@@ -101,23 +101,34 @@ final class ChunkUploader(
 
     val remotePrefix = new HPath(remoteRoot, chunkId.toString)
     val fs: FileSystem = remotePrefix.getFileSystem(conf)
+    // Idempotent retry: a prior attempt may have transferred everything
+    // and then failed only the status flip / notification (remote bytes
+    // intact by design). If the remote prefix already validates against
+    // its manifest, skip the transfer and go straight to bookkeeping —
+    // otherwise a retry would re-copy (and without this, delete) a
+    // perfectly good remote chunk.
+    val remoteIntact =
+      try fs.exists(new HPath(remotePrefix, ChunkManifest.FileName)) &&
+        ChunkManifest.validate(remotePrefix.toString, conf).isEmpty &&
+        ChunkManifest.read(remotePrefix.toString, conf).chunkId == chunkId
+      catch { case _: Exception => false } // unreadable remote ⇒ re-upload
     // rollback scope = the file transfer only. Once the transfer is
     // complete the remote chunk is valid, so a later status-commit or
     // notification failure must NOT delete it — that would leave the
     // chunk wedged (status advanced or advancing, remote gone).
-    try {
+    if (!remoteIntact) try {
       graft.Metrics.time("upload_files_time",
           "chunk_id" -> chunkId.toString) {
-        // overwrite=false: a fresh prefix never holds these names (failed
-        // attempts rolled the prefix back), so an existing destination is
-        // itself an inconsistency worth failing on
+        // overwrite=true (the reference uploader's semantics): leftovers
+        // from an interrupted rollback converge in one pass instead of
+        // failing on the existing destination
         manifest.entries.foreach { e =>
           val src = new HPath(localDir, e.fileName)
           val dst = new HPath(remotePrefix, e.fileName)
           fs.mkdirs(dst.getParent)
-          fs.copyFromLocalFile(false, false, src, dst)
+          fs.copyFromLocalFile(false, true, src, dst)
         }
-        fs.copyFromLocalFile(false, false,
+        fs.copyFromLocalFile(false, true,
           new HPath(localDir, ChunkManifest.FileName),
           new HPath(remotePrefix, ChunkManifest.FileName))
       }

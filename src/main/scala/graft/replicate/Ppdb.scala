@@ -187,6 +187,9 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
       "DiaForcedSource" -> scopedFact("DiaForcedSource", forced, fsrcDelta),
       "PpdbReplicaChunk" -> TableDelta(appends = Seq(newChunkRow -> label))))
     }
+    // the patch cache is only read by the writes above; drop it so storage
+    // memory doesn't accumulate across repeated store() calls
+    latestOpt.foreach(_.unpersist())
     ()
   }
 

@@ -278,6 +278,9 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     catalog.commitAll(internalWrites ++ stagingWrites ++ Map(
       "public.DiaObjectLast" -> snapshotDelta,
       "PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))))
+    // the patch cache is only read by the writes above; drop it so storage
+    // memory doesn't accumulate across repeated promote() calls
+    latest.unpersist()
     ids
   }
 

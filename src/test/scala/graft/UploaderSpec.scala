@@ -57,11 +57,14 @@ class UploaderSpec extends SparkSpec {
   test("partial upload rolls back the whole remote prefix") {
     val (p, apdb, remote) = fresh(1)
     p.exportChunk(apdb.chunkData(1))
-    // sabotage: the manifest's remote target already exists, so the
-    // manifest copy fails AFTER the parquet files have gone up
+    // sabotage: a junk FILE squats where the DiaSource table DIRECTORY
+    // must go, so mkdirs fails AFTER earlier tables' parquet files have
+    // gone up — a genuinely partial transfer (overwrite=true makes a
+    // pre-existing manifest file converge instead of failing, so the
+    // squatter has to be a directory-slot collision)
     val prefix = Paths.get(remote.stripPrefix("file://"), "1")
     Files.createDirectories(prefix)
-    Files.write(prefix.resolve(ChunkManifest.FileName), "junk".getBytes)
+    Files.write(prefix.resolve("DiaSource"), "junk".getBytes)
     val up = new ChunkUploader(spark, p, remote)
     assert(up.runOnce().isEmpty, "failed chunk reported not-uploaded")
     assert(!Files.exists(prefix),
@@ -94,7 +97,7 @@ class UploaderSpec extends SparkSpec {
     p.exportChunk(apdb.chunkData(1))
     val prefix = Paths.get(remote.stripPrefix("file://"), "1")
     Files.createDirectories(prefix)
-    Files.write(prefix.resolve(ChunkManifest.FileName), "junk".getBytes)
+    Files.write(prefix.resolve("DiaSource"), "junk".getBytes)
     val strict = new ChunkUploader(spark, p, remote, exitOnError = true)
     intercept[ChunkUploadException] { strict.runOnce() }
     // tolerant run loop: first poll fails the chunk, uploads nothing, and
