@@ -148,32 +148,46 @@ case class ShingleStringExpr(child: Expression, n: Int)
   * the array of (a_i*h + b_i) mod P with a_i = 2i+1, b_i = 7919i+13 —
   * the same arithmetic as `array_min(transform(sh, h -> (a*h+b) % P))`
   * per slot, but all `numHashes` slots in ONE pass over the array
-  * instead of `numHashes` interpreted lambda traversals. Empty input
-  * yields all-null slots (as array_min over an empty array would).
+  * instead of `numHashes` interpreted lambda traversals. Matches the
+  * column formulation's null semantics: a NULL input array, an empty
+  * array, or an all-null array yields an array of `numHashes` null
+  * slots (as array_min would per slot); null elements are skipped.
   */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
   override def prettyName: String = "minhash_sig"
+
+  private val allNullSlots = new GenericArrayData(new Array[Any](numHashes))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) allNullSlots else nullSafeEval(v)
+  }
 
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val m = arr.numElements()
-    if (m == 0) return new GenericArrayData(new Array[Any](numHashes))
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val P = TextHashing.P
+    var any = false
     var j = 0
     while (j < m) {
-      val h = arr.getLong(j)
-      var i = 0
-      while (i < numHashes) {
-        val v = ((2L * i + 1L) * h + 7919L * i + 13L) % P
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (!arr.isNullAt(j)) {
+        any = true
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val v = ((2L * i + 1L) * h + 7919L * i + 13L) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
+    if (!any) return allNullSlots
     new GenericArrayData(mins)
   }
 

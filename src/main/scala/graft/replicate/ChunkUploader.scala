@@ -103,14 +103,15 @@ final class ChunkUploader(
     val fs: FileSystem = remotePrefix.getFileSystem(conf)
     // Idempotent retry: a prior attempt may have transferred everything
     // and then failed only the status flip / notification (remote bytes
-    // intact by design). If the remote prefix already validates against
-    // its manifest, skip the transfer and go straight to bookkeeping —
-    // otherwise a retry would re-copy (and without this, delete) a
-    // perfectly good remote chunk.
+    // intact by design). Skip the transfer only when the remote prefix
+    // validates AND its manifest equals the local one — a self-consistent
+    // but stale remote copy (e.g. a re-export of the same chunk id;
+    // parquet bytes are not run-deterministic) must fall through to the
+    // overwrite re-copy, or bookkeeping would bless wrong bytes.
     val remoteIntact =
       try fs.exists(new HPath(remotePrefix, ChunkManifest.FileName)) &&
         ChunkManifest.validate(remotePrefix.toString, conf).isEmpty &&
-        ChunkManifest.read(remotePrefix.toString, conf).chunkId == chunkId
+        ChunkManifest.read(remotePrefix.toString, conf) == manifest
       catch { case _: Exception => false } // unreadable remote ⇒ re-upload
     // rollback scope = the file transfer only. Once the transfer is
     // complete the remote chunk is valid, so a later status-commit or

@@ -108,6 +108,7 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
       if (chunk.updates.isEmpty) None
       else Some(PpdbOps.latestOnly(
         PpdbOps.expandUpdates(spark, chunk.updates)).cache())
+    try {
     val touched: Set[String] = latestOpt.fold(Set.empty[String]) {
       _.select("table_name").distinct().collect().map(_.getString(0)).toSet
     }
@@ -187,10 +188,11 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
       "DiaForcedSource" -> scopedFact("DiaForcedSource", forced, fsrcDelta),
       "PpdbReplicaChunk" -> TableDelta(appends = Seq(newChunkRow -> label))))
     }
-    // the patch cache is only read by the writes above; drop it so storage
-    // memory doesn't accumulate across repeated store() calls
-    latestOpt.foreach(_.unpersist())
     ()
+    // the patch cache is only read by the writes above; drop it even when
+    // requireNoDangling/commitAll throws, so storage memory doesn't
+    // accumulate across retried store() calls
+    } finally latestOpt.foreach(_.unpersist())
   }
 
   private def requireNoDangling(table: String, chunkId: Long,

@@ -187,6 +187,7 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     // T6/W3: latest-only update patches for the batch
     val updates = catalog.read(spark, "staging.updates").where(inChunks)
     val latest = PpdbOps.latestOnly(updates).cache()
+    try {
     val touched = latest.select("table_name").distinct()
       .collect().map(_.getString(0)).toSet
 
@@ -278,10 +279,11 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     catalog.commitAll(internalWrites ++ stagingWrites ++ Map(
       "public.DiaObjectLast" -> snapshotDelta,
       "PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))))
-    // the patch cache is only read by the writes above; drop it so storage
-    // memory doesn't accumulate across repeated promote() calls
-    latest.unpersist()
     ids
+    // the patch cache is only read by the writes above; drop it even when
+    // validation/commit throws, so storage memory doesn't accumulate
+    // across retried promote() calls
+    } finally latest.unpersist()
   }
 
   // ----------------------------------------------------------------- helpers

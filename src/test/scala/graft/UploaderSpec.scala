@@ -76,6 +76,70 @@ class UploaderSpec extends SparkSpec {
     assert(up.runOnce() == Seq(1L))
   }
 
+  // flip an uploaded chunk back to exported, as if a prior attempt
+  // transferred everything and then crashed before markUploaded committed
+  private def flipToExported(p: Promoter, id: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val chunks = p.catalog.read(spark, "PpdbReplicaChunk")
+    p.catalog.commit(Map("PpdbReplicaChunk" -> chunks
+      .withColumn("status", when(col("apdb_replica_chunk") === id,
+        lit(PpdbSchema.ChunkStatus.Exported)).otherwise(col("status")))))
+    ()
+  }
+
+  private def remoteFiles(prefix: java.nio.file.Path): Seq[java.nio.file.Path] =
+    Files.walk(prefix).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+
+  private val epoch = java.nio.file.attribute.FileTime.fromMillis(1000000L)
+
+  test("bookkeeping-failure retry skips the transfer when remote is intact") {
+    val (p, apdb, remote) = fresh(1)
+    p.exportChunk(apdb.chunkData(1))
+    val up = new ChunkUploader(spark, p, remote)
+    assert(up.runOnce() == Seq(1L))
+    flipToExported(p, 1L)
+    // stamp every remote file with a sentinel mtime: an overwrite would
+    // replace it, a skipped transfer leaves it
+    val prefix = Paths.get(remote.stripPrefix("file://"), "1")
+    remoteFiles(prefix).foreach(Files.setLastModifiedTime(_, epoch))
+    assert(up.runOnce() == Seq(1L))
+    val status = p.catalog.read(spark, "PpdbReplicaChunk")
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(status == Seq(PpdbSchema.ChunkStatus.Uploaded))
+    assert(remoteFiles(prefix).forall(
+      f => Files.getLastModifiedTime(f) == epoch),
+      "intact remote files were not re-copied")
+  }
+
+  test("stale self-consistent remote copy is overwritten, not blessed") {
+    val (p, apdb, remote) = fresh(1)
+    p.exportChunk(apdb.chunkData(1))
+    val up = new ChunkUploader(spark, p, remote)
+    assert(up.runOnce() == Seq(1L))
+    flipToExported(p, 1L)
+    // re-export the SAME chunk id with different content (an extra update
+    // record): the remote prefix still validates against its own manifest
+    // but no longer matches the local export
+    val apdb2 = new TestApdb(spark, nObjects = 4, nChunks = 1,
+      extraUpdates = Map(1L -> Seq((1L,
+        graft.schema.UpdateRecord.ReassignDiaSourceToDiaObject(
+          1L, 0, 100001L, 1001L): graft.schema.UpdateRecord))))
+    p.exportChunk(apdb2.chunkData(1))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prefix = Paths.get(remote.stripPrefix("file://"), "1")
+    assert(ChunkManifest.validate(prefix.toString, hconf).isEmpty,
+      "precondition: stale remote still self-validates")
+    remoteFiles(prefix).foreach(Files.setLastModifiedTime(_, epoch))
+    assert(up.runOnce() == Seq(1L))
+    // the transfer really re-ran and the remote now equals the new export
+    assert(remoteFiles(prefix).exists(
+      f => Files.getLastModifiedTime(f) != epoch),
+      "stale remote files were re-copied")
+    assert(ChunkManifest.read(prefix.toString, hconf) ==
+      ChunkManifest.read(p.chunkDir(1), hconf),
+      "remote manifest now matches the fresh local export")
+  }
+
   test("corrupt manifest is a per-chunk failure, not a loop crash") {
     val (p, apdb, remote) = fresh(2)
     Seq(1L, 2L).foreach(id => p.exportChunk(apdb.chunkData(id)))
