@@ -260,25 +260,48 @@ object Dedup {
   def simhashBandedPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
     val numBands = maxDist + 1
-    val width = 64 / numBands // the last band absorbs the remainder bits
-    def off(i: Int): Int = i * width
-    def w(i: Int): Int = if (i == numBands - 1) 64 - off(i) else width
-    // persisted: the banded self-join reads the signature scan twice
+    // persisted: read by the band-balance stats aggregate and both sides
+    // of the banded self-join
     val sig = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh"))
       .persist()
+    // Entropy-balanced band assignment. Pigeonhole only needs the 64 bit
+    // POSITIONS partitioned into maxDist+1 disjoint groups — any partition
+    // is complete — but contiguous bands degenerate on real corpora:
+    // SimHash bits whose token votes are dominated by the shared
+    // vocabulary are corpus-constant, and a band of constant bits puts
+    // EVERY document in one bucket (observed: 3 of 7 bands with a single
+    // 5000-doc bucket ⇒ ~45M candidates, O(N²) through the back door).
+    // One 64-column aggregate over the persisted signatures counts set
+    // bits per position; positions round-robin into bands by descending
+    // balance, so each band carries an equal share of the corpus' actual
+    // entropy. Deterministic (ties break on position), and at 100 TB the
+    // stats pass is a single agg over an 8-byte column.
+    val bitCnt = sig.agg(
+      count(lit(1)).as("n"),
+      (0 until 64).map(j => sum(shiftrightunsigned(col("sh"), j)
+        .bitwiseAND(lit(1L))).as(s"b$j")): _*).head()
+    val n = bitCnt.getLong(0)
+    val balance = (0 until 64).map { j =>
+      val ones = if (n == 0) 0L else bitCnt.getLong(j + 1)
+      j -> math.min(ones, n - ones)
+    }
+    val masks = new Array[Long](numBands)
+    balance.sortBy { case (j, bal) => (-bal, j) }.zipWithIndex.foreach {
+      case ((j, _), rank) => masks(rank % numBands) |= 1L << j
+    }
+    // band key = sh & mask (equal masked values ⟺ equal bits at the
+    // band's positions — no compaction needed)
     val banded = sig.select(col("doc"), col("sh"),
-      posexplode(array((0 until numBands).map { i =>
-        shiftrightunsigned(col("sh"), off(i)).bitwiseAND(lit((1L << w(i)) - 1L))
-      }: _*)).as(Seq("band", "bits")))
+      posexplode(array(masks.map(m =>
+        col("sh").bitwiseAND(lit(m))): _*)).as(Seq("band", "bits")))
     // a pair matching on k bands comes out of the join k times; keep only
-    // the row from the FIRST matching band (lowest zero band of sh_a⊕sh_b)
+    // the row from the FIRST matching band (lowest band with no xor bit)
     // — a codegen'd per-row filter instead of a distinct() shuffle of the
     // duplicated candidates
     val xorc = col("a.sh").bitwiseXOR(col("b.sh"))
     val firstMatch = (numBands - 1 to 0 by -1)
       .foldLeft(lit(-1): Column) { (acc, i) =>
-        when(shiftrightunsigned(xorc, off(i))
-          .bitwiseAND(lit((1L << w(i)) - 1L)) === 0L, lit(i)).otherwise(acc)
+        when(xorc.bitwiseAND(lit(masks(i))) === 0L, lit(i)).otherwise(acc)
       }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&

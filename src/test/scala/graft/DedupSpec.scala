@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Near-dup operator properties not expressible as a SQL oracle check:
+  * banding completeness against brute force, skew resistance of the
+  * entropy-balanced band assignment, and expression null semantics.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteForcePairs(docs: Seq[(Long, String)], maxDist: Int) = {
+    val sigs = docs.map { case (id, t) =>
+      id -> graft.functions.TextHashing.simhash(t)
+    }
+    (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= maxDist
+    } yield (ia, ib, d)).toSet
+  }
+
+  test("simhashBandedPairs is complete and exact vs brute force") {
+    // small vocab ⇒ correlated signature bits, the regime where naive
+    // contiguous banding degenerates; completeness must not depend on
+    // which bit positions carry the corpus' entropy
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 120L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.simhashBandedPairs(df, "doc_id", "text", 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == bruteForcePairs(docs, 6))
+    // each qualifying pair appears exactly once (first-matching-band
+    // filter dedups in the join, not via a distinct shuffle)
+    val rows = Dedup.simhashBandedPairs(df, "doc_id", "text", 6).count()
+    assert(rows == got.size)
+  }
+
+  test("entropy-balanced bands avoid degenerate constant-bit buckets") {
+    // all docs share most words ⇒ most signature bits corpus-constant;
+    // candidate volume must stay near the true pair count, not N²/band
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (1L to 200L).map { id =>
+      id -> (base + " tail" + (id % 50))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val expected = bruteForcePairs(docs, 3)
+    val got = Dedup.simhashBandedPairs(df, "doc_id", "text", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("minhash signature null semantics match the column formulation") {
+    val df = Seq(
+      (1L, Some("one two three four")),
+      (2L, Some("")),    // fewer than n words -> empty shingle array
+      (3L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val sig = df.select($"doc_id",
+      Dedup.minhashSignature($"text", n = 3, numHashes = 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    // doc 1: 4 non-null slots
+    assert(sig(1L).forall(_ != null) && sig(1L).size == 4)
+    // docs 2 and 3: an array of 4 null slots, NOT a null array
+    assert(sig(2L) != null && sig(2L).size == 4 && sig(2L).forall(_ == null))
+    assert(sig(3L) != null && sig(3L).size == 4 && sig(3L).forall(_ == null))
+  }
+}
