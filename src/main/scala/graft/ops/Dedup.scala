@@ -257,6 +257,76 @@ object Dedup {
     * nested-loop self-join. Verification is one xor+popcount per
     * candidate. Returns (id_a, id_b, dist), id_a < id_b, each pair once.
     */
+  /** Near-dup CLUSTERS from a pair list: connected components with the
+    * min doc id as the canonical (cluster) id — the step that turns pair
+    * output (dd2/dd3/dd6) into "keep one doc per duplicate group".
+    *
+    * Hash-min label propagation: every doc starts labeled with itself;
+    * each round a doc takes the min label among itself and its
+    * neighbors, until a fixpoint. Rounds = component diameter, and dup
+    * groups are near-cliques (diameter ≤ ~2), so 3-4 shuffle rounds at
+    * any corpus size; each round is one equi-join + one min-aggregate,
+    * both on the doc-id key. Labels persist per round with bounded
+    * lineage. (For adversarially chain-shaped graphs the large-star/
+    * small-star variant halves round count; dup graphs don't need it.)
+    *
+    * `ids` = one row per doc (singletons get their own cluster);
+    * `pairs` = (id_a, id_b) undirected edges. Returns (idCol,
+    * cluster_id), deterministic.
+    */
+  def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+      .persist()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges.join(labels, col("v") === col("id"))
+        .groupBy(col("u")).agg(min("label").as("nbr"))
+      val step = labels.join(nbrMin, col("id") === col("u"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"),
+          (col("nbr") < col("label")).as("chg"))
+        .persist()
+      changed = step.where(col("chg")).count() // materializes the cache
+      val next = step.select("id", "label")
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Decontamination: count, per training doc, the distinct word
+    * `n`-gram shingles it shares with a benchmark corpus — the
+    * "eval-set leakage" filter of an LLM data pipeline. Only docs with
+    * at least one hit come back (join semantics); everything else is
+    * clean by construction.
+    *
+    * Scale shape: the benchmark shingle set is tiny next to the corpus
+    * (eval sets are thousands of docs, training corpora billions), so it
+    * broadcasts; the corpus side streams through a broadcast hash join
+    * with NO shuffle, and only matching (doc, shingle) rows reach the
+    * per-doc count aggregate.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val benchSh = bench
+      .select(explode(shingleHashes(col(textCol), n)).as("shingle"))
+      .distinct()
+    val trainSh = train.select(col(idCol),
+      explode(shingleHashes(col(textCol), n)).as("shingle"))
+    // per-doc shingles are distinct (shingleHashes contract), so a plain
+    // count equals count-distinct-matching-shingles
+    trainSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
   def simhashBandedPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
     val numBands = maxDist + 1

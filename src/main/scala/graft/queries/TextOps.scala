@@ -29,6 +29,16 @@ object TextOps {
     s"list_distinct([array_to_string(toks[i:i+2], ' ') " +
       s"FOR i IN range(1, len(toks) - 1)])"
 
+  /** hashed word n-gram fold over a `wh` word-hash list column (matches
+    * Dedup.shingleHashes arithmetic: h = (h*31 + wordHash) mod P).
+    */
+  private def sqlShingleHashes(n: Int): String = {
+    val fold = (1 until n).foldLeft("wh[i]") { (acc, k) =>
+      s"($acc * 31 + wh[i+$k]) % $P"
+    }
+    s"list_distinct([$fold FOR i IN range(1, len(wh) - ${n - 2})])"
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup via content hash groupBy (32-byte shuffle key)
     "dd1_exact_dedup" -> ((s, d) =>
@@ -117,6 +127,29 @@ object TextOps {
         count(when($"lang" === "en", 1)).as("n_en"))
     }),
 
+    // near-dup CLUSTERS: connected components over the MinHash+LSH pair
+    // graph, min doc id as the canonical cluster id — pair lists become
+    // "keep one per duplicate group" assignments (singletons keep their
+    // own id)
+    "dd8_dup_clusters" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.dupClusters(docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+          .select("id_a", "id_b"))
+    }),
+
+    // decontamination: training docs sharing any word 4-gram with the
+    // benchmark slice (doc_id % 29 == 0 — a stand-in eval set); the
+    // benchmark shingle set broadcasts, the corpus never shuffles
+    "ts7_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 29 =!= 0),
+        docs.where(col("doc_id") % 29 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
     // normalized (C4-style fuzzy-exact) dedup: lowercase, strip
     // non-alphanumerics, collapse whitespace, then hash-groupBy — same
     // single-shuffle shape as dd1 on the normalized key
@@ -130,6 +163,43 @@ object TextOps {
         .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
     })
   )
+
+  /** MinHash+LSH pair oracle (8 hash slots, 4 bands of 2 — mirrors
+    * Dedup word-hash shingles and signatureOf seeds exactly); reused by
+    * the dd8 clustering oracle as its edge list.
+    */
+  private val dd3Sql: String = {
+    val slots = (0 until 8).map { i =>
+      val a = 2 * i + 1; val b = 7919 * i + 13
+      s"list_min(list_transform(sh, hv -> ($a * hv + $b) % $P))"
+    }.mkString(",\n         ")
+    val bands = (0 until 4).map { bnd =>
+      val lo = bnd * 2 + 1
+      s"SELECT doc_id, $bnd AS band, " +
+        s"array_to_string(sig[$lo:${lo + 1}], '_') AS bucket FROM sig"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |w AS (SELECT doc_id,
+       |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+       |      FROM t),
+       |s AS (SELECT doc_id,
+       |             list_distinct([((wh[i] * 31 + wh[i+1]) % $P * 31 + wh[i+2]) % $P
+       |                            FOR i IN range(1, len(wh) - 1)]) AS sh
+       |      FROM w WHERE len(wh) >= 3),
+       |sig AS (SELECT doc_id, sh, [$slots] AS sig FROM s),
+       |banded AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |              AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+       |FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "dd1_exact_dedup" ->
@@ -192,40 +262,34 @@ object TextOps {
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin,
 
-    "dd3_minhash_lsh" -> {
-      // 8 hash slots, 4 bands of 2 — mirror Dedup word-hash shingles and
-      // signatureOf seeds exactly
-      val slots = (0 until 8).map { i =>
-        val a = 2 * i + 1; val b = 7919 * i + 13
-        s"list_min(list_transform(sh, hv -> ($a * hv + $b) % $P))"
-      }.mkString(",\n         ")
-      val bands = (0 until 4).map { bnd =>
-        val lo = bnd * 2 + 1
-        s"SELECT doc_id, $bnd AS band, " +
-          s"array_to_string(sig[$lo:${lo + 1}], '_') AS bucket FROM sig"
-      }.mkString("\n      UNION ALL\n      ")
+    "dd3_minhash_lsh" -> dd3Sql,
+
+    "dd8_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT id_a, id_b FROM ($dd3Sql) dd3),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(u, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, wk.lbl FROM edges e JOIN walk wk ON e.v = wk.u)
+         |SELECT u AS doc_id, min(lbl) AS cluster_id
+         |FROM walk GROUP BY u""".stripMargin,
+
+    "ts7_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
          |           FROM documents),
          |w AS (SELECT doc_id,
          |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
          |      FROM t),
-         |s AS (SELECT doc_id,
-         |             list_distinct([((wh[i] * 31 + wh[i+1]) % $P * 31 + wh[i+2]) % $P
-         |                            FOR i IN range(1, len(wh) - 1)]) AS sh
-         |      FROM w WHERE len(wh) >= 3),
-         |sig AS (SELECT doc_id, sh, [$slots] AS sig FROM s),
-         |banded AS ($bands),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM banded a JOIN banded b
-         |           ON a.band = b.band AND a.bucket = b.bucket
-         |              AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
-         |FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
-         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin
-    },
+         |s AS (SELECT doc_id, ${sqlShingleHashes(4)} AS sh
+         |      FROM w WHERE len(wh) >= 4),
+         |b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+         |      WHERE doc_id % 29 = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+         |       WHERE doc_id % 29 <> 0)
+         |SELECT tr.doc_id AS doc_id, count(*) AS n_hits
+         |FROM tr JOIN b USING (shingle) GROUP BY tr.doc_id""".stripMargin,
 
     "dd5_simhash" ->
       s"""SELECT doc_id,

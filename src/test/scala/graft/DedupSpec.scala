@@ -55,6 +55,32 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dupClusters: transitive closure with min-id canonical labels") {
+    val ids = (1L to 9L).toDF("doc_id")
+    // components: {1,2,3,4} via a chain (forces >1 propagation round),
+    // {6,8}, and singletons 5, 7, 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 8L))
+      .toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.dupClusters(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 6L, 9L -> 9L))
+  }
+
+  test("decontaminate counts distinct shared n-grams per training doc") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 2 distinct 4-grams? no: 1 (abgd) + bgde not in bench
+      (2L, "zeta eta theta iota"),            // clean
+      (3L, "x alpha beta gamma delta")        // shares abgd once
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .decontaminate(train, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    // bench has exactly one 4-gram: "alpha beta gamma delta"
+    assert(got == Map(1L -> 1L, 3L -> 1L), "clean docs are absent")
+  }
+
   test("minhash signature null semantics match the column formulation") {
     val df = Seq(
       (1L, Some("one two three four")),
