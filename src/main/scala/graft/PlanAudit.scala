@@ -94,6 +94,34 @@ object PlanAudit {
       if (!ok) { failed += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       println(f"${if (ok) "OK  " else "FAIL"}  ${"catalog_readRange"}%-22s time-bucket partition pruning")
     }
+    // bucketized co-located join: fact ⋈ dim on the bucket key must plan
+    // with NO exchange on either side (the one-time layout shuffle
+    // replaces every future join shuffle)
+    {
+      import spark.implicits._
+      val cat = new graft.catalog.VersionedCatalog(
+        java.nio.file.Files.createTempDirectory("audit_bkt").toString)
+      cat.commit(Map(
+        "audit.DiaObject" ->
+          (1L to 200L).map(i => (i, i * 2.0)).toDF("diaObjectId", "ra"),
+        "audit.DiaSource" ->
+          (1L to 1000L).map(i => (i % 200 + 1, i * 1.0))
+            .toDF("diaObjectId", "psfFlux")))
+      val obj = cat.bucketize(spark, "audit.DiaObject", "diaObjectId", 4)
+      val src = cat.bucketize(spark, "audit.DiaSource", "diaObjectId", 4)
+      // model the at-scale case: neither side broadcast-able, so the
+      // planner must use the bucket layout instead of an exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan =
+        try spark.table(src).join(spark.table(obj), "diaObjectId")
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      val ok = !plan.contains("Exchange") &&
+        (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      if (!ok) { failed += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      println(f"${if (ok) "OK  " else "FAIL"}  ${"catalog_bucketize"}%-22s co-located join, no exchange")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -331,6 +331,73 @@ final class VersionedCatalog(val root: String,
     commit(Map(table -> df))
   }
 
+  /** Co-located join layout: write `table`'s current snapshot hash-
+    * bucketed by `key` into `numBuckets` Spark buckets (sorted by `key`
+    * within each bucket) and register it in the session catalog under
+    * `bucketedName(table)`. Any join or aggregation between tables
+    * bucketized on the same key with the same bucket count runs with NO
+    * exchange on either side — the one-time layout shuffle replaces
+    * every future join shuffle, which is the 100 TB posture for
+    * fact-to-dimension keys like diaObjectId (the reference's clustered
+    * secondary indexes, test_apdb_schema.yaml:206-219, map to exactly
+    * this).
+    *
+    * The layout is DERIVED: files live under `root/_bucketed/<name>`
+    * (vacuum-exempt), a `_BUCKETSPEC.json` sidecar records (key,
+    * buckets), and [[registerBucketized]] re-registers the existing
+    * files in a fresh session without rewriting. Re-running bucketize
+    * refreshes the layout after the base table moves.
+    */
+  def bucketize(spark: SparkSession, table: String, key: String,
+      numBuckets: Int): String = {
+    val name = bucketedName(table)
+    val dir = rootPath.resolve("_bucketed").resolve(name)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    read(spark, table).write
+      .mode("overwrite")
+      .format("parquet")
+      .option("path", dir.toString)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(name)
+    Files.write(dir.resolve("_BUCKETSPEC.json"),
+      s"""{"key":"${esc(key)}","buckets":$numBuckets}"""
+        .getBytes(StandardCharsets.UTF_8))
+    name
+  }
+
+  /** Session table name for a bucketized layout (dots are invalid in
+    * session-catalog identifiers).
+    */
+  def bucketedName(table: String): String =
+    table.replace('.', '_') + "_bucketed"
+
+  /** Register an existing bucketized layout in THIS session's catalog
+    * (session-catalog registrations don't survive a restart; the parquet
+    * files and bucket spec do). Metadata-only — no data is read beyond
+    * parquet footers for schema inference.
+    */
+  def registerBucketized(spark: SparkSession, table: String): String = {
+    val name = bucketedName(table)
+    val dir = rootPath.resolve("_bucketed").resolve(name)
+    val specJson = new String(
+      Files.readAllBytes(dir.resolve("_BUCKETSPEC.json")),
+      StandardCharsets.UTF_8)
+    val m = """\{"key":"(.*)","buckets":(\d+)\}""".r
+      .findFirstMatchIn(specJson)
+      .getOrElse(throw new IllegalStateException(
+        s"bad _BUCKETSPEC.json for $name"))
+    val (key, buckets) = (unesc(m.group(1)), m.group(2).toInt)
+    val schema = spark.read.parquet(dir.toString).schema
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"""CREATE TABLE `$name` ($cols) USING parquet
+      |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
+      |LOCATION '${dir.toString}'""".stripMargin)
+    name
+  }
+
   /** Zero-copy clone: register `from`'s current dir list under a new
     * table name. No data is read or written (the reference's CREATE TABLE
     * CLONE).
@@ -360,7 +427,11 @@ final class VersionedCatalog(val root: String,
       .foreach { stale => Files.deleteIfExists(stale); removed += 1 }
     if (Files.exists(rootPath)) {
       Files.list(rootPath).iterator().asScala
-        .filter(p => Files.isDirectory(p)).foreach { tableDir =>
+        .filter(p => Files.isDirectory(p))
+        // top-level `_` dirs are reserved derived layouts (e.g.
+        // _bucketed), managed by their own overwrite lifecycle
+        .filter(p => !p.getFileName.toString.startsWith("_"))
+        .foreach { tableDir =>
           Files.list(tableDir).iterator().asScala
             .filter(p => Files.isDirectory(p))
             .filter(p => !live.contains(p.toAbsolutePath.toString))

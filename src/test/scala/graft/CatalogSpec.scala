@@ -161,4 +161,44 @@ class CatalogSpec extends SparkSpec {
     assert(filesOf(ranged) < filesOf(cat.read(spark, "facts.DiaSource")),
       "partition pruning skipped at least one bucket dir")
   }
+
+  test("bucketize: co-located join with no exchange; survives re-register") {
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    val dim = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "attr")
+    val fact = (1L to 500L).map(i => (i % 100 + 1, i * 1.0)).toDF("k", "v")
+    cat.commit(Map("dim" -> dim, "fact" -> fact))
+    val dimB = cat.bucketize(spark, "dim", "k", 4)
+    val factB = cat.bucketize(spark, "fact", "k", 4)
+
+    def joined = spark.table(factB).join(spark.table(dimB), "k")
+    val expected = fact.join(dim, "k").collect().map(_.toSeq).toSet
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(joined.collect().map(_.toSeq).toSet == expected)
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("Exchange"),
+        plan.linesIterator.take(30).mkString("\n"))
+
+      // a fresh session only needs the (metadata-only) re-registration:
+      // drop the session tables to simulate the restart, re-register
+      // from the persisted layout + _BUCKETSPEC.json sidecar
+      spark.sql(s"DROP TABLE `$dimB`")
+      spark.sql(s"DROP TABLE `$factB`")
+      cat.registerBucketized(spark, "dim")
+      cat.registerBucketized(spark, "fact")
+      assert(joined.collect().map(_.toSeq).toSet == expected)
+      val plan2 = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan2.contains("Exchange"),
+        plan2.linesIterator.take(30).mkString("\n"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    // vacuum leaves the derived layout alone
+    cat.vacuum()
+    assert(Files.exists(
+      Paths.get(cat.root, "_bucketed", dimB, "_BUCKETSPEC.json")))
+    assert(spark.table(dimB).count() == 100)
+  }
 }
