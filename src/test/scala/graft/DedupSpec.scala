@@ -55,6 +55,31 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("jaccardPairs prefix filter loses no pairs vs brute force") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 150L).map { id =>
+      id -> Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      common = (sa & sb).size.toDouble
+      j = common / (sa.size + sb.size - common) if j >= 0.6
+    } yield (ia, ib)).toSet
+    val got = graft.ops.Dedup
+      .jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 3, 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("dupClusters: transitive closure with min-id canonical labels") {
     val ids = (1L to 9L).toDF("doc_id")
     // components: {1,2,3,4} via a chain (forces >1 propagation round),
