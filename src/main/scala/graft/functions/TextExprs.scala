@@ -115,6 +115,95 @@ object TextHashing {
   }
 }
 
+/** Single-pass text statistics: every raw count the ts1/ts2/ts3/ts6
+  * text-analysis family needs, in ONE scan of the string — replacing up
+  * to 8 re-evaluations of `split("\\s+")` plus interpreted filter/
+  * aggregate lambdas per row. Semantics replicate the built-in column
+  * formulation EXACTLY (so existing DuckDB oracles still match):
+  *
+  *  - tokens = Java `split("\\s+", -1)`: segments between maximal ASCII
+  *    whitespace runs, with a leading empty token when the text starts
+  *    with whitespace, a trailing one when it ends with it, and `[""]`
+  *    for the empty string;
+  *  - n_chars counts code points (Spark's `length`); token lengths too;
+  *  - n_punct counts code points outside [A-Za-z0-9] and ASCII
+  *    whitespace (the `[^A-Za-z0-9\s]` per-char regex);
+  *  - n_bpe counts maximal letter runs + digit runs + single other
+  *    non-whitespace chars (the `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`
+  *    alternation's greedy scan);
+  *  - lex_hits(i) counts tokens contained in `lexicons(i)` (the
+  *    `filter(tokens, array_contains(...))` count).
+  */
+case class TextStatsExpr(child: Expression, lexicons: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val lexSets: Array[Set[String]] =
+    lexicons.map(_.toSet).toArray
+
+  override def dataType: DataType = new StructType()
+    .add("n_tokens", IntegerType, nullable = false)
+    .add("sum_tok_len", LongType, nullable = false)
+    .add("n_punct", IntegerType, nullable = false)
+    .add("n_chars", IntegerType, nullable = false)
+    .add("n_bpe", IntegerType, nullable = false)
+    .add("lex_hits", ArrayType(IntegerType, containsNull = false),
+      nullable = false)
+  override def prettyName: String = "text_stats"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val len = s.length
+    var nTokens = 0
+    var sumLen = 0L
+    var nPunct = 0
+    var nChars = 0
+    var nBpe = 0
+    val lexHits = new Array[Int](lexSets.length)
+
+    var start = 0       // current token start (char index)
+    var inWs = false    // inside a whitespace run
+    var bpeRun = 0      // 0 = none, 1 = letter run, 2 = digit run
+
+    def emitToken(end: Int): Unit = {
+      val t = s.substring(start, end)
+      nTokens += 1
+      sumLen += t.codePointCount(0, t.length)
+      var li = 0
+      while (li < lexSets.length) {
+        if (lexSets(li).contains(t)) lexHits(li) += 1
+        li += 1
+      }
+    }
+
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == '\u000B' ||
+        cp == '\f' || cp == '\r'
+      val letter = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      val digit = cp >= '0' && cp <= '9'
+      if (!ws && !letter && !digit) nPunct += 1
+      if (ws) bpeRun = 0
+      else if (letter) { if (bpeRun != 1) { nBpe += 1; bpeRun = 1 } }
+      else if (digit) { if (bpeRun != 2) { nBpe += 1; bpeRun = 2 } }
+      else { nBpe += 1; bpeRun = 0 } // each punct char is its own match
+      if (ws) {
+        if (!inWs) { emitToken(i); inWs = true }
+      } else if (inWs) { start = i; inWs = false }
+      i += Character.charCount(cp)
+    }
+    if (inWs) { start = len; emitToken(len) } // trailing empty token
+    else emitToken(len)
+
+    org.apache.spark.sql.catalyst.InternalRow(
+      nTokens, sumLen, nPunct, nChars, nBpe, new GenericArrayData(lexHits))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** array<long> of distinct n-word shingle hashes of a text column. */
 case class ShingleHashExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -232,4 +321,6 @@ object TextExprs {
     ColumnBridge.column(CharHashExpr(ColumnBridge.expression(text)))
   def minhashSig(sh: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(sh), numHashes))
+  def textStats(text: Column, lexicons: Seq[Seq[String]]): Column =
+    ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(text), lexicons))
 }

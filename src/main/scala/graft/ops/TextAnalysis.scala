@@ -90,4 +90,59 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     graft.functions.TextExprs.charHash(text)
+
+  // ------------------------------------------------------- fused variants
+  //
+  // One TextStatsExpr scan yields every raw count the family above
+  // derives with repeated split()/regexp/lambda evaluation (up to 8 per
+  // row). The ratio arithmetic below is IDENTICAL (same when/otherwise
+  // guards, same IEEE op order), so fused outputs are bit-equal to the
+  // composable ones — TextStatsSpec asserts it column by column.
+
+  /** Raw single-pass stats struct; `lex_hits(i)` aligns with
+    * [[langLexicons]] order. `stopwords` prepended as lexicon 0 when not
+    * a language lexicon.
+    */
+  def stats(text: Column, extraLexicons: Seq[Seq[String]] = Nil): Column =
+    graft.functions.TextExprs.textStats(text,
+      langLexicons.map(_._2) ++ extraLexicons)
+
+  def tokenCountOf(st: Column): Column = st.getField("n_tokens")
+
+  def meanTokenLenOf(st: Column): Column =
+    when(st.getField("n_tokens") === 0, lit(0.0))
+      .otherwise(st.getField("sum_tok_len").cast("double") /
+        st.getField("n_tokens").cast("double"))
+
+  def punctRatioOf(st: Column): Column =
+    when(st.getField("n_chars") === 0, lit(0.0))
+      .otherwise(st.getField("n_punct").cast("double") /
+        st.getField("n_chars").cast("double"))
+
+  /** Stopword ratio from lexicon slot `lexIdx` (default: en, slot 0). */
+  def stopwordRatioOf(st: Column, lexIdx: Int = 0): Column =
+    when(st.getField("n_tokens") === 0, lit(0.0))
+      .otherwise(st.getField("lex_hits").getItem(lexIdx).cast("double") /
+        st.getField("n_tokens").cast("double"))
+
+  def qualityScoreOf(st: Column, lexIdx: Int = 0): Column = {
+    val sr = stopwordRatioOf(st, lexIdx)
+    val mtl = meanTokenLenOf(st)
+    val pr = punctRatioOf(st)
+    val lenOk = when(mtl >= 3.0 && mtl <= 10.0, lit(1.0)).otherwise(lit(0.0))
+    sr * lit(0.4) + lenOk * lit(0.4) + (lit(1.0) - pr) * lit(0.2)
+  }
+
+  def bpeTokenCountOf(st: Column): Column = st.getField("n_bpe")
+
+  /** langId from the stats struct's lexicon slots (same precedence). */
+  def langIdOf(st: Column): Column = {
+    val scores = langLexicons.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> st.getField("lex_hits").getItem(i)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
 }

@@ -71,32 +71,38 @@ object TextOps {
     "dd6_simhash_pairs" -> ((s, d) =>
       Dedup.simhashBandedPairs(documents(s, d), "doc_id", "text", 6)),
 
-    // language ID (lexicon-score heuristic)
+    // language ID (lexicon-score heuristic; one fused stats scan)
     "ts1_langid" -> ((s, d) => {
       import s.implicits._
-      documents(s, d).select($"doc_id", TextAnalysis.langId($"text").as("pred_lang"))
+      documents(s, d)
+        .select($"doc_id", TextAnalysis.stats($"text").as("st"))
+        .select($"doc_id", TextAnalysis.langIdOf($"st").as("pred_lang"))
     }),
 
-    // quality scoring: token stats + punctuation + stopword ratio
+    // quality scoring: token stats + punctuation + stopword ratio, all
+    // derived from ONE single-pass stats struct per row
     "ts2_quality" -> ((s, d) => {
       import s.implicits._
-      val sw = TextAnalysis.langLexicons.head._2
-      documents(s, d).select(
-        $"doc_id",
-        TextAnalysis.tokenCount($"text").as("n_tokens"),
-        TextAnalysis.meanTokenLen($"text").as("mean_tok_len"),
-        TextAnalysis.punctRatio($"text").as("punct_ratio"),
-        TextAnalysis.stopwordRatio($"text", sw).as("stopword_ratio"),
-        TextAnalysis.qualityScore($"text", sw).as("quality"))
+      documents(s, d)
+        .select($"doc_id", TextAnalysis.stats($"text").as("st"))
+        .select(
+          $"doc_id",
+          TextAnalysis.tokenCountOf($"st").as("n_tokens"),
+          TextAnalysis.meanTokenLenOf($"st").as("mean_tok_len"),
+          TextAnalysis.punctRatioOf($"st").as("punct_ratio"),
+          TextAnalysis.stopwordRatioOf($"st").as("stopword_ratio"),
+          TextAnalysis.qualityScoreOf($"st").as("quality"))
     }),
 
-    // token counting: whitespace + BPE-ish regex segmentation
+    // token counting: whitespace + BPE-ish segmentation (fused scan)
     "ts3_tokens" -> ((s, d) => {
       import s.implicits._
-      documents(s, d).select(
-        $"doc_id",
-        TextAnalysis.tokenCount($"text").as("n_ws_tokens"),
-        size(TextAnalysis.bpeTokens($"text")).as("n_bpe_tokens"))
+      documents(s, d)
+        .select($"doc_id", TextAnalysis.stats($"text").as("st"))
+        .select(
+          $"doc_id",
+          TextAnalysis.tokenCountOf($"st").as("n_ws_tokens"),
+          TextAnalysis.bpeTokenCountOf($"st").as("n_bpe_tokens"))
     }),
 
     // document fingerprint (rolling char hash)
@@ -122,8 +128,8 @@ object TextOps {
       import s.implicits._
       documents(s, d).groupBy($"source").agg(
         count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount($"text").cast("long")).cast("long")
-          .as("sum_tokens"),
+        sum(TextAnalysis.tokenCountOf(TextAnalysis.stats($"text"))
+          .cast("long")).cast("long").as("sum_tokens"),
         count(when($"lang" === "en", 1)).as("n_en"))
     }),
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** The fused single-pass TextStatsExpr must be bit-equal to the
+  * composable column formulation it replaces — tokenization edge cases
+  * (leading/trailing/mixed whitespace, empty string, unicode, surrogate
+  * pairs) and randomized corpora alike, since the DuckDB oracles replay
+  * the composable semantics.
+  */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edge = Seq(
+    "", " ", "  ", "a", " a", "a ", " a ", "a  b", "\ta\nb\r", "\f",
+    "the of and", "el la de", "der die das", "...", "a.b,c", "12ab34!x",
+    "héllo wörld", "a😀b c", "0 1 2", "  the  ", "the", ".,;")
+  private val rnd = new scala.util.Random(11)
+  private val alphabet = "ab c.1\tZ\n!ö "
+  private val random = (1 to 300).map { _ =>
+    (1 to rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+      .mkString
+  }
+
+  test("fused stats equal the composable formulation on every column") {
+    val sw = TextAnalysis.langLexicons.head._2
+    val df = (edge ++ random).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select($"id", $"text", TextAnalysis.stats($"text").as("st"))
+    val rows = df.select(
+      // composable
+      TextAnalysis.tokenCount($"text").as("c_nt"),
+      TextAnalysis.meanTokenLen($"text").as("c_mtl"),
+      TextAnalysis.punctRatio($"text").as("c_pr"),
+      TextAnalysis.stopwordRatio($"text", sw).as("c_sr"),
+      TextAnalysis.qualityScore($"text", sw).as("c_q"),
+      size(TextAnalysis.bpeTokens($"text")).as("c_bpe"),
+      TextAnalysis.langId($"text").as("c_lang"),
+      length($"text").as("c_len"),
+      // fused
+      TextAnalysis.tokenCountOf($"st").as("f_nt"),
+      TextAnalysis.meanTokenLenOf($"st").as("f_mtl"),
+      TextAnalysis.punctRatioOf($"st").as("f_pr"),
+      TextAnalysis.stopwordRatioOf($"st").as("f_sr"),
+      TextAnalysis.qualityScoreOf($"st").as("f_q"),
+      TextAnalysis.bpeTokenCountOf($"st").as("f_bpe"),
+      TextAnalysis.langIdOf($"st").as("f_lang"),
+      $"st".getField("n_chars").as("f_len"),
+      $"text")
+    rows.collect().foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(r.getAs[Int]("c_nt") == r.getAs[Int]("f_nt"), s"n_tokens [$t]")
+      assert(r.getAs[Double]("c_mtl") == r.getAs[Double]("f_mtl"), s"mtl [$t]")
+      assert(r.getAs[Double]("c_pr") == r.getAs[Double]("f_pr"), s"pr [$t]")
+      assert(r.getAs[Double]("c_sr") == r.getAs[Double]("f_sr"), s"sr [$t]")
+      assert(r.getAs[Double]("c_q") == r.getAs[Double]("f_q"), s"q [$t]")
+      assert(r.getAs[Int]("c_bpe") == r.getAs[Int]("f_bpe"), s"bpe [$t]")
+      assert(r.getAs[String]("c_lang") == r.getAs[String]("f_lang"), s"lang [$t]")
+      assert(r.getAs[Int]("c_len") == r.getAs[Int]("f_len"), s"len [$t]")
+    }
+  }
+}
