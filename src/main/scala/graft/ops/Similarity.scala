@@ -206,3 +206,49 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 }
+
+/** A built IVF index: the build-once / probe-many split. Training
+  * (Lloyd iterations over the corpus) and assignment (one broadcast-
+  * argmax pass) happen ONCE; every probe after that touches only the
+  * persisted centroid table (k rows, broadcast) and the `nprobe`/k
+  * slice of the corpus its semi-join selects — the gate-visible
+  * `sim4_ivf_topk` cost is the per-probe slice, not the build.
+  */
+final case class IvfIndex(centroids: DataFrame, assignments: DataFrame) {
+
+  /** Persist both tables in one atomic catalog commit (`<name>.centroids`
+    * / `<name>.assignments`); probes in later sessions [[IvfIndex.load]]
+    * them without touching the corpus.
+    */
+  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+    cat.commit(Map(s"$name.centroids" -> centroids,
+      s"$name.assignments" -> assignments))
+    ()
+  }
+
+  /** ANN top-k against this index (see [[Similarity.ivfTopK]]). */
+  def probe(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nprobe: Int): DataFrame =
+    Similarity.ivfTopK(df, idCol, vecCol, centroids, assignments,
+      query, k, nprobe)
+}
+
+object IvfIndex {
+
+  /** Train the quantizer (`iters` Lloyd rounds, deterministic seed-free
+    * init) and assign every corpus vector once.
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 3): IvfIndex = {
+    val centroids = Similarity.ivfTrain(df, idCol, vecCol, k, iters)
+    IvfIndex(centroids, Similarity.assign(df, idCol, vecCol, centroids))
+  }
+
+  /** Load a persisted index from the catalog (metadata + parquet scans
+    * of k centroid rows and the assignment table — no training work).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String): IvfIndex =
+    IvfIndex(cat.read(spark, s"$name.centroids"),
+      cat.read(spark, s"$name.assignments"))
+}

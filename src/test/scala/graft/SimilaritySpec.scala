@@ -54,6 +54,30 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${approx.intersect(exact).size}/10")
   }
 
+  test("IVF index: build once, persist, probe many across catalog reopen") {
+    import graft.ops.IvfIndex
+    val root = tmpDir("ivf")
+    val cat = new graft.catalog.VersionedCatalog(root)
+    IvfIndex.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .save(cat, "ann_idx")
+
+    // a NEW catalog handle (fresh session's view): load without training
+    val idx = IvfIndex.load(spark, new graft.catalog.VersionedCatalog(root),
+      "ann_idx")
+    assert(idx.centroids.count() == 8)
+    assert(idx.assignments.count() == emb.count())
+
+    // probe several queries against the one persisted index; full-probe
+    // equals brute force, per-query
+    Seq(queryVec, queryVec.map(v => -v), queryVec.reverse).foreach { q =>
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        q, 5).select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = idx.probe(emb, "vec_id", "embedding", q, 5, nprobe = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got == exact)
+    }
+  }
+
   test("multi-probe LSH recall >= single-probe recall") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queryVec, 10).select("vec_id").collect().map(_.getLong(0)).toSet
