@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -144,5 +145,56 @@ object TextAnalysis {
     scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
       when(s === best && best > 0, lit(lang)).otherwise(els)
     }
+  }
+
+  // ------------------------------------------------------ mixture sampling
+
+  /** Deterministic pseudo-random rank for mixture sampling: documents are
+    * consumed in (hash, id) order so the sample is reproducible on any
+    * engine and independent of physical row order.
+    */
+  def sampleRank(id: Column): Column = (id * lit(2654435761L)) % lit(1000003L)
+
+  /** EXACT per-source token-budget sample — the "mix sources to a target
+    * token share" pipeline step: within each source, take documents in
+    * deterministic [[sampleRank]] order while the running token total
+    * stays ≤ `budgetTokens`. Returns (id, source, n_tok).
+    *
+    * The running sum needs a per-source ordered window, so each source is
+    * one partition — exact prefix-take is inherently sequential per
+    * source. Fine when sources number in the hundreds; for corpora where
+    * one source is 100 TB on its own, use [[tokenBudgetSampleApprox]],
+    * which replaces the window with a two-pass rate estimate and scales
+    * like a filter.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(sampleRank(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(sourceCol),
+        tokenCountOf(stats(col(textCol))).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+      .where(col("cum") <= budgetTokens)
+      .drop("cum")
+  }
+
+  /** APPROXIMATE token-budget sample — the 100 TB path: pass 1 totals
+    * tokens per source (one partial-aggregated groupBy), pass 2 keeps
+    * each doc with probability budget/total via a deterministic uniform
+    * hash — no window, no per-source sequential scan; the realized
+    * budget concentrates around the target (±O(1/√n) relative error).
+    */
+  def tokenBudgetSampleApprox(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, budgetTokens: Long): DataFrame = {
+    val toks = df.select(col(idCol), col(sourceCol),
+      tokenCountOf(stats(col(textCol))).as("n_tok"))
+    val totals = toks.groupBy(col(sourceCol))
+      .agg(sum(col("n_tok").cast("long")).as("total_tok"))
+    val rate = least(lit(1.0),
+      lit(budgetTokens).cast("double") / col("total_tok").cast("double"))
+    toks.join(broadcast(totals), Seq(sourceCol))
+      .where(sampleRank(col(idCol)).cast("double") / lit(1000003.0) < rate)
+      .select(col(idCol), col(sourceCol), col("n_tok"))
   }
 }

@@ -156,6 +156,16 @@ object TextOps {
         "doc_id", "text", n = 4)
     }),
 
+    // per-source token-budget mixture sample: take docs in deterministic
+    // hash order until each source contributes ≤ 700 tokens (the
+    // "mix sources to target shares" step); windowed exact variant —
+    // the approx rate-based variant is spec-covered
+    "ts8_token_budget" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.tokenBudgetSample(documents(s, d),
+        "doc_id", "text", "source", budgetTokens = 700L)
+    }),
+
     // normalized (C4-style fuzzy-exact) dedup: lowercase, strip
     // non-alphanumerics, collapse whitespace, then hash-groupBy — same
     // single-shuffle shape as dd1 on the normalized key
@@ -216,6 +226,18 @@ object TextOps {
     "ts5_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE ((doc_id % 1000003) * 2654435761) % 97 < 10""".stripMargin,
+
+    "ts8_token_budget" ->
+      """SELECT doc_id, source, n_tok FROM (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(sum(CAST(n_tok AS BIGINT)) OVER (
+        |      PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM (SELECT doc_id, source,
+        |          len(string_split_regex(text, '\s+')) AS n_tok
+        |        FROM documents))
+        |WHERE cum <= 700""".stripMargin,
 
     "ts6_source_stats" ->
       """SELECT source, count(*) AS n_docs,
