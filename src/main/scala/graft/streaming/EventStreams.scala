@@ -143,6 +143,24 @@ object EventStreams {
       .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"))
 
+  /** Streaming exact dedup — the continuous-ingest form of dd1: emit the
+    * first document seen per content hash and drop re-arrivals. Keyed on
+    * the 32-byte sha so state stores hashes, not documents, and
+    * `dropDuplicatesWithinWatermark` lets the engine EVICT state older
+    * than the watermark — without it the dedup map grows with corpus
+    * size, which is the streaming scale-killer. Trade-off (documented,
+    * inherent): a duplicate arriving later than the watermark delay
+    * re-emits; batch dd1 over the accumulated corpus is the exact
+    * backstop.
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("content_sha", sha2(col("text"), 256))
+    if (hashed.isStreaming)
+      hashed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("content_sha")
+    else hashed.dropDuplicates("content_sha")
+  }
+
   /** Host a micro-batch sink: run `transform` over a parquet-backed stream
     * into an in-memory table (used by specs; production would point at the
     * chunk export dirs and a foreachBatch committing via the catalog).

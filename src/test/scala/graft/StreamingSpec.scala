@@ -26,6 +26,34 @@ class StreamingSpec extends SparkSpec {
       "streaming (AvailableNow, complete) == batch")
   }
 
+  test("streaming dedup: first writer wins, re-arrivals dropped") {
+    import java.sql.Timestamp
+    val srcDir = tmpDir("dedup-src")
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // micro-batch 1: three docs, one internal duplicate
+    Seq((1L, ts(0), "alpha"), (2L, ts(1), "beta"), (3L, ts(2), "alpha"))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    // micro-batch 2: a cross-batch duplicate and a fresh doc
+    Seq((4L, ts(3), "beta"), (5L, ts(4), "gamma"))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(srcDir)
+
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "docdedup",
+      EventStreams.dedupStream(_))
+    q.awaitTermination(120000)
+    val out = spark.table("docdedup")
+    assert(out.count() == 3, "one row per distinct content")
+    assert(out.select("text").as[String].collect().toSet ==
+      Set("alpha", "beta", "gamma"))
+    // batch form agrees on the distinct-content set
+    val batch = EventStreams.dedupStream(
+      spark.read.parquet(srcDir), watermark = "1 hour")
+    assert(batch.select("content_sha").collect().map(_.getString(0)).toSet ==
+      out.select("content_sha").collect().map(_.getString(0)).toSet)
+  }
+
   test("batch sessionization: gap splits sessions per user") {
     val ev = Seq(
       // user 1: two sessions (gap of 2h), user 2: one session
