@@ -43,7 +43,7 @@ object Bench {
     // transient host load (observed 2-4x swings between rounds on an
     // otherwise identical build); min-of-2 reports steady-state work.
     // A failed run poisons the query's time to a negative sentinel.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

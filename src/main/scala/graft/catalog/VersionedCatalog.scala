@@ -360,17 +360,20 @@ final class VersionedCatalog(val root: String,
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(name)
+    val spec = s"""{"table":"${esc(table)}","key":"${esc(key)}",""" +
+      s""""buckets":$numBuckets}"""
     Files.write(dir.resolve("_BUCKETSPEC.json"),
-      s"""{"key":"${esc(key)}","buckets":$numBuckets}"""
-        .getBytes(StandardCharsets.UTF_8))
+      spec.getBytes(StandardCharsets.UTF_8))
     name
   }
 
-  /** Session table name for a bucketized layout (dots are invalid in
-    * session-catalog identifiers).
+  /** Session table name for a bucketized layout. Dots are invalid in
+    * session-catalog identifiers; the encoding is injective ('_' escapes
+    * to '__' before '.' maps to '_1'), so distinct catalog tables like
+    * `a.b` and `a_b` can never collide on one layout dir.
     */
   def bucketedName(table: String): String =
-    table.replace('.', '_') + "_bucketed"
+    table.replace("_", "__").replace(".", "_1") + "_bucketed"
 
   /** Register an existing bucketized layout in THIS session's catalog
     * (session-catalog registrations don't survive a restart; the parquet
@@ -383,11 +386,14 @@ final class VersionedCatalog(val root: String,
     val specJson = new String(
       Files.readAllBytes(dir.resolve("_BUCKETSPEC.json")),
       StandardCharsets.UTF_8)
-    val m = """\{"key":"(.*)","buckets":(\d+)\}""".r
+    val m = """\{"table":"(.*)","key":"(.*)","buckets":(\d+)\}""".r
       .findFirstMatchIn(specJson)
       .getOrElse(throw new IllegalStateException(
         s"bad _BUCKETSPEC.json for $name"))
-    val (key, buckets) = (unesc(m.group(1)), m.group(2).toInt)
+    val specTable = unesc(m.group(1))
+    require(specTable == table,
+      s"bucketized layout at $dir was built from '$specTable', not '$table'")
+    val (key, buckets) = (unesc(m.group(2)), m.group(3).toInt)
     val schema = spark.read.parquet(dir.toString).schema
     val cols = schema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")

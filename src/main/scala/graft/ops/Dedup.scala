@@ -279,8 +279,15 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    // `cached` tracks the round's PERSISTED handle — labels is a
+    // projection over it, and unpersisting a projection is a no-op in
+    // the cache manager, so freeing the previous round must go through
+    // the handle itself. The final round's cache stays alive: the
+    // returned DataFrame reads it (callers drop it with clearCache, the
+    // repo-wide convention for persisted query internals).
+    var cached = ids.select(col(idCol).as("id"), col(idCol).as("label"))
       .persist()
+    var labels = cached
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -293,12 +300,16 @@ object Dedup {
           (col("nbr") < col("label")).as("chg"))
         .persist()
       changed = step.where(col("chg")).count() // materializes the cache
-      val next = step.select("id", "label")
-      labels.unpersist()
-      labels = next
+      cached.unpersist()
+      cached = step
+      labels = step.select("id", "label")
       iters += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters rounds " +
+          "(component diameter exceeds the cap; raise maxIters)")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
@@ -345,7 +356,11 @@ object Dedup {
     // bits per position; positions round-robin into bands by descending
     // balance, so each band carries an equal share of the corpus' actual
     // entropy. Deterministic (ties break on position), and at 100 TB the
-    // stats pass is a single agg over an 8-byte column.
+    // stats pass is a single agg over an 8-byte column. NOTE: the stats
+    // job runs EAGERLY at query-construction time (the masks must be
+    // plan literals to stay codegen'd in the join filter) — the same
+    // build-at-construction pattern as IVF training; plan-only callers
+    // pay one signature scan.
     val bitCnt = sig.agg(
       count(lit(1)).as("n"),
       (0 until 64).map(j => sum(shiftrightunsigned(col("sh"), j)

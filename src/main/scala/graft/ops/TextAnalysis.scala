@@ -151,9 +151,14 @@ object TextAnalysis {
 
   /** Deterministic pseudo-random rank for mixture sampling: documents are
     * consumed in (hash, id) order so the sample is reproducible on any
-    * engine and independent of physical row order.
+    * engine and independent of physical row order. The id is reduced mod
+    * 1000003 BEFORE the multiply so the product stays ≤ ~2.7e15 — a raw
+    * `id * 2654435761` overflows Long for ids ≥ 3.5e9 (ANSI mode throws,
+    * non-ANSI silently goes negative), and billion-doc corpora are the
+    * point of these operators.
     */
-  def sampleRank(id: Column): Column = (id * lit(2654435761L)) % lit(1000003L)
+  def sampleRank(id: Column): Column =
+    ((id % lit(1000003L)) * lit(2654435761L)) % lit(1000003L)
 
   /** EXACT per-source token-budget sample — the "mix sources to a target
     * token share" pipeline step: within each source, take documents in

@@ -199,9 +199,7 @@ object TextOps {
        |w AS (SELECT doc_id,
        |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
        |      FROM t),
-       |s AS (SELECT doc_id,
-       |             list_distinct([((wh[i] * 31 + wh[i+1]) % $P * 31 + wh[i+2]) % $P
-       |                            FOR i IN range(1, len(wh) - 1)]) AS sh
+       |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
        |      FROM w WHERE len(wh) >= 3),
        |sig AS (SELECT doc_id, sh, [$slots] AS sig FROM s),
        |banded AS ($bands),
@@ -232,7 +230,7 @@ object TextOps {
         |  SELECT doc_id, source, n_tok,
         |    CAST(sum(CAST(n_tok AS BIGINT)) OVER (
         |      PARTITION BY source
-        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM (SELECT doc_id, source,
         |          len(string_split_regex(text, '\s+')) AS n_tok
@@ -273,9 +271,7 @@ object TextOps {
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |w AS (SELECT doc_id, list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
          |      FROM t),
-         |s AS (SELECT doc_id,
-         |             list_distinct([((wh[i] * 31 + wh[i+1]) % $P * 31 + wh[i+2]) % $P
-         |                            FOR i IN range(1, len(wh) - 1)]) AS sh
+         |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
          |      FROM w WHERE len(wh) >= 3),
          |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
          |keep AS (SELECT shingle FROM e GROUP BY shingle

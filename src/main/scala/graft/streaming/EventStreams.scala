@@ -158,7 +158,15 @@ object EventStreams {
     if (hashed.isStreaming)
       hashed.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark("content_sha")
-    else hashed.dropDuplicates("content_sha")
+    else {
+      // dropDuplicates keeps an ARBITRARY row; the batch backstop must be
+      // deterministic and match the streaming first-arrival semantics,
+      // so keep the earliest (ts, doc_id) row per content hash
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("content_sha").orderBy("ts", "doc_id")
+      hashed.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** Host a micro-batch sink: run `transform` over a parquet-backed stream
