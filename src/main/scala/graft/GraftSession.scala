@@ -3,17 +3,27 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.catalog.VersionedCatalog
-import graft.functions.{SpatialCell, VecDot}
+import graft.functions.{CharHashExpr, MinHashSigExpr, ShingleHashExpr,
+  SimHashExpr, SpatialCell, TextStatsExpr, VecDot}
 
 /** SQL-facing session surface: exposes a catalog's tables as temp views so
   * `spark.sql("SELECT ... FROM DiaObject ...")` works against the current
   * snapshot, and registers the engine's custom expressions as SQL
-  * functions (`spatial_cell(ra, dec, level)`, `vec_dot(a, b)`).
+  * functions (`spatial_cell(ra, dec, level)`, `vec_dot(a, b)`, and the
+  * text-pipeline family: `char_hash(text)`, `simhash(text)`,
+  * `shingle_hashes(text, n)`, `minhash_sig(hashes, numHashes)`,
+  * `text_stats(text)`).
   *
   * Dotted catalog table names (internal.DiaObject) become underscored
   * view names (internal_DiaObject) — Spark temp views are single-part.
   */
 object GraftSession {
+
+  private def intArg(exprs: Seq[org.apache.spark.sql.catalyst.expressions
+      .Expression], i: Int, name: String): Int =
+    exprs.lift(i).map(_.eval().asInstanceOf[Number].intValue)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$name: missing argument ${i + 1}"))
 
   def registerFunctions(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -23,6 +33,19 @@ object GraftSession {
           .getOrElse(SpatialCell.DefaultLevel)), "scala_udf")
     registry.createOrReplaceTempFunction("vec_dot", exprs =>
       VecDot(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("char_hash", exprs =>
+      CharHashExpr(exprs(0)), "scala_udf")
+    registry.createOrReplaceTempFunction("simhash", exprs =>
+      SimHashExpr(exprs(0)), "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_hashes", exprs =>
+      ShingleHashExpr(exprs(0), intArg(exprs, 1, "shingle_hashes")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction("minhash_sig", exprs =>
+      MinHashSigExpr(exprs(0), intArg(exprs, 1, "minhash_sig")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction("text_stats", exprs =>
+      TextStatsExpr(exprs(0),
+        graft.ops.TextAnalysis.langLexicons.map(_._2)), "scala_udf")
   }
 
   /** Mount every table of `catalog` as a temp view over the CURRENT

@@ -31,6 +31,25 @@ class GraftSessionSpec extends SparkSpec {
     assert(dot == 11.0)
   }
 
+  test("text-pipeline functions are callable from SQL") {
+    GraftSession.registerFunctions(spark)
+    val fp = spark.sql("SELECT char_hash('abc')").head().getLong(0)
+    assert(fp == graft.functions.TextHashing.charHash("abc"))
+    val sh = spark.sql("SELECT simhash('the quick brown fox')")
+      .head().getLong(0)
+    assert(sh == graft.functions.TextHashing.simhash("the quick brown fox"))
+    val shingles = spark.sql("SELECT shingle_hashes('a b c d', 3)")
+      .head().getSeq[Long](0)
+    assert(shingles ==
+      graft.functions.TextHashing.shingleHashes("a b c d", 3).toSeq)
+    val sig = spark.sql("SELECT minhash_sig(shingle_hashes('a b c d', 3), 4)")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4)
+    val st = spark.sql("SELECT text_stats('the cat sat').n_tokens")
+      .head().getInt(0)
+    assert(st == 3)
+  }
+
   test("views track the snapshot the mount saw; remount advances") {
     val cat = new VersionedCatalog(tmpDir("sess"))
     cat.commit(Map("t" -> Seq(1).toDF("x")))
