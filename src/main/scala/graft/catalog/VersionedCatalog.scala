@@ -404,6 +404,20 @@ final class VersionedCatalog(val root: String,
     name
   }
 
+  /** Append-dir maintenance policy: compact `table` only when its dir
+    * count exceeds `maxDirs` — the knob that bounds file/dir counts (and
+    * so footer reads + driver planning time) under continuous per-chunk
+    * appends without paying a rewrite on every commit. Returns whether a
+    * compaction ran. Call after ingest batches; old dirs stay live for
+    * open readers until [[vacuum]].
+    */
+  def compactIfNeeded(spark: SparkSession, table: String,
+      maxDirs: Int = 16, sortCols: Seq[String] = Nil): Boolean = {
+    val nDirs = current._2.getOrElse(table, Nil).size
+    if (nDirs <= maxDirs) false
+    else { compact(spark, table, sortCols); true }
+  }
+
   /** Zero-copy clone: register `from`'s current dir list under a new
     * table name. No data is read or written (the reference's CREATE TABLE
     * CLONE).

@@ -87,10 +87,34 @@ object VectorOps {
       val assignments = Similarity.assign(e, "vec_id", "embedding", centroids)
       Similarity.ivfTopK(e, "vec_id", "embedding", centroids, assignments,
         queryVec(s, d), k = 20, nprobe = 4)
+    }),
+
+    // per-label embedding pooling (mean-pool modulo the final divide) in
+    // FIXED POINT: floor(x * 1e6) per dimension, then an exact integer
+    // sum — float sums are order-dependent, so the deterministic form is
+    // the one that scales (partial aggregation + one shuffle on
+    // (label, dim))
+    "sim5_label_pool" -> ((s, d) => {
+      import s.implicits._
+      embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"label", $"dim")
+        .agg(sum(floor($"x".cast("double") * 1e6)).as("sum_fp"),
+          count(lit(1)).as("n"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "sim5_label_pool" ->
+      """SELECT label, dim,
+        |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |    AS BIGINT) AS sum_fp,
+        |  count(*) AS n
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |        unnest(embedding) AS x
+        |      FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
+
     "sim1_cosine_topk" ->
       s"""SELECT vec_id, ${sqlCosine("e.embedding", "q.qv")} AS cos
          |FROM embeddings e

@@ -162,6 +162,22 @@ class CatalogSpec extends SparkSpec {
       "partition pruning skipped at least one bucket dir")
   }
 
+  test("compactIfNeeded folds dirs only past the threshold") {
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    cat.commit(Map("t" -> Seq(1).toDF("x")))
+    (2 to 4).foreach { i =>
+      cat.commitAll(Map("t" -> graft.catalog.TableDelta(
+        appends = Seq(Seq(i).toDF("x") -> s"c$i"))))
+    }
+    assert(cat.current._2("t").size == 4)
+    assert(!cat.compactIfNeeded(spark, "t", maxDirs = 4), "within budget")
+    assert(cat.current._2("t").size == 4)
+    assert(cat.compactIfNeeded(spark, "t", maxDirs = 3), "over budget")
+    assert(cat.current._2("t").size == 1)
+    assert(cat.read(spark, "t").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 3, 4))
+  }
+
   test("bucketize: co-located join with no exchange; survives re-register") {
     val cat = new VersionedCatalog(tmpDir("cat"))
     val dim = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "attr")
