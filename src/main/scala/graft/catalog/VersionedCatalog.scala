@@ -93,13 +93,15 @@ final class VersionedCatalog(val root: String,
     * is dropped, keeping the logical schema identical to the unbucketed
     * layout.
     */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val dirs = tableDirs(table)
+  def read(spark: SparkSession, table: String): DataFrame =
+    readDirList(spark, table, tableDirs(table))
+
+  private def readDirList(spark: SparkSession, table: String,
+      dirs: Seq[String]): DataFrame =
     layouts(table) match {
       case None => spark.read.parquet(dirs: _*)
       case Some(tb) => dirs.map(readDir(spark, _, tb, None)).reduce(_ unionByName _)
     }
-  }
 
   /** Time-range read of a layout table: the range becomes a partition
     * filter on the derived bucket column per directory (whole bucket dirs
@@ -438,10 +440,26 @@ final class VersionedCatalog(val root: String,
   /** Delete data dirs no longer referenced by `_CURRENT`, plus stale
     * pointer tmp files left by a crash before ATOMIC_MOVE.
     */
-  def vacuum(): Int = synchronized {
-    val live = current._2.values.flatten
+  def vacuum(retainCommits: Int = 0): Int = synchronized {
+    val (curId, curDirs) = current
+    // keep the last `retainCommits` PAST commits time-travel-readable
+    // (plus the current one, always): their dirs survive the sweep,
+    // older history files are pruned
+    val keepIds =
+      (commits.takeRight(retainCommits + 1) :+ curId).distinct.toSet
+    val retained = keepIds.toSeq.flatMap { id =>
+      val f = rootPath.resolve("_commits").resolve(s"$id.json")
+      if (!Files.exists(f)) Nil
+      else parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+        ._2.values.flatten
+    }
+    val live = (curDirs.values.flatten ++ retained)
       .map(Paths.get(_).toAbsolutePath.toString).toSet
     var removed = 0
+    commits.filterNot(keepIds).foreach { id =>
+      Files.deleteIfExists(
+        rootPath.resolve("_commits").resolve(s"$id.json"))
+    }
     Files.list(rootPath).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("_CURRENT.tmp."))
       .foreach { stale => Files.deleteIfExists(stale); removed += 1 }
@@ -463,9 +481,42 @@ final class VersionedCatalog(val root: String,
 
   private def publish(commitId: Long, dirs: Map[String, Seq[String]]): Unit = {
     val tmp = rootPath.resolve(s"_CURRENT.tmp.$commitId")
-    Files.write(tmp, render(commitId, dirs).getBytes(StandardCharsets.UTF_8))
+    val payload = render(commitId, dirs).getBytes(StandardCharsets.UTF_8)
+    // commit-history sidecar first: if we crash between the two writes,
+    // an extra history file with no matching pointer is harmless
+    Files.createDirectories(rootPath.resolve("_commits"))
+    Files.write(rootPath.resolve("_commits").resolve(s"$commitId.json"),
+      payload)
+    Files.write(tmp, payload)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Commit ids with retained history, ascending. */
+  def commits: Seq[Long] = {
+    val dir = rootPath.resolve("_commits")
+    if (!Files.exists(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+  }
+
+  /** Time travel: read `table` as of `commit` (snapshot isolation across
+    * history — every commit's dir list is immutable, so an old commit's
+    * table is exactly its recorded dir union). Fails if the commit's
+    * history file is gone or its dirs were vacuumed; pass
+    * `retainCommits` to [[vacuum]] to keep history readable.
+    */
+  def readAt(spark: SparkSession, table: String, commit: Long): DataFrame = {
+    val f = rootPath.resolve("_commits").resolve(s"$commit.json")
+    if (!Files.exists(f))
+      throw new IllegalArgumentException(
+        s"no retained history for commit $commit in $root")
+    val (_, dirs) = parse(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+    val ds = dirs.getOrElse(table, throw new IllegalArgumentException(
+      s"table '$table' absent at commit $commit"))
+    readDirList(spark, table, ds)
   }
 
   // minimal flat JSON: {"commit":N,"tables":{"name":["dir",...],...}}

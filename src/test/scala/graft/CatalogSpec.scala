@@ -162,6 +162,28 @@ class CatalogSpec extends SparkSpec {
       "partition pruning skipped at least one bucket dir")
   }
 
+  test("time travel: readAt serves past commits; vacuum retention bounds it") {
+    val cat = new VersionedCatalog(tmpDir("cat"))
+    val c1 = cat.commit(Map("t" -> Seq(1, 2).toDF("x")))
+    val c2 = cat.commit(Map("t" -> Seq(3).toDF("x")))
+    val c3 = cat.commit(Map("t" -> Seq(4, 5, 6).toDF("x")))
+    assert(cat.commits == Seq(c1, c2, c3))
+    assert(cat.readAt(spark, "t", c1).count() == 2)
+    assert(cat.readAt(spark, "t", c2).count() == 1)
+    assert(cat.read(spark, "t").count() == 3)
+
+    // retain one commit of history: c2 stays readable, c1 is pruned
+    cat.vacuum(retainCommits = 1)
+    assert(cat.readAt(spark, "t", c2).count() == 1)
+    assert(cat.readAt(spark, "t", c3).count() == 3)
+    intercept[IllegalArgumentException] { cat.readAt(spark, "t", c1) }
+
+    // default vacuum keeps only the current snapshot readable
+    cat.vacuum()
+    assert(cat.commits == Seq(c3))
+    assert(cat.read(spark, "t").count() == 3)
+  }
+
   test("compactIfNeeded folds dirs only past the threshold") {
     val cat = new VersionedCatalog(tmpDir("cat"))
     cat.commit(Map("t" -> Seq(1).toDF("x")))
