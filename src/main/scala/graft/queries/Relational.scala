@@ -154,6 +154,24 @@ object Relational {
           count(lit(1)).as("n_orders"))
     }),
 
+    // data profiling: per-group column stats incl. EXACT percentiles
+    // (the corpus-characterization report a pipeline runs before
+    // training). percentile() is the exact linear-interpolation form —
+    // identical arithmetic to DuckDB's quantile_cont — not the approx
+    // sketch, so the oracle can bit-match; at 100 TB swap in
+    // approx_percentile and drop the oracle to rows-only.
+    "q4_profile" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d).groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        count(when($"l_quantity".isNull, 1)).as("n_null_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"),
+        percentile($"l_quantity", lit(0.5)).as("p50_qty"),
+        percentile($"l_quantity", lit(0.95)).as("p95_qty"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("sum_price_cents"))
+    }),
+
     // W1: rank() over partition (ref: P/sql/_ppdb_sql.py:211-216)
     "w1_rank" -> ((s, d) => {
       import s.implicits._
@@ -284,6 +302,18 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q4_profile" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n,
+        |       count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_null_qty,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.95) AS p95_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS sum_price_cents
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "w1_rank" ->
       """SELECT event_id, user_id,
         |       rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
