@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-call corpus curation: the standard LLM training-data flow —
+  * quality/language filtering, exact + near deduplication,
+  * decontamination against a benchmark set, and per-source token-budget
+  * sampling — composed from the engine's operators in their scale-path
+  * forms. Each stage is optional via [[CurationConfig]]; the returned
+  * DataFrame carries the surviving documents plus the computed
+  * annotations (n_tokens, quality, pred_lang).
+  *
+  * Plan shape at 100 TB: stage 1 is one fused single-pass stats scan
+  * (no shuffle); exact dedup is one shuffle on the 32-byte sha; near
+  * dedup is the MinHash-banded candidate join + cluster propagation;
+  * decontamination is a broadcast semi-join (corpus never shuffles);
+  * sampling is the approximate two-pass rate estimate, so no stage
+  * windows over a whole source.
+  */
+final case class CurationConfig(
+    minTokens: Int = 10,
+    maxTokens: Int = 1 << 20,
+    minQuality: Double = 0.0,
+    langs: Set[String] = Set.empty, // empty = keep all languages
+    dedupExact: Boolean = true,
+    nearDupThreshold: Option[Double] = None, // e.g. Some(0.6)
+    benchmark: Option[DataFrame] = None,     // docs with the text column
+    decontaminateN: Int = 4,
+    budgetPerSource: Option[Long] = None)
+
+object TextPipeline {
+
+  /** Curate `docs` (idCol, textCol, sourceCol) per `cfg`. Deterministic:
+    * every stage keeps the minimum-id canonical document.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, cfg: CurationConfig): DataFrame = {
+    val id: Column = col(idCol)
+
+    // 1. annotate + filter in ONE fused stats pass
+    val st = TextAnalysis.stats(col(textCol))
+    val annotated = docs.select(docs.columns.map(col) :+
+        TextAnalysis.tokenCountOf(st).as("n_tokens") :+
+        TextAnalysis.qualityScoreOf(st).as("quality") :+
+        TextAnalysis.langIdOf(st).as("pred_lang"): _*)
+    var kept = annotated
+      .where(col("n_tokens") >= cfg.minTokens &&
+        col("n_tokens") <= cfg.maxTokens &&
+        col("quality") >= cfg.minQuality)
+    if (cfg.langs.nonEmpty)
+      kept = kept.where(col("pred_lang").isin(cfg.langs.toSeq: _*))
+
+    // 2. exact dedup: keep the canonical (min id) doc per content hash
+    if (cfg.dedupExact) {
+      val canon = Dedup.exactDedup(kept, idCol, textCol)
+        .select(col("canonical_id").as(idCol))
+      kept = kept.join(canon, Seq(idCol), "left_semi")
+    }
+
+    // 3. near dedup: keep each cluster's canonical doc
+    cfg.nearDupThreshold.foreach { t =>
+      val pairs = Dedup.minhashLshPairs(kept, idCol, textCol,
+        n = 3, numHashes = 8, rowsPerBand = 2, threshold = t)
+        .select("id_a", "id_b")
+      val clusters = Dedup.dupClusters(kept.select(id), idCol, pairs)
+      kept = kept.join(
+        clusters.where(col(idCol) === col("cluster_id")).select(id),
+        Seq(idCol), "left_semi")
+    }
+
+    // 4. decontamination: drop docs sharing any n-gram with the benchmark
+    cfg.benchmark.foreach { bench =>
+      val hits = Dedup.decontaminate(kept, bench, idCol, textCol,
+        cfg.decontaminateN).select(id)
+      kept = kept.join(hits, Seq(idCol), "left_anti")
+    }
+
+    // 5. per-source token budget (approximate rate-based scale variant)
+    cfg.budgetPerSource.foreach { budget =>
+      val sample = TextAnalysis.tokenBudgetSampleApprox(
+        kept, idCol, textCol, sourceCol, budget).select(id)
+      kept = kept.join(sample, Seq(idCol), "left_semi")
+    }
+    kept
+  }
+}

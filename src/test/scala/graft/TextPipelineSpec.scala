@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CurationConfig, TextPipeline}
+
+/** End-to-end corpus curation: each stage removes exactly the planted
+  * offenders and the canonical survivors come out annotated.
+  */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good = "the cat sat on the mat and then the dog sat too"
+  private val docs = Seq(
+    (1L, "srcA", good),                                   // keeper
+    (2L, "srcA", good),                                   // exact dup of 1
+    (3L, "srcA", good + " extra"),                        // near dup of 1
+    (4L, "srcA", "x"),                                    // too short
+    (5L, "srcB", "el la de y en que es el la de y en"),   // not English
+    (6L, "srcB", "the quick brown fox jumps over a lazy dog near a river"),
+    (7L, "srcB", "a b"),                                  // too short
+    (8L, "srcB",
+      "the secret eval answer is forty two said the examiner kindly")
+  ).toDF("doc_id", "source", "text")
+  // benchmark shares a 4-gram with doc 8 only
+  private val bench = Seq(
+    (100L, "the secret eval answer is different here")
+  ).toDF("doc_id", "text")
+
+  test("curate removes junk, dups, near-dups, contamination; keeps canon") {
+    val out = TextPipeline.curate(docs, "doc_id", "text", "source",
+      CurationConfig(
+        minTokens = 5,
+        langs = Set("en"),
+        dedupExact = true,
+        nearDupThreshold = Some(0.5),
+        benchmark = Some(bench)))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 6L),
+      s"kept $ids: 2 exact-dup, 3 near-dup, 4/7 short, 5 non-en, 8 contaminated")
+    // annotations survive
+    assert(out.columns.toSet ==
+      Set("doc_id", "source", "text", "n_tokens", "quality", "pred_lang"))
+    assert(out.where($"doc_id" === 1L).head().getAs[String]("pred_lang") == "en")
+  }
+
+  test("stages toggle independently") {
+    val noDedup = TextPipeline.curate(docs, "doc_id", "text", "source",
+      CurationConfig(minTokens = 5, dedupExact = false))
+    val ids = noDedup.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(2L), "exact dup kept when dedup off")
+
+    val budget = TextPipeline.curate(docs, "doc_id", "text", "source",
+      CurationConfig(minTokens = 1, dedupExact = false,
+        budgetPerSource = Some(1000000L)))
+    assert(budget.count() == docs.count(),
+      "budget >> corpus keeps everything")
+  }
+}
