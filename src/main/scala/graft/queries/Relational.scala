@@ -181,6 +181,24 @@ object Relational {
         .select($"event_id", $"user_id", $"rnk")
     }),
 
+    // W4: as-of (point-in-time) join — each event gets the user's latest
+    // purchase at-or-before its timestamp, via the union-window form
+    // (one shuffle on user_id; no range-join cross product)
+    "w4_asof_lookup" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"event_type", $"value")
+      val purchases = ev.where($"event_type" === "purchase")
+        .select($"user_id", $"ts_us".as("p_ts_us"),
+          $"event_id".as("p_event_id"), $"value".as("p_value"))
+      graft.ops.AsOf.asofJoin(
+        ev.select($"event_id", $"user_id", $"ts_us"), purchases,
+        keys = Seq("user_id"), leftTime = "ts_us", rightTime = "p_ts_us",
+        leftTie = "event_id", rightTie = "p_event_id",
+        valueCols = Seq("p_event_id", "p_value"))
+    }),
+
     // W2: LEAD successor lookup — the validity-interval fill
     // (ref: fill_diaobject_validity_end.sql:16-31)
     "w2_lead_validity" -> ((s, d) => {
@@ -313,6 +331,16 @@ object Relational {
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |         AS BIGINT) AS sum_price_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "w4_asof_lookup" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |       p.p_event_id, p.p_value
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS p_event_id, r.value AS p_value
+        |  FROM events r
+        |  WHERE r.user_id = e.user_id AND r.event_type = 'purchase'
+        |    AND r.ts <= e.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) p ON true""".stripMargin,
 
     "w1_rank" ->
       """SELECT event_id, user_id,
