@@ -44,6 +44,10 @@ object PlanAudit {
     Check("dd6_simhash_pairs", "banded equi-join, not nested-loop pairs",
       p => !p.contains("BroadcastNestedLoopJoin") &&
         (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin"))),
+    Check("j10_range_attr", "binned range join is equi, not nested-loop",
+      p => !p.contains("BroadcastNestedLoopJoin") &&
+        (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
           p.contains("BroadcastHashJoin"))))
 
   def main(args: Array[String]): Unit = {

@@ -181,6 +181,23 @@ object Relational {
         .select($"event_id", $"user_id", $"rnk")
     }),
 
+    // J10: binned range join — events attributed to the 30-minute window
+    // after each purchase, as an equi-join on (time bin, user) + exact
+    // residual, never a nested-loop non-equi join
+    "j10_range_attr" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+      val purchases = events(s, d).where($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_event_id"),
+          unix_micros($"ts").as("lo_us"),
+          (unix_micros($"ts") + 1800000000L).as("hi_us"))
+      graft.ops.RangeJoin.pointInInterval(ev, purchases,
+          t = "ts_us", lo = "lo_us", hi = "hi_us",
+          binWidth = 1800000000L, keys = Seq("user_id"))
+        .groupBy($"p_event_id").agg(count(lit(1)).as("n_in_window"))
+    }),
+
     // W4: as-of (point-in-time) join — each event gets the user's latest
     // purchase at-or-before its timestamp, via the union-window form
     // (one shuffle on user_id; no range-join cross product)
@@ -331,6 +348,15 @@ object Relational {
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |         AS BIGINT) AS sum_price_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "j10_range_attr" ->
+      """SELECT p.event_id AS p_event_id, count(*) AS n_in_window
+        |FROM events p JOIN events e
+        |  ON e.user_id = p.user_id
+        | AND epoch_us(e.ts) >= epoch_us(p.ts)
+        | AND epoch_us(e.ts) <= epoch_us(p.ts) + 1800000000
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
 
     "w4_asof_lookup" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
