@@ -181,6 +181,18 @@ object Relational {
         .select($"event_id", $"user_id", $"rnk")
     }),
 
+    // rollup subtotals: per (returnflag, linestatus), per returnflag, and
+    // grand total in one pass — Spark expands grouping sets before the
+    // partial aggregate, so subtotals cost one shuffle, not three scans
+    "q5_rollup" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"l_extendedprice" * 100).cast("long"))
+            .as("sum_price_cents"))
+    }),
+
     // J10: binned range join — events attributed to the 30-minute window
     // after each purchase, as an equi-join on (time bin, user) + exact
     // residual, never a nested-loop non-equi join
@@ -348,6 +360,13 @@ object Relational {
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |         AS BIGINT) AS sum_price_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q5_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS sum_price_cents
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "j10_range_attr" ->
       """SELECT p.event_id AS p_event_id, count(*) AS n_in_window
