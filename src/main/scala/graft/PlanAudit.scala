@@ -17,6 +17,12 @@ object PlanAudit {
   final case class Check(query: String, property: String,
       test: String => Boolean)
 
+  /** the plan joins with a hash/merge equi-join, never a nested loop */
+  private def isEquiJoin(p: String): Boolean =
+    !p.contains("BroadcastNestedLoopJoin") &&
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"))
+
   /** plan-text properties per audited query */
   val checks: Seq[Check] = Seq(
     Check("s1_chunk_scan", "range filter pushed to parquet scan",
@@ -42,13 +48,9 @@ object PlanAudit {
       p => p.contains("hashpartitioning(content_sha") &&
         "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
     Check("dd6_simhash_pairs", "banded equi-join, not nested-loop pairs",
-      p => !p.contains("BroadcastNestedLoopJoin") &&
-        (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-          p.contains("BroadcastHashJoin"))),
+      isEquiJoin),
     Check("j10_range_attr", "binned range join is equi, not nested-loop",
-      p => !p.contains("BroadcastNestedLoopJoin") &&
-        (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-          p.contains("BroadcastHashJoin"))))
+      isEquiJoin))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

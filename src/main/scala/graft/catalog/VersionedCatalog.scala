@@ -456,9 +456,18 @@ final class VersionedCatalog(val root: String,
     val live = (curDirs.values.flatten ++ retained)
       .map(Paths.get(_).toAbsolutePath.toString).toSet
     var removed = 0
-    commits.filterNot(keepIds).foreach { id =>
-      Files.deleteIfExists(
-        rootPath.resolve("_commits").resolve(s"$id.json"))
+    // prune history outside the retention window AND crash-orphaned
+    // files beyond the published pointer (commits already excludes the
+    // orphans, so sweep the raw listing)
+    val cdir = rootPath.resolve("_commits")
+    if (Files.exists(cdir)) {
+      Files.list(cdir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .filter { f =>
+          val id = f.getFileName.toString.stripSuffix(".json").toLong
+          !keepIds.contains(id) || id > curId
+        }
+        .foreach(Files.deleteIfExists(_))
     }
     Files.list(rootPath).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("_CURRENT.tmp."))
@@ -492,13 +501,19 @@ final class VersionedCatalog(val root: String,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Commit ids with retained history, ascending. */
+  /** Commit ids with retained history, ascending. History files with an
+    * id beyond the published pointer are crash orphans (publish writes
+    * the history file BEFORE the atomic pointer move, so a crash between
+    * the two leaves a file for a commit that never happened) — they are
+    * excluded here, refused by [[readAt]], and swept by [[vacuum]].
+    */
   def commits: Seq[Long] = {
+    val curId = current._1
     val dir = rootPath.resolve("_commits")
     if (!Files.exists(dir)) Nil
     else Files.list(dir).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+      .map(_.stripSuffix(".json").toLong).filter(_ <= curId).toSeq.sorted
   }
 
   /** Time travel: read `table` as of `commit` (snapshot isolation across
@@ -508,6 +523,9 @@ final class VersionedCatalog(val root: String,
     * `retainCommits` to [[vacuum]] to keep history readable.
     */
   def readAt(spark: SparkSession, table: String, commit: Long): DataFrame = {
+    if (commit > current._1)
+      throw new IllegalArgumentException(
+        s"commit $commit was never published (current is ${current._1})")
     val f = rootPath.resolve("_commits").resolve(s"$commit.json")
     if (!Files.exists(f))
       throw new IllegalArgumentException(

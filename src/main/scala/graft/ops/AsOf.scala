@@ -39,37 +39,55 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       s"value columns ${valueCols.intersect(leftCols)} collide with left")
-    val rSchema = right.schema
 
-    val l2 = valueCols.foldLeft(
-      left.withColumn("__t", col(leftTime))
-        .withColumn("__tb", col(leftTie))
-        .withColumn("__side", lit(1))) { (df, c) =>
-      df.withColumn(s"__v_$c", lit(null).cast(rSchema(c).dataType))
-    }
+    // equi-join semantics: NULL keys never match. Null-key left rows
+    // bypass the window (they'd otherwise group together and match
+    // null-key right rows) and come back with null payloads; null-key
+    // right rows are unmatchable and are dropped.
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val lOk = left.where(!anyKeyNull)
+    val lNullKeys = left.where(anyKeyNull)
+    val rOk = right.where(
+      keys.map(col(_).isNotNull).reduce(_ && _))
+
+    // the right payload rides as ONE struct so the carried columns stay
+    // atomic: per-column last(ignoreNulls) would mix columns from
+    // different right rows whenever the latest row holds a null
+    val payload = struct(valueCols.map(col): _*)
+    val payloadType = rOk.select(payload).schema.head.dataType
+
+    val l2 = lOk.withColumn("__t", col(leftTime))
+      .withColumn("__tb", col(leftTie))
+      .withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast(payloadType))
     val lSchema = left.schema
-    val r2Base = right.select(
-      (keys.map(col) :+
+    val r2Base = rOk.select(
+      keys.map(col) :+
         col(rightTime).as("__t") :+
         col(rightTie).as("__tb") :+
-        lit(0).as("__side")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        lit(0).as("__side") :+
+        payload.as("__v"): _*)
     // left-only columns ride as typed nulls on right rows
     val r2 = leftCols.filterNot(keys.contains).foldLeft(r2Base) { (df, c) =>
       df.withColumn(c, lit(null).cast(lSchema(c).dataType))
     }
-    val ordered = leftCols ++ valueCols.map(c => s"__v_$c") ++
-      Seq("__t", "__tb", "__side")
+    val ordered = leftCols ++ Seq("__v", "__t", "__tb", "__side")
     val unioned = l2.select(ordered.map(col): _*)
       .unionByName(r2.select(ordered.map(col): _*))
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    attached.where(col("__side") === 1)
-      .select((leftCols ++ valueCols).map(col): _*)
+    val matched = unioned
+      .withColumn("__last", last(col("__v"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("__last").getField(c).as(c)): _*)
+    val nullPayloadType = payloadType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    matched.unionByName(
+      valueCols.foldLeft(lNullKeys) { (df, c) =>
+        df.withColumn(c, lit(null).cast(nullPayloadType(c).dataType))
+      }.select((leftCols ++ valueCols).map(col): _*))
   }
 }

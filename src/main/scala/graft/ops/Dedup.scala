@@ -306,10 +306,12 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
-    if (changed > 0)
+    if (changed > 0) {
+      cached.unpersist() // nothing is returned, so nothing holds the cache
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIters rounds " +
           "(component diameter exceeds the cap; raise maxIters)")
+    }
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

@@ -50,6 +50,11 @@ object TextPipeline {
         col("quality") >= cfg.minQuality)
     if (cfg.langs.nonEmpty)
       kept = kept.where(col("pred_lang").isin(cfg.langs.toSeq: _*))
+    // every later stage (and the final consumer) re-reads the filtered
+    // corpus — persist it once so the stats scan + filter runs one time,
+    // not once per stage (callers release with clearCache, the repo-wide
+    // convention for persisted query internals)
+    kept = kept.persist()
 
     // 2. exact dedup: keep the canonical (min id) doc per content hash
     if (cfg.dedupExact) {

@@ -153,17 +153,19 @@ object EventStreams {
     * re-emits; batch dd1 over the accumulated corpus is the exact
     * backstop.
     */
-  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
-    val hashed = docs.withColumn("content_sha", sha2(col("text"), 256))
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour",
+      tsCol: String = "ts", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hashed = docs.withColumn("content_sha", sha2(col(textCol), 256))
     if (hashed.isStreaming)
-      hashed.withWatermark("ts", watermark)
+      hashed.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark("content_sha")
     else {
       // dropDuplicates keeps an ARBITRARY row; the batch backstop must be
       // deterministic and match the streaming first-arrival semantics,
-      // so keep the earliest (ts, doc_id) row per content hash
+      // so keep the earliest (tsCol, idCol) row per content hash
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("content_sha").orderBy("ts", "doc_id")
+      val w = Window.partitionBy("content_sha").orderBy(tsCol, idCol)
       hashed.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
     }

@@ -35,4 +35,32 @@ class AsOfSpec extends SparkSpec {
       Seq("rid", "payload")).head()
     assert(inc.getAs[Long]("rid") == 7L && inc.getAs[Double]("payload") == 1.5)
   }
+
+  test("null payload in the latest right row is NOT overwritten by older") {
+    val l = Seq((1L, "a", 10L)).toDF("id", "k", "t")
+    val r = Seq(
+      (100L, "a", 1L, Some(5.0)),
+      (101L, "a", 2L, None: Option[Double]) // latest, null payload
+    ).toDF("rid", "k", "rt", "payload")
+    val row = AsOf.asofJoin(l, r, Seq("k"), "t", "rt", "id", "rid",
+      Seq("rid", "payload")).head()
+    assert(row.getAs[Long]("rid") == 101L, "latest row wins")
+    assert(row.isNullAt(row.fieldIndex("payload")),
+      "its null payload must not be backfilled from an older row")
+  }
+
+  test("null keys never match (equi-join semantics)") {
+    val l = Seq((1L, Some("a"), 10L), (2L, None: Option[String], 10L))
+      .toDF("id", "k", "t")
+    val r = Seq((100L, Some("a"), 1L, 7.0),
+      (101L, None: Option[String], 1L, 9.0))
+      .toDF("rid", "k", "rt", "payload")
+    val rows = AsOf.asofJoin(l, r, Seq("k"), "t", "rt", "id", "rid",
+      Seq("rid", "payload"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(x.fieldIndex("rid"))) None
+         else Some(x.getAs[Long]("rid")))).toMap
+    assert(rows == Map(1L -> Some(100L), 2L -> None),
+      "null-key left row comes back unmatched, never joined to null-key right")
+  }
 }

@@ -182,6 +182,18 @@ class CatalogSpec extends SparkSpec {
     cat.vacuum()
     assert(cat.commits == Seq(c3))
     assert(cat.read(spark, "t").count() == 3)
+
+    // crash orphan: a history file written before a pointer move that
+    // never happened must not be listed, served, or steal retention
+    val orphan = Paths.get(cat.root, "_commits", s"${c3 + 7}.json")
+    Files.copy(Paths.get(cat.root, "_commits", s"$c3.json"), orphan)
+    assert(cat.commits == Seq(c3), "orphan not listed")
+    intercept[IllegalArgumentException] {
+      cat.readAt(spark, "t", c3 + 7)
+    }
+    cat.vacuum(retainCommits = 5)
+    assert(!Files.exists(orphan), "orphan swept")
+    assert(cat.readAt(spark, "t", c3).count() == 3)
   }
 
   test("compactIfNeeded folds dirs only past the threshold") {
