@@ -4,7 +4,8 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -113,6 +114,52 @@ object TextHashing {
     }
     seen.toArray
   }
+
+  // ---- Java-callable codegen entry points (Scala objects emit static
+  // ---- forwarders, so generated Java calls these directly) ----
+
+  def charHashU(s: UTF8String): Long = charHash(s.toString)
+
+  def simhashU(s: UTF8String): Long = simhash(s.toString)
+
+  def shingleHashData(s: UTF8String, n: Int): GenericArrayData =
+    new GenericArrayData(shingleHashes(s.toString, n))
+
+  def shingleStringData(s: UTF8String, n: Int): GenericArrayData =
+    new GenericArrayData(
+      shingleStrings(s.toString, n).map(UTF8String.fromString): Array[Any])
+
+  def minhashAllNull(numHashes: Int): GenericArrayData =
+    new GenericArrayData(new Array[Any](numHashes))
+
+  /** MinHash slots over an ArrayData of (possibly null) shingle hashes;
+    * null/empty/all-null input handled by the caller via
+    * [[minhashAllNull]] or here (all-null slots back).
+    */
+  def minhashSigData(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int): GenericArrayData = {
+    val m = arr.numElements()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) {
+        any = true
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val v = ((2L * i + 1L) * h + 7919L * i + 13L) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) minhashAllNull(numHashes)
+    else new GenericArrayData(mins)
+  }
 }
 
 /** Single-pass text statistics: every raw count the ts1/ts2/ts3/ts6
@@ -135,10 +182,24 @@ object TextHashing {
   *    `filter(tokens, array_contains(...))` count).
   */
 case class TextStatsExpr(child: Expression, lexicons: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val lexSets: Array[Set[String]] =
     lexicons.map(_.toSet).toArray
+
+  /** codegen entry point (the expression instance rides into the
+    * generated class as a reference object so the lexicon sets come
+    * along)
+    */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
+    nullSafeEval(s).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textStatsExpr", this,
+      classOf[TextStatsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
 
   override def dataType: DataType = new StructType()
     .add("n_tokens", IntegerType, nullable = false)
@@ -204,9 +265,12 @@ case class TextStatsExpr(child: Expression, lexicons: Seq[Seq[String]])
     copy(child = c)
 }
 
-/** array<long> of distinct n-word shingle hashes of a text column. */
+/** array<long> of distinct n-word shingle hashes of a text column.
+  * Codegen'd as a static call so the surrounding stage stays inside
+  * WholeStageCodegen (CodegenFallback would break the whole span).
+  */
 case class ShingleHashExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
@@ -214,13 +278,18 @@ case class ShingleHashExpr(child: Expression, n: Int)
     new GenericArrayData(
       TextHashing.shingleHashes(s.asInstanceOf[UTF8String].toString, n))
 
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashing.shingleHashData($c, $n)")
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
 
 /** array<string> of distinct n-word shingle strings of a text column. */
 case class ShingleStringExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_strings"
 
@@ -228,6 +297,11 @@ case class ShingleStringExpr(child: Expression, n: Int)
     new GenericArrayData(
       TextHashing.shingleStrings(s.asInstanceOf[UTF8String].toString, n)
         .map(UTF8String.fromString): Array[Any])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashing.shingleStringData($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -243,41 +317,37 @@ case class ShingleStringExpr(child: Expression, n: Int)
   * slots (as array_min would per slot); null elements are skipped.
   */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = false
   override def prettyName: String = "minhash_sig"
 
-  private val allNullSlots = new GenericArrayData(new Array[Any](numHashes))
-
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) allNullSlots else nullSafeEval(v)
+    if (v == null) TextHashing.minhashAllNull(numHashes)
+    else nullSafeEval(v)
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val m = arr.numElements()
-    val mins = new Array[Long](numHashes)
-    java.util.Arrays.fill(mins, Long.MaxValue)
-    val P = TextHashing.P
-    var any = false
-    var j = 0
-    while (j < m) {
-      if (!arr.isNullAt(j)) {
-        any = true
-        val h = arr.getLong(j)
-        var i = 0
-        while (i < numHashes) {
-          val v = ((2L * i + 1L) * h + 7919L * i + 13L) % P
-          if (v < mins(i)) mins(i) = v
-          i += 1
-        }
-      }
-      j += 1
-    }
-    if (!any) return allNullSlots
-    new GenericArrayData(mins)
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashing.minhashSigData(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numHashes)
+
+  // never-null output with special null-INPUT handling, so the nullSafe
+  // helpers don't fit — generate the ternary directly
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${childGen.isNull}
+            ? graft.functions.TextHashing.minhashAllNull($numHashes)
+            : graft.functions.TextHashing.minhashSigData(
+                ${childGen.value}, $numHashes);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -286,12 +356,17 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
 
 /** Rolling polynomial char hash of a text column (single-pass). */
 case class CharHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "char_hash"
 
   override protected def nullSafeEval(s: Any): Any =
     TextHashing.charHash(s.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashing.charHashU($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -299,12 +374,17 @@ case class CharHashExpr(child: Expression)
 
 /** 63-bit SimHash of a text column (single-pass). */
 case class SimHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash"
 
   override protected def nullSafeEval(s: Any): Any =
     TextHashing.simhash(s.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashing.simhashU($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

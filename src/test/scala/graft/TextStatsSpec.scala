@@ -24,6 +24,33 @@ class TextStatsSpec extends SparkSpec {
       .mkString
   }
 
+  test("text expressions compile under forced whole-stage codegen") {
+    import graft.functions.TextExprs
+    // fallback off: a broken doGenCode fails the query instead of
+    // silently reverting to interpreted eval
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((1L, "a b c d e"), (2L, null.asInstanceOf[String]))
+        .toDF("id", "text")
+      val rows = df.select(
+        TextAnalysis.stats($"text").as("st"),
+        TextExprs.charHash($"text").as("ch"),
+        TextExprs.simhash($"text").as("sh"),
+        TextExprs.shingleHashes($"text", 3).as("shh"),
+        TextExprs.shingleStrings($"text", 3).as("shs"),
+        TextExprs.minhashSig(TextExprs.shingleHashes($"text", 3), 4)
+          .as("sig")).collect()
+      assert(rows.length == 2)
+      val r = rows.find(!_.isNullAt(1)).get
+      assert(r.getAs[Long]("ch") ==
+        graft.functions.TextHashing.charHash("a b c d e"))
+      assert(r.getSeq[Long](r.fieldIndex("sig")).length == 4)
+      // null text: stats/hashes null, minhash sig = 4 null slots
+      val n = rows.find(_.isNullAt(1)).get
+      assert(n.getSeq[Any](n.fieldIndex("sig")).forall(_ == null))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("fused stats equal the composable formulation on every column") {
     val sw = TextAnalysis.langLexicons.head._2
     val df = (edge ++ random).zipWithIndex
