@@ -39,22 +39,31 @@ object Bench {
     try force(SparkEntry.queries.head._2(spark, sfDir))
     catch { case _: Throwable => () }
 
-    // two runs per query, keep the faster: a single run is hostage to
-    // transient host load (observed 2-4x swings between rounds on an
-    // otherwise identical build); min-of-2 reports steady-state work.
-    // A failed run poisons the query's time to a negative sentinel.
+    // Multiple runs per query, keep the fastest: a single run is hostage
+    // to transient host load (observed 2-4x swings between rounds on an
+    // otherwise identical build). The reps are INTERLEAVED — the full
+    // suite runs `reps` times and each query keeps its min across passes —
+    // so a multi-second contention window on the host degrades at most one
+    // pass's sample of a query, not all of them (back-to-back reps of the
+    // same query share the same window and min-of-2 then measures the
+    // contention, not the work; observed as a 22 s dd2b in an otherwise
+    // ~2 s build). A failed run poisons the query's time to a negative
+    // sentinel.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { force(fn(spark, sfDir)); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop persisted intermediates so one query's cache can't squeeze
-        // the execution memory of the queries after it
-        spark.catalog.clearCache()
-        if (ok) dt else -1.0
-      }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to reps; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      val ok = try { force(fn(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop persisted intermediates so one query's cache can't squeeze
+      // the execution memory of the queries after it
+      spark.catalog.clearCache()
+      samples(name) = (if (ok) dt else -1.0) :: samples.getOrElse(name, Nil)
+    }
+    val results = names.map { case (name, _) =>
+      val times = samples(name)
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

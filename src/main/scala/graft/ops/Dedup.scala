@@ -315,6 +315,104 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** Connected components via alternating large-star / small-star — the
+    * variant of [[dupClusters]] for ADVERSARIALLY-SHAPED graphs. Hash-min
+    * label propagation needs O(diameter) rounds, so a chain of 10k docs
+    * (each near-dup of the next — common in crawl snapshots where a page
+    * drifts slightly per capture) needs 10k shuffle rounds. Large-star/
+    * small-star contracts every node toward its component minimum each
+    * round and converges in O(log² n) rounds on ANY shape (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm, re-derived here on DataFrames).
+    *
+    * Both phases are one aggregate + one join on the node key:
+    *  - large-star: every u computes m = min(Γ(u) ∪ {u}); each LARGER
+    *    neighbor v > u re-attaches to m;
+    *  - small-star: edges oriented high→low; every u re-attaches its
+    *    smaller neighbors (and itself) to m = min of them.
+    * Edges stay oriented (larger, smaller), so termination = the edge
+    * set is a fixpoint (checked with a count + hash-sum checksum — one
+    * cheap aggregate instead of a two-sided anti-join). At the fixpoint
+    * every component is a star centered on its min id.
+    *
+    * Same contract as [[dupClusters]]: `ids` one row per doc, `pairs`
+    * undirected (id_a, id_b) edges, returns (idCol, cluster_id).
+    */
+  def dupClustersStar(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.Row
+    // canonicalize to (u > v), drop self-loops and duplicates
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .persist()
+
+    // set fingerprint: count + order-insensitive xor of two independent
+    // row hashes (xor, not sum — overflow-free under ANSI; rows are
+    // distinct so nothing self-cancels)
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r: Row = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v"))),
+        bit_xor(xxhash64(col("v"), lit(0x9e3779b9L), col("u")))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+    /** large-star: m(u) = min over Γ(u) ∪ {u} on the UNDIRECTED view;
+      * larger neighbors attach to m. Output stays (larger, smaller). */
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bi.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      bi.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    /** small-star on high→low edges: u's smaller neighbors plus u attach
+      * to m(u) = min(Γ⁻(u)). Output stays (larger, smaller). */
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val reattached = e.join(mins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val selfEdge = mins.select(col("u"), col("m").as("v"))
+      reattached.union(selfEdge)
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var sig = checksum(edges)
+    var converged = edges.isEmpty
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val next = smallStar(largeStar(edges)).persist()
+      val nextSig = checksum(next) // materializes the cache
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      iters += 1
+    }
+    if (!converged && iters >= maxIters) {
+      edges.unpersist() // nothing is returned, so nothing holds the cache
+      throw new IllegalStateException(
+        s"dupClustersStar did not converge in $maxIters rounds")
+    }
+    // star fixpoint: every non-root has exactly one edge to its root
+    val labels = ids.select(col(idCol).as("id"))
+      .join(edges, col("id") === col("u"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("v"), col("id")).as("cluster_id"))
+    labels
+  }
+
   /** Decontamination: count, per training doc, the distinct word
     * `n`-gram shingles it shares with a benchmark corpus — the
     * "eval-set leakage" filter of an LLM data pipeline. Only docs with

@@ -277,6 +277,20 @@ object Relational {
         .except(e.where($"event_type" === "churn").select($"user_id"))
     }),
 
+    // W5: top-k per group — each customer's 3 highest-value orders. The
+    // rank window shuffles once on the group key and AQE coalesces the
+    // post-filter; at scale this beats a groupBy+sort_array collect
+    // because no group's orders ever materialize as one array
+    "w5_topk_per_group" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 3)
+    }),
+
     // T5: contiguous-prefix barrier (promote only an uninterrupted run)
     // (ref: P/bigquery/ppdb_bigquery.py:546-576)
     "t5_staged_prefix" -> ((s, d) => {
@@ -291,6 +305,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "w5_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
     "s1_chunk_scan" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events WHERE event_id >= 500 ORDER BY ts_us, event_id""".stripMargin,

@@ -166,6 +166,53 @@ object TextOps {
         "doc_id", "text", "source", budgetTokens = 700L)
     }),
 
+    // near-dup clusters via large-star/small-star — same output contract
+    // as dd8 (hash-min), different round structure: O(log² n) shuffle
+    // rounds on ANY graph shape, including the adversarial drift-chains
+    // (doc₁≈doc₂≈…≈docₙ) where hash-min needs O(n) rounds
+    "dd9_star_clusters" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.dupClustersStar(docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+          .select("id_a", "id_b"))
+    }),
+
+    // representative selection: one keeper per duplicate cluster — the
+    // doc with the most content (n_chars, doc_id as deterministic tie
+    // break). max_by over a struct key keeps it a single partial-agg
+    // shuffle; no per-cluster sort, no window
+    "dd10_keep_best" -> ((s, d) => {
+      val docs = documents(s, d)
+      val clusters = Dedup.dupClusters(docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+          .select("id_a", "id_b"))
+      clusters
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(
+          max_by(col("doc_id"),
+            struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("keep_id"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // vocabulary stats per source: type count (distinct tokens), token
+    // count, type-token ratio — the "is this source repetitive boilerplate"
+    // report. count_distinct partial-aggregates per partition before the
+    // shuffle, so the wire carries (source, token) pairs once each
+    "ts9_vocab_stats" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"source", explode(split($"text", "\\s+")).as("tok"))
+        .groupBy($"source")
+        .agg(
+          count_distinct($"tok").as("n_types"),
+          count(lit(1)).as("n_tokens"))
+        .withColumn("ttr",
+          $"n_types".cast("double") / $"n_tokens".cast("double"))
+    }),
+
     // normalized (C4-style fuzzy-exact) dedup: lowercase, strip
     // non-alphanumerics, collapse whitespace, then hash-groupBy — same
     // single-shuffle shape as dd1 on the normalized key
@@ -215,7 +262,45 @@ object TextOps {
        |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin
   }
 
+  /** Hash-min / star clustering share one oracle: connected components of
+    * the dd3 pair graph as a recursive label walk, min label per node.
+    */
+  private val dd8Sql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT id_a, id_b FROM ($dd3Sql) dd3),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |walk(u, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, wk.lbl FROM edges e JOIN walk wk ON e.v = wk.u)
+       |SELECT u AS doc_id, min(lbl) AS cluster_id
+       |FROM walk GROUP BY u""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dd9_star_clusters" -> dd8Sql,
+
+    "dd10_keep_best" ->
+      s"""WITH cl AS ($dd8Sql),
+         |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+         |      FROM cl JOIN documents d USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         |        count(*) OVER (PARTITION BY cluster_id) AS n_docs
+         |      FROM j)
+         |SELECT cluster_id, doc_id AS keep_id, n_docs
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "ts9_vocab_stats" ->
+      """SELECT source, count(DISTINCT tok) AS n_types,
+        |       count(*) AS n_tokens,
+        |       CAST(count(DISTINCT tok) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE) AS ttr
+        |FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
+
     "dd1_exact_dedup" ->
       """SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_id,
         |       count(*) AS n_copies
@@ -288,17 +373,7 @@ object TextOps {
 
     "dd3_minhash_lsh" -> dd3Sql,
 
-    "dd8_dup_clusters" ->
-      s"""WITH RECURSIVE
-         |pairs AS (SELECT id_a, id_b FROM ($dd3Sql) dd3),
-         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |walk(u, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.u, wk.lbl FROM edges e JOIN walk wk ON e.v = wk.u)
-         |SELECT u AS doc_id, min(lbl) AS cluster_id
-         |FROM walk GROUP BY u""".stripMargin,
+    "dd8_dup_clusters" -> dd8Sql,
 
     "ts7_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
