@@ -273,21 +273,19 @@ object Dedup {
     * `ids` = one row per doc (singletons get their own cluster);
     * `pairs` = (id_a, id_b) undirected edges. Returns (idCol,
     * cluster_id), deterministic.
+    *
+    * Each round's labels are localCheckpoint'ed: persist alone keeps the
+    * full logical plan, which after k rounds nests k joins and blows up
+    * plan compilation/stringification long before data is the problem
+    * (see [[dupClustersStar]] for the cluster-scale checkpoint note).
     */
   def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
-    // `cached` tracks the round's PERSISTED handle — labels is a
-    // projection over it, and unpersisting a projection is a no-op in
-    // the cache manager, so freeing the previous round must go through
-    // the handle itself. The final round's cache stays alive: the
-    // returned DataFrame reads it (callers drop it with clearCache, the
-    // repo-wide convention for persisted query internals).
-    var cached = ids.select(col(idCol).as("id"), col(idCol).as("label"))
-      .persist()
-    var labels = cached
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -298,20 +296,16 @@ object Dedup {
           least(col("label"), coalesce(col("nbr"), col("label")))
             .as("label"),
           (col("nbr") < col("label")).as("chg"))
-        .persist()
-      changed = step.where(col("chg")).count() // materializes the cache
-      cached.unpersist()
-      cached = step
+        .localCheckpoint()
+      changed = step.where(col("chg")).count()
       labels = step.select("id", "label")
       iters += 1
     }
-    edges.unpersist()
-    if (changed > 0) {
-      cached.unpersist() // nothing is returned, so nothing holds the cache
+    edges.unpersist() // labels is checkpoint-truncated; nothing reads it
+    if (changed > 0)
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIters rounds " +
           "(component diameter exceeds the cap; raise maxIters)")
-    }
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
@@ -341,13 +335,23 @@ object Dedup {
   def dupClustersStar(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
     import org.apache.spark.sql.Row
+    // Each round's edge set is localCheckpoint'ed, not persist'ed: a
+    // persisted DataFrame keeps its full logical plan, so after k rounds
+    // the plan tree nests k rounds of join+agg+distinct and AQE's plan
+    // stringification alone goes OOM (observed on a 200-node chain).
+    // localCheckpoint materializes AND truncates lineage to the cached
+    // blocks; the ContextCleaner frees superseded rounds' blocks once
+    // unreferenced. At cluster scale prefer `spark.sparkContext
+    // .setCheckpointDir` + `.checkpoint()` for executor-loss tolerance —
+    // same structure, reliable storage (documented trade-off).
+    //
     // canonicalize to (u > v), drop self-loops and duplicates
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .persist()
+      .localCheckpoint()
 
     // set fingerprint: count + order-insensitive xor of two independent
     // row hashes (xor, not sum — overflow-free under ANSI; rows are
@@ -392,19 +396,16 @@ object Dedup {
     var converged = edges.isEmpty
     var iters = 0
     while (!converged && iters < maxIters) {
-      val next = smallStar(largeStar(edges)).persist()
-      val nextSig = checksum(next) // materializes the cache
-      edges.unpersist()
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = checksum(next)
       edges = next
       converged = nextSig == sig
       sig = nextSig
       iters += 1
     }
-    if (!converged && iters >= maxIters) {
-      edges.unpersist() // nothing is returned, so nothing holds the cache
+    if (!converged && iters >= maxIters)
       throw new IllegalStateException(
         s"dupClustersStar did not converge in $maxIters rounds")
-    }
     // star fixpoint: every non-root has exactly one edge to its root
     val labels = ids.select(col(idCol).as("id"))
       .join(edges, col("id") === col("u"), "left")
@@ -438,6 +439,86 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Entropy-balanced disjoint bit masks over a signature column: one
+    * 64-column aggregate counts set bits per position; positions
+    * round-robin into `numBands` masks by descending balance
+    * (min(ones, n−ones)), ties on position — deterministic, and each
+    * mask carries an equal share of the corpus' actual entropy. Runs
+    * EAGERLY (the masks must be plan literals to stay codegen'd).
+    */
+  def balancedBandMasks(sig: DataFrame, shCol: String,
+      numBands: Int): Array[Long] = {
+    val bitCnt = sig.agg(
+      count(lit(1)).as("n"),
+      (0 until 64).map(j => sum(shiftrightunsigned(col(shCol), j)
+        .bitwiseAND(lit(1L))).as(s"b$j")): _*).head()
+    val n = bitCnt.getLong(0)
+    val balance = (0 until 64).map { j =>
+      val ones = if (n == 0) 0L else bitCnt.getLong(j + 1)
+      j -> math.min(ones, n - ones)
+    }
+    val masks = new Array[Long](numBands)
+    balance.sortBy { case (j, bal) => (-bal, j) }.zipWithIndex.foreach {
+      case ((j, _), rank) => masks(rank % numBands) |= 1L << j
+    }
+    masks
+  }
+
+  /** Banded simhash index of a STATIC corpus, probe-able by
+    * [[nearDupProbe]] from a batch OR STREAMING query: `banded` holds one
+    * (doc, sh, band, bits) row per band per doc, `masks` the band
+    * assignment the probe side must replay. Masks are balanced on the
+    * CORPUS' bit entropy — the probe stream adopts them, which is the
+    * right dependency direction (the index is built once from the large
+    * historical corpus; the stream is whatever arrives next).
+    */
+  final case class SimhashIndex(masks: Seq[Long], banded: DataFrame)
+
+  def simhashIndex(corpus: DataFrame, idCol: String,
+      textCol: String, maxDist: Int): SimhashIndex = {
+    val numBands = maxDist + 1
+    val sig = corpus.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh"))
+      .persist()
+    val masks = balancedBandMasks(sig, "sh", numBands)
+    val banded = sig.select(col("doc"), col("sh"),
+      posexplode(array(masks.toSeq.map(m =>
+        col("sh").bitwiseAND(lit(m))): _*)).as(Seq("band", "bits")))
+    SimhashIndex(masks.toSeq, banded)
+  }
+
+  /** Probe an incoming document set (batch or structured-streaming) for
+    * near-dups of an indexed static corpus: each probe doc explodes into
+    * `maxDist + 1` (band, bits) keys under the INDEX's masks and
+    * equi-joins the index bucket table; Hamming is verified per candidate
+    * and the first-matching-band filter keeps each (probe, corpus) pair
+    * exactly once WITHOUT a distinct — the whole pipeline is stateless
+    * (select + explode + inner equi-join + filter), so on a stream it
+    * needs no watermark and no state store, and the index side behaves
+    * like any static join input. Returns (probe_id, corpus_id, dist).
+    */
+  def nearDupProbe(probe: DataFrame, index: SimhashIndex, idCol: String,
+      textCol: String, maxDist: Int): DataFrame = {
+    val numBands = maxDist + 1
+    require(index.masks.length == numBands,
+      s"index built for ${index.masks.length - 1} max distance, got $maxDist")
+    val masks = index.masks
+    val pb = probe
+      .select(col(idCol).as("p_doc"), simhash(col(textCol)).as("p_sh"))
+      .select(col("p_doc"), col("p_sh"),
+        posexplode(array(masks.map(m =>
+          col("p_sh").bitwiseAND(lit(m))): _*)).as(Seq("band", "bits")))
+    val xorc = col("p_sh").bitwiseXOR(col("sh"))
+    val firstMatch = (numBands - 1 to 0 by -1)
+      .foldLeft(lit(-1): Column) { (acc, i) =>
+        when(xorc.bitwiseAND(lit(masks(i))) === 0L, lit(i)).otherwise(acc)
+      }
+    pb.join(index.banded, Seq("band", "bits"))
+      .where(col("band") === firstMatch)
+      .select(col("p_doc").as("probe_id"), col("doc").as("corpus_id"),
+        hammingDist(col("p_sh"), col("sh")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   def simhashBandedPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
     val numBands = maxDist + 1
@@ -461,19 +542,7 @@ object Dedup {
     // plan literals to stay codegen'd in the join filter) — the same
     // build-at-construction pattern as IVF training; plan-only callers
     // pay one signature scan.
-    val bitCnt = sig.agg(
-      count(lit(1)).as("n"),
-      (0 until 64).map(j => sum(shiftrightunsigned(col("sh"), j)
-        .bitwiseAND(lit(1L))).as(s"b$j")): _*).head()
-    val n = bitCnt.getLong(0)
-    val balance = (0 until 64).map { j =>
-      val ones = if (n == 0) 0L else bitCnt.getLong(j + 1)
-      j -> math.min(ones, n - ones)
-    }
-    val masks = new Array[Long](numBands)
-    balance.sortBy { case (j, bal) => (-bal, j) }.zipWithIndex.foreach {
-      case ((j, _), rank) => masks(rank % numBands) |= 1L << j
-    }
+    val masks = balancedBandMasks(sig, "sh", numBands)
     // band key = sh & mask (equal masked values ⟺ equal bits at the
     // band's positions — no compaction needed)
     val banded = sig.select(col("doc"), col("sh"),

@@ -92,6 +92,51 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 6L, 9L -> 9L))
   }
 
+  test("dupClustersStar matches hash-min on a mixed component shape") {
+    val ids = (1L to 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 8L))
+      .toDF("id_a", "id_b")
+    val star = graft.ops.Dedup.dupClustersStar(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val hashMin = graft.ops.Dedup.dupClusters(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star == hashMin)
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 6L, 9L -> 9L))
+  }
+
+  test("dupClustersStar converges on a 200-node chain in O(log n) rounds") {
+    // the adversarial shape: a path graph of diameter 199. Hash-min needs
+    // one shuffle round per hop (dupClusters' default 50-round cap rightly
+    // refuses it); star contraction must finish well under the same cap.
+    val n = 200L
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // permute labels so convergence can't ride on ids being pre-sorted
+    // along the chain: node i maps to (i * 7919) mod 200 + offsets
+    val perm = (1L to n).map(i => i -> ((i * 7919L) % n + 1000L)).toMap
+    val pids = ids.as[Long].map(perm).toDF("doc_id")
+    val ppairs = pairs.as[(Long, Long)]
+      .map { case (a, b) => (perm(a), perm(b)) }.toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.dupClustersStar(pids, "doc_id", ppairs,
+        maxIters = 20)
+      .as[(Long, Long)].collect()
+    val minLabel = perm.values.min
+    assert(got.length == n)
+    assert(got.forall(_._2 == minLabel), "single chain = one component")
+    assertThrows[IllegalStateException] {
+      graft.ops.Dedup.dupClusters(pids, "doc_id", ppairs, maxIters = 20)
+    }
+  }
+
+  test("dupClustersStar: empty pair list yields all-singleton clusters") {
+    val ids = (1L to 5L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.dupClustersStar(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 5L).map(i => i -> i).toMap)
+  }
+
   test("decontaminate counts distinct shared n-grams per training doc") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(

@@ -111,4 +111,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(got.columns.toSet == Set("user_id", "session_start_us", "n_events"))
   }
+
+  test("streaming near-dup probe vs static simhash index matches batch") {
+    import graft.ops.Dedup
+    // static corpus: clustered sentences so some probes hit, some miss
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "how vexingly quick daft zebras jump today"))
+      .toDF("doc_id", "text")
+    val index = Dedup.simhashIndex(corpus, "doc_id", "text", maxDist = 6)
+
+    // probe docs: near-dup of doc 1 (one word changed), an exact dup of
+    // doc 2, and an unrelated doc
+    val probes = Seq(
+      (101L, "the quick brown fox jumps over the lazy cat"),
+      (102L, "pack my box with five dozen liquor jugs"),
+      (103L, "completely different text about engines and parquet files"))
+      .toDF("doc_id", "text")
+
+    val srcDir = tmpDir("neardup-src")
+    probes.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "neardup",
+      Dedup.nearDupProbe(_, index, "doc_id", "text", maxDist = 6))
+    q.awaitTermination(120000)
+    val streamed = spark.table("neardup")
+      .as[(Long, Long, Int)].collect().toSet
+
+    // ground truth: brute-force Hamming over all (probe, corpus) pairs
+    val corpusSigs = corpus.collect().map(r =>
+      r.getLong(0) -> graft.functions.TextHashing.simhash(r.getString(1))).toMap
+    val probeSigs = probes.collect()
+      .map(r => r.getLong(0) -> graft.functions.TextHashing.simhash(r.getString(1)))
+    val expected = (for {
+      (pid, psh) <- probeSigs; (cid, csh) <- corpusSigs
+      d = java.lang.Long.bitCount(psh ^ csh) if d <= 6
+    } yield (pid, cid, d)).toSet
+    assert(streamed == expected, "stateless stream-static probe is exact")
+    assert(expected.exists(_._1 == 102L), "exact dup found")
+    // batch probe through the same index agrees with the stream
+    val batch = Dedup.nearDupProbe(probes, index, "doc_id", "text", 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batch == streamed)
+  }
 }
