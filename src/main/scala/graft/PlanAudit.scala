@@ -50,7 +50,13 @@ object PlanAudit {
     Check("dd6_simhash_pairs", "banded equi-join, not nested-loop pairs",
       isEquiJoin),
     Check("j10_range_attr", "binned range join is equi, not nested-loop",
-      isEquiJoin))
+      isEquiJoin),
+    Check("w5_topk_per_group", "one shuffle for the rank window",
+      p => p.contains("Window") && p.contains("hashpartitioning(o_custkey") &&
+        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
+    Check("ts10_repetition", "map-only repetition stats (no shuffle)",
+      p => !p.contains("Exchange") &&
+        p.contains("repetition_stats")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -127,6 +133,25 @@ object PlanAudit {
         (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
       if (!ok) { failed += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       println(f"${if (ok) "OK  " else "FAIL"}  ${"catalog_bucketize"}%-22s co-located join, no exchange")
+    }
+    // simhash index probe: candidate generation must be an equi-join on
+    // (band, bits) — a nested-loop probe would defeat the index
+    {
+      import spark.implicits._
+      val corpus = (1L to 300L)
+        .map(i => (i, s"alpha beta gamma tail${i % 40} delta"))
+        .toDF("doc_id", "text")
+      val idx = graft.ops.Dedup.simhashIndex(corpus, "doc_id", "text", 6)
+      val probe = (1001L to 1050L)
+        .map(i => (i, s"alpha beta gamma tail${i % 40} delta"))
+        .toDF("doc_id", "text")
+      val plan = graft.ops.Dedup
+        .nearDupProbe(probe, idx, "doc_id", "text", 6)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      val ok = isEquiJoin(plan)
+      if (!ok) { failed += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      println(f"${if (ok) "OK  " else "FAIL"}  ${"neardup_probe"}%-22s index probe is an equi-join")
     }
     spark.stop()
     if (failed > 0) sys.exit(1)

@@ -472,7 +472,32 @@ object Dedup {
     * right dependency direction (the index is built once from the large
     * historical corpus; the stream is whatever arrives next).
     */
-  final case class SimhashIndex(masks: Seq[Long], banded: DataFrame)
+  final case class SimhashIndex(masks: Seq[Long], banded: DataFrame) {
+
+    /** Persist the bucket table and the band masks in one atomic catalog
+      * commit (`<name>.banded` / `<name>.masks`) — the build-once /
+      * probe-many split of [[Similarity.IvfIndex]] for near-dup checks:
+      * index the historical corpus once, then every new batch (or
+      * stream) probes parquet buckets without re-scanning the corpus.
+      */
+    def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+      val spark = banded.sparkSession
+      import spark.implicits._
+      val masksDf = masks.zipWithIndex
+        .map { case (m, b) => (b, m) }.toDF("band", "mask")
+      cat.commit(Map(s"$name.banded" -> banded, s"$name.masks" -> masksDf))
+      ()
+    }
+  }
+
+  /** Load a persisted simhash index (masks in band order + bucket scan). */
+  def loadSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String): SimhashIndex = {
+    val masks = cat.read(spark, s"$name.masks")
+      .orderBy("band").select("mask")
+      .collect().map(_.getLong(0)).toSeq
+    SimhashIndex(masks, cat.read(spark, s"$name.banded"))
+  }
 
   def simhashIndex(corpus: DataFrame, idCol: String,
       textCol: String, maxDist: Int): SimhashIndex = {

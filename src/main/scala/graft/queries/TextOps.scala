@@ -213,6 +213,23 @@ object TextOps {
           $"n_types".cast("double") / $"n_tokens".cast("double"))
     }),
 
+    // word-bigram repetition stats (Gopher-style repetition filter raw
+    // counts): single-pass codegen expression — one row-local hash map
+    // per doc, no explode, no shuffle; dup_frac = share of n-grams that
+    // are repeats of an already-seen gram
+    "ts10_repetition" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id",
+          graft.functions.RepetitionExpr.repetitionStats($"text", 2).as("rs"))
+        .select($"doc_id", $"rs.n_grams".as("n_grams"),
+          $"rs.n_distinct".as("n_distinct"), $"rs.top_count".as("top_count"))
+        .withColumn("dup_frac",
+          when($"n_grams" === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              $"n_distinct".cast("double") / $"n_grams".cast("double")))
+    }),
+
     // normalized (C4-style fuzzy-exact) dedup: lowercase, strip
     // non-alphanumerics, collapse whitespace, then hash-groupBy — same
     // single-shuffle shape as dd1 on the normalized key
@@ -291,6 +308,26 @@ object TextOps {
          |      FROM j)
          |SELECT cluster_id, doc_id AS keep_id, n_docs
          |FROM r WHERE rn = 1""".stripMargin,
+
+    "ts10_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+        |      AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents))
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(grams) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(list_max(list_transform(list_distinct(grams),
+        |         gr -> len(list_filter(grams, x -> x = gr)))) AS BIGINT)
+        |  END AS top_count,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
+        |                  CAST(len(grams) AS DOUBLE)
+        |  END AS dup_frac
+        |FROM g""".stripMargin,
 
     "ts9_vocab_stats" ->
       """SELECT source, count(DISTINCT tok) AS n_types,

@@ -137,6 +137,32 @@ class DedupSpec extends SparkSpec {
     assert(got == (1L to 5L).map(i => i -> i).toMap)
   }
 
+  test("simhash index save/load round-trips and probes identically") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "how vexingly quick daft zebras jump today"))
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      (101L, "the quick brown fox jumps over the lazy cat"),
+      (102L, "unrelated words about catalogs and parquet"))
+      .toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.simhashIndex(corpus, "doc_id", "text", 6)
+    val fresh = graft.ops.Dedup
+      .nearDupProbe(probes, idx, "doc_id", "text", 6)
+      .as[(Long, Long, Int)].collect().toSet
+
+    val cat = new graft.catalog.VersionedCatalog(tmpDir("shidx"))
+    idx.save(cat, "docs_simhash")
+    val reopened = graft.ops.Dedup.loadSimhashIndex(spark, cat, "docs_simhash")
+    assert(reopened.masks == idx.masks, "band masks survive in band order")
+    val loaded = graft.ops.Dedup
+      .nearDupProbe(probes, reopened, "doc_id", "text", 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(loaded == fresh)
+    assert(fresh.nonEmpty, "the near-dup probe pair is present")
+  }
+
   test("decontaminate counts distinct shared n-grams per training doc") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
