@@ -100,6 +100,73 @@ object TextHashing {
     h
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm; public): the sorted-distinct set of sliding-window
+    * minima over the k-char-gram rolling hashes. Any substring shared by
+    * two documents with length ≥ k + w − 1 contributes AT LEAST one
+    * common fingerprint to both (the window minimum is content-defined,
+    * so both docs select the same gram inside the shared span) — the
+    * guarantee that makes fingerprint equality a complete candidate
+    * filter for long verbatim overlap.
+    *
+    * Gram hash arithmetic is the repo-standard polynomial fold
+    * ((acc*31 + code) mod P) over the gram's code points, evaluated as a
+    * TRUE rolling hash (subtract the outgoing char's base^(k−1) term,
+    * shift, add the incoming char) — O(len) per doc; window minima via a
+    * monotonic deque — O(len) total, not O(len·w). Code-point iteration,
+    * so supplementary chars hash as one unit exactly like [[charHash]].
+    * Returns empty when the doc has fewer than k code points; when there
+    * are grams but fewer than w of them, the single minimum over all
+    * grams (every doc with any gram yields ≥ 1 fingerprint).
+    */
+  def winnow(text: String, k: Int, w: Int): Array[Long] = {
+    // code points first: rolling over chars would split surrogate pairs
+    val cps = text.codePoints().toArray
+    val nGrams = cps.length - k + 1
+    if (nGrams <= 0) return Array.emptyLongArray
+    // base^(k-1) mod P for the rolling subtraction
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk = (bk * 31L) % P; i += 1 }
+    val grams = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * 31L + cps(i)) % P; i += 1 }
+    grams(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - (cps(i - 1) * bk) % P + P) % P
+      h = (h * 31L + cps(i + k - 1)) % P
+      grams(i) = h
+      i += 1
+    }
+    val seen = new java.util.TreeSet[java.lang.Long]
+    if (nGrams < w) {
+      var mn = grams(0)
+      i = 1
+      while (i < nGrams) { if (grams(i) < mn) mn = grams(i); i += 1 }
+      seen.add(mn)
+    } else {
+      // monotonic deque of gram indices, front = current window minimum
+      val dq = new Array[Int](nGrams)
+      var head = 0
+      var tail = 0 // exclusive
+      i = 0
+      while (i < nGrams) {
+        while (tail > head && grams(dq(tail - 1)) >= grams(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) seen.add(grams(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
   def shingleStrings(text: String, n: Int): Array[String] = {
     val words = text.split(" ", -1)
     if (words.length < n) return Array.empty
@@ -128,6 +195,9 @@ object TextHashing {
   def shingleStringData(s: UTF8String, n: Int): GenericArrayData =
     new GenericArrayData(
       shingleStrings(s.toString, n).map(UTF8String.fromString): Array[Any])
+
+  def winnowData(s: UTF8String, k: Int, w: Int): GenericArrayData =
+    new GenericArrayData(winnow(s.toString, k, w))
 
   def minhashAllNull(numHashes: Int): GenericArrayData =
     new GenericArrayData(new Array[Any](numHashes))
@@ -287,6 +357,28 @@ case class ShingleHashExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** array<long> of sorted-distinct winnowing fingerprints (k-char-gram
+  * rolling hash, window-w minima — see [[TextHashing.winnow]]). Codegen'd
+  * as a static call so the stage stays in WholeStageCodegen.
+  */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashing.winnowData(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashing.winnowData($c, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** array<string> of distinct n-word shingle strings of a text column. */
 case class ShingleStringExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -403,4 +495,6 @@ object TextExprs {
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(sh), numHashes))
   def textStats(text: Column, lexicons: Seq[Seq[String]]): Column =
     ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(text), lexicons))
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
 }

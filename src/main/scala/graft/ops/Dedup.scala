@@ -309,6 +309,40 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** Verbatim-overlap pairs via winnowing fingerprints (MOSS) — the
+    * substring-duplication detector that complements shingle Jaccard:
+    * two docs sharing any run of ≥ k + w − 1 identical CHARACTERS share
+    * at least one fingerprint regardless of how different the rest of
+    * the docs are (a 90%-rewritten page with one long quoted block, a
+    * boilerplate license header, a copied paragraph), which word-set
+    * Jaccard at document granularity cannot see.
+    *
+    * Shape mirrors [[jaccardPairsCapped]]: one bounded-collect shuffle
+    * builds per-fingerprint doc buckets with an exact doc-frequency
+    * count but ≤ `maxDocFreq` members (hot boilerplate fingerprints are
+    * skew-capped), in-bucket ordered pair expansion, then a pair-count
+    * aggregate over bare (id, id) rows. Returns (id_a, id_b, n_shared)
+    * with n_shared ≥ `minShared`, id_a < id_b.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long, maxDocFreq: Int): DataFrame = {
+    val fp = df.select(col(idCol).as("doc"),
+        graft.functions.TextExprs.winnowFingerprints(col(textCol), k, w)
+          .as("fps"))
+      .where(size(col("fps")) > 0)
+    val ex = fp.select(col("doc"), explode(col("fps")).as("f"))
+    val freq = ex.groupBy("f")
+      .agg(graft.functions.BoundedCollect
+        .boundedCollect(col("doc"), maxDocFreq).as("bc"))
+    val rare = freq
+      .where(col("bc.df") >= 2 && col("bc.df") <= maxDocFreq)
+      .select(col("bc.ds").as("ds"))
+    rare.select(explode(orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Connected components via alternating large-star / small-star — the
     * variant of [[dupClusters]] for ADVERSARIALLY-SHAPED graphs. Hash-min
     * label propagation needs O(diameter) rounds, so a chain of 10k docs

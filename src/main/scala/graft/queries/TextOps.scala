@@ -213,6 +213,14 @@ object TextOps {
           $"n_types".cast("double") / $"n_tokens".cast("double"))
     }),
 
+    // verbatim-overlap pairs via winnowing fingerprints (MOSS): docs
+    // sharing >= 2 rare fingerprints, i.e. long identical character runs
+    // (copied paragraphs, license headers) invisible to word-set Jaccard;
+    // hot boilerplate fingerprints skew-capped at doc-freq 20
+    "dd11_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(documents(s, d), "doc_id", "text",
+        k = 16, w = 8, minShared = 2L, maxDocFreq = 20)),
+
     // word-bigram repetition stats (Gopher-style repetition filter raw
     // counts): single-pass codegen expression — one row-local hash map
     // per doc, no explode, no shuffle; dup_frac = share of n-grams that
@@ -308,6 +316,33 @@ object TextOps {
          |      FROM j)
          |SELECT cluster_id, doc_id AS keep_id, n_docs
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // fingerprints: k=16-char-gram rolling hashes (same (acc*31+code)%P
+    // fold as the engine; '.' regex is safe — the corpus has no newlines),
+    // window-8 minima, sorted distinct; then the dd2b-style freq-capped
+    // bucket pair expansion
+    "dd11_winnow_pairs" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_transform(range(1, length(text) - 16 + 2), i ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(regexp_extract_all(text[i:i+15], '.'),
+         |        ch -> ascii(ch))),
+         |      (acc, x) -> (acc * 31 + x) % $P)) AS grams
+         |  FROM documents WHERE length(text) >= 16),
+         |f AS (SELECT doc_id,
+         |        CASE WHEN len(grams) < 8 THEN [list_min(grams)]
+         |             ELSE list_sort(list_distinct(list_transform(
+         |               range(1, len(grams) - 8 + 2),
+         |               j -> list_min(grams[j:j+7])))) END AS fps
+         |      FROM g),
+         |e AS (SELECT doc_id, unnest(fps) AS f FROM f),
+         |keep AS (SELECT f FROM e GROUP BY f
+         |         HAVING count(*) BETWEEN 2 AND 20),
+         |kk AS (SELECT doc_id, f FROM e
+         |       WHERE f IN (SELECT f FROM keep))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM kk a JOIN kk b ON a.f = b.f AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "ts10_repetition" ->
       """WITH g AS (

@@ -137,6 +137,47 @@ class DedupSpec extends SparkSpec {
     assert(got == (1L to 5L).map(i => i -> i).toMap)
   }
 
+  test("winnow: rolling-hash fingerprints match the direct formulation") {
+    // brute-force reference: hash every k-gram independently (the fold
+    // the DuckDB oracle replays), window minima, sorted distinct
+    def reference(text: String, k: Int, w: Int): Seq[Long] = {
+      val P = 1000000007L
+      val cps = text.codePoints().toArray
+      if (cps.length < k) return Seq.empty
+      val grams = cps.sliding(k).map(_.foldLeft(0L)((a, c) =>
+        (a * 31L + c) % P)).toArray
+      val mins =
+        if (grams.length < w) Array(grams.min)
+        else grams.sliding(w).map(_.min).toArray
+      mins.distinct.sorted.toSeq
+    }
+    val texts = Seq("abcdefghij", "aaaaaaaaaaaaaaaa", "ab",
+      "the quick brown fox jumps over the lazy dog and then some more")
+    for (t <- texts; k <- Seq(4, 16); w <- Seq(3, 8)) {
+      val got = graft.functions.TextHashing.winnow(t, k, w).toSeq
+      assert(got == reference(t, k, w), s"text='$t' k=$k w=$w")
+    }
+  }
+
+  test("winnowPairs finds a shared >= k+w-1 char run in unrelated docs") {
+    // k=16, w=8: ANY shared run of >= 23 chars guarantees a common
+    // fingerprint — embed one quoted block in otherwise disjoint text
+    val block = "this exact sentence was copied verbatim into both"
+    val docs = Seq(
+      (1L, s"alpha bravo charlie $block delta echo foxtrot"),
+      (2L, s"zulu yankee xray whiskey $block victor uniform"),
+      (3L, "totally different content with no overlap at all here"),
+      (4L, "another unrelated document about catalogs and parquet"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .winnowPairs(docs, "doc_id", "text",
+        k = 16, w = 8, minShared = 1L, maxDocFreq = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), "copied block detected")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L),
+      "disjoint docs stay unpaired")
+  }
+
   test("simhash index save/load round-trips and probes identically") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
