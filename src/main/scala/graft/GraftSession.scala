@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.catalog.VersionedCatalog
-import graft.functions.{CharHashExpr, MinHashSigExpr, ShingleHashExpr,
-  SimHashExpr, SpatialCell, TextStatsExpr, VecDot}
+import graft.functions.{CharHashExpr, MinHashSigExpr, RepetitionExpr,
+  ShingleHashExpr, SimHashExpr, SpatialCell, TextStatsExpr, VecDot,
+  WinnowExpr}
 
 /** SQL-facing session surface: exposes a catalog's tables as temp views so
   * `spark.sql("SELECT ... FROM DiaObject ...")` works against the current
@@ -12,7 +13,8 @@ import graft.functions.{CharHashExpr, MinHashSigExpr, ShingleHashExpr,
   * functions (`spatial_cell(ra, dec, level)`, `vec_dot(a, b)`, and the
   * text-pipeline family: `char_hash(text)`, `simhash(text)`,
   * `shingle_hashes(text, n)`, `minhash_sig(hashes, numHashes)`,
-  * `text_stats(text)`).
+  * `text_stats(text)`, `repetition_stats(text, n)`,
+  * `winnow_fingerprints(text, k, w)`).
   *
   * Dotted catalog table names (internal.DiaObject) become underscored
   * view names (internal_DiaObject) — Spark temp views are single-part.
@@ -46,6 +48,12 @@ object GraftSession {
     registry.createOrReplaceTempFunction("text_stats", exprs =>
       TextStatsExpr(exprs(0),
         graft.ops.TextAnalysis.langLexicons.map(_._2)), "scala_udf")
+    registry.createOrReplaceTempFunction("repetition_stats", exprs =>
+      RepetitionExpr(exprs(0), intArg(exprs, 1, "repetition_stats")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction("winnow_fingerprints", exprs =>
+      WinnowExpr(exprs(0), intArg(exprs, 1, "winnow_fingerprints"),
+        intArg(exprs, 2, "winnow_fingerprints")), "scala_udf")
   }
 
   /** Mount every table of `catalog` as a temp view over the CURRENT

@@ -56,7 +56,9 @@ object PlanAudit {
         "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
     Check("ts10_repetition", "map-only repetition stats (no shuffle)",
       p => !p.contains("Exchange") &&
-        p.contains("repetition_stats")))
+        p.contains("repetition_stats")),
+    Check("p12_like_scan", "substring predicate pushed as StringContains",
+      p => p.contains("StringContains(p_name,bolt)")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

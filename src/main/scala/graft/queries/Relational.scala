@@ -277,6 +277,33 @@ object Relational {
         .except(e.where($"event_type" === "churn").select($"user_id"))
     }),
 
+    // P12: substring predicate — pushed to the scan as StringContains
+    // (PlanAudit-asserted), so 100 TB of parquet row groups filter on
+    // min/max + dictionary before any row materializes
+    "p12_like_scan" -> ((s, d) => {
+      import s.implicits._
+      part(s, d).where($"p_name".contains("bolt"))
+        .select($"p_partkey", $"p_name")
+    }),
+
+    // Q6: decorrelated scalar subquery (TPC-H Q17 shape) — lineitems
+    // below a fifth of their part's average quantity. The correlated
+    // form re-evaluates the subquery per row; the scalable plan is one
+    // per-part aggregate joined back. All-integer arithmetic
+    // (qty < sum/(5·cnt) ⟺ 5·qty·cnt < sum in cents) so the oracle
+    // bit-matches with no float division
+    "q6_small_order_parts" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d).select($"l_partkey",
+        round($"l_quantity" * 100).cast("long").as("qc"))
+      val stats = li.groupBy($"l_partkey")
+        .agg(sum($"qc").as("sum_qc"), count(lit(1)).as("cnt"))
+      li.join(stats, "l_partkey")
+        .where($"qc" * 5 * $"cnt" < $"sum_qc")
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n_small"), sum($"qc").as("sum_small_cents"))
+    }),
+
     // W5: top-k per group — each customer's 3 highest-value orders. The
     // rank window shuffles once on the group key and AQE coalesces the
     // post-filter; at scale this beats a groupBy+sort_array collect
@@ -305,6 +332,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "p12_like_scan" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name LIKE '%bolt%'""".stripMargin,
+    "q6_small_order_parts" ->
+      """WITH li AS (SELECT l_partkey,
+        |              CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |            FROM lineitem),
+        |st AS (SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS sum_qc,
+        |              count(*) AS cnt
+        |       FROM li GROUP BY 1)
+        |SELECT li.l_partkey, count(*) AS n_small,
+        |       CAST(sum(qc) AS BIGINT) AS sum_small_cents
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE qc * 5 * cnt < sum_qc
+        |GROUP BY 1""".stripMargin,
     "w5_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

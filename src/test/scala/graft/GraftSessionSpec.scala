@@ -48,6 +48,13 @@ class GraftSessionSpec extends SparkSpec {
     val st = spark.sql("SELECT text_stats('the cat sat').n_tokens")
       .head().getInt(0)
     assert(st == 3)
+    val rep = spark.sql("SELECT repetition_stats('a b a b', 2)").head()
+      .getStruct(0)
+    assert(rep.getLong(0) == 3L && rep.getLong(1) == 2L &&
+      rep.getLong(2) == 2L)
+    val wf = spark.sql("SELECT winnow_fingerprints('abcdefghij', 4, 3)")
+      .head().getSeq[Long](0)
+    assert(wf == graft.functions.TextHashing.winnow("abcdefghij", 4, 3).toSeq)
   }
 
   test("views track the snapshot the mount saw; remount advances") {
