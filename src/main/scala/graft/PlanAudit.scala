@@ -58,7 +58,9 @@ object PlanAudit {
       p => !p.contains("Exchange") &&
         p.contains("repetition_stats")),
     Check("p12_like_scan", "substring predicate pushed as StringContains",
-      p => p.contains("StringContains(p_name,bolt)")))
+      p => p.contains("StringContains(p_name,bolt)")),
+    Check("p13_prefix_scan", "prefix predicate pushed as StringStartsWith",
+      p => p.contains("StringStartsWith(p_name,blue)")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

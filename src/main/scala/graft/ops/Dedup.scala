@@ -274,40 +274,55 @@ object Dedup {
     * `pairs` = (id_a, id_b) undirected edges. Returns (idCol,
     * cluster_id), deterministic.
     *
-    * Each round's labels are localCheckpoint'ed: persist alone keeps the
-    * full logical plan, which after k rounds nests k joins and blows up
-    * plan compilation/stringification long before data is the problem
-    * (see [[dupClustersStar]] for the cluster-scale checkpoint note).
+    * Each round's labels go through [[roundCache]]: persist alone keeps
+    * the full logical plan, which after k rounds nests k joins and blows
+    * up plan compilation/stringification long before data is the problem.
+    * The final round's cache stays alive (the returned DataFrame reads
+    * it); callers drop it with clearCache, the repo-wide convention for
+    * persisted query internals.
     */
   def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint()
+    var cached = roundCache(
+      ids.select(col(idCol).as("id"), col(idCol).as("label")))
+    var labels = cached
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
       val nbrMin = edges.join(labels, col("v") === col("id"))
         .groupBy(col("u")).agg(min("label").as("nbr"))
-      val step = labels.join(nbrMin, col("id") === col("u"), "left")
+      val step = roundCache(labels.join(nbrMin, col("id") === col("u"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label")))
             .as("label"),
-          (col("nbr") < col("label")).as("chg"))
-        .localCheckpoint()
-      changed = step.where(col("chg")).count()
+          (col("nbr") < col("label")).as("chg")))
+      changed = step.where(col("chg")).count() // materializes the cache
+      cached.unpersist()
+      cached = step
       labels = step.select("id", "label")
       iters += 1
     }
-    edges.unpersist() // labels is checkpoint-truncated; nothing reads it
-    if (changed > 0)
+    edges.unpersist()
+    if (changed > 0) {
+      cached.unpersist() // nothing is returned, so nothing holds the cache
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIters rounds " +
           "(component diameter exceeds the cap; raise maxIters)")
+    }
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
+
+  /** Round-state cache for the iterative loops: truncate the logical plan
+    * to a single leaf (PlanBridge), then persist — plan size stays O(1)
+    * per round AND release stays deterministic (persist is CacheManager-
+    * visible; localCheckpoint blocks are not, so clearCache couldn't free
+    * them and superseded rounds would linger until driver GC).
+    */
+  private def roundCache(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.PlanBridge.truncated(df).persist()
 
   /** Verbatim-overlap pairs via winnowing fingerprints (MOSS) — the
     * substring-duplication detector that complements shingle Jaccard:
@@ -369,23 +384,21 @@ object Dedup {
   def dupClustersStar(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
     import org.apache.spark.sql.Row
-    // Each round's edge set is localCheckpoint'ed, not persist'ed: a
-    // persisted DataFrame keeps its full logical plan, so after k rounds
-    // the plan tree nests k rounds of join+agg+distinct and AQE's plan
-    // stringification alone goes OOM (observed on a 200-node chain).
-    // localCheckpoint materializes AND truncates lineage to the cached
-    // blocks; the ContextCleaner frees superseded rounds' blocks once
-    // unreferenced. At cluster scale prefer `spark.sparkContext
-    // .setCheckpointDir` + `.checkpoint()` for executor-loss tolerance —
-    // same structure, reliable storage (documented trade-off).
+    // Each round's edge set goes through roundCache (plan truncation +
+    // CacheManager-visible persist): a persisted-only DataFrame keeps its
+    // full logical plan, so after k rounds the plan tree nests k rounds
+    // of join+agg+distinct and AQE's plan stringification alone goes OOM
+    // (observed on a 200-node chain). At cluster scale prefer
+    // `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for
+    // executor-loss tolerance — same structure, reliable storage
+    // (documented trade-off).
     //
     // canonicalize to (u > v), drop self-loops and duplicates
-    var edges = pairs
+    var edges = roundCache(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // set fingerprint: count + order-insensitive xor of two independent
     // row hashes (xor, not sum — overflow-free under ANSI; rows are
@@ -430,16 +443,19 @@ object Dedup {
     var converged = edges.isEmpty
     var iters = 0
     while (!converged && iters < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nextSig = checksum(next)
+      val next = roundCache(smallStar(largeStar(edges)))
+      val nextSig = checksum(next) // materializes the cache
+      edges.unpersist()
       edges = next
       converged = nextSig == sig
       sig = nextSig
       iters += 1
     }
-    if (!converged && iters >= maxIters)
+    if (!converged && iters >= maxIters) {
+      edges.unpersist() // nothing is returned, so nothing holds the cache
       throw new IllegalStateException(
         s"dupClustersStar did not converge in $maxIters rounds")
+    }
     // star fixpoint: every non-root has exactly one edge to its root
     val labels = ids.select(col(idCol).as("id"))
       .join(edges, col("id") === col("u"), "left")

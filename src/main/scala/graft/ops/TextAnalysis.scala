@@ -171,13 +171,20 @@ object TextAnalysis {
       regexp_replace(c, pat, tag)
     }
 
-  /** Count of PII matches per document (cheap audit column: how much got
-    * scrubbed, per pattern class summed).
+  /** Count of entities [[redactPii]] scrubs. Counts are taken on the
+    * PROGRESSIVELY-REDACTED text, mirroring the replace chain — counting
+    * every pattern on the original text would double-count when classes
+    * overlap (a digit-heavy email local part also matches the phone
+    * pattern, but redactPii replaces it once, as an email).
     */
-  def piiMatchCount(text: Column): Column =
-    piiPatterns.map { case (pat, _) =>
-      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
-    }.reduce(_ + _)
+  def piiMatchCount(text: Column): Column = {
+    val (_, total) = piiPatterns
+      .foldLeft((text, lit(0L): Column)) { case ((t, n), (pat, tag)) =>
+        (regexp_replace(t, pat, tag),
+          n + size(regexp_extract_all(t, lit(pat), lit(0))).cast("long"))
+      }
+    total
+  }
 
   // ------------------------------------------------------ mixture sampling
 

@@ -277,12 +277,26 @@ object Relational {
         .except(e.where($"event_type" === "churn").select($"user_id"))
     }),
 
-    // P12: substring predicate — pushed to the scan as StringContains
-    // (PlanAudit-asserted), so 100 TB of parquet row groups filter on
-    // min/max + dictionary before any row materializes
+    // P12: substring predicate — pushed to the data source as
+    // StringContains (PlanAudit-asserted). NOTE the honest scale story:
+    // Spark's ParquetFilters converts StartsWith to a row-group
+    // min/max range but has no parquet-level translation for Contains,
+    // so this prunes nothing below the scan operator; its value is that
+    // the filter runs inside the scan's codegen'd loop before any
+    // downstream operator, and that a source that CAN evaluate contains
+    // (e.g. an indexed store) receives it
     "p12_like_scan" -> ((s, d) => {
       import s.implicits._
       part(s, d).where($"p_name".contains("bolt"))
+        .select($"p_partkey", $"p_name")
+    }),
+
+    // P13: prefix predicate — the variant that DOES reach parquet:
+    // StringStartsWith converts to a row-group min/max range, so at
+    // 100 TB row groups outside the prefix range never decompress
+    "p13_prefix_scan" -> ((s, d) => {
+      import s.implicits._
+      part(s, d).where($"p_name".startsWith("blue"))
         .select($"p_partkey", $"p_name")
     }),
 
@@ -335,6 +349,9 @@ object Relational {
     "p12_like_scan" ->
       """SELECT p_partkey, p_name FROM part
         |WHERE p_name LIKE '%bolt%'""".stripMargin,
+    "p13_prefix_scan" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name LIKE 'blue%'""".stripMargin,
     "q6_small_order_parts" ->
       """WITH li AS (SELECT l_partkey,
         |              CAST(round(l_quantity * 100) AS BIGINT) AS qc

@@ -174,7 +174,7 @@ class DedupSpec extends SparkSpec {
         k = 16, w = 8, minShared = 1L, maxDocFreq = 10)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(got.contains((1L, 2L)), "copied block detected")
-    assert(!got.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L),
+    assert(!got.exists(p => Set(p._1, p._2).intersect(Set(3L, 4L)).nonEmpty),
       "disjoint docs stay unpaired")
   }
 
