@@ -186,6 +186,38 @@ object TextAnalysis {
     total
   }
 
+  // ----------------------------------------------------- context chunking
+
+  /** Split each document into overlapping token-window chunks — the
+    * context-window packing step before tokenization: chunk i covers
+    * tokens [i·stride, i·stride + chunkTokens) with
+    * stride = chunkTokens − overlap, and the chunk count is the smallest
+    * that covers every token (the last chunk may be short). Pure
+    * generate/slice built-ins: map-side explode, no shuffle, row count
+    * grows by ~n/stride — the plan a 100 TB corpus wants (no per-doc
+    * state, no window function).
+    *
+    * Returns (idCol, chunk_idx, chunk_text, n_tok).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val stride = chunkTokens - overlap
+    // `div` (integer division) — `/` on longs is double division in Spark
+    val nChunks = when(col("__n") <= chunkTokens, lit(1L))
+      .otherwise(expr(
+        s"(__n - $chunkTokens + ${stride - 1}) div $stride") + 1L)
+    val slice0 = expr(s"slice(__toks, __idx * $stride + 1, $chunkTokens)")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("__idx"))
+      .select(col(idCol), col("__idx").as("chunk_idx"),
+        array_join(slice0, " ").as("chunk_text"),
+        size(slice0).cast("long").as("n_tok"))
+  }
+
   // ------------------------------------------------------ mixture sampling
 
   /** Deterministic pseudo-random rank for mixture sampling: documents are

@@ -213,6 +213,12 @@ object TextOps {
           $"n_types".cast("double") / $"n_tokens".cast("double"))
     }),
 
+    // context-window chunking: 40-token chunks, 10-token overlap — the
+    // pre-tokenization packing step; map-side explode, no shuffle
+    "ts11_chunking" -> ((s, d) =>
+      TextAnalysis.chunkDocs(documents(s, d), "doc_id", "text",
+        chunkTokens = 40, overlap = 10)),
+
     // verbatim-overlap pairs via winnowing fingerprints (MOSS): docs
     // sharing >= 2 rare fingerprints, i.e. long identical character runs
     // (copied paragraphs, license headers) invisible to word-set Jaccard;
@@ -316,6 +322,21 @@ object TextOps {
          |      FROM j)
          |SELECT cluster_id, doc_id AS keep_id, n_docs
          |FROM r WHERE rn = 1""".stripMargin,
+
+    "ts11_chunking" ->
+      """WITH s AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |        CASE WHEN len(toks) <= 40 THEN 1
+        |             ELSE (len(toks) - 40 + 29) // 30 + 1 END AS nc
+        |      FROM s),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx
+        |      FROM n)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx*30+1 : chunk_idx*30+40], ' ')
+        |    AS chunk_text,
+        |  len(toks[chunk_idx*30+1 : chunk_idx*30+40]) AS n_tok
+        |FROM e""".stripMargin,
 
     // fingerprints: k=16-char-gram rolling hashes (same (acc*31+code)%P
     // fold as the engine; '.' regex is safe — the corpus has no newlines),
