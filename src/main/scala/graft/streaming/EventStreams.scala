@@ -31,6 +31,33 @@ object EventStreams {
         col("event_type"), col("n"), col("value_cents"))
   }
 
+  /** Stream-stream interval join — the continuous form of the j10
+    * attribution query: every event within `windowDur` AFTER a purchase
+    * by the same user, matched as both sides ARRIVE (inner stream-stream
+    * joins emit on match; the watermark only bounds how long purchase
+    * state is retained — without the time-range condition + watermark,
+    * join state would grow forever, the stream-stream scale-killer).
+    * The same plan runs in batch for the spec's equivalence check.
+    *
+    * Returns (p_event_id, event_id, user_id, p_ts_us, ts_us).
+    */
+  def attributionJoin(events: DataFrame, windowDur: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val wm =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    val purchases = wm.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event_id"),
+        col("ts").as("p_ts"))
+    wm.as("e").join(purchases.as("p"),
+        col("e.user_id") === col("p.p_user") &&
+          col("e.ts") >= col("p.p_ts") &&
+          col("e.ts") <= col("p.p_ts") + expr(s"interval $windowDur"))
+      .select(col("p.p_event_id"), col("e.event_id"), col("e.user_id"),
+        unix_micros(col("p.p_ts")).as("p_ts_us"),
+        unix_micros(col("e.ts")).as("ts_us"))
+  }
+
   /** Gap-based sessionization per user: a new session starts when the gap
     * from the previous event exceeds `gapUs`. Expressed as
     * lag + running-sum (batch form; the streaming form of the same

@@ -112,6 +112,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.columns.toSet == Set("user_id", "session_start_us", "n_events"))
   }
 
+  test("stream-stream attribution join matches batch") {
+    val srcDir = tmpDir("ssjoin-src")
+    graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "attrib",
+      EventStreams.attributionJoin(_))
+    q.awaitTermination(120000)
+    val streamed = spark.table("attrib")
+    val batch = EventStreams.attributionJoin(spark.read.parquet(srcDir))
+    assert(streamed.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      "inner stream-stream interval join emits exactly the batch pairs")
+    // a purchase is always within its own window
+    assert(streamed.where($"p_event_id" === $"event_id").count() ==
+      streamed.select($"p_event_id").distinct().count())
+  }
+
   test("streaming near-dup probe vs static simhash index matches batch") {
     import graft.ops.Dedup
     // static corpus: clustered sentences so some probes hit, some miss
