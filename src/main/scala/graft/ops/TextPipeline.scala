@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   * windows over a whole source.
   */
 final case class CurationConfig(
+    scrubPii: Boolean = false, // redact emails/phones/IPs BEFORE analysis
     minTokens: Int = 10,
     maxTokens: Int = 1 << 20,
     minQuality: Double = 0.0,
@@ -27,7 +28,11 @@ final case class CurationConfig(
     nearDupThreshold: Option[Double] = None, // e.g. Some(0.6)
     benchmark: Option[DataFrame] = None,     // docs with the text column
     decontaminateN: Int = 4,
-    budgetPerSource: Option[Long] = None)
+    budgetPerSource: Option[Long] = None,
+    // (chunkTokens, overlap): split survivors into context windows as the
+    // final stage — output becomes chunk-granular (chunk_idx, chunk_text,
+    // n_tok per chunk replace the doc text column)
+    chunk: Option[(Int, Int)] = None)
 
 object TextPipeline {
 
@@ -38,9 +43,16 @@ object TextPipeline {
       sourceCol: String, cfg: CurationConfig): DataFrame = {
     val id: Column = col(idCol)
 
+    // 0. PII scrub — BEFORE analysis/dedup so every downstream hash,
+    // signature, and emitted row sees only the redacted text
+    val scrubbed =
+      if (cfg.scrubPii)
+        docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      else docs
+
     // 1. annotate + filter in ONE fused stats pass
     val st = TextAnalysis.stats(col(textCol))
-    val annotated = docs.select(docs.columns.map(col) :+
+    val annotated = scrubbed.select(scrubbed.columns.map(col) :+
         TextAnalysis.tokenCountOf(st).as("n_tokens") :+
         TextAnalysis.qualityScoreOf(st).as("quality") :+
         TextAnalysis.langIdOf(st).as("pred_lang"): _*)
@@ -86,6 +98,14 @@ object TextPipeline {
       val sample = TextAnalysis.tokenBudgetSampleApprox(
         kept, idCol, textCol, sourceCol, budget).select(id)
       kept = kept.join(sample, Seq(idCol), "left_semi")
+    }
+
+    // 6. context-window chunking: survivors become (doc, chunk) rows,
+    // annotations ride along via the id join
+    cfg.chunk.foreach { case (k, overlap) =>
+      val chunks = TextAnalysis.chunkDocs(kept, idCol, textCol, k, overlap)
+      kept = chunks.join(
+        kept.drop(textCol, "n_tokens"), Seq(idCol))
     }
     kept
   }

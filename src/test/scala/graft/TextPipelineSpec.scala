@@ -56,4 +56,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(budget.count() == docs.count(),
       "budget >> corpus keeps everything")
   }
+
+  test("pii scrub rewrites text before hashing; chunking re-grains output") {
+    val piiDocs = Seq(
+      (1L, "srcA", "contact alice@example.com about the big cat today ok"),
+      (2L, "srcA", "contact bob@sample.org about the big cat today ok"))
+      .toDF("doc_id", "source", "text")
+    // with scrubbing, both docs normalize to the same <EMAIL> text —
+    // exact dedup must see the REDACTED content and collapse them
+    val out = TextPipeline.curate(piiDocs, "doc_id", "text", "source",
+      CurationConfig(scrubPii = true, minTokens = 1, dedupExact = true))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(out.head().getAs[String]("text").contains("<EMAIL>"))
+
+    val chunked = TextPipeline.curate(docs, "doc_id", "text", "source",
+      CurationConfig(minTokens = 5, dedupExact = false,
+        chunk = Some((8, 2))))
+    assert(chunked.columns.contains("chunk_text") &&
+      chunked.columns.contains("chunk_idx"))
+    // doc 1 has 12 tokens -> chunks at 0 and 6 under (k=8, stride=6)
+    assert(chunked.where($"doc_id" === 1L).count() == 2)
+    // per-chunk annotations still present
+    assert(chunked.columns.contains("quality"))
+  }
 }
