@@ -197,25 +197,33 @@ object TextAnalysis {
     * grows by ~n/stride — the plan a 100 TB corpus wants (no per-doc
     * state, no window function).
     *
-    * Returns (idCol, chunk_idx, chunk_text, n_tok).
+    * Returns (idCol, carryCols..., chunk_idx, chunk_text, n_tok).
+    * `carryCols` ride through the explode — Spark preserves sibling
+    * columns of a generator for free, so carrying annotations here is
+    * map-only; re-joining them on id afterwards would shuffle the
+    * chunk table (the largest relation in a curation pipeline).
     */
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, overlap: Int): DataFrame = {
+      chunkTokens: Int, overlap: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens > overlap && overlap >= 0,
       s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
     val stride = chunkTokens - overlap
+    val carries = carryCols.filterNot(c => c == idCol || c == textCol)
     // `div` (integer division) — `/` on longs is double division in Spark
     val nChunks = when(col("__n") <= chunkTokens, lit(1L))
       .otherwise(expr(
         s"(__n - $chunkTokens + ${stride - 1}) div $stride") + 1L)
     val slice0 = expr(s"slice(__toks, __idx * $stride + 1, $chunkTokens)")
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    df.select(col(idCol) +: carries.map(col) :+
+        tokens(col(textCol)).as("__toks"): _*)
       .withColumn("__n", size(col("__toks")).cast("long"))
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0L), nChunks - 1L)).as("__idx"))
-      .select(col(idCol), col("__idx").as("chunk_idx"),
-        array_join(slice0, " ").as("chunk_text"),
-        size(slice0).cast("long").as("n_tok"))
+      .select(col(idCol) +: carries.map(col) :+ col("__toks") :+
+        explode(sequence(lit(0L), nChunks - 1L)).as("__idx"): _*)
+      .select(col(idCol) +: carries.map(col) :+
+        col("__idx").as("chunk_idx") :+
+        array_join(slice0, " ").as("chunk_text") :+
+        size(slice0).cast("long").as("n_tok"): _*)
   }
 
   // ------------------------------------------------------ mixture sampling

@@ -86,8 +86,15 @@ object TextPipeline {
         Seq(idCol), "left_semi")
     }
 
-    // 4. decontamination: drop docs sharing any n-gram with the benchmark
-    cfg.benchmark.foreach { bench =>
+    // 4. decontamination: drop docs sharing any n-gram with the benchmark.
+    // The benchmark is scrubbed with the SAME redaction when scrubPii is
+    // on — otherwise a shared span containing PII shingles differently on
+    // the two sides and the contaminated doc slips through
+    cfg.benchmark.foreach { bench0 =>
+      val bench =
+        if (cfg.scrubPii)
+          bench0.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+        else bench0
       val hits = Dedup.decontaminate(kept, bench, idCol, textCol,
         cfg.decontaminateN).select(id)
       kept = kept.join(hits, Seq(idCol), "left_anti")
@@ -100,12 +107,13 @@ object TextPipeline {
       kept = kept.join(sample, Seq(idCol), "left_semi")
     }
 
-    // 6. context-window chunking: survivors become (doc, chunk) rows,
-    // annotations ride along via the id join
+    // 6. context-window chunking: survivors become (doc, chunk) rows;
+    // annotations ride THROUGH the explode (map-only) instead of being
+    // re-joined on id, which would shuffle the chunk table
     cfg.chunk.foreach { case (k, overlap) =>
-      val chunks = TextAnalysis.chunkDocs(kept, idCol, textCol, k, overlap)
-      kept = chunks.join(
-        kept.drop(textCol, "n_tokens"), Seq(idCol))
+      val carry = kept.columns.toSeq
+        .filterNot(c => c == idCol || c == textCol || c == "n_tokens")
+      kept = TextAnalysis.chunkDocs(kept, idCol, textCol, k, overlap, carry)
     }
     kept
   }

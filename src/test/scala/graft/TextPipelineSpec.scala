@@ -69,6 +69,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L))
     assert(out.head().getAs[String]("text").contains("<EMAIL>"))
 
+    // decontamination must compare scrubbed-vs-scrubbed: the shared span
+    // SPANS the redacted token, so raw texts share no 4-gram but
+    // scrubbed texts do — the doc is contaminated only under scrubbing
+    val leakyTrain = Seq(
+      (1L, "srcA",
+        "alpha alice@example.com beta gamma delta one two three four five"))
+      .toDF("doc_id", "source", "text")
+    val leakyBench = Seq(
+      (100L, "alpha bob@other.org beta gamma delta six seven eight"))
+      .toDF("doc_id", "text")
+    val scrubbedRun = TextPipeline.curate(leakyTrain, "doc_id", "text",
+      "source", CurationConfig(scrubPii = true, minTokens = 1,
+        dedupExact = false, benchmark = Some(leakyBench)))
+    assert(scrubbedRun.count() == 0,
+      "PII-spanning contamination caught when both sides are scrubbed")
+    val rawRun = TextPipeline.curate(leakyTrain, "doc_id", "text",
+      "source", CurationConfig(scrubPii = false, minTokens = 1,
+        dedupExact = false, benchmark = Some(leakyBench)))
+    assert(rawRun.count() == 1, "raw texts share no 4-gram")
+
     val chunked = TextPipeline.curate(docs, "doc_id", "text", "source",
       CurationConfig(minTokens = 5, dedupExact = false,
         chunk = Some((8, 2))))
