@@ -205,7 +205,6 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val numBands = numHashes / rowsPerBand
     // shingle hashes + signature materialized ONCE and persisted — the
     // banded self-join would otherwise recompute the whole text-hash
     // pipeline on both sides
@@ -214,13 +213,7 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .withColumn("sig", signatureOf(col("sh"), numHashes))
       .persist()
-    val banded = base.select(col("doc"),
-      explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_",
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+    val banded = bandedOf(base, numHashes, rowsPerBand)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
@@ -233,6 +226,92 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Banded MinHash index of a STATIC corpus for incremental near-dup
+    * checks — the Jaccard-verified analogue of [[simhashIndex]]: `banded`
+    * holds one (doc, band, bucket) row per band per corpus doc, `sets`
+    * the shingle-hash arrays the probe verifies against. Probing a new
+    * batch costs one band equi-join + per-candidate array intersection;
+    * the corpus is never re-scanned (build once, [[MinhashIndex.save]] /
+    * [[loadMinhashIndex]] across sessions).
+    */
+  final case class MinhashIndex(n: Int, numHashes: Int, rowsPerBand: Int,
+      banded: DataFrame, sets: DataFrame) {
+
+    def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+      val spark = banded.sparkSession
+      import spark.implicits._
+      val params = Seq((n, numHashes, rowsPerBand))
+        .toDF("n", "num_hashes", "rows_per_band")
+      cat.commit(Map(s"$name.banded" -> banded, s"$name.sets" -> sets,
+        s"$name.params" -> params))
+      ()
+    }
+  }
+
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int): MinhashIndex = {
+    val base = corpus
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", signatureOf(col("sh"), numHashes))
+      .persist()
+    MinhashIndex(n, numHashes, rowsPerBand,
+      bandedOf(base, numHashes, rowsPerBand),
+      base.select(col("doc"), col("sh")))
+  }
+
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String): MinhashIndex = {
+    val p = cat.read(spark, s"$name.params").head()
+    MinhashIndex(p.getAs[Int]("n"), p.getAs[Int]("num_hashes"),
+      p.getAs[Int]("rows_per_band"),
+      cat.read(spark, s"$name.banded"), cat.read(spark, s"$name.sets"))
+  }
+
+  /** (doc, band, bucket) rows of a signature table (shared by the
+    * self-join pair path and the index probe).
+    */
+  private def bandedOf(base: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    base.select(col("doc"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Probe new documents against a [[MinhashIndex]]: candidates from the
+    * (band, bucket) equi-join, verified with exact Jaccard over the full
+    * shingle sets at `threshold`. Returns (probe_id, corpus_id, jaccard).
+    */
+  def minhashProbe(probe: DataFrame, index: MinhashIndex, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val base = probe
+      .select(col(idCol).as("p_doc"),
+        shingleHashes(col(textCol), index.n).as("p_sh"))
+      .where(size(col("p_sh")) > 0)
+      .withColumn("sig", signatureOf(col("p_sh"), index.numHashes))
+      .persist()
+    val pb = bandedOf(
+      base.select(col("p_doc").as("doc"), col("sig")),
+      index.numHashes, index.rowsPerBand)
+      .select(col("doc").as("p_doc"), col("band"), col("bucket"))
+    val cand = pb.join(index.banded, Seq("band", "bucket"))
+      .select(col("p_doc"), col("doc"))
+      .distinct()
+    cand
+      .join(base.select(col("p_doc"), col("p_sh")), Seq("p_doc"))
+      .join(index.sets, Seq("doc"))
+      .select(col("p_doc").as("probe_id"), col("doc").as("corpus_id"),
+        (size(array_intersect(col("p_sh"), col("sh"))).cast("double") /
+          size(array_union(col("p_sh"), col("sh"))).cast("double"))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }

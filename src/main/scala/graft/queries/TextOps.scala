@@ -213,6 +213,18 @@ object TextOps {
           $"n_types".cast("double") / $"n_tokens".cast("double"))
     }),
 
+    // incremental near-dup: probe the ts7-style "new batch" slice
+    // (doc_id % 29 == 0) against a MinHash index of the standing corpus —
+    // one band equi-join + Jaccard verification; the corpus is never
+    // re-scanned (the build is the one-time cost the index amortizes)
+    "dd12_minhash_probe" -> ((s, d) => {
+      val docs = documents(s, d)
+      val index = Dedup.minhashIndex(docs.where(col("doc_id") % 29 =!= 0),
+        "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2)
+      Dedup.minhashProbe(docs.where(col("doc_id") % 29 === 0), index,
+        "doc_id", "text", threshold = 0.6)
+    }),
+
     // context-window chunking: 40-token chunks, 10-token overlap — the
     // pre-tokenization packing step; map-side explode, no shuffle
     "ts11_chunking" -> ((s, d) =>
@@ -308,7 +320,47 @@ object TextOps {
        |SELECT u AS doc_id, min(lbl) AS cluster_id
        |FROM walk GROUP BY u""".stripMargin
 
+  /** dd12 oracle: same signature pipeline as dd3, split into probe
+    * (doc_id % 29 = 0) and corpus sides, band equi-join across the two,
+    * exact Jaccard at 0.6.
+    */
+  private val dd12Sql: String = {
+    val slots = (0 until 8).map { i =>
+      val a = 2 * i + 1; val b = 7919 * i + 13
+      s"list_min(list_transform(sh, hv -> ($a * hv + $b) % $P))"
+    }.mkString(",\n         ")
+    val bands = (0 until 4).map { bnd =>
+      val lo = bnd * 2 + 1
+      s"SELECT doc_id, $bnd AS band, " +
+        s"array_to_string(sig[$lo:${lo + 1}], '_') AS bucket FROM sig"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |w AS (SELECT doc_id,
+       |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+       |      FROM t),
+       |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
+       |      FROM w WHERE len(wh) >= 3),
+       |sig AS (SELECT doc_id, sh, [$slots] AS sig FROM s),
+       |banded AS ($bands),
+       |cand AS (SELECT DISTINCT p.doc_id AS probe_id,
+       |                c.doc_id AS corpus_id
+       |         FROM banded p JOIN banded c
+       |           ON p.band = c.band AND p.bucket = c.bucket
+       |         WHERE p.doc_id % 29 = 0 AND c.doc_id % 29 <> 0)
+       |SELECT probe_id, corpus_id,
+       |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+       |         AS jaccard
+       |FROM cand JOIN sig sa ON probe_id = sa.doc_id
+       |          JOIN sig sb ON corpus_id = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+       |        >= 0.6""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dd12_minhash_probe" -> dd12Sql,
     "dd9_star_clusters" -> dd8Sql,
 
     "dd10_keep_best" ->

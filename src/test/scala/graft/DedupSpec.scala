@@ -204,6 +204,36 @@ class DedupSpec extends SparkSpec {
     assert(fresh.nonEmpty, "the near-dup probe pair is present")
   }
 
+  test("minhash index save/load round-trips; probe matches fresh pairs") {
+    val mk = (id: Long, t: String) => (id, t)
+    val corpus = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(2L, "one two three four five six seven eight nine"),
+      mk(3L, "red green blue yellow purple orange pink white"))
+      .toDF("doc_id", "text")
+    // probe 101 is a near-dup of corpus 1; 102 matches nothing
+    val probes = Seq(
+      mk(101L, "alpha beta gamma delta epsilon zeta eta iota"),
+      mk(102L, "unrelated words entirely distinct from everything else"))
+      .toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.minhashIndex(corpus, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2)
+    val fresh = graft.ops.Dedup
+      .minhashProbe(probes, idx, "doc_id", "text", threshold = 0.5)
+      .select($"probe_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(fresh == Set((101L, 1L)), s"got $fresh")
+
+    val cat = new graft.catalog.VersionedCatalog(tmpDir("mhidx"))
+    idx.save(cat, "docs_minhash")
+    val reopened = graft.ops.Dedup.loadMinhashIndex(spark, cat, "docs_minhash")
+    assert(reopened.n == 3 && reopened.numHashes == 8 &&
+      reopened.rowsPerBand == 2)
+    val loaded = graft.ops.Dedup
+      .minhashProbe(probes, reopened, "doc_id", "text", threshold = 0.5)
+      .select($"probe_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(loaded == fresh)
+  }
+
   test("decontaminate counts distinct shared n-grams per training doc") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
