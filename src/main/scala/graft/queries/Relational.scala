@@ -193,6 +193,31 @@ object Relational {
             .as("sum_price_cents"))
     }),
 
+    // q7: CUBE subtotals — all four grouping sets (both dims, each dim,
+    // grand total) in ONE pass: Spark expands grouping sets before the
+    // partial aggregate, same single-shuffle shape as q5's rollup
+    "q7_cube" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"l_extendedprice" * 100).cast("long"))
+            .as("sum_price_cents"))
+    }),
+
+    // W6: ntile decile assignment per priority class — PARTITIONED
+    // window (a global ntile would be a single-partition total sort, the
+    // classic window scale hazard; within-group deciles shuffle once on
+    // the group key). Ties broken by orderkey for a deterministic oracle
+    "w6_ntile" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .withColumn("decile", ntile(10).over(w))
+    }),
+
     // J10: binned range join — events attributed to the 30-minute window
     // after each purchase, as an equi-join on (time bin, user) + exact
     // residual, never a nested-loop non-equi join
@@ -447,6 +472,20 @@ object Relational {
         |         AS BIGINT) AS sum_price_cents
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q7_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS sum_price_cents
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "w6_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+        |         AS decile
+        |FROM orders""".stripMargin,
 
     "j10_range_attr" ->
       """SELECT p.event_id AS p_event_id, count(*) AS n_in_window
