@@ -167,6 +167,61 @@ object TextHashing {
     out
   }
 
+  /** Position-annotated winnowing: the (fingerprint, gram index) pairs
+    * the window minima select, ascending by position — the building
+    * block for SPAN-level dedup (locate and excise a duplicated run
+    * instead of dropping the whole doc). Selection is the LEFTMOST
+    * minimum per window (deterministic and replayable in SQL via
+    * list_indexof, which is first-occurrence); [[winnow]]'s value set is
+    * selection-rule-independent, so the two stay consistent.
+    */
+  def winnowPos(text: String, k: Int, w: Int): Array[(Long, Long)] = {
+    val cps = text.codePoints().toArray
+    val nGrams = cps.length - k + 1
+    if (nGrams <= 0) return Array.empty
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk = (bk * 31L) % P; i += 1 }
+    val grams = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * 31L + cps(i)) % P; i += 1 }
+    grams(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - (cps(i - 1) * bk) % P + P) % P
+      h = (h * 31L + cps(i + k - 1)) % P
+      grams(i) = h
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    if (nGrams < w) {
+      var mn = grams(0); var mi = 0
+      i = 1
+      while (i < nGrams) { if (grams(i) < mn) { mn = grams(i); mi = i }; i += 1 }
+      out += ((mn, mi.toLong))
+    } else {
+      // monotonic deque; STRICT > popping keeps the earliest equal
+      // minimum at the head (leftmost selection)
+      val dq = new Array[Int](nGrams)
+      var head = 0
+      var tail = 0
+      var lastPos = -1
+      i = 0
+      while (i < nGrams) {
+        while (tail > head && grams(dq(tail - 1)) > grams(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1 && dq(head) != lastPos) {
+          lastPos = dq(head)
+          out += ((grams(lastPos), lastPos.toLong))
+        }
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
   def shingleStrings(text: String, n: Int): Array[String] = {
     val words = text.split(" ", -1)
     if (words.length < n) return Array.empty
@@ -198,6 +253,11 @@ object TextHashing {
 
   def winnowData(s: UTF8String, k: Int, w: Int): GenericArrayData =
     new GenericArrayData(winnow(s.toString, k, w))
+
+  def winnowPosData(s: UTF8String, k: Int, w: Int): GenericArrayData =
+    new GenericArrayData(winnowPos(s.toString, k, w).map { case (fp, pos) =>
+      org.apache.spark.sql.catalyst.InternalRow(fp, pos)
+    }: Array[Any])
 
   def minhashAllNull(numHashes: Int): GenericArrayData =
     new GenericArrayData(new Array[Any](numHashes))
@@ -379,6 +439,29 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** array<struct<fp,pos>> of position-annotated winnowing selections
+  * (leftmost window minimum — see [[TextHashing.winnowPos]]).
+  */
+case class WinnowPosExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("fp", LongType, nullable = false)
+    .add("pos", LongType, nullable = false), containsNull = false)
+  override def prettyName: String = "winnow_positions"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashing.winnowPosData(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashing.winnowPosData($c, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** array<string> of distinct n-word shingle strings of a text column. */
 case class ShingleStringExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -497,4 +580,6 @@ object TextExprs {
     ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(text), lexicons))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
+  def winnowPositions(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowPosExpr(ColumnBridge.expression(text), k, w))
 }

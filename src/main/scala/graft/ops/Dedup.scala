@@ -437,6 +437,35 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Span-level verbatim-overlap report: for each near-dup pair, WHERE
+    * the shared material sits in both documents — (id_a, id_b, n_shared,
+    * lo_a, hi_a, lo_b, hi_b) with lo/hi the gram-index bounds of the
+    * matched winnowing selections ([[graft.functions.TextExprs
+    * .winnowPositions]]). Character offsets ≈ gram index (a k-gram at
+    * index i starts at code point i), so a caller can excise the
+    * duplicated run instead of dropping the whole doc. Same freq-capped
+    * equi-join shape as [[winnowPairs]].
+    */
+  def winnowSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long, maxDocFreq: Int): DataFrame = {
+    val e = df.select(col(idCol).as("doc"),
+        explode(graft.functions.TextExprs
+          .winnowPositions(col(textCol), k, w)).as("s"))
+      .select(col("doc"), col("s.fp").as("f"), col("s.pos").as("pos"))
+      .persist()
+    val keep = e.groupBy("f").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2 && col("n") <= maxDocFreq)
+      .select("f")
+    val kept = e.join(keep, Seq("f"), "left_semi")
+    kept.as("a").join(kept.as("b"),
+        col("a.f") === col("b.f") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("a.pos")).as("lo_a"), max(col("a.pos")).as("hi_a"),
+        min(col("b.pos")).as("lo_b"), max(col("b.pos")).as("hi_b"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Connected components via alternating large-star / small-star — the
     * variant of [[dupClusters]] for ADVERSARIALLY-SHAPED graphs. Hash-min
     * label propagation needs O(diameter) rounds, so a chain of 10k docs

@@ -213,6 +213,18 @@ object TextOps {
           $"n_types".cast("double") / $"n_tokens".cast("double"))
     }),
 
+    // position-annotated winnowing selections — the span-level dedup
+    // building block (WHERE the duplicated run sits, not just that one
+    // exists); one row per (doc, fingerprint, gram index)
+    "dd13_winnow_positions" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id",
+          explode(graft.functions.TextExprs
+            .winnowPositions($"text", 16, 8)).as("s"))
+        .select($"doc_id", $"s.fp".as("fp"), $"s.pos".as("pos"))
+    }),
+
     // incremental near-dup: probe the ts7-style "new batch" slice
     // (doc_id % 29 == 0) against a MinHash index of the standing corpus —
     // one band equi-join + Jaccard verification; the corpus is never
@@ -374,6 +386,29 @@ object TextOps {
          |      FROM j)
          |SELECT cluster_id, doc_id AS keep_id, n_docs
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // per-window leftmost-min selection replayed with list_indexof
+    // (first occurrence); DISTINCT collapses consecutive windows that
+    // select the same position
+    "dd13_winnow_positions" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_transform(range(1, length(text) - 16 + 2), i ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(regexp_extract_all(text[i:i+15], '.'),
+         |        ch -> ascii(ch))),
+         |      (acc, x) -> (acc * 31 + x) % $P)) AS grams
+         |  FROM documents WHERE length(text) >= 16),
+         |sel AS (SELECT doc_id, unnest(
+         |  CASE WHEN len(grams) < 8 THEN
+         |    [struct_pack(fp := list_min(grams),
+         |       pos := CAST(list_indexof(grams, list_min(grams)) - 1
+         |                   AS BIGINT))]
+         |  ELSE list_transform(range(1, len(grams) - 8 + 2), j ->
+         |    struct_pack(fp := list_min(grams[j:j+7]),
+         |      pos := CAST(j - 1 + list_indexof(grams[j:j+7],
+         |                    list_min(grams[j:j+7])) - 1 AS BIGINT)))
+         |  END) AS s FROM g)
+         |SELECT DISTINCT doc_id, s.fp AS fp, s.pos AS pos FROM sel""".stripMargin,
 
     "ts11_chunking" ->
       """WITH s AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks

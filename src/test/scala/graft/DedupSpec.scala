@@ -178,6 +178,33 @@ class DedupSpec extends SparkSpec {
       "disjoint docs stay unpaired")
   }
 
+  test("winnowSpanPairs localizes the copied block in both docs") {
+    val block = "this exact sentence was copied verbatim into both documents"
+    val prefixA = "alpha bravo charlie delta "          // 26 chars
+    val prefixB = "z y x w v u t s r q p o n m l k j " // 34 chars
+    val docs = Seq(
+      (1L, s"$prefixA$block and then some trailing content here"),
+      (2L, s"$prefixB$block with different trailing words area"),
+      (3L, "entirely unrelated filler content about nothing at all"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .winnowSpanPairs(docs, "doc_id", "text",
+        k = 16, w = 8, minShared = 1L, maxDocFreq = 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val Array((ia, ib, n, loA, hiA, loB, hiB)) = got
+    assert((ia, ib) == (1L, 2L))
+    assert(n >= 1L)
+    // matched selections must sit INSIDE each doc's copy of the block:
+    // gram index ≈ start offset of the k-gram
+    assert(loA >= prefixA.length - 16 && hiA <= prefixA.length + block.length,
+      s"span A [$loA,$hiA] inside the planted block")
+    assert(loB >= prefixB.length - 16 && hiB <= prefixB.length + block.length,
+      s"span B [$loB,$hiB] inside the planted block")
+    // the block starts 8 chars later in doc 2 than doc 1 — matched
+    // positions shift by exactly the prefix delta for aligned content
+    assert(loB - loA == (prefixB.length - prefixA.length).toLong)
+  }
+
   test("simhash index save/load round-trips and probes identically") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
