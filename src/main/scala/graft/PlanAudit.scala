@@ -51,6 +51,8 @@ object PlanAudit {
       isEquiJoin),
     Check("j10_range_attr", "binned range join is equi, not nested-loop",
       isEquiJoin),
+    Check("j11_interval_overlap", "binned overlap join is equi, not nested-loop",
+      isEquiJoin),
     Check("w5_topk_per_group", "one shuffle for the rank window",
       p => p.contains("Window") && p.contains("hashpartitioning(o_custkey") &&
         "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),

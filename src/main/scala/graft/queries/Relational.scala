@@ -235,6 +235,28 @@ object Relational {
         .groupBy($"p_event_id").agg(count(lit(1)).as("n_in_window"))
     }),
 
+    // J11: interval-overlap join — pairs of same-user purchase windows
+    // that intersect, via the binned equi-join (first-overlap-bin filter
+    // dedups without a distinct shuffle; never a nested loop)
+    "j11_interval_overlap" -> ((s, d) => {
+      import s.implicits._
+      val p = events(s, d).where($"event_type" === "purchase")
+        .select($"user_id", $"event_id",
+          unix_micros($"ts").as("lo"),
+          (unix_micros($"ts") + 1800000000L).as("hi"))
+      val a = p.select($"user_id", $"event_id".as("a_id"),
+        $"lo".as("a_lo"), $"hi".as("a_hi"))
+      val b = p.select($"user_id", $"event_id".as("b_id"),
+        $"lo".as("b_lo"), $"hi".as("b_hi"))
+      graft.ops.RangeJoin.intervalOverlap(a, b,
+          aLo = "a_lo", aHi = "a_hi", bLo = "b_lo", bHi = "b_hi",
+          binWidth = 1800000000L, keys = Seq("user_id"))
+        .where($"a_id" < $"b_id")
+        .select($"user_id", $"a_id", $"b_id",
+          (least($"a_hi", $"b_hi") - greatest($"a_lo", $"b_lo"))
+            .as("overlap_us"))
+    }),
+
     // W4: as-of (point-in-time) join — each event gets the user's latest
     // purchase at-or-before its timestamp, via the union-window form
     // (one shuffle on user_id; no range-join cross product)
@@ -473,6 +495,15 @@ object Relational {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "j11_interval_overlap" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS lo,
+        |                  epoch_us(ts) + 1800000000 AS hi
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |       least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
+        |FROM p a JOIN p b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND a.lo <= b.hi AND b.lo <= a.hi""".stripMargin,
     "q7_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
