@@ -119,12 +119,16 @@ object TextHashing {
     * are grams but fewer than w of them, the single minimum over all
     * grams (every doc with any gram yields ≥ 1 fingerprint).
     */
-  def winnow(text: String, k: Int, w: Int): Array[Long] = {
-    // code points first: rolling over chars would split surrogate pairs
-    val cps = text.codePoints().toArray
+  /** Rolling k-gram hashes over a code-point array — the ONE copy of the
+    * gram arithmetic [[winnow]] and [[winnowPos]] (and their oracles)
+    * must agree on: hash of gram i = polynomial fold ((acc*31 + cp) mod
+    * P) over cps[i, i+k), computed rolling (subtract the outgoing
+    * cp·31^(k−1) term, shift, add the incoming cp). Empty when fewer
+    * than k code points.
+    */
+  private def gramHashes(cps: Array[Int], k: Int): Array[Long] = {
     val nGrams = cps.length - k + 1
     if (nGrams <= 0) return Array.emptyLongArray
-    // base^(k-1) mod P for the rolling subtraction
     var bk = 1L
     var i = 0
     while (i < k - 1) { bk = (bk * 31L) % P; i += 1 }
@@ -140,7 +144,16 @@ object TextHashing {
       grams(i) = h
       i += 1
     }
+    grams
+  }
+
+  def winnow(text: String, k: Int, w: Int): Array[Long] = {
+    // code points first: rolling over chars would split surrogate pairs
+    val grams = gramHashes(text.codePoints().toArray, k)
+    val nGrams = grams.length
+    if (nGrams == 0) return Array.emptyLongArray
     val seen = new java.util.TreeSet[java.lang.Long]
+    var i = 0
     if (nGrams < w) {
       var mn = grams(0)
       i = 1
@@ -176,25 +189,11 @@ object TextHashing {
     * selection-rule-independent, so the two stay consistent.
     */
   def winnowPos(text: String, k: Int, w: Int): Array[(Long, Long)] = {
-    val cps = text.codePoints().toArray
-    val nGrams = cps.length - k + 1
-    if (nGrams <= 0) return Array.empty
-    var bk = 1L
-    var i = 0
-    while (i < k - 1) { bk = (bk * 31L) % P; i += 1 }
-    val grams = new Array[Long](nGrams)
-    var h = 0L
-    i = 0
-    while (i < k) { h = (h * 31L + cps(i)) % P; i += 1 }
-    grams(0) = h
-    i = 1
-    while (i < nGrams) {
-      h = (h - (cps(i - 1) * bk) % P + P) % P
-      h = (h * 31L + cps(i + k - 1)) % P
-      grams(i) = h
-      i += 1
-    }
+    val grams = gramHashes(text.codePoints().toArray, k)
+    val nGrams = grams.length
+    if (nGrams == 0) return Array.empty
     val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    var i = 0
     if (nGrams < w) {
       var mn = grams(0); var mi = 0
       i = 1

@@ -453,14 +453,21 @@ object Dedup {
           .winnowPositions(col(textCol), k, w)).as("s"))
       .select(col("doc"), col("s.fp").as("f"), col("s.pos").as("pos"))
       .persist()
-    val keep = e.groupBy("f").agg(count(lit(1)).as("n"))
+    // cap on DOC frequency (distinct docs per fingerprint), matching
+    // winnowPairs — a fingerprint repeated at many positions WITHIN one
+    // doc must not trip the hot-boilerplate cap
+    val keep = e.select(col("doc"), col("f")).distinct()
+      .groupBy("f").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2 && col("n") <= maxDocFreq)
       .select("f")
     val kept = e.join(keep, Seq("f"), "left_semi")
+    // n_shared = DISTINCT shared fingerprints (comparable to
+    // winnowPairs' threshold), not the |posA|x|posB| cross-product the
+    // position join produces for internally-repeated fingerprints
     kept.as("a").join(kept.as("b"),
         col("a.f") === col("b.f") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"),
+      .agg(count_distinct(col("a.f")).as("n_shared"),
         min(col("a.pos")).as("lo_a"), max(col("a.pos")).as("hi_a"),
         min(col("b.pos")).as("lo_b"), max(col("b.pos")).as("hi_b"))
       .where(col("n_shared") >= minShared)

@@ -205,6 +205,32 @@ class DedupSpec extends SparkSpec {
     assert(loB - loA == (prefixB.length - prefixA.length).toLong)
   }
 
+  test("winnowSpanPairs: within-doc repetition neither trips the doc-freq" +
+      " cap nor inflates n_shared") {
+    val block = "this exact sentence was copied verbatim across documents"
+    // doc 1 repeats the block 3 times internally; doc 2 has it once.
+    // Occurrence-counting would see >= 4 rows per fingerprint and a
+    // cap of 3 would drop the overlap; doc-frequency counting sees 2
+    val docs = Seq(
+      (1L, s"$block also $block and again $block"),
+      (2L, s"completely different framing here $block trailing words"),
+      (3L, "unrelated content about catalogs and shuffles and parquet"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .winnowSpanPairs(docs, "doc_id", "text",
+        k = 16, w = 8, minShared = 1L, maxDocFreq = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    // n_shared counts DISTINCT fingerprints: it cannot exceed doc 2's
+    // selection count over its single copy of the block (plus margin
+    // for boundary grams), far below the |posA|x|posB| cross-product
+    val n = got.head._3
+    val fpIn2 = graft.functions.TextHashing
+      .winnow(s"completely different framing here $block trailing words",
+        16, 8).length
+    assert(n >= 1L && n <= fpIn2.toLong, s"n_shared=$n vs doc-2 fps=$fpIn2")
+  }
+
   test("simhash index save/load round-trips and probes identically") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
@@ -232,16 +258,15 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash index save/load round-trips; probe matches fresh pairs") {
-    val mk = (id: Long, t: String) => (id, t)
     val corpus = Seq(
-      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
-      mk(2L, "one two three four five six seven eight nine"),
-      mk(3L, "red green blue yellow purple orange pink white"))
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red green blue yellow purple orange pink white"))
       .toDF("doc_id", "text")
     // probe 101 is a near-dup of corpus 1; 102 matches nothing
     val probes = Seq(
-      mk(101L, "alpha beta gamma delta epsilon zeta eta iota"),
-      mk(102L, "unrelated words entirely distinct from everything else"))
+      (101L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (102L, "unrelated words entirely distinct from everything else"))
       .toDF("doc_id", "text")
     val idx = graft.ops.Dedup.minhashIndex(corpus, "doc_id", "text",
       n = 3, numHashes = 8, rowsPerBand = 2)
