@@ -54,6 +54,10 @@ object GraftSession {
     registry.createOrReplaceTempFunction("winnow_fingerprints", exprs =>
       WinnowExpr(exprs(0), intArg(exprs, 1, "winnow_fingerprints"),
         intArg(exprs, 2, "winnow_fingerprints")), "scala_udf")
+    registry.createOrReplaceTempFunction("winnow_positions", exprs =>
+      graft.functions.WinnowPosExpr(exprs(0),
+        intArg(exprs, 1, "winnow_positions"),
+        intArg(exprs, 2, "winnow_positions")), "scala_udf")
   }
 
   /** Mount every table of `catalog` as a temp view over the CURRENT

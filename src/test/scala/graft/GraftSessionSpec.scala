@@ -55,6 +55,10 @@ class GraftSessionSpec extends SparkSpec {
     val wf = spark.sql("SELECT winnow_fingerprints('abcdefghij', 4, 3)")
       .head().getSeq[Long](0)
     assert(wf == graft.functions.TextHashing.winnow("abcdefghij", 4, 3).toSeq)
+    val wp = spark.sql(
+      "SELECT winnow_positions('abcdefghij', 4, 3)[0].pos").head().getLong(0)
+    assert(wp ==
+      graft.functions.TextHashing.winnowPos("abcdefghij", 4, 3).head._2)
   }
 
   test("views track the snapshot the mount saw; remount advances") {
