@@ -102,9 +102,20 @@ object Cli {
       spark.stop()
 
     case other =>
-      System.err.println(
-        s"unknown command: ${other.mkString(" ")}\n" +
-          "commands: create | list-chunks | upload | promote | vacuum | demo")
+      val known = Set("create", "list-chunks", "upload", "promote",
+        "vacuum", "demo")
+      val msg = other.headOption match {
+        case Some(cmd) if known(cmd) =>
+          s"missing arguments for: ${other.mkString(" ")}\n" +
+            "usage: create <root> | list-chunks <root> | " +
+            "upload <root> <exportRoot> <remoteRoot> | " +
+            "promote <root> <exportRoot> | vacuum <root> | " +
+            "demo <root> [nObjects nChunks]"
+        case _ =>
+          s"unknown command: ${other.mkString(" ")}\n" +
+            "commands: create | list-chunks | upload | promote | vacuum | demo"
+      }
+      System.err.println(msg)
       sys.exit(2)
   }
 }
