@@ -230,6 +230,41 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance-verified near-dup pairs: MinHash+LSH banding proposes
+    * candidates (linear in corpus size — never an all-pairs comparison),
+    * then `levenshtein`, which is quadratic per pair, runs ONLY on the
+    * surviving candidate pairs. Pairs pass when the edit distance is at
+    * most `maxRel` of the longer text. This is the standard two-stage
+    * shape for character-level dedup at scale: the O(len²) verifier is
+    * confined to the LSH collision set.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int,
+      maxRel: Double): DataFrame = {
+    val base = df
+      .select(col(idCol).as("doc"), col(textCol).as("txt"),
+        shingleHashes(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", signatureOf(col("sh"), numHashes))
+      .persist()
+    val banded = bandedOf(base, numHashes, rowsPerBand)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc").as("id_a"), col("txt").as("txt_a")),
+        Seq("id_a"))
+      .join(base.select(col("doc").as("id_b"), col("txt").as("txt_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("txt_a"), col("txt_b")).cast("long").as("edit_dist"),
+        greatest(length(col("txt_a")), length(col("txt_b")))
+          .cast("long").as("max_len"))
+      .where(col("edit_dist") <= lit(maxRel) * col("max_len"))
+  }
+
   /** Banded MinHash index of a STATIC corpus for incremental near-dup
     * checks — the Jaccard-verified analogue of [[simhashIndex]]: `banded`
     * holds one (doc, band, bucket) row per band per corpus doc, `sets`

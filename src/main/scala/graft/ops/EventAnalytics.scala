@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics operators: activity islands, conversion funnels,
+  * cohort retention. These are the batch forms; all three are single- or
+  * two-shuffle plans keyed on `user_id`, so at cluster scale they
+  * repartition once by user and reuse that distribution for every
+  * window/aggregate stage (no per-stage re-shuffle — the window specs and
+  * group keys share the partitioning).
+  */
+object EventAnalytics {
+
+  private val EpochDay0 = "1970-01-01"
+
+  /** Gaps-and-islands: maximal runs of consecutive active days per user.
+    *
+    * Classic `day - row_number()` trick: within a user, consecutive days
+    * share `epochDay - rn`, so one groupBy collapses each run. Two
+    * shuffles (distinct, then window+group share the user partitioning).
+    * Days are emitted as epoch-day integers to keep the gate type-stable.
+    */
+  def activityIslands(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit(EpochDay0)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(
+        min(col("day")).cast("long").as("start_day"),
+        max(col("day")).cast("long").as("end_day"),
+        count(lit(1)).as("n_days"))
+      .drop("grp")
+  }
+
+  /** Ordered conversion funnel over `stages` (e.g. view → click →
+    * purchase): stage i+1 only counts if it happens strictly AFTER the
+    * user's first stage-i event. One shuffle: every stage is a
+    * `min(when(...))` window over the same user partitioning, and the
+    * final distinct/aggregate collapses per-user constants.
+    *
+    * Returns one row: `users_<stage>` column per stage.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col("user_id"))
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    // chain: first_<s> = min(us where type=s and us > first_<prev>) over w
+    val staged = stages.zipWithIndex.foldLeft(base) {
+      case (df, (stage, i)) =>
+        val after: Column =
+          if (i == 0) lit(true)
+          else col("us") > col(s"first_${stages(i - 1)}")
+        df.withColumn(s"first_$stage",
+          min(when(col("event_type") === stage && after, col("us"))).over(w))
+    }
+    val perUser = staged
+      .select(col("user_id") +: stages.map(s => col(s"first_$s")): _*)
+      .distinct()
+    perUser.agg(
+      count(when(col(s"first_${stages.head}").isNotNull, 1))
+        .as(s"users_${stages.head}"),
+      stages.tail.map(s =>
+        count(when(col(s"first_$s").isNotNull, 1)).as(s"users_$s")): _*)
+  }
+
+  /** Weekly cohort retention: cohort = the user's first active epoch-week;
+    * one output row per (cohort_week, week_offset) with the distinct-user
+    * count. The cohort side is tiny (one row per user) → broadcast join,
+    * so the plan is two user-keyed aggregations and zero extra shuffles of
+    * the big side beyond its own distinct.
+    */
+  def weeklyRetention(events: DataFrame): DataFrame = {
+    val WeekUs = 604800000000L // 7 * 24 * 3600 * 1e6
+    val wk = expr(s"unix_micros(ts) DIV $WeekUs")
+    val active = events.select(col("user_id"), wk.as("wk")).distinct()
+    val cohort = active.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    active.join(broadcast(cohort), "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

@@ -281,4 +281,33 @@ object TextAnalysis {
       .where(sampleRank(col(idCol)).cast("double") / lit(1000003.0) < rate)
       .select(col(idCol), col(sourceCol), col("n_tok"))
   }
+
+  /** Top-`k` characteristic terms per document, TF-IDF-style: rank by
+    * term frequency descending, then document frequency ascending (rarer
+    * corpus-wide beats commoner), then term. The ranking key is kept
+    * all-integer deliberately — a float tf·ln(N/df) score ranks the same
+    * way for fixed tf but is not bit-stable across engines, and an
+    * oracle-gated operator must be.
+    *
+    * Plan shape: explode → (doc,term) count → term count (the df side is
+    * a pure partial-agg rollup of the tf side) → shuffle join back on
+    * term → one window on doc. Everything before the window is
+    * map-side-combinable; vocabulary (the join key) shards freely, so no
+    * single-point dimension at 100 TB.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
 }

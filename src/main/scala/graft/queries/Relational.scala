@@ -205,6 +205,47 @@ object Relational {
             .as("sum_price_cents"))
     }),
 
+    // q8: statistical moments + correlation per group. Sums are exact
+    // BIGINTs over rounded integer units (so partial-agg order can't
+    // perturb them); the correlation is then ONE double expression over
+    // those exact sums, written identically in the oracle — bit-stable
+    // across engines, unlike corr() whose streaming accumulation order
+    // differs. Single-shuffle partial-agg plan, same as q1
+    "q8_moments" -> ((s, d) => {
+      import s.implicits._
+      val q = round($"l_quantity").cast("long")
+      val p = round($"l_extendedprice").cast("long")
+      lineitem(s, d)
+        .select($"l_returnflag", q.as("q"), p.as("p"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"q").as("sum_q"), sum($"q" * $"q").as("sum_q2"),
+          sum($"p").as("sum_p"), sum($"p" * $"p").as("sum_p2"),
+          sum($"q" * $"p").as("sum_qp"))
+        .withColumn("corr_qp",
+          ($"n".cast("double") * $"sum_qp".cast("double") -
+            $"sum_q".cast("double") * $"sum_p".cast("double")) /
+            (sqrt($"n".cast("double") * $"sum_q2".cast("double") -
+              $"sum_q".cast("double") * $"sum_q".cast("double")) *
+             sqrt($"n".cast("double") * $"sum_p2".cast("double") -
+               $"sum_p".cast("double") * $"sum_p".cast("double"))))
+    }),
+
+    // q9: unpivot/melt — wide per-flag measures to long (measure, value)
+    // rows via the native Unpivot node (Expand: no shuffle, no join
+    // against a measure-name dimension)
+    "q9_unpivot" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(round($"l_quantity" * 100).cast("long")).as("qty_c"),
+          sum(round($"l_extendedprice" * 100).cast("long")).as("price_c"),
+          sum(round($"l_discount" * 10000).cast("long")).as("disc_bp"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"qty_c", $"price_c", $"disc_bp"), "measure", "value")
+    }),
+
     // W6: ntile decile assignment per priority class — PARTITIONED
     // window (a global ntile would be a single-partition total sort, the
     // classic window scale hazard; within-group deciles shuffle once on
@@ -510,6 +551,43 @@ object Relational {
         |         AS BIGINT) AS sum_price_cents
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q8_moments" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_quantity) AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS p
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(q) AS BIGINT) AS sum_q,
+        |         CAST(sum(q * q) AS BIGINT) AS sum_q2,
+        |         CAST(sum(p) AS BIGINT) AS sum_p,
+        |         CAST(sum(p * p) AS BIGINT) AS sum_p2,
+        |         CAST(sum(q * p) AS BIGINT) AS sum_qp
+        |  FROM t GROUP BY l_returnflag)
+        |SELECT *,
+        |       (CAST(n AS DOUBLE) * CAST(sum_qp AS DOUBLE) -
+        |         CAST(sum_q AS DOUBLE) * CAST(sum_p AS DOUBLE)) /
+        |       (sqrt(CAST(n AS DOUBLE) * CAST(sum_q2 AS DOUBLE) -
+        |          CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE)) *
+        |        sqrt(CAST(n AS DOUBLE) * CAST(sum_p2 AS DOUBLE) -
+        |          CAST(sum_p AS DOUBLE) * CAST(sum_p AS DOUBLE)))
+        |         AS corr_qp
+        |FROM m""".stripMargin,
+
+    "q9_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |           AS BIGINT) AS qty_c,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |           AS BIGINT) AS price_c,
+        |         CAST(sum(CAST(round(l_discount * 10000) AS BIGINT))
+        |           AS BIGINT) AS disc_bp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value
+        |FROM m UNPIVOT (value FOR measure IN (qty_c, price_c, disc_bp))""".stripMargin,
 
     "w6_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -23,6 +23,20 @@ object StreamOps {
     "st2_sessionize" -> ((s, d) =>
       EventStreams.sessionize(events(s, d), gapUs = 1800L * 1000000L)),
 
+    // gaps-and-islands: maximal consecutive-day activity runs per user
+    "st3_gaps_islands" -> ((s, d) =>
+      graft.ops.EventAnalytics.activityIslands(events(s, d))),
+
+    // ordered conversion funnel (view → click → purchase), strictly
+    // sequential timestamps, one row of per-stage user counts
+    "st4_funnel" -> ((s, d) =>
+      graft.ops.EventAnalytics.funnel(events(s, d),
+        Seq("view", "click", "purchase"))),
+
+    // weekly cohort retention (cohort = first active week)
+    "st5_retention" -> ((s, d) =>
+      graft.ops.EventAnalytics.weeklyRetention(events(s, d))),
+
     // multimodal metadata: documents as binary payloads with arithmetic
     // pseudo-decode (the mapPartitions codec path is spec-tested; this
     // entry checks the schema/derivation plumbing against the oracle)
@@ -73,6 +87,51 @@ object StreamOps {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM m GROUP BY user_id, session_seq""".stripMargin,
+    "st3_gaps_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM d)
+        |SELECT user_id, CAST(min(day) AS BIGINT) AS start_day,
+        |       CAST(max(day) AS BIGINT) AS end_day, count(*) AS n_days
+        |FROM r GROUP BY user_id, day - rn""".stripMargin,
+    "st4_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |w1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id) AS first_view FROM e),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND us > first_view
+        |                     THEN us END)
+        |    OVER (PARTITION BY user_id) AS first_click FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > first_click
+        |                     THEN us END)
+        |    OVER (PARTITION BY user_id) AS first_purchase FROM w2),
+        |u AS (
+        |  SELECT DISTINCT user_id, first_view, first_click, first_purchase
+        |  FROM w3)
+        |SELECT count(CASE WHEN first_view IS NOT NULL THEN 1 END)
+        |         AS users_view,
+        |       count(CASE WHEN first_click IS NOT NULL THEN 1 END)
+        |         AS users_click,
+        |       count(CASE WHEN first_purchase IS NOT NULL THEN 1 END)
+        |         AS users_purchase
+        |FROM u""".stripMargin,
+    "st5_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY cohort_wk, wk - cohort_wk""".stripMargin,
     "mm2_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_index,
         |       CAST(least(256, octet_length(CAST(text AS BLOB)) - f * 256)

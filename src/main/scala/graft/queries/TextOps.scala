@@ -268,6 +268,18 @@ object TextOps {
               $"n_distinct".cast("double") / $"n_grams".cast("double")))
     }),
 
+    // edit-distance-verified near-dup: LSH banding proposes candidates,
+    // levenshtein (O(len²), so candidates-only) confirms — character-
+    // level agreement where Jaccard sees only word sets
+    "dd14_edit_distance" -> ((s, d) =>
+      Dedup.editDistancePairs(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, maxRel = 0.25)),
+
+    // top-3 characteristic terms per doc (TF-IDF-style, integer-exact
+    // ranking: tf desc, corpus df asc, term)
+    "ts12_top_terms" -> ((s, d) =>
+      TextAnalysis.topTerms(documents(s, d), "doc_id", "text", k = 3)),
+
     // normalized (C4-style fuzzy-exact) dedup: lowercase, strip
     // non-alphanumerics, collapse whitespace, then hash-groupBy — same
     // single-shuffle shape as dd1 on the normalized key
@@ -315,6 +327,42 @@ object TextOps {
        |FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin
+  }
+
+  /** dd14 oracle: dd3's banded candidate pipeline, but verified with
+    * levenshtein on the raw texts instead of shingle Jaccard.
+    */
+  private val dd14Sql: String = {
+    val slots = (0 until 8).map { i =>
+      val a = 2 * i + 1; val b = 7919 * i + 13
+      s"list_min(list_transform(sh, hv -> ($a * hv + $b) % $P))"
+    }.mkString(",\n         ")
+    val bands = (0 until 4).map { bnd =>
+      val lo = bnd * 2 + 1
+      s"SELECT doc_id, $bnd AS band, " +
+        s"array_to_string(sig[$lo:${lo + 1}], '_') AS bucket FROM sig"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |w AS (SELECT doc_id,
+       |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+       |      FROM t),
+       |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
+       |      FROM w WHERE len(wh) >= 3),
+       |sig AS (SELECT doc_id, sh, [$slots] AS sig FROM s),
+       |banded AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |              AND a.doc_id < b.doc_id),
+       |v AS (SELECT id_a, id_b,
+       |             CAST(levenshtein(da.text, db.text) AS BIGINT)
+       |               AS edit_dist,
+       |             CAST(greatest(length(da.text), length(db.text))
+       |               AS BIGINT) AS max_len
+       |      FROM cand JOIN documents da ON id_a = da.doc_id
+       |                JOIN documents db ON id_b = db.doc_id)
+       |SELECT * FROM v WHERE edit_dist <= 0.25 * max_len""".stripMargin
   }
 
   /** Hash-min / star clustering share one oracle: connected components of
@@ -480,6 +528,23 @@ object TextOps {
         |FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
         |      FROM documents)
         |GROUP BY source""".stripMargin,
+
+    "dd14_edit_distance" -> dd14Sql,
+
+    "ts12_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |r AS (
+        |  SELECT doc_id, term, tf, df,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tf DESC, df ASC, term ASC) AS INTEGER) AS rnk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
     "dd1_exact_dedup" ->
       """SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_id,
