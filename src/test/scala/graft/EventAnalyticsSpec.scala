@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.EventAnalytics
+
+/** Hand-computed fixtures for the event-analytics operators; the oracle
+  * gates (st3/st4/st5) check them against DuckDB at sf0.01 — these specs
+  * pin the SEMANTICS on cases small enough to verify by eye: island
+  * splits, strict funnel ordering, cohort offsets.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, typ) => (u, ts(t), typ) }
+      .toDF("user_id", "ts", "event_type")
+
+  test("activityIslands splits on gaps and merges consecutive days") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 23:00:00", "view"), // same day, deduped
+      (1L, "2024-01-02 01:00:00", "view"), // consecutive → same island
+      (1L, "2024-01-05 12:00:00", "view"), // gap → new island
+      (2L, "2024-01-03 00:00:00", "view")) // other user independent
+    val got = EventAnalytics.activityIslands(df)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val d = 19723L // epoch day of 2024-01-01
+    assert(got == Set(
+      (1L, d, d + 1, 2L),
+      (1L, d + 4, d + 4, 1L),
+      (2L, d + 2, d + 2, 1L)))
+  }
+
+  test("funnel requires strictly increasing stage timestamps") {
+    val df = ev(
+      // u1 completes the funnel in order
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:00:00", "purchase"),
+      // u2 clicked BEFORE viewing → click must not count
+      (2L, "2024-01-01 09:00:00", "click"),
+      (2L, "2024-01-01 10:00:00", "view"),
+      // u3 viewed and purchased but never clicked → purchase blocked
+      (3L, "2024-01-01 10:00:00", "view"),
+      (3L, "2024-01-01 11:00:00", "purchase"),
+      // u4 never viewed
+      (4L, "2024-01-01 10:00:00", "click"))
+    val row = EventAnalytics
+      .funnel(df, Seq("view", "click", "purchase")).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (3L, 1L, 1L))
+  }
+
+  test("funnel counts a later same-stage event when the first is too early") {
+    val df = ev(
+      (1L, "2024-01-01 09:00:00", "click"), // too early
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click")) // valid second click
+    val row = EventAnalytics.funnel(df, Seq("view", "click")).head()
+    assert((row.getLong(0), row.getLong(1)) == (1L, 1L))
+  }
+
+  test("weeklyRetention offsets are relative to each user's first week") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "view"), // u1 cohort week w
+      (1L, "2024-01-08 00:00:00", "view"), // w+1
+      (1L, "2024-01-22 00:00:00", "view"), // w+3
+      (2L, "2024-01-08 00:00:00", "view"), // u2 cohort week w+1
+      (2L, "2024-01-15 00:00:00", "view")) // w+2 → offset 1
+    val got = EventAnalytics.weeklyRetention(df)
+      .as[(Long, Long, Long)].collect().toSet
+    val w = 2817L // epoch week of 2024-01-01 (unix 1704067200 / 604800)
+    assert(got == Set(
+      (w, 0L, 1L), (w, 1L, 1L), (w, 3L, 1L),
+      (w + 1, 0L, 1L), (w + 1, 1L, 1L)))
+  }
+}
