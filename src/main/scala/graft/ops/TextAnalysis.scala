@@ -282,6 +282,23 @@ object TextAnalysis {
       .select(col(idCol), col(sourceCol), col("n_tok"))
   }
 
+  /** EXACT-quota stratified sample: the first `quota` documents of each
+    * stratum in deterministic [[sampleRank]] order — per-source hold-out
+    * slices with a guaranteed size (the rate-based sampler only hits the
+    * quota in expectation). One shuffle on the stratum key; the window
+    * orders within strata only, so no global sort. Strata are whole
+    * partitions here — for a stratum too hot for one task, pre-filter
+    * with [[sampleRank]] < bound to cap the windowed volume first.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(sampleRank(col(idCol)), col(idCol))
+    df.select(col(idCol), col(strataCol))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= quota)
+  }
+
   /** Top-`k` characteristic terms per document, TF-IDF-style: rank by
     * term frequency descending, then document frequency ascending (rarer
     * corpus-wide beats commoner), then term. The ranking key is kept

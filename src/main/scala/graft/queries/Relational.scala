@@ -246,6 +246,38 @@ object Relational {
           Array($"qty_c", $"price_c", $"disc_bp"), "measure", "value")
     }),
 
+    // q10: incremental aggregate maintenance — the stored pre-cut
+    // aggregate absorbs the post-cut delta via partial-agg merge; the
+    // oracle recomputes from scratch, proving merge == recompute. At
+    // scale the base is never rescanned; this gate's base/delta split is
+    // the worst case (both sides from the same table)
+    "q10_incremental" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d)
+      val cut = lit("1996-01-01").cast("timestamp")
+      val stored = li.where($"l_shipdate" < cut)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"l_quantity" * 100).cast("long")).as("sum_qty_c"))
+      graft.ops.IncrementalAgg.mergeCounts(
+        stored, li.where($"l_shipdate" >= cut), Seq("l_returnflag"),
+        Seq("sum_qty_c" -> "CAST(round(l_quantity * 100) AS LONG)"))
+    }),
+
+    // A8: heavy hitters via a native Space-Saving TypedImperativeAggregate
+    // — O(capacity) memory per buffer however many distinct keys stream
+    // through, no raw-key shuffle. Capacity 256 > |users| here, so counts
+    // are exact (err = 0) and the oracle is a plain GROUP BY top-10
+    "a8_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .agg(graft.functions.SpaceSaving
+          .spaceSavingTopK($"user_id", capacity = 256, k = 10).as("hh"))
+        .select(posexplode($"hh").as(Seq("pos", "e")))
+        .select($"e.item".as("user_id"), $"e.cnt".as("cnt"),
+          $"e.err".as("err"), ($"pos" + 1).cast("int").as("rnk"))
+    }),
+
     // W6: ntile decile assignment per priority class — PARTITIONED
     // window (a global ntile would be a single-partition total sort, the
     // classic window scale hazard; within-group deciles shuffle once on
@@ -588,6 +620,20 @@ object Relational {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, measure, value
         |FROM m UNPIVOT (value FOR measure IN (qty_c, price_c, disc_bp))""".stripMargin,
+
+    "q10_incremental" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |         AS BIGINT) AS sum_qty_c
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a8_heavy_hitters" ->
+      """SELECT user_id, cnt, CAST(0 AS BIGINT) AS err, rnk FROM (
+        |  SELECT user_id, count(*) AS cnt,
+        |         CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
+        |           AS INTEGER) AS rnk
+        |  FROM events GROUP BY user_id) t
+        |WHERE rnk <= 10""".stripMargin,
 
     "w6_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -280,6 +280,12 @@ object TextOps {
     "ts12_top_terms" -> ((s, d) =>
       TextAnalysis.topTerms(documents(s, d), "doc_id", "text", k = 3)),
 
+    // exact-quota stratified sample: first 5 docs per source in
+    // deterministic hash order (guaranteed size, unlike rate sampling)
+    "ts13_stratified" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(documents(s, d), "doc_id", "source",
+        quota = 5)),
+
     // normalized (C4-style fuzzy-exact) dedup: lowercase, strip
     // non-alphanumerics, collapse whitespace, then hash-groupBy — same
     // single-shuffle shape as dd1 on the normalized key
@@ -545,6 +551,15 @@ object TextOps {
         |           ORDER BY tf DESC, df ASC, term ASC) AS INTEGER) AS rnk
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    "ts13_stratified" ->
+      """SELECT doc_id, source, rnk FROM (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003,
+        |                    doc_id) AS INTEGER) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 5""".stripMargin,
 
     "dd1_exact_dedup" ->
       """SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_id,
