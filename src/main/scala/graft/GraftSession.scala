@@ -58,6 +58,11 @@ object GraftSession {
       graft.functions.WinnowPosExpr(exprs(0),
         intArg(exprs, 1, "winnow_positions"),
         intArg(exprs, 2, "winnow_positions")), "scala_udf")
+    registry.createOrReplaceTempFunction("space_saving_topk", exprs =>
+      graft.functions.SpaceSavingTopK(exprs(0),
+        intArg(exprs, 1, "space_saving_topk"),
+        intArg(exprs, 2, "space_saving_topk")).toAggregateExpression(),
+      "scala_udf")
   }
 
   /** Mount every table of `catalog` as a temp view over the CURRENT

@@ -59,6 +59,14 @@ object PlanAudit {
     Check("ts10_repetition", "map-only repetition stats (no shuffle)",
       p => !p.contains("Exchange") &&
         p.contains("repetition_stats")),
+    Check("a8_heavy_hitters", "raw keys never shuffle; one sketch exchange",
+      p => "ObjectHashAggregate".r.findAllIn(p).size >= 2 &&
+        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
+    Check("st4_funnel", "three funnel windows share one user-key exchange",
+      p => "\\(\\d+\\) Window".r.findAllIn(p).size == 3 &&
+        "hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
+    Check("st5_retention", "cohort side broadcast, no big-side re-shuffle",
+      p => p.contains("BroadcastHashJoin")),
     Check("p12_like_scan", "substring predicate pushed as StringContains",
       p => p.contains("StringContains(p_name,bolt)")),
     Check("p13_prefix_scan", "prefix predicate pushed as StringStartsWith",

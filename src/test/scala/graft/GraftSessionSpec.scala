@@ -59,6 +59,10 @@ class GraftSessionSpec extends SparkSpec {
       "SELECT winnow_positions('abcdefghij', 4, 3)[0].pos").head().getLong(0)
     assert(wp ==
       graft.functions.TextHashing.winnowPos("abcdefghij", 4, 3).head._2)
+    val hh = spark.sql(
+      "SELECT space_saving_topk(v, 8, 2) FROM VALUES (1L),(1L),(2L) AS t(v)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r => (r.getLong(0), r.getLong(1))) == Seq(1L -> 2L, 2L -> 1L))
   }
 
   test("views track the snapshot the mount saw; remount advances") {
