@@ -159,6 +159,70 @@ object EventStreams {
       .toDF()
   }
 
+  /** Per-stage candidate event-times a user may still promote. */
+  final case class FunnelState(stageTs: Seq[Seq[Long]])
+
+  /** A user's current funnel progress (update-mode: latest row wins). */
+  final case class FunnelOut(user_id: Long, stages_reached: Int)
+
+  /** Stateful streaming conversion funnel: per-user state machine over
+    * `flatMapGroupsWithState`, emitting (user, stages reached) in UPDATE
+    * mode after each micro-batch. EXACT under any cross-batch disorder:
+    * the chain first_k = min{ts ∈ S_k : ts > first_(k−1)} is recomputed
+    * from retained candidates, and because every first_k can only
+    * DECREASE as data arrives (admissible sets only grow), a stage-k
+    * timestamp can matter later iff it is below the current first_k —
+    * everything else is pruned, which is what bounds the state. A
+    * stage with no first yet keeps all its candidates (any of them may
+    * become admissible when the previous stage's first drops below it).
+    * Runs identically on a batch Dataset (one group pass, empty state).
+    */
+  def funnelStateful(events: DataFrame, stages: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idx = stages.zipWithIndex.toMap
+    val n = stages.length
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[FunnelState]) =>
+          val cand = Array.fill(n)(Vector.newBuilder[Long])
+          state.getOption.foreach(_.stageTs.zipWithIndex.foreach {
+            case (ts, i) => cand(i) ++= ts
+          })
+          rows.foreach { case (_, typ, us) =>
+            idx.get(typ).foreach(i => cand(i) += us)
+          }
+          val sets = cand.map(_.result())
+          // recompute the first-per-stage chain from scratch
+          val firsts = Array.fill(n)(Option.empty[Long])
+          var prev = Long.MinValue
+          var k = 0
+          var broken = false
+          while (k < n && !broken) {
+            val adm = sets(k).filter(_ > prev)
+            if (adm.isEmpty) broken = true
+            else { firsts(k) = Some(adm.min); prev = adm.min }
+            k += 1
+          }
+          // prune: keep ts that could still become stage k's first
+          val kept = (0 until n).map { i =>
+            firsts(i) match {
+              case Some(f) => sets(i).filter(_ <= f)
+              case None => sets(i)
+            }
+          }
+          state.update(FunnelState(kept))
+          Iterator.single(FunnelOut(user, firsts.count(_.isDefined)))
+      }
+      .toDF()
+  }
+
   /** Streaming sessionization via session_window (state handled by the
     * engine; append-mode with watermark).
     */

@@ -100,6 +100,49 @@ class StreamingSpec extends SparkSpec {
       "every watermark-closed batch session was emitted")
   }
 
+  test("stateful funnel: cross-batch disorder resolved exactly") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams
+      .funnelStateful(
+        src.toDF().toDF("user_id", "ts", "event_type"),
+        Seq("view", "click", "purchase"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_state")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: click then purchase — no view yet, 0 stages
+    src.addData((1L, t("2024-01-01 11:00:00"), "click"),
+      (1L, t("2024-01-01 12:00:00"), "purchase"))
+    q.processAllAvailable()
+    val after1 = spark.table("funnel_state")
+      .orderBy(desc("stages_reached")).head().getInt(1)
+    assert(after1 == 0, "no view yet => no stage reached")
+    // batch 2: the view arrives LATE with an EARLIER event time; the
+    // retained click/purchase candidates must now complete the chain
+    src.addData((1L, t("2024-01-01 10:00:00"), "view"))
+    q.processAllAvailable()
+    val after2 = spark.table("funnel_state")
+      .orderBy(desc("stages_reached")).head().getInt(1)
+    q.stop()
+    assert(after2 == 3, "late earlier view promotes the whole chain")
+  }
+
+  test("stateful funnel on batch matches the windowed batch funnel") {
+    val ev = graft.Tables.events(spark, sf)
+    val stages = Seq("view", "click", "purchase")
+    val perUser = EventStreams.funnelStateful(ev, stages)
+    val gotCounts = (1 to 3).map(k =>
+      perUser.where(col("stages_reached") >= k).count())
+    val batch = graft.ops.EventAnalytics.funnel(ev, stages).head()
+    assert(gotCounts == Seq(batch.getLong(0), batch.getLong(1),
+      batch.getLong(2)))
+  }
+
   test("streaming sessionization with session_window") {
     val srcDir = tmpDir("stream-sess")
     graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
