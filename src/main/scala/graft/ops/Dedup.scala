@@ -253,16 +253,30 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
+    // Verification cost control, in rejection-cost order:
+    //  1. length gap — edit distance ≥ |len_a − len_b|, so a pair whose
+    //     gap already exceeds the budget is rejected in O(1);
+    //  2. BANDED levenshtein with a per-row threshold k = ⌊maxRel·maxLen⌋
+    //     (distances are integers, so dist ≤ maxRel·maxLen ⟺ dist ≤ k):
+    //     O(k·len) instead of O(len²), returning −1 above the band.
+    // Both prune evaluation only — the emitted (pair, distance) set is
+    // identical to the unbanded form, which is what the oracle computes.
     cand
       .join(base.select(col("doc").as("id_a"), col("txt").as("txt_a")),
         Seq("id_a"))
       .join(base.select(col("doc").as("id_b"), col("txt").as("txt_b")),
         Seq("id_b"))
+      .withColumn("max_len",
+        greatest(length(col("txt_a")), length(col("txt_b"))).cast("long"))
+      .where(abs(length(col("txt_a")) - length(col("txt_b")))
+        <= lit(maxRel) * col("max_len"))
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("txt_a"), col("txt_b")).cast("long").as("edit_dist"),
-        greatest(length(col("txt_a")), length(col("txt_b")))
-          .cast("long").as("max_len"))
-      .where(col("edit_dist") <= lit(maxRel) * col("max_len"))
+        expr(s"levenshtein(txt_a, txt_b, CAST($maxRel * " +
+          "greatest(length(txt_a), length(txt_b)) AS INT))")
+          .cast("long").as("edit_dist"),
+        col("max_len"))
+      .where(col("edit_dist") >= 0L &&
+        col("edit_dist") <= lit(maxRel) * col("max_len"))
   }
 
   /** Banded MinHash index of a STATIC corpus for incremental near-dup
