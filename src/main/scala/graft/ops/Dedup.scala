@@ -279,6 +279,27 @@ object Dedup {
         col("edit_dist") <= lit(maxRel) * col("max_len"))
   }
 
+  /** Triangles of an ordered edge list (id_a < id_b): each (a,b,c) with
+    * a<b<c and all three edges present, via two equi-joins — wedge
+    * build (join on the shared middle vertex) then closure check (join
+    * against the edge set). The a<b<c orientation means every triangle
+    * is produced exactly once and the wedge join fans out only on
+    * FORWARD degrees — the standard trick that keeps the join volume
+    * near E^1.5 instead of E·maxDegree at scale. Used on near-dup pair
+    * graphs to measure cluster cliquishness (a high triangle share
+    * means whole boilerplate families, not chance collisions).
+    */
+  def trianglePairs(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a"), col("id_b"))
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.id_b") === col("e2.id_a"))
+      .select(col("e1.id_a").as("a"), col("e1.id_b").as("b"),
+        col("e2.id_b").as("c"))
+    wedges.join(e.as("e3"),
+        col("a") === col("e3.id_a") && col("c") === col("e3.id_b"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
   /** Banded MinHash index of a STATIC corpus for incremental near-dup
     * checks — the Jaccard-verified analogue of [[simhashIndex]]: `banded`
     * holds one (doc, band, bucket) row per band per corpus doc, `sets`

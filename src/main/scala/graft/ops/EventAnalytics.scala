@@ -70,6 +70,36 @@ object EventAnalytics {
         count(when(col(s"first_$s").isNotNull, 1)).as(s"users_$s")): _*)
   }
 
+  /** Regular daily time-grid with forward-fill: one row per user per day
+    * from their first to last active day, carrying the last observed
+    * end-of-day value across gap days (LOCF) — the resampling step that
+    * turns an irregular event log into a regular series for joins /
+    * training windows. End-of-day value is deterministic (latest ts,
+    * event_id tiebreak); the fill is `last(_, ignoreNulls)` over the
+    * user-day ordering, so everything after the daily rollup shares one
+    * user-keyed partitioning. Grid size is bounded by span × users, not
+    * by event volume.
+    */
+  def forwardFillDaily(events: DataFrame): DataFrame = {
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        datediff(to_date(col("ts")), lit(EpochDay0)).cast("long").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(wDay)).where(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("cents"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_cents",
+        last(col("cents"), ignoreNulls = true).over(wFill))
+      .select(col("user_id"), col("day"), col("filled_cents"))
+  }
+
   /** Weekly cohort retention: cohort = the user's first active epoch-week;
     * one output row per (cohort_week, week_offset) with the distinct-user
     * count. The cohort side is tiny (one row per user) → broadcast join,

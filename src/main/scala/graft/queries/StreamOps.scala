@@ -37,6 +37,11 @@ object StreamOps {
     "st5_retention" -> ((s, d) =>
       graft.ops.EventAnalytics.weeklyRetention(events(s, d))),
 
+    // daily grid resample + LOCF forward-fill (regular series from an
+    // irregular event log)
+    "st6_forward_fill" -> ((s, d) =>
+      graft.ops.EventAnalytics.forwardFillDaily(events(s, d))),
+
     // multimodal metadata: documents as binary payloads with arithmetic
     // pseudo-decode (the mapPartitions codec path is spec-tested; this
     // entry checks the schema/derivation plumbing against the oracle)
@@ -132,6 +137,28 @@ object StreamOps {
         |SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS users
         |FROM a JOIN c USING (user_id)
         |GROUP BY cohort_wk, wk - cohort_wk""".stripMargin,
+    "st6_forward_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |dv AS (
+        |  SELECT user_id, CAST(day AS BIGINT) AS day, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM e) t
+        |  WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS day
+        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |        FROM dv GROUP BY user_id) s),
+        |j AS (
+        |  SELECT g.user_id, g.day, dv.cents
+        |  FROM grid g LEFT JOIN dv USING (user_id, day))
+        |SELECT user_id, day,
+        |       last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |         ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled_cents
+        |FROM j""".stripMargin,
     "mm2_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_index,
         |       CAST(least(256, octet_length(CAST(text AS BLOB)) - f * 256)

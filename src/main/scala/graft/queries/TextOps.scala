@@ -280,6 +280,13 @@ object TextOps {
     "ts12_top_terms" -> ((s, d) =>
       TextAnalysis.topTerms(documents(s, d), "doc_id", "text", k = 3)),
 
+    // triangle enumeration over the MinHash near-dup graph (cluster
+    // cliquishness — boilerplate families close their wedges)
+    "g1_triangles" -> ((s, d) =>
+      graft.ops.Dedup.trianglePairs(
+        graft.ops.Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6))),
+
     // exact-quota stratified sample: first 5 docs per source in
     // deterministic hash order (guaranteed size, unlike rate sampling)
     "ts13_stratified" -> ((s, d) =>
@@ -551,6 +558,13 @@ object TextOps {
         |           ORDER BY tf DESC, df ASC, term ASC) AS INTEGER) AS rnk
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    "g1_triangles" ->
+      s"""WITH e AS (SELECT id_a, id_b FROM ($dd3Sql) dd3)
+         |SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         |FROM e e1
+         |JOIN e e2 ON e1.id_b = e2.id_a
+         |JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin,
 
     "ts13_stratified" ->
       """SELECT doc_id, source, rnk FROM (

@@ -62,6 +62,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert((row.getLong(0), row.getLong(1)) == (1L, 1L))
   }
 
+  test("forwardFillDaily carries the last end-of-day value across gaps") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0, 1L),
+      (1L, ts("2024-01-01 22:00:00"), 7.0, 2L),  // later same day wins
+      (1L, ts("2024-01-04 01:00:00"), 9.0, 3L),  // two gap days filled with 7
+      (2L, ts("2024-01-02 00:00:00"), 1.0, 4L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val got = graft.ops.EventAnalytics.forwardFillDaily(df)
+      .as[(Long, Long, Long)].collect().toSet
+    val d = 19723L
+    assert(got == Set(
+      (1L, d, 700L), (1L, d + 1, 700L), (1L, d + 2, 700L), (1L, d + 3, 900L),
+      (2L, d + 1, 100L)))
+  }
+
   test("weeklyRetention offsets are relative to each user's first week") {
     val df = ev(
       (1L, "2024-01-01 00:00:00", "view"), // u1 cohort week w

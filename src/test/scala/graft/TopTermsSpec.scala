@@ -26,6 +26,17 @@ class TopTermsSpec extends SparkSpec {
       (3L, "cherry", 1L, 3L, 2)))
   }
 
+  test("trianglePairs emits each a<b<c triangle exactly once") {
+    // K4 on {1,2,3,4} plus a pendant edge (4,5): C(4,3)=4 triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.trianglePairs(edges)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 4)
+    assert(got.toSet == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+  }
+
   test("editDistancePairs verifies LSH candidates with levenshtein") {
     val base = "the quick brown fox jumps over the lazy dog near the river"
     val df = Seq(
