@@ -333,6 +333,32 @@ final class VersionedCatalog(val root: String,
     commit(Map(table -> df))
   }
 
+  /** Z-order compaction: rewrite the table clustered on the Morton
+    * interleave of two numeric columns, range-partitioned by the code so
+    * each output file covers a compact 2-D tile. A 2-D box predicate
+    * then overlaps few files (parquet row-group min/max on BOTH columns
+    * stay tight), where a linear sort prunes only its leading column —
+    * the layout for (objectId, time) or (ra, dec) selective reads at
+    * scale. Quantization ranges are observed in one tiny agg pass.
+    */
+  def zorderCompact(spark: SparkSession, table: String, colA: String,
+      colB: String, targetPartitions: Int, bits: Int = 16): Long = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    import graft.functions.ZOrder
+    val df = read(spark, table)
+    val r = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val z = ZOrder.morton(
+      ZOrder.quantize(col(colA), r.getDouble(0), r.getDouble(1), bits),
+      ZOrder.quantize(col(colB), r.getDouble(2), r.getDouble(3), bits))
+    commit(Map(table -> df
+      .withColumn("_z", z)
+      .repartitionByRange(targetPartitions, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")))
+  }
+
   /** Co-located join layout: write `table`'s current snapshot hash-
     * bucketed by `key` into `numBuckets` Spark buckets (sorted by `key`
     * within each bucket) and register it in the session catalog under

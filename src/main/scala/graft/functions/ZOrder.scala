@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Morton (Z-order) interleave as pure codegen'd built-ins — the sort
+  * key for multi-dimension data layout: sorting by the interleaved code
+  * keeps rows close in BOTH dimensions close in file order, so per-file
+  * min/max stats prune 2-D box queries that a single-column sort can
+  * only prune on its leading column. Same bit arithmetic as
+  * [[SpatialCellMath.spread]], lifted to Columns.
+  */
+object ZOrder {
+
+  /** Spread the low 32 bits of `c` into even bit positions. */
+  def spreadBits(c: Column): Column = {
+    var v = c.bitwiseAND(lit(0xffffffffL))
+    v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x0000ffff0000ffffL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x3333333333333333L))
+    v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Morton code of two non-negative grid coordinates (≤ 32 bits each). */
+  def morton(x: Column, y: Column): Column =
+    spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
+
+  /** Quantize a numeric column to a [0, 2^bits) grid given its observed
+    * [lo, hi] range (degenerate ranges collapse to 0).
+    */
+  def quantize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val n = (1L << bits) - 1
+    if (hi <= lo) lit(0L)
+    else least(lit(n), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(n.toDouble))
+        .cast("long")))
+  }
+}

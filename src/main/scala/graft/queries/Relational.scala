@@ -291,6 +291,31 @@ object Relational {
         .withColumn("decile", ntile(10).over(w))
     }),
 
+    // W7: cumulative distribution (percentile rank with peers) per
+    // priority class — value depends only on the ordering key, so ties
+    // need no arbitrary break
+    "w7_cume_dist" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+      orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .withColumn("cd", cume_dist().over(w))
+    }),
+
+    // W8: nth_value over the FULL partition frame — third-highest order
+    // value per priority class (deterministic orderkey tiebreak),
+    // collapsed to one row per class
+    "w8_nth_value" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select($"o_orderpriority",
+          nth_value($"o_totalprice", 3).over(w).as("third_price"))
+        .distinct()
+    }),
+
     // J10: binned range join — events attributed to the 30-minute window
     // after each purchase, as an equi-join on (time bin, user) + exact
     // residual, never a nested-loop non-equi join
@@ -640,6 +665,21 @@ object Relational {
         |       CAST(ntile(10) OVER (PARTITION BY o_orderpriority
         |         ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
         |         AS decile
+        |FROM orders""".stripMargin,
+
+    "w7_cume_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       cume_dist() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice) AS cd
+        |FROM orders""".stripMargin,
+
+    "w8_nth_value" ->
+      """SELECT DISTINCT o_orderpriority,
+        |       nth_value(o_totalprice, 3) OVER (
+        |         PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS third_price
         |FROM orders""".stripMargin,
 
     "j10_range_attr" ->
