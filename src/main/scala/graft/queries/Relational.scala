@@ -291,6 +291,29 @@ object Relational {
         .withColumn("decile", ntile(10).over(w))
     }),
 
+    // q11: whole-table column profiling — one scan computes per-column
+    // (n, nulls, distinct, min, max) for several columns at once (the
+    // multi-count-distinct Expand), then unpivots to one row per column.
+    // The data-quality sweep you run ONCE per snapshot instead of one
+    // scan per column
+    "q11_profile_all" -> ((s, d) => {
+      import s.implicits._
+      val cols = Seq(("l_quantity", 100), ("l_extendedprice", 100),
+        ("l_discount", 10000))
+      val aggs = cols.flatMap { case (c, scale) =>
+        val cents = round(col(c) * scale).cast("long")
+        Seq(count(col(c)).as(s"n|$c"),
+          count_distinct(cents).as(s"nd|$c"),
+          min(cents).as(s"lo|$c"), max(cents).as(s"hi|$c"))
+      }
+      val wide = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map { case (c, _) =>
+        s"'$c', `n|$c`, `nd|$c`, `lo|$c`, `hi|$c`"
+      }.mkString(", ")
+      wide.selectExpr(s"stack(${cols.size}, $stacked) " +
+        "AS (col_name, n, n_distinct, lo_scaled, hi_scaled)")
+    }),
+
     // W7: cumulative distribution (percentile rank with peers) per
     // priority class — value depends only on the ordering key, so ties
     // need no arbitrary break
@@ -666,6 +689,16 @@ object Relational {
         |         ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
         |         AS decile
         |FROM orders""".stripMargin,
+
+    "q11_profile_all" ->
+      Seq(("l_quantity", 100), ("l_extendedprice", 100),
+        ("l_discount", 10000)).map { case (c, k) =>
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |  count(DISTINCT CAST(round($c * $k) AS BIGINT)) AS n_distinct,
+           |  min(CAST(round($c * $k) AS BIGINT)) AS lo_scaled,
+           |  max(CAST(round($c * $k) AS BIGINT)) AS hi_scaled
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     "w7_cume_dist" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
