@@ -65,8 +65,8 @@ object PlanAudit {
     Check("st4_funnel", "three funnel windows share one user-key exchange",
       p => "\\(\\d+\\) Window".r.findAllIn(p).size == 3 &&
         "hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
-    Check("st5_retention", "cohort side broadcast, no big-side re-shuffle",
-      p => p.contains("BroadcastHashJoin")),
+    Check("st5_retention", "cohort join is an equi-join (planner-chosen build)",
+      isEquiJoin),
     Check("p12_like_scan", "substring predicate pushed as StringContains",
       p => p.contains("StringContains(p_name,bolt)")),
     Check("p13_prefix_scan", "prefix predicate pushed as StringStartsWith",

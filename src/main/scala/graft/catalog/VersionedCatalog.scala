@@ -349,9 +349,12 @@ final class VersionedCatalog(val root: String,
     val r = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    // empty table / all-null column: no range to cluster on — quantize
+    // collapses that dimension to 0 instead of NPEing on the null agg
+    def d(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
     val z = ZOrder.morton(
-      ZOrder.quantize(col(colA), r.getDouble(0), r.getDouble(1), bits),
-      ZOrder.quantize(col(colB), r.getDouble(2), r.getDouble(3), bits))
+      ZOrder.quantize(col(colA), d(0), d(1), bits),
+      ZOrder.quantize(col(colB), d(2), d(3), bits))
     commit(Map(table -> df
       .withColumn("_z", z)
       .repartitionByRange(targetPartitions, col("_z"))

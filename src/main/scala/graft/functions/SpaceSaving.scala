@@ -76,7 +76,10 @@ case class SpaceSavingTopK(child: Expression, capacity: Int, k: Int,
           else {
             // evict the minimum-count counter (ties: smallest item, so the
             // whole aggregate stays deterministic) and inherit its count
-            // as the newcomer's error bound
+            // as the newcomer's error bound. The min scan is O(capacity)
+            // per eviction — fine for the few-hundred-counter capacities
+            // this is used at; a count-bucket stream-summary would make
+            // it O(1) if capacities grow to tens of thousands
             var minItem = Long.MinValue
             var minCnt = Long.MaxValue
             c.foreachEntry { (it, ce) =>

@@ -102,9 +102,11 @@ object EventAnalytics {
 
   /** Weekly cohort retention: cohort = the user's first active epoch-week;
     * one output row per (cohort_week, week_offset) with the distinct-user
-    * count. The cohort side is tiny (one row per user) → broadcast join,
-    * so the plan is two user-keyed aggregations and zero extra shuffles of
-    * the big side beyond its own distinct.
+    * count. The cohort side is one row per user — small relative to the
+    * event log but O(|users|), so the join is left to the planner (AQE
+    * broadcasts it while it fits and falls back to a user-keyed shuffle
+    * join beyond that; a forced broadcast would hit the driver/8 GB
+    * cliff at ~10^8 users).
     */
   def weeklyRetention(events: DataFrame): DataFrame = {
     val WeekUs = 604800000000L // 7 * 24 * 3600 * 1e6
@@ -112,7 +114,7 @@ object EventAnalytics {
     val active = events.select(col("user_id"), wk.as("wk")).distinct()
     val cohort = active.groupBy(col("user_id"))
       .agg(min(col("wk")).as("cohort_wk"))
-    active.join(broadcast(cohort), "user_id")
+    active.join(cohort, "user_id")
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
       .agg(count(lit(1)).as("users"))
   }

@@ -307,11 +307,13 @@ object TextOps {
     })
   )
 
-  /** MinHash+LSH pair oracle (8 hash slots, 4 bands of 2 — mirrors
-    * Dedup word-hash shingles and signatureOf seeds exactly); reused by
-    * the dd8 clustering oracle as its edge list.
+  /** Shared MinHash banding candidate pipeline (8 hash slots, 4 bands of
+    * 2 — mirrors Dedup word-hash shingles and signatureOf seeds exactly):
+    * the t→w→s→sig→banded→cand CTE chain ending with the candidate pair
+    * set. dd3 verifies it with Jaccard, dd14 with levenshtein — one
+    * definition so a seed/arithmetic change cannot silently diverge.
     */
-  private val dd3Sql: String = {
+  private val minhashCandidateCtes: String = {
     val slots = (0 until 8).map { i =>
       val a = 2 * i + 1; val b = 7919 * i + 13
       s"list_min(list_transform(sh, hv -> ($a * hv + $b) % $P))"
@@ -321,7 +323,7 @@ object TextOps {
       s"SELECT doc_id, $bnd AS band, " +
         s"array_to_string(sig[$lo:${lo + 1}], '_') AS bucket FROM sig"
     }.mkString("\n      UNION ALL\n      ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
        |           FROM documents),
        |w AS (SELECT doc_id,
        |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
@@ -333,41 +335,27 @@ object TextOps {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM banded a JOIN banded b
        |           ON a.band = b.band AND a.bucket = b.bucket
-       |              AND a.doc_id < b.doc_id)
+       |              AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** MinHash+LSH pair oracle: the shared candidate pipeline verified
+    * with exact shingle Jaccard at 0.6; reused by the dd8/dd9 clustering
+    * oracles as their edge list and by g1 as its graph.
+    */
+  private val dd3Sql: String =
+    s"""WITH $minhashCandidateCtes
        |SELECT id_a, id_b,
        |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
        |FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin
-  }
 
   /** dd14 oracle: dd3's banded candidate pipeline, but verified with
     * levenshtein on the raw texts instead of shingle Jaccard.
     */
-  private val dd14Sql: String = {
-    val slots = (0 until 8).map { i =>
-      val a = 2 * i + 1; val b = 7919 * i + 13
-      s"list_min(list_transform(sh, hv -> ($a * hv + $b) % $P))"
-    }.mkString(",\n         ")
-    val bands = (0 until 4).map { bnd =>
-      val lo = bnd * 2 + 1
-      s"SELECT doc_id, $bnd AS band, " +
-        s"array_to_string(sig[$lo:${lo + 1}], '_') AS bucket FROM sig"
-    }.mkString("\n      UNION ALL\n      ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-       |           FROM documents),
-       |w AS (SELECT doc_id,
-       |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
-       |      FROM t),
-       |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
-       |      FROM w WHERE len(wh) >= 3),
-       |sig AS (SELECT doc_id, sh, [$slots] AS sig FROM s),
-       |banded AS ($bands),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM banded a JOIN banded b
-       |           ON a.band = b.band AND a.bucket = b.bucket
-       |              AND a.doc_id < b.doc_id),
+  private val dd14Sql: String =
+    s"""WITH $minhashCandidateCtes,
        |v AS (SELECT id_a, id_b,
        |             CAST(levenshtein(da.text, db.text) AS BIGINT)
        |               AS edit_dist,
@@ -376,7 +364,6 @@ object TextOps {
        |      FROM cand JOIN documents da ON id_a = da.doc_id
        |                JOIN documents db ON id_b = db.doc_id)
        |SELECT * FROM v WHERE edit_dist <= 0.25 * max_len""".stripMargin
-  }
 
   /** Hash-min / star clustering share one oracle: connected components of
     * the dd3 pair graph as a recursive label walk, min label per node.

@@ -171,11 +171,20 @@ object EventStreams {
     * the chain first_k = min{ts ∈ S_k : ts > first_(k−1)} is recomputed
     * from retained candidates, and because every first_k can only
     * DECREASE as data arrives (admissible sets only grow), a stage-k
-    * timestamp can matter later iff it is below the current first_k —
-    * everything else is pruned, which is what bounds the state. A
+    * timestamp can matter later iff it is below the current first_k. A
     * stage with no first yet keeps all its candidates (any of them may
     * become admissible when the previous stage's first drops below it).
-    * Runs identically on a batch Dataset (one group pass, empty state).
+    *
+    * State bound: candidate-relevance pruning alone does NOT bound the
+    * pre-conversion pattern (a user with many clicks and no view keeps
+    * every click). The watermark does: a candidate at or below the
+    * current watermark that is not itself a first can never become one —
+    * any chain rewrite that promoted it would need a future event with
+    * an even older timestamp, which the watermark excludes — so it is
+    * dropped. Set a `withWatermark("ts", ...)` on the input to bound
+    * state to the disorder horizon; without one (and in batch, where the
+    * single pass ends the stream) state for pre-conversion users grows
+    * with their event count, the price of an exact all-history funnel.
     */
   def funnelStateful(events: DataFrame, stages: Seq[String]): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -210,12 +219,22 @@ object EventStreams {
             else { firsts(k) = Some(adm.min); prev = adm.min }
             k += 1
           }
-          // prune: keep ts that could still become stage k's first
+          // prune: keep ts that could still become stage k's first —
+          // below the stage's current first, and above the watermark
+          // (a ts ≤ wm that is not already a first would need an even
+          // older future event to become admissible; the watermark
+          // excludes that)
+          val wmUs =
+            try state.getCurrentWatermarkMs() * 1000L
+            catch { // no watermark set (or batch): no horizon to prune on
+              case _: UnsupportedOperationException => Long.MinValue
+            }
           val kept = (0 until n).map { i =>
-            firsts(i) match {
+            val below = firsts(i) match {
               case Some(f) => sets(i).filter(_ <= f)
               case None => sets(i)
             }
+            below.filter(v => v > wmUs || firsts(i).contains(v))
           }
           state.update(FunnelState(kept))
           Iterator.single(FunnelOut(user, firsts.count(_.isDefined)))
