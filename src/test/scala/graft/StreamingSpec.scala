@@ -100,6 +100,27 @@ class StreamingSpec extends SparkSpec {
       "every watermark-closed batch session was emitted")
   }
 
+  test("space-saving sketch aggregates under streaming (complete mode)") {
+    // the TypedImperativeAggregate's serialize/deserialize path is what
+    // the state store exercises between micro-batches — parity with the
+    // one-shot batch result proves it round-trips
+    import graft.functions.SpaceSaving.spaceSavingTopK
+    def hh(df: org.apache.spark.sql.DataFrame) = df
+      .agg(spaceSavingTopK(col("user_id"), 256, 10).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+    val srcDir = tmpDir("stream-hh")
+    graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "hh_stream",
+      hh, outputMode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("hh_stream").as[(Long, Long)].collect().toSet
+    val batch = hh(graft.Tables.events(spark, sf))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("stateful funnel: cross-batch disorder resolved exactly") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
