@@ -22,6 +22,34 @@ object Dedup {
 
   val P: Long = 1000000007L
 
+  /** Per-call transient caches (signature/shingle tables persisted so a
+    * self-join doesn't recompute the text-hash pipeline on both sides).
+    * They cannot be unpersisted inside the operator — the returned plan
+    * still reads them — so each is registered here and released either by
+    * [[releaseCaches]] (bulk, after the caller materializes results) or by
+    * `spark.catalog.clearCache()` (persist is CacheManager-visible).
+    * Index-builder persists (minhashIndex/simhashIndex) are deliberately
+    * NOT tracked: they are build-once/probe-many caches whose lifetime is
+    * the index object's.
+    */
+  private val transientCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    transientCaches.add(p)
+    p
+  }
+
+  /** Unpersist every transient cache registered by pair-finding calls so
+    * far. Safe to call between jobs; results already materialized by the
+    * caller are unaffected (un-materialized plans just recompute).
+    */
+  def releaseCaches(): Unit = {
+    var df = transientCaches.poll()
+    while (df != null) { df.unpersist(); df = transientCaches.poll() }
+  }
+
   /** Ordered polynomial char hash — reproducible in any engine with an
     * ordered fold (single-pass expression; arithmetic identical to the
     * `aggregate(regexp_extract_all(...))` formulation the oracles replay).
@@ -57,9 +85,9 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     // persisted: read by the pair self-join (twice) and the count join
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist()
+    val sh = tracked(df
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0))
     val counts = sh.select(col("doc"), size(col("sh")).as("cnt"))
     // join on a 64-bit shingle hash: 8-byte shuffle keys instead of
     // ~20-byte strings (shingles are distinct per doc, so equal hashes in
@@ -94,11 +122,10 @@ object Dedup {
       n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
     // hash shingles (8-byte elements): the candidate explode and the
     // verification arrays shuffle long[]s, not strings
-    val sh = df.select(col(idCol).as("doc"),
-        shingleHashes(col(textCol), n).as("sh"))
+    val sh = tracked(df
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("cnt", size(col("sh")))
-      .persist()
+      .withColumn("cnt", size(col("sh"))))
     val ex = sh.select(col("doc"), explode(col("sh")).as("shingle"))
     // ONE shuffle does doc-frequency capping AND bucket building: the
     // bounded-collect aggregate keeps an exact per-shingle count but at
@@ -106,10 +133,9 @@ object Dedup {
     // a mega-hot stop-shingle at 100 TB, and buckets for rare shingles
     // (df ≤ cap) come out complete and sorted. Persisted: read by the
     // hot-set extraction and the pair expansion.
-    val freq = ex.groupBy("shingle")
+    val freq = tracked(ex.groupBy("shingle")
       .agg(graft.functions.BoundedCollect
-        .boundedCollect(col("doc"), maxDocFreq).as("bc"))
-      .persist()
+        .boundedCollect(col("doc"), maxDocFreq).as("bc")))
     val rare = freq.where(col("bc.df") <= maxDocFreq)
       .select(col("bc.ds").as("ds"))
     // per-doc hot-shingle count (bounds how much the capped pair-count
@@ -208,11 +234,10 @@ object Dedup {
     // shingle hashes + signature materialized ONCE and persisted — the
     // banded self-join would otherwise recompute the whole text-hash
     // pipeline on both sides
-    val base = df
+    val base = tracked(df
       .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", signatureOf(col("sh"), numHashes))
-      .persist()
+      .withColumn("sig", signatureOf(col("sh"), numHashes)))
     val banded = bandedOf(base, numHashes, rowsPerBand)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -241,12 +266,11 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int,
       maxRel: Double): DataFrame = {
-    val base = df
+    val base = tracked(df
       .select(col(idCol).as("doc"), col(textCol).as("txt"),
         shingleHashes(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", signatureOf(col("sh"), numHashes))
-      .persist()
+      .withColumn("sig", signatureOf(col("sh"), numHashes)))
     val banded = bandedOf(base, numHashes, rowsPerBand)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -363,12 +387,11 @@ object Dedup {
     */
   def minhashProbe(probe: DataFrame, index: MinhashIndex, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
-    val base = probe
+    val base = tracked(probe
       .select(col(idCol).as("p_doc"),
         shingleHashes(col(textCol), index.n).as("p_sh"))
       .where(size(col("p_sh")) > 0)
-      .withColumn("sig", signatureOf(col("p_sh"), index.numHashes))
-      .persist()
+      .withColumn("sig", signatureOf(col("p_sh"), index.numHashes)))
     val pb = bandedOf(
       base.select(col("p_doc").as("doc"), col("sig")),
       index.numHashes, index.rowsPerBand)
@@ -518,11 +541,10 @@ object Dedup {
     */
   def winnowSpanPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long, maxDocFreq: Int): DataFrame = {
-    val e = df.select(col(idCol).as("doc"),
+    val e = tracked(df.select(col(idCol).as("doc"),
         explode(graft.functions.TextExprs
           .winnowPositions(col(textCol), k, w)).as("s"))
-      .select(col("doc"), col("s.fp").as("f"), col("s.pos").as("pos"))
-      .persist()
+      .select(col("doc"), col("s.fp").as("f"), col("s.pos").as("pos")))
     // cap on DOC frequency (distinct docs per fingerprint), matching
     // winnowPairs — a fingerprint repeated at many positions WITHIN one
     // doc must not trip the hot-boilerplate cap
@@ -784,8 +806,8 @@ object Dedup {
     val numBands = maxDist + 1
     // persisted: read by the band-balance stats aggregate and both sides
     // of the banded self-join
-    val sig = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh"))
-      .persist()
+    val sig = tracked(
+      df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh")))
     // Entropy-balanced band assignment. Pigeonhole only needs the 64 bit
     // POSITIONS partitioned into maxDist+1 disjoint groups — any partition
     // is complete — but contiguous bands degenerate on real corpora:

@@ -110,7 +110,14 @@ object EventAnalytics {
     */
   def weeklyRetention(events: DataFrame): DataFrame = {
     val WeekUs = 604800000000L // 7 * 24 * 3600 * 1e6
-    val wk = expr(s"unix_micros(ts) DIV $WeekUs")
+    // FLOOR division in exact integer arithmetic: `DIV` truncates toward
+    // zero while the DuckDB oracle's `//` floors, so pre-1970 timestamps
+    // (negative micros) would land one week apart. Spark's `%` takes the
+    // dividend's sign, so a negative non-exact quotient is corrected by
+    // exactly one. (floor(x/W) via doubles would be inexact near 2^53.)
+    val wk = expr(
+      s"unix_micros(ts) DIV $WeekUs - " +
+        s"CASE WHEN unix_micros(ts) % $WeekUs < 0 THEN 1 ELSE 0 END")
     val active = events.select(col("user_id"), wk.as("wk")).distinct()
     val cohort = active.groupBy(col("user_id"))
       .agg(min(col("wk")).as("cohort_wk"))

@@ -37,17 +37,69 @@ class SpaceSavingSpec extends SparkSpec {
     val items = got.map(_._1).toSet
     assert(items.contains(1001L) && items.contains(1002L))
     // mergeable-summaries bound: per-item estimate error ≤ n/capacity
-    // (a strict per-item upper bound does NOT survive distributed
-    // merge-pruning — an item evicted in one partial buffer loses that
-    // buffer's mass — but the epsilon-n envelope does)
     val epsN = data.size.toLong / 64 + 1
-    got.foreach { case (item, cnt, _) =>
+    got.foreach { case (item, cnt, err) =>
       val t = truth.getOrElse(item, 0L)
       assert(math.abs(cnt - t) <= epsN,
         s"estimate for $item off by more than eps*n: cnt=$cnt truth=$t")
+      // merge augmentation keeps the classic per-item bracket sound
+      // ACROSS partition merges: cnt upper-bounds truth, cnt-err
+      // lower-bounds it
+      assert(cnt >= t && cnt - err <= t,
+        s"bracket violated for $item: cnt=$cnt err=$err truth=$t")
     }
     // the two real heavy hitters lead the ranking
     assert(got.take(2).map(_._1).toSet == Set(1001L, 1002L))
+  }
+
+  test("merge of two overflowed buffers keeps sound per-item brackets") {
+    import graft.functions.SpaceSavingTopK
+    val agg = SpaceSavingTopK(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(0L)),
+      capacity = 16, k = 16)
+    val rnd = new scala.util.Random(11)
+    // both streams overflow capacity 16; item 7 is heavy in A only and
+    // item 9 heavy in B only, so each loses the other buffer's view
+    val a = Seq.fill(200)(7L) ++ Seq.fill(400)(rnd.nextInt(100).toLong + 100L)
+    val b = Seq.fill(150)(9L) ++ Seq.fill(400)(rnd.nextInt(100).toLong + 300L)
+    val bufA = agg.createAggregationBuffer()
+    val bufB = agg.createAggregationBuffer()
+    a.foreach(bufA.add(_, 16)); b.foreach(bufB.add(_, 16))
+    val truth = (a ++ b).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val merged = agg.merge(bufA, bufB)
+    merged.foreachCounter { (item, cnt, err) =>
+      val t = truth.getOrElse(item, 0L)
+      assert(cnt >= t, s"upper bound violated for $item: cnt=$cnt truth=$t")
+      assert(cnt - err <= t,
+        s"lower bound violated for $item: cnt=$cnt err=$err truth=$t")
+    }
+  }
+
+  test("stream-summary eviction cost is flat in capacity") {
+    import graft.functions.SpaceSavingTopK
+    // saturate both buffers, then time heavy-overflow updates (every
+    // add past saturation evicts). With the old O(capacity) min scan a
+    // 64x larger capacity cost ~64x per update; the count-bucket list
+    // is O(log bucketSize), so the ratio stays near 1. Generous 8x
+    // threshold absorbs timer noise.
+    def run(capacity: Int): Double = {
+      val agg = SpaceSavingTopK(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(0L)),
+        capacity, 1)
+      val buf = agg.createAggregationBuffer()
+      var i = 0L
+      while (i < capacity) { buf.add(i, capacity); i += 1 }
+      val n = 400000
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < n) { buf.add(capacity + j.toLong, capacity); j += 1 }
+      (System.nanoTime() - t0).toDouble / n
+    }
+    run(64); run(4096) // JIT warmup
+    val small = (0 until 3).map(_ => run(64)).min
+    val large = (0 until 3).map(_ => run(4096)).min
+    assert(large / small < 8.0,
+      f"per-update cost grew with capacity: $small%.1f ns -> $large%.1f ns")
   }
 
   test("rejects non-bigint input at analysis time") {
