@@ -12,7 +12,12 @@ import graft.schema.PpdbSchema
   *
   * Usage:
   *   runMain graft.cli.Cli create <catalogRoot>
+  *   runMain graft.cli.Cli run <apdbRoot> <catalogRoot> [--single]
+  *       [--exit-on-empty] [--min-wait-time S] [--max-wait-time S]
+  *       [--check-interval S]
   *   runMain graft.cli.Cli list-chunks <catalogRoot>
+  *   runMain graft.cli.Cli list-chunks --apdb <apdbRoot>
+  *   runMain graft.cli.Cli seed-apdb <apdbRoot> [nObjects nChunks [start]]
   *   runMain graft.cli.Cli upload <catalogRoot> <exportRoot> <remoteRoot>
   *   runMain graft.cli.Cli promote <catalogRoot> <exportRoot>
   *   runMain graft.cli.Cli demo <catalogRoot> [nObjects nChunks]
@@ -32,111 +37,198 @@ object Cli {
     s
   }
 
-  def main(args: Array[String]): Unit = args.toList match {
-    case "create" :: root :: Nil =>
-      val spark = session()
-      val ppdb = new PpdbSpark(spark,
-        new VersionedCatalog(root, VersionedCatalog.ppdbWriteOptions))
-      ppdb.init()
-      val reg = new SchemaRegistry(root)
-      Seq("DiaObject" -> PpdbSchema.diaObject,
-        "DiaSource" -> PpdbSchema.diaSource,
-        "DiaForcedSource" -> PpdbSchema.diaForcedSource,
-        "PpdbReplicaChunk" -> PpdbSchema.replicaChunk)
-        .foreach { case (t, sc) => reg.put(t, sc) }
-      println(s"created catalog at $root (tables: ${reg.tables.mkString(", ")})")
-      spark.stop()
-
-    case "list-chunks" :: root :: Nil =>
-      val spark = session()
-      new PpdbSpark(spark, new VersionedCatalog(root))
-        .replicaChunks().show(1000, truncate = false)
-      spark.stop()
-
-    case "upload" :: root :: exportRoot :: remoteRoot :: Nil =>
-      val spark = session()
-      val promoter = new Promoter(spark, new VersionedCatalog(root), exportRoot)
-      promoter.init()
-      val uploader = new ChunkUploader(spark, promoter, remoteRoot,
-        exitOnEmpty = true,
-        exitOnError = sys.env.get("GRAFT_EXIT_ON_ERROR").contains("1"))
-      val ids = uploader.runOnce()
-      println(if (ids.isEmpty) "nothing to upload"
-        else s"uploaded chunks ${ids.mkString(", ")} to $remoteRoot")
-      spark.stop()
-
-    case "promote" :: root :: exportRoot :: Nil =>
-      val spark = session()
-      val promoter = new Promoter(spark, new VersionedCatalog(root), exportRoot)
-      promoter.init()
-      val ids = promoter.promote()
-      println(if (ids.isEmpty) "nothing promotable"
-        else s"promoted chunks ${ids.mkString(", ")}")
-      spark.stop()
-
-    case "vacuum" :: root :: Nil =>
-      val removed = new VersionedCatalog(root).vacuum()
-      println(s"removed $removed unreferenced version dirs")
-
-    case "demo" :: root :: rest =>
-      val (nObjects, nChunks) = rest match {
-        case o :: c :: Nil => (o.toInt, c.toInt)
-        case _ => (100, 4)
-      }
-      val spark = session()
-      graft.Metrics.logEnabled = true
-      val ppdb = new PpdbSpark(spark,
-        new VersionedCatalog(root, VersionedCatalog.ppdbWriteOptions))
-      ppdb.init()
-      val source = new SyntheticApdb(spark, nObjects, nChunks)
-      val copied = new Replicator(spark, source, ppdb)
-        .runOnce(nowUs = Long.MaxValue / 2)
-      println(s"replicated chunks: ${copied.mkString(", ")}")
-      println(s"DiaObject rows: ${ppdb.catalog.read(spark, "DiaObject").count()}")
-      println("latest snapshot: " +
-        graft.ops.PpdbOps.latestSnapshot(
-          ppdb.catalog.read(spark, "DiaObject")).count())
-      graft.Metrics.summary().toSeq.sortBy(_._1).foreach {
-        case (m, (n, s)) => println(f"  $m%-24s n=$n%-4d total=${s}%.2f s")
-      }
-      spark.stop()
-
-    case other =>
-      val known = Set("create", "list-chunks", "upload", "promote",
-        "vacuum", "demo")
-      val msg = other.headOption match {
-        case Some(cmd) if known(cmd) =>
-          s"missing arguments for: ${other.mkString(" ")}\n" +
-            "usage: create <root> | list-chunks <root> | " +
-            "upload <root> <exportRoot> <remoteRoot> | " +
-            "promote <root> <exportRoot> | vacuum <root> | " +
-            "demo <root> [nObjects nChunks]"
-        case _ =>
-          s"unknown command: ${other.mkString(" ")}\n" +
-            "commands: create | list-chunks | upload | promote | vacuum | demo"
-      }
-      System.err.println(msg)
-      sys.exit(2)
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    try dispatch(spark, args.toList)
+    finally spark.stop()
   }
+
+  /** Replication-loop knobs (defaults from P/cli/options.py:105-124). */
+  private[graft] final case class RunOpts(
+      single: Boolean = false, exitOnEmpty: Boolean = false,
+      minWaitS: Long = 300L, maxWaitS: Long = 900L, checkIntervalS: Long = 360L)
+
+  private def parseRunOpts(rest: List[String]): RunOpts = {
+    @annotation.tailrec
+    def go(args: List[String], o: RunOpts): RunOpts = args match {
+      case "--single" :: t => go(t, o.copy(single = true))
+      case "--exit-on-empty" :: t => go(t, o.copy(exitOnEmpty = true))
+      case "--min-wait-time" :: v :: t => go(t, o.copy(minWaitS = v.toLong))
+      case "--max-wait-time" :: v :: t => go(t, o.copy(maxWaitS = v.toLong))
+      case "--check-interval" :: v :: t => go(t, o.copy(checkIntervalS = v.toLong))
+      case Nil => o
+      case bad :: _ =>
+        throw new IllegalArgumentException(s"unknown run option: $bad")
+    }
+    go(rest, RunOpts())
+  }
+
+  /** Command dispatch on an externally-owned session (tests drive this
+    * directly; `main` wraps it with session lifecycle).
+    */
+  private[graft] def dispatch(spark: SparkSession, args: List[String]): Unit =
+    args match {
+      case "create" :: root :: Nil =>
+        val ppdb = new PpdbSpark(spark,
+          new VersionedCatalog(root, VersionedCatalog.ppdbWriteOptions))
+        ppdb.init()
+        val reg = new SchemaRegistry(root)
+        Seq("DiaObject" -> PpdbSchema.diaObject,
+          "DiaSource" -> PpdbSchema.diaSource,
+          "DiaForcedSource" -> PpdbSchema.diaForcedSource,
+          "PpdbReplicaChunk" -> PpdbSchema.replicaChunk)
+          .foreach { case (t, sc) => reg.put(t, sc) }
+        println(s"created catalog at $root (tables: ${reg.tables.mkString(", ")})")
+
+      case "run" :: apdbRoot :: catalogRoot :: rest =>
+        val opts = parseRunOpts(rest)
+        graft.Metrics.logEnabled = true
+        val ppdb = new PpdbSpark(spark,
+          new VersionedCatalog(catalogRoot, VersionedCatalog.ppdbWriteOptions))
+        ppdb.init()
+        val rep = new Replicator(spark, new ParquetApdb(spark, apdbRoot), ppdb,
+          ReplicatorConfig(
+            minWaitUs = opts.minWaitS * 1000000L,
+            maxWaitUs = opts.maxWaitS * 1000000L,
+            checkIntervalUs = opts.checkIntervalS * 1000000L))
+        // SIGTERM/Ctrl-C: ask the loop to finish the current poll, then
+        // hold the JVM until it has (bounded), so no chunk copy is torn
+        val stopped = new java.util.concurrent.CountDownLatch(1)
+        val hook = new Thread(() => {
+          rep.requestStop()
+          stopped.await(60L, java.util.concurrent.TimeUnit.SECONDS)
+          ()
+        })
+        Runtime.getRuntime.addShutdownHook(hook)
+        try {
+          val copied = rep.run(single = opts.single,
+            exitOnEmpty = opts.exitOnEmpty,
+            onPoll = (poll, ids) => {
+              println(s"poll $poll: " +
+                (if (ids.isEmpty) "nothing to replicate"
+                else s"replicated chunks ${ids.mkString(", ")}"))
+              graft.Metrics.summary().toSeq.sortBy(_._1).foreach {
+                case (m, (n, s)) => println(f"  $m%-24s n=$n%-4d total=${s}%.2f s")
+              }
+            })
+          println(s"run finished: ${copied.size} chunks replicated")
+        } finally {
+          stopped.countDown()
+          try Runtime.getRuntime.removeShutdownHook(hook)
+          catch { case _: IllegalStateException => () } // already shutting down
+        }
+
+      case "list-chunks" :: "--apdb" :: root :: Nil =>
+        // source-side listing (replication_list_chunks_apdb.py:29-50) —
+        // the first debugging move when replication stalls
+        val chunks = new ParquetApdb(spark, root).listChunks()
+          .orderBy("apdb_replica_chunk").collect()
+        println(f"${"Chunk Id"}%10s  ${"Update time (us)"}%20s  Unique Id")
+        val sep = "-" * 77
+        println(sep)
+        chunks.foreach { r =>
+          println(f"${r.getLong(0)}%10d  ${r.getLong(1)}%20d  ${r.getString(2)}")
+        }
+        println(sep)
+        println(s"Total: ${chunks.length}")
+
+      case "list-chunks" :: root :: Nil =>
+        new PpdbSpark(spark, new VersionedCatalog(root))
+          .replicaChunks().show(1000, truncate = false)
+
+      case "seed-apdb" :: root :: rest =>
+        val (nObjects, nChunks, start) = rest match {
+          case o :: c :: s :: Nil => (o.toInt, c.toInt, s.toLong)
+          case o :: c :: Nil => (o.toInt, c.toInt, 1L)
+          case Nil => (100, 4, 1L)
+          case _ => throw new IllegalArgumentException(
+            "usage: seed-apdb <root> [nObjects nChunks [startChunk]]")
+        }
+        val src = new SyntheticApdb(spark, nObjects, nChunks, start)
+        (start until start + nChunks).foreach(id =>
+          ParquetApdb.stage(spark, root, src.chunkData(id)))
+        println(s"staged chunks ${start until start + nChunks mkString ", "} " +
+          s"under $root")
+
+      case "upload" :: root :: exportRoot :: remoteRoot :: Nil =>
+        val promoter = new Promoter(spark, new VersionedCatalog(root), exportRoot)
+        promoter.init()
+        val uploader = new ChunkUploader(spark, promoter, remoteRoot,
+          exitOnEmpty = true,
+          exitOnError = sys.env.get("GRAFT_EXIT_ON_ERROR").contains("1"))
+        val ids = uploader.runOnce()
+        println(if (ids.isEmpty) "nothing to upload"
+          else s"uploaded chunks ${ids.mkString(", ")} to $remoteRoot")
+
+      case "promote" :: root :: exportRoot :: Nil =>
+        val promoter = new Promoter(spark, new VersionedCatalog(root), exportRoot)
+        promoter.init()
+        val ids = promoter.promote()
+        println(if (ids.isEmpty) "nothing promotable"
+          else s"promoted chunks ${ids.mkString(", ")}")
+
+      case "vacuum" :: root :: Nil =>
+        val removed = new VersionedCatalog(root).vacuum()
+        println(s"removed $removed unreferenced version dirs")
+
+      case "demo" :: root :: rest =>
+        val (nObjects, nChunks) = rest match {
+          case o :: c :: Nil => (o.toInt, c.toInt)
+          case _ => (100, 4)
+        }
+        graft.Metrics.logEnabled = true
+        val ppdb = new PpdbSpark(spark,
+          new VersionedCatalog(root, VersionedCatalog.ppdbWriteOptions))
+        ppdb.init()
+        val source = new SyntheticApdb(spark, nObjects, nChunks)
+        val copied = new Replicator(spark, source, ppdb)
+          .runOnce(nowUs = Long.MaxValue / 2)
+        println(s"replicated chunks: ${copied.mkString(", ")}")
+        println(s"DiaObject rows: ${ppdb.catalog.read(spark, "DiaObject").count()}")
+        println("latest snapshot: " +
+          graft.ops.PpdbOps.latestSnapshot(
+            ppdb.catalog.read(spark, "DiaObject")).count())
+        graft.Metrics.summary().toSeq.sortBy(_._1).foreach {
+          case (m, (n, s)) => println(f"  $m%-24s n=$n%-4d total=${s}%.2f s")
+        }
+
+      case other =>
+        val known = Set("create", "run", "list-chunks", "seed-apdb",
+          "upload", "promote", "vacuum", "demo")
+        val msg = other.headOption match {
+          case Some(cmd) if known(cmd) =>
+            s"missing arguments for: ${other.mkString(" ")}\n" +
+              "usage: create <root> | run <apdbRoot> <root> [opts] | " +
+              "list-chunks [--apdb] <root> | " +
+              "seed-apdb <root> [nObjects nChunks [start]] | " +
+              "upload <root> <exportRoot> <remoteRoot> | " +
+              "promote <root> <exportRoot> | vacuum <root> | " +
+              "demo <root> [nObjects nChunks]"
+          case _ =>
+            s"unknown command: ${other.mkString(" ")}\n" +
+              "commands: create | run | list-chunks | seed-apdb | upload | " +
+              "promote | vacuum | demo"
+        }
+        System.err.println(msg)
+        sys.exit(2)
+    }
 }
 
-/** Synthetic APDB source for the CLI demo (same shape as the test
-  * generator: per chunk, every object gets a new version plus one
-  * DiaSource and one DiaForcedSource row).
+/** Synthetic APDB source for the CLI demo and `seed-apdb` (same shape as
+  * the test generator: per chunk, every object gets a new version plus one
+  * DiaSource and one DiaForcedSource row). Chunk ids run `firstChunk`
+  * to `firstChunk + nChunks - 1` so repeated seeds can extend a drop zone.
   */
-final class SyntheticApdb(spark: SparkSession, nObjects: Int, nChunks: Int)
-    extends ApdbSource {
+final class SyntheticApdb(spark: SparkSession, nObjects: Int, nChunks: Int,
+    firstChunk: Long = 1L) extends ApdbSource {
   private val baseMjd = 60000.0
   private val chunkUs = 600L * 1000000L
 
   override def listChunks() = {
-    val rows = (1L to nChunks.toLong).map(id =>
+    val rows = (firstChunk until firstChunk + nChunks).map(id =>
       Row(id, id * chunkUs, s"uuid-$id"))
     spark.createDataFrame(java.util.List.of(rows: _*),
-      new org.apache.spark.sql.types.StructType()
-        .add("apdb_replica_chunk", "long", nullable = false)
-        .add("last_update_time_us", "long", nullable = false)
-        .add("unique_id", "string", nullable = false))
+      ParquetApdb.chunkDescriptor)
   }
 
   override def chunkData(id: Long): ChunkData = {

@@ -30,32 +30,95 @@ final case class ReplicatorConfig(
 final class Replicator(spark: SparkSession, source: ApdbSource, ppdb: PpdbSpark,
     config: ReplicatorConfig = ReplicatorConfig()) {
 
-  /** One poll; returns the chunk ids copied. */
-  def runOnce(nowUs: Long = System.currentTimeMillis() * 1000L): Seq[Long] = {
+  @volatile private var stopRequested = false
+
+  /** Ask a running [[run]] loop to exit after the current poll (wired to
+    * SIGTERM by the CLI; also interrupts the inter-poll sleep).
+    */
+  def requestStop(): Unit = stopRequested = true
+
+  /** One poll; returns the chunk ids copied (ascending).
+    *
+    * @param limit  copy at most this many chunks (the reference's
+    *               single-shot mode passes 1 — P/replicator.py:243)
+    * @param strict unique_id mismatch between the two sides raises when
+    *               true, warns and continues otherwise (the reference
+    *               crashes only in single-shot mode,
+    *               P/replicator.py:230-240)
+    */
+  def runOnce(nowUs: Long = System.currentTimeMillis() * 1000L,
+      limit: Option[Int] = None, strict: Boolean = true): Seq[Long] = {
     val apdbChunks = source.listChunks().cache()
     val ppdbChunks = ppdb.replicaChunks().cache()
+    try {
+      // T4/J8: same chunk id must carry the same unique_id on both sides
+      val mism = PpdbOps.chunkMismatches(apdbChunks, ppdbChunks).limit(1).collect()
+      if (mism.nonEmpty) {
+        val msg = s"chunk unique_id mismatch between APDB and PPDB: ${mism.head}"
+        if (strict) throw new IllegalStateException(msg)
+        else System.err.println(s"WARNING: $msg")
+      }
 
-    // T4/J8: same chunk id must carry the same unique_id on both sides
-    val mism = PpdbOps.chunkMismatches(apdbChunks, ppdbChunks).limit(1).collect()
-    if (mism.nonEmpty)
-      throw new IllegalStateException(
-        s"chunk unique_id mismatch between APDB and PPDB: ${mism.head}")
+      // J7 frontier + T2 settled gate, ascending order (T3)
+      val frontier = PpdbOps.frontier(apdbChunks, ppdbChunks)
+      val settled = PpdbOps.settledChunks(frontier, nowUs,
+        config.minWaitUs, config.maxWaitUs)
+      val all = settled.select("apdb_replica_chunk")
+        .orderBy("apdb_replica_chunk").collect().map(_.getLong(0)).toSeq
+      val ids = limit.fold(all)(all.take)
 
-    // J7 frontier + T2 settled gate, ascending order (T3)
-    val frontier = PpdbOps.frontier(apdbChunks, ppdbChunks)
-    val settled = PpdbOps.settledChunks(frontier, nowUs,
-      config.minWaitUs, config.maxWaitUs)
-    val ids = settled.select("apdb_replica_chunk")
-      .orderBy("apdb_replica_chunk").collect().map(_.getLong(0)).toSeq
+      ids.foreach { id =>
+        graft.Metrics.time("replicate_chunk_time", "chunk_id" -> id.toString) {
+          val data = graft.Metrics.time("get_chunks_time",
+            "chunk_id" -> id.toString)(source.chunkData(id))
+          graft.Metrics.time("store_chunks_time",
+            "chunk_id" -> id.toString)(ppdb.store(data))
+        }
+      }
+      ids
+    } finally {
+      apdbChunks.unpersist()
+      ppdbChunks.unpersist()
+    }
+  }
 
-    ids.foreach { id =>
-      graft.Metrics.time("replicate_chunk_time", "chunk_id" -> id.toString) {
-        val data = graft.Metrics.time("get_chunks_time",
-          "chunk_id" -> id.toString)(source.chunkData(id))
-        graft.Metrics.time("store_chunks_time",
-          "chunk_id" -> id.toString)(ppdb.store(data))
+  /** The continuous replication loop (P/replicator.py:193-247): poll,
+    * copy everything settled, and either go straight into the next poll
+    * (something was copied — more may already be waiting) or sleep
+    * `checkInterval` first. Exits on [[requestStop]], after one copy in
+    * `single` mode, or on an empty poll when `exitOnEmpty`.
+    *
+    * `nowUs`/`sleepMs` are injectable so tests can drive multiple polls
+    * without wall-clock waits; `onPoll` observes each poll's result (the
+    * CLI prints a per-poll metrics summary through it). Returns every
+    * chunk id copied, in copy order.
+    */
+  def run(single: Boolean = false, exitOnEmpty: Boolean = false,
+      nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
+      sleepMs: Long => Unit = Thread.sleep(_),
+      onPoll: (Int, Seq[Long]) => Unit = (_, _) => ()): Seq[Long] = {
+    val copied = Seq.newBuilder[Long]
+    var waitMs = 0L
+    var polls = 0
+    var done = false
+    while (!done && !stopRequested) {
+      if (waitMs > 0) {
+        // sleep in 1 s slices so requestStop() takes effect promptly
+        var left = waitMs
+        while (left > 0 && !stopRequested) {
+          sleepMs(math.min(left, 1000L)); left -= 1000L
+        }
+      }
+      if (!stopRequested) {
+        polls += 1
+        val ids = runOnce(nowUs(),
+          limit = if (single) Some(1) else None, strict = single)
+        copied ++= ids
+        onPoll(polls, ids)
+        if (single || (exitOnEmpty && ids.isEmpty)) done = true
+        else waitMs = if (ids.nonEmpty) 0L else config.checkIntervalUs / 1000L
       }
     }
-    ids
+    copied.result()
   }
 }

@@ -182,4 +182,14 @@ object UpdateRecord {
     def recordId = Seq(diaObjectId)
     def payload = Seq("nDiaSources" -> j(nDiaSources))
   }
+
+  /** An update record rehydrated from storage (the parquet-staged APDB
+    * wire format). Downstream processing consumes only the trait surface
+    * (tableName / recordId / payload), so a typed subclass and its raw
+    * round-trip behave identically.
+    */
+  final case class RawUpdate(
+      updateTimeNs: Long, updateOrder: Long,
+      tableName: String, recordId: Seq[Long],
+      payload: Seq[(String, String)]) extends UpdateRecord
 }

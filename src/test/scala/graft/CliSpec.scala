@@ -1,0 +1,127 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import graft.catalog.VersionedCatalog
+import graft.cli.Cli
+import graft.replicate._
+
+/** The CLI surface end-to-end: seed a parquet APDB drop zone, drive the
+  * continuous `run` loop through the CLI entry across multiple polls,
+  * and list chunks on both sides (the reference's
+  * replication_run.py / replication_list_chunks_{apdb,ppdb}.py).
+  */
+class CliSpec extends SparkSpec {
+
+  private def dispatchCapturing(args: String*): String = {
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out)(Cli.dispatch(spark, args.toList))
+    out.toString("UTF-8")
+  }
+
+  test("run loop: multiple polls through the CLI entry, then exit on empty") {
+    val apdbRoot = tmpDir("cli-apdb")
+    val catRoot = tmpDir("cli-ppdb")
+
+    dispatchCapturing("seed-apdb", apdbRoot, "5", "3")
+    val out1 = dispatchCapturing("run", apdbRoot, catRoot, "--exit-on-empty")
+    // poll 1 copies chunks 1-3; poll 2 finds nothing and exits
+    assert(out1.contains("poll 1: replicated chunks 1, 2, 3"), out1)
+    assert(out1.contains("poll 2: nothing to replicate"), out1)
+    assert(out1.contains("run finished: 3 chunks replicated"), out1)
+    // per-poll metrics summary is printed
+    assert(out1.contains("replicate_chunk_time"), out1)
+
+    val ppdb = new PpdbSpark(spark, new VersionedCatalog(catRoot))
+    assert(ppdb.replicaChunks().count() == 3)
+    assert(ppdb.catalog.read(spark, "DiaObject").count() == 15, "3 chunks x 5")
+
+    // new chunks land in the drop zone; single-shot copies exactly one
+    dispatchCapturing("seed-apdb", apdbRoot, "5", "2", "4")
+    val out2 = dispatchCapturing("run", apdbRoot, catRoot, "--single")
+    assert(out2.contains("poll 1: replicated chunks 4"), out2)
+    assert(out2.contains("run finished: 1 chunks replicated"), out2)
+
+    // a follow-up run drains the rest and stops
+    val out3 = dispatchCapturing("run", apdbRoot, catRoot, "--exit-on-empty")
+    assert(out3.contains("poll 1: replicated chunks 5"), out3)
+    assert(new PpdbSpark(spark, new VersionedCatalog(catRoot))
+      .replicaChunks().count() == 5)
+  }
+
+  test("list-chunks --apdb prints the source-side chunk table") {
+    val apdbRoot = tmpDir("cli-apdb-ls")
+    dispatchCapturing("seed-apdb", apdbRoot, "2", "2")
+    val out = dispatchCapturing("list-chunks", "--apdb", apdbRoot)
+    assert(out.contains("uuid-1") && out.contains("uuid-2"), out)
+    assert(out.contains("Total: 2"), out)
+    // empty drop zone lists zero, not an error
+    val empty = dispatchCapturing("list-chunks", "--apdb", tmpDir("cli-empty"))
+    assert(empty.contains("Total: 0"), empty)
+  }
+
+  test("run loop copies chunks staged between polls without sleeping") {
+    val apdbRoot = tmpDir("loop-apdb")
+    val apdb = new ParquetApdb(spark, apdbRoot)
+    val gen = new graft.cli.SyntheticApdb(spark, 3, 10)
+    (1L to 3L).foreach(id => ParquetApdb.stage(spark, apdbRoot, gen.chunkData(id)))
+    val ppdb = new PpdbSpark(spark, new VersionedCatalog(tmpDir("loop-ppdb")))
+    ppdb.init()
+    val rep = new Replicator(spark, apdb, ppdb)
+    var sleeps = 0
+    val pollSizes = Seq.newBuilder[Int]
+    val copied = rep.run(exitOnEmpty = true,
+      sleepMs = _ => sleeps += 1,
+      onPoll = (poll, ids) => {
+        pollSizes += ids.size
+        // a new chunk arrives while poll 1's copies were in flight
+        if (poll == 1) ParquetApdb.stage(spark, apdbRoot, gen.chunkData(4L))
+      })
+    assert(copied == Seq(1L, 2L, 3L, 4L))
+    // productive polls chain immediately (no check-interval sleep)
+    assert(pollSizes.result() == Seq(3, 1, 0))
+    assert(sleeps == 0)
+  }
+
+  test("requestStop exits the loop instead of sleeping out the interval") {
+    val apdbRoot = tmpDir("stop-apdb")
+    val ppdb = new PpdbSpark(spark, new VersionedCatalog(tmpDir("stop-ppdb")))
+    ppdb.init()
+    val rep = new Replicator(spark, new ParquetApdb(spark, apdbRoot), ppdb)
+    // empty source, no exit-on-empty: the loop would sleep check-interval
+    // between polls forever; stop during the first sleep slice
+    val copied = rep.run(sleepMs = _ => rep.requestStop())
+    assert(copied.isEmpty)
+  }
+
+  test("parquet APDB round-trips update records through the raw form") {
+    import graft.schema.UpdateRecord
+    val apdbRoot = tmpDir("upd-apdb")
+    val src = new TestApdb(spark, nObjects = 4, nChunks = 1,
+      extraUpdates = Map(1L -> Seq(
+        1L -> UpdateRecord.WithdrawDiaSource(5000L, 1L, 100000L, 60000.5),
+        1L -> UpdateRecord.ReassignDiaSourceToDiaObject(6000L, 2L, 100001L, 1002L))))
+    ParquetApdb.stage(spark, apdbRoot, src.chunkData(1L))
+    val got = new ParquetApdb(spark, apdbRoot).chunkData(1L)
+    assert(got.uniqueId == "uuid-1")
+    assert(got.updates.map(_._2.updateOrder) == Seq(1L, 2L))
+    assert(got.updates.map { case (c, u) => (c, u.tableName, u.recordId, u.payload) }
+      == src.chunkData(1L).updates.map { case (c, u) =>
+        (c, u.tableName, u.recordId, u.payload) })
+  }
+
+  test("non-strict mismatch warns and continues; strict raises") {
+    val apdb = new TestApdb(spark, nObjects = 2, nChunks = 1)
+    val ppdb = new PpdbSpark(spark, new VersionedCatalog(tmpDir("mism")))
+    ppdb.init()
+    // store chunk 1 under a DIFFERENT unique id than the source reports
+    ppdb.store(apdb.chunkData(1L).copy(uniqueId = "other-uuid"))
+    val rep = new Replicator(spark, apdb, ppdb)
+    intercept[IllegalStateException] {
+      rep.runOnce(nowUs = Long.MaxValue / 2, strict = true)
+    }
+    // the continuous loop's posture (P/replicator.py:237-240): warn, keep going
+    val ids = rep.runOnce(nowUs = Long.MaxValue / 2, strict = false)
+    assert(ids.isEmpty, "chunk 1 already replicated; nothing new to copy")
+  }
+}
