@@ -42,6 +42,13 @@ object StreamOps {
     "st6_forward_fill" -> ((s, d) =>
       graft.ops.EventAnalytics.forwardFillDaily(events(s, d))),
 
+    // per-window heavy hitters: the space-saving sketch under a tumbling
+    // event-time window (runs identically under readStream, where the
+    // sketch buffer is the state-store payload and the watermark drives
+    // append-mode emit — StreamingSpec). Exact regime here: max distinct
+    // users per hour window is ~170 at sf0.1, well under capacity 512
+    "a9_windowed_topk" -> ((s, d) => EventStreams.windowedTopK(events(s, d))),
+
     // multimodal metadata: documents as binary payloads with arithmetic
     // pseudo-decode (the mapPartitions codec path is spec-tested; this
     // entry checks the schema/derivation plumbing against the oracle)
@@ -70,6 +77,15 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "a9_windowed_topk" ->
+      """WITH w AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |         user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY window_start_us
+        |    ORDER BY cnt DESC, user_id) AS INTEGER) AS rnk FROM w)
+        |SELECT window_start_us, user_id, cnt, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "st1_window_agg" ->
       """SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
         |       event_type, count(*) AS n,

@@ -31,6 +31,33 @@ object EventStreams {
         col("event_type"), col("n"), col("value_cents"))
   }
 
+  /** Per-window heavy hitters: `space_saving_topk` under a (streaming or
+    * batch) tumbling event-time window. On a stream the sketch buffer IS
+    * the state-store payload — O(capacity) per open window regardless of
+    * key cardinality, serialized/merged by the TypedImperativeAggregate
+    * path — and the watermark both bounds open-window state and, in
+    * append mode, drives the one-shot emit of each finalized window's
+    * top-k. Below `capacity` distinct keys per window the counts are
+    * exact (err = 0), which is the oracle-gated regime (a9).
+    *
+    * Returns (window_start_us, user_id, cnt, rnk), rnk 1..k ordered
+    * (cnt DESC, user_id ASC).
+    */
+  def windowedTopK(events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "10 minutes", capacity: Int = 512,
+      k: Int = 5): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), windowDur))
+      .agg(graft.functions.SpaceSaving
+        .spaceSavingTopK(col("user_id"), capacity, k).as("hh"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        posexplode(col("hh")).as(Seq("pos", "e")))
+      .select(col("window_start_us"), col("e.item").as("user_id"),
+        col("e.cnt").as("cnt"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Stream-stream interval join — the continuous form of the j10
     * attribution query: every event within `windowDur` AFTER a purchase
     * by the same user, matched as both sides ARRIVE (inner stream-stream

@@ -121,6 +121,62 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("windowed top-k: streaming (complete) equals batch on real events") {
+    val srcDir = tmpDir("stream-wtopk")
+    graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "wtopk_stream",
+      EventStreams.windowedTopK(_), outputMode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("wtopk_stream")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val batch = EventStreams.windowedTopK(graft.Tables.events(spark, sf))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("windowed top-k: watermark-driven append emit across micro-batches") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams
+      .windowedTopK(src.toDF().toDF("user_id", "ts"),
+        windowDur = "1 hour", watermark = "10 minutes", capacity = 8, k = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wtopk_append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val h0 = 1700002800000L // hour-aligned epoch ms; w1 = [h0, h0+1h)
+    def at(min: Int) = new Timestamp(h0 + min * 60000L)
+    // batch 1: w1 activity (u1 x3, u2 x2, u3 x1) plus one w2 event that
+    // lifts the watermark to h0+55min — w1 still open
+    src.addData((1L, at(5)), (1L, at(10)), (1L, at(15)),
+      (2L, at(20)), (2L, at(25)), (3L, at(40)), (9L, at(65)))
+    q.processAllAvailable()
+    assert(spark.table("wtopk_append").count() == 0,
+      "w1 not past the watermark yet — nothing emitted in append mode")
+    // batch 2: a LATE w1 event still above the watermark (58 > 55) must
+    // count; a w3 event pushes the eventual watermark past w1's end
+    src.addData((2L, at(58)), (9L, at(130)))
+    q.processAllAvailable()
+    // batch 3: advance once more so the new watermark takes effect
+    src.addData((9L, at(200)))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("wtopk_append")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // w1 finalized exactly: u1 and u2 tie at 3 (the cross-batch event at
+    // 58 min counted), tie broken by item. The final watermark (190 min)
+    // also closed w2 and w3; w4 (the 200-min event) stays open, unemitted
+    val w1Us = h0 * 1000L
+    val hourUs = 3600L * 1000000L
+    assert(emitted == Set(
+      (w1Us, 1L, 3L, 1), (w1Us, 2L, 3L, 2),
+      (w1Us + hourUs, 9L, 1L, 1), (w1Us + 2 * hourUs, 9L, 1L, 1)), emitted)
+  }
+
   test("stateful funnel: cross-batch disorder resolved exactly") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
