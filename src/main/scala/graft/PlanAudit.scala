@@ -67,6 +67,9 @@ object PlanAudit {
         "hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
     Check("st5_retention", "cohort join is an equi-join (planner-chosen build)",
       isEquiJoin),
+    Check("st7_funnel_windowed",
+      "anchor windows and flag groupBy share one user-key exchange",
+      p => "hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
     Check("p12_like_scan", "substring predicate pushed as StringContains",
       p => p.contains("StringContains(p_name,bolt)")),
     Check("p13_prefix_scan", "prefix predicate pushed as StringStartsWith",

@@ -70,6 +70,63 @@ object EventAnalytics {
         count(when(col(s"first_$s").isNotNull, 1)).as(s"users_$s")): _*)
   }
 
+  /** Conversion funnel with a completion horizon: a user reaches stage k
+    * iff SOME strictly-ordered chain e_1 < … < e_k of the right types
+    * completes within `horizonUs` of its own first event (the
+    * conversion-window funnel — anchored at every stage-1 event, not just
+    * the first).
+    *
+    * Exact without self-joins via the max-anchor recursion: let
+    * a_1(t) = latest stage-1 time strictly before t, and
+    * a_i(t) = max over stage-i events u < t of a_{i-1}(u) — the BEST
+    * (latest) anchor whose chain reaches stage i before t. A chain to
+    * stage k ending at event p exists within the horizon iff
+    * a_{k-1}(p) ≥ p − horizon (the max anchor is optimal for the test).
+    * Every a_i is one `max(when(...))` over the same user-partitioned
+    * RANGE window (strictly-before = rangeBetween(…, -1), which matches
+    * the oracle's `<` in value space even under timestamp ties), so the
+    * whole funnel is ONE shuffle on user_id; the per-user flag collapse
+    * and final count reuse that partitioning.
+    *
+    * Returns one row: `users_<stage>` column per stage (stage 1's
+    * horizon is vacuous, so `users_<s1>` counts users with any s1 event;
+    * reach is monotone — a stage-k chain's prefix is a stage-(k−1) chain
+    * within the same span).
+    */
+  def funnelWindowed(events: DataFrame, stages: Seq[String],
+      horizonUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    // a1 … a_{n-1} as successive window columns over the SAME window spec
+    val anchored = stages.init.zipWithIndex.foldLeft(base) {
+      case (df, (stage, i)) =>
+        val carried: Column =
+          if (i == 0) col("us") else col(s"a$i")
+        df.withColumn(s"a${i + 1}",
+          max(when(col("event_type") === stage, carried)).over(wPrev))
+    }
+    val reached = stages.zipWithIndex.foldLeft(anchored) {
+      case (df, (stage, i)) =>
+        val ok: Column =
+          if (i == 0) col("event_type") === stage
+          else col("event_type") === stage &&
+            col(s"a$i") >= col("us") - horizonUs
+        df.withColumn(s"r${i + 1}", ok)
+    }
+    val perUser = reached.groupBy(col("user_id"))
+      .agg(max(when(col("r1"), 1)).as("f1"),
+        stages.indices.tail.map(i =>
+          max(when(col(s"r${i + 1}"), 1)).as(s"f${i + 1}")): _*)
+    perUser.agg(
+      count(when(col("f1") === 1, 1)).as(s"users_${stages.head}"),
+      stages.zipWithIndex.tail.map { case (s, i) =>
+        count(when(col(s"f${i + 1}") === 1, 1)).as(s"users_$s")
+      }: _*)
+  }
+
   /** Regular daily time-grid with forward-fill: one row per user per day
     * from their first to last active day, carrying the last observed
     * end-of-day value across gap days (LOCF) — the resampling step that

@@ -33,6 +33,12 @@ object StreamOps {
       graft.ops.EventAnalytics.funnel(events(s, d),
         Seq("view", "click", "purchase"))),
 
+    // conversion funnel with a 12 h completion horizon (chain anchored at
+    // ANY view; the stateful stream twin is funnelWindowedStateful)
+    "st7_funnel_windowed" -> ((s, d) =>
+      graft.ops.EventAnalytics.funnelWindowed(events(s, d),
+        Seq("view", "click", "purchase"), horizonUs = 12L * 3600L * 1000000L)),
+
     // weekly cohort retention (cohort = first active week)
     "st5_retention" -> ((s, d) =>
       graft.ops.EventAnalytics.weeklyRetention(events(s, d))),
@@ -144,6 +150,25 @@ object StreamOps {
         |       count(CASE WHEN first_purchase IS NOT NULL THEN 1 END)
         |         AS users_purchase
         |FROM u""".stripMargin,
+    "st7_funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+        |s1 AS (SELECT DISTINCT user_id FROM v),
+        |s2 AS (
+        |  SELECT DISTINCT v.user_id FROM v JOIN c
+        |    ON c.user_id = v.user_id AND c.us > v.us
+        |   AND c.us - v.us <= 43200000000),
+        |s3 AS (
+        |  SELECT DISTINCT v.user_id FROM v
+        |  JOIN c ON c.user_id = v.user_id AND c.us > v.us
+        |  JOIN p ON p.user_id = v.user_id AND p.us > c.us
+        |   AND p.us - v.us <= 43200000000)
+        |SELECT (SELECT count(*) FROM s1) AS users_view,
+        |       (SELECT count(*) FROM s2) AS users_click,
+        |       (SELECT count(*) FROM s3) AS users_purchase""".stripMargin,
     "st5_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk

@@ -269,6 +269,94 @@ object EventStreams {
       .toDF()
   }
 
+  /** Windowed-funnel state: stages reached so far (downward-closed mask)
+    * plus per-stage event times still inside the disorder+horizon window.
+    */
+  final case class WFunnelState(reached: Int, stageTs: Seq[Seq[Long]])
+
+  /** Stateful streaming form of
+    * [[graft.ops.EventAnalytics.funnelWindowed]]: per-user progress
+    * through a stage chain that must complete within `horizonUs` of its
+    * anchoring stage-1 event, emitted in UPDATE mode as (user,
+    * stages_reached). Exact under cross-batch disorder: each batch
+    * re-runs the max-anchor sweep (a_i = best anchor completing stages
+    * 1..i strictly before t; reach_k at event p iff a_{k-1} ≥ p −
+    * horizon) over retained + new events, OR-ing into the reached mask —
+    * reach flags only ever turn on, so accumulation is monotone.
+    *
+    * State bound comes from the horizon itself: any chain ending at a
+    * future event p (necessarily above the watermark) has anchor
+    * ≥ p − horizon > wm − horizon, so every event at or below
+    * wm − horizon can never join a future chain and is dropped. State is
+    * therefore O(events per user per horizon+disorder window) — set a
+    * `withWatermark("ts", …)` on the input; without one (and in batch)
+    * nothing is pruned, the price of exactness over all history.
+    */
+  def funnelWindowedStateful(events: DataFrame, stages: Seq[String],
+      horizonUs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idx = stages.zipWithIndex.toMap
+    val n = stages.length
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[WFunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[WFunnelState]) =>
+          val prev = state.getOption.getOrElse(
+            WFunnelState(0, Seq.fill(n)(Nil)))
+          val sets = Array.fill(n)(Vector.newBuilder[Long])
+          prev.stageTs.zipWithIndex.foreach { case (ts, i) => sets(i) ++= ts }
+          rows.foreach { case (_, typ, us) =>
+            idx.get(typ).foreach(i => sets(i) += us)
+          }
+          val kept = sets.map(_.result())
+          // merged sweep in time order; ties share the pre-tie anchor
+          // state so "strictly before" matches the batch RANGE window
+          val evs = kept.zipWithIndex
+            .flatMap { case (ts, i) => ts.map(t => (t, i)) }
+            .sortBy(_._1)
+          val a = Array.fill(n)(Long.MinValue) // a(i): best anchor thru stage i+1
+          var reached = prev.reached
+          var p = 0
+          while (p < evs.length) {
+            var q = p
+            while (q < evs.length && evs(q)._1 == evs(p)._1) q += 1
+            // reads against pre-group state
+            val updates = (p until q).map { j =>
+              val (t, i) = evs(j)
+              if (i == 0) reached |= 1
+              else if (a(i - 1) != Long.MinValue && a(i - 1) >= t - horizonUs)
+                reached |= 1 << i
+              (i, if (i == 0) t else a(i - 1))
+            }
+            updates.foreach { case (i, carry) =>
+              if (carry != Long.MinValue && carry > a(i)) a(i) = carry
+            }
+            p = q
+          }
+          // events at/below wm − horizon can never anchor or join a
+          // future chain (its final event would sit above the watermark
+          // but within horizon of them) — drop, the mask remembers
+          val wmUs =
+            try state.getCurrentWatermarkMs() * 1000L
+            catch { case _: UnsupportedOperationException => Long.MinValue }
+          val cutoff =
+            if (wmUs == Long.MinValue) Long.MinValue else wmUs - horizonUs
+          state.update(WFunnelState(reached,
+            kept.map(_.filter(_ > cutoff)).toSeq))
+          // reach is downward-closed, so progress = contiguous low bits
+          var k = 0
+          while (k < n && (reached & (1 << k)) != 0) k += 1
+          Iterator.single(FunnelOut(user, k))
+      }
+      .toDF()
+  }
+
   /** Streaming sessionization via session_window (state handled by the
     * engine; append-mode with watermark).
     */

@@ -62,6 +62,45 @@ class EventAnalyticsSpec extends SparkSpec {
     assert((row.getLong(0), row.getLong(1)) == (1L, 1L))
   }
 
+  test("funnelWindowed anchors at ANY stage-1 event, not just the first") {
+    val hourUs = 3600L * 1000000L
+    val df = ev(
+      // u1: first view's chain is too slow (3 h) but the SECOND view
+      // anchors a chain that completes in 1.5 h
+      (1L, "2024-01-01 09:00:00", "view"),
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:30:00", "click"),
+      (1L, "2024-01-01 11:30:00", "purchase"),
+      // u2: completes but in 4 h — only view+click inside the horizon
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-01 10:00:00", "click"),
+      (2L, "2024-01-01 13:00:00", "purchase"),
+      // u3: click before any view — never enters the funnel chain
+      (3L, "2024-01-01 09:00:00", "click"),
+      (3L, "2024-01-01 10:00:00", "view"))
+    val row = EventAnalytics
+      .funnelWindowed(df, Seq("view", "click", "purchase"), 2L * hourUs)
+      .head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (3L, 2L, 1L))
+  }
+
+  test("funnelWindowed picks the best anchor per completing event") {
+    val hourUs = 3600L * 1000000L
+    // the purchase is within 1 h of the LATE view's chain only; the
+    // max-anchor recursion must carry the 10:00 view through the 10:30
+    // click, not the 08:00 one
+    val df = ev(
+      (1L, "2024-01-01 08:00:00", "view"),
+      (1L, "2024-01-01 08:10:00", "click"),
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:30:00", "click"),
+      (1L, "2024-01-01 10:55:00", "purchase"))
+    val row = EventAnalytics
+      .funnelWindowed(df, Seq("view", "click", "purchase"), hourUs)
+      .head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (1L, 1L, 1L))
+  }
+
   test("forwardFillDaily carries the last end-of-day value across gaps") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 5.0, 1L),

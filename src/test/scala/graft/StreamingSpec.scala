@@ -177,6 +177,63 @@ class StreamingSpec extends SparkSpec {
       (w1Us + hourUs, 9L, 1L, 1), (w1Us + 2 * hourUs, 9L, 1L, 1)), emitted)
   }
 
+  test("windowed funnel: stateful streaming matches batch on real events") {
+    val horizonUs = 12L * 3600L * 1000000L
+    val stages = Seq("view", "click", "purchase")
+    val srcDir = tmpDir("stream-wfunnel")
+    graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "wfunnel_stream",
+      EventStreams.funnelWindowedStateful(_, stages, horizonUs),
+      outputMode = "update")
+    q.awaitTermination(120000)
+    // update mode: stages_reached is monotone per user, so max == final
+    val perUser = spark.table("wfunnel_stream")
+      .groupBy("user_id").agg(max($"stages_reached").as("k"))
+    val streamed = (1 to 3).map(k =>
+      perUser.where($"k" >= k).count())
+    val b = graft.ops.EventAnalytics
+      .funnelWindowed(graft.Tables.events(spark, sf), stages, horizonUs)
+      .head()
+    assert(streamed == Seq(b.getLong(0), b.getLong(1), b.getLong(2)),
+      s"streamed=$streamed batch=$b")
+    assert(streamed.head > 0)
+  }
+
+  test("windowed funnel: late chain link resolves across batches") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams
+      .funnelWindowedStateful(
+        src.toDF().toDF("user_id", "ts", "event_type")
+          .withWatermark("ts", "2 hours"),
+        Seq("view", "click", "purchase"), horizonUs = 3600L * 1000000L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("wfunnel_state")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: view and purchase only — no click chain yet
+    src.addData((1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:15:00"), "view"),
+      (1L, t("2024-01-01 11:10:00"), "purchase"))
+    q.processAllAvailable()
+    def latest(): Int = spark.table("wfunnel_state")
+      .groupBy("user_id").agg(max($"stages_reached")).head().getInt(1)
+    assert(latest() == 1, "view only — purchase has no click to chain through")
+    // batch 2: the MISSING MIDDLE arrives late but above the watermark;
+    // only the 10:15 anchor completes within the 1 h horizon
+    // (10:00 → 11:10 is 70 min)
+    src.addData((1L, t("2024-01-01 10:30:00"), "click"))
+    q.processAllAvailable()
+    q.stop()
+    assert(latest() == 3,
+      "late click chains 10:15 view → 10:30 click → 11:10 purchase")
+  }
+
   test("stateful funnel: cross-batch disorder resolved exactly") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
