@@ -154,6 +154,96 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks with the same deterministic seeding
+    * discipline as [[ivfSeedCentroids]]: subspace `j`'s codebook is the
+    * j-th subvector slice of the first `ksub` corpus vectors by id
+    * (centroid_id = the seed's own id). Seed-free and SQL-expressible,
+    * so encode + probe have an exact DuckDB oracle (sim6); a
+    * Lloyd-refined per-subspace variant would train like [[ivfTrain]].
+    * Returns (sub, centroid_id, centroid: array<double>), `m * ksub`
+    * rows — broadcast-sized by construction.
+    */
+  def pqSeedCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, dims: Int, ksub: Int): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by $m subspaces")
+    val sd = dims / m
+    df.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("centroid_id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"),
+            transform(slice(col(vecCol), j * sd + 1, sd), _.cast("double"))
+              .as("centroid"))): _*)).as("sc"))
+      .select(col("sc.sub"), col("centroid_id"), col("sc.centroid"))
+  }
+
+  /** PQ-encode the corpus: per (vector, subspace), the codebook entry
+    * minimizing squared L2 distance — computed as |c|² − 2·v_j·c (the
+    * |v_j|² term is constant under the argmin), all dot products in the
+    * reproducible ordered fold. One broadcast join + one
+    * map-side-combining argmin shuffle (same shape as [[assign]]); no
+    * window. Returns (id, sub, code) — `m` rows per vector, 24 bytes
+    * each, the compressed representation probes scan INSTEAD of the
+    * full vectors.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dims: Int): DataFrame = {
+    val sd = dims / m
+    df.select(col(idCol),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"),
+            slice(col(vecCol), j * sd + 1, sd).as("v"))): _*)).as("sv"))
+      .select(col(idCol), col("sv.sub").as("sub"), col("sv.v").as("v"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col(idCol), col("sub"), col("centroid_id"),
+        (dot(col("centroid"), col("centroid"))
+          - lit(2.0) * dot(col("v"), col("centroid"))).as("score"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("score"), col("centroid_id"))).as("best"))
+      .select(col(idCol), col("sub"), col("best.centroid_id").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * exact; each subspace's `ksub` distances are tabulated once
+    * ((|c|² − 2·q_j·c) + |q_j|², the true squared L2 to the centroid)
+    * and every corpus vector's approximate distance is the sum of its
+    * `m` table lookups — the probe scans CODES (m longs per vector),
+    * never the original embeddings. The per-subspace lookups come back
+    * as `m` pivoted agg columns summed in fixed subspace order, so the
+    * double arithmetic is order-deterministic and oracle-matchable
+    * (a groupBy sum over the m rows would add in arrival order).
+    */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, query: Seq[Float],
+      m: Int, k: Int, idCol: String = "vec_id"): DataFrame = {
+    val dims = query.length
+    val sd = dims / m
+    // distance table: per (sub, centroid) the exact squared L2 to the
+    // query's subvector, built from the broadcast codebooks
+    val dj = (0 until m).reverse.foldLeft(lit(Double.NaN)) { (acc, j) =>
+      val qj = array(query.slice(j * sd, j * sd + sd).map(lit): _*)
+      when(col("sub") === j,
+        (dot(col("centroid"), col("centroid"))
+          - lit(2.0) * dot(qj, col("centroid")))
+          + dot(qj, qj))
+        .otherwise(acc)
+    }
+    val dt = codebooks.select(col("sub"), col("centroid_id").as("code"),
+      dj.as("dj"))
+    val perSub = codes
+      .join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(max(when(col("sub") === 0, col("dj"))).as("d0"),
+        (1 until m).map(j =>
+          max(when(col("sub") === j, col("dj"))).as(s"d$j")): _*)
+    perSub
+      .select(col(idCol),
+        (0 until m).map(j => col(s"d$j"))
+          .reduce(_ + _).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
   /** Multi-probe ANN top-k: probe the query's LSH bucket plus every
     * 1-bit-flip neighbor bucket (bits+1 probes) — recovers most of the
     * recall lost to near-boundary hyperplane flips for ~(bits+1)/2^bits
@@ -251,4 +341,53 @@ object IvfIndex {
       cat: graft.catalog.VersionedCatalog, name: String): IvfIndex =
     IvfIndex(cat.read(spark, s"$name.centroids"),
       cat.read(spark, s"$name.assignments"))
+}
+
+/** A built product-quantization index: encode once (the corpus collapses
+  * to `m` 8-byte codes per vector), probe many — every ADC probe scans
+  * only the code table plus a broadcast `m × ksub` distance table, never
+  * the original embeddings. The compression is what changes the scale
+  * economics: at 100 TB of raw float vectors the PQ codes are ~1/64th
+  * the bytes, so a probe is a cheap columnar scan of codes with the
+  * exact query-side arithmetic confined to the tiny codebook.
+  */
+final case class PqIndex(m: Int, dims: Int, codebooks: DataFrame,
+    codes: DataFrame) {
+
+  /** Persist codebooks + codes (+ shape params) in one atomic catalog
+    * commit; later sessions [[PqIndex.load]] and probe without touching
+    * the corpus.
+    */
+  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    cat.commit(Map(
+      s"$name.codebooks" -> codebooks,
+      s"$name.codes" -> codes,
+      s"$name.params" -> Seq((m, dims)).toDF("m", "dims")))
+    ()
+  }
+
+  /** ADC top-k against this index (see [[Similarity.pqTopK]]). */
+  def probe(query: Seq[Float], k: Int, idCol: String = "vec_id"): DataFrame =
+    Similarity.pqTopK(codes, codebooks, query, m, k, idCol)
+}
+
+object PqIndex {
+
+  /** Seed the per-subspace codebooks deterministically and encode the
+    * whole corpus once.
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      dims: Int, ksub: Int): PqIndex = {
+    val cb = Similarity.pqSeedCodebooks(df, idCol, vecCol, m, dims, ksub)
+    PqIndex(m, dims, cb, Similarity.pqEncode(df, idCol, vecCol, cb, m, dims))
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String): PqIndex = {
+    val p = cat.read(spark, s"$name.params").head()
+    PqIndex(p.getAs[Int]("m"), p.getAs[Int]("dims"),
+      cat.read(spark, s"$name.codebooks"), cat.read(spark, s"$name.codes"))
+  }
 }

@@ -27,6 +27,15 @@ object VectorOps {
   private def sqlCosine(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
+  /** Ordered-fold dot product of two n-element list exprs (the slice-
+    * sized twin of [[sqlDot]], for PQ subvectors).
+    */
+  private def sqlDotN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${n + 1}), " +
+      s"i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
+
   /** SQL for the random-hyperplane LSH signature of list expr `v` —
     * mirrors Similarity.plane / Similarity.lshSignature bit for bit.
     */
@@ -87,6 +96,19 @@ object VectorOps {
       val assignments = Similarity.assign(e, "vec_id", "embedding", centroids)
       Similarity.ivfTopK(e, "vec_id", "embedding", centroids, assignments,
         queryVec(s, d), k = 20, nprobe = 4)
+    }),
+
+    // PQ (product-quantization) ANN top-k: deterministic seeded
+    // per-subspace codebooks (subvectors of the first 16 vectors by id —
+    // SQL-expressible like sim4's quantizer), corpus encoded to 4 codes
+    // per vector, asymmetric-distance probe over the CODES only. k=30 >
+    // the 16-way quantization's tie plateau so the id tie-break keeps
+    // the cut deterministic
+    "sim6_pq_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val idx = graft.ops.PqIndex.build(e, "vec_id", "embedding",
+        m = 4, dims = DIMS, ksub = 16)
+      idx.probe(queryVec(s, d), k = 30)
     }),
 
     // per-label embedding pooling (mean-pool modulo the final divide) in
@@ -155,6 +177,47 @@ object VectorOps {
          |       ${sqlCosine("x.embedding", "y.embedding")} AS cos
          |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
          |WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.4""".stripMargin,
+
+    // seeded-codebook PQ: subspace j's codebook = dims [16j+1, 16j+16] of
+    // the first 16 vectors by id; encode = per-(vector, subspace) argmin
+    // of |c|^2 - 2 v_j . c; probe = sum of the 4 per-subspace exact
+    // squared L2 table lookups, fixed addition order
+    "sim6_pq_topk" -> {
+      val sub = (e: String) => s"list_slice($e, sub*16+1, sub*16+16)"
+      val n2c = sqlDotN("centroid", "centroid", 16)
+      s"""WITH cb AS (
+         |  SELECT t.sub, s.vec_id AS centroid_id,
+         |         list_transform(list_slice(s.embedding, t.sub*16+1,
+         |             t.sub*16+16), x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 16) s
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) t),
+         |codes AS (
+         |  SELECT vec_id, sub, centroid_id AS code FROM (
+         |    SELECT e.vec_id, cb.sub, cb.centroid_id,
+         |           row_number() OVER (PARTITION BY e.vec_id, cb.sub
+         |             ORDER BY ($n2c) - (2.0 *
+         |               (${sqlDotN(sub("e.embedding"), "centroid", 16)})),
+         |               cb.centroid_id) AS rn
+         |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dt AS (
+         |  SELECT sub, centroid_id AS code,
+         |         (($n2c) - (2.0 *
+         |            (${sqlDotN(sub("q.qv"), "centroid", 16)})))
+         |           + (${sqlDotN(sub("q.qv"), sub("q.qv"), 16)}) AS dj
+         |  FROM cb CROSS JOIN q),
+         |ad AS (
+         |  SELECT c.vec_id,
+         |         max(CASE WHEN c.sub = 0 THEN dt.dj END) AS d0,
+         |         max(CASE WHEN c.sub = 1 THEN dt.dj END) AS d1,
+         |         max(CASE WHEN c.sub = 2 THEN dt.dj END) AS d2,
+         |         max(CASE WHEN c.sub = 3 THEN dt.dj END) AS d3
+         |  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+         |  GROUP BY c.vec_id)
+         |SELECT vec_id, ((d0 + d1) + d2) + d3 AS adist
+         |FROM ad ORDER BY adist, vec_id LIMIT 30""".stripMargin
+    },
 
     // seeded-quantizer IVF: centroids = first 16 vectors by id, nearest
     // cell per vector (cos DESC, centroid_id tie-break), probe the 4

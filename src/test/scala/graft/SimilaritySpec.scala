@@ -78,6 +78,107 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  /** Clustered corpus where quantization is meaningful: 4 well-separated
+    * centers in 64-d, 50 vectors each with small deterministic jitter.
+    * Ids INTERLEAVE clusters (id % 4 = cluster) so the seeded codebooks —
+    * the first `ksub` ids — span every cluster's subvector patterns.
+    */
+  private lazy val clustered = {
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 50
+    } yield {
+      val id = i.toLong * 4 + c
+      val v = Array.tabulate(64) { d =>
+        val center = if (d / 16 == c) 4.0f else 0.0f
+        // deterministic pseudo-noise in [-0.25, 0.25)
+        val h = (id * 6364136223846793005L + d * 1442695040888963407L) >>> 40
+        center + ((h % 1000L) / 2000.0f - 0.25f)
+      }
+      (id, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+  }
+
+  test("PQ: codes cover corpus and ADC separates true neighborhoods") {
+    import graft.ops.PqIndex
+    val idx = PqIndex.build(clustered, "vec_id", "embedding",
+      m = 4, dims = 64, ksub = 8)
+    // every vector gets exactly m codes
+    assert(idx.codes.count() == 200L * 4)
+    assert(idx.codes.groupBy("vec_id").count()
+      .where($"count" =!= 4).count() == 0)
+    val qId = 17L // cluster 17 % 4 = 1
+    val q = clustered.where($"vec_id" === qId)
+      .select($"embedding").head().getSeq[Float](0)
+    val got = idx.probe(q, k = 10).collect()
+    // recall vs exact: every true top-10 neighbor is in the query's
+    // cluster, and the 8-entry codebooks keep ADC inside that cluster
+    // too — all 10 of the exact top-10's CLUSTER survive, which is the
+    // granularity this codebook size quantizes to
+    assert(got.length == 10)
+    assert(got.forall(r => r.getLong(0) % 4 == qId % 4),
+      s"ADC results stay in the query's cluster: ${got.mkString(",")}")
+  }
+
+  test("PQ exactness limit: ksub = corpus size makes ADC == exact L2") {
+    import graft.ops.PqIndex
+    // with every vector's own subvectors in the codebooks, each vector
+    // encodes to itself (distance-0 entry, or an identical-contribution
+    // tie) and the ADC sum IS the exact squared L2 — the PQ analog of
+    // IVF's nprobe=k == brute force
+    val n = emb.count().toInt
+    val idx = PqIndex.build(emb, "vec_id", "embedding",
+      m = 4, dims = 64, ksub = n)
+    val got = idx.probe(queryVec, 15).collect().map(_.getLong(0)).toSeq
+    val qArr = array(queryVec.map(lit): _*)
+    val exact = emb
+      .select($"vec_id",
+        ((Similarity.dot($"embedding", $"embedding")
+          - lit(2.0) * Similarity.dot($"embedding", qArr))
+          + Similarity.dot(qArr, qArr)).as("d"))
+      .orderBy($"d", $"vec_id").limit(15)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"ADC $got != exact $exact")
+  }
+
+  test("PQ recall on real embeddings beats chance at coarse codebooks") {
+    import graft.ops.PqIndex
+    val idx = PqIndex.build(emb, "vec_id", "embedding",
+      m = 4, dims = 64, ksub = 16)
+    val got = idx.probe(queryVec, 30).collect().map(_.getLong(0)).toSet
+    val qArr = array(queryVec.map(lit): _*)
+    val exact = emb
+      .select($"vec_id",
+        (Similarity.dot($"embedding", $"embedding")
+          - lit(2.0) * Similarity.dot($"embedding", qArr)).as("d"))
+      .orderBy($"d", $"vec_id").limit(30)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size
+    // chance would be 30*30/500 = 1.8; random-ish embeddings are PQ's
+    // hardest case, observed ~12/30 at this codebook size
+    assert(recall >= 6, s"ADC recall $recall/30 vs exact L2")
+    assert(got.contains(0L), "the query's own vector survives quantization")
+  }
+
+  test("PQ index: persist, reopen, probe without touching the corpus") {
+    import graft.ops.PqIndex
+    val root = tmpDir("pq")
+    val cat = new graft.catalog.VersionedCatalog(root)
+    PqIndex.build(emb, "vec_id", "embedding", m = 4, dims = 64, ksub = 16)
+      .save(cat, "pq_idx")
+    val idx = PqIndex.load(spark,
+      new graft.catalog.VersionedCatalog(root), "pq_idx")
+    assert(idx.m == 4 && idx.dims == 64)
+    assert(idx.codes.count() == emb.count() * 4)
+    // probe equality with a freshly-built index (deterministic build)
+    val fresh = PqIndex.build(emb, "vec_id", "embedding",
+      m = 4, dims = 64, ksub = 16).probe(queryVec, 10)
+    val loaded = idx.probe(queryVec, 10)
+    assert(loaded.exceptAll(fresh).isEmpty && fresh.exceptAll(loaded).isEmpty)
+  }
+
   test("multi-probe LSH recall >= single-probe recall") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queryVec, 10).select("vec_id").collect().map(_.getLong(0)).toSet
