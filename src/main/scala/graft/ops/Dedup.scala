@@ -409,6 +409,159 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Near-dup pairs straight from a built [[MinhashIndex]] — the banded
+    * self-join + exact-Jaccard verify of [[minhashLshPairs]], but reading
+    * the index's persisted tables instead of re-hashing the corpus.
+    */
+  def indexPairs(index: MinhashIndex, threshold: Double): DataFrame = {
+    val cand = index.banded.as("a").join(index.banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    cand
+      .join(index.sets.select(col("doc").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(index.sets.select(col("doc").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** A materialized duplicate-cluster index: the MinHash tables for
+    * candidate generation PLUS the (doc_id, cluster_id) connected-
+    * components labeling, persisted together. This is the production
+    * shape for keep-best/dedup at scale: consumers read the cluster
+    * TABLE (the dd10 gate recomputes the pipeline to stay oracle-
+    * checkable), and new document batches join existing clusters through
+    * [[addDocs]] without ever re-running CC over the corpus.
+    */
+  final case class DupClusterIndex(minhash: MinhashIndex,
+      threshold: Double, clusters: DataFrame) {
+
+    /** Atomic commit of the minhash tables + cluster table + params. */
+    def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+      val spark = clusters.sparkSession
+      import spark.implicits._
+      val params = Seq((minhash.n, minhash.numHashes, minhash.rowsPerBand,
+        threshold)).toDF("n", "num_hashes", "rows_per_band", "threshold")
+      cat.commit(Map(
+        s"$name.banded" -> minhash.banded,
+        s"$name.sets" -> minhash.sets,
+        s"$name.clusters" -> clusters,
+        s"$name.params" -> params))
+      ()
+    }
+
+    /** One keeper per cluster by quality (dd10's shape) — reads the
+      * PERSISTED cluster table; no LSH, no CC, one max_by shuffle.
+      */
+    def keepBest(quality: DataFrame, idCol: String,
+        qualityCol: String): DataFrame =
+      clusters
+        .join(quality.select(col(idCol).as("doc_id"),
+          col(qualityCol).as("q")), Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(
+          max_by(col("doc_id"),
+            struct(col("q"), (-col("doc_id")).as("nd"))).as("keep_id"),
+          count(lit(1)).as("n_docs"))
+
+    /** Fold a batch of NEW documents into the clustering — EXACTLY the
+      * labels a full re-run over old ∪ new would produce, at the cost of
+      * the batch, not the corpus:
+      *
+      *  1. probe new docs against the minhash index (corpus read = the
+      *     bucket slices the probe touches) and LSH-pair the batch
+      *     against itself;
+      *  2. run CC on the SMALL label graph whose nodes are new doc ids
+      *     plus the touched cluster ids — a cluster id is the min doc id
+      *     of its cluster, so the hash-min label of a merged component
+      *     (min over member cluster-ids and new ids) IS the min doc id
+      *     of the merged doc set, i.e. identical to a full rebuild. New
+      *     docs can merge two old clusters and the relabeling follows;
+      *  3. untouched clusters keep their rows verbatim; the minhash
+      *     tables extend by the new docs' bands/sets.
+      */
+    def addDocs(newDocs: DataFrame, idCol: String,
+        textCol: String): DupClusterIndex = {
+      val hits = minhashProbe(newDocs, minhash, idCol, textCol, threshold)
+      val newPairs = minhashLshPairs(newDocs, idCol, textCol, minhash.n,
+        minhash.numHashes, minhash.rowsPerBand, threshold)
+      val clusterEdges = hits
+        .join(clusters.withColumnRenamed("doc_id", "corpus_id"),
+          Seq("corpus_id"))
+        .select(col("probe_id").as("id_a"), col("cluster_id").as("id_b"))
+        .distinct()
+      val edges = clusterEdges
+        .unionByName(newPairs.select(col("id_a"), col("id_b")))
+      val nodes = newDocs.select(col(idCol).as("node"))
+        .unionByName(clusterEdges.select(col("id_b").as("node")))
+        .distinct()
+      val relabeled = dupClusters(nodes, "node", edges)
+      // touched old clusters move to their merged label …
+      val touched = relabeled
+        .select(col("node").as("old_cluster"),
+          col("cluster_id").as("new_cluster"))
+        .join(clusters.select(col("cluster_id").as("old_cluster")).distinct(),
+          Seq("old_cluster"))
+      val movedOld = clusters
+        .join(touched, col("cluster_id") === col("old_cluster"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
+      // … and new docs take their component's label
+      val newRows = relabeled
+        .join(newDocs.select(col(idCol).as("node")), Seq("node"))
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val (nb, ns) = indexTables(newDocs, idCol, textCol, minhash.n,
+        minhash.numHashes, minhash.rowsPerBand)
+      DupClusterIndex(
+        MinhashIndex(minhash.n, minhash.numHashes, minhash.rowsPerBand,
+          minhash.banded.unionByName(nb), minhash.sets.unionByName(ns)),
+        threshold,
+        movedOld.unionByName(newRows))
+    }
+  }
+
+  /** Build the cluster index: minhash tables once, pairs from those
+    * tables, CC labels materialized. `corpus` ids must be unique.
+    */
+  def dupClusterIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DupClusterIndex = {
+    val mh = minhashIndex(corpus, idCol, textCol, n, numHashes, rowsPerBand)
+    val clusters = dupClusters(corpus.select(col(idCol)), idCol,
+      indexPairs(mh, threshold).select("id_a", "id_b"))
+      .withColumnRenamed(idCol, "doc_id")
+    DupClusterIndex(mh, threshold, clusters)
+  }
+
+  def loadDupClusterIndex(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String): DupClusterIndex = {
+    val p = cat.read(spark, s"$name.params").head()
+    DupClusterIndex(
+      MinhashIndex(p.getAs[Int]("n"), p.getAs[Int]("num_hashes"),
+        p.getAs[Int]("rows_per_band"),
+        cat.read(spark, s"$name.banded"), cat.read(spark, s"$name.sets")),
+      p.getAs[Double]("threshold"),
+      cat.read(spark, s"$name.clusters"))
+  }
+
+  /** (banded, sets) index tables for a document set — the building block
+    * shared by [[minhashIndex]] and incremental [[DupClusterIndex.addDocs]].
+    */
+  private def indexTables(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+    val base = df
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", signatureOf(col("sh"), numHashes))
+    (bandedOf(base, numHashes, rowsPerBand), base.select(col("doc"), col("sh")))
+  }
+
   /** 63-bit SimHash over word tokens: bit j of the signature is the sign
     * of the sum over tokens of (+1 if bit j of tokenHash else -1).
     * Single-pass expression (TextExprs.simhash) with arithmetic identical

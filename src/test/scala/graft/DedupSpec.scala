@@ -286,6 +286,63 @@ class DedupSpec extends SparkSpec {
     assert(loaded == fresh)
   }
 
+  private def clusterMap(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+
+  test("dup-cluster index: incremental addDocs == full rebuild, " +
+      "including a batch doc that merges two old clusters") {
+    // doc 1 ~ doc 2 (cluster 1); docs 3, 4 are singletons and FAR apart
+    val batchA = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "red green blue yellow purple orange pink white"))
+      .toDF("doc_id", "text")
+    // 10 bridges clusters {1,2} and {3}: shares a long run with each;
+    // 11 pairs with nothing; 12 is a near-dup of 4
+    val batchB = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta one two three " +
+        "four five six seven eight nine"),
+      (11L, "totally novel content unlike anything else in any corpus"),
+      (12L, "red green blue yellow purple orange pink black"))
+      .toDF("doc_id", "text")
+    val (n, h, r, t) = (3, 8, 1, 0.25)
+
+    val idx = Dedup.dupClusterIndex(batchA, "doc_id", "text", n, h, r, t)
+    val incr = idx.addDocs(batchB, "doc_id", "text")
+    val full = Dedup.dupClusterIndex(batchA.unionByName(batchB),
+      "doc_id", "text", n, h, r, t)
+    val (gi, gf) = (clusterMap(incr.clusters), clusterMap(full.clusters))
+    assert(gi == gf, s"incremental $gi != full rebuild $gf")
+    // the merge actually happened: 1,2,3,10 share a cluster labeled 1
+    assert(gi(10L) == 1L && gi(3L) == 1L && gi(2L) == 1L)
+    assert(gi(11L) == 11L, "unmatched new doc becomes its own cluster")
+    assert(gi(12L) == 4L, "near-dup of a singleton joins it")
+    // the index extended: probing against it sees the new docs too
+    assert(incr.minhash.sets.count() == 7)
+  }
+
+  test("dup-cluster index: persisted keep-best and reopen") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.dupClusterIndex(docs, "doc_id", "text", 3, 8, 2, 0.3)
+    val cat = new graft.catalog.VersionedCatalog(tmpDir("dcidx"))
+    idx.save(cat, "dup_idx")
+    val reopened = Dedup.loadDupClusterIndex(spark, cat, "dup_idx")
+    assert(reopened.threshold == 0.3)
+    assert(clusterMap(reopened.clusters) == clusterMap(idx.clusters))
+    // keep-best off the PERSISTED table: doc 1 ("theta" outruns "iota"
+    // by a char) keeps cluster 1, cluster 3 keeps itself
+    val quality = docs.select($"doc_id", length($"text").as("n_chars"))
+    val kb = reopened.keepBest(quality, "doc_id", "n_chars")
+      .select($"cluster_id", $"keep_id", $"n_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(kb == Set((1L, 1L, 2L), (3L, 3L, 1L)), s"got $kb")
+  }
+
   test("decontaminate counts distinct shared n-grams per training doc") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
