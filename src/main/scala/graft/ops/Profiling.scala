@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Whole-table column profiling: ONE scan computes per-column
+  * (n, n_distinct, lo, hi) for several columns at once, unpivoted to a
+  * row per column — the data-quality sweep run once per snapshot instead
+  * of one scan per column.
+  *
+  * Two distinct-count regimes behind the same output shape:
+  *  - exact (`approx = false`): `count_distinct`, which Catalyst plans as
+  *    a multi-column Expand (one duplicated input stream per distinct
+  *    aggregate) — the oracle-gated form (q11);
+  *  - approx (`approx = true`): `approx_count_distinct` (HyperLogLog++)
+  *    at `rsd` — NO Expand, plain one-pass partial aggregation with
+  *    O(1/rsd²)-byte sketches on the wire. This is the 100 TB default:
+  *    the exact form's Expand multiplies the scanned rows by the number
+  *    of profiled columns, the sketch form scans once regardless.
+  *
+  * Values are profiled in scaled-integer space (`round(col * scale)`),
+  * matching the gate's fixed-point convention.
+  */
+object Profiling {
+
+  def profile(df: DataFrame, cols: Seq[(String, Int)],
+      approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
+    val aggs = cols.flatMap { case (c, scale) =>
+      val cents = round(col(c) * scale).cast("long")
+      val nd: Column =
+        if (approx) approx_count_distinct(cents, rsd)
+        else count_distinct(cents)
+      Seq(count(col(c)).as(s"n|$c"), nd.as(s"nd|$c"),
+        min(cents).as(s"lo|$c"), max(cents).as(s"hi|$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { case (c, _) =>
+      s"'$c', `n|$c`, `nd|$c`, `lo|$c`, `hi|$c`"
+    }.mkString(", ")
+    wide.selectExpr(s"stack(${cols.size}, $stacked) " +
+      "AS (col_name, n, n_distinct, lo_scaled, hi_scaled)")
+  }
+}

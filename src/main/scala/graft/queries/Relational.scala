@@ -296,23 +296,13 @@ object Relational {
     // multi-count-distinct Expand), then unpivots to one row per column.
     // The data-quality sweep you run ONCE per snapshot instead of one
     // scan per column
-    "q11_profile_all" -> ((s, d) => {
-      import s.implicits._
-      val cols = Seq(("l_quantity", 100), ("l_extendedprice", 100),
-        ("l_discount", 10000))
-      val aggs = cols.flatMap { case (c, scale) =>
-        val cents = round(col(c) * scale).cast("long")
-        Seq(count(col(c)).as(s"n|$c"),
-          count_distinct(cents).as(s"nd|$c"),
-          min(cents).as(s"lo|$c"), max(cents).as(s"hi|$c"))
-      }
-      val wide = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-      val stacked = cols.map { case (c, _) =>
-        s"'$c', `n|$c`, `nd|$c`, `lo|$c`, `hi|$c`"
-      }.mkString(", ")
-      wide.selectExpr(s"stack(${cols.size}, $stacked) " +
-        "AS (col_name, n, n_distinct, lo_scaled, hi_scaled)")
-    }),
+    // (the approx_count_distinct twin — same shape, no Expand — is
+    // Profiling.profile(approx = true), spec-gated against this exact
+    // form with HLL++ rsd bounds in ProfilingSpec)
+    "q11_profile_all" -> ((s, d) =>
+      graft.ops.Profiling.profile(lineitem(s, d),
+        Seq(("l_quantity", 100), ("l_extendedprice", 100),
+          ("l_discount", 10000)))),
 
     // W7: cumulative distribution (percentile rank with peers) per
     // priority class — value depends only on the ordering key, so ties
