@@ -342,19 +342,31 @@ final class VersionedCatalog(val root: String,
     * scale. Quantization ranges are observed in one tiny agg pass.
     */
   def zorderCompact(spark: SparkSession, table: String, colA: String,
-      colB: String, targetPartitions: Int, bits: Int = 16): Long = {
+      colB: String, targetPartitions: Int, bits: Int = 16): Long =
+    zorderCompactK(spark, table, Seq(colA, colB), targetPartitions, bits)
+
+  /** k-dimension form: cluster on the Morton interleave of ANY number of
+    * numeric columns (k·bits ≤ 63) — e.g. (time-bucket, diaObjectId,
+    * cell) — so every output file is a compact k-D tile and a stripe
+    * predicate on any single dimension, or a box on several, prunes on
+    * tight per-file min/max for ALL of them.
+    */
+  def zorderCompactK(spark: SparkSession, table: String, cols: Seq[String],
+      targetPartitions: Int, bits: Int = 16): Long = {
     import org.apache.spark.sql.functions.{col, min, max}
     import graft.functions.ZOrder
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got $cols")
     val df = read(spark, table)
-    val r = df.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
     // empty table / all-null column: no range to cluster on — quantize
     // collapses that dimension to 0 instead of NPEing on the null agg
     def d(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
-    val z = ZOrder.morton(
-      ZOrder.quantize(col(colA), d(0), d(1), bits),
-      ZOrder.quantize(col(colB), d(2), d(3), bits))
+    val z = ZOrder.mortonK(
+      cols.zipWithIndex.map { case (c, j) =>
+        ZOrder.quantize(col(c), d(2 * j), d(2 * j + 1), bits)
+      }, bits)
     commit(Map(table -> df
       .withColumn("_z", z)
       .repartitionByRange(targetPartitions, col("_z"))

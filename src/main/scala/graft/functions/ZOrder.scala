@@ -26,6 +26,26 @@ object ZOrder {
   def morton(x: Column, y: Column): Column =
     spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
 
+  /** Morton code of k non-negative grid coordinates of `bits` bits each:
+    * bit i of coordinate j lands at position i·k + j, so the 2-D case
+    * agrees with [[morton]] bit for bit. Generic shift-and-mask (bits·k
+    * OR terms, all codegen'd built-ins); k·bits must fit a signed long.
+    * Three-plus dimensions are the (time-bucket × object × cell) layout
+    * case: a file tile then bounds ALL participating dimensions, so
+    * min/max stats prune stripes in any of them.
+    */
+  def mortonK(coords: Seq[Column], bits: Int): Column = {
+    require(coords.nonEmpty, "mortonK needs at least one coordinate")
+    require(coords.size * bits <= 63,
+      s"${coords.size} dims x $bits bits overflow a long")
+    val k = coords.size
+    coords.zipWithIndex.map { case (c, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
   /** Quantize a numeric column to a [0, 2^bits) grid given its observed
     * [lo, hi] range (degenerate ranges collapse to 0).
     */
