@@ -79,6 +79,68 @@ class FelisSchemaSpec extends SparkSpec {
     intercept[IllegalArgumentException] { FelisSchema.felisToSpark("decimal") }
   }
 
+  test("mixed-case / quoted identifiers survive the schema + catalog " +
+      "round trip") {
+    // the reference exercises identifier quoting with mixed-case schema
+    // names (tests/test_ppdb_sql.py:114-123); the Spark-side equivalents
+    // are exact-case preservation through Felis parse -> registry ->
+    // catalog parquet -> SQL over a mounted view, including a reserved
+    // word ("Order") as a column name
+    val quoted =
+      """---
+        |name: "Mixed_Case001"
+        |version: "0.1.0"
+        |tables:
+        |- name: "MyTable_A"
+        |  columns:
+        |  - name: "RaDecErr"
+        |    datatype: double
+        |    nullable: false
+        |  - name: "Order"
+        |    datatype: long
+        |    nullable: false
+        |  - name: "lowercase"
+        |    datatype: text
+        |  primaryKey: "#MyTable_A.Order"
+        |""".stripMargin
+    val schema = FelisSchema.parse(quoted)
+    assert(schema.name == "Mixed_Case001")
+    val t = schema.table("MyTable_A")
+    assert(t.structType.fields.map(_.name).toSeq ==
+      Seq("RaDecErr", "Order", "lowercase"))
+    assert(t.primaryKey == Seq("Order"))
+
+    // registry: exact-case names in, exact-case out
+    val root = tmpDir("mixed")
+    val reg = new graft.catalog.SchemaRegistry(root)
+    reg.put("MyTable_A", t.structType)
+    assert(reg.tables.contains("MyTable_A"))
+    assert(reg.get("MyTable_A").get._2.fields.map(_.name).toSeq ==
+      Seq("RaDecErr", "Order", "lowercase"))
+
+    // catalog: data committed under the mixed-case table keeps its
+    // exact column case through the parquet round trip
+    import spark.implicits._
+    val cat = new graft.catalog.VersionedCatalog(root)
+    val df = Seq((1.5, 10L, "x"), (2.5, 20L, "y"))
+      .toDF("RaDecErr", "Order", "lowercase")
+    cat.commit(Map("MyTable_A" -> df))
+    val back = cat.read(spark, "MyTable_A")
+    assert(back.schema.fields.map(_.name).toSeq ==
+      Seq("RaDecErr", "Order", "lowercase"))
+
+    // SQL over the mounted view: backtick-quoted reserved word resolves,
+    // and (Spark's default case-insensitive resolution) unquoted
+    // lower-case references still bind to the mixed-case columns
+    graft.GraftSession.mount(spark, cat)
+    val r = spark.sql(
+      "SELECT `Order`, RaDecErr FROM MyTable_A ORDER BY `Order` DESC")
+      .as[(Long, Double)].collect().toSeq
+    assert(r == Seq((20L, 2.5), (10L, 1.5)))
+    assert(spark.sql("SELECT radecerr FROM mytable_a WHERE `order` = 10")
+      .head().getDouble(0) == 1.5)
+  }
+
   test("parses the reference's real Felis schema file") {
     val path = "/root/reference/python/lsst/dax/ppdb/resources/config/" +
       "schemas/test_apdb_schema.yaml"
