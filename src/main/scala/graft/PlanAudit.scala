@@ -70,6 +70,11 @@ object PlanAudit {
     Check("st7_funnel_windowed",
       "anchor windows and flag groupBy share one user-key exchange",
       p => "hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
+    Check("sim6_pq_topk",
+      "ADC probe: distance table broadcast, top-k without full sort",
+      p => p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("TakeOrderedAndProject")),
     Check("p12_like_scan", "substring predicate pushed as StringContains",
       p => p.contains("StringContains(p_name,bolt)")),
     Check("p13_prefix_scan", "prefix predicate pushed as StringStartsWith",

@@ -384,14 +384,21 @@ object Dedup {
   /** Probe new documents against a [[MinhashIndex]]: candidates from the
     * (band, bucket) equi-join, verified with exact Jaccard over the full
     * shingle sets at `threshold`. Returns (probe_id, corpus_id, jaccard).
+    *
+    * Stream-safe: the whole pipeline is select + explode + inner
+    * equi-joins against static index tables — no state store, no
+    * watermark needed — so `probe` may be a streaming DataFrame (the
+    * probe-side cache is skipped there; a micro-batch recomputes its own
+    * signatures, which is the right trade at batch size).
     */
   def minhashProbe(probe: DataFrame, index: MinhashIndex, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
-    val base = tracked(probe
+    val raw = probe
       .select(col(idCol).as("p_doc"),
         shingleHashes(col(textCol), index.n).as("p_sh"))
       .where(size(col("p_sh")) > 0)
-      .withColumn("sig", signatureOf(col("p_sh"), index.numHashes)))
+      .withColumn("sig", signatureOf(col("p_sh"), index.numHashes))
+    val base = if (probe.isStreaming) raw else tracked(raw)
     val pb = bandedOf(
       base.select(col("p_doc").as("doc"), col("sig")),
       index.numHashes, index.rowsPerBand)
@@ -469,6 +476,22 @@ object Dedup {
           max_by(col("doc_id"),
             struct(col("q"), (-col("doc_id")).as("nd"))).as("keep_id"),
           count(lit(1)).as("n_docs"))
+
+    /** Which existing cluster(s) does each incoming document hit?
+      * Stateless (probe + equi-join against the two static tables), so
+      * `docs` may be a STREAMING DataFrame: continuous cluster
+      * assignment for an ingest pipeline, no state store, index side
+      * static. Returns (probe_id, cluster_id, corpus_id, jaccard) — one
+      * row per verified match; consumers pick min(cluster_id) per doc
+      * for a hash-min-consistent label, or route on any match.
+      */
+    def clusterMatches(docs: DataFrame, idCol: String,
+        textCol: String): DataFrame =
+      minhashProbe(docs, minhash, idCol, textCol, threshold)
+        .join(clusters.withColumnRenamed("doc_id", "corpus_id"),
+          Seq("corpus_id"))
+        .select(col("probe_id"), col("cluster_id"), col("corpus_id"),
+          col("jaccard"))
 
     /** Fold a batch of NEW documents into the clustering — EXACTLY the
       * labels a full re-run over old ∪ new would produce, at the cost of

@@ -178,6 +178,56 @@ object Similarity {
       .select(col("sc.sub"), col("centroid_id"), col("sc.centroid"))
   }
 
+  /** Lloyd-refined PQ codebooks: per subspace, k-means over the corpus'
+    * subvectors — seeded from [[pqSeedCodebooks]] (deterministic,
+    * seed-free) and refined with `iters` iterations as pure DataFrame
+    * aggregations, ALL subspaces in the same pass (the subspace id is
+    * just another grouping key, so one scan + one shuffle per iteration
+    * trains all m codebooks). Deterministic like [[ivfTrain]], and like
+    * it not oracle-gated: iterative means are float-order-sensitive, so
+    * the refined variant is spec-tested while the seeded one carries the
+    * sim6 gate.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      dims: Int, ksub: Int, iters: Int = 3): DataFrame = {
+    val sd = dims / m
+    val subs = df.select(col(idCol),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"),
+            slice(col(vecCol), j * sd + 1, sd).as("v"))): _*)).as("sv"))
+      .select(col(idCol), col("sv.sub").as("sub"), col("sv.v").as("v"))
+    var codebooks = pqSeedCodebooks(df, idCol, vecCol, m, dims, ksub)
+    for (_ <- 0 until iters) {
+      // nearest codeword per (vector, subspace): same argmin shape as
+      // pqEncode, against the current codebooks
+      val assigned = subs
+        .join(broadcast(codebooks), Seq("sub"))
+        .select(col(idCol), col("sub"), col("centroid_id"), col("v"),
+          (dot(col("centroid"), col("centroid"))
+            - lit(2.0) * dot(col("v"), col("centroid"))).as("score"))
+        .groupBy(col(idCol), col("sub"))
+        .agg(min(struct(col("score"), col("centroid_id"), col("v"))).as("b"))
+        .select(col("sub"), col("b.centroid_id").as("centroid_id"),
+          col("b.v").as("v"))
+      // new codeword = member mean per dimension (empty cells keep their
+      // old codeword via the left join below)
+      val means = assigned
+        .select(col("sub"), col("centroid_id"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("centroid_id"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("mu"))
+        .groupBy(col("sub"), col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+        .select(col("sub"), col("centroid_id"),
+          transform(col("dm"), s => s.getField("mu")).as("refined"))
+      codebooks = codebooks
+        .join(means, Seq("sub", "centroid_id"), "left")
+        .select(col("sub"), col("centroid_id"),
+          coalesce(col("refined"), col("centroid")).as("centroid"))
+    }
+    codebooks
+  }
+
   /** PQ-encode the corpus: per (vector, subspace), the codebook entry
     * minimizing squared L2 distance — computed as |c|² − 2·v_j·c (the
     * |v_j|² term is constant under the argmin), all dot products in the
@@ -381,6 +431,17 @@ object PqIndex {
   def build(df: DataFrame, idCol: String, vecCol: String, m: Int,
       dims: Int, ksub: Int): PqIndex = {
     val cb = Similarity.pqSeedCodebooks(df, idCol, vecCol, m, dims, ksub)
+    PqIndex(m, dims, cb, Similarity.pqEncode(df, idCol, vecCol, cb, m, dims))
+  }
+
+  /** Lloyd-refined build ([[Similarity.pqTrain]]): better codebooks when
+    * the seeds are unrepresentative, at the cost of `iters` training
+    * scans. Deterministic but not oracle-gated (float-order-sensitive
+    * means).
+    */
+  def buildTrained(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      dims: Int, ksub: Int, iters: Int = 3): PqIndex = {
+    val cb = Similarity.pqTrain(df, idCol, vecCol, m, dims, ksub, iters)
     PqIndex(m, dims, cb, Similarity.pqEncode(df, idCol, vecCol, cb, m, dims))
   }
 

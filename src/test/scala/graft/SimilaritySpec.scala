@@ -122,6 +122,33 @@ class SimilaritySpec extends SparkSpec {
       s"ADC results stay in the query's cluster: ${got.mkString(",")}")
   }
 
+  test("PQ Lloyd refinement recovers structure unrepresentative seeds miss") {
+    import graft.ops.PqIndex
+    // BLOCK ids (cluster = id / 50): the first 8 ids — the seeds — all
+    // come from cluster 0, the worst case for the seeded quantizer
+    val block = clustered.select(
+      expr("vec_id % 4 * 50 + vec_id DIV 4").as("vec_id"), $"embedding")
+    val qId = 167L // cluster 3
+    val q = block.where($"vec_id" === qId)
+      .select($"embedding").head().getSeq[Float](0)
+    def inCluster(idx: PqIndex) = idx.probe(q, 10).collect()
+      .count(_.getLong(0) / 50 == qId / 50)
+    val seeded = PqIndex.build(block, "vec_id", "embedding",
+      m = 4, dims = 64, ksub = 8)
+    val trained = PqIndex.buildTrained(block, "vec_id", "embedding",
+      m = 4, dims = 64, ksub = 8, iters = 3)
+    // k-means moves codewords onto the clusters the seeds never saw;
+    // the refined probe must dominate the seeded one and stay pure
+    assert(inCluster(trained) == 10,
+      s"trained probe leaks out of the query's cluster")
+    assert(inCluster(trained) >= inCluster(seeded))
+    // training is deterministic: a rebuild yields identical codebooks
+    val again = graft.ops.Similarity.pqTrain(block, "vec_id", "embedding",
+      4, 64, 8, iters = 3)
+    assert(trained.codebooks.exceptAll(again).isEmpty &&
+      again.exceptAll(trained.codebooks).isEmpty)
+  }
+
   test("PQ exactness limit: ksub = corpus size makes ADC == exact L2") {
     import graft.ops.PqIndex
     // with every vector's own subvectors in the codebooks, each vector

@@ -307,6 +307,43 @@ class StreamingSpec extends SparkSpec {
       streamed.select($"p_event_id").distinct().count())
   }
 
+  test("streaming cluster assignment against a static dup-cluster index") {
+    import graft.ops.Dedup
+    // corpus: docs 1,2 cluster together; 3 is a singleton
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.dupClusterIndex(corpus, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.3)
+    // probes: 101 hits cluster 1 (via doc 2), 102 hits cluster 3,
+    // 103 matches nothing
+    val probes = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta iota kappa"),
+      (102L, "one two three four five six seven eight ten"),
+      (103L, "entirely unrelated content about parquet and shuffles"))
+      .toDF("doc_id", "text")
+    val batch = idx.clusterMatches(probes, "doc_id", "text")
+      .select($"probe_id", $"cluster_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(batch.map(_._1) == Set(101L, 102L) &&
+      batch.contains(101L -> 1L) && batch.contains(102L -> 3L), s"$batch")
+
+    // the SAME plan under readStream: stateless probe + static joins,
+    // no state store — micro-batched output must equal the batch result
+    val srcDir = tmpDir("clusterassign-src")
+    probes.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "clusterassign",
+      idx.clusterMatches(_, "doc_id", "text"))
+    q.awaitTermination(120000)
+    val streamed = spark.table("clusterassign")
+      .select($"probe_id", $"cluster_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
   test("streaming near-dup probe vs static simhash index matches batch") {
     import graft.ops.Dedup
     // static corpus: clustered sentences so some probes hit, some miss
