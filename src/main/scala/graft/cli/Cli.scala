@@ -13,7 +13,7 @@ import graft.schema.PpdbSchema
   * Usage:
   *   runMain graft.cli.Cli create <catalogRoot>
   *   runMain graft.cli.Cli run <apdbRoot> <catalogRoot> [--single]
-  *       [--exit-on-empty] [--min-wait-time S] [--max-wait-time S]
+  *       [--exit-on-empty] [--update] [--min-wait-time S] [--max-wait-time S]
   *       [--check-interval S]
   *   runMain graft.cli.Cli list-chunks <catalogRoot>
   *   runMain graft.cli.Cli list-chunks --apdb <apdbRoot>
@@ -46,6 +46,7 @@ object Cli {
   /** Replication-loop knobs (defaults from P/cli/options.py:105-124). */
   private[graft] final case class RunOpts(
       single: Boolean = false, exitOnEmpty: Boolean = false,
+      update: Boolean = false,
       minWaitS: Long = 300L, maxWaitS: Long = 900L, checkIntervalS: Long = 360L)
 
   private def parseRunOpts(rest: List[String]): RunOpts = {
@@ -53,6 +54,7 @@ object Cli {
     def go(args: List[String], o: RunOpts): RunOpts = args match {
       case "--single" :: t => go(t, o.copy(single = true))
       case "--exit-on-empty" :: t => go(t, o.copy(exitOnEmpty = true))
+      case "--update" :: t => go(t, o.copy(update = true))
       case "--min-wait-time" :: v :: t => go(t, o.copy(minWaitS = v.toLong))
       case "--max-wait-time" :: v :: t => go(t, o.copy(maxWaitS = v.toLong))
       case "--check-interval" :: v :: t => go(t, o.copy(checkIntervalS = v.toLong))
@@ -90,7 +92,8 @@ object Cli {
           ReplicatorConfig(
             minWaitUs = opts.minWaitS * 1000000L,
             maxWaitUs = opts.maxWaitS * 1000000L,
-            checkIntervalUs = opts.checkIntervalS * 1000000L))
+            checkIntervalUs = opts.checkIntervalS * 1000000L),
+          update = opts.update)
         // SIGTERM/Ctrl-C: ask the loop to finish the current poll, then
         // hold the JVM until it has (bounded), so no chunk copy is torn
         val stopped = new java.util.concurrent.CountDownLatch(1)

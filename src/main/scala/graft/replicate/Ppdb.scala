@@ -82,8 +82,21 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
   def metadata: Map[String, String] =
     meta.items + ("catalog_root" -> catalog.root)
 
+  def store(chunk: ChunkData): Unit = store(chunk, update = false)
+
   /** Exactly-once, in-order chunk store (T3): re-storing a known chunk id
     * is a no-op; chunk ids must arrive in ascending order.
+    *
+    * `update = true` is the reference's upsert mode
+    * (P/sql/_ppdb_sql.py:127-155, CLI `--update`): a re-store REPLACES
+    * rows sharing the incoming primary keys — (diaObjectId,
+    * validityStartMjdTai) / diaSourceId / (diaObjectId, visit, detector)
+    * — and rewrites the chunk's bookkeeping row, instead of no-oping.
+    * Commits here are atomic, so unlike the SQL backend there are no
+    * partial chunks to repair; update mode serves operator-driven
+    * re-replication of a regenerated chunk. Like the reference, the
+    * validity fill only closes NULL intervals, so re-stored data should
+    * carry the same validityStart values it did originally.
     *
     * Cost model at scale: the fact tables (the 100 TB of a PPDB) are
     * ingested as APPEND deltas — one new directory per chunk, zero
@@ -93,11 +106,11 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
     * likewise scoped to the dirs holding this chunk's object ids, so the
     * per-chunk cost is O(chunk + touched dirs), never O(table).
     */
-  def store(chunk: ChunkData): Unit = {
+  def store(chunk: ChunkData, update: Boolean): Unit = {
     val chunks = catalog.read(spark, "PpdbReplicaChunk")
     val known = chunks.where(col("apdb_replica_chunk") === chunk.chunkId)
       .limit(1).count() > 0
-    if (known) return
+    if (known && !update) return
 
     val objects = catalog.read(spark, "DiaObject")
     val sources = catalog.read(spark, "DiaSource")
@@ -125,9 +138,16 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
       .distinct()
     val objAffected =
       catalog.dirsTouching(spark, "DiaObject", Seq("diaObjectId"), objScope)
-    val objBase =
+    val objBase0 =
       if (objAffected.isEmpty) emptyDf(objects.schema)
       else catalog.readDirs(spark, objAffected, objects.columns.toSeq)
+    // upsert mode: incoming rows REPLACE same-PK versions
+    val objBase =
+      if (!update) objBase0
+      else objBase0.join(
+        chunk.diaObjects
+          .select(col("diaObjectId"), col("validityStartMjdTai")).distinct(),
+        Seq("diaObjectId", "validityStartMjdTai"), "left_anti")
     val objectsScoped = objBase.unionByName(
       chunk.diaObjects.select(objects.columns.map(col).toSeq: _*))
     val filled = graft.Metrics.time("update_validity_time",
@@ -146,19 +166,32 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
     //    "missing from scope" == "missing from table".
     def scopedFact(t: String, full: DataFrame,
         delta: DataFrame): TableDelta = {
-      if (!touched(t)) return TableDelta(appends = Seq(delta -> label))
+      if (!touched(t) && !update)
+        return TableDelta(appends = Seq(delta -> label))
       val spec = PpdbOps.mergeSpecs(t)
-      val latest = latestOpt.get
-      val patch = PpdbOps.buildPatch(latest, spec)
-      val keys = PpdbOps.patchKeys(latest, spec, full)
+      // dirs to open: those holding patched keys and, in upsert mode,
+      // those holding rows the incoming delta's PKs replace (spec.keys
+      // IS the fact-table PK)
+      val deltaKeys = delta.select(spec.keys.map(col): _*).distinct()
+      val keys = (
+        (if (touched(t))
+          Seq(PpdbOps.patchKeys(latestOpt.get, spec, full)) else Nil) ++
+        (if (update) Seq(deltaKeys) else Nil))
+        .reduce(_.unionByName(_)).distinct()
       val affected = catalog.dirsTouching(spark, t, spec.keys, keys)
-      val base =
+      val base0 =
         if (affected.isEmpty) emptyDf(full.schema)
         else catalog.readDirs(spark, affected, full.columns.toSeq)
+      val base =
+        if (!update) base0
+        else base0.join(deltaKeys, spec.keys, "left_anti")
       val rows = base.unionByName(delta)
-      requireNoDangling(t, chunk.chunkId, rows, patch, spec)
-      val patched = PpdbOps.mergePatch(rows, patch, spec)
-      TableDelta(dropDirs = affected.toSet, appends = Seq(patched -> label))
+      if (touched(t)) {
+        val patch = PpdbOps.buildPatch(latestOpt.get, spec)
+        requireNoDangling(t, chunk.chunkId, rows, patch, spec)
+        val patched = PpdbOps.mergePatch(rows, patch, spec)
+        TableDelta(dropDirs = affected.toSet, appends = Seq(patched -> label))
+      } else TableDelta(dropDirs = affected.toSet, appends = Seq(rows -> label))
     }
     val objDelta = {
       objPatch.foreach { p =>
@@ -179,14 +212,21 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
       PpdbSchema.replicaChunk)
 
     // 4. single atomic commit: scoped DiaObject + fact appends (scoped
-    //    rewrites only where patched) + bookkeeping append
+    //    rewrites only where patched/upserted) + bookkeeping append, or
+    //    in update mode a rewrite of the (tiny) control table so the
+    //    chunk keeps exactly one row
+    val chunkDelta =
+      if (known) TableDelta(rewrite = Some(
+        chunks.where(col("apdb_replica_chunk") =!= chunk.chunkId)
+          .unionByName(newChunkRow)))
+      else TableDelta(appends = Seq(newChunkRow -> label))
     graft.Metrics.time("store_data_time",
         "chunk_id" -> chunk.chunkId.toString) {
     catalog.commitAll(Map(
       "DiaObject" -> objDelta,
       "DiaSource" -> scopedFact("DiaSource", sources, srcDelta),
       "DiaForcedSource" -> scopedFact("DiaForcedSource", forced, fsrcDelta),
-      "PpdbReplicaChunk" -> TableDelta(appends = Seq(newChunkRow -> label))))
+      "PpdbReplicaChunk" -> chunkDelta))
     }
     ()
     // the patch cache is only read by the writes above; drop it even when

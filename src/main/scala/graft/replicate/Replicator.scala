@@ -28,7 +28,8 @@ final case class ReplicatorConfig(
   * One `runOnce` = one poll.
   */
 final class Replicator(spark: SparkSession, source: ApdbSource, ppdb: PpdbSpark,
-    config: ReplicatorConfig = ReplicatorConfig()) {
+    config: ReplicatorConfig = ReplicatorConfig(),
+    update: Boolean = false) {
 
   @volatile private var stopRequested = false
 
@@ -72,7 +73,7 @@ final class Replicator(spark: SparkSession, source: ApdbSource, ppdb: PpdbSpark,
           val data = graft.Metrics.time("get_chunks_time",
             "chunk_id" -> id.toString)(source.chunkData(id))
           graft.Metrics.time("store_chunks_time",
-            "chunk_id" -> id.toString)(ppdb.store(data))
+            "chunk_id" -> id.toString)(ppdb.store(data, update))
         }
       }
       ids

@@ -5,6 +5,7 @@ import java.io.ByteArrayOutputStream
 import graft.catalog.VersionedCatalog
 import graft.cli.Cli
 import graft.replicate._
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The CLI surface end-to-end: seed a parquet APDB drop zone, drive the
   * continuous `run` loop through the CLI entry across multiple polls,
@@ -108,6 +109,32 @@ class CliSpec extends SparkSpec {
     assert(got.updates.map { case (c, u) => (c, u.tableName, u.recordId, u.payload) }
       == src.chunkData(1L).updates.map { case (c, u) =>
         (c, u.tableName, u.recordId, u.payload) })
+  }
+
+  test("update mode re-store upserts same-PK rows; default stays a no-op") {
+    val apdb = new TestApdb(spark, nObjects = 5, nChunks = 1)
+    val ppdb = new PpdbSpark(spark, new VersionedCatalog(tmpDir("upsert")))
+    ppdb.init()
+    val cd = apdb.chunkData(1L)
+    ppdb.store(cd)
+    val objects = () => ppdb.catalog.read(spark, "DiaObject")
+    val sources = () => ppdb.catalog.read(spark, "DiaSource")
+    assert(objects().count() == 5 && sources().count() == 5)
+
+    // default: re-store is the exactly-once no-op even with changed data
+    val changed = cd.copy(
+      diaObjects = cd.diaObjects.withColumn("ra", lit(99.0)),
+      diaSources = cd.diaSources.withColumn("ra", lit(99.0)))
+    ppdb.store(changed)
+    assert(objects().where(col("ra") === 99.0).count() == 0)
+
+    // update mode: same PKs replaced in place — counts stay flat, the
+    // new values land, the control table keeps exactly one chunk row
+    ppdb.store(changed, update = true)
+    assert(objects().count() == 5 && sources().count() == 5)
+    assert(objects().where(col("ra") === 99.0).count() == 5)
+    assert(sources().where(col("ra") === 99.0).count() == 5)
+    assert(ppdb.replicaChunks().count() == 1)
   }
 
   test("non-strict mismatch warns and continues; strict raises") {
