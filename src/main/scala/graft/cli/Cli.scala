@@ -37,11 +37,45 @@ object Cli {
     s
   }
 
-  def main(args: Array[String]): Unit = {
-    val spark = session()
-    try dispatch(spark, args.toList)
-    finally spark.stop()
+  private[graft] final case class UsageError(msg: String)
+      extends RuntimeException(msg)
+
+  private val knownCommands = Set("create", "run", "list-chunks",
+    "seed-apdb", "upload", "promote", "vacuum", "demo")
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "vacuum" :: root :: Nil =>
+      // pure filesystem work — don't pay a SparkSession for it
+      val removed = new VersionedCatalog(root).vacuum()
+      println(s"removed $removed unreferenced version dirs")
+    case other if !other.headOption.exists(knownCommands) =>
+      // unknown (or missing) command: fail fast, no session startup
+      System.err.println(usageFor(other))
+      sys.exit(2)
+    case other =>
+      val spark = session()
+      val exit =
+        try { dispatch(spark, other); 0 }
+        catch { case UsageError(m) => System.err.println(m); 2 }
+        finally spark.stop()
+      if (exit != 0) sys.exit(exit)
   }
+
+  private def usageFor(args: List[String]): String =
+    args.headOption match {
+      case Some(cmd) if knownCommands(cmd) =>
+        s"missing arguments for: ${args.mkString(" ")}\n" +
+          "usage: create <root> | run <apdbRoot> <root> [opts] | " +
+          "list-chunks [--apdb] <root> | " +
+          "seed-apdb <root> [nObjects nChunks [start]] | " +
+          "upload <root> <exportRoot> <remoteRoot> | " +
+          "promote <root> <exportRoot> | vacuum <root> | " +
+          "demo <root> [nObjects nChunks]"
+      case _ =>
+        s"unknown command: ${args.mkString(" ")}\n" +
+          "commands: create | run | list-chunks | seed-apdb | upload | " +
+          "promote | vacuum | demo"
+    }
 
   /** Replication-loop knobs (defaults from P/cli/options.py:105-124). */
   private[graft] final case class RunOpts(
@@ -110,9 +144,11 @@ object Cli {
               println(s"poll $poll: " +
                 (if (ids.isEmpty) "nothing to replicate"
                 else s"replicated chunks ${ids.mkString(", ")}"))
+              // THIS poll's timings only: summarize, then reset
               graft.Metrics.summary().toSeq.sortBy(_._1).foreach {
                 case (m, (n, s)) => println(f"  $m%-24s n=$n%-4d total=${s}%.2f s")
               }
+              graft.Metrics.reset()
             })
           println(s"run finished: ${copied.size} chunks replicated")
         } finally {
@@ -196,24 +232,7 @@ object Cli {
         }
 
       case other =>
-        val known = Set("create", "run", "list-chunks", "seed-apdb",
-          "upload", "promote", "vacuum", "demo")
-        val msg = other.headOption match {
-          case Some(cmd) if known(cmd) =>
-            s"missing arguments for: ${other.mkString(" ")}\n" +
-              "usage: create <root> | run <apdbRoot> <root> [opts] | " +
-              "list-chunks [--apdb] <root> | " +
-              "seed-apdb <root> [nObjects nChunks [start]] | " +
-              "upload <root> <exportRoot> <remoteRoot> | " +
-              "promote <root> <exportRoot> | vacuum <root> | " +
-              "demo <root> [nObjects nChunks]"
-          case _ =>
-            s"unknown command: ${other.mkString(" ")}\n" +
-              "commands: create | run | list-chunks | seed-apdb | upload | " +
-              "promote | vacuum | demo"
-        }
-        System.err.println(msg)
-        sys.exit(2)
+        throw UsageError(usageFor(other))
     }
 }
 

@@ -36,6 +36,11 @@ object Dedup {
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   private def tracked(df: DataFrame): DataFrame = {
+    // purge entries already released elsewhere (spark.catalog.clearCache,
+    // the repo-wide convention) so the registry itself stays bounded in
+    // long-lived drivers that never call releaseCaches()
+    transientCaches.removeIf(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     val p = df.persist()
     transientCaches.add(p)
     p
@@ -511,9 +516,28 @@ object Dedup {
       */
     def addDocs(newDocs: DataFrame, idCol: String,
         textCol: String): DupClusterIndex = {
-      val hits = minhashProbe(newDocs, minhash, idCol, textCol, threshold)
-      val newPairs = minhashLshPairs(newDocs, idCol, textCol, minhash.n,
-        minhash.numHashes, minhash.rowsPerBand, threshold)
+      // hash the batch ONCE: the same (banded, sets) tables serve the
+      // corpus probe, the batch self-pairs, and the index extension —
+      // the text-hash pipeline is the dominant per-batch cost
+      val (nb0, ns0) = indexTables(newDocs, idCol, textCol, minhash.n,
+        minhash.numHashes, minhash.rowsPerBand)
+      val (nb, ns) = (tracked(nb0), tracked(ns0))
+      val newIdx = MinhashIndex(minhash.n, minhash.numHashes,
+        minhash.rowsPerBand, nb, ns)
+      val cand = nb.select(col("doc").as("p_doc"), col("band"), col("bucket"))
+        .join(minhash.banded, Seq("band", "bucket"))
+        .select(col("p_doc"), col("doc"))
+        .distinct()
+      val hits = cand
+        .join(ns.select(col("doc").as("p_doc"), col("sh").as("p_sh")),
+          Seq("p_doc"))
+        .join(minhash.sets, Seq("doc"))
+        .select(col("p_doc").as("probe_id"), col("doc").as("corpus_id"),
+          (size(array_intersect(col("p_sh"), col("sh"))).cast("double") /
+            size(array_union(col("p_sh"), col("sh"))).cast("double"))
+            .as("jaccard"))
+        .where(col("jaccard") >= threshold)
+      val newPairs = indexPairs(newIdx, threshold)
       val clusterEdges = hits
         .join(clusters.withColumnRenamed("doc_id", "corpus_id"),
           Seq("corpus_id"))
@@ -539,8 +563,6 @@ object Dedup {
       val newRows = relabeled
         .join(newDocs.select(col(idCol).as("node")), Seq("node"))
         .select(col("node").as("doc_id"), col("cluster_id"))
-      val (nb, ns) = indexTables(newDocs, idCol, textCol, minhash.n,
-        minhash.numHashes, minhash.rowsPerBand)
       DupClusterIndex(
         MinhashIndex(minhash.n, minhash.numHashes, minhash.rowsPerBand,
           minhash.banded.unionByName(nb), minhash.sets.unionByName(ns)),

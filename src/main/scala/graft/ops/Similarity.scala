@@ -267,6 +267,9 @@ object Similarity {
   def pqTopK(codes: DataFrame, codebooks: DataFrame, query: Seq[Float],
       m: Int, k: Int, idCol: String = "vec_id"): DataFrame = {
     val dims = query.length
+    require(dims % m == 0,
+      s"query has $dims dims, not divisible into $m subspaces — wrong " +
+        "query length for this index")
     val sd = dims / m
     // distance table: per (sub, centroid) the exact squared L2 to the
     // query's subvector, built from the broadcast codebooks
@@ -419,8 +422,11 @@ final case class PqIndex(m: Int, dims: Int, codebooks: DataFrame,
   }
 
   /** ADC top-k against this index (see [[Similarity.pqTopK]]). */
-  def probe(query: Seq[Float], k: Int, idCol: String = "vec_id"): DataFrame =
+  def probe(query: Seq[Float], k: Int, idCol: String = "vec_id"): DataFrame = {
+    require(query.length == dims,
+      s"query has ${query.length} dims, index was built at $dims")
     Similarity.pqTopK(codes, codebooks, query, m, k, idCol)
+  }
 }
 
 object PqIndex {

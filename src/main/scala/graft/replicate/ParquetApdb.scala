@@ -106,9 +106,20 @@ object ParquetApdb {
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$base/Updates")
     }
+    // upsert the descriptor: a RE-staged chunk (regenerated data, new
+    // unique_id) must end up with exactly one index row, or listings and
+    // the mismatch check see a stale duplicate. The index is tiny by
+    // design (one row per chunk), so read-modify-rewrite on the driver
+    // is the honest cost; payload dirs above were already overwritten.
+    val apdb = new ParquetApdb(spark, root)
+    val others = apdb.listChunks()
+      .where(org.apache.spark.sql.functions
+        .col("apdb_replica_chunk") =!= data.chunkId)
+      .collect().toSeq
     val desc = Row(data.chunkId, data.lastUpdateTimeUs, data.uniqueId)
-    spark.createDataFrame(java.util.List.of(desc), chunkDescriptor)
+    spark.createDataFrame(java.util.List.of(others :+ desc: _*),
+        chunkDescriptor)
       .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$root/chunks")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/chunks")
   }
 }

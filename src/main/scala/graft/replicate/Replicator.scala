@@ -52,20 +52,28 @@ final class Replicator(spark: SparkSession, source: ApdbSource, ppdb: PpdbSpark,
     val apdbChunks = source.listChunks().cache()
     val ppdbChunks = ppdb.replicaChunks().cache()
     try {
-      // T4/J8: same chunk id must carry the same unique_id on both sides
-      val mism = PpdbOps.chunkMismatches(apdbChunks, ppdbChunks).limit(1).collect()
-      if (mism.nonEmpty) {
-        val msg = s"chunk unique_id mismatch between APDB and PPDB: ${mism.head}"
+      // T4/J8: same chunk id must carry the same unique_id on both
+      // sides. In update mode a mismatch is not an error but the WORK
+      // LIST: the source regenerated those chunks (new unique_id), and
+      // the upsert store re-replicates them in place.
+      val mismatched = PpdbOps.chunkMismatches(apdbChunks, ppdbChunks)
+        .select("apdb_replica_chunk").collect().map(_.getLong(0)).toSeq.sorted
+      if (mismatched.nonEmpty && !update) {
+        val msg = "chunk unique_id mismatch between APDB and PPDB: " +
+          s"chunks ${mismatched.mkString(", ")}"
         if (strict) throw new IllegalStateException(msg)
         else System.err.println(s"WARNING: $msg")
       }
 
-      // J7 frontier + T2 settled gate, ascending order (T3)
+      // J7 frontier + T2 settled gate, ascending order (T3); update mode
+      // prepends the regenerated chunks (long settled — they were
+      // already replicated once)
       val frontier = PpdbOps.frontier(apdbChunks, ppdbChunks)
       val settled = PpdbOps.settledChunks(frontier, nowUs,
         config.minWaitUs, config.maxWaitUs)
-      val all = settled.select("apdb_replica_chunk")
+      val fresh = settled.select("apdb_replica_chunk")
         .orderBy("apdb_replica_chunk").collect().map(_.getLong(0)).toSeq
+      val all = if (update) (mismatched ++ fresh).distinct.sorted else fresh
       val ids = limit.fold(all)(all.take)
 
       ids.foreach { id =>

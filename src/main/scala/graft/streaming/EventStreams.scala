@@ -339,16 +339,19 @@ object EventStreams {
             }
             p = q
           }
-          // events at/below wm − horizon can never anchor or join a
-          // future chain (its final event would sit above the watermark
-          // but within horizon of them) — drop, the mask remembers
+          // events strictly below wm − horizon can never anchor or join
+          // a future chain (its final event would sit AT or above the
+          // watermark but within horizon of them; Spark admits ts == wm,
+          // and the batch reach test is inclusive, so an anchor at
+          // exactly wm − horizon still completes a chain at exactly the
+          // watermark) — drop only below the boundary, the mask remembers
           val wmUs =
             try state.getCurrentWatermarkMs() * 1000L
             catch { case _: UnsupportedOperationException => Long.MinValue }
           val cutoff =
             if (wmUs == Long.MinValue) Long.MinValue else wmUs - horizonUs
           state.update(WFunnelState(reached,
-            kept.map(_.filter(_ > cutoff)).toSeq))
+            kept.map(_.filter(_ >= cutoff)).toSeq))
           // reach is downward-closed, so progress = contiguous low bits
           var k = 0
           while (k < n && (reached & (1 << k)) != 0) k += 1

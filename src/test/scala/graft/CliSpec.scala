@@ -137,6 +137,43 @@ class CliSpec extends SparkSpec {
     assert(ppdb.replicaChunks().count() == 1)
   }
 
+  test("re-staged chunk (new unique_id) is repaired by run --update") {
+    val apdbRoot = tmpDir("regen-apdb")
+    val catRoot = tmpDir("regen-ppdb")
+    dispatchCapturing("seed-apdb", apdbRoot, "4", "2")
+    dispatchCapturing("run", apdbRoot, catRoot, "--exit-on-empty")
+
+    // the source regenerates chunk 1: new content, new unique_id
+    val gen = new graft.cli.SyntheticApdb(spark, 4, 2)
+    val regen = gen.chunkData(1L).copy(uniqueId = "uuid-1-regen",
+      diaObjects = gen.chunkData(1L).diaObjects.withColumn("ra", lit(77.0)))
+    ParquetApdb.stage(spark, apdbRoot, regen)
+    // stage upserts the descriptor — exactly one index row per chunk
+    val listed = new ParquetApdb(spark, apdbRoot).listChunks().collect()
+    assert(listed.length == 2, s"${listed.toSeq}")
+    assert(listed.find(_.getLong(0) == 1L).get.getString(2) == "uuid-1-regen")
+
+    // a plain run warns about the mismatch and copies nothing new
+    val plain = dispatchCapturing("run", apdbRoot, catRoot, "--exit-on-empty")
+    assert(plain.contains("poll 1: nothing to replicate"), plain)
+    val ppdb = new PpdbSpark(spark, new VersionedCatalog(catRoot))
+    assert(ppdb.catalog.read(spark, "DiaObject")
+      .where(col("ra") === 77.0).count() == 0)
+
+    // --update treats the mismatch as the work list: chunk 1 re-copies
+    // in place (same PKs, flat counts, one bookkeeping row, new uuid)
+    val rep = dispatchCapturing("run", apdbRoot, catRoot,
+      "--exit-on-empty", "--update")
+    assert(rep.contains("poll 1: replicated chunks 1"), rep)
+    assert(ppdb.catalog.read(spark, "DiaObject").count() == 8, "2 chunks x 4")
+    assert(ppdb.catalog.read(spark, "DiaObject")
+      .where(col("ra") === 77.0).count() == 4)
+    val row = ppdb.replicaChunks()
+      .where(col("apdb_replica_chunk") === 1L).collect()
+    assert(row.length == 1 && row.head.getAs[String]("unique_id") ==
+      "uuid-1-regen")
+  }
+
   test("non-strict mismatch warns and continues; strict raises") {
     val apdb = new TestApdb(spark, nObjects = 2, nChunks = 1)
     val ppdb = new PpdbSpark(spark, new VersionedCatalog(tmpDir("mism")))
