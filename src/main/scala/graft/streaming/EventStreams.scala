@@ -220,18 +220,22 @@ object EventStreams {
     val idx = stages.zipWithIndex.toMap
     val n = stages.length
     events
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      .as[(Long, String, Long)]
+      // the watermarked event-time column (`ts`) must SURVIVE this
+      // projection: dropping it detaches the watermark from the plan and
+      // getCurrentWatermarkMs throws, silently disabling state pruning
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, String, Long)],
+        (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
             state: GroupState[FunnelState]) =>
           val cand = Array.fill(n)(Vector.newBuilder[Long])
           state.getOption.foreach(_.stageTs.zipWithIndex.foreach {
             case (ts, i) => cand(i) ++= ts
           })
-          rows.foreach { case (_, typ, us) =>
+          rows.foreach { case (_, typ, us, _) =>
             idx.get(typ).foreach(i => cand(i) += us)
           }
           val sets = cand.map(_.result())
@@ -300,18 +304,21 @@ object EventStreams {
     val idx = stages.zipWithIndex.toMap
     val n = stages.length
     events
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      .as[(Long, String, Long)]
+      // keep the watermarked `ts` column alive through the projection —
+      // see funnelStateful; without it the horizon prune never engages
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[WFunnelState, FunnelOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, String, Long)],
+        (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
             state: GroupState[WFunnelState]) =>
           val prev = state.getOption.getOrElse(
             WFunnelState(0, Seq.fill(n)(Nil)))
           val sets = Array.fill(n)(Vector.newBuilder[Long])
           prev.stageTs.zipWithIndex.foreach { case (ts, i) => sets(i) ++= ts }
-          rows.foreach { case (_, typ, us) =>
+          rows.foreach { case (_, typ, us, _) =>
             idx.get(typ).foreach(i => sets(i) += us)
           }
           val kept = sets.map(_.result())

@@ -234,6 +234,49 @@ class StreamingSpec extends SparkSpec {
       "late click chains 10:15 view → 10:30 click → 11:10 purchase")
   }
 
+  test("windowed funnel keeps a boundary anchor alive exactly " +
+      "horizon before the watermark") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams
+      .funnelWindowedStateful(
+        src.toDF().toDF("user_id", "ts", "event_type")
+          .withWatermark("ts", "1 hour"),
+        Seq("view", "click", "purchase"), horizonUs = 3600L * 1000000L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("wfunnel_edge")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: the chain head, plus a filler (user 9) that lifts the
+    // watermark to 11:00 — exactly horizon past the 10:00 view
+    src.addData((1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:30:00"), "click"),
+      (9L, t("2024-01-01 12:00:00"), "view"))
+    q.processAllAvailable()
+    // batches 2-3: non-stage events for user 1 force their group
+    // function (and its state pruning, cutoff 10:00) to run — twice,
+    // because the operator sees batch 1's watermark one batch late. The
+    // 10:00 view sits EXACTLY at wm - horizon and must survive
+    src.addData((1L, t("2024-01-01 11:50:00"), "scroll"))
+    q.processAllAvailable()
+    src.addData((1L, t("2024-01-01 11:55:00"), "scroll"))
+    q.processAllAvailable()
+    // batch 3: the chain completes at exactly the watermark (11:00),
+    // span exactly one horizon — inclusive on both edges
+    src.addData((1L, t("2024-01-01 11:00:00"), "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wfunnel_edge")
+      .where($"user_id" === 1L)
+      .groupBy("user_id").agg(max($"stages_reached")).head().getInt(1)
+    assert(got == 3,
+      s"boundary anchor was pruned: stages_reached=$got, expected 3")
+  }
+
   test("stateful funnel: cross-batch disorder resolved exactly") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
