@@ -21,14 +21,24 @@ final class SchemaRegistry(root: String) {
   private val dir: Path = Paths.get(root, "_schemas")
   Files.createDirectories(dir)
 
+  // injective escape (same scheme as VersionedCatalog.bucketedName):
+  // '_' doubles before '/' maps to '_1', so distinct tables like `a/b`
+  // and `a_b` can never collide on one schema file
+  private def enc(table: String): String =
+    table.replace("_", "__").replace("/", "_1")
+
+  private def dec(name: String): String =
+    """__|_1""".r.replaceAllIn(name,
+      m => if (m.matched == "__") "_" else "/")
+
   private def fileOf(table: String): Path =
-    dir.resolve(table.replace("/", "_") + ".json")
+    dir.resolve(enc(table) + ".json")
 
   def put(table: String, schema: StructType,
       version: VersionTuple = VersionTuple.Current): Unit = {
     val json =
       s"""{"version":"${version.render}","schema":${schema.json}}"""
-    val tmp = dir.resolve(s".${table.replace("/", "_")}.tmp")
+    val tmp = dir.resolve(s".${enc(table)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, fileOf(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -50,10 +60,12 @@ final class SchemaRegistry(root: String) {
 
   def tables: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map(_.stripSuffix(".json")).toSeq.sorted
+      .map(n => dec(n.stripSuffix(".json"))).toSeq.sorted
+    finally stream.close()
   }
 
   /** Enforce the compat rule: running code must be able to read what was

@@ -502,28 +502,28 @@ final class VersionedCatalog(val root: String,
     // orphans, so sweep the raw listing)
     val cdir = rootPath.resolve("_commits")
     if (Files.exists(cdir)) {
-      Files.list(cdir).iterator().asScala
+      listDir(cdir)(_
         .filter(_.getFileName.toString.endsWith(".json"))
         .filter { f =>
           val id = f.getFileName.toString.stripSuffix(".json").toLong
           !keepIds.contains(id) || id > curId
         }
-        .foreach(Files.deleteIfExists(_))
+        .toSeq).foreach(Files.deleteIfExists(_))
     }
-    Files.list(rootPath).iterator().asScala
+    listDir(rootPath)(_
       .filter(p => p.getFileName.toString.startsWith("_CURRENT.tmp."))
-      .foreach { stale => Files.deleteIfExists(stale); removed += 1 }
+      .toSeq).foreach { stale => Files.deleteIfExists(stale); removed += 1 }
     if (Files.exists(rootPath)) {
-      Files.list(rootPath).iterator().asScala
+      listDir(rootPath)(_
         .filter(p => Files.isDirectory(p))
         // top-level `_` dirs are reserved derived layouts (e.g.
         // _bucketed), managed by their own overwrite lifecycle
         .filter(p => !p.getFileName.toString.startsWith("_"))
-        .foreach { tableDir =>
-          Files.list(tableDir).iterator().asScala
+        .toSeq).foreach { tableDir =>
+          listDir(tableDir)(_
             .filter(p => Files.isDirectory(p))
             .filter(p => !live.contains(p.toAbsolutePath.toString))
-            .foreach { dead => deleteRecursively(dead); removed += 1 }
+            .toSeq).foreach { dead => deleteRecursively(dead); removed += 1 }
         }
     }
     removed
@@ -552,9 +552,9 @@ final class VersionedCatalog(val root: String,
     val curId = current._1
     val dir = rootPath.resolve("_commits")
     if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
+    else listDir(dir)(_
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).filter(_ <= curId).toSeq.sorted
+      .map(_.stripSuffix(".json").toLong).filter(_ <= curId).toSeq).sorted
   }
 
   /** Time travel: read `table` as of `commit` (snapshot isolation across
@@ -608,9 +608,20 @@ final class VersionedCatalog(val root: String,
   private def unesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
+  /** Files.list with a guaranteed close — every directory listing routes
+    * through here so no call path leaks a directory file descriptor
+    * (Files.list holds one open until the STREAM is closed, not the
+    * iterator; a vacuum over thousands of dirs would otherwise exhaust
+    * the ulimit in a long-lived driver).
+    */
+  private def listDir[A](p: Path)(f: Iterator[Path] => A): A = {
+    val stream = Files.list(p)
+    try f(stream.iterator().asScala) finally stream.close()
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      listDir(p)(_.toSeq).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

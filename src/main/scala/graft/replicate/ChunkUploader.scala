@@ -50,16 +50,30 @@ final class ChunkUploader(
 
   private val conf = spark.sparkContext.hadoopConfiguration
 
-  /** One polling pass over exported chunks; returns the ids uploaded.
-    * With `exitOnError` unset, a failed chunk is skipped (it stays
-    * exported for the next pass) and later chunks still process.
+  /** One polling pass; returns the ids uploaded. Besides exported chunks,
+    * SKIPPED (empty) chunks whose manifest is not yet remote are picked
+    * up — their manifest-only upload is what keeps the remote chunk-id
+    * sequence gapless for auditors (reference behavior; local status
+    * stays skipped, so the remote-existence probe is what makes the
+    * selection idempotent). With `exitOnError` unset, a failed chunk is
+    * skipped (it stays exported for the next pass) and later chunks
+    * still process.
     */
   def runOnce(): Seq[Long] = {
-    val exported = promoter.catalog.read(spark, "PpdbReplicaChunk")
-      .where(col("status") === PpdbSchema.ChunkStatus.Exported)
-      .select("apdb_replica_chunk")
-      .collect().map(_.getLong(0)).sorted.toSeq
-    exported.filter { id =>
+    val rows = promoter.catalog.read(spark, "PpdbReplicaChunk")
+      .where(col("status").isin(PpdbSchema.ChunkStatus.Exported,
+        PpdbSchema.ChunkStatus.Skipped))
+      .select("apdb_replica_chunk", "status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val due = rows.filter {
+      case (_, PpdbSchema.ChunkStatus.Exported) => true
+      case (id, _) => // skipped: only until its manifest is remote
+        val remote = new HPath(new HPath(remoteRoot, id.toString),
+          ChunkManifest.FileName)
+        try !remote.getFileSystem(conf).exists(remote)
+        catch { case _: Exception => true } // unreadable remote ⇒ attempt
+    }
+    due.map(_._1).filter { id =>
       try { uploadChunk(id); true }
       catch {
         case e: ChunkUploadException =>

@@ -42,27 +42,51 @@ object ChunkManifest {
 
   def sha256Of(f: File): String = sha256Of(new FileInputStream(f))
 
+  /** Row count of one parquet file from its footer — metadata-only, no
+    * data scan (and exact per FILE, where a table-level count smeared
+    * over multi-file tables would be wrong on every entry).
+    */
+  def parquetRowCount(f: File,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   /** Build a manifest over the parquet files of `tableDirs` (table →
-    * directory written for this chunk) with externally-counted rows.
+    * directory written for this chunk). Per-file row counts come from the
+    * parquet footers, so the entries reconcile exactly file-by-file AND
+    * in per-table sums — no second evaluation of the source DataFrames.
     */
   def build(chunkId: Long, schemaVersion: String, updateCount: Long,
-      tableDirs: Map[String, String], rowCounts: Map[String, Long]): ChunkManifest = {
+      tableDirs: Map[String, String]): ChunkManifest = {
+    val conf = new org.apache.hadoop.conf.Configuration()
     val entries = tableDirs.toSeq.sortBy(_._1).flatMap { case (table, dir) =>
       val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
       files.map { f =>
         // file name relative to the chunk dir (files live in per-table subdirs)
         ManifestEntry(table, s"$table/${f.getName}",
-          rowCounts.getOrElse(table, 0L), sha256Of(f), f.length())
+          parquetRowCount(f, conf), sha256Of(f), f.length())
       }
     }
     ChunkManifest(chunkId, schemaVersion,
-      isEmptyChunk = rowCounts.values.forall(_ == 0L), updateCount, entries)
+      isEmptyChunk = entries.map(_.rowCount).sum == 0L && updateCount == 0L,
+      updateCount, entries)
   }
 
-  def write(m: ChunkManifest, dir: String): Unit =
-    Files.write(Paths.get(dir, FileName),
-      m.render.getBytes(StandardCharsets.UTF_8))
+  /** Atomic publish: the manifest is the file downstream STREAMS trigger
+    * on (ChunkStream), so it must never be observable half-written —
+    * tmp-write + ATOMIC_MOVE, the same discipline as SchemaRegistry.put.
+    */
+  def write(m: ChunkManifest, dir: String): Unit = {
+    val tmp = Paths.get(dir, s".$FileName.tmp")
+    Files.write(tmp, m.render.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, FileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private val entryRe =
     """\{"table":"([^"]*)","file":"([^"]*)","row_count":(\d+),"sha256":"([^"]*)","size_bytes":(\d+)\}""".r

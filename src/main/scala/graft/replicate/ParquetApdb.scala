@@ -34,7 +34,16 @@ final class ParquetApdb(spark: SparkSession, root: String) extends ApdbSource {
     new Path(new Path(root, s"data/chunk=$id"), table)
 
   override def listChunks(): DataFrame =
-    if (fs.exists(chunksPath)) spark.read.parquet(chunksPath.toString)
+    if (fs.exists(chunksPath))
+      // one descriptor SUBDIR per chunk (see stage): recursive lookup
+      // flattens them; a descriptor torn by a dead writer is ignored —
+      // that chunk is simply invisible until re-staged, and no other
+      // chunk's row is affected
+      spark.read
+        .option("recursiveFileLookup", "true")
+        .option("ignoreCorruptFiles", "true")
+        .schema(ParquetApdb.chunkDescriptor)
+        .parquet(chunksPath.toString)
     else spark.createDataFrame(
       java.util.Collections.emptyList[Row](), ParquetApdb.chunkDescriptor)
 
@@ -106,20 +115,16 @@ object ParquetApdb {
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$base/Updates")
     }
-    // upsert the descriptor: a RE-staged chunk (regenerated data, new
-    // unique_id) must end up with exactly one index row, or listings and
-    // the mismatch check see a stale duplicate. The index is tiny by
-    // design (one row per chunk), so read-modify-rewrite on the driver
-    // is the honest cost; payload dirs above were already overwritten.
-    val apdb = new ParquetApdb(spark, root)
-    val others = apdb.listChunks()
-      .where(org.apache.spark.sql.functions
-        .col("apdb_replica_chunk") =!= data.chunkId)
-      .collect().toSeq
+    // upsert the descriptor: each chunk owns its own index SUBDIR, so a
+    // re-stage (regenerated data, new unique_id) overwrites exactly one
+    // chunk's row, a writer dying mid-descriptor-write tears only that
+    // chunk's (ignored, re-stageable) file, and no write ever touches
+    // another chunk's descriptor — the cross-process readers the drop
+    // zone exists for never observe a deleted or partial INDEX.
     val desc = Row(data.chunkId, data.lastUpdateTimeUs, data.uniqueId)
-    spark.createDataFrame(java.util.List.of(others :+ desc: _*),
-        chunkDescriptor)
+    spark.createDataFrame(java.util.List.of(desc), chunkDescriptor)
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/chunks")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/chunks/c${data.chunkId}")
   }
 }

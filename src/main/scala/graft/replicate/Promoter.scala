@@ -68,6 +68,15 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
 
   /** Step 1: export a chunk to parquet + manifest (S4/S5/S6). Empty chunks
     * short-circuit to status=skipped (T8).
+    *
+    * Each table DataFrame is evaluated exactly ONCE (the parquet write);
+    * emptiness and manifest row counts come from the written footers, not
+    * a prior `count()` pass. Publish order is data dirs → chunk-status
+    * commit → manifest: the manifest is what [[ChunkStream]] triggers on,
+    * so by the time it appears the status row a staging consumer needs is
+    * already committed (manifest-first would let a fast stream observe a
+    * chunk it can never stage, checkpoint it as consumed, and wedge the
+    * promote contiguity barrier).
     */
   def exportChunk(chunk: ChunkData): String =
       graft.Metrics.time("write_parquet_time",
@@ -77,33 +86,47 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
       "DiaObject" -> chunk.diaObjects,
       "DiaSource" -> chunk.diaSources,
       "DiaForcedSource" -> chunk.diaForcedSources)
-    val counts = tables.map { case (t, df) => t -> df.count() }
-    val isEmpty = counts.values.forall(_ == 0L) && chunk.updates.isEmpty
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dirs = tables.map { case (t, df) =>
+      val d = s"$dir/$t"
+      // snappy parquet, subchunk column dropped (S4 exclude_columns)
+      df.drop("apdb_replica_subchunk")
+        .write.mode("overwrite").option("compression", "snappy").parquet(d)
+      t -> d
+    }
+    val rowsWritten = dirs.values.map { d =>
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(ChunkManifest.parquetRowCount(_, hconf)).sum
+    }.sum
+    val isEmpty = rowsWritten == 0L && chunk.updates.isEmpty
 
     val tableDirs =
-      if (isEmpty) Map.empty[String, String]
-      else {
-        val dirs = tables.map { case (t, df) =>
-          val d = s"$dir/$t"
-          // snappy parquet, subchunk column dropped (S4 exclude_columns)
-          df.drop("apdb_replica_subchunk")
-            .write.mode("overwrite").option("compression", "snappy").parquet(d)
-          t -> d
-        }
+      if (isEmpty) {
+        // nothing to load: drop the (empty-part-file) dirs, keep only the
+        // manifest as the chunk's record
+        dirs.values.foreach(d => deleteLocal(new java.io.File(d)))
+        Map.empty[String, String]
+      } else {
         val upd = PpdbOps.expandUpdates(spark, chunk.updates)
         upd.write.mode("overwrite").parquet(s"$dir/updates")
         dirs + ("updates" -> s"$dir/updates")
       }
     val manifest = ChunkManifest.build(chunk.chunkId, schemaVersion,
-      chunk.updates.size.toLong, tableDirs,
-      counts + ("updates" -> chunk.updates.size.toLong))
+      chunk.updates.size.toLong, tableDirs)
     new java.io.File(dir).mkdirs()
-    ChunkManifest.write(manifest, dir)
 
     val status = if (isEmpty) PpdbSchema.ChunkStatus.Skipped
       else PpdbSchema.ChunkStatus.Exported
     upsertChunkRow(chunk, status, Some(dir))
+    ChunkManifest.write(manifest, dir)
     dir
+  }
+
+  private def deleteLocal(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteLocal)
+    f.delete()
+    ()
   }
 
   /** Flip one exported chunk to status=uploaded recording its remote URI
@@ -214,6 +237,13 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
       stagedObj.select(internalObj.columns.map(col).toSeq: _*))
     val filled =
       PpdbOps.fillValidityEnd(unionObj, stagedObj.select("diaObjectId"))
+    // J6: an update record targeting a row that was never promoted must
+    // ABORT the batch (mergePatch's left-outer join would silently drop
+    // it) — same contract the direct-store path enforces. The scoped
+    // rows are a sound validation target: any existing row with a
+    // patched key lives in an affected dir (the dir probes include the
+    // patch keys), so "missing from scope" == "missing from table".
+    objPatch.foreach(p => requireNoDangling("DiaObject", filled, p, objSpec))
     val objPatched =
       objPatch.fold(filled)(p => PpdbOps.mergePatch(filled, p, objSpec))
 
@@ -256,7 +286,9 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
           val base =
             if (affected.isEmpty) emptyDf(internal.schema)
             else catalog.readDirs(spark, affected, internal.columns.toSeq)
-          val patched = PpdbOps.mergePatch(base.unionByName(delta), patch, spec)
+          val rows = base.unionByName(delta)
+          requireNoDangling(t, rows, patch, spec) // J6, as above
+          val patched = PpdbOps.mergePatch(rows, patch, spec)
           name -> TableDelta(dropDirs = affected.toSet,
             appends = Seq(patched -> batchLabel))
         }
@@ -287,6 +319,14 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
   }
 
   // ----------------------------------------------------------------- helpers
+
+  private def requireNoDangling(table: String, target: DataFrame,
+      patch: DataFrame, spec: PpdbOps.MergeSpec): Unit = {
+    val bad = PpdbOps.danglingUpdates(target, patch, spec).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"promote: update for missing $table row " + bad.head.toString)
+  }
 
   private def setStatus(ids: Seq[Long], status: String): DataFrame = {
     val chunks = catalog.read(spark, "PpdbReplicaChunk")

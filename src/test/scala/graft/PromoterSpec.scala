@@ -29,6 +29,40 @@ class PromoterSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("manifest row counts are per FILE and reconcile per table") {
+    val (p, apdb) = fresh()
+    val dir = p.exportChunk(apdb.chunkData(1))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val m = ChunkManifest.read(dir, hconf)
+    // per-table sums equal the written table sizes (6 objects/sources/
+    // forced each), and each entry carries its own file's count
+    val byTable = m.entries.groupBy(_.table).view
+      .mapValues(_.map(_.rowCount).sum).toMap
+    assert(byTable("DiaObject") == 6 && byTable("DiaSource") == 6 &&
+      byTable("DiaForcedSource") == 6, s"${m.entries}")
+    m.entries.foreach { e =>
+      val f = new java.io.File(s"$dir/${e.fileName}")
+      assert(ChunkManifest.parquetRowCount(f, hconf) == e.rowCount, e)
+    }
+  }
+
+  test("promote aborts on an update record targeting a missing row (J6)") {
+    val (p, apdb) = fresh()
+    val cd = apdb.chunkData(1)
+    // an update for a diaSourceId that no chunk ever carried
+    val bad = cd.copy(updates = Seq(
+      1L -> graft.schema.UpdateRecord.WithdrawDiaSource(
+        5000L, 1L, 999999999L, 60000.5)))
+    p.exportChunk(bad)
+    p.stageChunks(Seq(1L))
+    val e = intercept[IllegalStateException] { p.promote() }
+    assert(e.getMessage.contains("missing DiaSource row"), e.getMessage)
+    // nothing published: the batch stayed staged, internal tables empty
+    assert(p.catalog.read(spark, "internal.DiaSource").count() == 0)
+    assert(p.catalog.read(spark, "PpdbReplicaChunk")
+      .select("status").head().getString(0) == PpdbSchema.ChunkStatus.Staged)
+  }
+
   test("tampered chunk file fails manifest validation at stage time") {
     val (p, apdb) = fresh()
     val dir = p.exportChunk(apdb.chunkData(1))

@@ -14,6 +14,18 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(reg.tables == Seq("DiaObject"))
   }
 
+  test("slash and underscore table names never collide; names decode") {
+    import org.apache.spark.sql.types._
+    val reg = new graft.catalog.SchemaRegistry(tmpDir("reg-inj"))
+    val s1 = StructType(Seq(StructField("a", LongType)))
+    val s2 = StructType(Seq(StructField("b", StringType)))
+    reg.put("staging/DiaSource", s1)
+    reg.put("staging_DiaSource", s2)
+    assert(reg.get("staging/DiaSource").get._2 == s1)
+    assert(reg.get("staging_DiaSource").get._2 == s2)
+    assert(reg.tables.toSet == Set("staging/DiaSource", "staging_DiaSource"))
+  }
+
   test("version compatibility rule (major match, code minor >= stored)") {
     assert(VersionTuple(1, 2, 0).compatibleWith(VersionTuple(1, 2, 5)))
     assert(VersionTuple(1, 3, 0).compatibleWith(VersionTuple(1, 2, 0)))

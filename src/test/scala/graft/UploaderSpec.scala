@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.functions._
+
 import graft.catalog.VersionedCatalog
 import graft.replicate._
 import graft.schema.PpdbSchema
@@ -52,6 +54,31 @@ class UploaderSpec extends SparkSpec {
     p.stageChunks(Seq(1L, 2L))
     assert(p.promote() == Seq(1L, 2L))
     assert(p.catalog.read(spark, "internal.DiaObject").count() == 8)
+  }
+
+  test("empty chunk uploads its manifest once, keeps skipped status") {
+    val (p, apdb, remote) = fresh(2)
+    val empty = apdb.chunkData(1).copy(
+      diaObjects = apdb.chunkData(1).diaObjects.limit(0),
+      diaSources = apdb.chunkData(1).diaSources.limit(0),
+      diaForcedSources = apdb.chunkData(1).diaForcedSources.limit(0),
+      updates = Nil)
+    p.exportChunk(empty)
+    p.exportChunk(apdb.chunkData(2))
+    val up = new ChunkUploader(spark, p, remote)
+    // both process: the empty chunk's manifest keeps the remote id
+    // sequence gapless for auditors
+    assert(up.runOnce() == Seq(1L, 2L))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val m = ChunkManifest.read(s"$remote/1", hconf)
+    assert(m.isEmptyChunk && m.entries.isEmpty)
+    // local status stays skipped (reference behavior), and the remote
+    // existence probe keeps re-selection idempotent
+    val st = p.catalog.read(spark, "PpdbReplicaChunk")
+      .where(col("apdb_replica_chunk") === 1L)
+      .select("status").head().getString(0)
+    assert(st == PpdbSchema.ChunkStatus.Skipped)
+    assert(up.runOnce().isEmpty, "second poll finds nothing due")
   }
 
   test("partial upload rolls back the whole remote prefix") {
