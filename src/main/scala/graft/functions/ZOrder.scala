@@ -36,6 +36,7 @@ object ZOrder {
     */
   def mortonK(coords: Seq[Column], bits: Int): Column = {
     require(coords.nonEmpty, "mortonK needs at least one coordinate")
+    require(bits > 0, s"mortonK needs bits >= 1, got $bits")
     require(coords.size * bits <= 63,
       s"${coords.size} dims x $bits bits overflow a long")
     val k = coords.size

@@ -239,20 +239,25 @@ object Dedup {
     // shingle hashes + signature materialized ONCE and persisted — the
     // banded self-join would otherwise recompute the whole text-hash
     // pipeline on both sides
-    val base = tracked(df
-      .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", signatureOf(col("sh"), numHashes)))
-    val banded = bandedOf(base, numHashes, rowsPerBand)
+    val (b0, s0) = indexTables(df, idCol, textCol, n, numHashes, rowsPerBand)
+    selfPairs(tracked(b0), tracked(s0), threshold)
+  }
+
+  /** Banded self-join + exact-Jaccard verify over (banded, sets) index
+    * tables — THE pair-finding implementation, shared by
+    * [[minhashLshPairs]], [[indexPairs]] and incremental batch
+    * self-pairing so the candidate and verify rules can never diverge.
+    */
+  private def selfPairs(banded: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    // verify candidates with exact Jaccard over the precomputed sets
     cand
-      .join(base.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sets.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -360,7 +365,7 @@ object Dedup {
       .persist()
     MinhashIndex(n, numHashes, rowsPerBand,
       bandedOf(base, numHashes, rowsPerBand),
-      base.select(col("doc"), col("sh")))
+      base.select(col("doc"), col("sh"), col("sig")))
   }
 
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
@@ -402,18 +407,46 @@ object Dedup {
       .select(col(idCol).as("p_doc"),
         shingleHashes(col(textCol), index.n).as("p_sh"))
       .where(size(col("p_sh")) > 0)
-      .withColumn("sig", signatureOf(col("p_sh"), index.numHashes))
+      .withColumn("p_sig", signatureOf(col("p_sh"), index.numHashes))
     val base = if (probe.isStreaming) raw else tracked(raw)
-    val pb = bandedOf(
-      base.select(col("p_doc").as("doc"), col("sig")),
-      index.numHashes, index.rowsPerBand)
-      .select(col("doc").as("p_doc"), col("band"), col("bucket"))
-    val cand = pb.join(index.banded, Seq("band", "bucket"))
-      .select(col("p_doc"), col("doc"))
-      .distinct()
-    cand
-      .join(base.select(col("p_doc"), col("p_sh")), Seq("p_doc"))
-      .join(index.sets, Seq("doc"))
+    probeMatches(base, index, threshold)
+  }
+
+  /** Candidate generation + exact-Jaccard verify of prepared probe rows
+    * (p_doc, p_sh, p_sig) against an index, emitting each (probe, corpus)
+    * pair EXACTLY ONCE via the first-matching-band filter: a candidate
+    * row for band b survives iff no band b' < b also matched, decided
+    * from the two signatures on the row itself. The whole pipeline is
+    * select + explode + ONE inner equi-join against static tables — no
+    * distinct, no self-join on the probe side — which is what makes the
+    * probe STREAM-SAFE with zero state (the previous distinct-based form
+    * was a stateful streaming dedup whose state grew with every ingested
+    * document).
+    */
+  private def probeMatches(base: DataFrame, index: MinhashIndex,
+      threshold: Double): DataFrame = {
+    val r = index.rowsPerBand
+    val numBands = index.numHashes / r
+    val pb = base
+      .select(col("p_doc"), col("p_sh"), col("p_sig"),
+        explode(array((0 until numBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_",
+              slice(col("p_sig"), b * r + 1, r)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("p_doc"), col("p_sh"), col("p_sig"),
+        col("bb.band"), col("bb.bucket"))
+    // static side: bucket rows joined with their doc's sets ONCE (the
+    // "_"-join of longs is injective, so bucket equality == slice
+    // equality and the earlier-band comparison below is consistent)
+    val idxSide = index.banded.join(index.sets, Seq("doc"))
+    val firstMatch = (0 until numBands).map { bp =>
+      lit(bp) >= col("band") ||
+        slice(col("p_sig"), bp * r + 1, r) =!=
+          slice(col("sig"), bp * r + 1, r)
+    }.reduce(_ && _)
+    pb.join(idxSide, Seq("band", "bucket"))
+      .where(firstMatch)
       .select(col("p_doc").as("probe_id"), col("doc").as("corpus_id"),
         (size(array_intersect(col("p_sh"), col("sh"))).cast("double") /
           size(array_union(col("p_sh"), col("sh"))).cast("double"))
@@ -425,23 +458,8 @@ object Dedup {
     * self-join + exact-Jaccard verify of [[minhashLshPairs]], but reading
     * the index's persisted tables instead of re-hashing the corpus.
     */
-  def indexPairs(index: MinhashIndex, threshold: Double): DataFrame = {
-    val cand = index.banded.as("a").join(index.banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
-    cand
-      .join(index.sets.select(col("doc").as("id_a"), col("sh").as("sh_a")),
-        Seq("id_a"))
-      .join(index.sets.select(col("doc").as("id_b"), col("sh").as("sh_b")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-          .as("jaccard"))
-      .where(col("jaccard") >= threshold)
-  }
+  def indexPairs(index: MinhashIndex, threshold: Double): DataFrame =
+    selfPairs(index.banded, index.sets, threshold)
 
   /** A materialized duplicate-cluster index: the MinHash tables for
     * candidate generation PLUS the (doc_id, cluster_id) connected-
@@ -478,8 +496,11 @@ object Dedup {
           col(qualityCol).as("q")), Seq("doc_id"))
         .groupBy(col("cluster_id"))
         .agg(
-          max_by(col("doc_id"),
-            struct(col("q"), (-col("doc_id")).as("nd"))).as("keep_id"),
+          // (max quality, then SMALLEST id) via min_by over (-q, id):
+          // only the numeric quality is negated, so ids of any orderable
+          // type (long, string, ...) tie-break correctly
+          min_by(col("doc_id"),
+            struct((-col("q")).as("nq"), col("doc_id"))).as("keep_id"),
           count(lit(1)).as("n_docs"))
 
     /** Which existing cluster(s) does each incoming document hit?
@@ -516,28 +537,27 @@ object Dedup {
       */
     def addDocs(newDocs: DataFrame, idCol: String,
         textCol: String): DupClusterIndex = {
+      // id collisions would silently corrupt the labeling (a doc in both
+      // movedOld and newRows); fail fast instead
+      val clash = newDocs.select(col(idCol).as("doc_id"))
+        .join(clusters, Seq("doc_id"), "left_semi").limit(1).collect()
+      require(clash.isEmpty,
+        s"addDocs: doc id ${clash.headOption.map(_.get(0)).orNull} already " +
+          "in the index — re-ingesting an existing id is not a merge")
       // hash the batch ONCE: the same (banded, sets) tables serve the
-      // corpus probe, the batch self-pairs, and the index extension —
-      // the text-hash pipeline is the dominant per-batch cost
+      // corpus probe, the batch self-pairs, and the index extension.
+      // Persisted UNTRACKED (plain persist): these frames become part of
+      // the RETURNED index, so their lifetime is the index object's —
+      // releaseCaches() must not pull them out from under it (release is
+      // spark.catalog.clearCache, the index-cache convention).
       val (nb0, ns0) = indexTables(newDocs, idCol, textCol, minhash.n,
         minhash.numHashes, minhash.rowsPerBand)
-      val (nb, ns) = (tracked(nb0), tracked(ns0))
-      val newIdx = MinhashIndex(minhash.n, minhash.numHashes,
-        minhash.rowsPerBand, nb, ns)
-      val cand = nb.select(col("doc").as("p_doc"), col("band"), col("bucket"))
-        .join(minhash.banded, Seq("band", "bucket"))
-        .select(col("p_doc"), col("doc"))
-        .distinct()
-      val hits = cand
-        .join(ns.select(col("doc").as("p_doc"), col("sh").as("p_sh")),
-          Seq("p_doc"))
-        .join(minhash.sets, Seq("doc"))
-        .select(col("p_doc").as("probe_id"), col("doc").as("corpus_id"),
-          (size(array_intersect(col("p_sh"), col("sh"))).cast("double") /
-            size(array_union(col("p_sh"), col("sh"))).cast("double"))
-            .as("jaccard"))
-        .where(col("jaccard") >= threshold)
-      val newPairs = indexPairs(newIdx, threshold)
+      val (nb, ns) = (nb0.persist(), ns0.persist())
+      val hits = probeMatches(
+        ns.select(col("doc").as("p_doc"), col("sh").as("p_sh"),
+          col("sig").as("p_sig")),
+        minhash, threshold)
+      val newPairs = selfPairs(nb, ns, threshold)
       val clusterEdges = hits
         .join(clusters.withColumnRenamed("doc_id", "corpus_id"),
           Seq("corpus_id"))
@@ -563,11 +583,19 @@ object Dedup {
       val newRows = relabeled
         .join(newDocs.select(col(idCol).as("node")), Seq("node"))
         .select(col("node").as("doc_id"), col("cluster_id"))
+      // truncate the returned plans (PlanBridge + persist, untracked):
+      // repeated addDocs folding would otherwise nest one join/union
+      // layer per batch until plan compilation — not data — is the
+      // bottleneck, the same hazard dupClusters' roundCache guards
+      import org.apache.spark.sql.graftbridge.PlanBridge
+      def indexPlan(df: DataFrame): DataFrame =
+        PlanBridge.truncated(df).persist()
       DupClusterIndex(
         MinhashIndex(minhash.n, minhash.numHashes, minhash.rowsPerBand,
-          minhash.banded.unionByName(nb), minhash.sets.unionByName(ns)),
+          indexPlan(minhash.banded.unionByName(nb)),
+          indexPlan(minhash.sets.unionByName(ns))),
         threshold,
-        movedOld.unionByName(newRows))
+        indexPlan(movedOld.unionByName(newRows)))
     }
   }
 
@@ -604,7 +632,8 @@ object Dedup {
       .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", signatureOf(col("sh"), numHashes))
-    (bandedOf(base, numHashes, rowsPerBand), base.select(col("doc"), col("sh")))
+    (bandedOf(base, numHashes, rowsPerBand),
+      base.select(col("doc"), col("sh"), col("sig")))
   }
 
   /** 63-bit SimHash over word tokens: bit j of the signature is the sign

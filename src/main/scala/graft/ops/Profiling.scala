@@ -34,10 +34,16 @@ object Profiling {
         min(cents).as(s"lo|$c"), max(cents).as(s"hi|$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { case (c, _) =>
-      s"'$c', `n|$c`, `nd|$c`, `lo|$c`, `hi|$c`"
-    }.mkString(", ")
-    wide.selectExpr(s"stack(${cols.size}, $stacked) " +
-      "AS (col_name, n, n_distinct, lo_scaled, hi_scaled)")
+    // unpivot via explode over Column objects (never string-interpolated
+    // SQL, so arbitrary column names — quotes, backticks, commas — are
+    // safe); same generator shape as stack()
+    wide
+      .select(explode(array(cols.map { case (c, _) =>
+        struct(lit(c).as("col_name"), col(s"n|$c").as("n"),
+          col(s"nd|$c").as("n_distinct"), col(s"lo|$c").as("lo_scaled"),
+          col(s"hi|$c").as("hi_scaled"))
+      }: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n"), col("p.n_distinct"),
+        col("p.lo_scaled"), col("p.hi_scaled"))
   }
 }

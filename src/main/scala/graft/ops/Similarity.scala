@@ -290,6 +290,10 @@ object Similarity {
         (1 until m).map(j =>
           max(when(col("sub") === j, col("dj"))).as(s"d$j")): _*)
     perSub
+      // a vector with a code the codebooks don't cover (mismatched index
+      // tables) would get a null subspace distance, and a null adist
+      // sorts FIRST — exclude it rather than top the ranking with garbage
+      .where((0 until m).map(j => col(s"d$j").isNotNull).reduce(_ && _))
       .select(col(idCol),
         (0 until m).map(j => col(s"d$j"))
           .reduce(_ + _).as("adist"))
