@@ -239,8 +239,10 @@ object Dedup {
     // shingle hashes + signature materialized ONCE and persisted — the
     // banded self-join would otherwise recompute the whole text-hash
     // pipeline on both sides
-    val (b0, s0) = indexTables(df, idCol, textCol, n, numHashes, rowsPerBand)
-    selfPairs(tracked(b0), tracked(s0), threshold)
+    val (base, banded, sets) =
+      indexTables(df, idCol, textCol, n, numHashes, rowsPerBand)
+    tracked(base)
+    selfPairs(banded, sets, threshold)
   }
 
   /** Banded self-join + exact-Jaccard verify over (banded, sets) index
@@ -358,14 +360,10 @@ object Dedup {
 
   def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int): MinhashIndex = {
-    val base = corpus
-      .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", signatureOf(col("sh"), numHashes))
-      .persist()
-    MinhashIndex(n, numHashes, rowsPerBand,
-      bandedOf(base, numHashes, rowsPerBand),
-      base.select(col("doc"), col("sh"), col("sig")))
+    val (base, banded, sets) =
+      indexTables(corpus, idCol, textCol, n, numHashes, rowsPerBand)
+    base.persist() // build-once cache, lifetime = the index object's
+    MinhashIndex(n, numHashes, rowsPerBand, banded, sets)
   }
 
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
@@ -550,9 +548,9 @@ object Dedup {
       // the RETURNED index, so their lifetime is the index object's —
       // releaseCaches() must not pull them out from under it (release is
       // spark.catalog.clearCache, the index-cache convention).
-      val (nb0, ns0) = indexTables(newDocs, idCol, textCol, minhash.n,
-        minhash.numHashes, minhash.rowsPerBand)
-      val (nb, ns) = (nb0.persist(), ns0.persist())
+      val (newBase, nb, ns) = indexTables(newDocs, idCol, textCol,
+        minhash.n, minhash.numHashes, minhash.rowsPerBand)
+      newBase.persist()
       val hits = probeMatches(
         ns.select(col("doc").as("p_doc"), col("sh").as("p_sh"),
           col("sig").as("p_sig")),
@@ -626,13 +624,19 @@ object Dedup {
   /** (banded, sets) index tables for a document set — the building block
     * shared by [[minhashIndex]] and incremental [[DupClusterIndex.addDocs]].
     */
+  /** (base, banded, sets) for a document set — banded and sets both
+    * derive from the ONE `base` frame, so callers persist base alone and
+    * the text-hash pipeline (shingling + minhash signatures, the
+    * dominant cost) runs once, not once per derived table.
+    */
   private def indexTables(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+      n: Int, numHashes: Int,
+      rowsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
     val base = df
       .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", signatureOf(col("sh"), numHashes))
-    (bandedOf(base, numHashes, rowsPerBand),
+    (base, bandedOf(base, numHashes, rowsPerBand),
       base.select(col("doc"), col("sh"), col("sig")))
   }
 
