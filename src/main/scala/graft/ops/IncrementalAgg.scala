@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * fact table — the maintenance loop behind "keep per-source corpus
   * stats / per-object counters current as chunks land".
   *
-  * Works for any algebraic measure kept as (sum, count, min, max)-style
-  * partial state: re-aggregating `stored ∪ partial(delta)` is exactly
+  * [[mergeCounts]] merges every measure with SUM, so it serves counts
+  * and sums (and anything derived from them — means, rates) directly;
+  * min/max-style state would need a least/greatest merge and is NOT
+  * covered. Re-aggregating `stored ∪ partial(delta)` is exactly
   * the partial-aggregate MERGE Spark's own two-phase aggregation runs,
   * so the plan shuffles |stored| + |delta-groups| rows, never the base.
   * At 100 TB the base is petabyte-scale history that is NEVER re-read:

@@ -98,6 +98,7 @@ object Multimodal {
     */
   def extractFeatures(items: Dataset[MediaItem], dims: Int = 64)
       : Dataset[MediaFeature] = {
+    require(dims > 0, s"extractFeatures needs dims >= 1, got $dims")
     implicit val enc = Encoders.product[MediaFeature]
     items.mapPartitions(_.map(stubFeatures(_, dims)))
   }
@@ -108,6 +109,10 @@ object Multimodal {
     */
   def sampleFrames(items: Dataset[MediaItem], stride: Int,
       frameBytes: Int = 256): Dataset[Frame] = {
+    // fail at plan build, not per-row in executors: stride 0 would throw
+    // from the range step, a negative one silently emits nothing
+    require(stride > 0, s"sampleFrames needs stride >= 1, got $stride")
+    require(frameBytes > 0, s"sampleFrames needs frameBytes >= 1, got $frameBytes")
     implicit val enc = Encoders.product[Frame]
     items.filter(_.kind == "video").mapPartitions(_.flatMap { item =>
       val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)

@@ -270,9 +270,21 @@ object TextAnalysis {
     * budget concentrates around the target (±O(1/√n) relative error).
     */
   def tokenBudgetSampleApprox(df: DataFrame, idCol: String,
-      textCol: String, sourceCol: String, budgetTokens: Long): DataFrame = {
+      textCol: String, sourceCol: String, budgetTokens: Long): DataFrame =
+    tokenBudgetSampleApproxCounted(
+      df.select(col(idCol), col(sourceCol),
+        tokenCountOf(stats(col(textCol))).as("n_tok")),
+      idCol, "n_tok", sourceCol, budgetTokens)
+
+  /** [[tokenBudgetSampleApprox]] over a PRECOMPUTED token-count column —
+    * the form a curation pipeline uses after its fused stats pass has
+    * already materialized counts, so the tokenizer scan (the dominant
+    * per-row cost) is not re-run just to sample.
+    */
+  def tokenBudgetSampleApproxCounted(df: DataFrame, idCol: String,
+      countCol: String, sourceCol: String, budgetTokens: Long): DataFrame = {
     val toks = df.select(col(idCol), col(sourceCol),
-      tokenCountOf(stats(col(textCol))).as("n_tok"))
+      col(countCol).as("n_tok"))
     val totals = toks.groupBy(col(sourceCol))
       .agg(sum(col("n_tok").cast("long")).as("total_tok"))
     val rate = least(lit(1.0),

@@ -50,9 +50,15 @@ object TextPipeline {
         docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       else docs
 
-    // 1. annotate + filter in ONE fused stats pass
+    // 1. annotate + filter in ONE fused stats pass. Pre-existing
+    // annotation columns (a re-curation of already-curated output) are
+    // dropped first — appending would duplicate the names and the very
+    // next filter would die on an ambiguous reference
+    val stale = scrubbed.columns
+      .filter(Set("n_tokens", "quality", "pred_lang"))
+    val clean = stale.foldLeft(scrubbed)(_ drop _)
     val st = TextAnalysis.stats(col(textCol))
-    val annotated = scrubbed.select(scrubbed.columns.map(col) :+
+    val annotated = clean.select(clean.columns.map(col) :+
         TextAnalysis.tokenCountOf(st).as("n_tokens") :+
         TextAnalysis.qualityScoreOf(st).as("quality") :+
         TextAnalysis.langIdOf(st).as("pred_lang"): _*)
@@ -100,10 +106,12 @@ object TextPipeline {
       kept = kept.join(hits, Seq(idCol), "left_anti")
     }
 
-    // 5. per-source token budget (approximate rate-based scale variant)
+    // 5. per-source token budget (approximate rate-based scale variant),
+    // fed the n_tokens column stage 1 already materialized — no second
+    // tokenizer scan over the surviving corpus
     cfg.budgetPerSource.foreach { budget =>
-      val sample = TextAnalysis.tokenBudgetSampleApprox(
-        kept, idCol, textCol, sourceCol, budget).select(id)
+      val sample = TextAnalysis.tokenBudgetSampleApproxCounted(
+        kept, idCol, "n_tokens", sourceCol, budget).select(id)
       kept = kept.join(sample, Seq(idCol), "left_semi")
     }
 

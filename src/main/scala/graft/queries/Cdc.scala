@@ -206,8 +206,9 @@ object Cdc {
         |FROM lineitem l LEFT JOIN patch
         |  ON l.l_orderkey = u_orderkey AND l.l_linenumber = u_linenumber""".stripMargin,
     "j6_dangling_updates" ->
-      """SELECT event_id, user_id FROM events
-        |WHERE user_id NOT IN (SELECT c_custkey FROM customer)""".stripMargin,
+      """SELECT event_id, user_id FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = e.user_id)""".stripMargin,
     "j9_cell_insert" ->
       """SELECT event_id, user_id, value,
         |       CAST(floor(value / 10.0) AS BIGINT) * 4096 + user_id AS cell_id

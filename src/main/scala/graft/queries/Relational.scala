@@ -551,9 +551,13 @@ object Relational {
     "j3_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+    // NOT EXISTS, not NOT IN: the Spark side is a left_anti join, and
+    // the two agree under NULL keys only in the EXISTS form (one NULL
+    // on either side silently changes a NOT IN result set)
     "j7_frontier_anti" ->
-      """SELECT p_partkey, p_name FROM part
-        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)""".stripMargin,
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_partkey = p.p_partkey)""".stripMargin,
     "j8_consistency_join" ->
       """SELECT o_orderkey, c_custkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey

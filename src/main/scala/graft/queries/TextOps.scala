@@ -24,8 +24,12 @@ object TextOps {
       s"list_transform(regexp_extract_all($e, '.'), ch -> ascii(ch))), " +
       s"(acc, x) -> (acc * 31 + x) % $P)"
 
-  /** distinct word 3-gram shingles of `e` (matches Dedup.shingles(n=3)). */
-  private def sqlShingles(e: String): String =
+  /** Distinct word 3-gram shingles over the surrounding CTE's `toks`
+    * column (matches Dedup.shingles(n=3)) — parameterless so the
+    * dependency on that CTE is explicit, not hidden behind an ignored
+    * argument.
+    */
+  private def sqlShingles: String =
     s"list_distinct([array_to_string(toks[i:i+2], ' ') " +
       s"FOR i IN range(1, len(toks) - 1)])"
 
@@ -313,7 +317,11 @@ object TextOps {
     * set. dd3 verifies it with Jaccard, dd14 with levenshtein — one
     * definition so a seed/arithmetic change cannot silently diverge.
     */
-  private val minhashCandidateCtes: String = {
+  /** The signature prefix alone (t→w→s→sig→banded) — shared verbatim by
+    * the self-pair candidates below AND dd12's probe/corpus split, so a
+    * seed or banding change cannot leave one oracle on stale arithmetic.
+    */
+  private val minhashSignatureCtes: String = {
     val slots = (0 until 8).map { i =>
       val a = 2 * i + 1; val b = 7919 * i + 13
       s"list_min(list_transform(sh, hv -> ($a * hv + $b) % $P))"
@@ -331,12 +339,15 @@ object TextOps {
        |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
        |      FROM w WHERE len(wh) >= 3),
        |sig AS (SELECT doc_id, sh, [$slots] AS sig FROM s),
-       |banded AS ($bands),
+       |banded AS ($bands)""".stripMargin
+  }
+
+  private val minhashCandidateCtes: String =
+    s"""$minhashSignatureCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM banded a JOIN banded b
        |           ON a.band = b.band AND a.bucket = b.bucket
        |              AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   /** MinHash+LSH pair oracle: the shared candidate pipeline verified
     * with exact shingle Jaccard at 0.6; reused by the dd8/dd9 clustering
@@ -385,24 +396,7 @@ object TextOps {
     * exact Jaccard at 0.6.
     */
   private val dd12Sql: String = {
-    val slots = (0 until 8).map { i =>
-      val a = 2 * i + 1; val b = 7919 * i + 13
-      s"list_min(list_transform(sh, hv -> ($a * hv + $b) % $P))"
-    }.mkString(",\n         ")
-    val bands = (0 until 4).map { bnd =>
-      val lo = bnd * 2 + 1
-      s"SELECT doc_id, $bnd AS band, " +
-        s"array_to_string(sig[$lo:${lo + 1}], '_') AS bucket FROM sig"
-    }.mkString("\n      UNION ALL\n      ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-       |           FROM documents),
-       |w AS (SELECT doc_id,
-       |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
-       |      FROM t),
-       |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
-       |      FROM w WHERE len(wh) >= 3),
-       |sig AS (SELECT doc_id, sh, [$slots] AS sig FROM s),
-       |banded AS ($bands),
+    s"""WITH $minhashSignatureCtes,
        |cand AS (SELECT DISTINCT p.doc_id AS probe_id,
        |                c.doc_id AS corpus_id
        |         FROM banded p JOIN banded c
@@ -601,7 +595,7 @@ object TextOps {
 
     "dd2_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |s AS (SELECT doc_id, ${sqlShingles("text")} AS sh FROM t
+         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t
          |      WHERE len(toks) >= 3),
          |n AS (SELECT doc_id, len(sh) AS cnt FROM s),
          |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
