@@ -470,12 +470,18 @@ object Dedup {
   final case class DupClusterIndex(minhash: MinhashIndex,
       threshold: Double, clusters: DataFrame) {
 
-    /** Atomic commit of the minhash tables + cluster table + params. */
-    def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+    /** Atomic commit of the minhash tables + cluster table + params.
+      * `lastBatchId` records the most recent streaming micro-batch folded
+      * in (see [[maintainDupClusters]]); −1 for batch-built indexes.
+      */
+    def save(cat: graft.catalog.VersionedCatalog, name: String,
+        lastBatchId: Long = -1L): Unit = {
       val spark = clusters.sparkSession
       import spark.implicits._
       val params = Seq((minhash.n, minhash.numHashes, minhash.rowsPerBand,
-        threshold)).toDF("n", "num_hashes", "rows_per_band", "threshold")
+        threshold, lastBatchId))
+        .toDF("n", "num_hashes", "rows_per_band", "threshold",
+          "last_batch_id")
       cat.commit(Map(
         s"$name.banded" -> minhash.banded,
         s"$name.sets" -> minhash.sets,
@@ -619,6 +625,60 @@ object Dedup {
         cat.read(spark, s"$name.banded"), cat.read(spark, s"$name.sets")),
       p.getAs[Double]("threshold"),
       cat.read(spark, s"$name.clusters"))
+  }
+
+  /** Continuous dup-cluster index maintenance over a DOCUMENT STREAM:
+    * each micro-batch folds into the persisted index (first batch builds
+    * it, later ones go through [[DupClusterIndex.addDocs]]) and commits
+    * atomically to the catalog with the batch id recorded alongside.
+    * foreachBatch is at-least-once; the recorded id turns a replayed
+    * batch (crash after commit, before checkpoint) into a no-op — so
+    * index maintenance is EXACTLY-ONCE end to end, and the labels equal
+    * a batch rebuild over everything ingested. State lives in the
+    * catalog, not the state store: restart-safe, queryable mid-stream
+    * (keepBest / clusterMatches read the latest committed snapshot), and
+    * bounded by corpus size, not stream history.
+    *
+    * Returns the configured DataStreamWriter; the caller picks trigger/
+    * checkpoint and calls start().
+    */
+  def maintainDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      cat: graft.catalog.VersionedCatalog, name: String, n: Int,
+      numHashes: Int, rowsPerBand: Int, threshold: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        applyDupClusterBatch(batch.toDF(), batchId, idCol, textCol, cat,
+          name, n, numHashes, rowsPerBand, threshold)
+        ()
+    }
+
+  /** One maintenance step (the foreachBatch body, exposed for direct
+    * testing and for batch-driven backfills): returns true when the
+    * batch was applied, false when skipped (already-applied id or empty
+    * batch).
+    */
+  def applyDupClusterBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, cat: graft.catalog.VersionedCatalog, name: String,
+      n: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): Boolean = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return false
+    if (!cat.exists(s"$name.params")) {
+      dupClusterIndex(batch, idCol, textCol, n, numHashes, rowsPerBand,
+        threshold).save(cat, name, batchId)
+      true
+    } else {
+      val p = cat.read(spark, s"$name.params").head()
+      if (batchId <= p.getAs[Long]("last_batch_id")) false // replay
+      else {
+        loadDupClusterIndex(spark, cat, name)
+          .addDocs(batch, idCol, textCol)
+          .save(cat, name, batchId)
+        true
+      }
+    }
   }
 
   /** (banded, sets) index tables for a document set — the building block

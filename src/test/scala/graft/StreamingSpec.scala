@@ -387,6 +387,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("streaming dup-cluster maintenance: exactly-once folds equal a " +
+      "batch rebuild") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = new graft.catalog.VersionedCatalog(tmpDir("stream-dcidx"))
+    val (n, h, r, t) = (3, 8, 1, 0.25)
+    val src = MemoryStream[(Long, String)]
+    val q = Dedup.maintainDupClusters(
+        src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", cat, "dup_idx", n, h, r, t)
+      .option("checkpointLocation", tmpDir("stream-dcidx-ckpt"))
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val batchA = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "red green blue yellow purple orange pink white"))
+    val batchB = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta one two three " +
+        "four five six seven eight nine"),
+      (11L, "totally novel content unlike anything else in any corpus"))
+    src.addData(batchA: _*); q.processAllAvailable()
+    src.addData(batchB: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = Dedup.loadDupClusterIndex(spark, cat, "dup_idx")
+    val full = Dedup.dupClusterIndex(
+      (batchA ++ batchB).toDF("doc_id", "text"), "doc_id", "text", n, h, r, t)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(m(streamed.clusters) == m(full.clusters),
+      s"${m(streamed.clusters)} != ${m(full.clusters)}")
+    // the bridge doc merged clusters {1,2} and {3} across the batches
+    assert(m(streamed.clusters)(10L) == 1L && m(streamed.clusters)(3L) == 1L)
+
+    // at-least-once replay (crash after commit, before checkpoint):
+    // re-applying an already-recorded batch id is a no-op
+    val before = m(streamed.clusters)
+    assert(!Dedup.applyDupClusterBatch(batchB.toDF("doc_id", "text"),
+      batchId = 1L, "doc_id", "text", cat, "dup_idx", n, h, r, t))
+    assert(m(Dedup.loadDupClusterIndex(spark, cat, "dup_idx").clusters)
+      == before)
+    // a genuinely new batch applies through the same (backfill) entry
+    assert(Dedup.applyDupClusterBatch(
+      Seq((12L, "red green blue yellow purple orange pink black"))
+        .toDF("doc_id", "text"),
+      batchId = 2L, "doc_id", "text", cat, "dup_idx", n, h, r, t))
+    assert(m(Dedup.loadDupClusterIndex(spark, cat, "dup_idx").clusters)
+      .get(12L).contains(4L), "near-dup of 4 joins its cluster")
+  }
+
   test("streaming near-dup probe vs static simhash index matches batch") {
     import graft.ops.Dedup
     // static corpus: clustered sentences so some probes hit, some miss
