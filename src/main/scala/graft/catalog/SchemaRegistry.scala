@@ -34,6 +34,12 @@ final class SchemaRegistry(root: String) {
   private def fileOf(table: String): Path =
     dir.resolve(enc(table) + ".json")
 
+  // earlier builds escaped only '/'→'_' (not injective); their files must
+  // keep resolving, so reads fall back to — and migrate away from — the
+  // legacy name when the current-scheme file is absent
+  private def legacyFileOf(table: String): Path =
+    dir.resolve(table.replace("/", "_") + ".json")
+
   def put(table: String, schema: StructType,
       version: VersionTuple = VersionTuple.Current): Unit = {
     val json =
@@ -42,10 +48,23 @@ final class SchemaRegistry(root: String) {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, fileOf(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // retire a legacy-named twin or tables() would list the table twice
+    val legacy = legacyFileOf(table)
+    if (legacy != fileOf(table)) Files.deleteIfExists(legacy)
+    ()
   }
 
   def get(table: String): Option[(VersionTuple, StructType)] = {
     val f = fileOf(table)
+    if (!Files.exists(f)) {
+      val legacy = legacyFileOf(table)
+      if (legacy != f && Files.exists(legacy)) {
+        // migrate on first read so listing/decoding converges on the
+        // injective scheme (legacy names containing '_' would otherwise
+        // decode wrong in tables() forever)
+        Files.move(legacy, f, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
     if (!Files.exists(f)) None
     else {
       val json = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)

@@ -53,6 +53,13 @@ object Cli {
       System.err.println(usageFor(other))
       sys.exit(2)
     case other =>
+      // parse flags/numerics BEFORE paying session startup, so a typo'd
+      // option exits 2 with the usage message instead of starting Spark
+      // and dying with a stack trace
+      try preValidate(other)
+      catch {
+        case UsageError(m) => System.err.println(m); sys.exit(2)
+      }
       val spark = session()
       val exit =
         try { dispatch(spark, other); 0 }
@@ -60,6 +67,42 @@ object Cli {
         finally spark.stop()
       if (exit != 0) sys.exit(exit)
   }
+
+  /** Argument parsing that can fail, run once pre-session (the same
+    * parsers run again inside dispatch; they are cheap and pure).
+    */
+  private def preValidate(args: List[String]): Unit = args match {
+    case "run" :: _ :: _ :: rest => parseRunOpts(rest); ()
+    case "seed-apdb" :: _ :: rest => parseSeedArgs(rest); ()
+    case "demo" :: _ :: rest => parseDemoArgs(rest); ()
+    case _ => ()
+  }
+
+  private def numArg(what: String, v: String): Long =
+    try v.toLong
+    catch {
+      case _: NumberFormatException =>
+        throw UsageError(s"$what expects an integer, got: $v")
+    }
+
+  private[graft] def parseSeedArgs(rest: List[String]): (Int, Int, Long) =
+    rest match {
+      case o :: c :: s :: Nil =>
+        (numArg("nObjects", o).toInt, numArg("nChunks", c).toInt,
+          numArg("startChunk", s))
+      case o :: c :: Nil =>
+        (numArg("nObjects", o).toInt, numArg("nChunks", c).toInt, 1L)
+      case Nil => (100, 4, 1L)
+      case _ => throw UsageError(
+        "usage: seed-apdb <root> [nObjects nChunks [startChunk]]")
+    }
+
+  private[graft] def parseDemoArgs(rest: List[String]): (Int, Int) =
+    rest match {
+      case o :: c :: Nil => (numArg("nObjects", o).toInt, numArg("nChunks", c).toInt)
+      case Nil => (100, 4)
+      case _ => throw UsageError("usage: demo <root> [nObjects nChunks]")
+    }
 
   private def usageFor(args: List[String]): String =
     args.headOption match {
@@ -89,12 +132,14 @@ object Cli {
       case "--single" :: t => go(t, o.copy(single = true))
       case "--exit-on-empty" :: t => go(t, o.copy(exitOnEmpty = true))
       case "--update" :: t => go(t, o.copy(update = true))
-      case "--min-wait-time" :: v :: t => go(t, o.copy(minWaitS = v.toLong))
-      case "--max-wait-time" :: v :: t => go(t, o.copy(maxWaitS = v.toLong))
-      case "--check-interval" :: v :: t => go(t, o.copy(checkIntervalS = v.toLong))
+      case "--min-wait-time" :: v :: t =>
+        go(t, o.copy(minWaitS = numArg("--min-wait-time", v)))
+      case "--max-wait-time" :: v :: t =>
+        go(t, o.copy(maxWaitS = numArg("--max-wait-time", v)))
+      case "--check-interval" :: v :: t =>
+        go(t, o.copy(checkIntervalS = numArg("--check-interval", v)))
       case Nil => o
-      case bad :: _ =>
-        throw new IllegalArgumentException(s"unknown run option: $bad")
+      case bad :: _ => throw UsageError(s"unknown run option: $bad")
     }
     go(rest, RunOpts())
   }
@@ -176,13 +221,7 @@ object Cli {
           .replicaChunks().show(1000, truncate = false)
 
       case "seed-apdb" :: root :: rest =>
-        val (nObjects, nChunks, start) = rest match {
-          case o :: c :: s :: Nil => (o.toInt, c.toInt, s.toLong)
-          case o :: c :: Nil => (o.toInt, c.toInt, 1L)
-          case Nil => (100, 4, 1L)
-          case _ => throw new IllegalArgumentException(
-            "usage: seed-apdb <root> [nObjects nChunks [startChunk]]")
-        }
+        val (nObjects, nChunks, start) = parseSeedArgs(rest)
         val src = new SyntheticApdb(spark, nObjects, nChunks, start)
         (start until start + nChunks).foreach(id =>
           ParquetApdb.stage(spark, root, src.chunkData(id)))
@@ -211,10 +250,7 @@ object Cli {
         println(s"removed $removed unreferenced version dirs")
 
       case "demo" :: root :: rest =>
-        val (nObjects, nChunks) = rest match {
-          case o :: c :: Nil => (o.toInt, c.toInt)
-          case _ => (100, 4)
-        }
+        val (nObjects, nChunks) = parseDemoArgs(rest)
         graft.Metrics.logEnabled = true
         val ppdb = new PpdbSpark(spark,
           new VersionedCatalog(root, VersionedCatalog.ppdbWriteOptions))

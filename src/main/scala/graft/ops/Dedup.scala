@@ -345,7 +345,8 @@ object Dedup {
     * [[loadMinhashIndex]] across sessions).
     */
   final case class MinhashIndex(n: Int, numHashes: Int, rowsPerBand: Int,
-      banded: DataFrame, sets: DataFrame) {
+      banded: DataFrame, sets: DataFrame,
+      caches: Seq[DataFrame] = Nil) {
 
     def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
       val spark = banded.sparkSession
@@ -356,6 +357,15 @@ object Dedup {
         s"$name.params" -> params))
       ()
     }
+
+    /** Unpersist every frame this index holds a cache for. Call when the
+      * index object is discarded (e.g. after a catalog commit that
+      * materialized its tables); unpersist on a never-persisted frame is
+      * a no-op, so release is always safe.
+      */
+    def release(): Unit = {
+      (caches :+ banded :+ sets).foreach(_.unpersist())
+    }
   }
 
   def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
@@ -363,7 +373,7 @@ object Dedup {
     val (base, banded, sets) =
       indexTables(corpus, idCol, textCol, n, numHashes, rowsPerBand)
     base.persist() // build-once cache, lifetime = the index object's
-    MinhashIndex(n, numHashes, rowsPerBand, banded, sets)
+    MinhashIndex(n, numHashes, rowsPerBand, banded, sets, caches = Seq(base))
   }
 
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
@@ -468,7 +478,20 @@ object Dedup {
     * [[addDocs]] without ever re-running CC over the corpus.
     */
   final case class DupClusterIndex(minhash: MinhashIndex,
-      threshold: Double, clusters: DataFrame) {
+      threshold: Double, clusters: DataFrame,
+      caches: Seq[DataFrame] = Nil) {
+
+    /** Unpersist every cached frame this index holds (its own plus the
+      * minhash tables'). Call once the index is discarded — e.g. per
+      * micro-batch in [[applyDupClusterBatch]], where the catalog commit
+      * has already materialized the tables and the next batch re-loads
+      * from the catalog; without it the streaming maintenance loop
+      * accumulates one set of MEMORY_AND_DISK blocks per batch, unbounded.
+      */
+    def release(): Unit = {
+      (caches :+ clusters).foreach(_.unpersist())
+      minhash.release()
+    }
 
     /** Atomic commit of the minhash tables + cluster table + params.
       * `lastBatchId` records the most recent streaming micro-batch folded
@@ -550,10 +573,11 @@ object Dedup {
           "in the index — re-ingesting an existing id is not a merge")
       // hash the batch ONCE: the same (banded, sets) tables serve the
       // corpus probe, the batch self-pairs, and the index extension.
-      // Persisted UNTRACKED (plain persist): these frames become part of
-      // the RETURNED index, so their lifetime is the index object's —
-      // releaseCaches() must not pull them out from under it (release is
-      // spark.catalog.clearCache, the index-cache convention).
+      // Persisted outside the transient registry (plain persist): these
+      // frames become part of the RETURNED index, so their lifetime is
+      // the index object's — releaseCaches() must not pull them out from
+      // under it. They are tracked on the index's `caches` instead and
+      // freed by DupClusterIndex.release() when the index is discarded.
       val (newBase, nb, ns) = indexTables(newDocs, idCol, textCol,
         minhash.n, minhash.numHashes, minhash.rowsPerBand)
       newBase.persist()
@@ -572,7 +596,7 @@ object Dedup {
       val nodes = newDocs.select(col(idCol).as("node"))
         .unionByName(clusterEdges.select(col("id_b").as("node")))
         .distinct()
-      val relabeled = dupClusters(nodes, "node", edges)
+      val (relabeled, relabeledCache) = dupClustersWithCache(nodes, "node", edges)
       // touched old clusters move to their merged label …
       val touched = relabeled
         .select(col("node").as("old_cluster"),
@@ -597,9 +621,11 @@ object Dedup {
       DupClusterIndex(
         MinhashIndex(minhash.n, minhash.numHashes, minhash.rowsPerBand,
           indexPlan(minhash.banded.unionByName(nb)),
-          indexPlan(minhash.sets.unionByName(ns))),
+          indexPlan(minhash.sets.unionByName(ns)),
+          caches = Seq(newBase)),
         threshold,
-        indexPlan(movedOld.unionByName(newRows)))
+        indexPlan(movedOld.unionByName(newRows)),
+        caches = relabeledCache.toSeq)
     }
   }
 
@@ -610,10 +636,12 @@ object Dedup {
       n: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DupClusterIndex = {
     val mh = minhashIndex(corpus, idCol, textCol, n, numHashes, rowsPerBand)
-    val clusters = dupClusters(corpus.select(col(idCol)), idCol,
+    val (labels, labelsCache) = dupClustersWithCache(
+      corpus.select(col(idCol)), idCol,
       indexPairs(mh, threshold).select("id_a", "id_b"))
-      .withColumnRenamed(idCol, "doc_id")
-    DupClusterIndex(mh, threshold, clusters)
+    DupClusterIndex(mh, threshold,
+      labels.withColumnRenamed(idCol, "doc_id"),
+      caches = labelsCache.toSeq)
   }
 
   def loadDupClusterIndex(spark: org.apache.spark.sql.SparkSession,
@@ -665,19 +693,24 @@ object Dedup {
       threshold: Double): Boolean = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return false
-    if (!cat.exists(s"$name.params")) {
-      dupClusterIndex(batch, idCol, textCol, n, numHashes, rowsPerBand,
-        threshold).save(cat, name, batchId)
+    // per-batch index objects are discarded after the catalog commit —
+    // release their caches (and the pair-finding transients) or the
+    // long-running maintenance loop accumulates one MEMORY_AND_DISK
+    // block set per micro-batch, unbounded
+    def commitAndRelease(idx: DupClusterIndex): Boolean = {
+      idx.save(cat, name, batchId)
+      idx.release()
+      releaseCaches()
       true
+    }
+    if (!cat.exists(s"$name.params")) {
+      commitAndRelease(dupClusterIndex(batch, idCol, textCol, n, numHashes,
+        rowsPerBand, threshold))
     } else {
       val p = cat.read(spark, s"$name.params").head()
       if (batchId <= p.getAs[Long]("last_batch_id")) false // replay
-      else {
-        loadDupClusterIndex(spark, cat, name)
-          .addDocs(batch, idCol, textCol)
-          .save(cat, name, batchId)
-        true
-      }
+      else commitAndRelease(
+        loadDupClusterIndex(spark, cat, name).addDocs(batch, idCol, textCol))
     }
   }
 
@@ -745,7 +778,18 @@ object Dedup {
     * persisted query internals.
     */
   def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50): DataFrame =
+    dupClustersWithCache(ids, idCol, pairs, maxIters)._1
+
+  /** [[dupClusters]] plus a handle on the final round's persisted cache
+    * (the returned labels read it, so it cannot be unpersisted inside the
+    * loop). Callers that discard the labels after materializing them
+    * elsewhere — [[DupClusterIndex.addDocs]], [[dupClusterIndex]] — use
+    * the handle for deterministic release instead of leaking one block
+    * set per invocation.
+    */
+  private[graft] def dupClustersWithCache(ids: DataFrame, idCol: String,
+      pairs: DataFrame, maxIters: Int = 50): (DataFrame, Option[DataFrame]) = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
@@ -775,7 +819,8 @@ object Dedup {
         s"dupClusters did not converge in $maxIters rounds " +
           "(component diameter exceeds the cap; raise maxIters)")
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    (labels.select(col("id").as(idCol), col("label").as("cluster_id")),
+      Some(cached))
   }
 
   /** Round-state cache for the iterative loops: truncate the logical plan

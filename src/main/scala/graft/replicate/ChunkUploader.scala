@@ -53,24 +53,44 @@ final class ChunkUploader(
   /** One polling pass; returns the ids uploaded. Besides exported chunks,
     * SKIPPED (empty) chunks whose manifest is not yet remote are picked
     * up — their manifest-only upload is what keeps the remote chunk-id
-    * sequence gapless for auditors (reference behavior; local status
-    * stays skipped, so the remote-existence probe is what makes the
-    * selection idempotent). With `exitOnError` unset, a failed chunk is
-    * skipped (it stays exported for the next pass) and later chunks
-    * still process.
+    * sequence gapless for auditors (reference behavior: local status
+    * stays skipped; the chunk row's `uri` flips from the local export dir
+    * to THIS uploader's remote prefix after the manifest upload, so
+    * settled skipped chunks drop out of the due set LOCALLY — poll cost
+    * must not grow with the count of historical empty chunks, and a
+    * remote round-trip per empty chunk per poll would dominate on s3a).
+    * Skipped rows whose uri is not the remote prefix (fresh exports,
+    * older builds, or a crash between upload and bookkeeping) fall back
+    * to one remote-existence probe and self-heal by recording the uri
+    * when the manifest is found. With `exitOnError` unset, a failed
+    * chunk is skipped (it stays exported for the next pass) and later
+    * chunks still process.
     */
   def runOnce(): Seq[Long] = {
     val rows = promoter.catalog.read(spark, "PpdbReplicaChunk")
       .where(col("status").isin(PpdbSchema.ChunkStatus.Exported,
         PpdbSchema.ChunkStatus.Skipped))
-      .select("apdb_replica_chunk", "status")
-      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+      .select("apdb_replica_chunk", "status", "uri")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    // qualification is a local string computation, not a remote call
+    def remoteUri(id: Long): String = {
+      val prefix = new HPath(remoteRoot, id.toString)
+      prefix.getFileSystem(conf).makeQualified(prefix).toString
+    }
     val due = rows.filter {
-      case (_, PpdbSchema.ChunkStatus.Exported) => true
-      case (id, _) => // skipped: only until its manifest is remote
-        val remote = new HPath(new HPath(remoteRoot, id.toString),
-          ChunkManifest.FileName)
-        try !remote.getFileSystem(conf).exists(remote)
+      case (_, PpdbSchema.ChunkStatus.Exported, _) => true
+      case (id, _, Some(uri)) if uri == remoteUri(id) => false // settled
+      case (id, _, _) => // un-recorded skipped: probe remote once
+        val prefix = new HPath(remoteRoot, id.toString)
+        val remote = new HPath(prefix, ChunkManifest.FileName)
+        try {
+          val there = remote.getFileSystem(conf).exists(remote)
+          // heal the row so this probe never repeats
+          if (there) promoter.markRemoteUri(id, remoteUri(id))
+          !there
+        }
         catch { case _: Exception => true } // unreadable remote ⇒ attempt
     }
     due.map(_._1).filter { id =>
@@ -155,18 +175,22 @@ final class ChunkUploader(
         catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
         throw new ChunkUploadException(chunkId, "upload failed", e)
     }
-    if (!manifest.isEmptyChunk) {
-      val uri = fs.makeQualified(remotePrefix).toString
-      try {
+    val uri = fs.makeQualified(remotePrefix).toString
+    try {
+      if (manifest.isEmptyChunk) {
+        // status stays skipped; recording the uri is what retires the
+        // chunk from future polls (no notification — nothing to stage)
+        promoter.markRemoteUri(chunkId, uri)
+      } else {
         promoter.markUploaded(chunkId, uri)
         notify(chunkId, uri)
-      } catch {
-        case e: Throwable =>
-          // remote bytes are intact; surface the failure without deleting
-          // them — an un-flipped chunk retries, a flipped one can stage
-          throw new ChunkUploadException(chunkId,
-            "post-upload bookkeeping failed (remote chunk intact)", e)
       }
+    } catch {
+      case e: Throwable =>
+        // remote bytes are intact; surface the failure without deleting
+        // them — an un-flipped chunk retries, a flipped one can stage
+        throw new ChunkUploadException(chunkId,
+          "post-upload bookkeeping failed (remote chunk intact)", e)
     }
   }
 }

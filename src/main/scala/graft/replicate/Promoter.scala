@@ -143,6 +143,19 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     ()
   }
 
+  /** Record a chunk's remote URI WITHOUT advancing its status — used for
+    * skipped (empty) chunks after their manifest-only upload, so later
+    * uploader polls drop them from the due set locally instead of probing
+    * the remote filesystem for every historical empty chunk forever.
+    */
+  def markRemoteUri(chunkId: Long, uri: String): Unit = {
+    val chunks = catalog.read(spark, "PpdbReplicaChunk")
+    val hit = col("apdb_replica_chunk") === chunkId
+    catalog.commit(Map("PpdbReplicaChunk" -> chunks
+      .withColumn("uri", when(hit, lit(uri)).otherwise(col("uri")))))
+    ()
+  }
+
   /** Step 2: load chunks into staging (validating manifests), add the
     * chunk id column, partition by it, status=staged. Exported chunks
     * load from their local export dir; uploaded chunks load from their

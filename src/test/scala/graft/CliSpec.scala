@@ -174,6 +174,33 @@ class CliSpec extends SparkSpec {
       "uuid-1-regen")
   }
 
+  test("bad flags and numerics raise UsageError, not a stack trace") {
+    // unknown run flag (was IllegalArgumentException — the CLI died with
+    // a stack trace and JVM exit code instead of the usage path)
+    val e1 = intercept[Cli.UsageError] {
+      Cli.dispatch(spark, List("run", tmpDir("ue-a"), tmpDir("ue-b"),
+        "--bogus"))
+    }
+    assert(e1.getMessage.contains("--bogus"))
+    // non-numeric interval value
+    val e2 = intercept[Cli.UsageError] {
+      Cli.dispatch(spark, List("run", tmpDir("ue-a"), tmpDir("ue-b"),
+        "--min-wait-time", "soon"))
+    }
+    assert(e2.getMessage.contains("soon"))
+    // seed-apdb numerics and arity
+    val e3 = intercept[Cli.UsageError] {
+      Cli.dispatch(spark, List("seed-apdb", tmpDir("ue-c"), "five", "3"))
+    }
+    assert(e3.getMessage.contains("five"))
+    intercept[Cli.UsageError] {
+      Cli.dispatch(spark, List("seed-apdb", tmpDir("ue-c"), "1", "2", "3", "4"))
+    }
+    intercept[Cli.UsageError] {
+      Cli.dispatch(spark, List("demo", tmpDir("ue-d"), "10"))
+    }
+  }
+
   test("non-strict mismatch warns and continues; strict raises") {
     val apdb = new TestApdb(spark, nObjects = 2, nChunks = 1)
     val ppdb = new PpdbSpark(spark, new VersionedCatalog(tmpDir("mism")))

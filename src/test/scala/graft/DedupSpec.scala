@@ -357,6 +357,32 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 3L -> 1L), "clean docs are absent")
   }
 
+  test("dup-cluster maintenance releases its caches per batch") {
+    val cat = new graft.catalog.VersionedCatalog(tmpDir("dc-release"))
+    Dedup.releaseCaches()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta iota")),
+      Seq((10L, "one two three four five six seven eight nine")),
+      Seq((11L, "alpha beta gamma delta epsilon zeta eta kappa")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(Dedup.applyDupClusterBatch(b.toDF("doc_id", "text"),
+        batchId = i.toLong, "doc_id", "text", cat, "rel_idx",
+        n = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.25))
+    }
+    // the long-running maintenance loop must not accumulate cached
+    // blocks: every per-batch index cache (and the pair-finding
+    // transients) is unpersisted after the catalog commit
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+    // and the committed index is intact after release
+    val labels = Dedup.loadDupClusterIndex(spark, cat, "rel_idx")
+      .clusters.as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 1L),
+      s"got $labels")
+  }
+
   test("minhash signature null semantics match the column formulation") {
     val df = Seq(
       (1L, Some("one two three four")),

@@ -26,6 +26,33 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(reg.tables.toSet == Set("staging/DiaSource", "staging_DiaSource"))
   }
 
+  test("legacy-escaped schema files resolve and migrate on read") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("reg-legacy")
+    val reg = new SchemaRegistry(root)
+    // simulate a catalog written by an earlier build whose escape was
+    // '/'→'_' with no '_' doubling: table `docs_minhash.banded` landed at
+    // docs_minhash.banded.json (new scheme expects docs__minhash.banded)
+    val json = s"""{"version":"0.1.0","schema":${PpdbSchema.metadata.json}}"""
+    Files.write(Paths.get(root, "_schemas", "docs_minhash.banded.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+    val got = reg.get("docs_minhash.banded")
+    assert(got.exists(_._2 == PpdbSchema.metadata),
+      "legacy file resolves on read")
+    // and the file migrated to the injective name, so listing decodes
+    assert(Files.exists(
+      Paths.get(root, "_schemas", "docs__minhash.banded.json")))
+    assert(!Files.exists(
+      Paths.get(root, "_schemas", "docs_minhash.banded.json")))
+    assert(reg.tables == Seq("docs_minhash.banded"))
+    // put over a legacy twin retires it (no double listing)
+    Files.write(Paths.get(root, "_schemas", "a_b.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+    reg.put("a_b", PpdbSchema.metadata)
+    assert(reg.tables == Seq("a_b", "docs_minhash.banded"))
+  }
+
   test("version compatibility rule (major match, code minor >= stored)") {
     assert(VersionTuple(1, 2, 0).compatibleWith(VersionTuple(1, 2, 5)))
     assert(VersionTuple(1, 3, 0).compatibleWith(VersionTuple(1, 2, 0)))

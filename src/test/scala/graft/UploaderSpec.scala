@@ -72,13 +72,33 @@ class UploaderSpec extends SparkSpec {
     val hconf = spark.sparkContext.hadoopConfiguration
     val m = ChunkManifest.read(s"$remote/1", hconf)
     assert(m.isEmptyChunk && m.entries.isEmpty)
-    // local status stays skipped (reference behavior), and the remote
-    // existence probe keeps re-selection idempotent
-    val st = p.catalog.read(spark, "PpdbReplicaChunk")
+    // local status stays skipped (reference behavior) with the remote
+    // uri recorded, so later polls retire the chunk WITHOUT a remote
+    // round-trip — poll cost must not grow with historical empty chunks
+    val row = p.catalog.read(spark, "PpdbReplicaChunk")
       .where(col("apdb_replica_chunk") === 1L)
-      .select("status").head().getString(0)
-    assert(st == PpdbSchema.ChunkStatus.Skipped)
+      .select("status", "uri").head()
+    assert(row.getString(0) == PpdbSchema.ChunkStatus.Skipped)
+    assert(Option(row.getString(1)).exists(_.endsWith("/1")),
+      s"manifest upload records the remote uri, got ${row.getString(1)}")
     assert(up.runOnce().isEmpty, "second poll finds nothing due")
+    // the short-circuit is local: even with the remote manifest gone the
+    // chunk stays settled (proves no per-poll remote existence probe)
+    Files.delete(Paths.get(s"${remote.stripPrefix("file://")}/1",
+      ChunkManifest.FileName))
+    assert(up.runOnce().isEmpty, "settled skipped chunk never re-probes")
+    // legacy rows (no uri) self-heal: null the uri, restore the manifest
+    // is NOT needed — the probe runs once, finds nothing, re-uploads,
+    // and records the uri again
+    val chunks = p.catalog.read(spark, "PpdbReplicaChunk")
+    p.catalog.commit(Map("PpdbReplicaChunk" -> chunks.withColumn("uri",
+      when(col("apdb_replica_chunk") === 1L, lit(null: String))
+        .otherwise(col("uri")))))
+    assert(up.runOnce() == Seq(1L), "uri-less skipped chunk re-uploads")
+    val healed = p.catalog.read(spark, "PpdbReplicaChunk")
+      .where(col("apdb_replica_chunk") === 1L)
+      .select("uri").head().getString(0)
+    assert(healed != null, "re-upload re-records the uri")
   }
 
   test("partial upload rolls back the whole remote prefix") {
