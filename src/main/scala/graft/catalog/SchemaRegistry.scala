@@ -77,6 +77,13 @@ final class SchemaRegistry(root: String) {
     }
   }
 
+  /** Delete a table's declared schema (both filename schemes). */
+  def remove(table: String): Unit = {
+    Files.deleteIfExists(fileOf(table))
+    Files.deleteIfExists(legacyFileOf(table))
+    ()
+  }
+
   def tables: Seq[String] = {
     import scala.jdk.CollectionConverters._
     val stream = Files.list(dir)

@@ -11,7 +11,8 @@ import graft.schema.PpdbSchema
   * list-chunks).
   *
   * Usage:
-  *   runMain graft.cli.Cli create <catalogRoot>
+  *   runMain graft.cli.Cli create <catalogRoot> [--felis-schema <yaml>]
+  *       [--drop]
   *   runMain graft.cli.Cli run <apdbRoot> <catalogRoot> [--single]
   *       [--exit-on-empty] [--update] [--min-wait-time S] [--max-wait-time S]
   *       [--check-interval S]
@@ -75,7 +76,29 @@ object Cli {
     case "run" :: _ :: _ :: rest => parseRunOpts(rest); ()
     case "seed-apdb" :: _ :: rest => parseSeedArgs(rest); ()
     case "demo" :: _ :: rest => parseDemoArgs(rest); ()
+    case "create" :: _ :: rest =>
+      parseCreateOpts(rest).felisPath.foreach { p =>
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          throw UsageError(s"felis schema file not found: $p")
+      }
     case _ => ()
+  }
+
+  /** `create` knobs (reference create-sql: felis_schema_options + --drop,
+    * P/cli/ppdb_cli.py:60-68).
+    */
+  private[graft] final case class CreateOpts(felisPath: Option[String] = None,
+      drop: Boolean = false)
+
+  private def parseCreateOpts(rest: List[String]): CreateOpts = {
+    @annotation.tailrec
+    def go(args: List[String], o: CreateOpts): CreateOpts = args match {
+      case "--felis-schema" :: p :: t => go(t, o.copy(felisPath = Some(p)))
+      case "--drop" :: t => go(t, o.copy(drop = true))
+      case Nil => o
+      case bad :: _ => throw UsageError(s"unknown create option: $bad")
+    }
+    go(rest, CreateOpts())
   }
 
   private def numArg(what: String, v: String): Long =
@@ -108,7 +131,8 @@ object Cli {
     args.headOption match {
       case Some(cmd) if knownCommands(cmd) =>
         s"missing arguments for: ${args.mkString(" ")}\n" +
-          "usage: create <root> | run <apdbRoot> <root> [opts] | " +
+          "usage: create <root> [--felis-schema <yaml>] [--drop] | " +
+          "run <apdbRoot> <root> [opts] | " +
           "list-chunks [--apdb] <root> | " +
           "seed-apdb <root> [nObjects nChunks [start]] | " +
           "upload <root> <exportRoot> <remoteRoot> | " +
@@ -149,17 +173,46 @@ object Cli {
     */
   private[graft] def dispatch(spark: SparkSession, args: List[String]): Unit =
     args match {
-      case "create" :: root :: Nil =>
-        val ppdb = new PpdbSpark(spark,
-          new VersionedCatalog(root, VersionedCatalog.ppdbWriteOptions))
-        ppdb.init()
+      case "create" :: root :: rest =>
+        val opts = parseCreateOpts(rest)
+        // schema source: a Felis YAML file (reference create-sql
+        // --felis-path) or the built-in PPDB schema structs
+        val (version, tables) = opts.felisPath match {
+          case Some(p) =>
+            val yaml =
+              try new String(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(p)),
+                java.nio.charset.StandardCharsets.UTF_8)
+              catch {
+                case _: java.io.IOException =>
+                  throw UsageError(s"felis schema file not found: $p")
+              }
+            val schemaDef =
+              try graft.schema.FelisSchema.parse(yaml)
+              catch {
+                case e: Exception =>
+                  throw UsageError(s"cannot parse felis schema $p: ${e.getMessage}")
+              }
+            // `metadata` is the key/value store MetadataTable owns;
+            // PpdbSpark.create's meta.init() publishes it
+            (graft.schema.VersionTuple.parse(schemaDef.version),
+              schemaDef.tables.filterNot(_.name == "metadata")
+                .map(t => t.name -> t.structType))
+          case None =>
+            (PpdbSchema.schemaVersion,
+              Seq("DiaObject" -> PpdbSchema.diaObject,
+                "DiaSource" -> PpdbSchema.diaSource,
+                "DiaForcedSource" -> PpdbSchema.diaForcedSource,
+                "PpdbReplicaChunk" -> PpdbSchema.replicaChunk))
+        }
+        val cat = new VersionedCatalog(root, VersionedCatalog.ppdbWriteOptions)
+        if (cat.tables.nonEmpty && !opts.drop)
+          throw UsageError(s"catalog at $root already exists (tables: " +
+            s"${cat.tables.toSeq.sorted.mkString(", ")}); pass --drop to recreate")
         val reg = new SchemaRegistry(root)
-        Seq("DiaObject" -> PpdbSchema.diaObject,
-          "DiaSource" -> PpdbSchema.diaSource,
-          "DiaForcedSource" -> PpdbSchema.diaForcedSource,
-          "PpdbReplicaChunk" -> PpdbSchema.replicaChunk)
-          .foreach { case (t, sc) => reg.put(t, sc) }
-        println(s"created catalog at $root (tables: ${reg.tables.mkString(", ")})")
+        new PpdbSpark(spark, cat).create(tables, version, reg, opts.drop)
+        println(s"created catalog at $root (schema ${version.render}, " +
+          s"tables: ${reg.tables.mkString(", ")})")
 
       case "run" :: apdbRoot :: catalogRoot :: rest =>
         val opts = parseRunOpts(rest)

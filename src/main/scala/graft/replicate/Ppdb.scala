@@ -73,6 +73,40 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
   def checkVersions(): Unit =
     meta.checkCompatibility(PpdbSchema.schemaVersion, VersionTuple.Current)
 
+  /** Schema-driven store creation — the reference's Felis-YAML `create`
+    * path (P/cli/ppdb_cli.py:60-68 create-sql + --drop,
+    * P/sql/_ppdb_sql_base.py:374-447 table build): publish one empty
+    * table per declared schema (the internal PpdbReplicaChunk
+    * bookkeeping table is added when the schema doesn't carry one),
+    * declare every table in the registry under the schema's version, and
+    * record schema/code versions in metadata. A non-empty catalog
+    * refuses to be re-created unless `drop` is set, which drops every
+    * existing table and registry entry first (the reference's
+    * `--drop`).
+    */
+  def create(tableSchemas: Seq[(String, org.apache.spark.sql.types.StructType)],
+      version: VersionTuple, registry: graft.catalog.SchemaRegistry,
+      drop: Boolean = false): Unit = {
+    val existing = catalog.tables
+    if (existing.nonEmpty) {
+      if (!drop) throw new IllegalStateException(
+        s"catalog at ${catalog.root} is already initialized (tables: " +
+          s"${existing.toSeq.sorted.mkString(", ")}); use drop to recreate")
+      existing.foreach(catalog.drop)
+      catalog.vacuum()
+      registry.tables.foreach(registry.remove)
+    }
+    val withChunk = tableSchemas ++
+      (if (tableSchemas.exists(_._1 == "PpdbReplicaChunk")) Nil
+       else Seq("PpdbReplicaChunk" -> PpdbSchema.replicaChunk))
+    catalog.commit(withChunk.map { case (t, s) => t -> emptyDf(s) }.toMap)
+    withChunk.foreach { case (t, s) => registry.put(t, s, version) }
+    meta.init()
+    meta.set(MetadataTable.SchemaVersionKey, version.render, force = true)
+    meta.set(MetadataTable.CodeVersionKey, VersionTuple.Current.render,
+      force = true)
+  }
+
   def replicaChunks(minId: Option[Long] = None): DataFrame = {
     val base = catalog.read(spark, "PpdbReplicaChunk")
     val filtered = minId.fold(base)(m => base.where(col("apdb_replica_chunk") >= m))

@@ -174,6 +174,54 @@ class CliSpec extends SparkSpec {
       "uuid-1-regen")
   }
 
+  test("felis-YAML create stands up a catalog a chunk replicates into; " +
+      "--drop recreates") {
+    val yamlPath = "/root/reference/python/lsst/dax/ppdb/resources/config/" +
+      "schemas/test_apdb_schema.yaml"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(yamlPath)))
+    val catRoot = tmpDir("cli-felis-cat")
+    val apdbRoot = tmpDir("cli-felis-apdb")
+    val out = dispatchCapturing("create", catRoot, "--felis-schema", yamlPath)
+    assert(out.contains("schema 0.1.1"), out)
+    // every YAML table is declared in the registry with the YAML version
+    // and published empty in the catalog (plus internal bookkeeping)
+    val reg = new graft.catalog.SchemaRegistry(catRoot)
+    val cat = new VersionedCatalog(catRoot)
+    for (t <- Seq("DiaObject", "DiaSource", "DiaForcedSource", "SSObject")) {
+      val (v, s) = reg.get(t).get
+      assert(v == graft.schema.VersionTuple(0, 1, 1), t)
+      // parquet scans surface every column nullable; names+types must hold
+      assert(cat.read(spark, t).schema.fields.map(f => f.name -> f.dataType)
+        .toSeq == s.fields.map(f => f.name -> f.dataType).toSeq, t)
+      assert(cat.read(spark, t).count() == 0, t)
+    }
+    assert(cat.exists("PpdbReplicaChunk") && cat.exists("metadata"))
+    assert(reg.get("DiaObject").get._2 ==
+      graft.schema.PpdbSchema.diaObject)
+
+    // a chunk replicates end-to-end into the felis-created catalog
+    dispatchCapturing("seed-apdb", apdbRoot, "3", "2")
+    dispatchCapturing("run", apdbRoot, catRoot, "--exit-on-empty")
+    assert(cat.read(spark, "DiaObject").count() == 6)
+    assert(cat.read(spark, "PpdbReplicaChunk").count() == 2)
+
+    // recreating over a non-empty root refuses without --drop...
+    val e = intercept[Cli.UsageError] {
+      Cli.dispatch(spark, List("create", catRoot, "--felis-schema", yamlPath))
+    }
+    assert(e.getMessage.contains("--drop"))
+    // ...and --drop recreates from scratch (data gone, registry fresh)
+    dispatchCapturing("create", catRoot, "--felis-schema", yamlPath, "--drop")
+    val cat2 = new VersionedCatalog(catRoot)
+    assert(cat2.read(spark, "DiaObject").count() == 0)
+    assert(cat2.read(spark, "PpdbReplicaChunk").count() == 0)
+    // a missing schema file is a usage error (pre-session validation path)
+    intercept[Cli.UsageError] {
+      Cli.dispatch(spark, List("create", tmpDir("cli-felis-x"),
+        "--felis-schema", "/nope/missing.yaml"))
+    }
+  }
+
   test("bad flags and numerics raise UsageError, not a stack trace") {
     // unknown run flag (was IllegalArgumentException — the CLI died with
     // a stack trace and JVM exit code instead of the usage path)
