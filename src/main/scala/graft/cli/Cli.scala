@@ -14,12 +14,13 @@ import graft.schema.PpdbSchema
   *   runMain graft.cli.Cli create <catalogRoot> [--felis-schema <yaml>]
   *       [--drop]
   *   runMain graft.cli.Cli run <apdbRoot> <catalogRoot> [--single]
-  *       [--exit-on-empty] [--update] [--min-wait-time S] [--max-wait-time S]
-  *       [--check-interval S]
+  *       [--exit-on-empty] [--update] [--export <exportRoot>]
+  *       [--min-wait-time S] [--max-wait-time S] [--check-interval S]
   *   runMain graft.cli.Cli list-chunks <catalogRoot>
   *   runMain graft.cli.Cli list-chunks --apdb <apdbRoot>
   *   runMain graft.cli.Cli seed-apdb <apdbRoot> [nObjects nChunks [start]]
   *   runMain graft.cli.Cli upload <catalogRoot> <exportRoot> <remoteRoot>
+  *       [--stage]
   *   runMain graft.cli.Cli promote <catalogRoot> <exportRoot>
   *   runMain graft.cli.Cli demo <catalogRoot> [nObjects nChunks]
   *   runMain graft.cli.Cli vacuum <catalogRoot>
@@ -76,6 +77,9 @@ object Cli {
     case "run" :: _ :: _ :: rest => parseRunOpts(rest); ()
     case "seed-apdb" :: _ :: rest => parseSeedArgs(rest); ()
     case "demo" :: _ :: rest => parseDemoArgs(rest); ()
+    case "upload" :: _ :: _ :: _ :: rest =>
+      if (rest.exists(r => r != "--stage"))
+        throw UsageError(s"unknown upload option: ${rest.filterNot(_ == "--stage").mkString(" ")}")
     case "create" :: _ :: rest =>
       parseCreateOpts(rest).felisPath.foreach { p =>
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
@@ -135,7 +139,7 @@ object Cli {
           "run <apdbRoot> <root> [opts] | " +
           "list-chunks [--apdb] <root> | " +
           "seed-apdb <root> [nObjects nChunks [start]] | " +
-          "upload <root> <exportRoot> <remoteRoot> | " +
+          "upload <root> <exportRoot> <remoteRoot> [--stage] | " +
           "promote <root> <exportRoot> | vacuum <root> | " +
           "demo <root> [nObjects nChunks]"
       case _ =>
@@ -147,7 +151,7 @@ object Cli {
   /** Replication-loop knobs (defaults from P/cli/options.py:105-124). */
   private[graft] final case class RunOpts(
       single: Boolean = false, exitOnEmpty: Boolean = false,
-      update: Boolean = false,
+      update: Boolean = false, exportRoot: Option[String] = None,
       minWaitS: Long = 300L, maxWaitS: Long = 900L, checkIntervalS: Long = 360L)
 
   private def parseRunOpts(rest: List[String]): RunOpts = {
@@ -156,6 +160,7 @@ object Cli {
       case "--single" :: t => go(t, o.copy(single = true))
       case "--exit-on-empty" :: t => go(t, o.copy(exitOnEmpty = true))
       case "--update" :: t => go(t, o.copy(update = true))
+      case "--export" :: dir :: t => go(t, o.copy(exportRoot = Some(dir)))
       case "--min-wait-time" :: v :: t =>
         go(t, o.copy(minWaitS = numArg("--min-wait-time", v)))
       case "--max-wait-time" :: v :: t =>
@@ -217,10 +222,22 @@ object Cli {
       case "run" :: apdbRoot :: catalogRoot :: rest =>
         val opts = parseRunOpts(rest)
         graft.Metrics.logEnabled = true
-        val ppdb = new PpdbSpark(spark,
-          new VersionedCatalog(catalogRoot, VersionedCatalog.ppdbWriteOptions))
-        ppdb.init()
-        val rep = new Replicator(spark, new ParquetApdb(spark, apdbRoot), ppdb,
+        // backend select: direct store (reference SQL backend) or, with
+        // --export, chunk export into the staged upload/promote pipeline
+        // (reference BigQuery backend)
+        val target: ReplicaTarget = opts.exportRoot match {
+          case Some(dir) =>
+            val promoter = new Promoter(spark,
+              new VersionedCatalog(catalogRoot, VersionedCatalog.ppdbWriteOptions), dir)
+            promoter.init()
+            new PpdbStaged(spark, promoter)
+          case None =>
+            val ppdb = new PpdbSpark(spark,
+              new VersionedCatalog(catalogRoot, VersionedCatalog.ppdbWriteOptions))
+            ppdb.init()
+            ppdb
+        }
+        val rep = new Replicator(spark, new ParquetApdb(spark, apdbRoot), target,
           ReplicatorConfig(
             minWaitUs = opts.minWaitS * 1000000L,
             maxWaitUs = opts.maxWaitS * 1000000L,
@@ -281,10 +298,22 @@ object Cli {
         println(s"staged chunks ${start until start + nChunks mkString ", "} " +
           s"under $root")
 
-      case "upload" :: root :: exportRoot :: remoteRoot :: Nil =>
+      case "upload" :: root :: exportRoot :: remoteRoot :: rest =>
+        val stage = rest match {
+          case Nil => false
+          case "--stage" :: Nil => true
+          case bad => throw UsageError(s"unknown upload option: ${bad.mkString(" ")}")
+        }
         val promoter = new Promoter(spark, new VersionedCatalog(root), exportRoot)
         promoter.init()
+        // --stage collapses the reference's Pub/Sub→Dataflow staging job
+        // into the uploader's notification hook: each fully-uploaded
+        // chunk is loaded into the staging tables from its remote URI
+        val notify: (Long, String) => Unit =
+          if (stage) (id, _) => promoter.stageChunks(Seq(id))
+          else (_, _) => ()
         val uploader = new ChunkUploader(spark, promoter, remoteRoot,
+          notify = notify,
           exitOnEmpty = true,
           exitOnError = sys.env.get("GRAFT_EXIT_ON_ERROR").contains("1"))
         val ids = uploader.runOnce()
@@ -294,6 +323,18 @@ object Cli {
       case "promote" :: root :: exportRoot :: Nil =>
         val promoter = new Promoter(spark, new VersionedCatalog(root), exportRoot)
         promoter.init()
+        // self-heal: any uploaded-but-unstaged chunk (upload ran without
+        // --stage, or a crash landed between upload and staging) is
+        // staged from its remote URI before promotion — the service
+        // chain converges no matter where the previous cycle stopped
+        val uploaded = promoter.catalog.read(spark, "PpdbReplicaChunk")
+          .where(org.apache.spark.sql.functions.col("status") ===
+            PpdbSchema.ChunkStatus.Uploaded)
+          .select("apdb_replica_chunk").collect().map(_.getLong(0)).toSeq.sorted
+        if (uploaded.nonEmpty) {
+          promoter.stageChunks(uploaded)
+          println(s"staged uploaded chunks ${uploaded.mkString(", ")}")
+        }
         val ids = promoter.promote()
         println(if (ids.isEmpty) "nothing promotable"
           else s"promoted chunks ${ids.mkString(", ")}")

@@ -28,6 +28,46 @@ trait Ppdb {
   def metadata: Map[String, String]
 }
 
+/** A PPDB store the [[Replicator]] can drive: chunk ingestion with an
+  * upsert mode, over either backend (direct-store [[PpdbSpark]] — the
+  * reference's SQL backend — or export-based [[PpdbStaged]] — the
+  * reference's BigQuery backend, where `store` means "write the chunk's
+  * parquet export + manifest" and the upload/stage/promote services
+  * carry it the rest of the way).
+  */
+trait ReplicaTarget extends Ppdb {
+  def store(chunk: ChunkData, update: Boolean): Unit
+}
+
+/** Staged-backend replication target: `store` exports the chunk to
+  * parquet + manifest with status=exported (the reference's BigQuery
+  * `Ppdb.store`, P/bigquery/ppdb_bigquery.py:403-488), after which the
+  * uploader/promoter services own it. Re-storing a known chunk id is a
+  * no-op unless `update` — then the chunk is re-exported in place
+  * (exportChunk upserts both the export dir and the bookkeeping row).
+  */
+final class PpdbStaged(spark: SparkSession, val promoter: Promoter)
+    extends ReplicaTarget {
+
+  def store(chunk: ChunkData): Unit = store(chunk, update = false)
+
+  def store(chunk: ChunkData, update: Boolean): Unit = {
+    val known = promoter.catalog.read(spark, "PpdbReplicaChunk")
+      .where(col("apdb_replica_chunk") === chunk.chunkId)
+      .limit(1).collect().nonEmpty
+    if (!known || update) { promoter.exportChunk(chunk); () }
+  }
+
+  def replicaChunks(minId: Option[Long] = None): DataFrame = {
+    val base = promoter.catalog.read(spark, "PpdbReplicaChunk")
+    val filtered = minId.fold(base)(m => base.where(col("apdb_replica_chunk") >= m))
+    filtered.orderBy("last_update_time_us")
+  }
+
+  def metadata: Map[String, String] =
+    promoter.meta.items + ("catalog_root" -> promoter.catalog.root)
+}
+
 /** Spark-native PPDB over a [[VersionedCatalog]], reproducing the SQL
   * backend's per-chunk transaction (P/sql/_ppdb_sql.py:127-155): insert
   * DiaObject rows, close superseded validity intervals, append the fact
@@ -36,7 +76,7 @@ trait Ppdb {
   * commit (T7), so readers never observe partial chunks.
   */
 final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
-    extends Ppdb {
+    extends ReplicaTarget {
 
   val schemaVersion = "graft-ppdb:0.1.0"
 

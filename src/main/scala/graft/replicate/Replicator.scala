@@ -27,7 +27,7 @@ final case class ReplicatorConfig(
   * gate on settledness, and copy chunks strictly in ascending id order.
   * One `runOnce` = one poll.
   */
-final class Replicator(spark: SparkSession, source: ApdbSource, ppdb: PpdbSpark,
+final class Replicator(spark: SparkSession, source: ApdbSource, ppdb: ReplicaTarget,
     config: ReplicatorConfig = ReplicatorConfig(),
     update: Boolean = false) {
 

@@ -222,6 +222,78 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("full service chain via CLI: run --export, upload --stage, promote; " +
+      "second cycle resumes after a kill between upload and staging") {
+    import graft.schema.PpdbSchema.ChunkStatus
+    val apdbRoot = tmpDir("chain-apdb")
+    val catRoot = tmpDir("chain-cat")
+    val exportRoot = tmpDir("chain-export")
+    val remoteRoot = tmpDir("chain-remote")
+    val cat = new VersionedCatalog(catRoot)
+    def statuses(): Map[Long, String] =
+      cat.read(spark, "PpdbReplicaChunk")
+        .select("apdb_replica_chunk", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // ---- cycle 1: the three services run in order over one catalog ----
+    dispatchCapturing("seed-apdb", apdbRoot, "4", "2")
+    val runOut = dispatchCapturing("run", apdbRoot, catRoot,
+      "--exit-on-empty", "--export", exportRoot)
+    assert(runOut.contains("poll 1: replicated chunks 1, 2"), runOut)
+    assert(statuses() == Map(1L -> ChunkStatus.Exported, 2L -> ChunkStatus.Exported))
+    // store = export: data lives in chunk dirs + manifests, not tables
+    for (id <- Seq(1L, 2L))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$exportRoot/chunk_$id", ChunkManifest.FileName)), id)
+    assert(cat.read(spark, "staging.DiaObject").count() == 0)
+
+    val upOut = dispatchCapturing("upload", catRoot, exportRoot, remoteRoot,
+      "--stage")
+    assert(upOut.contains("uploaded chunks 1, 2"), upOut)
+    // the staging notification fired per chunk: uploaded -> staged
+    assert(statuses() == Map(1L -> ChunkStatus.Staged, 2L -> ChunkStatus.Staged))
+    assert(cat.read(spark, "staging.DiaObject").count() == 8)
+    for (id <- Seq(1L, 2L))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        remoteRoot, id.toString, ChunkManifest.FileName)), s"remote $id")
+
+    val promOut = dispatchCapturing("promote", catRoot, exportRoot)
+    assert(promOut.contains("promoted chunks 1, 2"), promOut)
+    assert(statuses() == Map(1L -> ChunkStatus.Promoted, 2L -> ChunkStatus.Promoted))
+    assert(cat.read(spark, "internal.DiaObject").count() == 8)
+    assert(cat.exists("public.DiaObjectLast"))
+    // S15: promoted chunks' staged rows are gone (directory drop)
+    assert(cat.read(spark, "staging.DiaObject").count() == 0)
+
+    // ---- cycle 2: killed between upload and staging, then resumed ----
+    dispatchCapturing("seed-apdb", apdbRoot, "4", "2", "3")
+    dispatchCapturing("run", apdbRoot, catRoot, "--exit-on-empty",
+      "--export", exportRoot)
+    // upload WITHOUT --stage simulates the crash: remote bytes complete,
+    // status flipped to uploaded, but the staging notification never ran
+    dispatchCapturing("upload", catRoot, exportRoot, remoteRoot)
+    assert(statuses()(3L) == ChunkStatus.Uploaded)
+    assert(statuses()(4L) == ChunkStatus.Uploaded)
+    assert(cat.read(spark, "staging.DiaObject").count() == 0)
+    // promote self-heals: stages 3,4 from their REMOTE uris, then promotes
+    val promOut2 = dispatchCapturing("promote", catRoot, exportRoot)
+    assert(promOut2.contains("staged uploaded chunks 3, 4"), promOut2)
+    assert(promOut2.contains("promoted chunks 3, 4"), promOut2)
+    assert(statuses().values.toSet == Set(ChunkStatus.Promoted))
+    assert(cat.read(spark, "internal.DiaObject").count() == 16)
+
+    // ---- exactly-once: every service re-run is a no-op ----
+    val rerun = dispatchCapturing("run", apdbRoot, catRoot,
+      "--exit-on-empty", "--export", exportRoot)
+    assert(rerun.contains("run finished: 0 chunks replicated"), rerun)
+    assert(dispatchCapturing("upload", catRoot, exportRoot, remoteRoot, "--stage")
+      .contains("nothing to upload"))
+    assert(dispatchCapturing("promote", catRoot, exportRoot)
+      .contains("nothing promotable"))
+    assert(cat.read(spark, "internal.DiaObject").count() == 16)
+    assert(statuses().values.toSet == Set(ChunkStatus.Promoted))
+  }
+
   test("bad flags and numerics raise UsageError, not a stack trace") {
     // unknown run flag (was IllegalArgumentException — the CLI died with
     // a stack trace and JVM exit code instead of the usage path)
