@@ -15,12 +15,13 @@ import graft.schema.PpdbSchema
   *       [--drop]
   *   runMain graft.cli.Cli run <apdbRoot> <catalogRoot> [--single]
   *       [--exit-on-empty] [--update] [--export <exportRoot>]
-  *       [--min-wait-time S] [--max-wait-time S] [--check-interval S]
+  *       [--metrics-json <dest>] [--min-wait-time S] [--max-wait-time S]
+  *       [--check-interval S]
   *   runMain graft.cli.Cli list-chunks <catalogRoot>
   *   runMain graft.cli.Cli list-chunks --apdb <apdbRoot>
   *   runMain graft.cli.Cli seed-apdb <apdbRoot> [nObjects nChunks [start]]
   *   runMain graft.cli.Cli upload <catalogRoot> <exportRoot> <remoteRoot>
-  *       [--stage]
+  *       [--stage] [--metrics-json <dest>]
   *   runMain graft.cli.Cli promote <catalogRoot> <exportRoot>
   *   runMain graft.cli.Cli demo <catalogRoot> [nObjects nChunks]
   *   runMain graft.cli.Cli vacuum <catalogRoot>
@@ -78,8 +79,9 @@ object Cli {
     case "seed-apdb" :: _ :: rest => parseSeedArgs(rest); ()
     case "demo" :: _ :: rest => parseDemoArgs(rest); ()
     case "upload" :: _ :: _ :: _ :: rest =>
-      if (rest.exists(r => r != "--stage"))
-        throw UsageError(s"unknown upload option: ${rest.filterNot(_ == "--stage").mkString(" ")}")
+      parseServiceOpts("upload", rest, allowStage = true); ()
+    case "promote" :: _ :: _ :: rest =>
+      parseServiceOpts("promote", rest, allowStage = false); ()
     case "create" :: _ :: rest =>
       parseCreateOpts(rest).felisPath.foreach { p =>
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
@@ -87,6 +89,39 @@ object Cli {
       }
     case _ => ()
   }
+
+  /** `upload` / `promote` service knobs. */
+  private[graft] final case class ServiceOpts(stage: Boolean = false,
+      metricsJson: Option[String] = None)
+
+  private def parseServiceOpts(cmd: String, rest: List[String],
+      allowStage: Boolean): ServiceOpts = {
+    @annotation.tailrec
+    def go(args: List[String], o: ServiceOpts): ServiceOpts = args match {
+      case "--stage" :: t if allowStage => go(t, o.copy(stage = true))
+      case "--metrics-json" :: dest :: t => go(t, o.copy(metricsJson = Some(dest)))
+      case Nil => o
+      case bad :: _ => throw UsageError(s"unknown $cmd option: $bad")
+    }
+    go(rest, ServiceOpts())
+  }
+
+  /** One structured metrics line per polling window — `-` prints to
+    * stdout, anything else appends to the file (one JSON object per
+    * line, the reference's machine-readable job-stats channel).
+    */
+  private def emitJson(dest: String, line: String): Unit =
+    if (dest == "-") println(line)
+    else {
+      val path = java.nio.file.Paths.get(dest)
+      Option(path.getParent)
+        .foreach(d => { java.nio.file.Files.createDirectories(d); () })
+      java.nio.file.Files.write(path,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      ()
+    }
 
   /** `create` knobs (reference create-sql: felis_schema_options + --drop,
     * P/cli/ppdb_cli.py:60-68).
@@ -139,7 +174,7 @@ object Cli {
           "run <apdbRoot> <root> [opts] | " +
           "list-chunks [--apdb] <root> | " +
           "seed-apdb <root> [nObjects nChunks [start]] | " +
-          "upload <root> <exportRoot> <remoteRoot> [--stage] | " +
+          "upload <root> <exportRoot> <remoteRoot> [--stage] [--metrics-json <dest>] | " +
           "promote <root> <exportRoot> | vacuum <root> | " +
           "demo <root> [nObjects nChunks]"
       case _ =>
@@ -152,6 +187,7 @@ object Cli {
   private[graft] final case class RunOpts(
       single: Boolean = false, exitOnEmpty: Boolean = false,
       update: Boolean = false, exportRoot: Option[String] = None,
+      metricsJson: Option[String] = None,
       minWaitS: Long = 300L, maxWaitS: Long = 900L, checkIntervalS: Long = 360L)
 
   private def parseRunOpts(rest: List[String]): RunOpts = {
@@ -161,6 +197,7 @@ object Cli {
       case "--exit-on-empty" :: t => go(t, o.copy(exitOnEmpty = true))
       case "--update" :: t => go(t, o.copy(update = true))
       case "--export" :: dir :: t => go(t, o.copy(exportRoot = Some(dir)))
+      case "--metrics-json" :: dest :: t => go(t, o.copy(metricsJson = Some(dest)))
       case "--min-wait-time" :: v :: t =>
         go(t, o.copy(minWaitS = numArg("--min-wait-time", v)))
       case "--max-wait-time" :: v :: t =>
@@ -253,6 +290,10 @@ object Cli {
         })
         Runtime.getRuntime.addShutdownHook(hook)
         try {
+          // wall_s spans from the previous poll's report (so it includes
+          // the inter-poll wait — the replication-lag number an operator
+          // trends)
+          var windowStartNs = System.nanoTime()
           val copied = rep.run(single = opts.single,
             exitOnEmpty = opts.exitOnEmpty,
             onPoll = (poll, ids) => {
@@ -263,6 +304,11 @@ object Cli {
               graft.Metrics.summary().toSeq.sortBy(_._1).foreach {
                 case (m, (n, s)) => println(f"  $m%-24s n=$n%-4d total=${s}%.2f s")
               }
+              opts.metricsJson.foreach { dest =>
+                emitJson(dest, graft.Metrics.jsonSummary("run", poll, ids,
+                  (System.nanoTime() - windowStartNs) / 1e9))
+              }
+              windowStartNs = System.nanoTime()
               graft.Metrics.reset()
             })
           println(s"run finished: ${copied.size} chunks replicated")
@@ -299,30 +345,35 @@ object Cli {
           s"under $root")
 
       case "upload" :: root :: exportRoot :: remoteRoot :: rest =>
-        val stage = rest match {
-          case Nil => false
-          case "--stage" :: Nil => true
-          case bad => throw UsageError(s"unknown upload option: ${bad.mkString(" ")}")
-        }
+        val opts = parseServiceOpts("upload", rest, allowStage = true)
         val promoter = new Promoter(spark, new VersionedCatalog(root), exportRoot)
         promoter.init()
         // --stage collapses the reference's Pub/Sub→Dataflow staging job
         // into the uploader's notification hook: each fully-uploaded
         // chunk is loaded into the staging tables from its remote URI
         val notify: (Long, String) => Unit =
-          if (stage) (id, _) => promoter.stageChunks(Seq(id))
+          if (opts.stage) (id, _) => promoter.stageChunks(Seq(id))
           else (_, _) => ()
         val uploader = new ChunkUploader(spark, promoter, remoteRoot,
           notify = notify,
           exitOnEmpty = true,
           exitOnError = sys.env.get("GRAFT_EXIT_ON_ERROR").contains("1"))
+        graft.Metrics.reset()
+        val t0 = System.nanoTime()
         val ids = uploader.runOnce()
+        opts.metricsJson.foreach { dest =>
+          emitJson(dest, graft.Metrics.jsonSummary("upload", 1, ids,
+            (System.nanoTime() - t0) / 1e9))
+        }
         println(if (ids.isEmpty) "nothing to upload"
           else s"uploaded chunks ${ids.mkString(", ")} to $remoteRoot")
 
-      case "promote" :: root :: exportRoot :: Nil =>
+      case "promote" :: root :: exportRoot :: rest =>
+        val opts = parseServiceOpts("promote", rest, allowStage = false)
         val promoter = new Promoter(spark, new VersionedCatalog(root), exportRoot)
         promoter.init()
+        graft.Metrics.reset()
+        val t0 = System.nanoTime()
         // self-heal: any uploaded-but-unstaged chunk (upload ran without
         // --stage, or a crash landed between upload and staging) is
         // staged from its remote URI before promotion — the service
@@ -336,6 +387,10 @@ object Cli {
           println(s"staged uploaded chunks ${uploaded.mkString(", ")}")
         }
         val ids = promoter.promote()
+        opts.metricsJson.foreach { dest =>
+          emitJson(dest, graft.Metrics.jsonSummary("promote", 1, ids,
+            (System.nanoTime() - t0) / 1e9))
+        }
         println(if (ids.isEmpty) "nothing promotable"
           else s"promoted chunks ${ids.mkString(", ")}")
 

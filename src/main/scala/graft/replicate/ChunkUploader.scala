@@ -152,6 +152,11 @@ final class ChunkUploader(
     // notification failure must NOT delete it — that would leave the
     // chunk wedged (status advanced or advancing, remote gone).
     if (!remoteIntact) try {
+      graft.Metrics.count("upload_file_count",
+        manifest.entries.size.toDouble, "chunk_id" -> chunkId.toString)
+      graft.Metrics.count("upload_total_bytes",
+        manifest.entries.map(_.sizeBytes).sum.toDouble,
+        "chunk_id" -> chunkId.toString)
       graft.Metrics.time("upload_files_time",
           "chunk_id" -> chunkId.toString) {
         // overwrite=true (the reference uploader's semantics): leftovers

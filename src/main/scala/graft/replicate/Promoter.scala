@@ -100,6 +100,8 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
         .map(ChunkManifest.parquetRowCount(_, hconf)).sum
     }.sum
     val isEmpty = rowsWritten == 0L && chunk.updates.isEmpty
+    graft.Metrics.count("write_parquet_rows", rowsWritten.toDouble,
+      "chunk_id" -> chunk.chunkId.toString)
 
     val tableDirs =
       if (isEmpty) {

@@ -294,6 +294,77 @@ class CliSpec extends SparkSpec {
     assert(statuses().values.toSet == Set(ChunkStatus.Promoted))
   }
 
+  test("--metrics-json emits one parseable JSON object per polling window " +
+      "with the reference metric names") {
+    val apdbRoot = tmpDir("mj-apdb")
+    val catRoot = tmpDir("mj-cat")
+    val exportRoot = tmpDir("mj-export")
+    val remoteRoot = tmpDir("mj-remote")
+    val mpath = tmpDir("mj-out") + "/metrics.jsonl"
+
+    dispatchCapturing("seed-apdb", apdbRoot, "3", "2")
+    dispatchCapturing("run", apdbRoot, catRoot, "--exit-on-empty",
+      "--export", exportRoot, "--metrics-json", mpath)
+    dispatchCapturing("upload", catRoot, exportRoot, remoteRoot, "--stage",
+      "--metrics-json", mpath)
+    dispatchCapturing("promote", catRoot, exportRoot, "--metrics-json", mpath)
+
+    // every line is a self-contained JSON object Spark can read back
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(mpath))
+    assert(lines.size == 4, lines) // run poll 1+2, upload, promote
+    val df = spark.read.json(mpath).cache()
+    assert(df.count() == 4)
+    assert(!df.columns.contains("_corrupt_record"), df.columns.toSeq)
+
+    import org.apache.spark.sql.functions.col
+    def row(cmd: String, poll: Long) =
+      df.where(col("command") === cmd && col("poll") === poll).collect().head
+    def metricNames(cmd: String, poll: Long): Set[String] = {
+      val r = row(cmd, poll)
+      val m = r.getStruct(r.fieldIndex("metrics"))
+      m.schema.fields.indices.filter(!m.isNullAt(_))
+        .map(m.schema.fields(_).name).toSet
+    }
+
+    // run poll 1 replicated chunks 1,2 with the §1 replication metrics
+    val r1 = row("run", 1L)
+    assert(r1.getSeq[Long](r1.fieldIndex("chunk_ids")) == Seq(1L, 2L))
+    assert(r1.getLong(r1.fieldIndex("chunk_count")) == 2)
+    assert(r1.getDouble(r1.fieldIndex("wall_s")) > 0.0)
+    assert(r1.getLong(r1.fieldIndex("ts_ms")) > 0L)
+    val runMetrics = metricNames("run", 1L)
+    for (m <- Seq("replicate_chunk_time", "get_chunks_time",
+        "store_chunks_time", "write_parquet_time", "write_parquet_rows"))
+      assert(runMetrics.contains(m), s"$m missing from $runMetrics")
+    // the counted channel: rows written across both chunks
+    val wpr = r1.getStruct(r1.fieldIndex("metrics"))
+    val wprRow = wpr.getStruct(wpr.fieldIndex("write_parquet_rows"))
+    assert(wprRow.getLong(wprRow.fieldIndex("value")) > 0L)
+    // poll 2 found nothing: empty ids, still a well-formed line
+    val r2 = row("run", 2L)
+    assert(r2.getSeq[Long](r2.fieldIndex("chunk_ids")).isEmpty)
+
+    // upload window carries transfer metrics incl. file/byte counts
+    val upMetrics = metricNames("upload", 1L)
+    for (m <- Seq("upload_files_time", "upload_file_count",
+        "upload_total_bytes"))
+      assert(upMetrics.contains(m), s"$m missing from $upMetrics")
+    val ru = row("upload", 1L)
+    assert(ru.getSeq[Long](ru.fieldIndex("chunk_ids")) == Seq(1L, 2L))
+
+    // promote window names the promoted chunks
+    val rp = row("promote", 1L)
+    assert(rp.getSeq[Long](rp.fieldIndex("chunk_ids")) == Seq(1L, 2L))
+    df.unpersist()
+
+    // dest "-" prints the line to stdout instead
+    val out = dispatchCapturing("promote", catRoot, exportRoot,
+      "--metrics-json", "-")
+    assert(out.contains("\"command\":\"promote\""), out)
+    assert(out.contains("nothing promotable"), out)
+  }
+
   test("bad flags and numerics raise UsageError, not a stack trace") {
     // unknown run flag (was IllegalArgumentException — the CLI died with
     // a stack trace and JVM exit code instead of the usage path)
