@@ -75,6 +75,15 @@ object PlanAudit {
       p => p.contains("BroadcastHashJoin") &&
         !p.contains("BroadcastNestedLoopJoin") &&
         p.contains("TakeOrderedAndProject")),
+    Check("sim7_ivfpq_topk",
+      "IVFADC: no shuffle join anywhere, top-k without full sort; " +
+        "nested-loops only from the build's kc-row broadcast-argmax " +
+        "(3 uses of the assignment subtree; the persisted-index probe " +
+        "path has none)",
+      p => p.contains("BroadcastHashJoin") &&
+        !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+        "BroadcastNestedLoopJoin Cross".r.findAllIn(p).size <= 3 &&
+        p.contains("TakeOrderedAndProject")),
     Check("p12_like_scan", "substring predicate pushed as StringContains",
       p => p.contains("StringContains(p_name,bolt)")),
     Check("p13_prefix_scan", "prefix predicate pushed as StringStartsWith",

@@ -352,6 +352,128 @@ object Similarity {
           .as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** Element-wise residual `v − centroid` in double precision. */
+  private def residual(vec: Column, centroid: Column): Column =
+    zip_with(vec, centroid, (x, c) => x.cast("double") - c)
+
+  /** Residuals vs each vector's assigned coarse centroid:
+    * (id, centroid_id, resid: array<double>). The composed IVF-PQ
+    * quantizes THESE, not the raw vectors — residual magnitudes are a
+    * fraction of vector magnitudes, so the same code budget buys a much
+    * finer quantization (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", IEEE TPAMI 2011, §IV: IVFADC).
+    */
+  def ivfResiduals(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, assignments: DataFrame): DataFrame =
+    df.join(assignments, Seq(idCol))
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"),
+        residual(col(vecCol), col("centroid")).as("resid"))
+
+  /** Per-CELL seeded PQ codebooks over residuals: cell c's subspace-j
+    * codebook is the j-th residual slice of the first `ksub` vectors
+    * assigned to c, by id (code_id = the seed's own id) — the same
+    * deterministic seed-free discipline as [[pqSeedCodebooks]], so the
+    * whole composed index is SQL-expressible and exactly oracle-able.
+    * Returns (centroid_id, sub, code_id, codeword: array<double>),
+    * ≤ `kc * m * ksub` rows — broadcast-sized.
+    */
+  def ivfPqSeedCodebooks(residuals: DataFrame, idCol: String, m: Int,
+      dims: Int, ksub: Int): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by $m subspaces")
+    val sd = dims / m
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id")).orderBy(col(idCol))
+    residuals
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= ksub)
+      .select(col("centroid_id"), col(idCol).as("code_id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"),
+            slice(col("resid"), j * sd + 1, sd).as("codeword"))): _*)).as("sc"))
+      .select(col("centroid_id"), col("sc.sub").as("sub"), col("code_id"),
+        col("sc.codeword").as("codeword"))
+  }
+
+  /** Encode every residual against ITS OWN cell's codebooks: per
+    * (vector, subspace) the codeword minimizing |c|² − 2·r_j·c (the
+    * |r_j|² term is constant under the argmin), lowest code_id on ties.
+    * One broadcast join + one map-side-combining argmin shuffle, same
+    * shape as [[pqEncode]]. Returns (id, centroid_id, sub, code).
+    */
+  def ivfPqEncode(residuals: DataFrame, idCol: String,
+      codebooks: DataFrame, m: Int, dims: Int): DataFrame = {
+    val sd = dims / m
+    residuals.select(col(idCol), col("centroid_id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"),
+            slice(col("resid"), j * sd + 1, sd).as("r"))): _*)).as("sr"))
+      .select(col(idCol), col("centroid_id"), col("sr.sub").as("sub"),
+        col("sr.r").as("r"))
+      .join(broadcast(codebooks), Seq("centroid_id", "sub"))
+      .select(col(idCol), col("centroid_id"), col("sub"), col("code_id"),
+        (dot(col("codeword"), col("codeword"))
+          - lit(2.0) * dot(col("r"), col("codeword"))).as("score"))
+      .groupBy(col(idCol), col("centroid_id"), col("sub"))
+      .agg(min(struct(col("score"), col("code_id"))).as("best"))
+      .select(col(idCol), col("centroid_id"), col("sub"),
+        col("best.code_id").as("code"))
+  }
+
+  /** IVFADC probe: rank the `nprobe` cells nearest the query (exact
+    * cosine over `kc` broadcast centroids), build one asymmetric
+    * distance table PER PROBED CELL against the query's residual in that
+    * cell, and score only the codes of vectors living in probed cells —
+    * the inner join against the broadcast table IS the inverted-list
+    * restriction, so the scan touches `m` longs per candidate vector and
+    * nothing outside the probed cells. Per-subspace lookups come back as
+    * pivoted agg columns summed in fixed subspace order (the same
+    * order-deterministic tail as [[pqTopK]]).
+    */
+  def ivfPqTopK(codes: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, query: Seq[Float], m: Int, k: Int,
+      nprobe: Int, idCol: String = "vec_id"): DataFrame = {
+    val dims = query.length
+    require(dims % m == 0,
+      s"query has $dims dims, not divisible into $m subspaces — wrong " +
+        "query length for this index")
+    val sd = dims / m
+    val q = array(query.map(lit): _*)
+    val probed = centroids
+      .select(col("centroid_id"), col("centroid"),
+        cosine(col("centroid"), q).as("sim"))
+      .orderBy(col("sim").desc, col("centroid_id")).limit(nprobe)
+      .select(col("centroid_id"), residual(q, col("centroid")).as("rq"))
+    val dj = (0 until m).reverse.foldLeft(lit(Double.NaN)) { (acc, j) =>
+      val rqj = slice(col("rq"), j * sd + 1, sd)
+      when(col("sub") === j,
+        (dot(col("codeword"), col("codeword"))
+          - lit(2.0) * dot(rqj, col("codeword")))
+          + dot(rqj, rqj))
+        .otherwise(acc)
+    }
+    val dt = codebooks.join(probed, Seq("centroid_id"))
+      .select(col("centroid_id"), col("sub"), col("code_id").as("code"),
+        dj.as("dj"))
+    val perSub = codes
+      .join(broadcast(dt), Seq("centroid_id", "sub", "code"))
+      .groupBy(col(idCol))
+      .agg(max(when(col("sub") === 0, col("dj"))).as("d0"),
+        (1 until m).map(j =>
+          max(when(col("sub") === j, col("dj"))).as(s"d$j")): _*)
+    perSub
+      // mismatched index tables would surface as a null subspace distance
+      // (null adist sorts FIRST) — exclude, as in [[pqTopK]]
+      .where((0 until m).map(j => col(s"d$j").isNotNull).reduce(_ && _))
+      .select(col(idCol),
+        (0 until m).map(j => col(s"d$j"))
+          .reduce(_ + _).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
 }
 
 /** A built IVF index: the build-once / probe-many split. Training
@@ -460,5 +582,72 @@ object PqIndex {
     val p = cat.read(spark, s"$name.params").head()
     PqIndex(p.getAs[Int]("m"), p.getAs[Int]("dims"),
       cat.read(spark, s"$name.codebooks"), cat.read(spark, s"$name.codes"))
+  }
+}
+
+/** A built IVF-PQ (IVFADC) index — the coarse inverted file composed
+  * with per-cell product quantization on residuals (Jégou et al. 2011,
+  * §IV). Build once: assign every vector to a cell, quantize its
+  * residual to `m` codes against that cell's codebooks. Probe many:
+  * `nprobe` cells × one broadcast ADC table over codes. At equal code
+  * budget this beats plain PQ (residuals are smaller than vectors, so
+  * codewords sit denser) AND plain IVF (the probe ranks candidates by
+  * quantized distance instead of treating whole cells as flat) — while
+  * the probe-side scan stays `m` longs per candidate, restricted to the
+  * probed cells' inverted lists.
+  */
+final case class IvfPqIndex(m: Int, dims: Int, centroids: DataFrame,
+    codebooks: DataFrame, codes: DataFrame) {
+
+  /** Persist centroids + codebooks + codes (+ shape params) in one
+    * atomic catalog commit; later sessions [[IvfPqIndex.load]] and probe
+    * without touching the corpus.
+    */
+  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    cat.commit(Map(
+      s"$name.centroids" -> centroids,
+      s"$name.codebooks" -> codebooks,
+      s"$name.codes" -> codes,
+      s"$name.params" -> Seq((m, dims)).toDF("m", "dims")))
+    ()
+  }
+
+  /** IVFADC top-k against this index (see [[Similarity.ivfPqTopK]]). */
+  def probe(query: Seq[Float], k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(query.length == dims,
+      s"query has ${query.length} dims, index was built at $dims")
+    Similarity.ivfPqTopK(codes, centroids, codebooks, query, m, k,
+      nprobe, idCol)
+  }
+}
+
+object IvfPqIndex {
+
+  /** Deterministic seeded build: coarse centroids = first `kc` vectors
+    * by id, per-cell codebooks = residual slices of each cell's first
+    * `ksub` members by id, corpus encoded once. Fully SQL-expressible
+    * (the sim7 oracle reproduces every step bit-for-bit in DuckDB).
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, kc: Int,
+      m: Int, dims: Int, ksub: Int): IvfPqIndex = {
+    val centroids = Similarity.ivfSeedCentroids(df, idCol, vecCol, kc)
+    val assignments = Similarity.assign(df, idCol, vecCol, centroids)
+    val residuals =
+      Similarity.ivfResiduals(df, idCol, vecCol, centroids, assignments)
+    val cb = Similarity.ivfPqSeedCodebooks(residuals, idCol, m, dims, ksub)
+    IvfPqIndex(m, dims, centroids, cb,
+      Similarity.ivfPqEncode(residuals, idCol, cb, m, dims))
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String): IvfPqIndex = {
+    val p = cat.read(spark, s"$name.params").head()
+    IvfPqIndex(p.getAs[Int]("m"), p.getAs[Int]("dims"),
+      cat.read(spark, s"$name.centroids"),
+      cat.read(spark, s"$name.codebooks"),
+      cat.read(spark, s"$name.codes"))
   }
 }

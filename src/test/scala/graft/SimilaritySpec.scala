@@ -206,6 +206,81 @@ class SimilaritySpec extends SparkSpec {
     assert(loaded.exceptAll(fresh).isEmpty && fresh.exceptAll(loaded).isEmpty)
   }
 
+  test("IVF-PQ: codes quantize residuals per cell; exactness limit " +
+      "(all seeds, all cells probed) recovers exact L2") {
+    import graft.ops.IvfPqIndex
+    val n = emb.count().toInt
+    // every vector seeds its own cell's codebooks, so each residual
+    // encodes to itself and the per-sub ADC lookups telescope:
+    // |rq_j - r_vj|^2 = |q_j - v_j|^2 — with every cell probed the ADC
+    // ranking IS the exact squared-L2 ranking
+    val idx = IvfPqIndex.build(emb, "vec_id", "embedding",
+      kc = 8, m = 4, dims = 64, ksub = n)
+    assert(idx.codes.count() == n.toLong * 4)
+    assert(idx.codes.groupBy("vec_id").count()
+      .where($"count" =!= 4).count() == 0)
+    val got = idx.probe(queryVec, k = 15, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val qArr = array(queryVec.map(lit): _*)
+    val exact = emb
+      .select($"vec_id",
+        ((Similarity.dot($"embedding", $"embedding")
+          - lit(2.0) * Similarity.dot($"embedding", qArr))
+          + Similarity.dot(qArr, qArr)).as("d"))
+      .orderBy($"d", $"vec_id").limit(15)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"IVFADC $got != exact $exact")
+  }
+
+  test("IVF-PQ recall >= plain PQ at equal per-vector code budget") {
+    import graft.ops.{IvfPqIndex, PqIndex}
+    val qArr = array(queryVec.map(lit): _*)
+    val exact = emb
+      .select($"vec_id",
+        (Similarity.dot($"embedding", $"embedding")
+          - lit(2.0) * Similarity.dot($"embedding", qArr)).as("d"))
+      .orderBy($"d", $"vec_id").limit(30)
+      .collect().map(_.getLong(0)).toSet
+    // both spend 4 codes per vector from 16-entry codebooks; IVF-PQ
+    // quantizes RESIDUALS (smaller magnitudes, denser codewords), so at
+    // the same budget its ranking must not lose to plain PQ's
+    val plain = PqIndex.build(emb, "vec_id", "embedding",
+        m = 4, dims = 64, ksub = 16)
+      .probe(queryVec, 30).collect().map(_.getLong(0)).toSet
+    val composed = IvfPqIndex.build(emb, "vec_id", "embedding",
+        kc = 8, m = 4, dims = 64, ksub = 16)
+      .probe(queryVec, 30, nprobe = 8).collect().map(_.getLong(0)).toSet
+    val rPlain = plain.intersect(exact).size
+    val rComposed = composed.intersect(exact).size
+    assert(rComposed >= rPlain,
+      s"IVF-PQ recall $rComposed/30 < plain PQ $rPlain/30")
+    assert(composed.contains(0L),
+      "the query's own vector survives the composed quantization")
+    // nprobe < kc restricts candidates to the probed cells' lists
+    val narrowed = IvfPqIndex.build(emb, "vec_id", "embedding",
+      kc = 8, m = 4, dims = 64, ksub = 16)
+    val cells = narrowed.codes.select("vec_id", "centroid_id").distinct()
+    val got2 = narrowed.probe(queryVec, 30, nprobe = 2)
+      .join(cells, Seq("vec_id"))
+      .select("centroid_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got2.size <= 2, s"nprobe=2 probe leaked cells: $got2")
+  }
+
+  test("IVF-PQ index: persist, reopen, probe equals a fresh build") {
+    import graft.ops.IvfPqIndex
+    val root = tmpDir("ivfpq")
+    val cat = new graft.catalog.VersionedCatalog(root)
+    IvfPqIndex.build(emb, "vec_id", "embedding",
+      kc = 8, m = 4, dims = 64, ksub = 16).save(cat, "ivfpq_idx")
+    val idx = IvfPqIndex.load(spark,
+      new graft.catalog.VersionedCatalog(root), "ivfpq_idx")
+    assert(idx.m == 4 && idx.dims == 64)
+    val fresh = IvfPqIndex.build(emb, "vec_id", "embedding",
+      kc = 8, m = 4, dims = 64, ksub = 16).probe(queryVec, 10, nprobe = 2)
+    val loaded = idx.probe(queryVec, 10, nprobe = 2)
+    assert(loaded.exceptAll(fresh).isEmpty && fresh.exceptAll(loaded).isEmpty)
+  }
+
   test("multi-probe LSH recall >= single-probe recall") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queryVec, 10).select("vec_id").collect().map(_.getLong(0)).toSet
