@@ -62,6 +62,9 @@ object PlanAudit {
     Check("a8_heavy_hitters", "raw keys never shuffle; one sketch exchange",
       p => "ObjectHashAggregate".r.findAllIn(p).size >= 2 &&
         "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
+    Check("a10_cm_topk", "raw keys never shuffle; one sketch exchange",
+      p => "ObjectHashAggregate".r.findAllIn(p).size >= 2 &&
+        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
     Check("st4_funnel", "three funnel windows share one user-key exchange",
       p => "\\(\\d+\\) Window".r.findAllIn(p).size == 3 &&
         "hashpartitioning\\(user_id".r.findAllIn(p).size == 1),

@@ -1,0 +1,207 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Count-Min sketch + tracked candidate set: `depth` hash rows ×
+  * `width` counters (a LINEAR sketch — distributed merge is elementwise
+  * addition, no information loss), plus up to `capacity` candidate items
+  * whose estimates feed the top-k. The two structures split the roles
+  * Space-Saving fuses: the sketch never forgets mass (an evicted
+  * candidate that reappears re-reads its full estimate), while the
+  * candidate set bounds what eval must rank.
+  *
+  * Row hashes are salted splitmix64 finalizers; `width` is forced to a
+  * power of two so the cell index is a mask, and the whole structure is
+  * deterministic — same data, same sketch, any partitioning.
+  */
+final class CmBuf(val depth: Int, val width: Int) {
+  require(Integer.bitCount(width) == 1, s"width $width must be a power of 2")
+  val counts = new Array[Long](depth * width)
+  var total = 0L
+  /** tracked candidates (item → present); estimates always re-read */
+  val cand = new mutable.LongMap[Unit]()
+
+  private def cell(row: Int, item: Long): Int = {
+    // splitmix64 finalizer over item ⊕ row-salt
+    var z = item ^ (0x9e3779b97f4a7c15L * (row + 1))
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= z >>> 31
+    row * width + (z & (width - 1)).toInt
+  }
+
+  def add(item: Long, inc: Long): Unit = {
+    var r = 0
+    while (r < depth) { counts(cell(r, item)) += inc; r += 1 }
+    total += inc
+  }
+
+  /** CM point estimate: min over rows — a true UPPER bound on the item's
+    * frequency (each cell counts the item plus its colliders, never
+    * less).
+    */
+  def estimate(item: Long): Long = {
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = counts(cell(r, item))
+      if (c < best) best = c
+      r += 1
+    }
+    best
+  }
+
+  /** Keep the candidate set bounded: amortized prune to the `capacity`
+    * largest estimates (estimate DESC, item ASC) once it doubles.
+    */
+  def pruneCandidates(capacity: Int): Unit =
+    if (cand.size > capacity) {
+      val kept = cand.keys.toArray
+        .map(it => (it, estimate(it)))
+        .sortBy { case (it, est) => (-est, it) }
+        .take(capacity)
+      cand.clear()
+      kept.foreach { case (it, _) => cand.update(it, ()) }
+    }
+}
+
+/** Count-Min heavy hitters (Cormode & Muthukrishnan, "An improved data
+  * stream summary: the count-min sketch and its applications", J.
+  * Algorithms 2005) as a native `TypedImperativeAggregate` — the
+  * SKETCH-TWIN of [[SpaceSavingTopK]] with the opposite bias: CM
+  * estimates only OVER-count (est ≥ true always; est ≤ true + e·N/width
+  * per row with probability ≥ 1 − e^(−depth) — the (ε, δ) contract with
+  * ε = e/width, δ = e^(−depth)), where Space-Saving's cnt − err
+  * under-bounds. Because the sketch is linear, merge = elementwise sum
+  * and the bound telescopes over ANY merge tree with N = the merged
+  * total — nothing like Space-Saving's absent-item augmentation is
+  * needed.
+  *
+  * Memory is O(depth·width + capacity) per buffer regardless of distinct
+  * keys; the raw keys never shuffle — only sketches do.
+  *
+  * Exact regime (the oracle-gated one): when every distinct input item
+  * is tracked (distinct ≤ capacity) and no item collides with another in
+  * all `depth` rows, every estimate is exact and the top-k equals the
+  * plain GROUP BY answer. With 256 distinct keys in 4 × 4096 cells the
+  * all-rows-collide probability per item is ~(1/16)^4 ≈ 1.5e-5 — and
+  * the salted hashes make it a deterministic property of the fixture,
+  * not a per-run coin flip.
+  *
+  * Output: the `k` largest as array<struct<item, cnt, err>> ordered by
+  * (cnt DESC, item ASC); `cnt` is the CM estimate (upper bound), `err`
+  * the e·N/width envelope — true count ∈ [cnt − err, cnt] with
+  * probability ≥ 1 − e^(−depth), and ≥ cnt − err always holds in the
+  * sense that cnt never under-counts.
+  */
+case class CountMinTopK(child: Expression, depth: Int, width: Int,
+    capacity: Int, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CmBuf] {
+
+  require(depth > 0 && width > 0 && Integer.bitCount(width) == 1,
+    s"need depth > 0 and width a power of 2, got d=$depth w=$width")
+  require(capacity > 0 && k > 0 && k <= capacity,
+    s"need 0 < k <= capacity, got k=$k capacity=$capacity")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"count_min_topk requires a BIGINT input, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def prettyName: String = "count_min_topk"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): CmBuf = new CmBuf(depth, width)
+
+  override def update(buf: CmBuf, input: InternalRow): CmBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[Long]
+      buf.add(item, 1L)
+      buf.cand.update(item, ())
+      if (buf.cand.size > 2 * capacity) buf.pruneCandidates(capacity)
+    }
+    buf
+  }
+
+  override def merge(buf: CmBuf, other: CmBuf): CmBuf = {
+    // linear sketch: merged estimates == single-stream estimates exactly
+    var i = 0
+    while (i < buf.counts.length) {
+      buf.counts(i) += other.counts(i); i += 1
+    }
+    buf.total += other.total
+    other.cand.foreachKey(it => buf.cand.update(it, ()))
+    if (buf.cand.size > 2 * capacity) buf.pruneCandidates(capacity)
+    buf
+  }
+
+  override def eval(buf: CmBuf): Any = {
+    // ceil(e·N/width): the ε·N envelope, integerized upward so it stays
+    // a sound bound after rounding
+    val errBound =
+      math.ceil(math.E * buf.total.toDouble / width.toDouble).toLong
+    val top = buf.cand.keys.toArray
+      .map(it => (it, buf.estimate(it)))
+      .sortBy { case (it, est) => (-est, it) }
+      .take(k)
+      .map { case (it, est) => InternalRow(it, est, errBound) }
+    new GenericArrayData(top.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: CmBuf): Array[Byte] = {
+    val n = buf.cand.size
+    val bb = ByteBuffer.allocate(8 + 8 * buf.counts.length + 4 + 8 * n)
+    bb.putLong(buf.total)
+    buf.counts.foreach(bb.putLong)
+    bb.putInt(n)
+    buf.cand.foreachKey(bb.putLong(_))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CmBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new CmBuf(depth, width)
+    buf.total = bb.getLong
+    var i = 0
+    while (i < buf.counts.length) { buf.counts(i) = bb.getLong; i += 1 }
+    var n = bb.getInt
+    while (n > 0) { buf.cand.update(bb.getLong, ()); n -= 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object CountMin {
+  /** Top-`k` heavy hitters of a BIGINT column via a (depth × width)
+    * Count-Min sketch with `capacity` tracked candidates.
+    */
+  def countMinTopK(v: Column, depth: Int, width: Int, capacity: Int,
+      k: Int): Column =
+    ColumnBridge.column(
+      CountMinTopK(ColumnBridge.expression(v), depth, width, capacity, k)
+        .toAggregateExpression())
+}

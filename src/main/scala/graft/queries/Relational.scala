@@ -278,6 +278,22 @@ object Relational {
           $"e.err".as("err"), ($"pos" + 1).cast("int").as("rnk"))
     }),
 
+    // A10: the Count-Min twin of a8 — same harness, opposite bias:
+    // CM only over-counts (linear sketch, merge = cell-wise sum), so the
+    // exact regime needs candidates tracked AND no item colliding in all
+    // 4 rows; with ~256 users in 4 × 4096 cells that's a deterministic
+    // property of the fixture. err = the ceil(e·N/width) envelope
+    "a10_cm_topk" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .agg(graft.functions.CountMin
+          .countMinTopK($"user_id", depth = 4, width = 4096,
+            capacity = 256, k = 10).as("hh"))
+        .select(posexplode($"hh").as(Seq("pos", "e")))
+        .select($"e.item".as("user_id"), $"e.cnt".as("cnt"),
+          $"e.err".as("err"), ($"pos" + 1).cast("int").as("rnk"))
+    }),
+
     // W6: ntile decile assignment per priority class — PARTITIONED
     // window (a global ntile would be a single-partition total sort, the
     // classic window scale hazard; within-group deciles shuffle once on
@@ -671,6 +687,20 @@ object Relational {
 
     "a8_heavy_hitters" ->
       """SELECT user_id, cnt, CAST(0 AS BIGINT) AS err, rnk FROM (
+        |  SELECT user_id, count(*) AS cnt,
+        |         CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
+        |           AS INTEGER) AS rnk
+        |  FROM events GROUP BY user_id) t
+        |WHERE rnk <= 10""".stripMargin,
+
+    // exact regime: estimates equal true counts, err = ceil(e·N/4096)
+    // with the same double op order (E * N, then / width)
+    "a10_cm_topk" ->
+      """SELECT user_id, cnt,
+        |       CAST(ceil(2.718281828459045 * CAST(
+        |         (SELECT count(*) FROM events) AS DOUBLE) / CAST(4096 AS DOUBLE))
+        |         AS BIGINT) AS err,
+        |       rnk FROM (
         |  SELECT user_id, count(*) AS cnt,
         |         CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
         |           AS INTEGER) AS rnk
