@@ -353,6 +353,50 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  // -------------------------------------------------- streaming assignment
+
+  private def litVec(v: Array[Double]): Column = array(v.map(lit): _*)
+
+  /** STATELESS argmax-cosine cell assignment: the (tiny, static) centroid
+    * table is embedded as literals and each row's best cell is a pure
+    * projection — `array_min` over (−cos, centroid_id) structs, which
+    * reproduces [[assign]]'s (max sim, min id tie-break) exactly. No
+    * groupBy, no state store: legal in a streaming append projection,
+    * which the groupBy-argmax in [[assign]] is not.
+    */
+  def assignCellExpr(vec: Column,
+      centroids: Array[(Long, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "empty centroid table")
+    val scored = array(centroids.map { case (cid, cv) =>
+      struct((lit(0.0) - cosine(vec, litVec(cv))).as("neg_sim"),
+        lit(cid).as("centroid_id"))
+    }: _*)
+    array_min(scored).getField("centroid_id")
+  }
+
+  /** STATELESS per-subspace PQ code: subspace j's (static) codebook is
+    * embedded as literals and the argmin of |c|² − 2·v_j·c is an
+    * `array_min` over (score, code_id) structs — identical arithmetic
+    * and tie-break to [[pqEncode]], with no aggregation. Returns the m
+    * code columns in subspace order.
+    */
+  def pqCodeExprs(vec: Column,
+      codebooks: Array[(Int, Long, Array[Double])], m: Int,
+      dims: Int): Seq[Column] = {
+    val sd = dims / m
+    (0 until m).map { j =>
+      val vj = slice(vec, j * sd + 1, sd)
+      val entries = codebooks.filter(_._1 == j).sortBy(_._2)
+      require(entries.nonEmpty, s"no codebook entries for subspace $j")
+      val scored = array(entries.map { case (_, cid, cw) =>
+        struct((dot(litVec(cw), litVec(cw))
+          - lit(2.0) * dot(vj, litVec(cw))).as("score"),
+          lit(cid).as("code"))
+      }: _*)
+      array_min(scored).getField("code")
+    }
+  }
+
   // --------------------------------------------------------------- IVF-PQ
 
   /** Element-wise residual `v − centroid` in double precision. */
@@ -500,6 +544,22 @@ final case class IvfIndex(centroids: DataFrame, assignments: DataFrame) {
       query: Seq[Float], k: Int, nprobe: Int): DataFrame =
     Similarity.ivfTopK(df, idCol, vecCol, centroids, assignments,
       query, k, nprobe)
+
+  /** STATELESS cell assignment for continuous ingest — works on a
+    * STREAMING frame (pure projection, no state store; the batch
+    * [[Similarity.assign]] is a groupBy-argmax a streaming append can't
+    * run). The centroid table is collected once at plan build (it is kc
+    * rows of a persisted, static index) and embedded as literals;
+    * results are bit-identical to the batch assignment.
+    */
+  def assignRows(docs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cents = centroids.select(col("centroid_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    docs.select(col(idCol),
+      Similarity.assignCellExpr(col(vecCol), cents).as("centroid_id"))
+  }
 }
 
 object IvfIndex {
@@ -552,6 +612,26 @@ final case class PqIndex(m: Int, dims: Int, codebooks: DataFrame,
     require(query.length == dims,
       s"query has ${query.length} dims, index was built at $dims")
     Similarity.pqTopK(codes, codebooks, query, m, k, idCol)
+  }
+
+  /** STATELESS PQ encoding for continuous ingest — works on a STREAMING
+    * frame (projection + generator only, no state store; the batch
+    * [[Similarity.pqEncode]] needs a groupBy-argmin). The codebooks
+    * (m × ksub rows of a persisted, static index) are collected once at
+    * plan build and embedded as literals; output rows (id, sub, code)
+    * are bit-identical to the batch encoder's, so appending them to the
+    * index's code table keeps every later ADC probe exact.
+    */
+  def encodeRows(docs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct}
+    val cbs = codebooks.select(col("sub"), col("centroid_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codeCols = Similarity.pqCodeExprs(col(vecCol), cbs, m, dims)
+    docs.select(col(idCol),
+        explode(array(codeCols.zipWithIndex.map { case (c, j) =>
+          struct(lit(j).as("sub"), c.as("code")) }: _*)).as("sc"))
+      .select(col(idCol), col("sc.sub").as("sub"), col("sc.code").as("code"))
   }
 }
 

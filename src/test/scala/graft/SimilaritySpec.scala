@@ -281,6 +281,24 @@ class SimilaritySpec extends SparkSpec {
     assert(loaded.exceptAll(fresh).isEmpty && fresh.exceptAll(loaded).isEmpty)
   }
 
+  test("stateless assignment/encoding exprs match the batch groupBy " +
+      "forms bit-for-bit") {
+    import graft.ops.{IvfIndex, PqIndex}
+    // IVF cells: projection argmax == groupBy argmax
+    val ivf = IvfIndex.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val batchA = ivf.assignments
+    val streamA = ivf.assignRows(emb, "vec_id", "embedding")
+    assert(streamA.exceptAll(batchA).isEmpty &&
+      batchA.exceptAll(streamA).isEmpty, "cell assignment diverged")
+    // PQ codes: projection argmin == groupBy argmin
+    val pq = PqIndex.build(emb, "vec_id", "embedding",
+      m = 4, dims = 64, ksub = 16)
+    val batchC = pq.codes
+    val streamC = pq.encodeRows(emb, "vec_id", "embedding")
+    assert(streamC.exceptAll(batchC).isEmpty &&
+      batchC.exceptAll(streamC).isEmpty, "PQ encoding diverged")
+  }
+
   test("multi-probe LSH recall >= single-probe recall") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queryVec, 10).select("vec_id").collect().map(_.getLong(0)).toSet

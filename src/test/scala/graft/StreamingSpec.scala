@@ -121,6 +121,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming ANN assignment: stream == batch on cells and PQ codes, " +
+      "append mode, no state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.{IvfIndex, PqIndex}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sf)
+    val ivf = IvfIndex.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val pq = PqIndex.build(emb, "vec_id", "embedding",
+      m = 4, dims = 64, ksub = 16)
+
+    // continuous ingest: new vectors arrive on a stream; the persisted
+    // static index assigns cells / codes per row in APPEND mode (pure
+    // projection — a stateful aggregate would not be allowed here)
+    val rows = emb.limit(40)
+      .as[(Long, Seq[Float], String)].collect().toSeq
+      .map { case (id, v, _) => (id + 100000L, v) }
+    val src = MemoryStream[(Long, Seq[Float])]
+    val stream = src.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+
+    val qc = ivf.assignRows(stream, "vec_id", "embedding")
+      .writeStream.format("memory").queryName("ann_cells")
+      .outputMode("append").start()
+    val qp = pq.encodeRows(stream, "vec_id", "embedding")
+      .writeStream.format("memory").queryName("ann_codes")
+      .outputMode("append").start()
+    src.addData(rows.take(20): _*)
+    qc.processAllAvailable(); qp.processAllAvailable()
+    src.addData(rows.drop(20): _*) // second micro-batch: same plan, no state
+    qc.processAllAvailable(); qp.processAllAvailable()
+    qc.stop(); qp.stop()
+
+    val batchDf = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val cellsGot = spark.table("ann_cells").as[(Long, Long)].collect().toSet
+    val cellsWant = graft.ops.Similarity
+      .assign(batchDf, "vec_id", "embedding", ivf.centroids)
+      .as[(Long, Long)].collect().toSet
+    assert(cellsGot == cellsWant && cellsWant.size == 40,
+      "streaming cell assignment != batch")
+    val codesGot = spark.table("ann_codes")
+      .as[(Long, Int, Long)].collect().toSet
+    val codesWant = graft.ops.Similarity
+      .pqEncode(batchDf, "vec_id", "embedding", pq.codebooks, 4, 64)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(codesGot == codesWant && codesWant.size == 160,
+      "streaming PQ codes != batch")
+  }
+
   test("windowed top-k: streaming (complete) equals batch on real events") {
     val srcDir = tmpDir("stream-wtopk")
     graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
