@@ -23,6 +23,8 @@ import graft.schema.PpdbSchema
   *   runMain graft.cli.Cli upload <catalogRoot> <exportRoot> <remoteRoot>
   *       [--stage] [--metrics-json <dest>]
   *   runMain graft.cli.Cli promote <catalogRoot> <exportRoot>
+  *       [--loop|--single] [--exit-on-empty] [--max-chunks N]
+  *       [--check-interval S] [--metrics-json <dest>]
   *   runMain graft.cli.Cli demo <catalogRoot> [nObjects nChunks]
   *   runMain graft.cli.Cli vacuum <catalogRoot>
   */
@@ -81,7 +83,8 @@ object Cli {
     case "upload" :: _ :: _ :: _ :: rest =>
       parseServiceOpts("upload", rest, allowStage = true); ()
     case "promote" :: _ :: _ :: rest =>
-      parseServiceOpts("promote", rest, allowStage = false); ()
+      parseServiceOpts("promote", rest, allowStage = false,
+        allowLoop = true); ()
     case "create" :: _ :: rest =>
       parseCreateOpts(rest).felisPath.foreach { p =>
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
@@ -90,16 +93,30 @@ object Cli {
     case _ => ()
   }
 
-  /** `upload` / `promote` service knobs. */
+  /** `upload` / `promote` service knobs. `promote` gets the loop family
+    * (--loop/--single/--exit-on-empty/--check-interval/--max-chunks) so
+    * the three services deploy as polling peers the way the reference
+    * runs them; --max-chunks is the backpressure cap per poll.
+    */
   private[graft] final case class ServiceOpts(stage: Boolean = false,
-      metricsJson: Option[String] = None)
+      metricsJson: Option[String] = None,
+      loop: Boolean = false, single: Boolean = false,
+      exitOnEmpty: Boolean = false,
+      maxChunks: Option[Int] = None, checkIntervalS: Long = 360L)
 
   private def parseServiceOpts(cmd: String, rest: List[String],
-      allowStage: Boolean): ServiceOpts = {
+      allowStage: Boolean, allowLoop: Boolean = false): ServiceOpts = {
     @annotation.tailrec
     def go(args: List[String], o: ServiceOpts): ServiceOpts = args match {
       case "--stage" :: t if allowStage => go(t, o.copy(stage = true))
       case "--metrics-json" :: dest :: t => go(t, o.copy(metricsJson = Some(dest)))
+      case "--loop" :: t if allowLoop => go(t, o.copy(loop = true))
+      case "--single" :: t if allowLoop => go(t, o.copy(single = true))
+      case "--exit-on-empty" :: t if allowLoop => go(t, o.copy(exitOnEmpty = true))
+      case "--max-chunks" :: v :: t if allowLoop =>
+        go(t, o.copy(maxChunks = Some(numArg("--max-chunks", v).toInt)))
+      case "--check-interval" :: v :: t if allowLoop =>
+        go(t, o.copy(checkIntervalS = numArg("--check-interval", v)))
       case Nil => o
       case bad :: _ => throw UsageError(s"unknown $cmd option: $bad")
     }
@@ -175,7 +192,8 @@ object Cli {
           "list-chunks [--apdb] <root> | " +
           "seed-apdb <root> [nObjects nChunks [start]] | " +
           "upload <root> <exportRoot> <remoteRoot> [--stage] [--metrics-json <dest>] | " +
-          "promote <root> <exportRoot> | vacuum <root> | " +
+          "promote <root> <exportRoot> [--loop|--single] [--exit-on-empty] " +
+          "[--max-chunks N] [--check-interval S] | vacuum <root> | " +
           "demo <root> [nObjects nChunks]"
       case _ =>
         s"unknown command: ${args.mkString(" ")}\n" +
@@ -369,30 +387,64 @@ object Cli {
           else s"uploaded chunks ${ids.mkString(", ")} to $remoteRoot")
 
       case "promote" :: root :: exportRoot :: rest =>
-        val opts = parseServiceOpts("promote", rest, allowStage = false)
+        val opts = parseServiceOpts("promote", rest, allowStage = false,
+          allowLoop = true)
         val promoter = new Promoter(spark, new VersionedCatalog(root), exportRoot)
         promoter.init()
         graft.Metrics.reset()
-        val t0 = System.nanoTime()
-        // self-heal: any uploaded-but-unstaged chunk (upload ran without
-        // --stage, or a crash landed between upload and staging) is
-        // staged from its remote URI before promotion — the service
-        // chain converges no matter where the previous cycle stopped
-        val uploaded = promoter.catalog.read(spark, "PpdbReplicaChunk")
-          .where(org.apache.spark.sql.functions.col("status") ===
-            PpdbSchema.ChunkStatus.Uploaded)
-          .select("apdb_replica_chunk").collect().map(_.getLong(0)).toSeq.sorted
-        if (uploaded.nonEmpty) {
-          promoter.stageChunks(uploaded)
-          println(s"staged uploaded chunks ${uploaded.mkString(", ")}")
+        if (opts.loop || opts.single) {
+          // continuous service: each poll stages whatever upload
+          // finished, promotes up to --max-chunks of the staged prefix,
+          // sleeps --check-interval when idle. SIGTERM finishes the
+          // current poll (promote commits are atomic; a kill mid-poll
+          // loses nothing, a finished poll isn't re-done)
+          val stopped = new java.util.concurrent.CountDownLatch(1)
+          val hook = new Thread(() => {
+            promoter.requestStop()
+            stopped.await(60L, java.util.concurrent.TimeUnit.SECONDS)
+            ()
+          })
+          Runtime.getRuntime.addShutdownHook(hook)
+          try {
+            var windowStartNs = System.nanoTime()
+            val ids = promoter.run(single = opts.single,
+              exitOnEmpty = opts.exitOnEmpty,
+              maxChunksPerPoll = opts.maxChunks,
+              checkIntervalMs = opts.checkIntervalS * 1000L,
+              onPoll = (poll, promoted) => {
+                println(s"poll $poll: " +
+                  (if (promoted.isEmpty) "nothing promotable"
+                  else s"promoted chunks ${promoted.mkString(", ")}"))
+                opts.metricsJson.foreach { dest =>
+                  emitJson(dest, graft.Metrics.jsonSummary("promote", poll,
+                    promoted, (System.nanoTime() - windowStartNs) / 1e9))
+                }
+                windowStartNs = System.nanoTime()
+                graft.Metrics.reset()
+              })
+            println(s"promote finished: ${ids.size} chunks promoted")
+          } finally {
+            stopped.countDown()
+            try Runtime.getRuntime.removeShutdownHook(hook)
+            catch { case _: IllegalStateException => () }
+          }
+        } else {
+          val t0 = System.nanoTime()
+          // self-heal: any uploaded-but-unstaged chunk (upload ran
+          // without --stage, or a crash landed between upload and
+          // staging) is staged from its remote URI before promotion —
+          // the chain converges no matter where the last cycle stopped
+          val uploaded = promoter.stageUploaded()
+          if (uploaded.nonEmpty)
+            println(s"staged uploaded chunks ${uploaded.mkString(", ")}")
+          val ids = promoter.promote(opts.maxChunks)
+          opts.metricsJson.foreach { dest =>
+            emitJson(dest, graft.Metrics.jsonSummary("promote", 1, ids,
+              (System.nanoTime() - t0) / 1e9))
+          }
+          println(if (ids.isEmpty) "nothing promotable"
+            else s"promoted chunks ${ids.mkString(", ")}")
         }
-        val ids = promoter.promote()
-        opts.metricsJson.foreach { dest =>
-          emitJson(dest, graft.Metrics.jsonSummary("promote", 1, ids,
-            (System.nanoTime() - t0) / 1e9))
-        }
-        println(if (ids.isEmpty) "nothing promotable"
-          else s"promoted chunks ${ids.mkString(", ")}")
 
       case "vacuum" :: root :: Nil =>
         val removed = new VersionedCatalog(root).vacuum()

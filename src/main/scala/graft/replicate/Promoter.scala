@@ -214,9 +214,18 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     * record against a 100 TB fact table costs a per-dir rewrite, not a
     * table rewrite.
     */
-  def promote(): Seq[Long] = {
+  def promote(): Seq[Long] = promote(None)
+
+  /** [[promote]] with a batching cap: at most `maxChunks` chunks of the
+    * contiguous staged prefix per call — the backpressure knob for the
+    * continuous [[run]] loop (each commit's rewrite work stays bounded
+    * however far promotion has fallen behind; the remainder is still a
+    * contiguous prefix and promotes on later polls).
+    */
+  def promote(maxChunks: Option[Int]): Seq[Long] = {
     val chunks = catalog.read(spark, "PpdbReplicaChunk")
-    val ids = PpdbOps.promotableChunkIds(chunks)
+    val all = PpdbOps.promotableChunkIds(chunks)
+    val ids = maxChunks.fold(all)(all.take)
     if (ids.isEmpty) return Nil
 
     val inChunks = col("apdb_replica_chunk").isin(ids: _*)
@@ -331,6 +340,67 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     // validation/commit throws, so storage memory doesn't accumulate
     // across retried promote() calls
     } finally latest.unpersist()
+  }
+
+  /** Stage every uploaded-but-unstaged chunk from its remote URI — the
+    * reference's Dataflow staging job collapsed into the promoter (also
+    * crash recovery for a kill between upload and the staging
+    * notification). Returns the ids staged, ascending.
+    */
+  def stageUploaded(): Seq[Long] = {
+    val uploaded = catalog.read(spark, "PpdbReplicaChunk")
+      .where(col("status") === PpdbSchema.ChunkStatus.Uploaded)
+      .select("apdb_replica_chunk").collect().map(_.getLong(0)).toSeq.sorted
+    if (uploaded.nonEmpty) stageChunks(uploaded)
+    uploaded
+  }
+
+  @volatile private var stopRequested = false
+
+  /** Ask a running [[run]] loop to exit after the current poll. */
+  def requestStop(): Unit = stopRequested = true
+
+  /** Continuous promotion — the service-loop shape the reference deploys
+    * as the promoter peer of the replicator and uploader
+    * (P/bigquery/chunk_promoter.py's polling deployment): each poll
+    * stages whatever upload finished ([[stageUploaded]]), promotes up to
+    * `maxChunksPerPoll` of the contiguous staged prefix, and reports via
+    * `onPoll`. A poll that promoted something rolls straight into the
+    * next poll (more may be waiting — and with a cap the remainder
+    * usually IS waiting); an idle poll sleeps `checkIntervalMs` first,
+    * in 1 s slices so [[requestStop]] takes effect promptly. Exits on
+    * requestStop, after one promoting poll in `single` mode, or on an
+    * idle poll when `exitOnEmpty`. Returns every chunk id promoted, in
+    * promote order.
+    */
+  def run(single: Boolean = false, exitOnEmpty: Boolean = false,
+      maxChunksPerPoll: Option[Int] = None,
+      checkIntervalMs: Long = 360000L,
+      sleepMs: Long => Unit = Thread.sleep(_),
+      onPoll: (Int, Seq[Long]) => Unit = (_, _) => ()): Seq[Long] = {
+    val promoted = Seq.newBuilder[Long]
+    var waitMs = 0L
+    var polls = 0
+    var done = false
+    while (!done && !stopRequested) {
+      if (waitMs > 0) {
+        var left = waitMs
+        while (left > 0 && !stopRequested) {
+          sleepMs(math.min(left, 1000L)); left -= 1000L
+        }
+      }
+      if (!stopRequested) {
+        polls += 1
+        stageUploaded()
+        val ids = promote(maxChunksPerPoll)
+        promoted ++= ids
+        onPoll(polls, ids)
+        if (ids.nonEmpty && single) done = true
+        else if (ids.isEmpty && exitOnEmpty) done = true
+        waitMs = if (ids.nonEmpty) 0L else checkIntervalMs
+      }
+    }
+    promoted.result()
   }
 
   // ----------------------------------------------------------------- helpers

@@ -294,6 +294,72 @@ class CliSpec extends SparkSpec {
     assert(statuses().values.toSet == Set(ChunkStatus.Promoted))
   }
 
+  test("promote loop runs as a service peer: capped batches, idle " +
+      "check-interval sleeping, convergence with concurrent run/upload") {
+    import graft.schema.PpdbSchema.ChunkStatus
+    val apdbRoot = tmpDir("ploop-apdb")
+    val catRoot = tmpDir("ploop-cat")
+    val exportRoot = tmpDir("ploop-export")
+    val remoteRoot = tmpDir("ploop-remote")
+    val cat = new VersionedCatalog(catRoot)
+
+    // chunks 1,2 already replicated+uploaded before the promoter starts
+    dispatchCapturing("seed-apdb", apdbRoot, "3", "2")
+    dispatchCapturing("run", apdbRoot, catRoot, "--exit-on-empty",
+      "--export", exportRoot)
+    dispatchCapturing("upload", catRoot, exportRoot, remoteRoot)
+
+    val promoter = new Promoter(spark, cat, exportRoot)
+    promoter.init()
+    var sleeps = 0
+    val pollLog = Seq.newBuilder[(Int, Seq[Long])]
+    val promoted = promoter.run(
+      maxChunksPerPoll = Some(1), // backpressure: one chunk per poll
+      checkIntervalMs = 5000L,
+      sleepMs = _ => sleeps += 1,
+      onPoll = (poll, ids) => {
+        pollLog += ((poll, ids))
+        // the OTHER services keep running between promoter polls: a new
+        // chunk lands after poll 2 and flows replicate → upload while
+        // the promoter is mid-backlog
+        if (poll == 2) {
+          dispatchCapturing("seed-apdb", apdbRoot, "3", "1", "3")
+          dispatchCapturing("run", apdbRoot, catRoot, "--exit-on-empty",
+            "--export", exportRoot)
+          dispatchCapturing("upload", catRoot, exportRoot, remoteRoot)
+        }
+        // second consecutive idle poll (after sleeping out one check
+        // interval): stop the service
+        if (poll >= 5 && ids.isEmpty) promoter.requestStop()
+      })
+    // poll 1 staged uploaded 1,2 and promoted only 1 (cap); poll 2
+    // promoted 2; poll 3 caught chunk 3; polls 4-5 idle with a check-
+    // interval sleep between them
+    assert(promoted == Seq(1L, 2L, 3L), pollLog.result().toString)
+    val polls = pollLog.result()
+    assert(polls.take(3).map(_._2) == Seq(Seq(1L), Seq(2L), Seq(3L)), polls)
+    assert(polls.takeRight(2).forall(_._2.isEmpty))
+    // busy polls roll straight into the next; only idle polls sleep
+    assert(sleeps > 0, "idle poll should have slept the check interval")
+    val statuses = cat.read(spark, "PpdbReplicaChunk")
+      .select("apdb_replica_chunk", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(statuses == Map(1L -> ChunkStatus.Promoted,
+      2L -> ChunkStatus.Promoted, 3L -> ChunkStatus.Promoted))
+    assert(cat.read(spark, "internal.DiaObject").count() == 9)
+    assert(cat.read(spark, "staging.DiaObject").count() == 0)
+
+    // the CLI surface: --single promotes one capped batch and exits
+    dispatchCapturing("seed-apdb", apdbRoot, "3", "1", "4")
+    dispatchCapturing("run", apdbRoot, catRoot, "--exit-on-empty",
+      "--export", exportRoot)
+    dispatchCapturing("upload", catRoot, exportRoot, remoteRoot)
+    val out = dispatchCapturing("promote", catRoot, exportRoot,
+      "--single", "--max-chunks", "1")
+    assert(out.contains("poll 1: promoted chunks 4"), out)
+    assert(out.contains("promote finished: 1 chunks promoted"), out)
+  }
+
   test("--metrics-json emits one parseable JSON object per polling window " +
       "with the reference metric names") {
     val apdbRoot = tmpDir("mj-apdb")
