@@ -61,9 +61,11 @@ object Metrics {
     case c => c.toString
   }
 
+  // Locale.ROOT: default-locale format renders "1,500000" on
+  // comma-decimal locales — malformed JSON for every downstream reader
   private def num(d: Double): String =
     if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
-    else "%.6f".format(d)
+    else String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
 
   /** One JSON object summarizing the accumulated samples for a polling
     * window: per-metric observation count, total seconds, and summed

@@ -27,7 +27,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine in double precision. A zero-norm side leaves the quotient
+    * undefined: return NaN explicitly (the pre-ANSI float semantics) —
+    * the `when` guard is evaluated lazily, so under ANSI mode the raw
+    * division can never abort the job on one degenerate row, which a
+    * 100 TB corpus will always contain. Downstream argmax/argmin sites
+    * map the NaN away from ever winning (see [[assign]]).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val np = norm(a) * norm(b)
+    when(np === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / np)
+  }
 
   /** Exact top-k by cosine against a literal query vector. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
@@ -128,8 +138,15 @@ object Similarity {
       centroids: DataFrame): DataFrame =
     df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
+      // nanvl: a zero-norm vector or centroid yields a NaN cosine, and
+      // Spark's ordering ranks NaN GREATEST — argmax would then pick the
+      // degenerate centroid over every real one. Mapping NaN to -inf
+      // makes "undefined similarity" lose to any real cosine, and when
+      // ALL are undefined the (-id) tie-break still picks the lowest id
+      // — the exact contract assignCellExpr reproduces.
       .select(col(idCol), col("centroid_id"),
-        cosine(col(vecCol), col("centroid")).as("sim"))
+        nanvl(cosine(col(vecCol), col("centroid")),
+          lit(Double.NegativeInfinity)).as("sim"))
       .groupBy(col(idCol))
       .agg(max(struct(col("sim"), (-col("centroid_id")).as("neg_cid")))
         .as("best"))
@@ -333,7 +350,7 @@ object Similarity {
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+        hoistedCosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
           .as("cos"))
       .where(col("cos") >= threshold)
   }
@@ -348,9 +365,20 @@ object Similarity {
       norm(col(vecCol)).as("nrm"))
     e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+        hoistedCosine(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm"))
           .as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** [[cosine]] with pre-computed norms (hoisted out of a pair loop;
+    * identical IEEE values) — same lazy zero-divisor guard: a zero-norm
+    * side yields NaN (which `>= threshold` rejects) instead of an ANSI
+    * divide-by-zero job abort.
+    */
+  private def hoistedCosine(va: Column, vb: Column, na: Column,
+      nb: Column): Column = {
+    val np = na * nb
+    when(np === 0.0, lit(Double.NaN)).otherwise(dot(va, vb) / np)
   }
 
   // -------------------------------------------------- streaming assignment
@@ -363,12 +391,20 @@ object Similarity {
     * reproduces [[assign]]'s (max sim, min id tie-break) exactly. No
     * groupBy, no state store: legal in a streaming append projection,
     * which the groupBy-argmax in [[assign]] is not.
+    *
+    * NaN parity with [[assign]]: a NaN cosine (zero-norm vector or
+    * centroid) negates to NaN, which array_min ranks GREATEST — so here
+    * the degenerate centroid naturally loses, while the batch argmax
+    * would have RANKED it first. Both sides therefore map NaN away from
+    * winning (+inf here, -inf there); when every cosine is undefined the
+    * struct tie-break picks the lowest centroid id on both sides.
     */
   def assignCellExpr(vec: Column,
       centroids: Array[(Long, Array[Double])]): Column = {
     require(centroids.nonEmpty, "empty centroid table")
     val scored = array(centroids.map { case (cid, cv) =>
-      struct((lit(0.0) - cosine(vec, litVec(cv))).as("neg_sim"),
+      struct((lit(0.0) - nanvl(cosine(vec, litVec(cv)),
+        lit(Double.NegativeInfinity))).as("neg_sim"),
         lit(cid).as("centroid_id"))
     }: _*)
     array_min(scored).getField("centroid_id")

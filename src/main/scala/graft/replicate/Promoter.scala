@@ -369,9 +369,10 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     * next poll (more may be waiting — and with a cap the remainder
     * usually IS waiting); an idle poll sleeps `checkIntervalMs` first,
     * in 1 s slices so [[requestStop]] takes effect promptly. Exits on
-    * requestStop, after one promoting poll in `single` mode, or on an
-    * idle poll when `exitOnEmpty`. Returns every chunk id promoted, in
-    * promote order.
+    * requestStop, after the first poll in `single` mode (promoting or
+    * not — a one-shot on an idle catalog returns empty instead of
+    * hanging on the check interval), or on an idle poll when
+    * `exitOnEmpty`. Returns every chunk id promoted, in promote order.
     */
   def run(single: Boolean = false, exitOnEmpty: Boolean = false,
       maxChunksPerPoll: Option[Int] = None,
@@ -395,8 +396,10 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
         val ids = promote(maxChunksPerPoll)
         promoted ++= ids
         onPoll(polls, ids)
-        if (ids.nonEmpty && single) done = true
-        else if (ids.isEmpty && exitOnEmpty) done = true
+        // single = one-shot: exit after the FIRST poll whether or not it
+        // promoted (same semantics as Replicator.run — an idle catalog
+        // must not hang a one-shot command on the check interval)
+        if (single || (ids.isEmpty && exitOnEmpty)) done = true
         waitMs = if (ids.nonEmpty) 0L else checkIntervalMs
       }
     }

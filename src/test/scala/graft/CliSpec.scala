@@ -358,6 +358,11 @@ class CliSpec extends SparkSpec {
       "--single", "--max-chunks", "1")
     assert(out.contains("poll 1: promoted chunks 4"), out)
     assert(out.contains("promote finished: 1 chunks promoted"), out)
+
+    // --single on an IDLE catalog is a one-shot too: it must exit after
+    // the first (empty) poll, not hang on the 360 s check interval
+    val idle = dispatchCapturing("promote", catRoot, exportRoot, "--single")
+    assert(idle.contains("promote finished: 0 chunks promoted"), idle)
   }
 
   test("--metrics-json emits one parseable JSON object per polling window " +

@@ -299,6 +299,31 @@ class SimilaritySpec extends SparkSpec {
       batchC.exceptAll(streamC).isEmpty, "PQ encoding diverged")
   }
 
+  test("zero-norm (NaN-cosine) centroids lose the argmax in BOTH " +
+      "assignment forms") {
+    // centroid 0 is all-zero: cosine against it is NaN, and Spark ranks
+    // NaN greatest — an unguarded argmax would send EVERY row to the
+    // degenerate centroid while the array_min projection would not
+    val cents: Array[(Long, Array[Double])] = Array(
+      0L -> Array(0.0, 0.0), 1L -> Array(1.0, 0.0), 2L -> Array(0.0, 1.0))
+    val centDf = cents.toSeq.toDF("centroid_id", "centroid")
+    val rows = Seq(
+      (10L, Seq(0.9f, 0.1f)),  // near centroid 1
+      (11L, Seq(0.1f, 0.9f)),  // near centroid 2
+      (12L, Seq(0.0f, 0.0f)))  // zero-norm row: ALL cosines NaN
+      .toDF("id", "v")
+    val batch = Similarity.assign(rows, "id", "v", centDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expr = rows.select($"id",
+        Similarity.assignCellExpr($"v", cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == expr, s"batch $batch != expr $expr")
+    assert(batch(10L) == 1L && batch(11L) == 2L,
+      "real cosines must beat the NaN centroid")
+    // all-undefined row: lowest-id tie-break on both sides
+    assert(batch(12L) == 0L)
+  }
+
   test("multi-probe LSH recall >= single-probe recall") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queryVec, 10).select("vec_id").collect().map(_.getLong(0)).toSet
