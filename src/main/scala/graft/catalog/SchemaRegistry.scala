@@ -40,17 +40,47 @@ final class SchemaRegistry(root: String) {
   private def legacyFileOf(table: String): Path =
     dir.resolve(table.replace("/", "_") + ".json")
 
+  private def escJ(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def unescJ(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def recordedTable(json: String): Option[String] =
+    """"table"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(m => unescJ(m.group(1)))
+
+  /** Whether `table` may claim the legacy file holding `json`. Files
+    * that record their owner (every new write does) are matched exactly
+    * — `a_b` can never resolve, migrate, or delete a file recorded for
+    * `a/b`. A file predating owner recording is claimable only by its
+    * IDENTITY preimage (the '/'-free reading of the filename): a legacy
+    * name like `a_b.json` is ambiguous between `a_b` and `a/b` by the
+    * old scheme's design, and every name this system ever generated is
+    * '/'-free, so the literal-name claimant is the owner of record and
+    * a slash-name claim on an unowned file is refused.
+    */
+  private def legacyOwned(table: String, json: String): Boolean =
+    recordedTable(json) match {
+      case Some(owner) => owner == table
+      case None => !table.contains("/")
+    }
+
   def put(table: String, schema: StructType,
       version: VersionTuple = VersionTuple.Current): Unit = {
-    val json =
-      s"""{"version":"${version.render}","schema":${schema.json}}"""
+    val json = s"""{"table":"${escJ(table)}",""" +
+      s""""version":"${version.render}","schema":${schema.json}}"""
     val tmp = dir.resolve(s".${enc(table)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, fileOf(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // retire a legacy-named twin or tables() would list the table twice
+    // retire a legacy-named twin (if it is really OURS) or tables()
+    // would list the table twice
     val legacy = legacyFileOf(table)
-    if (legacy != fileOf(table)) Files.deleteIfExists(legacy)
+    if (legacy != fileOf(table) && Files.exists(legacy) &&
+        legacyOwned(table,
+          new String(Files.readAllBytes(legacy), StandardCharsets.UTF_8)))
+      Files.deleteIfExists(legacy)
     ()
   }
 
@@ -58,7 +88,9 @@ final class SchemaRegistry(root: String) {
     val f = fileOf(table)
     if (!Files.exists(f)) {
       val legacy = legacyFileOf(table)
-      if (legacy != f && Files.exists(legacy)) {
+      if (legacy != f && Files.exists(legacy) &&
+          legacyOwned(table, new String(Files.readAllBytes(legacy),
+            StandardCharsets.UTF_8))) {
         // migrate on first read so listing/decoding converges on the
         // injective scheme (legacy names containing '_' would otherwise
         // decode wrong in tables() forever)
@@ -77,10 +109,15 @@ final class SchemaRegistry(root: String) {
     }
   }
 
-  /** Delete a table's declared schema (both filename schemes). */
+  /** Delete a table's declared schema (both filename schemes; the legacy
+    * file only when it is verifiably this table's).
+    */
   def remove(table: String): Unit = {
     Files.deleteIfExists(fileOf(table))
-    Files.deleteIfExists(legacyFileOf(table))
+    val legacy = legacyFileOf(table)
+    if (Files.exists(legacy) && legacyOwned(table,
+        new String(Files.readAllBytes(legacy), StandardCharsets.UTF_8)))
+      Files.deleteIfExists(legacy)
     ()
   }
 

@@ -53,6 +53,39 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(reg.tables == Seq("a_b", "docs_minhash.banded"))
   }
 
+  test("legacy files with a recorded owner cannot be cross-claimed") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("reg-own")
+    val reg = new SchemaRegistry(root)
+    // a NEW-format file (records its owner "a/b") parked at the legacy
+    // filename both "a/b" and "a_b" map to under the old scheme
+    val owned = s"""{"table":"a/b","version":"0.1.0",""" +
+      s""""schema":${PpdbSchema.metadata.json}}"""
+    Files.write(Paths.get(root, "_schemas", "a_b.json"),
+      owned.getBytes(StandardCharsets.UTF_8))
+    // the never-declared twin must neither resolve nor consume the file
+    assert(reg.get("a_b").isEmpty, "a_b must not hijack a/b's schema")
+    assert(Files.exists(Paths.get(root, "_schemas", "a_b.json")),
+      "refused claim must not migrate the file away")
+    // the recorded owner still resolves (and migrates to the injective
+    // name), after which the twin remains unresolvable
+    assert(reg.get("a/b").exists(_._2 == PpdbSchema.metadata))
+    assert(Files.exists(Paths.get(root, "_schemas", "a_1b.json")))
+    assert(reg.get("a_b").isEmpty)
+    // remove("a_b") must not delete what is now only a/b's state
+    reg.remove("a_b")
+    assert(reg.get("a/b").nonEmpty)
+
+    // an UNOWNED (pre-recording) ambiguous file belongs to the identity
+    // preimage: the slash claimant is refused, the literal name wins
+    val unowned = s"""{"version":"0.1.0","schema":${PpdbSchema.metadata.json}}"""
+    Files.write(Paths.get(root, "_schemas", "x_y.json"),
+      unowned.getBytes(StandardCharsets.UTF_8))
+    assert(reg.get("x/y").isEmpty, "slash claim on unowned file refused")
+    assert(reg.get("x_y").exists(_._2 == PpdbSchema.metadata))
+  }
+
   test("version compatibility rule (major match, code minor >= stored)") {
     assert(VersionTuple(1, 2, 0).compatibleWith(VersionTuple(1, 2, 5)))
     assert(VersionTuple(1, 3, 0).compatibleWith(VersionTuple(1, 2, 0)))
