@@ -79,6 +79,10 @@ final class ChunkUploader(
       val prefix = new HPath(remoteRoot, id.toString)
       prefix.getFileSystem(conf).makeQualified(prefix).toString
     }
+    // heals are collected across the scan and committed ONCE below —
+    // K historical un-recorded chunks must cost one control-table
+    // rewrite per poll, not K
+    val heals = Map.newBuilder[Long, String]
     val due = rows.filter {
       case (_, PpdbSchema.ChunkStatus.Exported, _) => true
       case (id, _, Some(uri)) if uri == remoteUri(id) => false // settled
@@ -88,11 +92,12 @@ final class ChunkUploader(
         try {
           val there = remote.getFileSystem(conf).exists(remote)
           // heal the row so this probe never repeats
-          if (there) promoter.markRemoteUri(id, remoteUri(id))
+          if (there) heals += id -> remoteUri(id)
           !there
         }
         catch { case _: Exception => true } // unreadable remote ⇒ attempt
     }
+    promoter.markRemoteUris(heals.result())
     due.map(_._1).filter { id =>
       try { uploadChunk(id); true }
       catch {

@@ -37,6 +37,14 @@ trait Ppdb {
   */
 trait ReplicaTarget extends Ppdb {
   def store(chunk: ChunkData, update: Boolean): Unit
+
+  /** [[store]] when the caller has already established from its own read
+    * of the chunk table whether `chunk.chunkId` is known there — the
+    * Replicator's frontier/mismatch computation does exactly that, so
+    * the per-chunk known-probe (a full extra bookkeeping-table read in
+    * the hot replication loop) is skipped.
+    */
+  def store(chunk: ChunkData, update: Boolean, known: Boolean): Unit
 }
 
 /** Staged-backend replication target: `store` exports the chunk to
@@ -52,11 +60,15 @@ final class PpdbStaged(spark: SparkSession, val promoter: Promoter)
   def store(chunk: ChunkData): Unit = store(chunk, update = false)
 
   def store(chunk: ChunkData, update: Boolean): Unit = {
-    val known = promoter.catalog.read(spark, "PpdbReplicaChunk")
+    // update mode re-exports regardless of the probe's answer — skip it
+    val known = update || promoter.catalog.read(spark, "PpdbReplicaChunk")
       .where(col("apdb_replica_chunk") === chunk.chunkId)
       .limit(1).collect().nonEmpty
-    if (!known || update) { promoter.exportChunk(chunk); () }
+    store(chunk, update, known)
   }
+
+  def store(chunk: ChunkData, update: Boolean, known: Boolean): Unit =
+    if (!known || update) { promoter.exportChunk(chunk); () }
 
   def replicaChunks(minId: Option[Long] = None): DataFrame = {
     val base = promoter.catalog.read(spark, "PpdbReplicaChunk")
@@ -181,10 +193,16 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
     * per-chunk cost is O(chunk + touched dirs), never O(table).
     */
   def store(chunk: ChunkData, update: Boolean): Unit = {
-    val chunks = catalog.read(spark, "PpdbReplicaChunk")
-    val known = chunks.where(col("apdb_replica_chunk") === chunk.chunkId)
+    val known = catalog.read(spark, "PpdbReplicaChunk")
+      .where(col("apdb_replica_chunk") === chunk.chunkId)
       .limit(1).count() > 0
+    store(chunk, update, known)
+  }
+
+  def store(chunk: ChunkData, update: Boolean, known: Boolean): Unit = {
     if (known && !update) return
+    catalog.retrying() { expected =>
+    val chunks = catalog.read(spark, "PpdbReplicaChunk")
 
     val objects = catalog.read(spark, "DiaObject")
     val sources = catalog.read(spark, "DiaSource")
@@ -300,13 +318,14 @@ final class PpdbSpark(spark: SparkSession, val catalog: VersionedCatalog)
       "DiaObject" -> objDelta,
       "DiaSource" -> scopedFact("DiaSource", sources, srcDelta),
       "DiaForcedSource" -> scopedFact("DiaForcedSource", forced, fsrcDelta),
-      "PpdbReplicaChunk" -> chunkDelta))
+      "PpdbReplicaChunk" -> chunkDelta), Some(expected))
     }
     ()
     // the patch cache is only read by the writes above; drop it even when
     // requireNoDangling/commitAll throws, so storage memory doesn't
     // accumulate across retried store() calls
     } finally latestOpt.foreach(_.unpersist())
+    }
   }
 
   private def requireNoDangling(table: String, chunkId: Long,

@@ -134,14 +134,16 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
   /** Flip one exported chunk to status=uploaded recording its remote URI
     * (S10; set by [[ChunkUploader]] after a complete upload).
     */
-  def markUploaded(chunkId: Long, uri: String): Unit = {
+  def markUploaded(chunkId: Long, uri: String): Unit =
+      catalog.retrying() { expected =>
     val chunks = catalog.read(spark, "PpdbReplicaChunk")
     val hit = col("apdb_replica_chunk") === chunkId
     catalog.commit(Map("PpdbReplicaChunk" -> chunks
       .withColumn("status",
         when(hit, lit(PpdbSchema.ChunkStatus.Uploaded))
           .otherwise(col("status")))
-      .withColumn("uri", when(hit, lit(uri)).otherwise(col("uri")))))
+      .withColumn("uri", when(hit, lit(uri)).otherwise(col("uri")))),
+      Some(expected))
     ()
   }
 
@@ -150,12 +152,26 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     * uploader polls drop them from the due set locally instead of probing
     * the remote filesystem for every historical empty chunk forever.
     */
-  def markRemoteUri(chunkId: Long, uri: String): Unit = {
-    val chunks = catalog.read(spark, "PpdbReplicaChunk")
-    val hit = col("apdb_replica_chunk") === chunkId
-    catalog.commit(Map("PpdbReplicaChunk" -> chunks
-      .withColumn("uri", when(hit, lit(uri)).otherwise(col("uri")))))
-    ()
+  def markRemoteUri(chunkId: Long, uri: String): Unit =
+    markRemoteUris(Map(chunkId -> uri))
+
+  /** Batched [[markRemoteUri]]: one control-table commit however many
+    * chunks healed in a poll — a first poll against a catalog with K
+    * un-recorded historical empty chunks must not pay K table rewrites
+    * and leave K commits for vacuum.
+    */
+  def markRemoteUris(uris: Map[Long, String]): Unit = {
+    if (uris.isEmpty) return
+    import spark.implicits._
+    catalog.retrying() { expected =>
+      val chunks = catalog.read(spark, "PpdbReplicaChunk")
+      val heal = uris.toSeq.toDF("apdb_replica_chunk", "_heal_uri")
+      catalog.commit(Map("PpdbReplicaChunk" -> chunks
+        .join(broadcast(heal), Seq("apdb_replica_chunk"), "left")
+        .withColumn("uri", coalesce(col("_heal_uri"), col("uri")))
+        .drop("_heal_uri")), Some(expected))
+      ()
+    }
   }
 
   /** Step 2: load chunks into staging (validating manifests), add the
@@ -164,7 +180,8 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     * recorded remote URI (any Hadoop FS — the reference's
     * Dataflow-stages-from-GCS step).
     */
-  def stageChunks(chunkIds: Seq[Long]): Unit = {
+  def stageChunks(chunkIds: Seq[Long]): Unit =
+      catalog.retrying() { expected =>
     val rows = catalog.read(spark, "PpdbReplicaChunk")
       .where(col("apdb_replica_chunk").isin(chunkIds: _*))
       .select("apdb_replica_chunk", "status", "uri").collect()
@@ -176,30 +193,40 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
         case (PpdbSchema.ChunkStatus.Uploaded, Some(uri)) => id -> uri
       }
     }
-    if (sources.isEmpty) return
-    val hconf = spark.sparkContext.hadoopConfiguration
-    sources.foreach { case (id, src) =>
-      val problems = ChunkManifest.validate(src, hconf)
-      if (problems.nonEmpty)
-        throw new IllegalStateException(
-          s"chunk $id manifest invalid: ${problems.mkString("; ")}")
+    if (sources.nonEmpty) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      sources.foreach { case (id, src) =>
+        val problems = ChunkManifest.validate(src, hconf)
+        if (problems.nonEmpty)
+          throw new IllegalStateException(
+            s"chunk $id manifest invalid: ${problems.mkString("; ")}")
+      }
+      // per-chunk labeled appends: staging grows by metadata + delta
+      // bytes only, and the staged-row delete at promote time is a
+      // directory drop. dropLabels first: a chunk re-exported in update
+      // mode while its previous staged rows still sat in staging (never
+      // promoted) must REPLACE them, not coexist — re-staging is
+      // idempotent per chunk id
+      val staleLabels = sources.map { case (id, _) => s"chunk$id" }.toSet
+      val writes = PpdbSchema.dataTables.map { t =>
+        s"staging.$t" -> TableDelta(dropLabels = staleLabels,
+          appends = sources.map { case (id, src) =>
+            spark.read.parquet(s"$src/$t")
+              .withColumn("apdb_replica_chunk", lit(id)) -> s"chunk$id"
+          })
+      }.toMap
+      val updWrites = "staging.updates" -> TableDelta(
+        dropLabels = staleLabels,
+        appends = sources.map { case (id, src) =>
+          spark.read.schema(PpdbSchema.expandedUpdates)
+            .parquet(s"$src/updates") -> s"chunk$id"
+        })
+      val chunkTable =
+        setStatus(sources.map(_._1), PpdbSchema.ChunkStatus.Staged)
+      catalog.commitAll(writes + updWrites +
+        ("PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))),
+        Some(expected))
     }
-    // per-chunk labeled appends: staging grows by metadata + delta bytes
-    // only, and the staged-row delete at promote time is a directory drop
-    val writes = PpdbSchema.dataTables.map { t =>
-      s"staging.$t" -> TableDelta(appends = sources.map { case (id, src) =>
-        spark.read.parquet(s"$src/$t")
-          .withColumn("apdb_replica_chunk", lit(id)) -> s"chunk$id"
-      })
-    }.toMap
-    val updWrites = "staging.updates" -> TableDelta(appends =
-      sources.map { case (id, src) =>
-        spark.read.schema(PpdbSchema.expandedUpdates)
-          .parquet(s"$src/updates") -> s"chunk$id"
-      })
-    val chunkTable = setStatus(sources.map(_._1), PpdbSchema.ChunkStatus.Staged)
-    catalog.commitAll(writes + updWrites +
-      ("PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))))
     ()
   }
 
@@ -222,12 +249,19 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     * however far promotion has fallen behind; the remainder is still a
     * contiguous prefix and promotes on later polls).
     */
-  def promote(maxChunks: Option[Int]): Seq[Long] = {
+  def promote(maxChunks: Option[Int]): Seq[Long] =
+      catalog.retrying() { expected =>
     val chunks = catalog.read(spark, "PpdbReplicaChunk")
     val all = PpdbOps.promotableChunkIds(chunks)
     val ids = maxChunks.fold(all)(all.take)
-    if (ids.isEmpty) return Nil
+    if (ids.isEmpty) Nil else promoteBatch(ids, expected)
+  }
 
+  /** The non-empty-batch body of [[promote]], committed against the
+    * `expected` base commit (re-run wholesale on a concurrent-writer
+    * conflict).
+    */
+  private def promoteBatch(ids: Seq[Long], expected: Long): Seq[Long] = {
     val inChunks = col("apdb_replica_chunk").isin(ids: _*)
     val batchLabel = s"promo${ids.head}_${ids.last}"
 
@@ -254,9 +288,18 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
       .distinct()
     val objAffected = catalog.dirsTouching(spark, "internal.DiaObject",
       Seq("diaObjectId"), objScope)
-    val objBase =
+    val objBase0 =
       if (objAffected.isEmpty) emptyDf(internalObj.schema)
       else catalog.readDirs(spark, objAffected, internalObj.columns.toSeq)
+    // MERGE semantics (the reference's WHEN MATCHED UPDATE): staged rows
+    // REPLACE internal rows sharing their primary key, so a chunk
+    // re-exported in update mode and promoted again lands exactly once.
+    // Normal-flow PKs are new — the anti-join drops nothing. The dir
+    // probe above already covers same-PK rows (same diaObjectId).
+    val objBase = objBase0.join(
+      stagedObj.select(col("diaObjectId"), col("validityStartMjdTai"))
+        .distinct(),
+      Seq("diaObjectId", "validityStartMjdTai"), "left_anti")
     val unionObj = objBase.unionByName(
       stagedObj.select(internalObj.columns.map(col).toSeq: _*))
     val filled =
@@ -292,8 +335,13 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     val snapshotDelta = TableDelta(dropDirs = snapAffected.toSet,
       appends = Seq(snapBase.unionByName(snapNew) -> batchLabel))
 
-    // fact tables: plain append when untouched by updates; when patched,
-    // rewrite ONLY the dirs containing patched keys (plus the new delta)
+    // fact tables: MERGE, not append — the dirs holding a row whose PK
+    // the staged delta carries (a re-promoted update-mode chunk) or a
+    // patched key are rewritten with same-PK rows replaced; everything
+    // else is the plain append. In the normal flow delta PKs are new:
+    // the zone-map prune inside dirsTouching rejects every dir against
+    // the fresh id range DRIVER-side, `affected` is empty, and the
+    // append path costs one tiny bounds agg over the delta keys.
     val factWrites: Map[String, TableDelta] =
       Seq("DiaSource", "DiaForcedSource").map { t =>
         val name = s"internal.$t"
@@ -301,20 +349,28 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
         val delta = catalog.read(spark, s"staging.$t").where(inChunks)
           .drop("apdb_replica_chunk")
           .select(internal.columns.map(col).toSeq: _*)
-        if (!touched(t)) name -> TableDelta(appends = Seq(delta -> batchLabel))
+        val spec = PpdbOps.mergeSpecs(t)
+        val deltaKeys = delta.select(spec.keys.map(col): _*).distinct()
+        val keys = (Seq(deltaKeys) ++
+          (if (touched(t)) Seq(PpdbOps.patchKeys(latest, spec, internal))
+           else Nil)).reduce(_.unionByName(_)).distinct()
+        val affected = catalog.dirsTouching(spark, name, spec.keys, keys)
+        if (affected.isEmpty && !touched(t))
+          name -> TableDelta(appends = Seq(delta -> batchLabel))
         else {
-          val spec = PpdbOps.mergeSpecs(t)
-          val patch = PpdbOps.buildPatch(latest, spec)
-          val keys = PpdbOps.patchKeys(latest, spec, internal)
-          val affected = catalog.dirsTouching(spark, name, spec.keys, keys)
-          val base =
+          val base0 =
             if (affected.isEmpty) emptyDf(internal.schema)
             else catalog.readDirs(spark, affected, internal.columns.toSeq)
+          val base = base0.join(deltaKeys, spec.keys, "left_anti")
           val rows = base.unionByName(delta)
-          requireNoDangling(t, rows, patch, spec) // J6, as above
-          val patched = PpdbOps.mergePatch(rows, patch, spec)
-          name -> TableDelta(dropDirs = affected.toSet,
-            appends = Seq(patched -> batchLabel))
+          if (touched(t)) {
+            val patch = PpdbOps.buildPatch(latest, spec)
+            requireNoDangling(t, rows, patch, spec) // J6, as above
+            val patched = PpdbOps.mergePatch(rows, patch, spec)
+            name -> TableDelta(dropDirs = affected.toSet,
+              appends = Seq(patched -> batchLabel))
+          } else name -> TableDelta(dropDirs = affected.toSet,
+            appends = Seq(rows -> batchLabel))
         }
       }.toMap
 
@@ -334,7 +390,8 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
 
     catalog.commitAll(internalWrites ++ stagingWrites ++ Map(
       "public.DiaObjectLast" -> snapshotDelta,
-      "PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))))
+      "PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))),
+      Some(expected))
     ids
     // the patch cache is only read by the writes above; drop it even when
     // validation/commit throws, so storage memory doesn't accumulate
@@ -424,7 +481,7 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
   }
 
   private def upsertChunkRow(chunk: ChunkData, status: String,
-      uri: Option[String]): Unit = {
+      uri: Option[String]): Unit = catalog.retrying() { expected =>
     val chunks = catalog.read(spark, "PpdbReplicaChunk")
     val row = spark.createDataFrame(
       java.util.List.of(Row(chunk.chunkId, chunk.lastUpdateTimeUs,
@@ -433,6 +490,7 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
       PpdbSchema.replicaChunk)
     catalog.commit(Map("PpdbReplicaChunk" ->
       chunks.where(col("apdb_replica_chunk") =!= chunk.chunkId)
-        .unionByName(row)))
+        .unionByName(row)), Some(expected))
+    ()
   }
 }

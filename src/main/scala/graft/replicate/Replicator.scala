@@ -76,12 +76,18 @@ final class Replicator(spark: SparkSession, source: ApdbSource, ppdb: ReplicaTar
       val all = if (update) (mismatched ++ fresh).distinct.sorted else fresh
       val ids = limit.fold(all)(all.take)
 
+      // the frontier read above already established knownness: frontier
+      // ids are absent from the PPDB side, mismatched ids are present —
+      // pass the hint so store skips its per-chunk known-probe (an extra
+      // bookkeeping-table read per chunk in the hot loop)
+      val mismatchedSet = mismatched.toSet
       ids.foreach { id =>
         graft.Metrics.time("replicate_chunk_time", "chunk_id" -> id.toString) {
           val data = graft.Metrics.time("get_chunks_time",
             "chunk_id" -> id.toString)(source.chunkData(id))
           graft.Metrics.time("store_chunks_time",
-            "chunk_id" -> id.toString)(ppdb.store(data, update))
+            "chunk_id" -> id.toString)(
+            ppdb.store(data, update, known = mismatchedSet(id)))
         }
       }
       ids

@@ -116,6 +116,78 @@ class PromoterSpec extends SparkSpec {
     assert(cat.current._1 == commitBefore)
   }
 
+  test("update-mode re-export re-promotes as a MERGE: rows land exactly " +
+      "once with the regenerated values") {
+    val cat = new VersionedCatalog(tmpDir("promo"))
+    val p = new Promoter(spark, cat, tmpDir("export"))
+    p.init()
+    val apdb = new TestApdb(spark, nObjects = 4, nChunks = 2)
+    val target = new PpdbStaged(spark, p)
+
+    // first cycle: both chunks through the full staged pipeline
+    Seq(1L, 2L).foreach(id => target.store(apdb.chunkData(id)))
+    p.stageChunks(Seq(1L, 2L))
+    assert(p.promote() == Seq(1L, 2L))
+    assert(cat.read(spark, "internal.DiaSource").count() == 8)
+
+    // the APDB regenerates chunk 1: same primary keys, moved ra, new
+    // unique_id — the operator re-replicates it with --update
+    val cd = apdb.chunkData(1)
+    val regen = cd.copy(uniqueId = "uuid-1b",
+      diaSources = cd.diaSources.withColumn("ra", lit(46.5)))
+    target.store(regen, update = true)
+    assert(cat.read(spark, "PpdbReplicaChunk")
+      .where($"apdb_replica_chunk" === 1L).select("status").head()
+      .getString(0) == PpdbSchema.ChunkStatus.Exported)
+    p.stageChunks(Seq(1L))
+    assert(p.promote() == Seq(1L))
+
+    // MERGE, not append: every PK exactly once, chunk-1 rows carry the
+    // regenerated value, chunk-2 rows untouched
+    val src = cat.read(spark, "internal.DiaSource")
+      .select("diaSourceId", "visit", "ra").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(src.length == 8, s"got ${src.length} rows")
+    assert(src.map(_._1).distinct.length == 8, "duplicate diaSourceId")
+    assert(src.filter(_._2 == 1L).forall(_._3 == 46.5),
+      "re-promoted chunk-1 rows must carry the regenerated ra")
+    assert(src.filter(_._2 == 2L).forall(_._3 == 45.0))
+    // DiaObject versions replaced in place and re-closed by the fill
+    val obj = cat.read(spark, "internal.DiaObject")
+      .select("diaObjectId", "validityStartMjdTai", "validityEndMjdTai")
+      .collect()
+    assert(obj.length == 8, "2 versions x 4 objects, no duplicates")
+    assert(cat.read(spark, "public.DiaObjectLast").count() == 4)
+    // bookkeeping: one row for chunk 1, promoted, regenerated unique id
+    val row = cat.read(spark, "PpdbReplicaChunk")
+      .where($"apdb_replica_chunk" === 1L)
+      .select("status", "unique_id").collect()
+    assert(row.length == 1)
+    assert(row.head.getString(0) == PpdbSchema.ChunkStatus.Promoted)
+    assert(row.head.getString(1) == "uuid-1b")
+
+    // re-export while STAGED (never promoted): staging must replace the
+    // stale staged rows, not coexist with them
+    val cd2 = apdb.chunkData(2)
+    target.store(cd2.copy(uniqueId = "uuid-2b",
+      diaSources = cd2.diaSources.withColumn("ra", lit(47.5))),
+      update = true)
+    p.stageChunks(Seq(2L))
+    target.store(cd2.copy(uniqueId = "uuid-2c",
+      diaSources = cd2.diaSources.withColumn("ra", lit(48.5))),
+      update = true)
+    p.stageChunks(Seq(2L))
+    assert(cat.read(spark, "staging.DiaSource").count() == 4,
+      "re-stage replaces the chunk's previous staged rows")
+    assert(p.promote() == Seq(2L))
+    val src2 = cat.read(spark, "internal.DiaSource")
+      .select("visit", "ra").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(src2.length == 8)
+    assert(src2.filter(_._1 == 2L).forall(_._2 == 48.5),
+      "latest regeneration wins")
+  }
+
   test("update records flow through export->stage->promote with LWW merge") {
     import graft.schema.UpdateRecord._
     import scala.jdk.CollectionConverters._
