@@ -6,6 +6,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** A commit lost a concurrent-writer race: the state it was computed
+  * from is no longer current. The write published NOTHING — re-read and
+  * re-apply (the [[VersionedCatalog.retrying]] helper does exactly
+  * that), or surface to the operator for admin one-shots.
+  */
+final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
 /** Per-table change inside one atomic commit.
   *
   *  - `rewrite`: replace the table's contents (old dirs dereferenced);
@@ -65,12 +73,22 @@ final case class TimeBucket(column: String, widthDays: Double,
   *    delta: at 100 TB, per-chunk ingest writes the chunk and one pointer.
   *  - Crash anywhere before the pointer move publishes nothing; orphan
   *    dirs are garbage-collected by [[vacuum]].
-  *  - Single-writer assumption, like the reference's replication pipeline.
+  *  - Concurrent writers (the replicate/upload/promote services deployed
+  *    as separate processes) coordinate OPTIMISTICALLY: each commit id
+  *    is claimed exactly once via an atomic CREATE_NEW of its history
+  *    file, data dirs carry a per-commit nonce so racing materializers
+  *    can never write the same path, and a read-modify-write caller
+  *    passes the commit id it read at — a stale `expected` fails the
+  *    commit with [[ConcurrentCommitException]] BEFORE any data is
+  *    written, and [[retrying]] re-runs the whole read+build+commit.
+  *    `vacuum` remains an admin operation: don't run it concurrently
+  *    with live writers (it may sweep an in-flight claim).
   */
 final class VersionedCatalog(val root: String,
     writeOptions: String => Map[String, String] = VersionedCatalog.NoOptions,
     layouts: String => Option[TimeBucket] = VersionedCatalog.ppdbLayouts,
-    statsCols: String => Seq[String] = VersionedCatalog.ppdbStatsCols) {
+    statsCols: String => Seq[String] = VersionedCatalog.ppdbStatsCols,
+    orphanGraceMs: Long = 5000L) {
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("_CURRENT")
@@ -81,6 +99,34 @@ final class VersionedCatalog(val root: String,
   def current: (Long, Map[String, Seq[String]]) =
     if (!Files.exists(pointer)) (0L, Map.empty)
     else parse(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8))
+
+  /** The published commit id — capture BEFORE reading tables and pass as
+    * `expected` to commit so a concurrent writer's interleaved commit
+    * fails yours instead of being silently overwritten.
+    */
+  def currentCommit: Long = current._1
+
+  /** Run a read-modify-write cycle under optimistic concurrency: `body`
+    * receives the commit id to read at and must pass it as `expected` to
+    * its commit; on [[ConcurrentCommitException]] the WHOLE body re-runs
+    * against the new state (bounded linear backoff — service RMWs are
+    * sub-second, so contention resolves in a few rounds).
+    */
+  def retrying[A](maxAttempts: Int = 20)(body: Long => A): A = {
+    var attempt = 0
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      val base = currentCommit
+      try out = Some(body(base))
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(25L * attempt)
+      }
+    }
+    out.get
+  }
 
   def tables: Set[String] = current._2.keySet
 
@@ -139,17 +185,39 @@ final class VersionedCatalog(val root: String,
   }
 
   /** Rewrite-only commit (the common promote/store shape). */
-  def commit(writes: Map[String, DataFrame]): Long =
-    commitAll(writes.map { case (t, df) => t -> TableDelta(rewrite = Some(df)) })
+  def commit(writes: Map[String, DataFrame]): Long = commit(writes, None)
+
+  /** [[commit]] with an expected base commit for read-modify-write. */
+  def commit(writes: Map[String, DataFrame], expected: Option[Long]): Long =
+    commitAll(writes.map { case (t, df) =>
+      t -> TableDelta(rewrite = Some(df)) }, expected)
 
   /** Atomic multi-table commit of rewrites, append deltas, and label
     * drops. Every DataFrame is fully materialized to immutable dirs
     * before the single pointer move; a crash mid-commit publishes
     * nothing.
+    *
+    * `expected`: the commit id the caller READ at (for read-modify-write
+    * cycles). If another writer published since, the commit throws
+    * [[ConcurrentCommitException]] before materializing anything —
+    * without it a rewrite built from a stale snapshot would silently
+    * drop the concurrent writer's update (last-writer-wins).
     */
-  def commitAll(deltas: Map[String, TableDelta]): Long = synchronized {
+  def commitAll(deltas: Map[String, TableDelta],
+      expected: Option[Long] = None): Long = synchronized {
     val (commitId, dirs) = current
+    expected.filter(_ != commitId).foreach { e =>
+      throw new ConcurrentCommitException(
+        s"catalog $root advanced to commit $commitId while this writer " +
+          s"worked from $e")
+    }
     val next = commitId + 1
+    // per-commit nonce in the data-dir names: two processes racing to
+    // commit id `next` materialize under different paths, so the loser's
+    // dirs are mere vacuum-able orphans — never a shared-path overwrite
+    val nonce = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        & 0xffffffffL)
     val newDirs = deltas.map { case (table, d) =>
       require(d.rewrite.isEmpty || d.appends.isEmpty,
         s"$table: rewrite and append are exclusive")
@@ -159,9 +227,10 @@ final class VersionedCatalog(val root: String,
           Paths.get(p).getFileName.toString.endsWith(s"_$l")))
         .filterNot(d.dropDirs.contains)
       val updated = d.rewrite match {
-        case Some(df) => Seq(write(df, table, next, ""))
+        case Some(df) => Seq(write(df, table, next, nonce, ""))
         case None =>
-          kept ++ d.appends.map { case (df, l) => write(df, table, next, l) }
+          kept ++ d.appends.map { case (df, l) =>
+            write(df, table, next, nonce, l) }
       }
       table -> updated
     }
@@ -170,10 +239,11 @@ final class VersionedCatalog(val root: String,
   }
 
   private def write(df: DataFrame, table: String, commit: Long,
-      label: String): String = {
+      nonce: String, label: String): String = {
     import org.apache.spark.sql.functions.{col, floor, lit, max, min}
     val suffix = if (label.isEmpty) "" else s"_$label"
-    val dir = rootPath.resolve(table).resolve(f"v$commit%08d$suffix").toString
+    val dir = rootPath.resolve(table)
+      .resolve(f"v$commit%08d.$nonce$suffix").toString
     // zone-map sidecar: per-dir min/max of the table's NUMERIC probe
     // columns, collected by observe() DURING the write job (no extra
     // pass) and written next to the data; dirsTouching prunes whole dirs
@@ -530,13 +600,36 @@ final class VersionedCatalog(val root: String,
   }
 
   private def publish(commitId: Long, dirs: Map[String, Seq[String]]): Unit = {
-    val tmp = rootPath.resolve(s"_CURRENT.tmp.$commitId")
     val payload = render(commitId, dirs).getBytes(StandardCharsets.UTF_8)
     // commit-history sidecar first: if we crash between the two writes,
-    // an extra history file with no matching pointer is harmless
+    // an extra history file with no matching pointer is harmless.
+    // CREATE_NEW is the cross-process CAS — exactly one writer owns each
+    // commit id, so the pointer can only move forward through claimed
+    // ids and a raced writer learns it lost instead of overwriting.
     Files.createDirectories(rootPath.resolve("_commits"))
-    Files.write(rootPath.resolve("_commits").resolve(s"$commitId.json"),
-      payload)
+    val hist = rootPath.resolve("_commits").resolve(s"$commitId.json")
+    var claimed = false
+    var waitedMs = 0L
+    while (!claimed) {
+      try {
+        Files.write(hist, payload,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (current._1 >= commitId)
+            throw new ConcurrentCommitException(
+              s"commit $commitId already published by a concurrent " +
+                s"writer in $root")
+          // claimed but not yet published: a live writer sits in its
+          // (two-local-file-writes) claim→pointer window, or a crashed
+          // one left an orphan. Wait out the window; past the grace
+          // period, take the orphaned claim over.
+          if (waitedMs >= orphanGraceMs) Files.deleteIfExists(hist)
+          else { Thread.sleep(50); waitedMs += 50 }
+      }
+    }
+    val tmp = rootPath.resolve(s"_CURRENT.tmp.$commitId")
     Files.write(tmp, payload)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)

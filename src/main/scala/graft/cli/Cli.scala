@@ -96,7 +96,12 @@ object Cli {
   /** `upload` / `promote` service knobs. `promote` gets the loop family
     * (--loop/--single/--exit-on-empty/--check-interval/--max-chunks) so
     * the three services deploy as polling peers the way the reference
-    * runs them; --max-chunks is the backpressure cap per poll.
+    * runs them — as separate processes over one catalog root, safely:
+    * every service read-modify-write commits under the catalog's
+    * optimistic concurrency (commit-id CAS + bounded retry, see
+    * [[graft.catalog.VersionedCatalog]]), so an interleaved peer commit
+    * re-runs the poll instead of silently losing its update.
+    * --max-chunks is the backpressure cap per poll.
     */
   private[graft] final case class ServiceOpts(stage: Boolean = false,
       metricsJson: Option[String] = None,

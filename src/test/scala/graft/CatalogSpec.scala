@@ -212,6 +212,63 @@ class CatalogSpec extends SparkSpec {
       Seq(1, 2, 3, 4))
   }
 
+  test("a stale expected-commit fails instead of silently overwriting " +
+      "a concurrent writer") {
+    import graft.catalog.ConcurrentCommitException
+    val root = tmpDir("occ")
+    // two catalog INSTANCES on one root = two processes (the JVM-level
+    // `synchronized` can't serialize them; the commit-id CAS must)
+    val a = new VersionedCatalog(root)
+    val b = new VersionedCatalog(root)
+    a.commit(Map("t" -> Seq(1L).toDF("n")))
+    val base = a.currentCommit
+    b.commit(Map("t" -> Seq(2L).toDF("n"))) // interleaved peer commit
+    val e = intercept[ConcurrentCommitException] {
+      a.commit(Map("t" -> Seq(99L).toDF("n")), Some(base))
+    }
+    assert(e.getMessage.contains("advanced"))
+    // the loser published nothing: b's value is live
+    assert(a.read(spark, "t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("racing read-modify-write loops under retrying lose no updates") {
+    val root = tmpDir("occ-race")
+    val seed = new VersionedCatalog(root)
+    seed.commit(Map("counter" -> Seq(0L).toDF("n")))
+    val perThread = 4
+    def incrLoop(): Unit = {
+      val cat = new VersionedCatalog(root) // own instance = own process
+      (1 to perThread).foreach { _ =>
+        cat.retrying() { expected =>
+          val n = cat.read(spark, "counter").head().getLong(0)
+          cat.commit(Map("counter" -> Seq(n + 1).toDF("n")), Some(expected))
+        }
+      }
+    }
+    val threads = Seq.fill(2)(new Thread(() => incrLoop()))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    // every increment survived: with last-writer-wins two racing loops
+    // would finish well short of 2 x perThread
+    assert(seed.read(spark, "counter").head().getLong(0) == 2L * perThread)
+  }
+
+  test("an orphaned commit claim (crash before publish) is taken over " +
+      "after the grace period") {
+    import java.nio.charset.StandardCharsets
+    val root = tmpDir("occ-orphan")
+    val cat = new VersionedCatalog(root, orphanGraceMs = 300L)
+    cat.commit(Map("t" -> Seq(1L).toDF("n")))
+    val next = cat.currentCommit + 1
+    // simulate a writer that claimed the next id and died before the
+    // pointer move
+    Files.write(Paths.get(root, "_commits", s"$next.json"),
+      s"""{"commit":$next,"tables":{}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val id = cat.commit(Map("t" -> Seq(2L).toDF("n")))
+    assert(id == next, "claim stolen at the orphaned id, not skipped")
+    assert(cat.read(spark, "t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("bucketize: co-located join with no exchange; survives re-register") {
     val cat = new VersionedCatalog(tmpDir("cat"))
     val dim = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "attr")
