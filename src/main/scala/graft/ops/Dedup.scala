@@ -115,6 +115,46 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Containment near-dup pairs: c(A→B) = |A∩B| / |A| over word n-gram
+    * shingle sets — the ASYMMETRIC doc-in-doc signal Jaccard misses when
+    * lengths differ: a short document fully embedded in a long one has
+    * Jaccard ≈ |A|/|B| (arbitrarily small) but containment 1.0. Quote
+    * farms, boilerplate wrappers, and page-plus-navigation scrapes in a
+    * training corpus are exactly this shape. Returns (id_a, id_b,
+    * common, cont_ab, cont_ba) with id_a < id_b, kept when EITHER
+    * direction clears `threshold`.
+    *
+    * Plan shape is [[jaccardPairs]]'s: distinct-shingle explode →
+    * 8-byte-hash equi-join → pair-count aggregate — no cross join, cost
+    * bounded by shingle-bucket sizes; only the final projection differs
+    * (per-side divisors instead of the union size).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    // persisted: read by the pair self-join (twice) and the count join
+    val sh = tracked(df
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0))
+    val counts = sh.select(col("doc"), size(col("sh")).as("cnt"))
+    val ex = sh.select(col("doc"), explode(col("sh")).as("shingle"))
+      .select(col("doc"), xxhash64(col("shingle")).as("shingle_h"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.shingle_h") === col("b.shingle_h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.withColumnsRenamed(Map("doc" -> "id_a_c", "cnt" -> "cnt_a")),
+        col("id_a") === col("id_a_c"))
+      .join(counts.withColumnsRenamed(Map("doc" -> "id_b_c", "cnt" -> "cnt_b")),
+        col("id_b") === col("id_b_c"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        (col("common").cast("double") / col("cnt_a").cast("double"))
+          .as("cont_ab"),
+        (col("common").cast("double") / col("cnt_b").cast("double"))
+          .as("cont_ba"))
+      .where(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+  }
+
   /** Frequency-capped Jaccard near-dup pairs — the 100 TB-scale variant:
     * shingles occurring in more than `maxDocFreq` documents are excluded
     * from CANDIDATE GENERATION (they are stop-shingles that would create

@@ -324,6 +324,36 @@ object TextAnalysis {
     * map-side-combinable; vocabulary (the join key) shards freely, so no
     * single-point dimension at 100 TB.
     */
+  /** Corpus-trained unigram surprisal — the model-free quality /
+    * perplexity proxy of a quality-filtering pipeline: rare tokens carry
+    * high surprise, boilerplate carries low. Per-token surprise is
+    * `maxBits − floor(log2(corpus_freq))`, computed EXACTLY as an
+    * integer from the bit length of the frequency (never a float log:
+    * Σ log p is order-dependent under partial aggregation and one
+    * engine-private libm ulp away from any oracle), so the per-doc sum
+    * is bit-stable under any aggregation order; the mean is one final
+    * division. Returns (doc_id, n_tokens, surprise, mean_surprise).
+    *
+    * Plan: explode → vocab count (map-side combinable) → shuffle join
+    * back on token → per-doc sum. The vocabulary shards freely on the
+    * join key — the Zipf head is small but deliberately NOT broadcast
+    * (at 100 TB the tail is wide); both shuffles carry 8-byte keys.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      maxBits: Int = 40): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    toks.join(vocab, Seq("w"))
+      .select(col("doc_id"),
+        (lit(maxBits) - (length(bin(col("freq"))) - lit(1))).as("surp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surp").cast("long")).as("surprise"))
+      .withColumn("mean_surprise",
+        col("surprise").cast("double") / col("n_tokens").cast("double"))
+  }
+
   def topTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val tf = df

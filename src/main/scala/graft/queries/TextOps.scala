@@ -63,6 +63,12 @@ object TextOps {
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
         n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)),
 
+    // asymmetric containment pairs (doc-in-doc: a short doc embedded in
+    // a long one clears containment while its Jaccard stays tiny)
+    "dd15_containment" -> ((s, d) =>
+      Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)),
+
     // SimHash signatures
     "dd5_simhash" -> ((s, d) => {
       import s.implicits._
@@ -296,6 +302,11 @@ object TextOps {
     "ts13_stratified" -> ((s, d) =>
       TextAnalysis.stratifiedSample(documents(s, d), "doc_id", "source",
         quota = 5)),
+
+    // corpus-trained unigram surprisal (model-free perplexity proxy;
+    // integer bit-length arithmetic, never a float log sum)
+    "ts14_unigram_lm" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(documents(s, d), "doc_id", "text")),
 
     // normalized (C4-style fuzzy-exact) dedup: lowercase, strip
     // non-alphanumerics, collapse whitespace, then hash-groupBy — same
@@ -606,6 +617,36 @@ object TextOps {
          |       CAST(common AS DOUBLE) / CAST(na.cnt + nb.cnt - common AS DOUBLE) AS jaccard
          |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
          |WHERE CAST(common AS DOUBLE) / CAST(na.cnt + nb.cnt - common AS DOUBLE) >= 0.6""".stripMargin,
+
+    "dd15_containment" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t
+         |      WHERE len(toks) >= 3),
+         |n AS (SELECT doc_id, len(sh) AS cnt FROM s),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, common,
+         |       CAST(common AS DOUBLE) / CAST(na.cnt AS DOUBLE) AS cont_ab,
+         |       CAST(common AS DOUBLE) / CAST(nb.cnt AS DOUBLE) AS cont_ba
+         |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+         |WHERE greatest(CAST(common AS DOUBLE) / CAST(na.cnt AS DOUBLE),
+         |               CAST(common AS DOUBLE) / CAST(nb.cnt AS DOUBLE))
+         |      >= 0.8""".stripMargin,
+
+    "ts14_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |v AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+        |sc AS (SELECT doc_id, 40 - (length(bin(freq)) - 1) AS surp
+        |       FROM tok JOIN v USING (w))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(surp) AS BIGINT) AS surprise,
+        |       CAST(sum(surp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS mean_surprise
+        |FROM sc GROUP BY doc_id""".stripMargin,
 
     "dd2b_jaccard_capped" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -383,6 +383,35 @@ class DedupSpec extends SparkSpec {
       s"got $labels")
   }
 
+  test("containmentPairs finds doc-in-doc dups Jaccard misses") {
+    // doc 2 is doc 1's text embedded in a much longer page: containment
+    // c(2→1)=1.0 but Jaccard ≈ |A|/|B| is far below any usable bar —
+    // the asymmetric signal is the whole point of the operator
+    val core = "alpha beta gamma delta epsilon zeta eta theta"
+    val wrapper = (1 to 20).map(i => s"nav$i menu$i item$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, s"$wrapper $core $wrapper"),
+      (3L, "totally different content with no shared phrasing at all"))
+    val df = docs.toDF("doc_id", "text")
+    def sh(t: String): Set[String] =
+      t.split(" ", -1).sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = sh(ta); sb = sh(tb)
+      common = (sa & sb).size
+      cab = common.toDouble / sa.size; cba = common.toDouble / sb.size
+      if math.max(cab, cba) >= 0.8
+    } yield (ia, ib, common.toLong)).toSet
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.8)
+      .select($"id_a", $"id_b", $"common").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == expected && got.contains((1L, 2L, sh(core).size.toLong)))
+    // and the symmetric Jaccard gate at the same bar finds nothing
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.8).count()
+    assert(jac == 0L)
+  }
+
   test("minhash signature null semantics match the column formulation") {
     val df = Seq(
       (1L, Some("one two three four")),

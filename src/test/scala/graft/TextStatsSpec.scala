@@ -88,4 +88,23 @@ class TextStatsSpec extends SparkSpec {
       assert(r.getAs[Int]("c_len") == r.getAs[Int]("f_len"), s"len [$t]")
     }
   }
+
+  test("unigramSurprisal: exact integer bit-length surprise, hand-checked") {
+    // corpus freqs: a=3 (bitlen 2 -> surp 40-(2-1)=39), b=1, c=1
+    // (bitlen 1 -> surp 40). Integer arithmetic means the sums are exact.
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: surp(a)=39 twice + surp(b)=40 -> 118 over 3 tokens
+    assert(byDoc(1L) == ((3L, 118L, 118.0 / 3.0)))
+    // doc 2: surp(a)=39 + surp(c)=40 -> 79 over 2 tokens
+    assert(byDoc(2L) == ((2L, 79L, 79.0 / 2.0)))
+    // monotonicity: corpus-frequent tokens carry strictly less surprise
+    val freqHeavy = Seq((1L, Seq.fill(64)("the").mkString(" ")),
+      (2L, "rare")).toDF("doc_id", "text")
+    val m = TextAnalysis.unigramSurprisal(freqHeavy, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(2L) > m(1L))
+  }
 }
