@@ -554,6 +554,22 @@ object Similarity {
       .orderBy(col("adist"), col(idCol))
       .limit(k)
   }
+
+  /** Incremental-ingest guard shared by the index `addVectors` paths:
+    * re-ingesting an existing id would leave two index rows racing at
+    * probe time, so clash = hard error (the [[Dedup.DupClusterIndex]]
+    * discipline). One left-semi existence probe against the batch —
+    * cost is the batch side, the index side prunes to the join.
+    */
+  private[ops] def requireFreshIds(batch: DataFrame, existing: DataFrame,
+      idCol: String, op: String): Unit = {
+    val clash = batch.select(col(idCol))
+      .join(existing.select(col(idCol)), Seq(idCol), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"$op: vector id ${clash.headOption.map(_.get(0)).orNull} already " +
+        "in the index — incremental ingest takes new ids only")
+  }
 }
 
 /** A built IVF index: the build-once / probe-many split. Training
@@ -580,6 +596,35 @@ final case class IvfIndex(centroids: DataFrame, assignments: DataFrame) {
       query: Seq[Float], k: Int, nprobe: Int): DataFrame =
     Similarity.ivfTopK(df, idCol, vecCol, centroids, assignments,
       query, k, nprobe)
+
+  /** Incremental maintenance: assign ONLY `batch` under the frozen
+    * quantizer and extend the assignment table — cost is the batch, not
+    * the corpus, and the result is EXACTLY what assigning the whole
+    * union against these centroids would produce (assignment is
+    * per-vector, so frozen-quantizer increments compose losslessly;
+    * retraining centroids is by definition a rebuild, not maintenance).
+    * Re-ingesting an existing id would shadow the old row at probe time
+    * nondeterministically — fail fast instead.
+    */
+  def addVectors(batch: DataFrame, idCol: String, vecCol: String): IvfIndex = {
+    Similarity.requireFreshIds(batch, assignments, idCol, "addVectors")
+    copy(assignments = assignments.unionByName(
+      Similarity.assign(batch, idCol, vecCol, centroids)))
+  }
+
+  /** Persisted incremental ingest: append the batch's assignments to the
+    * catalog table as an append-only delta (`TableDelta.appends`) — the
+    * commit writes the batch's rows, never rewrites the corpus-sized
+    * assignment table. Returns the index as reloaded from the catalog.
+    */
+  def appendVectors(cat: graft.catalog.VersionedCatalog, name: String,
+      batch: DataFrame, idCol: String, vecCol: String): IvfIndex = {
+    Similarity.requireFreshIds(batch, assignments, idCol, "appendVectors")
+    cat.commitAll(Map(s"$name.assignments" -> graft.catalog.TableDelta(
+      appends = Seq((Similarity.assign(batch, idCol, vecCol, centroids),
+        "")))))
+    IvfIndex.load(batch.sparkSession, cat, name)
+  }
 
   /** STATELESS cell assignment for continuous ingest — works on a
     * STREAMING frame (pure projection, no state store; the batch
@@ -648,6 +693,32 @@ final case class PqIndex(m: Int, dims: Int, codebooks: DataFrame,
     require(query.length == dims,
       s"query has ${query.length} dims, index was built at $dims")
     Similarity.pqTopK(codes, codebooks, query, m, k, idCol)
+  }
+
+  /** Incremental maintenance: encode ONLY `batch` under the frozen
+    * codebooks and extend the code table — cost is the batch, not the
+    * corpus, and since encoding is per-vector the result is EXACTLY the
+    * code table a full re-encode of the union would produce. Fresh ids
+    * only (a clash fails fast, see [[Similarity.requireFreshIds]]).
+    */
+  def addVectors(batch: DataFrame, idCol: String, vecCol: String): PqIndex = {
+    Similarity.requireFreshIds(batch, codes, idCol, "addVectors")
+    copy(codes = codes.unionByName(
+      Similarity.pqEncode(batch, idCol, vecCol, codebooks, m, dims)))
+  }
+
+  /** Persisted incremental ingest: append the batch's codes to the
+    * catalog table as an append-only delta — the commit writes m rows
+    * per batch vector, never rewrites the corpus-sized code table.
+    */
+  def appendVectors(cat: graft.catalog.VersionedCatalog, name: String,
+      batch: DataFrame, idCol: String, vecCol: String): PqIndex = {
+    Similarity.requireFreshIds(batch, codes, idCol, "appendVectors")
+    cat.commitAll(Map(s"$name.codes" -> graft.catalog.TableDelta(
+      appends = Seq((
+        Similarity.pqEncode(batch, idCol, vecCol, codebooks, m, dims),
+        "")))))
+    PqIndex.load(batch.sparkSession, cat, name)
   }
 
   /** STATELESS PQ encoding for continuous ingest — works on a STREAMING
@@ -737,6 +808,37 @@ final case class IvfPqIndex(m: Int, dims: Int, centroids: DataFrame,
       s"query has ${query.length} dims, index was built at $dims")
     Similarity.ivfPqTopK(codes, centroids, codebooks, query, m, k,
       nprobe, idCol)
+  }
+
+  /** Incremental maintenance under the frozen coarse + fine quantizers:
+    * assign the batch to cells, quantize its residuals against the
+    * existing per-cell codebooks, extend the code table. Per-vector
+    * encoding means the increment equals a full re-encode of the union
+    * exactly; cost is the batch. Fresh ids only (clash fails fast).
+    */
+  def addVectors(batch: DataFrame, idCol: String,
+      vecCol: String): IvfPqIndex = {
+    Similarity.requireFreshIds(batch, codes, idCol, "addVectors")
+    copy(codes = codes.unionByName(encodeBatch(batch, idCol, vecCol)))
+  }
+
+  /** Persisted incremental ingest: append-only catalog delta of the
+    * batch's codes — never rewrites the corpus-sized code table.
+    */
+  def appendVectors(cat: graft.catalog.VersionedCatalog, name: String,
+      batch: DataFrame, idCol: String, vecCol: String): IvfPqIndex = {
+    Similarity.requireFreshIds(batch, codes, idCol, "appendVectors")
+    cat.commitAll(Map(s"$name.codes" -> graft.catalog.TableDelta(
+      appends = Seq((encodeBatch(batch, idCol, vecCol), "")))))
+    IvfPqIndex.load(batch.sparkSession, cat, name)
+  }
+
+  private def encodeBatch(batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val assignments = Similarity.assign(batch, idCol, vecCol, centroids)
+    val residuals = Similarity.ivfResiduals(batch, idCol, vecCol,
+      centroids, assignments)
+    Similarity.ivfPqEncode(residuals, idCol, codebooks, m, dims)
   }
 }
 

@@ -281,6 +281,61 @@ class SimilaritySpec extends SparkSpec {
     assert(loaded.exceptAll(fresh).isEmpty && fresh.exceptAll(loaded).isEmpty)
   }
 
+  test("incremental addVectors == frozen-quantizer union encode; " +
+      "persisted path is an append-only delta") {
+    import graft.ops.{IvfIndex, IvfPqIndex, PqIndex}
+    // batch ids sit ABOVE every corpus id, so a full rebuild over the
+    // union seeds IDENTICAL quantizers (seeds = first ids) — the
+    // incremental index must equal that rebuild exactly, row for row
+    val corpus = clustered.where($"vec_id" < 160)
+    val batch = clustered.where($"vec_id" >= 160)
+
+    // IVF trains centroids (corpus-dependent), so the frozen-quantizer
+    // statement is vs assigning the union against the BUILT centroids
+    val ivf = IvfIndex.build(corpus, "vec_id", "embedding", k = 4, iters = 2)
+    val ivfInc = ivf.addVectors(batch, "vec_id", "embedding")
+    val ivfExpect = Similarity.assign(clustered, "vec_id", "embedding",
+      ivf.centroids)
+    assert(ivfInc.assignments.exceptAll(ivfExpect).isEmpty &&
+      ivfExpect.exceptAll(ivfInc.assignments).isEmpty)
+
+    // PQ / IVF-PQ are seeded: incremental == full union rebuild, exactly
+    val pq = PqIndex.build(corpus, "vec_id", "embedding",
+      m = 8, dims = 64, ksub = 16)
+    val pqInc = pq.addVectors(batch, "vec_id", "embedding")
+    val pqFull = PqIndex.build(clustered, "vec_id", "embedding",
+      m = 8, dims = 64, ksub = 16)
+    assert(pqInc.codes.exceptAll(pqFull.codes).isEmpty &&
+      pqFull.codes.exceptAll(pqInc.codes).isEmpty)
+
+    val ivfpq = IvfPqIndex.build(corpus, "vec_id", "embedding",
+      kc = 4, m = 8, dims = 64, ksub = 8)
+    val ivfpqInc = ivfpq.addVectors(batch, "vec_id", "embedding")
+    val ivfpqFull = IvfPqIndex.build(clustered, "vec_id", "embedding",
+      kc = 4, m = 8, dims = 64, ksub = 8)
+    assert(ivfpqInc.codes.exceptAll(ivfpqFull.codes).isEmpty &&
+      ivfpqFull.codes.exceptAll(ivfpqInc.codes).isEmpty)
+
+    // re-ingesting an existing id fails fast, index untouched
+    val ex = intercept[IllegalArgumentException] {
+      pq.addVectors(corpus.limit(1), "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("already"))
+
+    // persisted path: the append commit writes ONLY the batch's codes;
+    // the pre-append version stays readable at its own commit id
+    val root = tmpDir("incann")
+    val cat = new graft.catalog.VersionedCatalog(root)
+    pq.save(cat, "pqi")
+    val before = cat.currentCommit
+    val re = PqIndex.load(spark, cat, "pqi")
+      .appendVectors(cat, "pqi", batch, "vec_id", "embedding")
+    assert(re.codes.exceptAll(pqFull.codes).isEmpty &&
+      pqFull.codes.exceptAll(re.codes).isEmpty)
+    assert(cat.readAt(spark, "pqi.codes", before).count() ==
+      pq.codes.count())
+  }
+
   test("stateless assignment/encoding exprs match the batch groupBy " +
       "forms bit-for-bit") {
     import graft.ops.{IvfIndex, PqIndex}
