@@ -164,7 +164,42 @@ object Dedup {
     * similarity. (The CCNet/Gopher-style dedup compromise.)
     */
   def jaccardPairsCapped(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
+      n: Int, threshold: Double, maxDocFreq: Int): DataFrame =
+    cappedCommon(df, idCol, textCol, n, maxDocFreq,
+      (ubc, ca, cb) => ubc / (ca + cb - ubc) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (col("common") / (col("cnt_a") + col("cnt_b") - col("common")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+
+  /** Frequency-capped containment pairs — [[containmentPairs]]' 100 TB
+    * path, exactly as [[jaccardPairsCapped]] is [[jaccardPairs]]': the
+    * same one-shuffle stop-shingle cap and candidate expansion, with the
+    * conservative upper bound and the exact verification both taken on
+    * the ASYMMETRIC containment (max of the two directions). `ubc ≥
+    * common` makes the bound filter lossless in each divisor, so any
+    * pair whose true containment clears `threshold` and shares ≥ 1 rare
+    * shingle survives to exact verification.
+    */
+  def containmentPairsCapped(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int): DataFrame =
+    cappedCommon(df, idCol, textCol, n, maxDocFreq,
+      (ubc, ca, cb) => greatest(ubc / ca, ubc / cb) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("common").cast("long").as("common"),
+        (col("common") / col("cnt_a")).as("cont_ab"),
+        (col("common") / col("cnt_b")).as("cont_ba"))
+      .where(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+
+  /** Shared body of the capped near-dup variants: stop-shingle-capped
+    * candidate generation, a caller-chosen conservative bound filter on
+    * (upper-bound common, |A|, |B|), then exact verification over the
+    * full shingle sets. Returns one row per surviving pair:
+    * (id_a, id_b, common: double, cnt_a, cnt_b).
+    */
+  private def cappedCommon(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Int,
+      bound: (Column, Column, Column) => Column): DataFrame = {
     // hash shingles (8-byte elements): the candidate explode and the
     // verification arrays shuffle long[]s, not strings
     val sh = tracked(df
@@ -202,8 +237,9 @@ object Dedup {
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("ck"))
     // upper-bound pre-filter: true common ≤ ck + min(hot_a, hot_b), so
-    // a conservative jaccard bound prunes candidates that cannot reach
-    // the threshold — typically ~all of them — before any array work
+    // the caller's conservative bound prunes candidates that cannot
+    // reach its threshold — typically ~all of them — before any array
+    // work
     val survivors = ck
       .join(stats.select(col("doc").as("id_a"), col("cnt").as("cnt_a"),
         col("hot_cnt").as("hot_a")), Seq("id_a"))
@@ -211,23 +247,21 @@ object Dedup {
         col("hot_cnt").as("hot_b")), Seq("id_b"))
       .withColumn("ubc",
         (col("ck") + least(col("hot_a"), col("hot_b"))).cast("double"))
-      .where(col("ubc") / (col("cnt_a") + col("cnt_b") - col("ubc"))
-        >= threshold)
+      .where(bound(col("ubc"), col("cnt_a"), col("cnt_b")))
       .select("id_a", "id_b")
     // exact verification of the few survivors over the full shingle sets:
     // |union| = cnt_a + cnt_b − |∩| (arrays are distinct), so one
-    // array_intersect per survivor and a bit-identical division
+    // array_intersect per survivor and a bit-identical division in the
+    // caller's final projection
     survivors
       .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a"),
         col("cnt").as("cnt_a")), Seq("id_a"))
       .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b"),
         col("cnt").as("cnt_b")), Seq("id_b"))
-      .withColumn("common",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"),
-        (col("common") / (col("cnt_a") + col("cnt_b") - col("common")))
-          .as("jaccard"))
-      .where(col("jaccard") >= threshold)
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          .as("common"),
+        col("cnt_a"), col("cnt_b"))
   }
 
   /** All ordered (a,b) element pairs of a sorted array — the in-bucket

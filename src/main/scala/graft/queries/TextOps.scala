@@ -69,6 +69,13 @@ object TextOps {
       Dedup.containmentPairs(documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.8)),
 
+    // stop-shingle-capped containment — dd15's 100 TB path, sharing
+    // dd2b's one-shuffle capped candidate pipeline with an asymmetric
+    // bound + verify
+    "dd15b_containment_capped" -> ((s, d) =>
+      Dedup.containmentPairsCapped(documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDocFreq = 20)),
+
     // SimHash signatures
     "dd5_simhash" -> ((s, d) => {
       import s.implicits._
@@ -634,6 +641,28 @@ object TextOps {
          |WHERE greatest(CAST(common AS DOUBLE) / CAST(na.cnt AS DOUBLE),
          |               CAST(common AS DOUBLE) / CAST(nb.cnt AS DOUBLE))
          |      >= 0.8""".stripMargin,
+
+    "dd15b_containment_capped" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+         |      FROM t),
+         |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
+         |      FROM w WHERE len(wh) >= 3),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |keep AS (SELECT shingle FROM e GROUP BY shingle
+         |         HAVING count(*) >= 2 AND count(*) <= 20),
+         |k AS (SELECT doc_id, shingle FROM e WHERE shingle IN (SELECT shingle FROM keep)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM k a JOIN k b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |v AS (SELECT id_a, id_b,
+         |             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS common,
+         |             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |               CAST(len(sa.sh) AS DOUBLE) AS cont_ab,
+         |             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |               CAST(len(sb.sh) AS DOUBLE) AS cont_ba
+         |      FROM cand JOIN s sa ON id_a = sa.doc_id
+         |                JOIN s sb ON id_b = sb.doc_id)
+         |SELECT * FROM v WHERE greatest(cont_ab, cont_ba) >= 0.8""".stripMargin,
 
     "ts14_unigram_lm" ->
       """WITH tok AS (

@@ -410,6 +410,12 @@ class DedupSpec extends SparkSpec {
     // and the symmetric Jaccard gate at the same bar finds nothing
     val jac = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.8).count()
     assert(jac == 0L)
+    // the capped scale path agrees pair-for-pair here (no shingle is
+    // hot enough to trip the doc-freq cap on this fixture)
+    val capped = Dedup
+      .containmentPairsCapped(df, "doc_id", "text", 3, 0.8, maxDocFreq = 20)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(capped == expected.map { case (a, b, _) => (a, b) })
   }
 
   test("minhash signature null semantics match the column formulation") {
