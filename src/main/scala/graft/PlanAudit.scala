@@ -87,6 +87,18 @@ object PlanAudit {
         !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
         "BroadcastNestedLoopJoin Cross".r.findAllIn(p).size <= 3 &&
         p.contains("TakeOrderedAndProject")),
+    Check("dd2b_jaccard_capped",
+      "capped candidates expand in-bucket (bounded-collect agg), " +
+        "never via a pair nested-loop",
+      p => !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct") &&
+        p.contains("ObjectHashAggregate")),
+    Check("dd15b_containment_capped",
+      "capped candidates expand in-bucket (bounded-collect agg), " +
+        "never via a pair nested-loop",
+      p => !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct") &&
+        p.contains("ObjectHashAggregate")),
     Check("p12_like_scan", "substring predicate pushed as StringContains",
       p => p.contains("StringContains(p_name,bolt)")),
     Check("p13_prefix_scan", "prefix predicate pushed as StringStartsWith",
