@@ -324,6 +324,22 @@ object TextAnalysis {
     * map-side-combinable; vocabulary (the join key) shards freely, so no
     * single-point dimension at 100 TB.
     */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
   /** Corpus-trained unigram surprisal — the model-free quality /
     * perplexity proxy of a quality-filtering pipeline: rare tokens carry
     * high surprise, boilerplate carries low. Per-token surprise is
@@ -352,21 +368,5 @@ object TextAnalysis {
         sum(col("surp").cast("long")).as("surprise"))
       .withColumn("mean_surprise",
         col("surprise").cast("double") / col("n_tokens").cast("double"))
-  }
-
-  def topTerms(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val tf = df
-      .select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfreq, Seq("term"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
   }
 }
