@@ -93,8 +93,16 @@ final class SchemaRegistry(root: String) {
             StandardCharsets.UTF_8))) {
         // migrate on first read so listing/decoding converges on the
         // injective scheme (legacy names containing '_' would otherwise
-        // decode wrong in tables() forever)
-        Files.move(legacy, f, StandardCopyOption.ATOMIC_MOVE)
+        // decode wrong in tables() forever). Concurrent readers (the
+        // run/upload/promote services share one catalog root) can race
+        // this move — the loser's exception means the winner already
+        // populated fileOf(table), so swallow and fall through to the
+        // re-check below rather than failing a read.
+        try Files.move(legacy, f, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.NoSuchFileException |
+               _: java.nio.file.FileAlreadyExistsException => ()
+        }
       }
     }
     if (!Files.exists(f)) None

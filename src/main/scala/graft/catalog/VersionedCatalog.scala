@@ -83,12 +83,22 @@ final case class TimeBucket(column: String, widthDays: Double,
   *    written, and [[retrying]] re-runs the whole read+build+commit.
   *    `vacuum` remains an admin operation: don't run it concurrently
   *    with live writers (it may sweep an in-flight claim).
+  *  - A claim that sits unpublished past `orphanGraceMs` is treated as a
+  *    crash orphan and taken over. A writer merely STALLED that long
+  *    (GC pause, slow FS) is not lost-update-prone: every publish embeds
+  *    a writer nonce in its payload and re-verifies ownership after the
+  *    pointer move — on a takeover clash, the stalled side restores the
+  *    usurper's pointer state and raises [[ConcurrentCommitException]]
+  *    instead of silently discarding the usurper's acknowledged commit.
+  *    The default grace (60 s) makes takeover of a live-but-stalled
+  *    writer rare to begin with; services that poll faster than that can
+  *    lower it at construction.
   */
 final class VersionedCatalog(val root: String,
     writeOptions: String => Map[String, String] = VersionedCatalog.NoOptions,
     layouts: String => Option[TimeBucket] = VersionedCatalog.ppdbLayouts,
     statsCols: String => Seq[String] = VersionedCatalog.ppdbStatsCols,
-    orphanGraceMs: Long = 5000L) {
+    orphanGraceMs: Long = 60000L) {
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("_CURRENT")
@@ -600,7 +610,17 @@ final class VersionedCatalog(val root: String,
   }
 
   private def publish(commitId: Long, dirs: Map[String, Seq[String]]): Unit = {
-    val payload = render(commitId, dirs).getBytes(StandardCharsets.UTF_8)
+    // Per-publish writer nonce: orphan takeover (below) can re-claim an
+    // id whose original writer is merely stalled, not dead — a GC pause
+    // or slow FS past orphanGraceMs suffices. Both writers would then
+    // ATOMIC_MOVE onto the pointer and the slower move would silently
+    // discard the other's acknowledged commit. The nonce turns that
+    // silent lost update into a loud ConcurrentCommitException: after
+    // the pointer move, each writer verifies the history file still
+    // carries ITS nonce and that the pointer it observes is its own
+    // payload; any mismatch aborts (the RMW retrying() loop re-runs).
+    val nonce = java.util.UUID.randomUUID().toString
+    val payload = render(commitId, dirs, nonce).getBytes(StandardCharsets.UTF_8)
     // commit-history sidecar first: if we crash between the two writes,
     // an extra history file with no matching pointer is harmless.
     // CREATE_NEW is the cross-process CAS — exactly one writer owns each
@@ -624,16 +644,66 @@ final class VersionedCatalog(val root: String,
           // claimed but not yet published: a live writer sits in its
           // (two-local-file-writes) claim→pointer window, or a crashed
           // one left an orphan. Wait out the window; past the grace
-          // period, take the orphaned claim over.
+          // period, take the orphaned claim over (the nonce check after
+          // the pointer move keeps a merely-stalled original safe).
           if (waitedMs >= orphanGraceMs) Files.deleteIfExists(hist)
           else { Thread.sleep(50); waitedMs += 50 }
       }
     }
+    beforePointerMove()
     val tmp = rootPath.resolve(s"_CURRENT.tmp.$commitId")
     Files.write(tmp, payload)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // Post-publish ownership verify: if another writer re-claimed this
+    // id (orphan takeover of a stalled claim) the history file carries
+    // its nonce, not ours; and if the pointer still shows THIS commit id
+    // with someone else's payload, their move landed after ours. In
+    // either case at most one of us may acknowledge the commit, and
+    // neither can know whose move landed last — so BOTH sides of an
+    // observed clash abort, and no acknowledged commit is ever silently
+    // discarded; retrying() re-runs the read-modify-write at the next
+    // id. A pointer already past commitId is NOT a clash: a later
+    // commit legitimately superseded this one after it published.
+    val histNow =
+      try new String(Files.readAllBytes(hist), StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" }
+    val pointerNow =
+      try new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" }
+    if (!histNow.contains(nonce)) {
+      // We were deemed orphaned and usurped; the usurper may already
+      // have acknowledged this id. If OUR move landed last, the pointer
+      // shadows their commit with our unacknowledged payload — restore
+      // it to the history file's (the usurper's) before aborting, so
+      // readers and subsequent RMW rounds see the acknowledged state.
+      // Best-effort: the takeover itself is a multi-second-stall rarity
+      // and the repair window is microseconds.
+      if (histNow.nonEmpty && parse(pointerNow)._1 == commitId &&
+          pointerNow.contains(nonce)) {
+        val rep = rootPath.resolve(s"_CURRENT.tmp.repair.$commitId")
+        Files.write(rep, histNow.getBytes(StandardCharsets.UTF_8))
+        Files.move(rep, pointer, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      throw new ConcurrentCommitException(
+        s"commit $commitId re-claimed by a concurrent writer during " +
+          s"publish in $root (stalled-claim takeover); commit not " +
+          "acknowledged")
+    }
+    if (parse(pointerNow)._1 == commitId && !pointerNow.contains(nonce))
+      // Our claim held but a usurper's pointer move landed after ours
+      // (it aborts via its own history check); its payload shadows ours,
+      // so we can't claim readers see this commit — abort and retry.
+      throw new ConcurrentCommitException(
+        s"commit $commitId pointer clobbered by a concurrent writer in " +
+          s"$root; commit not acknowledged")
   }
+
+  /** Test seam: runs between the commit-id claim and the pointer move —
+    * the window the orphan-takeover race lives in. Production no-op.
+    */
+  private[graft] var beforePointerMove: () => Unit = () => ()
 
   /** Commit ids with retained history, ascending. History files with an
     * id beyond the published pointer are crash orphans (publish writes
@@ -671,12 +741,16 @@ final class VersionedCatalog(val root: String,
     readDirList(spark, table, ds)
   }
 
-  // minimal flat JSON: {"commit":N,"tables":{"name":["dir",...],...}}
-  private def render(commitId: Long, dirs: Map[String, Seq[String]]): String = {
+  // minimal flat JSON: {"commit":N,"tables":{"name":["dir",...],...},
+  // "writer":"uuid"}. The writer field is the publish-ownership nonce;
+  // parse() ignores it (string-valued, so it can't match a table entry).
+  private def render(commitId: Long, dirs: Map[String, Seq[String]],
+      nonce: String = ""): String = {
     val entries = dirs.toSeq.sortBy(_._1).map { case (t, ds) =>
       s""""${esc(t)}":${ds.map(d => s""""${esc(d)}"""").mkString("[", ",", "]")}"""
     }.mkString(",")
-    s"""{"commit":$commitId,"tables":{$entries}}"""
+    val writer = if (nonce.isEmpty) "" else s""","writer":"$nonce""""
+    s"""{"commit":$commitId,"tables":{$entries}$writer}"""
   }
 
   private def esc(s: String): String =

@@ -28,11 +28,14 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine in double precision. A zero-norm side leaves the quotient
-    * undefined: return NaN explicitly (the pre-ANSI float semantics) —
-    * the `when` guard is evaluated lazily, so under ANSI mode the raw
-    * division can never abort the job on one degenerate row, which a
-    * 100 TB corpus will always contain. Downstream argmax/argmin sites
-    * map the NaN away from ever winning (see [[assign]]).
+    * undefined: return NaN explicitly. (Not an ANSI-mode concern —
+    * Spark's ANSI divide-by-zero error applies to integral/decimal
+    * division only; double division follows IEEE 754, and since a zero
+    * norm forces a zero dot product the raw quotient would be 0.0/0.0 =
+    * NaN anyway. The guard just makes the undefined case deliberate and
+    * readable.) Downstream argmax/argmin sites map the NaN away from
+    * ever winning (see [[assign]]) — NaN sorts GREATEST in Spark, so an
+    * unguarded ordering would crown a degenerate vector.
     */
   def cosine(a: Column, b: Column): Column = {
     val np = norm(a) * norm(b)
@@ -160,8 +163,14 @@ object Similarity {
       centroids: DataFrame, assignments: DataFrame, query: Seq[Float],
       k: Int, nprobe: Int): DataFrame = {
     val q = array(query.map(lit): _*)
+    // nanvl: Spark sorts NaN GREATEST, so a zero-norm centroid's NaN
+    // cosine would win a probe slot ahead of every real cell — map
+    // undefined similarity to -Inf so it always loses (the [[assign]]
+    // discipline).
     val probed = centroids
-      .select(col("centroid_id"), cosine(col("centroid"), q).as("sim"))
+      .select(col("centroid_id"),
+        nanvl(cosine(col("centroid"), q), lit(Double.NegativeInfinity))
+          .as("sim"))
       .orderBy(col("sim").desc, col("centroid_id")).limit(nprobe)
       .select("centroid_id")
     df.join(assignments, Seq(idCol))
@@ -371,9 +380,10 @@ object Similarity {
   }
 
   /** [[cosine]] with pre-computed norms (hoisted out of a pair loop;
-    * identical IEEE values) — same lazy zero-divisor guard: a zero-norm
-    * side yields NaN (which `>= threshold` rejects) instead of an ANSI
-    * divide-by-zero job abort.
+    * identical IEEE values) — same explicit-NaN discipline: a zero-norm
+    * side yields NaN, which `>= threshold` rejects. (Double division is
+    * IEEE even under ANSI mode; the guard documents intent, it does not
+    * avert any job abort.)
     */
   private def hoistedCosine(va: Column, vb: Column, na: Column,
       nb: Column): Column = {
@@ -522,9 +532,13 @@ object Similarity {
         "query length for this index")
     val sd = dims / m
     val q = array(query.map(lit): _*)
+    // nanvl: NaN sorts greatest, so a zero-norm centroid would
+    // otherwise beat every real cell into the probe set — undefined
+    // similarity must lose (same discipline as [[assign]]/[[ivfTopK]]).
     val probed = centroids
       .select(col("centroid_id"), col("centroid"),
-        cosine(col("centroid"), q).as("sim"))
+        nanvl(cosine(col("centroid"), q), lit(Double.NegativeInfinity))
+          .as("sim"))
       .orderBy(col("sim").desc, col("centroid_id")).limit(nprobe)
       .select(col("centroid_id"), residual(q, col("centroid")).as("rq"))
     val dj = (0 until m).reverse.foldLeft(lit(Double.NaN)) { (acc, j) =>

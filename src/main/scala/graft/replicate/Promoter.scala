@@ -436,6 +436,9 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
       checkIntervalMs: Long = 360000L,
       sleepMs: Long => Unit = Thread.sleep(_),
       onPoll: (Int, Seq[Long]) => Unit = (_, _) => ()): Seq[Long] = {
+    // a requestStop only ends the run it interrupts — reset here so an
+    // embedded/test caller can reuse the instance for a later run
+    stopRequested = false
     val promoted = Seq.newBuilder[Long]
     var waitMs = 0L
     var polls = 0

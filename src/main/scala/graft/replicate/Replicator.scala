@@ -112,6 +112,9 @@ final class Replicator(spark: SparkSession, source: ApdbSource, ppdb: ReplicaTar
       nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
       sleepMs: Long => Unit = Thread.sleep(_),
       onPoll: (Int, Seq[Long]) => Unit = (_, _) => ()): Seq[Long] = {
+    // a requestStop only ends the run it interrupts — reset here so an
+    // embedded/test caller can reuse the instance for a later run
+    stopRequested = false
     val copied = Seq.newBuilder[Long]
     var waitMs = 0L
     var polls = 0

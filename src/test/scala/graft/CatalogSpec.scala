@@ -269,6 +269,49 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read(spark, "t").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("a writer stalled past the grace period is usurped; it aborts " +
+      "loudly and the usurper's acknowledged commit survives") {
+    import graft.catalog.ConcurrentCommitException
+    val root = tmpDir("occ-stall")
+    val stalled = new VersionedCatalog(root)
+    stalled.commit(Map("t" -> Seq(1L).toDF("n")))
+    val contested = stalled.currentCommit + 1
+    val usurper = new VersionedCatalog(root, orphanGraceMs = 200L)
+    // Freeze the first writer between its commit-id claim and its
+    // pointer move — the exact window a GC pause or slow FS opens —
+    // while a second writer outwaits the grace and takes the id over.
+    @volatile var usurperId = -1L
+    stalled.beforePointerMove = () => {
+      val t = new Thread(() =>
+        usurperId = usurper.commit(Map("t" -> Seq(99L).toDF("n"))))
+      t.start(); t.join(60000)
+    }
+    val ex = intercept[ConcurrentCommitException] {
+      stalled.commit(Map("t" -> Seq(2L).toDF("n")))
+    }
+    assert(ex.getMessage.contains("not acknowledged"))
+    assert(usurperId == contested, "usurper claimed the contested id")
+    // The usurper acknowledged its commit; the stalled writer must not
+    // have shadowed it — readers see the usurper's data, and the
+    // history file for the contested id matches what the pointer shows.
+    assert(stalled.read(spark, "t").collect().map(_.getLong(0)).toSeq
+      == Seq(99L))
+    val hist = new String(Files.readAllBytes(
+      Paths.get(root, "_commits", s"$contested.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val ptr = new String(Files.readAllBytes(Paths.get(root, "_CURRENT")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(ptr == hist, "pointer restored to the acknowledged payload")
+    // the stalled writer's RMW retry then lands cleanly on the next id
+    stalled.beforePointerMove = () => ()
+    stalled.retrying() { expected =>
+      val n = stalled.read(spark, "t").head().getLong(0)
+      stalled.commit(Map("t" -> Seq(n + 1).toDF("n")), Some(expected))
+    }
+    assert(stalled.read(spark, "t").collect().map(_.getLong(0)).toSeq
+      == Seq(100L))
+  }
+
   test("bucketize: co-located join with no exchange; survives re-register") {
     val cat = new VersionedCatalog(tmpDir("cat"))
     val dim = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "attr")

@@ -379,6 +379,43 @@ class SimilaritySpec extends SparkSpec {
     assert(batch(12L) == 0L)
   }
 
+  test("zero-norm (NaN-cosine) centroids lose the PROBE ordering in " +
+      "ivfTopK and ivfPqTopK") {
+    // NaN sorts greatest: unguarded ORDER BY sim DESC would hand the
+    // degenerate centroid a probe slot, silently evicting a real cell
+    // (and its members) from the candidate set
+    val cents: Array[(Long, Array[Double])] = Array(
+      0L -> Array(0.0, 0.0), 1L -> Array(1.0, 0.0), 2L -> Array(0.0, 1.0))
+    val centDf = cents.toSeq.toDF("centroid_id", "centroid")
+    val rows = Seq(
+      (10L, Seq(1.0f, 0.1f)),   // cell 1
+      (11L, Seq(0.1f, 1.0f)),   // cell 2
+      (12L, Seq(0.0f, 0.0f)))   // parked in the degenerate cell 0
+      .toDF("id", "v")
+    val asg = Seq((10L, 1L), (11L, 2L), (12L, 0L))
+      .toDF("id", "centroid_id")
+    val q = Seq(0.9f, 0.45f)
+    val ivf = Similarity.ivfTopK(rows, "id", "v", centDf, asg, q,
+      k = 2, nprobe = 2).select("id").collect().map(_.getLong(0)).toSet
+    assert(ivf == Set(10L, 11L),
+      s"both REAL cells must be probed, got $ivf")
+
+    // same discipline on the IVFADC path: m=1 codebooks holding each
+    // member's exact residual, so a probed cell always surfaces its
+    // member and the result set reveals exactly which cells were probed
+    val codebooks = Seq(
+      (0L, 0, 0L, Array(0.0, 0.0)),
+      (1L, 0, 0L, Array(0.0, 0.1)),
+      (2L, 0, 0L, Array(0.1, 0.0)))
+      .toDF("centroid_id", "sub", "code_id", "codeword")
+    val codes = Seq((10L, 1L, 0, 0L), (11L, 2L, 0, 0L), (12L, 0L, 0, 0L))
+      .toDF("vec_id", "centroid_id", "sub", "code")
+    val adc = Similarity.ivfPqTopK(codes, centDf, codebooks, q, m = 1,
+      k = 2, nprobe = 2).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(adc == Set(10L, 11L),
+      s"both REAL cells must be probed on the ADC path, got $adc")
+  }
+
   test("multi-probe LSH recall >= single-probe recall") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queryVec, 10).select("vec_id").collect().map(_.getLong(0)).toSet
