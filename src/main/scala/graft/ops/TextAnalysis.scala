@@ -263,6 +263,34 @@ object TextAnalysis {
       .drop("cum")
   }
 
+  /** Mixture sampling — the data-mixing step of a training pipeline:
+    * each source gets its OWN token budget (the target mixture, e.g.
+    * 60% web / 30% books / 10% code expressed as absolute token
+    * counts), and within each source documents are consumed in
+    * deterministic [[sampleRank]] order until the budget is spent.
+    * Sources absent from `budgets` are excluded (weight zero). Same
+    * exact-prefix window shape as [[tokenBudgetSample]] — the budget
+    * table is broadcast (mixtures name at most hundreds of sources), so
+    * the only shuffle is the per-source window; for a single source too
+    * hot for one partition, the rate-based
+    * [[tokenBudgetSampleApproxCounted]] is the scale fallback.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgets: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = budgets.toSeq.toDF(sourceCol, "budget_tok")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(sampleRank(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(sourceCol),
+        tokenCountOf(stats(col(textCol))).as("n_tok"))
+      .join(broadcast(bdf), Seq(sourceCol))
+      .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+      .where(col("cum") <= col("budget_tok"))
+      .select(col(idCol), col(sourceCol), col("n_tok"))
+  }
+
   /** APPROXIMATE token-budget sample — the 100 TB path: pass 1 totals
     * tokens per source (one partial-aggregated groupBy), pass 2 keeps
     * each doc with probability budget/total via a deterministic uniform
@@ -355,6 +383,59 @@ object TextAnalysis {
     * join key — the Zipf head is small but deliberately NOT broadcast
     * (at 100 TB the tail is wide); both shuffles carry 8-byte keys.
     */
+  /** Repeated-span scrubbing — the cleaning half of exact-substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): any word `n`-gram occurring in ≥ `minDf` distinct
+    * documents is boilerplate, and every token covered by such a span is
+    * cut; the document survives with its remaining tokens in order.
+    * Complements the winnowing DETECTORS (dd11/dd13) — those find the
+    * shared spans, this removes them. Returns
+    * (doc_id, clean_text, n_kept, n_dropped), one row per input doc
+    * (an all-boilerplate doc comes back with an empty clean_text —
+    * dropping it is the caller's policy decision).
+    *
+    * Plan shape: one window pass per doc builds span grams with a
+    * lead-chain (incremental, no sliding collect_list re-aggregation),
+    * doc-frequency is a map-side-combinable groupBy on the gram, hot
+    * spans join back by equi-join (gram keys shard freely — deliberately
+    * NOT broadcast: at 100 TB the repeated-span set is as unbounded as
+    * the near-dup rate), and coverage is one more same-key window — the
+    * final groupBy reuses the window's doc partitioning, so the whole op
+    * is three exchanges regardless of corpus size. Spans join on the raw
+    * gram STRING: exact semantics, no hash-collision false scrubs; the
+    * key is ~n words, and a corpus wanting 8-byte keys can pre-hash with
+    * the dd2 shingle arithmetic at the usual collision odds.
+    */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    require(n >= 2, s"span length $n must be >= 2")
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("w"), k).over(wOrd))
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    // positions are dense per doc, so lead(n-1) non-null <=> a full
+    // n-token span starts here
+    val grams = toks.select(col("doc_id"), col("pos"), col("w"),
+      when(leads.last.isNotNull,
+        concat_ws(" ", (col("w") +: leads): _*)).as("gram"))
+    val hot = grams.where(col("gram").isNotNull)
+      .groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("gram"), lit(1).as("bp"))
+    val wCover = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    grams.join(hot, Seq("gram"), "left")
+      .withColumn("cov", max(coalesce(col("bp"), lit(0))).over(wCover))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("cov") === 0, struct(col("pos"), col("w"))))),
+          _.getField("w")), " ").as("clean_text"),
+        count(when(col("cov") === 0, lit(1))).as("n_kept"),
+        count(when(col("cov") === 1, lit(1))).as("n_dropped"))
+  }
+
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
       maxBits: Int = 40): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
@@ -368,5 +449,42 @@ object TextAnalysis {
         sum(col("surp").cast("long")).as("surprise"))
       .withColumn("mean_surprise",
         col("surprise").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Bigram conditional surprisal — [[unigramSurprisal]]'s context-aware
+    * refinement: per bigram (w1, w2), surprise ≈ log2 P(w2 | w1)⁻¹,
+    * computed EXACTLY as `bitlen(freq(w1, ·)) − bitlen(freq(w1, w2))`
+    * (integer bit lengths, never a float log — same bit-stability
+    * argument as ts14: Σ log p is aggregation-order-dependent and
+    * libm-private; bit lengths are not). Repetitive text (low
+    * conditional surprise) scores near zero even when its unigrams are
+    * rare — the failure mode a unigram proxy can't see. Docs with < 2
+    * tokens have no bigrams and drop out. Returns
+    * (doc_id, n_bigrams, surprise, mean_surprise).
+    *
+    * Plan: one per-doc window builds the bigram stream; bigram counts
+    * are map-side combinable; the context count is a pure rollup of the
+    * bigram table (no second pass over the corpus); both join keys are
+    * vocabulary-sized and shard freely.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .select(col("doc_id"), lag(col("w"), 1).over(wOrd).as("w1"),
+        col("w").as("w2"))
+      .where(col("w1").isNotNull)
+    val bf = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("bfreq"))
+    val cf = bf.groupBy(col("w1")).agg(sum(col("bfreq")).as("cfreq"))
+    bi.join(bf, Seq("w1", "w2")).join(cf, Seq("w1"))
+      .select(col("doc_id"),
+        (length(bin(col("cfreq"))) - length(bin(col("bfreq")))).as("surp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surp").cast("long")).as("surprise"))
+      .withColumn("mean_surprise",
+        col("surprise").cast("double") / col("n_bigrams").cast("double"))
   }
 }

@@ -55,6 +55,11 @@ object StreamOps {
     // users per hour window is ~170 at sf0.1, well under capacity 512
     "a9_windowed_topk" -> ((s, d) => EventStreams.windowedTopK(events(s, d))),
 
+    // per-window distinct users (exact batch form; the streaming twin
+    // runs the same plan with HLL++ sketch state — StreamingSpec)
+    "a11_windowed_distinct" -> ((s, d) =>
+      EventStreams.windowedDistinct(events(s, d))),
+
     // multimodal metadata: documents as binary payloads with arithmetic
     // pseudo-decode (the mapPartitions codec path is spec-tested; this
     // entry checks the schema/derivation plumbing against the oracle)
@@ -92,6 +97,11 @@ object StreamOps {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY window_start_us
         |    ORDER BY cnt DESC, user_id) AS INTEGER) AS rnk FROM w)
         |SELECT window_start_us, user_id, cnt, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "a11_windowed_distinct" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
     "st1_window_agg" ->
       """SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
         |       event_type, count(*) AS n,

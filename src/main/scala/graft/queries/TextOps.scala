@@ -315,6 +315,25 @@ object TextOps {
     "ts14_unigram_lm" -> ((s, d) =>
       TextAnalysis.unigramSurprisal(documents(s, d), "doc_id", "text")),
 
+    // bigram conditional surprisal (context-aware perplexity proxy —
+    // catches repetitive text whose unigrams look rare; same integer
+    // bit-length arithmetic as ts14)
+    "ts16_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramSurprisal(documents(s, d), "doc_id", "text")),
+
+    // mixture sampling: per-source token budgets (the data-mixing step);
+    // deterministic hash-order prefix per source, unnamed sources = 0
+    "ts15_mixture" -> ((s, d) =>
+      TextAnalysis.mixtureSample(documents(s, d), "doc_id", "text",
+        "source", Map("src0" -> 1500L, "src1" -> 800L, "src2" -> 300L))),
+
+    // repeated-span scrubbing (exact-substring dedup's cleaning half):
+    // any 8-gram shared by >= 2 docs is boilerplate; covered tokens are
+    // cut and the doc is rebuilt from the survivors in order
+    "dd16_span_scrub" -> ((s, d) =>
+      TextAnalysis.scrubRepeatedSpans(documents(s, d), "doc_id", "text",
+        n = 8, minDf = 2)),
+
     // normalized (C4-style fuzzy-exact) dedup: lowercase, strip
     // non-alphanumerics, collapse whitespace, then hash-groupBy — same
     // single-shuffle shape as dd1 on the normalized key
@@ -595,6 +614,41 @@ object TextOps {
         |        FROM documents))
         |WHERE cum <= 700""".stripMargin,
 
+    // bigram surprisal: zipped equal-length unnests build the bigram
+    // stream; context freq is a rollup of the bigram counts, exactly as
+    // in the engine
+    "ts16_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+        |           FROM documents),
+        |b AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+        |             unnest(tk[2:len(tk)]) AS w2
+        |      FROM t WHERE len(tk) >= 2),
+        |bf AS (SELECT w1, w2, count(*) AS bfreq FROM b GROUP BY 1, 2),
+        |cf AS (SELECT w1, CAST(sum(bfreq) AS BIGINT) AS cfreq
+        |       FROM bf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |         length(bin(cfreq)) - length(bin(bfreq)) AS surp
+        |       FROM b JOIN bf USING (w1, w2) JOIN cf USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(surp) AS BIGINT) AS surprise,
+        |       CAST(sum(surp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS mean_surprise
+        |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "ts15_mixture" ->
+      """SELECT doc_id, source, n_tok FROM (
+        |  SELECT doc_id, source, n_tok, budget_tok,
+        |    CAST(sum(CAST(n_tok AS BIGINT)) OVER (
+        |      PARTITION BY source
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM (SELECT doc_id, source,
+        |          len(string_split_regex(text, '\s+')) AS n_tok
+        |        FROM documents)
+        |  JOIN (VALUES ('src0', 1500), ('src1', 800), ('src2', 300))
+        |       AS b(source, budget_tok) USING (source))
+        |WHERE cum <= budget_tok""".stripMargin,
+
     "ts6_source_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
@@ -663,6 +717,34 @@ object TextOps {
          |      FROM cand JOIN s sa ON id_a = sa.doc_id
          |                JOIN s sb ON id_b = sb.doc_id)
          |SELECT * FROM v WHERE greatest(cont_ab, cont_ba) >= 0.8""".stripMargin,
+
+    // span scrub: 1-based inclusive slices — tk[pos:pos+7] is the
+    // 8-token span; the coverage window mirrors the engine's
+    // ROWS BETWEEN 7 PRECEDING AND CURRENT ROW exactly
+    "dd16_span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |p AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos
+        |      FROM t),
+        |g AS (SELECT doc_id, pos, tk[pos] AS w,
+        |        CASE WHEN pos + 7 <= len(tk)
+        |             THEN array_to_string(tk[pos:pos+7], ' ') END AS gram
+        |      FROM p),
+        |hot AS (SELECT gram FROM g WHERE gram IS NOT NULL
+        |        GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT g.doc_id, g.pos, g.w,
+        |        CASE WHEN hot.gram IS NOT NULL THEN 1 ELSE 0 END AS bp
+        |      FROM g LEFT JOIN hot ON g.gram = hot.gram),
+        |c AS (SELECT doc_id, pos, w,
+        |        max(bp) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+        |      FROM m)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN cov = 0 THEN w END, ' '
+        |    ORDER BY pos), '') AS clean_text,
+        |  count(CASE WHEN cov = 0 THEN 1 END) AS n_kept,
+        |  count(CASE WHEN cov = 1 THEN 1 END) AS n_dropped
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "ts14_unigram_lm" ->
       """WITH tok AS (

@@ -58,6 +58,34 @@ object EventStreams {
         col("e.cnt").as("cnt"), (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Per-window distinct users — the audience/reach counter. Exact mode
+    * (`approx = false`) is the batch/oracle form; a STREAM must use
+    * `approx = true`: Spark refuses exact distinct aggregation on a
+    * streaming DataFrame (distinct state is unbounded per window), while
+    * HLL++ partial aggregates are fixed-size, mergeable state — the
+    * sketch IS the state-store payload, O(2^p) bytes per open window
+    * regardless of user cardinality, and the watermark bounds open
+    * windows and drives append-mode emit. HLL++ is deterministic for a
+    * given input multiset, so the streaming result equals the batch
+    * approx result exactly (StreamingSpec), and the `rsd` contract ties
+    * both to the exact count.
+    */
+  def windowedDistinct(events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "10 minutes", approx: Boolean = false,
+      rsd: Double = 0.05): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    val users =
+      if (approx) approx_count_distinct(col("user_id"), rsd)
+      else count_distinct(col("user_id"))
+    withWm
+      .groupBy(window(col("ts"), windowDur))
+      .agg(users.as("n_users"), count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_users"), col("n_events"))
+  }
+
   /** Stream-stream interval join — the continuous form of the j10
     * attribution query: every event within `windowDur` AFTER a purchase
     * by the same user, matched as both sides ARRIVE (inner stream-stream

@@ -26,6 +26,45 @@ class StreamingSpec extends SparkSpec {
       "streaming (AvailableNow, complete) == batch")
   }
 
+  test("windowed distinct: streaming HLL state equals batch approx " +
+      "exactly; approx within rsd contract of exact") {
+    val ev = graft.Tables.events(spark, sf)
+    val exact = EventStreams.windowedDistinct(ev)
+    val approxB = EventStreams.windowedDistinct(ev, approx = true)
+    val srcDir = tmpDir("wdistinct-src")
+    ev.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "wdistinct",
+      EventStreams.windowedDistinct(_, approx = true),
+      outputMode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("wdistinct")
+    assert(streamed.count() > 0)
+    // HLL++ is deterministic over a multiset, so the sketch-state
+    // streaming run must equal the batch approx run bit-for-bit
+    assert(approxB.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(approxB).isEmpty,
+      "streaming (AvailableNow, complete, HLL state) == batch approx")
+    // rsd contract vs the exact count, per window (default rsd 0.05;
+    // 3x slack + small-count floor, same discipline as SketchSpec)
+    exact.as("e").join(approxB.as("a"), "window_start_us")
+      .select(col("e.n_users"), col("a.n_users"))
+      .collect().foreach { r =>
+        val ex = r.getLong(0).toDouble
+        val ap = r.getLong(1).toDouble
+        assert(math.abs(ap - ex) <= math.max(3.0, 3 * 0.05 * ex),
+          s"window approx $ap vs exact $ex outside the rsd contract")
+      }
+    // exact distinct on a stream is refused at analysis time — the
+    // sketch is not an optimization here but the only legal state shape
+    val streamDf = spark.readStream.schema(schema).parquet(srcDir)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      EventStreams.windowedDistinct(streamDf)
+        .writeStream.format("memory").queryName("wdistinct_exact")
+        .outputMode("complete").start()
+    }
+  }
+
   test("streaming dedup: first writer wins, re-arrivals dropped") {
     import java.sql.Timestamp
     val srcDir = tmpDir("dedup-src")
