@@ -78,6 +78,15 @@ object PlanAudit {
       p => p.contains("BroadcastHashJoin") &&
         !p.contains("BroadcastNestedLoopJoin") &&
         p.contains("TakeOrderedAndProject")),
+    Check("sim8_rpq_topk",
+      "rotated-space ADC probe keeps sim6's exact shape (broadcast " +
+        "distance table, no extra exchange); the rotation runs behind " +
+        "its per-step plan barrier (RDD leaf), never as the nested " +
+        "O(dims³) expression",
+      p => p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("TakeOrderedAndProject") &&
+        p.contains("ExistingRDD")),
     Check("sim7_ivfpq_topk",
       "IVFADC: no shuffle join anywhere, top-k without full sort; " +
         "nested-loops only from the build's kc-row broadcast-argmax " +

@@ -559,9 +559,13 @@ final class VersionedCatalog(val root: String,
   }
 
   /** Delete data dirs no longer referenced by `_CURRENT`, plus stale
-    * pointer tmp files left by a crash before ATOMIC_MOVE.
+    * pointer tmp files left by a crash before ATOMIC_MOVE. With
+    * `dryRun` nothing is deleted — the return value is the count that
+    * WOULD go, so an operator can audit a retention policy before
+    * running it (the CLI's `vacuum --dry-run`).
     */
-  def vacuum(retainCommits: Int = 0): Int = synchronized {
+  def vacuum(retainCommits: Int = 0, dryRun: Boolean = false): Int =
+      synchronized {
     val (curId, curDirs) = current
     // keep the last `retainCommits` PAST commits time-travel-readable
     // (plus the current one, always): their dirs survive the sweep,
@@ -588,11 +592,14 @@ final class VersionedCatalog(val root: String,
           val id = f.getFileName.toString.stripSuffix(".json").toLong
           !keepIds.contains(id) || id > curId
         }
-        .toSeq).foreach(Files.deleteIfExists(_))
+        .toSeq).foreach { f => if (!dryRun) Files.deleteIfExists(f) }
     }
     listDir(rootPath)(_
       .filter(p => p.getFileName.toString.startsWith("_CURRENT.tmp."))
-      .toSeq).foreach { stale => Files.deleteIfExists(stale); removed += 1 }
+      .toSeq).foreach { stale =>
+        if (!dryRun) Files.deleteIfExists(stale)
+        removed += 1
+      }
     if (Files.exists(rootPath)) {
       listDir(rootPath)(_
         .filter(p => Files.isDirectory(p))
@@ -603,7 +610,10 @@ final class VersionedCatalog(val root: String,
           listDir(tableDir)(_
             .filter(p => Files.isDirectory(p))
             .filter(p => !live.contains(p.toAbsolutePath.toString))
-            .toSeq).foreach { dead => deleteRecursively(dead); removed += 1 }
+            .toSeq).foreach { dead =>
+              if (!dryRun) deleteRecursively(dead)
+              removed += 1
+            }
         }
     }
     removed

@@ -49,10 +49,10 @@ object Cli {
     "seed-apdb", "upload", "promote", "vacuum", "demo")
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "vacuum" :: root :: Nil =>
+    case "vacuum" :: root :: rest =>
       // pure filesystem work — don't pay a SparkSession for it
-      val removed = new VersionedCatalog(root).vacuum()
-      println(s"removed $removed unreferenced version dirs")
+      try runVacuum(root, rest)
+      catch { case UsageError(m) => System.err.println(m); sys.exit(2) }
     case other if !other.headOption.exists(knownCommands) =>
       // unknown (or missing) command: fail fast, no session startup
       System.err.println(usageFor(other))
@@ -148,6 +148,33 @@ object Cli {
   /** `create` knobs (reference create-sql: felis_schema_options + --drop,
     * P/cli/ppdb_cli.py:60-68).
     */
+  /** `vacuum` retention knobs: keep the last N past commits readable
+    * via readAt (their data dirs survive the sweep); --dry-run audits
+    * the policy without deleting.
+    */
+  private[graft] final case class VacuumOpts(retainCommits: Int = 0,
+      dryRun: Boolean = false)
+
+  private[graft] def parseVacuumOpts(rest: List[String]): VacuumOpts = {
+    def go(args: List[String], o: VacuumOpts): VacuumOpts = args match {
+      case "--retain-commits" :: v :: t =>
+        go(t, o.copy(retainCommits = numArg("--retain-commits", v).toInt))
+      case "--dry-run" :: t => go(t, o.copy(dryRun = true))
+      case Nil => o
+      case bad :: _ => throw UsageError(s"unknown vacuum option: $bad")
+    }
+    go(rest, VacuumOpts())
+  }
+
+  private[graft] def runVacuum(root: String, rest: List[String]): Unit = {
+    val o = parseVacuumOpts(rest)
+    val removed = new VersionedCatalog(root)
+      .vacuum(retainCommits = o.retainCommits, dryRun = o.dryRun)
+    val verb = if (o.dryRun) "would remove" else "removed"
+    println(s"$verb $removed unreferenced version dirs " +
+      s"(retaining ${o.retainCommits} past commits)")
+  }
+
   private[graft] final case class CreateOpts(felisPath: Option[String] = None,
       drop: Boolean = false)
 
@@ -198,7 +225,8 @@ object Cli {
           "seed-apdb <root> [nObjects nChunks [start]] | " +
           "upload <root> <exportRoot> <remoteRoot> [--stage] [--metrics-json <dest>] | " +
           "promote <root> <exportRoot> [--loop|--single] [--exit-on-empty] " +
-          "[--max-chunks N] [--check-interval S] | vacuum <root> | " +
+          "[--max-chunks N] [--check-interval S] | " +
+          "vacuum <root> [--retain-commits N] [--dry-run] | " +
           "demo <root> [nObjects nChunks]"
       case _ =>
         s"unknown command: ${args.mkString(" ")}\n" +
@@ -238,6 +266,9 @@ object Cli {
     */
   private[graft] def dispatch(spark: SparkSession, args: List[String]): Unit =
     args match {
+      // main handles vacuum pre-session; this case keeps the command
+      // reachable through the one testable entry point
+      case "vacuum" :: root :: rest => runVacuum(root, rest)
       case "create" :: root :: rest =>
         val opts = parseCreateOpts(rest)
         // schema source: a Felis YAML file (reference create-sql

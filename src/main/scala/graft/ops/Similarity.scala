@@ -291,6 +291,16 @@ object Similarity {
     * (a groupBy sum over the m rows would add in arrival order).
     */
   def pqTopK(codes: DataFrame, codebooks: DataFrame, query: Seq[Float],
+      m: Int, k: Int, idCol: String = "vec_id"): DataFrame =
+    // float→double literal is exact and VecDot widens every element to
+    // double before multiplying, so delegating is bit-identical
+    pqTopKD(codes, codebooks, query.map(_.toDouble), m, k, idCol)
+
+  /** [[pqTopK]] over a double-precision query — the form rotated-space
+    * probes use ([[rotateVec]] emits doubles; truncating them to float
+    * would desync the probe from the double-arithmetic oracle).
+    */
+  def pqTopKD(codes: DataFrame, codebooks: DataFrame, query: Seq[Double],
       m: Int, k: Int, idCol: String = "vec_id"): DataFrame = {
     val dims = query.length
     require(dims % m == 0,
@@ -326,6 +336,88 @@ object Similarity {
       .orderBy(col("adist"), col(idCol))
       .limit(k)
   }
+
+  // ------------------------------------------------ rotated PQ (OPQ-lite)
+
+  /** Seeded Householder reflection vectors for [[rotateExpr]] — the
+    * deterministic stand-in for OPQ's learned rotation (Ge et al. 2013):
+    * u_k[d] = [[plane]](seedBase + k, d), the same integer mix the LSH
+    * hyperplanes use (offset so the families never collide), so the SQL
+    * oracle can regenerate every component arithmetically instead of
+    * pasting float literals.
+    */
+  def householderUs(nRefl: Int, dims: Int,
+      seedBase: Int = 1000): Seq[Array[Double]] =
+    (0 until nRefl).map(k => Array.tabulate(dims)(d => plane(seedBase + k, d)))
+
+  /** Orthogonal pre-rotation as a column expression: each Householder
+    * step maps v → v − u·(2(u·v)/(u·u)). Reflections are isometric, so
+    * L2 distances — and therefore PQ's ADC ranking in the ksub = N
+    * exactness limit — are preserved exactly (SimilaritySpec pins both),
+    * while the mixing de-correlates dimensions ACROSS subspace
+    * boundaries before the per-subspace quantizers cut them apart —
+    * OPQ's motivation, minus the data-dependent training that would
+    * break bit-stable oracle checks. Every fold accumulates in index
+    * order; [[rotateVec]] is the driver-side twin for query vectors.
+    *
+    * COST WARNING — this single-expression form re-evaluates the scalar
+    * `s` inside the zip_with lambda once per ELEMENT, and each step's
+    * input tree nests into the next, so evaluation is O(dims³) per row
+    * per reference (the Spark twin of the DuckDB inlined-CTE blowup the
+    * sim8 oracle materializes its way around). Fine for a handful of
+    * rows in a spec; on a corpus use [[rotated]], which hoists `s` and
+    * puts a plan barrier between steps.
+    */
+  def rotateExpr(vec: Column, us: Seq[Array[Double]]): Column = {
+    val vd = transform(vec, _.cast("double"))
+    us.foldLeft(vd) { (v, u) =>
+      val lu = array(u.map(lit): _*)
+      val uu = u.foldLeft(0.0)((acc, x) => acc + x * x)
+      val s = (lit(2.0) * dot(v, lu)) / lit(uu)
+      zip_with(v, lu, (a, b) => a - b * s)
+    }
+  }
+
+  /** Corpus-scale [[rotateExpr]]: bit-identical values (same dot, same
+    * per-element `a − b·s`, same step order), linear cost. Each
+    * Householder step hoists `s = 2(u·v)/(u·u)` into its own projection
+    * and crosses a [[org.apache.spark.sql.graftbridge.PlanBridge]]
+    * barrier before the per-element update, so (a) the zip_with lambda
+    * reads `s` as a row attribute instead of re-deriving the dot per
+    * element, and (b) CollapseProject can never fuse the steps back into
+    * the nested O(dims³) tree. The barrier is an RDD leaf — recompute-
+    * correct, no persist to leak — and downstream multi-references
+    * (pqEncode's m slices) re-read a computed array, not the fold.
+    */
+  def rotated(df: DataFrame, vecCol: String, us: Seq[Array[Double]])
+      : DataFrame = {
+    val start = df.withColumn(vecCol, transform(col(vecCol), _.cast("double")))
+    us.foldLeft(start) { (cur, u) =>
+      val lu = array(u.map(lit): _*)
+      val uu = u.foldLeft(0.0)((acc, x) => acc + x * x)
+      val withS = cur.withColumn("__rot_s",
+        (lit(2.0) * dot(col(vecCol), lu)) / lit(uu))
+      org.apache.spark.sql.graftbridge.PlanBridge.truncated(withS)
+        .withColumn(vecCol,
+          zip_with(col(vecCol), lu, (a, b) => a - b * col("__rot_s")))
+        .drop("__rot_s")
+    }
+  }
+
+  /** Driver-side [[rotateExpr]] twin (identical IEEE op order) for
+    * rotating a literal query vector before a rotated-space probe.
+    */
+  def rotateVec(q: Seq[Double], us: Seq[Array[Double]]): Seq[Double] =
+    us.foldLeft(q.toArray) { (v, u) =>
+      var duv = 0.0
+      var uu = 0.0
+      var i = 0
+      while (i < v.length) {
+        duv += v(i) * u(i); uu += u(i) * u(i); i += 1
+      }
+      val s = (2.0 * duv) / uu
+      Array.tabulate(v.length)(j => v(j) - u(j) * s)
+    }.toSeq
 
   /** Multi-probe ANN top-k: probe the query's LSH bucket plus every
     * 1-bit-flip neighbor bucket (bits+1 probes) — recovers most of the

@@ -49,6 +49,40 @@ object VectorOps {
       s"ELSE CAST(0 AS BIGINT) END))"
   }
 
+  /** Materialized CTE chain rotating every embedding ONCE: `v0` casts to
+    * double, `r0`/`rv` apply Householder steps 0 and 1 (plane index
+    * `1000 + k`, mirroring Similarity.householderUs/rotateExpr bit for
+    * bit — v[i] − u[i]·(2(u·v)/(u·u)), every fold in index order, every
+    * u component regenerated arithmetically from the integer mix).
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the
+    * downstream corpus×codebook cross join would re-expand the whole
+    * nested fold per row per element — a >10^10-op blowup that never
+    * finishes. One step per CTE with the scalar `s` hoisted keeps cost
+    * linear; values are unchanged (only the recompute count drops).
+    */
+  private def sqlRotCtes: String = {
+    def u(k: Int)(i: String) =
+      s"(CAST((${1000 + k} * 2654435761 + ($i - 1) * 40503 + 97) % 10007 " +
+        s"AS DOUBLE) / 5003.5 - 1.0)"
+    def fold(body: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${DIMS + 1}), i -> $body)), " +
+        s"(acc, x) -> acc + x)"
+    def step(src: String, k: Int, dst: String): String = {
+      val duv = fold(s"remb[i] * ${u(k)("i")}")
+      val uu = fold(s"${u(k)("i")} * ${u(k)("i")}")
+      s"$dst AS MATERIALIZED (\n" +
+        s"  SELECT vec_id, list_transform(range(1, ${DIMS + 1}), " +
+        s"i -> remb[i] - ${u(k)("i")} * s) AS remb\n" +
+        s"  FROM (SELECT vec_id, remb, (2.0 * ($duv)) / ($uu) AS s " +
+        s"FROM $src))"
+    }
+    s"v0 AS MATERIALIZED (\n" +
+      s"  SELECT vec_id, list_transform(embedding, " +
+      s"x -> CAST(x AS DOUBLE)) AS remb FROM embeddings),\n" +
+      step("v0", 0, "r0") + ",\n" + step("r0", 1, "rv")
+  }
+
   /** The corpus query vector: embedding of vec_id = 0 (collected once at
     * plan-build; a single 64-float row).
     */
@@ -121,6 +155,26 @@ object VectorOps {
       val idx = graft.ops.IvfPqIndex.build(e, "vec_id", "embedding",
         kc = 8, m = 4, dims = DIMS, ksub = 8)
       idx.probe(queryVec(s, d), k = 30, nprobe = 2)
+    }),
+
+    // rotated PQ (OPQ-lite): a seeded orthogonal pre-rotation mixes
+    // dimensions across subspace boundaries before the per-subspace
+    // quantizers cut them apart, then the plain sim6 PQ pipeline runs in
+    // rotated space (isometry keeps ADC rankings honest). Rotation is
+    // deterministic (not data-trained) so the whole probe keeps an exact
+    // oracle; the query rotates driver-side with the same IEEE op order
+    "sim8_rpq_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val us = Similarity.householderUs(2, DIMS)
+      // rotated(), not rotateExpr: the corpus-scale form hoists the
+      // per-step scalar behind a plan barrier (O(dims) per row; the
+      // nested expression form is O(dims³) per row per reference)
+      val rot = Similarity.rotated(
+        e.select(col("vec_id"), col("embedding").as("remb")), "remb", us)
+      val idx = graft.ops.PqIndex.build(rot, "vec_id", "remb",
+        m = 4, dims = DIMS, ksub = 16)
+      val rq = Similarity.rotateVec(queryVec(s, d).map(_.toDouble), us)
+      Similarity.pqTopKD(idx.codes, idx.codebooks, rq, m = 4, k = 30)
     }),
 
     // per-label embedding pooling (mean-pool modulo the final divide) in
@@ -213,6 +267,45 @@ object VectorOps {
          |               cb.centroid_id) AS rn
          |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dt AS (
+         |  SELECT sub, centroid_id AS code,
+         |         (($n2c) - (2.0 *
+         |            (${sqlDotN(sub("q.qv"), "centroid", 16)})))
+         |           + (${sqlDotN(sub("q.qv"), sub("q.qv"), 16)}) AS dj
+         |  FROM cb CROSS JOIN q),
+         |ad AS (
+         |  SELECT c.vec_id,
+         |         max(CASE WHEN c.sub = 0 THEN dt.dj END) AS d0,
+         |         max(CASE WHEN c.sub = 1 THEN dt.dj END) AS d1,
+         |         max(CASE WHEN c.sub = 2 THEN dt.dj END) AS d2,
+         |         max(CASE WHEN c.sub = 3 THEN dt.dj END) AS d3
+         |  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+         |  GROUP BY c.vec_id)
+         |SELECT vec_id, ((d0 + d1) + d2) + d3 AS adist
+         |FROM ad ORDER BY adist, vec_id LIMIT 30""".stripMargin
+    },
+
+    // rotated PQ: the sim6 chain verbatim, over Householder-rotated
+    // vectors (rv) and the rotated query (q reads rv, so the rotation
+    // arithmetic is shared); slices need no cast — rv is already double
+    "sim8_rpq_topk" -> {
+      val sub = (e: String) => s"list_slice($e, sub*16+1, sub*16+16)"
+      val n2c = sqlDotN("centroid", "centroid", 16)
+      s"""WITH $sqlRotCtes,
+         |cb AS (
+         |  SELECT t.sub, s.vec_id AS centroid_id,
+         |         list_slice(s.remb, t.sub*16+1, t.sub*16+16) AS centroid
+         |  FROM (SELECT vec_id, remb FROM rv ORDER BY vec_id LIMIT 16) s
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) t),
+         |codes AS (
+         |  SELECT vec_id, sub, centroid_id AS code FROM (
+         |    SELECT e.vec_id, cb.sub, cb.centroid_id,
+         |           row_number() OVER (PARTITION BY e.vec_id, cb.sub
+         |             ORDER BY ($n2c) - (2.0 *
+         |               (${sqlDotN(sub("e.remb"), "centroid", 16)})),
+         |               cb.centroid_id) AS rn
+         |    FROM rv e CROSS JOIN cb) WHERE rn = 1),
+         |q AS (SELECT remb AS qv FROM rv WHERE vec_id = 0),
          |dt AS (
          |  SELECT sub, centroid_id AS code,
          |         (($n2c) - (2.0 *

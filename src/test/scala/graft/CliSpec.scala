@@ -463,6 +463,30 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("vacuum CLI: --dry-run audits without deleting; --retain-commits " +
+      "keeps time travel readable") {
+    import spark.implicits._
+    val root = tmpDir("cli-vacuum")
+    val cat = new VersionedCatalog(root)
+    cat.commit(Map("t" -> Seq(1L).toDF("n")))
+    cat.commit(Map("t" -> Seq(2L).toDF("n")))
+    cat.commit(Map("t" -> Seq(3L).toDF("n")))
+    val dry = dispatchCapturing("vacuum", root,
+      "--retain-commits", "1", "--dry-run")
+    assert(dry.contains("would remove 1"), dry)
+    // dry-run deleted nothing: the out-of-retention commit still reads
+    assert(cat.readAt(spark, "t", 1).head().getLong(0) == 1L)
+    val real = dispatchCapturing("vacuum", root, "--retain-commits", "1")
+    assert(real.contains("removed 1"), real)
+    // retained past commit stays readable; swept one refuses
+    assert(cat.readAt(spark, "t", 2).head().getLong(0) == 2L)
+    assert(cat.read(spark, "t").head().getLong(0) == 3L)
+    intercept[IllegalArgumentException] { cat.readAt(spark, "t", 1) }
+    intercept[Cli.UsageError] {
+      Cli.dispatch(spark, List("vacuum", root, "--nope"))
+    }
+  }
+
   test("non-strict mismatch warns and continues; strict raises") {
     val apdb = new TestApdb(spark, nObjects = 2, nChunks = 1)
     val ppdb = new PpdbSpark(spark, new VersionedCatalog(tmpDir("mism")))

@@ -170,6 +170,57 @@ class SimilaritySpec extends SparkSpec {
     assert(got == exact, s"ADC $got != exact $exact")
   }
 
+  test("rotated PQ: Householder chain is isometric; rotated-space ADC " +
+      "at ksub = N recovers the ORIGINAL-space exact L2 ranking") {
+    import graft.ops.PqIndex
+    val us = Similarity.householderUs(2, 64)
+    // isometry: |Rv| == |v| to fp roundoff, every corpus vector
+    emb.select(
+        Similarity.norm(Similarity.rotateExpr($"embedding", us)).as("rn"),
+        Similarity.norm(transform($"embedding", _.cast("double"))).as("n"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) <=
+          1e-9 * math.max(1.0, r.getDouble(1)),
+          s"rotation changed a norm: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      }
+    // rotateVec is rotateExpr's driver twin: same vector, same bits
+    val q0 = emb.where($"vec_id" === 0L)
+      .select(Similarity.rotateExpr($"embedding", us)).head().getSeq[Double](0)
+    assert(q0 == Similarity.rotateVec(queryVec.map(_.toDouble), us),
+      "driver-side rotation must equal the column expression bit-for-bit")
+    // the corpus-scale barriered form is the expression form, bit-for-bit
+    // (hoisting s and truncating the plan must not change a single ULP)
+    val viaExpr = emb.select($"vec_id",
+        Similarity.rotateExpr($"embedding", us).as("remb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    Similarity.rotated(
+        emb.select($"vec_id", $"embedding".as("remb")), "remb", us)
+      .collect().foreach { r =>
+        assert(r.getSeq[Double](1) == viaExpr(r.getLong(0)),
+          s"rotated() diverged from rotateExpr at vec_id ${r.getLong(0)}")
+      }
+    // exactness limit IN ROTATED SPACE == exact ranking in ORIGINAL
+    // space: reflections preserve L2, so quantization is the only
+    // approximation and ksub = N removes it
+    val n = emb.count().toInt
+    val rot = emb.select($"vec_id",
+      Similarity.rotateExpr($"embedding", us).as("remb"))
+    val idx = PqIndex.build(rot, "vec_id", "remb", m = 4, dims = 64,
+      ksub = n)
+    val rq = Similarity.rotateVec(queryVec.map(_.toDouble), us)
+    val got = Similarity.pqTopKD(idx.codes, idx.codebooks, rq, m = 4,
+      k = 15).collect().map(_.getLong(0)).toSeq
+    val qArr = array(queryVec.map(lit): _*)
+    val exact = emb
+      .select($"vec_id",
+        ((Similarity.dot($"embedding", $"embedding")
+          - lit(2.0) * Similarity.dot($"embedding", qArr))
+          + Similarity.dot(qArr, qArr)).as("d"))
+      .orderBy($"d", $"vec_id").limit(15)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"rotated ADC $got != original-space exact $exact")
+  }
+
   test("PQ recall on real embeddings beats chance at coarse codebooks") {
     import graft.ops.PqIndex
     val idx = PqIndex.build(emb, "vec_id", "embedding",
