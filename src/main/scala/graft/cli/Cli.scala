@@ -482,10 +482,6 @@ object Cli {
             else s"promoted chunks ${ids.mkString(", ")}")
         }
 
-      case "vacuum" :: root :: Nil =>
-        val removed = new VersionedCatalog(root).vacuum()
-        println(s"removed $removed unreferenced version dirs")
-
       case "demo" :: root :: rest =>
         val (nObjects, nChunks) = parseDemoArgs(rest)
         graft.Metrics.logEnabled = true

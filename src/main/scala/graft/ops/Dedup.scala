@@ -410,6 +410,59 @@ object Dedup {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** PageRank over the undirected near-dup graph in EXACT integer fixed
+    * point — rank mass carried as BIGINT scaled by `scale`, every
+    * division floored — so the result is bit-stable under any
+    * aggregation order and the `iters` rounds unroll into an exact SQL
+    * oracle (g2_pagerank). On a dup graph, rank concentrates on the
+    * template/boilerplate hubs that connect many near-copies — a
+    * centrality signal for which docs to KEEP (canonical sources) vs
+    * which are derived echoes, complementing [[dupClusters]]' flat
+    * membership labels.
+    *
+    * Nodes are the pairs' endpoints (a singleton doc has no edges and
+    * trivially holds the base rank — excluded). Per round, with damping
+    * 0.85 as the integer pair (85, 100):
+    * {{{ contrib(u→v) = r(u) div deg(u)
+    *     r'(v) = base + (85 · Σ contrib) div 100
+    *     base  = ((15 · scale) div 100) div n }}}
+    * The floors leak a few units of mass per round (standard for
+    * fixed-point PR); ranking fidelity is unaffected and DedupSpec pins
+    * hand-computed values on a path graph.
+    *
+    * Scale shape: edges carry their source degree from one persisted
+    * build (no per-round degree join); each round is one equi-join on u
+    * (the same key the edge table is already shuffled on) + one groupBy
+    * v — both key-partitioned, never all-pairs — and round state crosses
+    * [[roundCache]] so plan size stays O(1) in `iters`. Returns
+    * (`idCol`, rank_fp).
+    */
+  def pageRank(pairs: DataFrame, idCol: String, iters: Int = 3,
+      scale: Long = 1000000000000L): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val eDeg = tracked(edges.join(deg, Seq("u")))
+    val nodes = tracked(deg.select(col("u").as("id")))
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty graph")
+    val base = 15L * scale / 100L / n
+    var ranks = roundCache(nodes.select(col("id"), lit(scale / n).as("r")))
+    for (_ <- 1 to iters) {
+      val inflow = eDeg.join(ranks, col("u") === col("id"))
+        .select(col("v"), expr("r div deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      val prev = ranks
+      ranks = roundCache(nodes.join(inflow, col("id") === col("v"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("r")))
+      ranks.count() // materialize before dropping the round we read from
+      prev.unpersist()
+    }
+    ranks.select(col("id").as(idCol), col("r").as("rank_fp"))
+  }
+
   /** Banded MinHash index of a STATIC corpus for incremental near-dup
     * checks — the Jaccard-verified analogue of [[simhashIndex]]: `banded`
     * holds one (doc, band, bucket) row per band per corpus doc, `sets`

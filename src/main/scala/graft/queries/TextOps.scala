@@ -304,6 +304,15 @@ object TextOps {
         graft.ops.Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
           n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6))),
 
+    // integer fixed-point PageRank over the near-dup graph (canonical-
+    // source centrality: template hubs collect rank from their echoes);
+    // bit-stable BIGINT arithmetic, rounds unrolled exactly in the oracle
+    "g2_pagerank" -> ((s, d) =>
+      graft.ops.Dedup.pageRank(
+        graft.ops.Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6),
+        "doc_id", iters = 3)),
+
     // exact-quota stratified sample: first 5 docs per source in
     // deterministic hash order (guaranteed size, unlike rate sampling)
     "ts13_stratified" -> ((s, d) =>
@@ -583,6 +592,30 @@ object TextOps {
          |FROM e e1
          |JOIN e e2 ON e1.id_b = e2.id_a
          |JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin,
+
+    // PageRank rounds unrolled as CTEs — DuckDB `//` floors like Spark's
+    // `div` on the all-positive BIGINTs here; sums cast back to BIGINT
+    // (DuckDB sum -> HUGEINT); p0 MATERIALIZED so the LSH pipeline runs
+    // once, not once per symmetrized half
+    "g2_pagerank" -> {
+      val sc = "1000000000000"
+      def round(k: Int): String =
+        s"""i$k AS (SELECT ed.v, CAST(sum(r${k - 1}.r // ed.deg) AS BIGINT) AS s
+           |  FROM ed JOIN r${k - 1} ON ed.u = r${k - 1}.id GROUP BY ed.v),
+           |r$k AS (SELECT d.u AS id,
+           |    ((15 * $sc) // 100 // nn.n)
+           |      + (85 * coalesce(i$k.s, 0)) // 100 AS r
+           |  FROM deg d LEFT JOIN i$k ON d.u = i$k.v, nn)"""
+      s"""WITH p0 AS MATERIALIZED (SELECT id_a, id_b FROM ($dd3Sql) dd3),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p0
+         |      UNION ALL SELECT id_b AS u, id_a AS v FROM p0),
+         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+         |ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT u AS id, $sc // nn.n AS r FROM deg, nn),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT id AS doc_id, r AS rank_fp FROM r3""".stripMargin
+    },
 
     "ts13_stratified" ->
       """SELECT doc_id, source, rnk FROM (

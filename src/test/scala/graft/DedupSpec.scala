@@ -418,6 +418,26 @@ class DedupSpec extends SparkSpec {
     assert(capped == expected.map { case (a, b, _) => (a, b) })
   }
 
+  test("pageRank: hand-computed fixed point on a path graph; hub wins") {
+    // path a(1)–b(2)–c(3): deg 1/2/1, n=3, scale=1200 → r0=400 each,
+    // base=(15·1200/100)/3=60
+    // round 1: inflow a=400//2=200, b=400+400=800, c=200
+    //          r1 = 60+(85·s)//100 → a=230, b=740, c=230
+    // round 2: contrib a→b 230, b→{a,c} 740//2=370, c→b 230
+    //          r2(a)=60+(85·370)//100=374, r2(b)=60+(85·460)//100=451
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r2 = graft.ops.Dedup.pageRank(pairs, "doc_id", iters = 2,
+        scale = 1200L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 374L, 2L -> 451L, 3L -> 374L), r2)
+    // the 2-degree hub outranks the leaves at any iteration depth
+    val r5 = graft.ops.Dedup.pageRank(pairs, "doc_id", iters = 5,
+        scale = 1000000000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r5(2L) > r5(1L) && r5(1L) == r5(3L), r5)
+    spark.catalog.clearCache()
+  }
+
   test("minhash signature null semantics match the column formulation") {
     val df = Seq(
       (1L, Some("one two three four")),
