@@ -59,6 +59,20 @@ object PlanAudit {
     Check("ts10_repetition", "map-only repetition stats (no shuffle)",
       p => !p.contains("Exchange") &&
         p.contains("repetition_stats")),
+    Check("ts18_bm25",
+      "BM25: df/dl joins are broadcast-hash; the only nested loop is " +
+        "the 1-row corpus-stats cross join; top-k as TakeOrdered",
+      p => p.contains("TakeOrderedAndProject") &&
+        p.contains("BroadcastHashJoin") &&
+        // tree lines name the join type ("BroadcastNestedLoopJoin Cross
+        // BuildRight"); the detail section's bare operator-name line has
+        // no trailing space, so this matches typed tree lines only
+        "BroadcastNestedLoopJoin (?!Cross)".r.findFirstIn(p).isEmpty),
+    Check("ts17_weighted_sample",
+      "weighted draw is map-only into TakeOrderedAndProject (k-row " +
+        "heaps, no corpus shuffle, no full sort)",
+      p => p.contains("TakeOrderedAndProject") && !p.contains("Exchange") &&
+        !p.contains("SortExec")),
     Check("a8_heavy_hitters", "raw keys never shuffle; one sketch exchange",
       p => "ObjectHashAggregate".r.findAllIn(p).size >= 2 &&
         "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),

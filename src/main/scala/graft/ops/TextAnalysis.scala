@@ -322,6 +322,78 @@ object TextAnalysis {
       .select(col(idCol), col(sourceCol), col("n_tok"))
   }
 
+  /** BM25 top-k retrieval for a literal query term set, in EXACT integer
+    * arithmetic — the query-driven corpus probe (targeted extraction,
+    * decontamination triage, "find the docs about X") next to the
+    * corpus-global scores ([[unigramSurprisal]], [[topTerms]]).
+    *
+    * Okapi BM25 with k1 = 1.2, b = 0.75, integerized so the score is
+    * bit-stable under any aggregation order and has an exact SQL oracle:
+    *  - idf → bit-length difference `bitlen(N) − bitlen(df)` (the ts14
+    *    idiom: floor-log2 via `length(bin(x))`, identical in Spark and
+    *    DuckDB), monotone in N/df like Robertson idf;
+    *  - tf-norm → multiply through by 100·T (T = total corpus tokens):
+    *    `(scale·220·tf·T) div (100·tf·T + 30·T + 90·dl·N)`, every factor
+    *    a BIGINT, every division floored. `scale` bounds the quotient's
+    *    resolution; the default keeps all products < 2⁶³ through ~10⁹
+    *    corpus tokens — beyond that lower `scale` (or widen to decimal).
+    *
+    * Plan shape: the corpus tokenizes once into (doc, term) rows; query
+    * terms filter BEFORE any aggregation (an `isin` over a literal list,
+    * pushed into the scan's generated-column filter), so tf/df
+    * aggregates run over the matching slice only. Doc lengths are a
+    * corpus-wide rollup (one shuffle on doc_id) joined back to the
+    * slice; per-term df broadcasts; final ranking is
+    * TakeOrderedAndProject (PlanAudit ts18). Returns (doc_id, score).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, scale: Long = 100000L): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    val qtf = toks.where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bits",
+        (length(bin(col("nd"))) - length(bin(col("df")))).cast("long"))
+      .withColumn("tfn", expr(s"($scale * 220 * tf * tt) div " +
+        "(100 * tf * tt + 30 * tt + 90 * dl * nd)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf_bits") * col("tfn")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Deterministic weighted bottom-k sample — integer priority sampling
+    * (Ohlsson's sequential Poisson sampling; Duffield–Lund–Thorup), with
+    * the uniform draw replaced by the engine-reproducible [[sampleRank]]
+    * hash: priority = (hash(id) · 2²⁰) div weight, keep the k smallest
+    * priorities. Inclusion probability rises with weight — token count
+    * here, the "prefer substantial documents" prior a fixed-size corpus
+    * draw wants — while the whole draw stays a pure function of ids, so
+    * re-runs, speculative task retries and the SQL oracle pick identical
+    * rows. The 2²⁰ pre-scale keeps the floored quotient discriminating
+    * (hash alone is < 2²⁰, so dividing by long-doc weights would
+    * collapse to 0); the (priority, id) tie-break totals the order.
+    *
+    * Plan shape: one map-only scan into TakeOrderedAndProject — a k-row
+    * heap per partition + k-row merge, never a full sort, never a
+    * corpus shuffle (PlanAudit ts17).
+    */
+  def weightedSample(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol),
+        tokenCountOf(stats(col(textCol))).cast("long").as("n_tok"),
+        sampleRank(col(idCol)).as("hash_r"))
+      .withColumn("pri", expr("(hash_r * 1048576) div (n_tok + 1)"))
+      .orderBy(col("pri"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_tok"), col("pri"))
+
   /** EXACT-quota stratified sample: the first `quota` documents of each
     * stratum in deterministic [[sampleRank]] order — per-source hold-out
     * slices with a guaranteed size (the rate-based sampler only hits the

@@ -324,6 +324,19 @@ object TextOps {
     "ts14_unigram_lm" -> ((s, d) =>
       TextAnalysis.unigramSurprisal(documents(s, d), "doc_id", "text")),
 
+    // weighted bottom-k sample (integer priority sampling): inclusion
+    // probability rises with token count, the draw is a pure function
+    // of ids — one map-only scan into TakeOrderedAndProject
+    "ts17_weighted_sample" -> ((s, d) =>
+      TextAnalysis.weightedSample(documents(s, d), "doc_id", "text",
+        k = 50)),
+
+    // integer BM25 retrieval: rare term + two common ones so idf
+    // separation does real ranking work
+    "ts18_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text",
+        terms = Seq("dup", "vector", "spark"), k = 25)),
+
     // bigram conditional surprisal (context-aware perplexity proxy —
     // catches repetitive text whose unigrams look rare; same integer
     // bit-length arithmetic as ts14)
@@ -616,6 +629,44 @@ object TextOps {
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT id AS doc_id, r AS rank_fp FROM r3""".stripMargin
     },
+
+    // integer BM25, every step mirrored: bitlen idf via length(bin(x)),
+    // tf-norm multiplied through by 100·T with floored BIGINT division
+    "ts18_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |              CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+        |qtf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |        WHERE term IN ('dup', 'vector', 'spark')
+        |        GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+        |sc AS (
+        |  SELECT q.doc_id,
+        |         CAST(length(bin(st.nd)) - length(bin(f.df)) AS BIGINT)
+        |           AS idf_bits,
+        |         (100000 * 220 * q.tf * st.tt)
+        |           // (100 * q.tf * st.tt + 30 * st.tt
+        |              + 90 * d.dl * st.nd) AS tfn
+        |  FROM qtf q JOIN dfreq f USING (term)
+        |  JOIN dl d USING (doc_id), st)
+        |SELECT doc_id, CAST(sum(idf_bits * tfn) AS BIGINT) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // priority = (hash · 2^20) // (n_tok + 1); bottom-k with (pri, id)
+    // tie-break — DuckDB // floors like Spark div on these positives
+    "ts17_weighted_sample" ->
+      """SELECT doc_id, n_tok, pri FROM (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |           AS n_tok,
+        |         (((doc_id % 1000003) * 2654435761) % 1000003) * 1048576
+        |           // (len(string_split_regex(text, '\s+')) + 1) AS pri
+        |  FROM documents)
+        |ORDER BY pri, doc_id LIMIT 50""".stripMargin,
 
     "ts13_stratified" ->
       """SELECT doc_id, source, rnk FROM (

@@ -107,4 +107,30 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(m(2L) > m(1L))
   }
+
+  test("bm25TopK: rare-term doc outranks common-term doc; non-matching " +
+      "docs never score; exact integer values") {
+    // 4 docs: 'rare' appears only in doc 1; 'common' in three docs.
+    // N=4 (bitlen 3), df(rare)=1 (bitlen 1) -> idf_bits 2;
+    // df(common)=3 (bitlen 2) -> idf_bits 1.
+    val df = Seq(
+      (1L, "rare x x x"), (2L, "common x x x"),
+      (3L, "common x x x"), (4L, "common y y y")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text",
+        terms = Seq("rare", "common"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // doc 5-absent: only matching docs appear
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    val score = got.toMap
+    // identical tf/dl, higher idf: rare wins; equal-score commons tie
+    assert(score(1L) == 2L * score(2L), score)
+    assert(score(2L) == score(3L) && score(3L) == score(4L), score)
+    // hand value: tf=1, dl=4, N=4, T=16:
+    // tfn = (100000*220*16) div (100*16 + 30*16 + 90*4*4) = 352000000 div 3520
+    //     = 100000; score(common doc) = 1 * 100000
+    assert(score(2L) == 100000L, score)
+    // ranking: doc 1 first (desc score, then id)
+    assert(got.head._1 == 1L)
+  }
 }
