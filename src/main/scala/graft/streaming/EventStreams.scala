@@ -434,6 +434,57 @@ object EventStreams {
     }
   }
 
+  /** Per-source running token total for [[mixtureSampleStream]] — the
+    * WHOLE state: one Long per source, constant regardless of corpus
+    * size (the right streaming-quota state shape; a seen-doc set would
+    * grow with the stream).
+    */
+  final case class QuotaUsed(seen: Long)
+
+  /** Streaming mixture enforcement — the continuous-ingest twin of
+    * [[graft.ops.TextAnalysis.mixtureSample]]: each source spends its
+    * token budget as documents ARRIVE, admitting a doc iff the running
+    * per-source token total (counting every doc seen, admitted or not —
+    * exactly the batch form's window `cum`) stays ≤ the budget. Within a
+    * micro-batch, rows are consumed in the batch form's deterministic
+    * ([[graft.ops.TextAnalysis.sampleRank]], id) order, so when arrival
+    * order refines hash order (e.g. replaying a curated corpus in
+    * sample order) the admitted set equals the batch prefix EXACTLY
+    * (StreamingSpec); under arbitrary arrival the semantics are
+    * greedy-online — the budget still cannot be exceeded, which is the
+    * production guarantee quota enforcement needs. Sources absent from
+    * `budgets` admit nothing. Works unchanged on a batch Dataset (one
+    * "micro-batch" = the hash-order prefix).
+    */
+  def mixtureSampleStream(docs: DataFrame, budgets: Map[String, Long],
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        graft.ops.TextAnalysis.tokenCountOf(
+          graft.ops.TextAnalysis.stats(col(textCol))).cast("long")
+          .as("n_tok"),
+        graft.ops.TextAnalysis.sampleRank(col(idCol)).as("hr"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[QuotaUsed, (Long, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[QuotaUsed]) =>
+          val budget = budgets.getOrElse(source, 0L)
+          var seen = state.getOption.map(_.seen).getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(r => (r._4, r._1)).flatMap { r =>
+            seen += r._3
+            if (seen <= budget) Some((r._1, r._2, r._3)) else None
+          }
+          state.update(QuotaUsed(seen))
+          admitted.iterator
+      }
+      .toDF("doc_id", "source", "n_tok")
+  }
+
   /** Host a micro-batch sink: run `transform` over a parquet-backed stream
     * into an in-memory table (used by specs; production would point at the
     * chunk export dirs and a foreachBatch committing via the catalog).

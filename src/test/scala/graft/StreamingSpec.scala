@@ -531,6 +531,55 @@ class StreamingSpec extends SparkSpec {
       .get(12L).contains(4L), "near-dup of 4 joins its cluster")
   }
 
+  test("streaming mixture quota: hash-order arrival equals the batch " +
+      "prefix; budget never exceeded under adversarial arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val budgets = Map("src0" -> 400L, "src1" -> 250L)
+
+    // arrival order = the batch form's (sampleRank, id) order, split
+    // mid-stream: the admitted set must equal the batch prefix exactly
+    def rank(id: Long) = ((id % 1000003L) * 2654435761L) % 1000003L
+    val ordered = docs.sortBy { case (id, _, _) => (rank(id), id) }
+    val src = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.EventStreams.mixtureSampleStream(
+        src.toDF().toDF("doc_id", "source", "text"), budgets)
+      .writeStream.format("memory").queryName("mix_q")
+      .outputMode("append").start()
+    val (half1, half2) = ordered.splitAt(ordered.size / 2)
+    src.addData(half1: _*); q.processAllAvailable()
+    src.addData(half2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mix_q").as[(Long, String, Long)].collect().toSet
+    val want = graft.ops.TextAnalysis.mixtureSample(
+        docs.toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", budgets)
+      .select(col("doc_id"), col("source"), col("n_tok").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want, s"stream ${got.size} rows != batch ${want.size}")
+    assert(got.nonEmpty && got.forall { case (_, s, _) => budgets.contains(s) })
+
+    // adversarial arrival (reverse hash order, three batches): admitted
+    // set may differ, but no source can ever exceed its budget and
+    // unnamed sources admit nothing
+    val src2 = MemoryStream[(Long, String, String)]
+    val q2 = graft.streaming.EventStreams.mixtureSampleStream(
+        src2.toDF().toDF("doc_id", "source", "text"), budgets)
+      .writeStream.format("memory").queryName("mix_q2")
+      .outputMode("append").start()
+    ordered.reverse.grouped(ordered.size / 3 + 1).foreach { b =>
+      src2.addData(b: _*); q2.processAllAvailable()
+    }
+    q2.stop()
+    val spent = spark.table("mix_q2").as[(Long, String, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(spent.nonEmpty)
+    spent.foreach { case (s, tot) => assert(tot <= budgets(s), s"$s $tot") }
+  }
+
   test("streaming near-dup probe vs static simhash index matches batch") {
     import graft.ops.Dedup
     // static corpus: clustered sentences so some probes hit, some miss
