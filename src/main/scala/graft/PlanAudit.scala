@@ -79,6 +79,11 @@ object PlanAudit {
     Check("a10_cm_topk", "raw keys never shuffle; one sketch exchange",
       p => "ObjectHashAggregate".r.findAllIn(p).size >= 2 &&
         "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
+    Check("st8_hopping",
+      "multi-window Expand runs before partial aggregation — the " +
+        "shuffle carries per-(window,type) aggregates, not events",
+      p => p.contains("Expand") && p.contains("partial_count") &&
+        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
     Check("st4_funnel", "three funnel windows share one user-key exchange",
       p => "\\(\\d+\\) Window".r.findAllIn(p).size == 3 &&
         "hashpartitioning\\(user_id".r.findAllIn(p).size == 1),

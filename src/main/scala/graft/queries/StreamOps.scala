@@ -19,6 +19,11 @@ object StreamOps {
     // under readStream with a watermark)
     "st1_window_agg" -> ((s, d) => EventStreams.windowedCounts(events(s, d))),
 
+    // hopping windows (10 min duration, 5 min slide): each event counts
+    // in 2 overlapping windows; Expand runs before partial aggregation
+    "st8_hopping" -> ((s, d) =>
+      EventStreams.windowedCountsHopping(events(s, d))),
+
     // sessionization (gap = 30 min) — lag + running-sum islands
     "st2_sessionize" -> ((s, d) =>
       EventStreams.sessionize(events(s, d), gapUs = 1800L * 1000000L)),
@@ -108,6 +113,19 @@ object StreamOps {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |         AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // covered window starts w = k·slide with t−dur < w ≤ t: k ranges over
+    // [(t−dur)//slide + 1, t//slide] (range() upper bound exclusive)
+    "st8_hopping" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |         unnest(range((epoch_us(ts) - 600000000) // 300000000 + 1,
+        |                      epoch_us(ts) // 300000000 + 1)) AS wk
+        |  FROM events)
+        |SELECT wk * 300000000 AS window_start_us, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "st2_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

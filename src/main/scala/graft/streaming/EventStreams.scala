@@ -31,6 +31,29 @@ object EventStreams {
         col("event_type"), col("n"), col("value_cents"))
   }
 
+  /** Hopping-window aggregate — duration > slide, so windows OVERLAP and
+    * each event lands in duration/slide of them (the smoothing dashboards
+    * and rate-limiters want; tumbling [[windowedCounts]] is the
+    * slide == duration special case). Spark compiles the multi-window
+    * assignment to an Expand (one row per covered window) BEFORE partial
+    * aggregation, so the replication cost is paid map-side and the
+    * shuffle still carries per-(window, type) aggregates, not events —
+    * the property PlanAudit pins (st8). Streaming: watermark bounds open
+    * windows exactly as in the tumbling form.
+    */
+  def windowedCountsHopping(events: DataFrame,
+      windowDur: String = "10 minutes", slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+  }
+
   /** Per-window heavy hitters: `space_saving_topk` under a (streaming or
     * batch) tumbling event-time window. On a stream the sketch buffer IS
     * the state-store payload — O(capacity) per open window regardless of

@@ -26,6 +26,25 @@ class StreamingSpec extends SparkSpec {
       "streaming (AvailableNow, complete) == batch")
   }
 
+  test("hopping windows: streaming equals batch; each event covers " +
+      "duration/slide windows") {
+    val ev = graft.Tables.events(spark, sf)
+    val batch = EventStreams.windowedCountsHopping(ev)
+    // every event lands in exactly dur/slide = 2 windows
+    assert(batch.agg(sum("n")).head().getLong(0) == 2L * ev.count())
+    val srcDir = tmpDir("hop-src")
+    ev.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "hopcounts",
+      EventStreams.windowedCountsHopping(_), outputMode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("hopcounts")
+    assert(streamed.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      "streaming (AvailableNow, complete) == batch")
+  }
+
   test("windowed distinct: streaming HLL state equals batch approx " +
       "exactly; approx within rsd contract of exact") {
     val ev = graft.Tables.events(spark, sf)
