@@ -59,6 +59,10 @@ object PlanAudit {
     Check("ts10_repetition", "map-only repetition stats (no shuffle)",
       p => !p.contains("Exchange") &&
         p.contains("repetition_stats")),
+    Check("ts19_quality_calibrated",
+      "calibration window partitioned by source; one exchange total",
+      p => p.contains("Window") && p.contains("hashpartitioning(source") &&
+        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
     Check("ts18_bm25",
       "BM25: df/dl joins are broadcast-hash; the only nested loop is " +
         "the 1-row corpus-stats cross join; top-k as TakeOrdered",

@@ -322,6 +322,29 @@ object TextAnalysis {
       .select(col(idCol), col(sourceCol), col("n_tok"))
   }
 
+  /** Per-source percentile calibration of the quality score, then a
+    * global keep-the-top filter: raw [[qualityScore]] values are NOT
+    * comparable across sources (a code dump's punctuation ratio is a
+    * books corpus's outlier), so filtering on the raw score lets one
+    * source crowd out the rest. percent_rank WITHIN each source makes
+    * "top half of its own source" the unit of selection — the standard
+    * per-domain calibration step in corpus curation. `(quality, id)`
+    * ordering totals the window order, so ranks — (k−1)/(n−1), an exact
+    * integer-over-integer double both engines compute identically — are
+    * deterministic. One shuffle: the per-source window (PlanAudit ts19);
+    * sources number in the hundreds at most, and a 100 TB single source
+    * still partitions its SORT by range within the window partition.
+    */
+  def calibratedQualityFilter(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, minPct: Double): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("quality"), col(idCol))
+    df.select(col(idCol), col(sourceCol),
+        qualityScoreOf(stats(col(textCol))).as("quality"))
+      .withColumn("q_pct", percent_rank().over(w))
+      .where(col("q_pct") >= minPct)
+  }
+
   /** BM25 top-k retrieval for a literal query term set, in EXACT integer
     * arithmetic — the query-driven corpus probe (targeted extraction,
     * decontamination triage, "find the docs about X") next to the

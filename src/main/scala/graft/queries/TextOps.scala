@@ -337,6 +337,12 @@ object TextOps {
       TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text",
         terms = Seq("dup", "vector", "spark"), k = 25)),
 
+    // per-source percentile-calibrated quality filter: keep each
+    // source's own top half, so no source crowds out the rest
+    "ts19_quality_calibrated" -> ((s, d) =>
+      TextAnalysis.calibratedQualityFilter(documents(s, d), "doc_id",
+        "text", "source", minPct = 0.5)),
+
     // bigram conditional surprisal (context-aware perplexity proxy —
     // catches repetitive text whose unigrams look rare; same integer
     // bit-length arithmetic as ts14)
@@ -629,6 +635,43 @@ object TextOps {
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT id AS doc_id, r AS rank_fp FROM r3""".stripMargin
     },
+
+    // the ts2 quality expression + per-source percent_rank (an exact
+    // (k-1)/(n-1) double on both engines under the total (quality, id)
+    // window order)
+    "ts19_quality_calibrated" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, text,
+        |         string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(toks,
+        |                t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+        |              / CAST(len(toks) AS DOUBLE) END AS mean_tok_len,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks, t ->
+        |                t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |              / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+        |  FROM b),
+        |q AS (
+        |  SELECT doc_id, source,
+        |         stopword_ratio * 0.4 +
+        |         (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+        |               THEN 1.0 ELSE 0.0 END) * 0.4 +
+        |         (1.0 - punct_ratio) * 0.2 AS quality
+        |  FROM f),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |         percent_rank() OVER (PARTITION BY source
+        |           ORDER BY quality, doc_id) AS q_pct
+        |  FROM q)
+        |SELECT doc_id, source, quality, q_pct FROM r
+        |WHERE q_pct >= 0.5""".stripMargin,
 
     // integer BM25, every step mirrored: bitlen idf via length(bin(x)),
     // tf-norm multiplied through by 100·T with floored BIGINT division
