@@ -343,6 +343,24 @@ object TextOps {
       TextAnalysis.calibratedQualityFilter(documents(s, d), "doc_id",
         "text", "source", minPct = 0.5)),
 
+    // dedup-aware corpus draw: one keep-best representative per dup
+    // cluster (the dd10 pipeline), then the ts17 priority formula over
+    // representatives only — near-copies can never be co-sampled
+    "dd18_rep_sample" -> ((s, d) => {
+      val docs = documents(s, d)
+      val reps = Dedup.dupClusters(docs.select(col("doc_id")), "doc_id",
+          Dedup.minhashLshPairs(docs, "doc_id", "text",
+            n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+            .select("id_a", "id_b"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("keep_id"))
+        .select(col("keep_id").as("doc_id"))
+      TextAnalysis.weightedSample(docs.join(reps, Seq("doc_id")),
+        "doc_id", "text", k = 20)
+    }),
+
     // bigram conditional surprisal (context-aware perplexity proxy —
     // catches repetitive text whose unigrams look rare; same integer
     // bit-length arithmetic as ts14)
@@ -456,6 +474,21 @@ object TextOps {
        |SELECT u AS doc_id, min(lbl) AS cluster_id
        |FROM walk GROUP BY u""".stripMargin
 
+  /** dd10 oracle (also the representative CTE of dd18): longest doc per
+    * cluster, ties to the smaller id.
+    */
+  private val dd10Sql: String =
+    s"""WITH cl AS ($dd8Sql),
+       |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+       |      FROM cl JOIN documents d USING (doc_id)),
+       |r AS (SELECT cluster_id, doc_id,
+       |        row_number() OVER (PARTITION BY cluster_id
+       |          ORDER BY n_chars DESC, doc_id ASC) AS rn,
+       |        count(*) OVER (PARTITION BY cluster_id) AS n_docs
+       |      FROM j)
+       |SELECT cluster_id, doc_id AS keep_id, n_docs
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** dd12 oracle: same signature pipeline as dd3, split into probe
     * (doc_id % 29 = 0) and corpus sides, band equi-join across the two,
     * exact Jaccard at 0.6.
@@ -482,17 +515,21 @@ object TextOps {
     "dd12_minhash_probe" -> dd12Sql,
     "dd9_star_clusters" -> dd8Sql,
 
-    "dd10_keep_best" ->
-      s"""WITH cl AS ($dd8Sql),
-         |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
-         |      FROM cl JOIN documents d USING (doc_id)),
-         |r AS (SELECT cluster_id, doc_id,
-         |        row_number() OVER (PARTITION BY cluster_id
-         |          ORDER BY n_chars DESC, doc_id ASC) AS rn,
-         |        count(*) OVER (PARTITION BY cluster_id) AS n_docs
-         |      FROM j)
-         |SELECT cluster_id, doc_id AS keep_id, n_docs
-         |FROM r WHERE rn = 1""".stripMargin,
+    "dd10_keep_best" -> dd10Sql,
+
+    // representatives-then-weighted-draw composition: the dd10 keep-best
+    // set feeds the ts17 priority formula — a dedup-aware corpus draw
+    // (near-copies can never be co-sampled)
+    "dd18_rep_sample" ->
+      s"""WITH rep AS ($dd10Sql)
+         |SELECT doc_id, n_tok, pri FROM (
+         |  SELECT d.doc_id,
+         |         CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT)
+         |           AS n_tok,
+         |         (((d.doc_id % 1000003) * 2654435761) % 1000003) * 1048576
+         |           // (len(string_split_regex(d.text, '\\s+')) + 1) AS pri
+         |  FROM documents d JOIN rep ON d.doc_id = rep.keep_id)
+         |ORDER BY pri, doc_id LIMIT 20""".stripMargin,
 
     // per-window leftmost-min selection replayed with list_indexof
     // (first occurrence); DISTINCT collapses consecutive windows that
