@@ -322,6 +322,36 @@ object TextAnalysis {
       .select(col(idCol), col(sourceCol), col("n_tok"))
   }
 
+  /** Ingest-time BM25 scoring as a PURE PROJECTION — the streaming twin
+    * of [[bm25TopK]], following the repo's literal-embedded static-index
+    * pattern (streaming ANN assignment): the corpus snapshot (per-term
+    * document frequencies, doc count N, token total T — a handful of
+    * longs, collected once from a frozen batch build) is baked into the
+    * expression, so scoring an arriving document touches only its own
+    * text. No aggregation, no state, append-mode legal; per term the tf
+    * comes from `filter(tokens, t = term)` over the row, and a zero tf
+    * contributes zero through the same floored arithmetic, so scores are
+    * bit-identical to the batch pipeline's (StreamingSpec pins parity).
+    * Like any frozen-index probe, scores drift as the live corpus
+    * diverges from the snapshot; rebuild-and-swap is the refresh path
+    * (identical to the ANN indexes' build-once/probe-many contract).
+    */
+  def bm25ScoreExpr(text: Column, termDfs: Seq[(String, Long)], nd: Long,
+      tt: Long, scale: Long = 100000L): Column = {
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val toks = tokens(text)
+    val dl = size(toks).cast("long")
+    termDfs.map { case (term, df) =>
+      val idfBits = bitlen(nd) - bitlen(df)
+      val tf = size(filter(toks, _ === lit(term))).cast("long")
+      // call_function("div"): integral divide — a double `/` + floor
+      // would lose bits past 2^53 and desync from the batch pipeline
+      lit(idfBits) * call_function("div",
+        lit(scale) * lit(220L) * tf * lit(tt),
+        lit(100L) * tf * lit(tt) + lit(30L * tt) + lit(90L * nd) * dl)
+    }.reduce(_ + _)
+  }
+
   /** Per-source percentile calibration of the quality score, then a
     * global keep-the-top filter: raw [[qualityScore]] values are NOT
     * comparable across sources (a code dump's punctuation ratio is a

@@ -550,6 +550,51 @@ class StreamingSpec extends SparkSpec {
       .get(12L).contains(4L), "near-dup of 4 joins its cluster")
   }
 
+  test("streaming BM25 scoring: literal-embedded snapshot scores match " +
+      "the batch pipeline bit for bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+    val terms = Seq("dup", "vector", "spark")
+    // frozen snapshot: per-term df, N, T — from the same corpus the
+    // batch pipeline scores, so scores must agree exactly
+    val toks = docs.select(col("doc_id"),
+      explode(graft.ops.TextAnalysis.tokens(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val Array(nd, tt) = dl.agg(count(lit(1)), sum("dl")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val termDfs = terms.map { t =>
+      t -> toks.where(col("term") === t).select("doc_id").distinct().count()
+    }
+    val batch = graft.ops.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        terms, k = 1000)
+      .as[(Long, Long)].collect().toMap
+
+    val rows = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text")
+      .withColumn("score", graft.ops.TextAnalysis.bm25ScoreExpr(
+        col("text"), termDfs, nd, tt))
+      .writeStream.format("memory").queryName("bm25_stream")
+      .outputMode("append").start()
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    src.addData(h1: _*); q.processAllAvailable()
+    src.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bm25_stream")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(streamed.size == rows.size)
+    // batch emits only docs containing >= 1 query term; on those the
+    // projection must agree exactly, and on the rest it scores 0
+    batch.foreach { case (id, s) =>
+      assert(streamed(id) == s, s"doc $id: stream ${streamed(id)} != $s")
+    }
+    assert(batch.nonEmpty &&
+      streamed.filterNot { case (id, _) => batch.contains(id) }
+        .forall(_._2 == 0L))
+  }
+
   test("streaming mixture quota: hash-order arrival equals the batch " +
       "prefix; budget never exceeded under adversarial arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
