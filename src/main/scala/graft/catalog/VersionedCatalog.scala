@@ -751,6 +751,53 @@ final class VersionedCatalog(val root: String,
     readDirList(spark, table, ds)
   }
 
+  /** Commit-to-commit table diff — the time-travel audit: what rows did
+    * commit `to` add/remove relative to commit `from`? Returns the
+    * table's rows with a leading `change` column (`added` / `removed`),
+    * multiset-exact (exceptAll, so k extra copies show k rows).
+    *
+    * FILE-PRUNED: a commit's dir list is immutable, so rows living in
+    * dirs both commits share cancel identically in the multiset
+    * difference and are never read — the diff scans only the dirs unique
+    * to one side. An unchanged table diffs as a metadata no-op (zero
+    * files opened, PlanAudit-style property spec'd in CatalogSpec); a
+    * table that appeared (or was dropped) between the commits diffs as
+    * all-added (all-removed).
+    */
+  def diff(spark: SparkSession, table: String, from: Long,
+      to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    def dirsAt(commit: Long): Seq[String] = {
+      if (commit > current._1)
+        throw new IllegalArgumentException(
+          s"commit $commit was never published (current is ${current._1})")
+      val f = rootPath.resolve("_commits").resolve(s"$commit.json")
+      if (!Files.exists(f))
+        throw new IllegalArgumentException(
+          s"no retained history for commit $commit in $root")
+      parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+        ._2.getOrElse(table, Nil)
+    }
+    val dFrom = dirsAt(from)
+    val dTo = dirsAt(to)
+    if (dFrom.isEmpty && dTo.isEmpty)
+      throw new IllegalArgumentException(
+        s"table '$table' absent at both commit $from and commit $to")
+    val onlyFrom = dFrom.filterNot(dTo.toSet)
+    val onlyTo = dTo.filterNot(dFrom.toSet)
+    // schema donor for an empty side (lazy — never evaluated beyond
+    // planning)
+    def readOr(dirs: Seq[String]): DataFrame =
+      if (dirs.nonEmpty) readDirList(spark, table, dirs)
+      else readDirList(spark, table, if (dTo.nonEmpty) dTo else dFrom)
+        .limit(0)
+    val added = readOr(onlyTo).exceptAll(readOr(onlyFrom))
+    val removed = readOr(onlyFrom).exceptAll(readOr(onlyTo))
+    added.select(lit("added").as("change"), org.apache.spark.sql.functions.col("*"))
+      .unionByName(removed.select(lit("removed").as("change"),
+        org.apache.spark.sql.functions.col("*")))
+  }
+
   // minimal flat JSON: {"commit":N,"tables":{"name":["dir",...],...},
   // "writer":"uuid"}. The writer field is the publish-ownership nonce;
   // parse() ignores it (string-valued, so it can't match a table entry).

@@ -196,6 +196,35 @@ class CatalogSpec extends SparkSpec {
     assert(cat.readAt(spark, "t", c3).count() == 3)
   }
 
+  test("diff: multiset-exact commit-to-commit changes; shared dirs " +
+      "never read; untouched table is a metadata no-op") {
+    val cat = new VersionedCatalog(tmpDir("cat-diff"))
+    val c1 = cat.commit(Map(
+      "t" -> Seq(1, 2, 2).toDF("x"), "u" -> Seq(9).toDF("x")))
+    val c2 = cat.commit(Map("t" -> Seq(2, 3).toDF("x")))
+    val d = cat.diff(spark, "t", c1, c2)
+      .as[(String, Int)].collect().sorted.toSeq
+    // multiset: one copy of 2 survives on each side's ledger
+    assert(d == Seq(("added", 3), ("removed", 1), ("removed", 2)), d)
+    // reversed direction mirrors
+    assert(cat.diff(spark, "t", c2, c1)
+      .as[(String, Int)].collect().sorted.toSeq ==
+      Seq(("added", 1), ("added", 2), ("removed", 3)))
+    // u untouched between c1 and c2: dir lists equal, so both sides are
+    // limit(0) schema donors — OptimizeLimitZero erases the file scans
+    val du = cat.diff(spark, "u", c1, c2)
+    assert(du.count() == 0)
+    val duPlan = du.queryExecution.optimizedPlan.toString
+    assert(!duPlan.contains("parquet") && duPlan.contains("LocalRelation"),
+      duPlan)
+    // a table that appears between the commits diffs as all-added
+    val c3 = cat.commit(Map("v" -> Seq(7, 8).toDF("x")))
+    assert(cat.diff(spark, "v", c2, c3)
+      .as[(String, Int)].collect().sorted.toSeq ==
+      Seq(("added", 7), ("added", 8)))
+    intercept[IllegalArgumentException] { cat.diff(spark, "w", c1, c2) }
+  }
+
   test("compactIfNeeded folds dirs only past the threshold") {
     val cat = new VersionedCatalog(tmpDir("cat"))
     cat.commit(Map("t" -> Seq(1).toDF("x")))
