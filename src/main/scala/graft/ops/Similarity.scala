@@ -483,6 +483,75 @@ object Similarity {
     when(np === 0.0, lit(Double.NaN)).otherwise(dot(va, vb) / np)
   }
 
+  // ------------------------------------------------------- rerank & dedup
+
+  /** Exact re-rank of an ANN shortlist — the refinement step every
+    * production ANN deployment runs after a quantized probe: the
+    * approximate stage (PQ/IVF-PQ ADC, an LSH bucket, ...) cuts the
+    * corpus to a shortlist of `k·r` candidate ids, then the TRUE metric
+    * is computed against the raw vectors of those candidates only and
+    * the final top-k is taken on it. Quantization error can reorder
+    * near-ties or drop a true neighbor just outside the code resolution;
+    * reranking restores exactness within the shortlist at the cost of
+    * touching `|shortlist|` full vectors instead of zero.
+    *
+    * Scale shape: the shortlist is k·r rows (tens), so it broadcasts and
+    * the raw-vector fetch is a broadcast semi-join that prunes the
+    * corpus scan — the full-precision vectors are read for shortlist
+    * members only, never shuffled corpus-wide, and the final top-k is a
+    * TakeOrderedAndProject. NaN discipline as [[bruteForceTopK]]: an
+    * undefined cosine ranks below every real one via nanvl(-Inf).
+    */
+  def rerankTopK(shortlist: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    corpus
+      .join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        nanvl(cosine(col(vecCol), q), lit(Double.NegativeInfinity))
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-space semantic dedup (the SemDeDup shape): coarse k-means
+    * cells localize the near-duplicate search, then WITHIN each cell a
+    * doc is dropped iff some lower-id doc in the same cell is closer
+    * than `threshold` cosine. The keep rule is the deterministic
+    * first-writer-wins policy: earlier ids (≈ earlier ingest) win, and a
+    * doc similar to ANY earlier in-cell doc is dropped whether or not
+    * that earlier doc itself survived — an over-drop-safe variant of
+    * greedy leader clustering whose sequential scan cannot be expressed
+    * as one relational pass. Returns kept (`idCol`, centroid_id).
+    *
+    * This is the embedding twin of [[graft.ops.Dedup.dupClusters]]'
+    * lexical pipeline: MinHash sees shared n-grams, cosine sees shared
+    * MEANING (translations, paraphrases, templated rewrites that share
+    * no shingles).
+    *
+    * Scale shape: pairs never leave their cell (the self-join keys on
+    * centroid_id — at corpus scale each cell is ~N/k docs, and the
+    * quadratic term is confined to cells instead of the corpus), norms
+    * hoist out of the pair loop, and the final keep-set is one left-anti
+    * join against the dropped ids. Cell count k is the knob trading
+    * cross-cell recall for in-cell pair cost — exactly the IVF posture.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val cells = df.select(col(idCol), col(vecCol))
+      .join(assign(df, idCol, vecCol, centroids), Seq(idCol))
+    val sides = cells.select(col(idCol).as("id"), col("centroid_id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val dropped = sides.as("a").join(sides.as("b"),
+        col("a.centroid_id") === col("b.centroid_id")
+          && col("a.id") < col("b.id"))
+      .where(hoistedCosine(col("a.v"), col("b.v"),
+        col("a.nrm"), col("b.nrm")) >= threshold)
+      .select(col("b.id").as(idCol)).distinct()
+    cells.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("centroid_id"))
+  }
+
   // -------------------------------------------------- streaming assignment
 
   private def litVec(v: Array[Double]): Column = array(v.map(lit): _*)

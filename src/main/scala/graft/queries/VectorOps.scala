@@ -177,6 +177,30 @@ object VectorOps {
       Similarity.pqTopKD(idx.codes, idx.codebooks, rq, m = 4, k = 30)
     }),
 
+    // ANN shortlist + exact re-rank: the sim6 PQ probe cuts the corpus
+    // to 60 candidates by approximate distance, then the TRUE cosine is
+    // computed over those candidates' raw vectors only — the standard
+    // production refinement that undoes quantization reorderings near
+    // the top-k cut
+    "sim9_rerank" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val idx = graft.ops.PqIndex.build(e, "vec_id", "embedding",
+        m = 4, dims = DIMS, ksub = 16)
+      val q = queryVec(s, d)
+      Similarity.rerankTopK(idx.probe(q, k = 60), e, "vec_id", "embedding",
+        q, k = 20)
+    }),
+
+    // embedding-space semantic dedup (SemDeDup): IVF cells localize the
+    // search, in-cell lower-id docs closer than 0.4 cosine drop a doc —
+    // the meaning-level twin of the lexical MinHash dedup pipeline
+    "dd17_semdedup" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.semDedup(e, "vec_id", "embedding",
+        Similarity.ivfSeedCentroids(e, "vec_id", "embedding", 16),
+        threshold = 0.4)
+    }),
+
     // per-label embedding pooling (mean-pool modulo the final divide) in
     // FIXED POINT: floor(x * 1e6) per dimension, then an exact integer
     // sum — float sums are order-dependent, so the deterministic form is
@@ -284,6 +308,70 @@ object VectorOps {
          |SELECT vec_id, ((d0 + d1) + d2) + d3 AS adist
          |FROM ad ORDER BY adist, vec_id LIMIT 30""".stripMargin
     },
+
+    // ANN + exact rerank: the sim6 chain cut at 60 by approximate
+    // distance, then exact cosine over the shortlist's raw vectors
+    "sim9_rerank" -> {
+      val sub = (e: String) => s"list_slice($e, sub*16+1, sub*16+16)"
+      val n2c = sqlDotN("centroid", "centroid", 16)
+      s"""WITH cb AS (
+         |  SELECT t.sub, s.vec_id AS centroid_id,
+         |         list_transform(list_slice(s.embedding, t.sub*16+1,
+         |             t.sub*16+16), x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 16) s
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) t),
+         |codes AS (
+         |  SELECT vec_id, sub, centroid_id AS code FROM (
+         |    SELECT e.vec_id, cb.sub, cb.centroid_id,
+         |           row_number() OVER (PARTITION BY e.vec_id, cb.sub
+         |             ORDER BY ($n2c) - (2.0 *
+         |               (${sqlDotN(sub("e.embedding"), "centroid", 16)})),
+         |               cb.centroid_id) AS rn
+         |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dt AS (
+         |  SELECT sub, centroid_id AS code,
+         |         (($n2c) - (2.0 *
+         |            (${sqlDotN(sub("q.qv"), "centroid", 16)})))
+         |           + (${sqlDotN(sub("q.qv"), sub("q.qv"), 16)}) AS dj
+         |  FROM cb CROSS JOIN q),
+         |ad AS (
+         |  SELECT c.vec_id,
+         |         max(CASE WHEN c.sub = 0 THEN dt.dj END) AS d0,
+         |         max(CASE WHEN c.sub = 1 THEN dt.dj END) AS d1,
+         |         max(CASE WHEN c.sub = 2 THEN dt.dj END) AS d2,
+         |         max(CASE WHEN c.sub = 3 THEN dt.dj END) AS d3
+         |  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+         |  GROUP BY c.vec_id),
+         |short AS (SELECT vec_id, ((d0 + d1) + d2) + d3 AS adist
+         |          FROM ad ORDER BY adist, vec_id LIMIT 60)
+         |SELECT e.vec_id, ${sqlCosine("e.embedding", "q.qv")} AS cos
+         |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+         |ORDER BY cos DESC, e.vec_id LIMIT 20""".stripMargin
+    },
+
+    // SemDeDup: sim4's seeded cells, then a doc drops iff a lower-id
+    // in-cell doc sits at cosine >= 0.4
+    "dd17_semdedup" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id,
+         |                  list_transform(embedding,
+         |                    x -> CAST(x AS DOUBLE)) AS centroid
+         |           FROM embeddings ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT vec_id, centroid_id FROM (
+         |        SELECT e.vec_id, c.centroid_id,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY ${sqlCosine("e.embedding", "c.centroid")}
+         |                   DESC, c.centroid_id) AS rn
+         |        FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |w AS (SELECT e.vec_id, e.embedding, a.centroid_id
+         |      FROM embeddings e JOIN a USING (vec_id)),
+         |d AS (SELECT DISTINCT y.vec_id
+         |      FROM w x JOIN w y ON x.centroid_id = y.centroid_id
+         |        AND x.vec_id < y.vec_id
+         |      WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.4)
+         |SELECT w.vec_id, w.centroid_id FROM w
+         |LEFT JOIN d USING (vec_id) WHERE d.vec_id IS NULL""".stripMargin,
 
     // rotated PQ: the sim6 chain verbatim, over Householder-rotated
     // vectors (rv) and the rotated query (q reads rv, so the rotation

@@ -486,4 +486,69 @@ class SimilaritySpec extends SparkSpec {
     // the query itself (vec 0) is in its own bucket -> cos 1.0 first
     assert(got.head.getLong(0) == 0L && got.head.getDouble(1) > 0.999999)
   }
+
+  test("rerank: full-corpus shortlist == brute force; ANN shortlist " +
+    "rerank never loses to the raw probe") {
+    // exactness limit: reranking a shortlist that IS the corpus must
+    // reproduce brute-force cosine top-k bit-for-bit
+    val all = emb.select($"vec_id")
+    val full = Similarity.rerankTopK(all, emb, "vec_id", "embedding",
+      queryVec, k = 10).collect()
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryVec, 10).collect()
+    assert(full.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      brute.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+
+    // reranking a PQ shortlist: recall(rerank top-k) >= recall(pq top-k)
+    // — the true metric over a superset shortlist can only fix, never
+    // introduce, quantization reorderings at the cut
+    import graft.ops.PqIndex
+    val dims = queryVec.length
+    val idx = PqIndex.build(emb, "vec_id", "embedding",
+      m = 4, dims = dims, ksub = 16)
+    val exact = brute.map(_.getLong(0)).toSet
+    val raw = idx.probe(queryVec, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val rr = Similarity.rerankTopK(idx.probe(queryVec, k = 40), emb,
+      "vec_id", "embedding", queryVec, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(rr.intersect(exact).size >= raw.intersect(exact).size,
+      s"rerank recall ${rr.intersect(exact).size} < raw ${raw.intersect(exact).size}")
+  }
+
+  test("semDedup matches a sequential in-cell leader scan; kept set is " +
+    "deterministic and drop rule is over-drop-safe") {
+    val centroids = Similarity.ivfSeedCentroids(emb, "vec_id", "embedding", 8)
+    val thr = 0.4
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding",
+      centroids, thr).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference: sequential scan per cell — doc drops iff ANY lower-id
+    // doc in the same cell has cosine >= thr (survivor or not)
+    val cells = Similarity.assign(emb, "vec_id", "embedding", centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val expect = vecs.keys.toSeq.sorted.flatMap { id =>
+      val mine = cells(id)
+      val dup = vecs.keys.exists(o => o < id && cells(o) == mine &&
+        cos(vecs(o), vecs(id)) >= thr)
+      if (dup) None else Some(id -> mine)
+    }.toMap
+    assert(kept == expect)
+    // determinism across a second run
+    val again = Similarity.semDedup(emb, "vec_id", "embedding",
+      centroids, thr).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
 }
