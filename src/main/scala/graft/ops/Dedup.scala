@@ -1159,6 +1159,52 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-document contamination SCORE — [[decontaminate]] reports only
+    * the hit counts of contaminated docs; pipelines that threshold (or
+    * audit) need the denominator too. Emits (`idCol`, n_sh, n_hit) for
+    * every doc with at least one shingle: total distinct n-gram shingles
+    * and how many also occur in the benchmark. The fraction n_hit/n_sh
+    * is left to the caller — integer counts are bit-stable under any
+    * aggregation order, a float ratio is not its own oracle.
+    *
+    * Scale shape: identical to [[decontaminate]] — the benchmark side
+    * collapses to distinct shingles and broadcasts (benchmarks are
+    * ~1e5 docs vs a 100 TB corpus), the corpus side is one explode +
+    * broadcast LEFT join + one shuffle on `idCol`.
+    */
+  def contaminationScore(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val benchSh = bench
+      .select(explode(shingleHashes(col(textCol), n)).as("shingle"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val trainSh = train.select(col(idCol),
+      explode(shingleHashes(col(textCol), n)).as("shingle"))
+    trainSh.join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+  }
+
+  /** Cross-corpus dedup — drop from `incoming` every document that is a
+    * MinHash near-duplicate (banded candidates, exact-Jaccard verify at
+    * `threshold`) of a document in the indexed snapshot: the "don't
+    * re-ingest what the last crawl already contributed" step. Documents
+    * too short to shingle can match nothing and always survive. Returns
+    * the surviving `incoming` rows unchanged.
+    *
+    * Scale shape: [[minhashProbe]]'s — the batch hashes once, candidates
+    * come from a banded equi-join against the PERSISTED index (the
+    * snapshot corpus is never re-scanned), and the final keep is one
+    * left-anti join on `idCol`.
+    */
+  def crossDedup(incoming: DataFrame, index: MinhashIndex, idCol: String,
+      textCol: String, threshold: Double): DataFrame =
+    incoming.join(
+      minhashProbe(incoming, index, idCol, textCol, threshold)
+        .select(col("probe_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Entropy-balanced disjoint bit masks over a signature column: one
     * 64-column aggregate counts set bits per position; positions
     * round-robin into `numBands` masks by descending balance

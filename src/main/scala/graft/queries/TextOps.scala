@@ -173,6 +173,30 @@ object TextOps {
         "doc_id", "text", n = 4)
     }),
 
+    // per-doc contamination score: ts7's hit counts plus the denominator
+    // (total distinct 4-gram shingles) for every shingleable doc — the
+    // threshold/audit form of decontamination; same broadcast shape
+    "ts20_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.contaminationScore(
+        docs.where(col("doc_id") % 29 =!= 0),
+        docs.where(col("doc_id") % 29 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
+    // cross-corpus dedup: the new-crawl slice (doc_id % 29 == 0) keeps
+    // only docs that are NOT MinHash near-dups of the indexed snapshot —
+    // dd12's probe composed into the "don't re-ingest the last crawl"
+    // filter; too-short-to-shingle docs always survive
+    "dd19_cross_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val index = Dedup.minhashIndex(docs.where(col("doc_id") % 29 =!= 0),
+        "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2)
+      Dedup.crossDedup(docs.where(col("doc_id") % 29 === 0), index,
+        "doc_id", "text", threshold = 0.6)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // per-source token-budget mixture sample: take docs in deterministic
     // hash order until each source contributes ≤ 700 tokens (the
     // "mix sources to target shares" step); windowed exact variant —
@@ -960,6 +984,33 @@ object TextOps {
          |       WHERE doc_id % 29 <> 0)
          |SELECT tr.doc_id AS doc_id, count(*) AS n_hits
          |FROM tr JOIN b USING (shingle) GROUP BY tr.doc_id""".stripMargin,
+
+    // ts7's CTEs with a LEFT join: count(*) is the shingle total,
+    // count(b.shingle) the benchmark hits
+    "ts20_contamination" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |w AS (SELECT doc_id,
+         |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+         |      FROM t),
+         |s AS (SELECT doc_id, ${sqlShingleHashes(4)} AS sh
+         |      FROM w WHERE len(wh) >= 4),
+         |b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+         |      WHERE doc_id % 29 = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+         |       WHERE doc_id % 29 <> 0)
+         |SELECT tr.doc_id AS doc_id, count(*) AS n_sh,
+         |       count(b.shingle) AS n_hit
+         |FROM tr LEFT JOIN b USING (shingle) GROUP BY tr.doc_id""".stripMargin,
+
+    // dd12's probe matches inverted: new-crawl docs with NO near-dup in
+    // the snapshot survive (NOT EXISTS for NULL-key parity with
+    // left_anti, the j6/j7 discipline)
+    "dd19_cross_dedup" ->
+      s"""WITH m AS (SELECT DISTINCT probe_id FROM ($dd12Sql) x)
+         |SELECT doc_id, source, n_chars FROM documents dcs
+         |WHERE doc_id % 29 = 0 AND NOT EXISTS
+         |  (SELECT 1 FROM m WHERE m.probe_id = dcs.doc_id)""".stripMargin,
 
     "dd5_simhash" ->
       s"""SELECT doc_id,

@@ -453,4 +453,26 @@ class DedupSpec extends SparkSpec {
     assert(sig(2L) != null && sig(2L).size == 4 && sig(2L).forall(_ == null))
     assert(sig(3L) != null && sig(3L).size == 4 && sig(3L).forall(_ == null))
   }
+
+  test("crossDedup drops snapshot near-dups, keeps originals and docs " +
+    "too short to shingle") {
+    val snapshot = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      // near-copy of snapshot doc 1 (one word changed at the tail)
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+      // genuinely new content
+      (11L, "completely different words about other topics entirely"),
+      // too short to form a 3-shingle: can match nothing, must survive
+      (12L, "hi there")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(snapshot, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2)
+    val kept = Dedup.crossDedup(incoming, idx, "doc_id", "text",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L), s"kept $kept")
+    idx.release()
+  }
 }
