@@ -131,6 +131,12 @@ object PlanAudit {
       p => !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct") &&
         p.contains("ObjectHashAggregate")),
+    Check("ts7b_decontaminate_bloom",
+      "bloom prefilter inside codegen BEFORE the deliberately " +
+        "non-broadcast exact join (the large-benchmark shape)",
+      p => p.contains("bloom_might_contain") &&
+        p.contains("SortMergeJoin") &&
+        !p.contains("BroadcastNestedLoopJoin")),
     Check("p12_like_scan", "substring predicate pushed as StringContains",
       p => p.contains("StringContains(p_name,bolt)")),
     Check("p13_prefix_scan", "prefix predicate pushed as StringStartsWith",

@@ -1159,6 +1159,42 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[decontaminate]] with a Bloom semi-join reduction — the
+    * large-benchmark regime. When the benchmark's distinct-shingle set
+    * is too large to broadcast as rows, the exact join becomes a
+    * shuffle join over the ENTIRE exploded corpus (one row per corpus
+    * shingle — the dominant cost at 100 TB). This form first collapses
+    * the benchmark side to `numBits/8` bytes of Bloom words
+    * (driver-held, merge-order-invariant OR build), prefilters corpus
+    * shingles with a codegen [[graft.functions.BloomMightContain]]
+    * probe, and only the surviving candidates — true hits plus the
+    * filter's few false positives — reach the exact join that removes
+    * the FPs. No false negatives ⇒ the result EQUALS [[decontaminate]]
+    * row for row; the oracle is shared.
+    *
+    * `broadcastBench = false` pins the shuffle-join (large-benchmark)
+    * shape this variant exists for; `true` keeps the broadcast join and
+    * uses the Bloom probe as a cheap pre-join row cut.
+    */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, numBits: Int = 1 << 20, numHashes: Int = 5,
+      broadcastBench: Boolean = false): DataFrame = {
+    val benchSh = tracked(bench
+      .select(explode(shingleHashes(col(textCol), n)).as("shingle"))
+      .distinct())
+    val words = benchSh
+      .agg(graft.functions.Bloom.bloomAgg(col("shingle"), numBits, numHashes))
+      .head().getSeq[Long](0).toArray
+    val trainSh = train
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("shingle"))
+      .where(graft.functions.Bloom.mightContain(col("shingle"), words,
+        numHashes))
+    val joined =
+      if (broadcastBench) trainSh.join(broadcast(benchSh), Seq("shingle"))
+      else trainSh.hint("merge").join(benchSh, Seq("shingle"))
+    joined.groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Per-document contamination SCORE — [[decontaminate]] reports only
     * the hit counts of contaminated docs; pipelines that threshold (or
     * audit) need the denominator too. Emits (`idCol`, n_sh, n_hit) for

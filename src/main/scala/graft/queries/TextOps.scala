@@ -173,6 +173,18 @@ object TextOps {
         "doc_id", "text", n = 4)
     }),
 
+    // ts7's large-benchmark regime: benchmark shingles collapse to Bloom
+    // words, a codegen might-contain probe cuts corpus shingles BEFORE
+    // the (deliberately non-broadcast) exact join that removes the few
+    // false positives — result equals ts7 row for row, oracle shared
+    "ts7b_decontaminate_bloom" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.decontaminateBloom(
+        docs.where(col("doc_id") % 29 =!= 0),
+        docs.where(col("doc_id") % 29 === 0),
+        "doc_id", "text", n = 4, numBits = 1 << 18, numHashes = 5)
+    }),
+
     // per-doc contamination score: ts7's hit counts plus the denominator
     // (total distinct 4-gram shingles) for every shingleable doc — the
     // threshold/audit form of decontamination; same broadcast shape
@@ -448,6 +460,24 @@ object TextOps {
        |sig AS (SELECT doc_id, sh, [$slots] AS sig FROM s),
        |banded AS ($bands)""".stripMargin
   }
+
+  /** ts7 oracle (and ts7b's — the Bloom prefilter is answer-invariant):
+    * word 4-gram shingles, benchmark slice joined back to the corpus.
+    */
+  private val ts7Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |w AS (SELECT doc_id,
+       |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+       |      FROM t),
+       |s AS (SELECT doc_id, ${sqlShingleHashes(4)} AS sh
+       |      FROM w WHERE len(wh) >= 4),
+       |b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+       |      WHERE doc_id % 29 = 0),
+       |tr AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+       |       WHERE doc_id % 29 <> 0)
+       |SELECT tr.doc_id AS doc_id, count(*) AS n_hits
+       |FROM tr JOIN b USING (shingle) GROUP BY tr.doc_id""".stripMargin
 
   private val minhashCandidateCtes: String =
     s"""$minhashSignatureCtes,
@@ -970,20 +1000,11 @@ object TextOps {
 
     "dd8_dup_clusters" -> dd8Sql,
 
-    "ts7_decontaminate" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-         |           FROM documents),
-         |w AS (SELECT doc_id,
-         |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
-         |      FROM t),
-         |s AS (SELECT doc_id, ${sqlShingleHashes(4)} AS sh
-         |      FROM w WHERE len(wh) >= 4),
-         |b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
-         |      WHERE doc_id % 29 = 0),
-         |tr AS (SELECT doc_id, unnest(sh) AS shingle FROM s
-         |       WHERE doc_id % 29 <> 0)
-         |SELECT tr.doc_id AS doc_id, count(*) AS n_hits
-         |FROM tr JOIN b USING (shingle) GROUP BY tr.doc_id""".stripMargin,
+    "ts7_decontaminate" -> ts7Sql,
+
+    // the Bloom prefilter admits false positives only, and the exact
+    // join removes them — ts7b's answer IS ts7's
+    "ts7b_decontaminate_bloom" -> ts7Sql,
 
     // ts7's CTEs with a LEFT join: count(*) is the shingle total,
     // count(b.shingle) the benchmark hits

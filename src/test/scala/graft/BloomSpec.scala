@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bloom
+import graft.ops.Dedup
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def buildWords(items: Seq[Long], numBits: Int, k: Int,
+      parts: Int): Array[Long] =
+    items.toDF("v").repartition(parts)
+      .agg(Bloom.bloomAgg($"v", numBits, k))
+      .head().getSeq[Long](0).toArray
+
+  test("no false negatives, ever") {
+    val items = (0L until 2000L).map(i => i * 0x9e37L + 17L)
+    val words = buildWords(items, numBits = 1 << 15, k = 5, parts = 7)
+    val misses = items.toDF("v")
+      .where(!Bloom.mightContain($"v", words, 5)).count()
+    assert(misses == 0L)
+  }
+
+  test("merge-order invariance: words identical under any partitioning") {
+    val items = (0L until 5000L).map(i => i * 31L - 7L)
+    val a = buildWords(items, 1 << 16, 4, parts = 1)
+    val b = buildWords(items, 1 << 16, 4, parts = 13)
+    assert(a.sameElements(b))
+  }
+
+  test("false-positive rate stays near the (1 - e^(-kn/m))^k envelope") {
+    val n = 4000
+    val m = 1 << 16
+    val k = 5
+    val items = (0L until n.toLong).map(i => i * 0x1234567L + 3L)
+    val words = buildWords(items, m, k, parts = 5)
+    // a disjoint probe set (offset far outside the build range)
+    val probes = (0 until 20000).map(i => 1000000000L + i * 77L)
+    val fps = probes.toDF("v")
+      .where(Bloom.mightContain($"v", words, k)).count()
+    val expected = math.pow(1 - math.exp(-k.toDouble * n / m), k)
+    val observed = fps.toDouble / probes.size
+    assert(observed <= 2 * expected + 0.005,
+      f"FP rate $observed%.4f vs expected $expected%.4f")
+  }
+
+  test("decontaminateBloom == decontaminate, both join modes; the plan " +
+    "carries the codegen bloom probe") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.where($"doc_id" % 29 =!= 0)
+    val bench = docs.where($"doc_id" % 29 === 0)
+    val exact = Dedup.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (bcast <- Seq(false, true)) {
+      val bloomed = Dedup.decontaminateBloom(train, bench, "doc_id", "text",
+        n = 4, numBits = 1 << 16, numHashes = 5, broadcastBench = bcast)
+      assert(bloomed.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap == exact,
+        s"broadcastBench=$bcast")
+    }
+    // tiny filter (64 bits, saturated): still exact — FPs all removed
+    val saturated = Dedup.decontaminateBloom(train, bench, "doc_id", "text",
+      n = 4, numBits = 64, numHashes = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saturated == exact)
+    val plan = Dedup.decontaminateBloom(train, bench, "doc_id", "text",
+      n = 4, numBits = 1 << 16, numHashes = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"))
+    Dedup.releaseCaches()
+  }
+}
