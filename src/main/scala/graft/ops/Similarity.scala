@@ -552,6 +552,38 @@ object Similarity {
       .select(col(idCol), col("centroid_id"))
   }
 
+  /** Streaming admission against a FROZEN semantic-dedup kept set: an
+    * arriving document is admitted iff no kept representative in its
+    * cell sits at cosine ≥ `threshold`. [[assignCellExpr]] keeps the
+    * cell assignment a stateless projection (literal-embedded centroids,
+    * bit-identical to the batch argmax) and the kept set — `kept` must
+    * carry (centroid_id, `keptVecCol`) — joins stream-static LEFT-ANTI:
+    * append-legal with zero state, the embedding twin of the MinHash
+    * index probe's admission path. Intra-batch mutual near-dups are
+    * deliberately NOT compared: admission is against the frozen set
+    * only; merging duplicates WITHIN a batch is the batch [[semDedup]] /
+    * DupClusterIndex-maintenance shape. Drop arithmetic (plain cosine
+    * comparison) matches [[semDedup]] exactly, so a batch replay of the
+    * same rows admits the identical set.
+    *
+    * Scale shape: the kept-rep table is the post-dedup representative
+    * set keyed by cell — the equi-join on cell localizes comparisons to
+    * ~|kept|/k reps per row, and nothing corpus-sized shuffles.
+    */
+  def semDedupAdmitStream(docs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Double])], kept: DataFrame,
+      keptVecCol: String, threshold: Double): DataFrame = {
+    val assigned = docs.withColumn("__cell",
+      assignCellExpr(col(vecCol), centroids))
+    val reps = kept.select(col("centroid_id").as("__k_cell"),
+      col(keptVecCol).as("__k_vec"))
+    assigned.join(reps,
+        col("__cell") === col("__k_cell") &&
+          cosine(col(vecCol), col("__k_vec")) >= threshold,
+        "left_anti")
+      .withColumnRenamed("__cell", "centroid_id")
+  }
+
   // -------------------------------------------------- streaming assignment
 
   private def litVec(v: Array[Double]): Column = array(v.map(lit): _*)

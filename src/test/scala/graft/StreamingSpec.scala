@@ -230,6 +230,57 @@ class StreamingSpec extends SparkSpec {
       "streaming PQ codes != batch")
   }
 
+  test("streaming semantic-dedup admission: stream == batch against a " +
+      "frozen kept set, append mode, no state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sf)
+    val corpus = emb.where(col("vec_id") < 300)
+    val centroidsDf = Similarity.ivfSeedCentroids(corpus, "vec_id",
+      "embedding", 8)
+    val cents = centroidsDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    // frozen kept set: batch semDedup over the corpus, vectors re-joined
+    val kept = Similarity.semDedup(corpus, "vec_id", "embedding",
+      centroidsDf, threshold = 0.4)
+      .join(corpus, Seq("vec_id"))
+      .select(col("centroid_id"), col("embedding").as("k_vec"))
+      .cache()
+
+    val incoming = emb.where(col("vec_id") >= 300)
+      .as[(Long, Seq[Float], String)].collect().toSeq
+      .map { case (id, v, _) => (id, v) }
+    val src = MemoryStream[(Long, Seq[Float])]
+    val stream = src.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val q = Similarity.semDedupAdmitStream(stream, "vec_id", "embedding",
+        cents, kept, "k_vec", threshold = 0.4)
+      .select("vec_id", "centroid_id")
+      .writeStream.format("memory").queryName("sem_admit")
+      .outputMode("append").start()
+    src.addData(incoming.take(25): _*)
+    q.processAllAvailable()
+    src.addData(incoming.drop(25): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sem_admit").as[(Long, Long)].collect().toSet
+    val batchIncoming = incoming.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val want = Similarity.semDedupAdmitStream(batchIncoming, "vec_id",
+        "embedding", cents, kept, "k_vec", threshold = 0.4)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    assert(got == want, "streaming admission != batch replay")
+    // the fixture's near-dup groups must reject SOMETHING, and genuinely
+    // novel vectors must get through
+    assert(want.size < incoming.size, "no rejections — fixture degenerate")
+    assert(want.nonEmpty, "everything rejected — fixture degenerate")
+    kept.unpersist()
+  }
+
   test("windowed top-k: streaming (complete) equals batch on real events") {
     val srcDir = tmpDir("stream-wtopk")
     graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
