@@ -20,17 +20,27 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as Parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default. Read nanos as long and convert to a micros
-    * timestamp (the corpus' nano values are all whole micros, and DuckDB
-    * likewise surfaces the column as micros TIMESTAMP — no precision loss).
+  /** `events.parquet`'s `ts` column has shipped in two physical forms
+    * across corpus generations: Parquet TIMESTAMP(NANOS) (which Spark
+    * surfaces as long under the legacy flag — convert to micros; the
+    * corpus' nano values are all whole micros, so no precision loss) and
+    * native TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ — cast
+    * to TimestampType; the session is pinned to UTC so the instant is
+    * bit-identical to the long-form conversion, and downstream event-time
+    * code keeps a single timestamp type). Dispatch on the schema actually
+    * read so either corpus works.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
-    // integer DIV, not `/` (double division loses precision at 1e18 nanos)
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    raw.schema("ts").dataType match {
+      // integer DIV, not `/` (double division loses precision at 1e18 nanos)
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
