@@ -294,6 +294,29 @@ object Relational {
           $"e.err".as("err"), ($"pos" + 1).cast("int").as("rnk"))
     }),
 
+    // Q12: grouped quantiles from ONE mergeable KLL-sketch pass — the
+    // order-statistics member of the sketch family (a8 Space-Saving, a10
+    // Count-Min, ts7b Bloom, q11-approx HLL++). l_quantity has a FIXED
+    // 50-value domain, so the sketch's exact-head regime (distinct ≤ k)
+    // holds at every scale factor: err = 0 and the answer is
+    // quantile_disc-identical while memory stays O(k), not O(rows) — an
+    // exact-percentile GROUP BY would sort whole groups. Only sketches
+    // shuffle (partial aggregation), never rows
+    "q12_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .select($"l_returnflag",
+          round($"l_quantity" * 100).cast("long").as("qty_c"))
+        .groupBy($"l_returnflag")
+        .agg(graft.functions.Kll
+          .kllQuantiles($"qty_c", k = 256, probs = Seq(0.25, 0.5, 0.75, 0.95))
+          .as("s"))
+        .select($"l_returnflag",
+          $"s.qs".getItem(0).as("q25"), $"s.qs".getItem(1).as("q50"),
+          $"s.qs".getItem(2).as("q75"), $"s.qs".getItem(3).as("q95"),
+          $"s.err".as("err"), $"s.n".as("n"))
+    }),
+
     // W6: ntile decile assignment per priority class — PARTITIONED
     // window (a global ntile would be a single-partition total sort, the
     // classic window scale hazard; within-group deciles shuffle once on
@@ -706,6 +729,21 @@ object Relational {
         |           AS INTEGER) AS rnk
         |  FROM events GROUP BY user_id) t
         |WHERE rnk <= 10""".stripMargin,
+
+    // exact regime: 50 distinct cents values ≤ k=256 ⇒ the sketch is the
+    // exact weighted histogram and err = 0; quantile_disc rank rule is
+    // max(1, ceil(p·n)), the same rule KllBuf.quantiles implements
+    "q12_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |       quantile_disc(qty_c, 0.25) AS q25,
+        |       quantile_disc(qty_c, 0.50) AS q50,
+        |       quantile_disc(qty_c, 0.75) AS q75,
+        |       quantile_disc(qty_c, 0.95) AS q95,
+        |       CAST(0 AS BIGINT) AS err, count(*) AS n
+        |FROM (SELECT l_returnflag,
+        |        CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+        |      FROM lineitem) t
+        |GROUP BY l_returnflag""".stripMargin,
 
     "w6_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -24,6 +24,14 @@ object StreamOps {
     "st8_hopping" -> ((s, d) =>
       EventStreams.windowedCountsHopping(events(s, d))),
 
+    // per-window p50/p95 from a mergeable KLL sketch — the percentile
+    // dashboard. Exact regime: per-hour distinct value-cents ≪ k=1024
+    // at gate scale, so err = 0 and quantiles match quantile_disc;
+    // the same shape runs as an append-mode STREAM with the sketch as
+    // watermark-bounded state (StreamingSpec)
+    "st9_window_quantile" -> ((s, d) =>
+      EventStreams.windowedQuantiles(events(s, d))),
+
     // sessionization (gap = 30 min) — lag + running-sum islands
     "st2_sessionize" -> ((s, d) =>
       EventStreams.sessionize(events(s, d), gapUs = 1800L * 1000000L)),
@@ -113,6 +121,17 @@ object StreamOps {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |         AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // hour buckets in epoch micros; quantile_disc == the sketch's exact
+    // regime (per-hour distinct ≤ k)
+    "st9_window_quantile" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+        |         AS p50_cents,
+        |       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95)
+        |         AS p95_cents,
+        |       CAST(0 AS BIGINT) AS err, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
     // covered window starts w = k·slide with t−dur < w ≤ t: k ranges over
     // [(t−dur)//slide + 1, t//slide] (range() upper bound exclusive)
     "st8_hopping" ->

@@ -81,6 +81,35 @@ object EventStreams {
         col("e.cnt").as("cnt"), (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Per-window value quantiles (latency/price percentile dashboards —
+    * "p50/p95 per hour") from ONE mergeable KLL sketch per window: the
+    * sketch is the aggregation-buffer/state-store payload,
+    * O(k·log(n/k)) bytes per open window regardless of row count, so
+    * the shuffle carries sketches, not events, and a stream can emit
+    * per-window percentiles in append mode with watermark-bounded state
+    * — exact quantile state would be unbounded per window. While a
+    * window's DISTINCT values stay ≤ k the answer is exact
+    * (quantile_disc-identical, err = 0), which is the oracle-gated
+    * regime (st9); past it every window carries its own worst-case
+    * rank-error certificate in `err`.
+    *
+    * Returns (window_start_us, p50_cents, p95_cents, err, n).
+    */
+  def windowedQuantiles(events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "10 minutes", k: Int = 1024,
+      probs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .select(col("ts"), round(col("value") * 100).cast("long").as("v"))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(graft.functions.Kll.kllQuantiles(col("v"), k, probs).as("s"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("s.qs").getItem(0).as("p50_cents"),
+        col("s.qs").getItem(1).as("p95_cents"),
+        col("s.err").as("err"), col("s.n").as("n"))
+  }
+
   /** Per-window distinct users — the audience/reach counter. Exact mode
     * (`approx = false`) is the batch/oracle form; a STREAM must use
     * `approx = true`: Spark refuses exact distinct aggregation on a

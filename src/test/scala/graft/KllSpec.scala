@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Kll.kllQuantiles
+import graft.functions.{KllBuf, KllQuantiles}
+
+/** KLL quantile-sketch properties beyond the exact-regime oracle gates
+  * (q12 grouped, st9 windowed): the distinct-bounded exact head, the
+  * self-reported worst-case rank-error certificate under forced
+  * compaction (for ANY partitioning/merge tree), lossless binary-
+  * decomposed spill, and serde round-trip.
+  */
+class KllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val probs = Seq(0.25, 0.5, 0.75, 0.95)
+
+  /** quantile_disc ground truth: rank max(1, ceil(p·n)), 1-indexed */
+  private def exactQ(xs: Seq[Long], p: Double): Long = {
+    val sorted = xs.sorted
+    sorted((math.max(1L, math.ceil(p * xs.size.toDouble).toLong) - 1).toInt)
+  }
+
+  private def sketchOf(rows: Seq[Long], k: Int, parts: Int = 7) =
+    rows.toDF("v").repartition(parts)
+      .agg(kllQuantiles(col("v"), k, probs).as("s"))
+      .select(col("s.qs"), col("s.err"), col("s.n"))
+      .as[(Seq[Long], Long, Long)].head()
+
+  test("exact regime: distinct <= k gives quantile_disc answers with a " +
+      "zero error certificate, under any partitioning") {
+    val rnd = new scala.util.Random(3)
+    // 40 distinct values, heavily skewed counts, 20k rows
+    val data = Seq.fill(20000)((math.pow(rnd.nextDouble(), 3) * 40).toLong)
+    for (parts <- Seq(1, 4, 13)) {
+      val (qs, err, n) = sketchOf(rnd.shuffle(data), k = 64, parts = parts)
+      assert(err == 0L, s"exact regime must certify err=0, got $err")
+      assert(n == data.size.toLong)
+      assert(qs == probs.map(exactQ(data, _)), s"parts=$parts")
+    }
+  }
+
+  test("compacting regime: the certificate is honest — every answer's " +
+      "true rank lies within err of the target rank") {
+    val rnd = new scala.util.Random(17)
+    // 30k distinct-heavy values >> k: compactions are forced
+    val data = Seq.fill(30000)(rnd.nextInt(1000000).toLong)
+    val (qs, err, n) = sketchOf(data, k = 128)
+    assert(err > 0L, "this fixture must force compactions")
+    assert(n == data.size.toLong)
+    val sorted = data.sorted
+    probs.zip(qs).foreach { case (p, q) =>
+      val target = math.max(1L, math.ceil(p * n.toDouble).toLong)
+      // the true rank interval of value q: [less+1, lessEq]
+      val less = sorted.count(_ < q).toLong
+      val lessEq = sorted.count(_ <= q).toLong
+      assert(less + 1 - err <= target && target <= lessEq + err,
+        s"p=$p: value $q rank [${less + 1},$lessEq] vs target $target ± $err")
+    }
+    // and the certificate is non-vacuous: far tighter than n
+    assert(err < n / 4, s"err=$err is not a useful bound for n=$n")
+  }
+
+  test("spill is lossless: exceeding k distinct by itself only compacts " +
+      "what overflows — heavy counts survive binary decomposition") {
+    val agg = KllQuantiles(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")),
+      k = 16, probs = probs)
+    val buf = agg.createAggregationBuffer()
+    // one dominant value (count 1000, bits across many levels) + spread
+    val data = Seq.fill(1000)(50L) ++ (1L to 40L)
+    data.foreach(buf.add(_, 1L))
+    val (items, weights) = buf.weightedItems()
+    // total mass is always preserved exactly, compacted or not
+    assert(weights.sum == data.size.toLong)
+    assert(buf.n == data.size.toLong)
+    // the dominant value's mass dwarfs any compaction error
+    val wOf = items.zip(weights).toMap
+    assert(wOf(50L) >= 1000L - buf.errBound)
+    // p50 sits inside the dominant run regardless of compactions
+    assert(buf.quantiles(Array(0.5))(0) == 50L)
+  }
+
+  test("merge certificate telescopes: merged err <= sum of parts, and " +
+      "bounds still hold after an 8-way merge tree") {
+    val agg = KllQuantiles(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")),
+      k = 64, probs = probs)
+    val rnd = new scala.util.Random(29)
+    val shards = Seq.fill(8)(Seq.fill(4000)(rnd.nextInt(100000).toLong))
+    val bufs = shards.map { xs =>
+      val b = agg.createAggregationBuffer(); xs.foreach(b.add(_, 1L)); b
+    }
+    val partErr = bufs.map(_.errBound).sum
+    val merged = bufs.reduce((a, b) => agg.merge(a, b))
+    val data = shards.flatten
+    assert(merged.n == data.size.toLong)
+    val sorted = data.sorted
+    probs.foreach { p =>
+      val q = merged.quantiles(Array(p))(0)
+      val target = math.max(1L, math.ceil(p * merged.n.toDouble).toLong)
+      val less = sorted.count(_ < q).toLong
+      val lessEq = sorted.count(_ <= q).toLong
+      assert(less + 1 - merged.errBound <= target &&
+        target <= lessEq + merged.errBound,
+        s"p=$p after merge: rank [${less + 1},$lessEq] vs " +
+          s"$target ± ${merged.errBound}")
+    }
+    assert(merged.errBound >= partErr,
+      "merge must carry the parts' accumulated error forward")
+  }
+
+  test("serialize/deserialize round-trips head, levels, parities and " +
+      "the certificate") {
+    val agg = KllQuantiles(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")),
+      k = 8, probs = probs)
+    val buf = agg.createAggregationBuffer()
+    val rnd = new scala.util.Random(5)
+    Seq.fill(500)(rnd.nextInt(200).toLong).foreach(buf.add(_, 1L))
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.n == buf.n)
+    assert(back.errBound == buf.errBound)
+    assert(back.head.toMap == buf.head.toMap)
+    assert(back.levels.map(_.sorted) == buf.levels.map(_.sorted))
+    assert(back.parities == buf.parities)
+    val (bi, bw) = buf.weightedItems(); val (ri, rw) = back.weightedItems()
+    assert(bi.sameElements(ri) && bw.sameElements(rw))
+  }
+}

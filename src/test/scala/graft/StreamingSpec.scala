@@ -295,6 +295,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("windowed quantiles: streaming (complete) equals batch on real " +
+      "events — the KLL sketch is the state payload") {
+    val srcDir = tmpDir("stream-wquant")
+    graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = EventStreams.runToMemory(spark, srcDir, schema, "wquant_stream",
+      EventStreams.windowedQuantiles(_), outputMode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("wquant_stream")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = EventStreams.windowedQuantiles(graft.Tables.events(spark, sf))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // gate-scale fixture stays in the exact regime: every window err = 0
+    assert(batch.forall(_._4 == 0L), "expected exact-regime windows")
+  }
+
   test("windowed top-k: watermark-driven append emit across micro-batches") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
