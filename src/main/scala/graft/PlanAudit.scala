@@ -83,6 +83,16 @@ object PlanAudit {
     Check("a10_cm_topk", "raw keys never shuffle; one sketch exchange",
       p => "ObjectHashAggregate".r.findAllIn(p).size >= 2 &&
         "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
+    Check("q12_quantile_sketch",
+      "rows never shuffle for quantiles — partial KLL sketches merge " +
+        "across one group-key exchange",
+      p => "ObjectHashAggregate".r.findAllIn(p).size >= 2 &&
+        p.contains("hashpartitioning(l_returnflag") &&
+        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
+    Check("st9_window_quantile",
+      "per-window quantiles shuffle sketches, not events; one exchange",
+      p => "ObjectHashAggregate".r.findAllIn(p).size >= 2 &&
+        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
     Check("st8_hopping",
       "multi-window Expand runs before partial aggregation — the " +
         "shuffle carries per-(window,type) aggregates, not events",

@@ -514,6 +514,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for EACH anchor in
+    * `anchors` (id, vector, label), the `k` corpus vectors most
+    * cosine-similar to it whose label DIFFERS — the similar-but-wrong
+    * examples a retrieval/embedding trainer wants next to each positive.
+    *
+    * This is the BATCHED ANN problem (many anchors at once), so the
+    * probe is shaped around the IVF index instead of per-anchor scans:
+    * each anchor ranks the (broadcast-sized) centroid table for its
+    * `nprobe` cells, and the corpus is hit with ONE equi-join on
+    * centroid_id — anchors × corpus never becomes a cross product; the
+    * quadratic term is confined to probed cells exactly as in
+    * [[ivfTopK]], and each (anchor, vector) pair appears at most once
+    * because a vector lives in one cell. Per-anchor top-k is a rank
+    * window partitioned by anchor — one shuffle on the anchor key.
+    * Anchors exclude themselves for free (their own label matches).
+    *
+    * NaN discipline as everywhere in this file: undefined cosines map to
+    * -Inf so degenerate vectors never win a slot.
+    *
+    * Returns (anchor_id, `idCol`, cos, rnk) with rnk 1..k ordered
+    * (cos DESC, id ASC).
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, centroids: DataFrame, assignments: DataFrame,
+      anchors: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("anchor_vec"), col(labelCol).as("anchor_label"))
+    // per-anchor probe cells: anchors × broadcast centroids, rank nprobe
+    val wProbe = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    val probes = a.crossJoin(broadcast(centroids))
+      .select(col("anchor_id"), col("anchor_vec"), col("anchor_label"),
+        col("centroid_id"),
+        nanvl(cosine(col("anchor_vec"), col("centroid")),
+          lit(Double.NegativeInfinity)).as("sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .drop("rn", "sim")
+    val wTop = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    df.join(assignments, Seq(idCol))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .where(col(labelCol) =!= col("anchor_label"))
+      .select(col("anchor_id"), col(idCol),
+        nanvl(cosine(col(vecCol), col("anchor_vec")),
+          lit(Double.NegativeInfinity)).as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= k)
+      .select(col("anchor_id"), col(idCol), col("cos"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Embedding-space semantic dedup (the SemDeDup shape): coarse k-means
     * cells localize the near-duplicate search, then WITHIN each cell a
     * doc is dropped iff some lower-id doc in the same cell is closer

@@ -375,6 +375,40 @@ object TextAnalysis {
       .where(col("q_pct") >= minPct)
   }
 
+  /** The sketch twin of [[calibratedQualityFilter]] — same per-source
+    * "keep the top (1−p) of its own source" semantics, but the cutoff
+    * comes from a per-source KLL quantile sketch instead of a
+    * percent_rank window, which changes the 100 TB plan shape entirely:
+    * the window form SHUFFLES AND SORTS EVERY ROW by source; this form
+    * shuffles only O(k log n) sketches to compute each source's cutoff
+    * score, broadcasts the few-hundred-row cutoff table back, and keeps
+    * rows map-side — zero row shuffle end to end. Scores are quantized
+    * to 1e-6 (the [0,1] quality score as integer micro-units; monotone,
+    * so selection order is preserved) because the sketch wants integer
+    * keys, and each row carries its source's `q_err` rank-error
+    * certificate: 0 while a source has ≤ k distinct quantized scores —
+    * then the kept set is EXACTLY `score ≥ quantile_disc(p)` — and the
+    * sketch's own worst-case bound past it (KllSpec pins both regimes).
+    * Boundary note vs the window form: percent_rank ≥ p and
+    * score ≥ disc-quantile(p) differ only at ties ON the cutoff score
+    * (the window form's (quality, id) order splits equal-score docs;
+    * a value threshold keeps or drops them together).
+    */
+  def calibratedQualityFilterApprox(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, minPct: Double,
+      k: Int = 4096): DataFrame = {
+    val scored = df.select(col(idCol), col(sourceCol),
+      round(qualityScoreOf(stats(col(textCol))) * 1000000L).cast("long")
+        .as("quality_u"))
+    val cuts = scored.groupBy(col(sourceCol))
+      .agg(graft.functions.Kll
+        .kllQuantiles(col("quality_u"), k, Seq(minPct)).as("s"))
+      .select(col(sourceCol), col("s.qs").getItem(0).as("q_cut"),
+        col("s.err").as("q_err"))
+    scored.join(broadcast(cuts), Seq(sourceCol))
+      .where(col("quality_u") >= col("q_cut"))
+  }
+
   /** BM25 top-k retrieval for a literal query term set, in EXACT integer
     * arithmetic — the query-driven corpus probe (targeted extraction,
     * decontamination triage, "find the docs about X") next to the

@@ -182,6 +182,21 @@ object VectorOps {
     // computed over those candidates' raw vectors only — the standard
     // production refinement that undoes quantization reorderings near
     // the top-k cut
+    // hard-negative mining (contrastive training): for each of 4 labeled
+    // anchors, the 10 most-similar corpus vectors with a DIFFERENT label,
+    // probed through the IVF index as one centroid-cell equi-join — the
+    // batched-ANN shape (anchors × corpus never cross-joins; per-anchor
+    // top-k is one rank window on the anchor key)
+    "sim10_hard_negatives" -> ((s, d) => {
+      val e = embeddings(s, d)
+      import s.implicits._
+      val centroids =
+        Similarity.ivfSeedCentroids(e, "vec_id", "embedding", 16).cache()
+      val assignments = Similarity.assign(e, "vec_id", "embedding", centroids)
+      Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+        centroids, assignments, e.where($"vec_id" < 4), k = 10, nprobe = 4)
+    }),
+
     "sim9_rerank" -> ((s, d) => {
       val e = embeddings(s, d)
       val idx = graft.ops.PqIndex.build(e, "vec_id", "embedding",
@@ -311,6 +326,43 @@ object VectorOps {
 
     // ANN + exact rerank: the sim6 chain cut at 60 by approximate
     // distance, then exact cosine over the shortlist's raw vectors
+    // same seeded-centroid + assignment CTEs as sim4; anchors vec_id<4,
+    // per-anchor nprobe=4 cells, label-mismatch filter, per-anchor top-10
+    "sim10_hard_negatives" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id,
+         |                  list_transform(embedding,
+         |                    x -> CAST(x AS DOUBLE)) AS centroid
+         |           FROM embeddings ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT vec_id, centroid_id FROM (
+         |        SELECT e.vec_id, c.centroid_id,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY ${sqlCosine("e.embedding", "c.centroid")}
+         |                   DESC, c.centroid_id) AS rn
+         |        FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |anch AS (SELECT vec_id AS anchor_id, embedding AS anchor_vec,
+         |                label AS anchor_label
+         |         FROM embeddings WHERE vec_id < 4),
+         |p AS (SELECT anchor_id, anchor_vec, anchor_label, centroid_id
+         |      FROM (
+         |        SELECT anch.anchor_id, anch.anchor_vec, anch.anchor_label,
+         |               c.centroid_id,
+         |               row_number() OVER (PARTITION BY anch.anchor_id
+         |                 ORDER BY
+         |                   ${sqlCosine("anch.anchor_vec", "c.centroid")}
+         |                   DESC, c.centroid_id) AS rn
+         |        FROM anch CROSS JOIN c) WHERE rn <= 4)
+         |SELECT anchor_id, vec_id, cos, rnk FROM (
+         |  SELECT p.anchor_id, e.vec_id,
+         |         ${sqlCosine("e.embedding", "p.anchor_vec")} AS cos,
+         |         CAST(row_number() OVER (PARTITION BY p.anchor_id
+         |           ORDER BY ${sqlCosine("e.embedding", "p.anchor_vec")}
+         |             DESC, e.vec_id) AS INTEGER) AS rnk
+         |  FROM embeddings e
+         |  JOIN a ON e.vec_id = a.vec_id
+         |  JOIN p ON a.centroid_id = p.centroid_id
+         |  WHERE e.label <> p.anchor_label) t
+         |WHERE rnk <= 10""".stripMargin,
+
     "sim9_rerank" -> {
       val sub = (e: String) => s"list_slice($e, sub*16+1, sub*16+16)"
       val n2c = sqlDotN("centroid", "centroid", 16)

@@ -111,6 +111,52 @@ class KllSpec extends SparkSpec {
       "merge must carry the parts' accumulated error forward")
   }
 
+  test("calibrated quality filter, sketch twin: windowless plan; kept " +
+      "set == exact disc-quantile threshold wherever the certificate " +
+      "is zero; certificate honest elsewhere") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = 0.5
+    val out = graft.ops.TextAnalysis.calibratedQualityFilterApprox(
+      docs, "doc_id", "text", "source", p)
+    // the 100 TB point: no per-source row sort anywhere in the plan —
+    // rows never shuffle, only sketches do, and the cutoff table joins
+    // back as a broadcast
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx twin must not window-sort")
+    assert(plan.contains("BroadcastHashJoin"), "cutoffs must broadcast")
+
+    val kept = out.select("doc_id", "source", "quality_u", "q_cut", "q_err")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // ground truth per source from a driver-side sort of every score
+    val all = docs.select(col("doc_id"), col("source"),
+        round(graft.ops.TextAnalysis.qualityScoreOf(
+          graft.ops.TextAnalysis.stats(col("text"))) * 1000000L)
+          .cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.nonEmpty && kept.length < docs.count())
+    val bySource = all.groupBy(_._2)
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      val scores = bySource(src).map(_._3).sorted
+      val n = scores.length
+      val cutRank = math.max(1L, math.ceil(p * n.toDouble).toLong)
+      val exactCut = scores((cutRank - 1).toInt)
+      val err = rows.head._5
+      if (err == 0L) {
+        assert(rows.head._4 == exactCut, s"$src cutoff")
+        val expectKeep = bySource(src).filter(_._3 >= exactCut).map(_._1).toSet
+        assert(rows.map(_._1).toSet == expectKeep, s"$src kept set")
+      } else {
+        // certificate: the sketch cutoff's true rank within ±err of target
+        val cut = rows.head._4
+        val less = scores.count(_ < cut).toLong
+        val lessEq = scores.count(_ <= cut).toLong
+        assert(less + 1 - err <= cutRank && cutRank <= lessEq + err, src)
+      }
+    }
+  }
+
   test("serialize/deserialize round-trips head, levels, parities and " +
       "the certificate") {
     val agg = KllQuantiles(

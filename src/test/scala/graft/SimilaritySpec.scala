@@ -551,4 +551,50 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == kept)
   }
+
+  test("hard negatives: labels always differ, anchors never list " +
+      "themselves, and nprobe = all cells equals the brute-force filter") {
+    val centroids =
+      Similarity.ivfSeedCentroids(emb, "vec_id", "embedding", 16).cache()
+    val assignments =
+      Similarity.assign(emb, "vec_id", "embedding", centroids).cache()
+    val anchors = emb.where($"vec_id" < 4)
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      centroids, assignments, anchors, k = 10, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+
+    val labels = emb.select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    // same IEEE op order as Similarity.cosine (norm(a)*norm(b), NOT
+    // sqrt(na*nb)) — the comparison below is bit-for-bit
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case (aid, vid, _, _) =>
+      assert(labels(vid) != labels(aid), s"negative $vid shares $aid's label")
+      assert(vid != aid)
+    }
+    // nprobe = every cell ⇒ identical to the exhaustive scan with the
+    // label filter (rank and id sequence, cosine values bit-for-bit)
+    (0L until 4L).foreach { aid =>
+      val brute = vecs.keys.toSeq
+        .filter(v => labels(v) != labels(aid))
+        .map(v => (v, cos(vecs(v), vecs(aid))))
+        .sortBy { case (v, c) => (-c, v) }
+        .take(10)
+      val mine = got.filter(_._1 == aid).sortBy(_._4)
+        .map(r => (r._2, r._3)).toSeq
+      assert(mine == brute, s"anchor $aid")
+    }
+    // each anchor got a full list (corpus has both labels in quantity)
+    assert(got.groupBy(_._1).forall(_._2.length == 10))
+    centroids.unpersist(); assignments.unpersist()
+  }
 }
