@@ -23,6 +23,35 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Distribution profile: per-column quantiles from ONE scan, one KLL
+    * sketch per column ([[graft.functions.Kll]]) — the shape answer to
+    * "what does every numeric column look like" at 100 TB: no Expand, no
+    * per-column sort, one pass, O(k log n) bytes per (column, partial)
+    * on the wire, and each column row carries the sketch's rank-error
+    * certificate (0 ⇔ its quantiles are quantile_disc-exact, which for
+    * fixed-domain columns — quantities, discounts, taxes — holds at any
+    * scale; the q13 gate pins that regime).
+    */
+  def profileQuantiles(df: DataFrame, cols: Seq[(String, Int)],
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      k: Int = 4096): DataFrame = {
+    val aggs = cols.flatMap { case (c, scale) =>
+      val cents = round(col(c) * scale).cast("long")
+      Seq(count(col(c)).as(s"n|$c"),
+        graft.functions.Kll.kllQuantiles(cents, k, probs).as(s"s|$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide
+      .select(explode(array(cols.map { case (c, _) =>
+        val s = col(s"s|$c")
+        struct(Seq(lit(c).as("col_name"), col(s"n|$c").as("n")) ++
+          probs.indices.map(i =>
+            s.getField("qs").getItem(i).as(s"q${i + 1}")) :+
+          s.getField("err").as("err"): _*)
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   def profile(df: DataFrame, cols: Seq[(String, Int)],
       approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
     val aggs = cols.flatMap { case (c, scale) =>

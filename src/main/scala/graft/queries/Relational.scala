@@ -317,6 +317,15 @@ object Relational {
           $"s.err".as("err"), $"s.n".as("n"))
     }),
 
+    // Q13: distribution profiling — per-column quantiles for several
+    // columns from ONE scan (one KLL sketch per column; no Expand, no
+    // per-column sort — q11's profiling sweep extended to order
+    // statistics). All three gate columns have small fixed domains, so
+    // the exact-head regime holds at every scale factor
+    "q13_profile_quantiles" -> ((s, d) =>
+      graft.ops.Profiling.profileQuantiles(lineitem(s, d),
+        Seq(("l_quantity", 100), ("l_discount", 10000), ("l_tax", 10000)))),
+
     // W6: ntile decile assignment per priority class — PARTITIONED
     // window (a global ntile would be a single-partition total sort, the
     // classic window scale hazard; within-group deciles shuffle once on
@@ -744,6 +753,19 @@ object Relational {
         |        CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
         |      FROM lineitem) t
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q13_profile_quantiles" ->
+      Seq(("l_quantity", 100), ("l_discount", 10000), ("l_tax", 10000))
+        .map { case (c, k) =>
+          val sc = s"CAST(round($c * $k) AS BIGINT)"
+          s"""SELECT '$c' AS col_name, count($c) AS n,
+             |  quantile_disc($sc, 0.25) AS q1,
+             |  quantile_disc($sc, 0.50) AS q2,
+             |  quantile_disc($sc, 0.75) AS q3,
+             |  quantile_disc($sc, 0.95) AS q4,
+             |  CAST(0 AS BIGINT) AS err
+             |FROM lineitem""".stripMargin
+        }.mkString("\nUNION ALL\n"),
 
     "w6_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,

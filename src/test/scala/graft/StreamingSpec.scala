@@ -312,6 +312,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.forall(_._4 == 0L), "expected exact-regime windows")
   }
 
+  test("windowed quantiles: watermark-driven append emit, late-but-" +
+      "above-watermark values still count") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Timestamp, Double)]
+    val q = EventStreams
+      .windowedQuantiles(src.toDF().toDF("ts", "value"),
+        windowDur = "1 hour", watermark = "10 minutes", k = 64)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wquant_append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val h0 = 1700002800000L // hour-aligned epoch ms; w1 = [h0, h0+1h)
+    def at(min: Int) = new Timestamp(h0 + min * 60000L)
+    // batch 1: five w1 values + one w2 event lifting the watermark to 55
+    src.addData((at(5), 1.0), (at(10), 2.0), (at(15), 3.0),
+      (at(20), 4.0), (at(45), 5.0), (at(65), 99.0))
+    q.processAllAvailable()
+    assert(spark.table("wquant_append").count() == 0,
+      "w1 not past the watermark yet")
+    // batch 2: a LATE w1 value still above the watermark (58 > 55) must
+    // enter w1's sketch; an event at 130 pushes the watermark past w1
+    src.addData((at(58), 6.0), (at(130), 50.0))
+    q.processAllAvailable()
+    src.addData((at(200), 70.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wquant_append")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val w1Us = h0 * 1000L
+    // w1 over cents {100..600}: p50 = rank ceil(0.5*6)=3 → 300,
+    // p95 = rank ceil(0.95*6)=6 → 600; exact regime, all 6 values
+    // (the cross-batch late value counted via the merged sketch state)
+    assert(got(w1Us) == ((300L, 600L, 0L, 6L)), got.toString)
+    // w2 closed too (watermark 190 > 120): single value 99.0
+    assert(got(w1Us + 3600L * 1000000L) == ((9900L, 9900L, 0L, 1L)))
+    // w3 [120,180) emitted; w4 (the 200-min event) still open
+    assert(got.size == 3 && !got.contains(w1Us + 3 * 3600L * 1000000L))
+  }
+
   test("windowed top-k: watermark-driven append emit across micro-batches") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
