@@ -63,6 +63,17 @@ object GraftSession {
         intArg(exprs, 1, "space_saving_topk"),
         intArg(exprs, 2, "space_saving_topk")).toAggregateExpression(),
       "scala_udf")
+    // kll_quantiles(v, k, p1[, p2, ...]) — probs as literal doubles
+    // (SQL numeric literals like 0.5 eval to Decimal, not Double)
+    registry.createOrReplaceTempFunction("kll_quantiles", exprs =>
+      graft.functions.KllQuantiles(exprs(0),
+        intArg(exprs, 1, "kll_quantiles"),
+        exprs.drop(2).map(_.eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: java.lang.Number => n.doubleValue
+          case other => throw new IllegalArgumentException(
+            s"kll_quantiles: probability literal expected, got $other")
+        }).toSeq).toAggregateExpression(), "scala_udf")
   }
 
   /** Mount every table of `catalog` as a temp view over the CURRENT

@@ -52,6 +52,31 @@ object Profiling {
       .select(col("p.*"))
   }
 
+  /** Tukey-fence outlier detection per group — the standard numeric
+    * data-cleaning pass ("drop rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR]
+    * of their own group"), sketch-shaped: per-group q1/q3 come from ONE
+    * KLL sketch aggregation (sketches shuffle, rows don't), the
+    * group→fence table broadcasts back, and the flag test is map-side —
+    * the same zero-row-shuffle posture as the calibrated-quality twin,
+    * vs the naive percentile-window form that sorts every row twice.
+    * The 1.5×IQR fences are kept ALL-INTEGER by testing 2·v against
+    * 2·q1 − 3·(q3 − q1): no halves, no floats, bit-identical in any
+    * engine. Returns the outlier rows with their group's fences and the
+    * sketch certificate.
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 4096): DataFrame = {
+    val fences = df.groupBy(col(groupCol))
+      .agg(graft.functions.Kll
+        .kllQuantiles(col(valueCol), k, Seq(0.25, 0.75)).as("s"))
+      .select(col(groupCol), col("s.qs").getItem(0).as("q1"),
+        col("s.qs").getItem(1).as("q3"), col("s.err").as("err"))
+    val iqr3 = (col("q3") - col("q1")) * 3L
+    df.join(broadcast(fences), Seq(groupCol))
+      .where(col(valueCol) * 2L < col("q1") * 2L - iqr3 ||
+        col(valueCol) * 2L > col("q3") * 2L + iqr3)
+  }
+
   def profile(df: DataFrame, cols: Seq[(String, Int)],
       approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
     val aggs = cols.flatMap { case (c, scale) =>

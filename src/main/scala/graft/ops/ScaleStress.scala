@@ -32,6 +32,22 @@ object ScaleStress {
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
 
+  /** events ×n: event_id' = event_id·n + rep; variants keep their
+    * window (same ts) and group (same event_type) but perturb `value`
+    * by a deterministic per-rep cent so the per-group value sets GROW
+    * with n — the adversarial shape for distinct-bounded sketches
+    * (forces the compaction path, not just bigger exact heads).
+    */
+  def inflateEvents(events: DataFrame, n: Int): DataFrame =
+    events
+      .select(col("*"), explode(sequence(lit(0), lit(n - 1))).as("rep"))
+      .select(
+        (col("event_id") * n + col("rep")).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"),
+        (col("value") + col("rep").cast("double") * lit(0.0001) *
+          pmod(col("event_id"), lit(997)).cast("double")).as("value"),
+        col("props"))
+
   /** embeddings ×n: vec_id' = vec_id·n + rep; variants 1.. get a small
     * deterministic per-rep offset on every dimension — distinct vectors,
     * same neighborhood structure.

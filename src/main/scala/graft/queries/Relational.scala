@@ -326,6 +326,20 @@ object Relational {
       graft.ops.Profiling.profileQuantiles(lineitem(s, d),
         Seq(("l_quantity", 100), ("l_discount", 10000), ("l_tax", 10000)))),
 
+    // Q14: Tukey-fence outliers per event type — per-group q1/q3 from
+    // one sketch aggregation, fences broadcast back, flag test map-side
+    // (rows never shuffle). All-integer fence arithmetic (2v vs
+    // 2q1 − 3·IQR) so both engines compute identical cuts; exact-head
+    // regime at gate scale (≤ ~1.8k distinct cents per type, k = 4096)
+    "q14_iqr_outliers" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("v_cents"))
+      graft.ops.Profiling.iqrOutliers(ev, "event_type", "v_cents")
+        .select($"event_id", $"event_type", $"v_cents", $"q1", $"q3",
+          $"err")
+    }),
+
     // W6: ntile decile assignment per priority class — PARTITIONED
     // window (a global ntile would be a single-partition total sort, the
     // classic window scale hazard; within-group deciles shuffle once on
@@ -766,6 +780,18 @@ object Relational {
              |  CAST(0 AS BIGINT) AS err
              |FROM lineitem""".stripMargin
         }.mkString("\nUNION ALL\n"),
+
+    "q14_iqr_outliers" ->
+      """WITH q AS (SELECT event_type,
+        |    quantile_disc(CAST(round(value*100) AS BIGINT), 0.25) AS q1,
+        |    quantile_disc(CAST(round(value*100) AS BIGINT), 0.75) AS q3
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |       CAST(round(e.value*100) AS BIGINT) AS v_cents,
+        |       q.q1, q.q3, CAST(0 AS BIGINT) AS err
+        |FROM events e JOIN q USING (event_type)
+        |WHERE 2*CAST(round(e.value*100) AS BIGINT) < 2*q.q1 - 3*(q.q3-q.q1)
+        |   OR 2*CAST(round(e.value*100) AS BIGINT) > 2*q.q3 + 3*(q.q3-q.q1)""".stripMargin,
 
     "w6_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,

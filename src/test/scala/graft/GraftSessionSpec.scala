@@ -63,6 +63,11 @@ class GraftSessionSpec extends SparkSpec {
       "SELECT space_saving_topk(v, 8, 2) FROM VALUES (1L),(1L),(2L) AS t(v)")
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(hh.map(r => (r.getLong(0), r.getLong(1))) == Seq(1L -> 2L, 2L -> 1L))
+    val kq = spark.sql(
+      "SELECT kll_quantiles(v, 16, 0.5, 0.95) FROM VALUES " +
+        "(1L),(2L),(3L),(4L) AS t(v)").head().getStruct(0)
+    assert(kq.getSeq[Long](0) == Seq(2L, 4L)) // ranks ceil(.5*4), ceil(.95*4)
+    assert(kq.getLong(1) == 0L && kq.getLong(2) == 4L)
   }
 
   test("views track the snapshot the mount saw; remount advances") {

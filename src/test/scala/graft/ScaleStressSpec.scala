@@ -137,4 +137,51 @@ class ScaleStressSpec extends SparkSpec {
     info(f"x10 stress: dd3 $dd3S%.1f s, sim6 $sim6S%.1f s, dd6 $dd6S%.1f s; " +
       s"shuffle dd3 $infl recs / $pairs10 pairs, sim6 $inflE recs")
   }
+
+  test("sketch aggregations shuffle sketches, not rows, at sf0.1 x10 — " +
+      "and the inflation forces the compaction path honestly") {
+    val ev10 = ScaleStress
+      .inflateEvents(Tables.events(spark, sf01), 10).cache()
+    val nRows = ev10.count() // ~1M rows
+    val typed = ev10.select($"event_type", $"event_id",
+      org.apache.spark.sql.functions.round($"value" * 100)
+        .cast("long").as("v_cents"))
+
+    // per-type IQR fences: ~5 groups × partitions sketch partials cross
+    // the wire; rows are filtered map-side after a broadcast join
+    var outliers = 0L
+    val fenceShuffle = shuffleRecords {
+      outliers = graft.ops.Profiling
+        .iqrOutliers(typed, "event_type", "v_cents").count()
+    }
+    assert(outliers > 0, "inflated fixture lost its outlier tail")
+    assert(fenceShuffle < nRows / 100,
+      s"IQR shuffled $fenceShuffle records for $nRows rows — " +
+        "rows are crossing the wire")
+
+    // the x10 value perturbation pushes per-type distinct cents far past
+    // k: the compaction path (not just a bigger head) is what ran above;
+    // certificate must be nonzero AND still rank-honest vs a true sort
+    val fences = typed.groupBy($"event_type")
+      .agg(graft.functions.Kll
+        .kllQuantiles($"v_cents", 4096, Seq(0.25, 0.75)).as("s"))
+      .select($"event_type", $"s.qs".getItem(0).as("q1"),
+        $"s.err".as("err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(fences.forall(_._3 > 0L), "x10 didn't force compaction")
+    val one = fences.head
+    val vals = typed.where($"event_type" === one._1)
+      .select($"v_cents").as[Long].collect().sorted
+    val target = math.max(1L, math.ceil(0.25 * vals.length.toDouble).toLong)
+    val less = vals.count(_ < one._2).toLong
+    val lessEq = vals.count(_ <= one._2).toLong
+    assert(less + 1 - one._3 <= target && target <= lessEq + one._3,
+      s"${one._1}: q1=${one._2} rank [${less + 1},$lessEq] " +
+        s"vs $target ± ${one._3}")
+    // and the certificate is tight enough to matter at this scale
+    assert(one._3 < vals.length / 20,
+      s"err ${one._3} vs n=${vals.length} — certificate too loose")
+    ev10.unpersist()
+    ()
+  }
 }
