@@ -160,6 +160,55 @@ final class KllBuf(val k: Int) {
   }
 }
 
+object KllBuf {
+  /** Wire/storage form — shared by the shuffle serde AND the persisted
+    * sketch-table column ([[KllSketchAgg]]): n, errBound, level count,
+    * head (item, count) pairs as full longs (head counts are unbounded —
+    * one hot value can dominate a 100 TB column), then per level a
+    * parity byte + items.
+    */
+  def toBytes(buf: KllBuf): Array[Byte] = {
+    val nLevels = buf.levels.size
+    val levelBytes = buf.levels.map(b => 5 + 8 * b.size).sum
+    val bb = ByteBuffer.allocate(8 + 8 + 4 + 8 + 16 * buf.head.size + levelBytes)
+    bb.putLong(buf.n)
+    bb.putLong(buf.errBound)
+    bb.putInt(nLevels)
+    bb.putLong(buf.head.size.toLong)
+    buf.head.foreach { case (item, cnt) => bb.putLong(item); bb.putLong(cnt) }
+    buf.levels.zip(buf.parities).foreach { case (b, par) =>
+      bb.put(if (par) 1.toByte else 0.toByte)
+      bb.putInt(b.size)
+      b.foreach(bb.putLong)
+    }
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte], k: Int): KllBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new KllBuf(k)
+    buf.n = bb.getLong
+    buf.errBound = bb.getLong
+    val nLevels = bb.getInt
+    var h = bb.getLong
+    while (h > 0) {
+      val item = bb.getLong; val cnt = bb.getLong
+      buf.head.update(item, cnt); h -= 1
+    }
+    var l = 0
+    while (l < nLevels) {
+      val par = bb.get() == 1.toByte
+      var sz = bb.getInt
+      val dst = mutable.ArrayBuffer.empty[Long]
+      while (sz > 0) { dst += bb.getLong; sz -= 1 }
+      buf.levels += dst
+      buf.parities += par
+      l += 1
+    }
+    buf
+  }
+}
+
 /** `kll_quantiles(v, k, probs)`: quantile_disc-compatible quantiles of a
   * BIGINT column from one mergeable O(k·log(n/k)) sketch pass. Output
   * struct<qs: array<bigint>, err: bigint, n: bigint> — `err` is the
@@ -203,52 +252,105 @@ case class KllQuantiles(child: Expression, k: Int, probs: Seq[Double],
     InternalRow(new GenericArrayData(buf.quantiles(probs.toArray)),
       buf.errBound, buf.n)
 
-  override def serialize(buf: KllBuf): Array[Byte] = {
-    val nLevels = buf.levels.size
-    val levelBytes = buf.levels.map(b => 5 + 8 * b.size).sum
-    val bb = ByteBuffer.allocate(8 + 8 + 4 + 8 + 16 * buf.head.size + levelBytes)
-    bb.putLong(buf.n)
-    bb.putLong(buf.errBound)
-    bb.putInt(nLevels)
-    bb.putLong(buf.head.size.toLong)
-    // full longs for counts — head counts are unbounded (one hot value
-    // can dominate a 100 TB column)
-    buf.head.foreach { case (item, cnt) => bb.putLong(item); bb.putLong(cnt) }
-    buf.levels.zip(buf.parities).foreach { case (b, par) =>
-      bb.put(if (par) 1.toByte else 0.toByte)
-      bb.putInt(b.size)
-      b.foreach(bb.putLong)
-    }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): KllBuf = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new KllBuf(k)
-    buf.n = bb.getLong
-    buf.errBound = bb.getLong
-    val nLevels = bb.getInt
-    var h = bb.getLong
-    while (h > 0) {
-      val item = bb.getLong; val cnt = bb.getLong
-      buf.head.update(item, cnt); h -= 1
-    }
-    var l = 0
-    while (l < nLevels) {
-      val par = bb.get() == 1.toByte
-      var sz = bb.getInt
-      val dst = mutable.ArrayBuffer.empty[Long]
-      while (sz > 0) { dst += bb.getLong; sz -= 1 }
-      buf.levels += dst
-      buf.parities += par
-      l += 1
-    }
-    buf
-  }
+  override def serialize(buf: KllBuf): Array[Byte] = KllBuf.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KllBuf =
+    KllBuf.fromBytes(bytes, k)
 
   override def withNewMutableAggBufferOffset(o: Int): KllQuantiles =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): KllQuantiles =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `kll_sketch(v, k)`: aggregate a BIGINT column into a SERIALIZED
+  * sketch (BINARY) — the pre-aggregation half of the mergeable-summary
+  * pattern (Agarwal et al., "Mergeable summaries", PODS 2012): store one
+  * small sketch per (group, partition-unit) row in a summary table, and
+  * answer quantile queries over ANY slice later by merging the covered
+  * sketches ([[KllMergeQuantiles]]) — no row rescan, ever.
+  */
+case class KllSketchAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllBuf] {
+  require(k > 1, s"need capacity k > 1, got $k")
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch requires a BIGINT input, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_sketch"
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): KllBuf = new KllBuf(k)
+  override def update(buf: KllBuf, input: InternalRow): KllBuf = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long], 1L)
+    buf
+  }
+  override def merge(buf: KllBuf, other: KllBuf): KllBuf = {
+    buf.mergeIn(other); buf
+  }
+  override def eval(buf: KllBuf): Any = KllBuf.toBytes(buf)
+  override def serialize(buf: KllBuf): Array[Byte] = KllBuf.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KllBuf =
+    KllBuf.fromBytes(bytes, k)
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `kll_merge(sketch, k, probs)`: merge SERIALIZED sketches (BINARY,
+  * from [[KllSketchAgg]]) and answer quantiles — the query half of the
+  * mergeable-summary pattern. Output struct is identical to
+  * [[KllQuantiles]]; merging stored partials answers EXACTLY what a
+  * direct sketch over the union would (bit-identical while every
+  * partial and the merged head stay in the zero-compaction regime —
+  * the q15 gate; certified by `err` past it, since bounds telescope
+  * over any merge tree).
+  */
+case class KllMergeQuantiles(child: Expression, k: Int, probs: Seq[Double],
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllBuf] {
+  require(k > 1, s"need capacity k > 1, got $k")
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    s"probabilities must be within [0, 1], got $probs")
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_merge requires a BINARY sketch input, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_merge"
+  override def dataType: DataType = StructType(Seq(
+    StructField("qs", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("err", LongType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+  override def createAggregationBuffer(): KllBuf = new KllBuf(k)
+  override def update(buf: KllBuf, input: InternalRow): KllBuf = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.mergeIn(KllBuf.fromBytes(v.asInstanceOf[Array[Byte]], k))
+    buf
+  }
+  override def merge(buf: KllBuf, other: KllBuf): KllBuf = {
+    buf.mergeIn(other); buf
+  }
+  override def eval(buf: KllBuf): Any =
+    InternalRow(new GenericArrayData(buf.quantiles(probs.toArray)),
+      buf.errBound, buf.n)
+  override def serialize(buf: KllBuf): Array[Byte] = KllBuf.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KllBuf =
+    KllBuf.fromBytes(bytes, k)
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeQuantiles =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeQuantiles =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
@@ -262,5 +364,18 @@ object Kll {
   def kllQuantiles(v: Column, k: Int, probs: Seq[Double]): Column =
     ColumnBridge.column(
       KllQuantiles(ColumnBridge.expression(v), k, probs)
+        .toAggregateExpression())
+
+  /** Serialized capacity-`k` sketch of a BIGINT column (BINARY) — store
+    * it; [[kllMerge]] answers later slices without rescanning rows.
+    */
+  def kllSketch(v: Column, k: Int): Column =
+    ColumnBridge.column(
+      KllSketchAgg(ColumnBridge.expression(v), k).toAggregateExpression())
+
+  /** Merge stored sketches and answer quantiles; struct<qs, err, n>. */
+  def kllMerge(sketch: Column, k: Int, probs: Seq[Double]): Column =
+    ColumnBridge.column(
+      KllMergeQuantiles(ColumnBridge.expression(sketch), k, probs)
         .toAggregateExpression())
 }

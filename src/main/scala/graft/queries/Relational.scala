@@ -340,6 +340,30 @@ object Relational {
           $"err")
     }),
 
+    // Q15: mergeable-summary rollup (Agarwal et al., PODS 2012) — the
+    // pre-aggregated sketch-table pattern: per-(type, day) partial KLL
+    // sketches are built once (as BINARY — what a summary table stores),
+    // then a query over any slice merges the covered sketches instead of
+    // rescanning rows. The oracle is the DIRECT per-type quantile over
+    // the raw rows: merged-partials == direct is exactly the mergeable
+    // property under the zero-compaction regime (per-type distinct
+    // ≤ k at gate scale); past it, bounds telescope into err
+    "q15_sketch_rollup" -> ((s, d) => {
+      import s.implicits._
+      val probs = Seq(0.25, 0.5, 0.75, 0.95)
+      val ev = events(s, d).select($"event_type",
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        round($"value" * 100).cast("long").as("v_cents"))
+      val partials = ev.groupBy($"event_type", $"day")
+        .agg(graft.functions.Kll.kllSketch($"v_cents", 4096).as("sk"))
+      partials.groupBy($"event_type")
+        .agg(graft.functions.Kll.kllMerge($"sk", 4096, probs).as("s"))
+        .select($"event_type",
+          $"s.qs".getItem(0).as("q25"), $"s.qs".getItem(1).as("q50"),
+          $"s.qs".getItem(2).as("q75"), $"s.qs".getItem(3).as("q95"),
+          $"s.err".as("err"), $"s.n".as("n"))
+    }),
+
     // W6: ntile decile assignment per priority class — PARTITIONED
     // window (a global ntile would be a single-partition total sort, the
     // classic window scale hazard; within-group deciles shuffle once on
@@ -792,6 +816,16 @@ object Relational {
         |FROM events e JOIN q USING (event_type)
         |WHERE 2*CAST(round(e.value*100) AS BIGINT) < 2*q.q1 - 3*(q.q3-q.q1)
         |   OR 2*CAST(round(e.value*100) AS BIGINT) > 2*q.q3 + 3*(q.q3-q.q1)""".stripMargin,
+
+    // merged per-day partials must equal the direct per-type quantiles
+    "q15_sketch_rollup" ->
+      """SELECT event_type,
+        |  quantile_disc(CAST(round(value*100) AS BIGINT), 0.25) AS q25,
+        |  quantile_disc(CAST(round(value*100) AS BIGINT), 0.50) AS q50,
+        |  quantile_disc(CAST(round(value*100) AS BIGINT), 0.75) AS q75,
+        |  quantile_disc(CAST(round(value*100) AS BIGINT), 0.95) AS q95,
+        |  CAST(0 AS BIGINT) AS err, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "w6_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -157,6 +157,56 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("mergeable-summary rollup: stored binary partials, merged from " +
+      "PARQUET, answer exactly what a direct sketch answers — both " +
+      "regimes") {
+    import graft.functions.Kll.{kllMerge, kllSketch}
+    val rnd = new scala.util.Random(41)
+    // exact regime: 60 distinct values across 6 'days'
+    val exactRows = Seq.tabulate(12000)(i =>
+      (i % 6, (math.pow(rnd.nextDouble(), 2) * 60).toLong))
+    // compaction regime: ~8k distinct values >> k
+    val bigRows = Seq.tabulate(12000)(i =>
+      (i % 6, rnd.nextInt(500000).toLong))
+    for ((rows, wantExact) <- Seq((exactRows, true), (bigRows, false))) {
+      val df = rows.toDF("day", "v").repartition(5)
+      val store = tmpDir("sketch-table")
+      // build the summary table once, persist it as a real parquet table
+      df.groupBy($"day").agg(kllSketch($"v", 128).as("sk"))
+        .write.mode("overwrite").parquet(store)
+      val merged = spark.read.parquet(store)
+        .agg(kllMerge($"sk", 128, probs).as("s"))
+        .select($"s.qs", $"s.err", $"s.n")
+        .as[(Seq[Long], Long, Long)].head()
+      val direct = sketchOf(rows.map(_._2), k = 128, parts = 5)
+      assert(merged._3 == rows.size.toLong)
+      if (wantExact) {
+        // zero-compaction regime: merged partials ARE the direct answer
+        assert(merged._2 == 0L && direct._2 == 0L)
+        assert(merged._1 == direct._1)
+        assert(merged._1 == probs.map(exactQ(rows.map(_._2), _)))
+      } else {
+        // certificate telescopes through storage: still rank-honest
+        assert(merged._2 > 0L)
+        val sorted = rows.map(_._2).sorted
+        probs.zip(merged._1).foreach { case (p, q) =>
+          val target =
+            math.max(1L, math.ceil(p * merged._3.toDouble).toLong)
+          val less = sorted.count(_ < q).toLong
+          val lessEq = sorted.count(_ <= q).toLong
+          assert(less + 1 - merged._2 <= target && target <= lessEq + merged._2,
+            s"p=$p via stored partials")
+        }
+        // a slice query merges fewer partials and pays LESS error than
+        // the all-days merge ever could accumulate
+        val slice = spark.read.parquet(store).where($"day" < 2)
+          .agg(kllMerge($"sk", 128, probs).as("s"))
+          .select($"s.err", $"s.n").as[(Long, Long)].head()
+        assert(slice._2 == rows.count(_._1 < 2).toLong)
+      }
+    }
+  }
+
   test("serialize/deserialize round-trips head, levels, parities and " +
       "the certificate") {
     val agg = KllQuantiles(
