@@ -93,6 +93,16 @@ object PlanAudit {
       "per-window quantiles shuffle sketches, not events; one exchange",
       p => "ObjectHashAggregate".r.findAllIn(p).size >= 2 &&
         "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
+    Check("q14_iqr_outliers",
+      "fences broadcast back; outlier flagging is map-side (no row " +
+        "shuffle after the sketch agg)",
+      p => p.contains("BroadcastHashJoin") &&
+        "ObjectHashAggregate".r.findAllIn(p).size >= 2),
+    Check("q15_sketch_rollup",
+      "summary rollup: partial sketch build AND stored-sketch merge " +
+        "both aggregate sketches, never rows-to-driver",
+      p => "ObjectHashAggregate".r.findAllIn(p).size >= 4 &&
+        !p.contains("CartesianProduct")),
     Check("st8_hopping",
       "multi-window Expand runs before partial aggregation — the " +
         "shuffle carries per-(window,type) aggregates, not events",

@@ -71,6 +71,44 @@ object SketchStats {
       col("s.err").as("err"): _*)
   }
 
+  /** Exactly-once STREAMING ingest with stats maintenance — the
+    * continuous form of [[appendWithStats]], same discipline as the
+    * dup-cluster maintenance loop: foreachBatch + a catalog-recorded
+    * batch id, so a replayed micro-batch (restart, retry) is a no-op and
+    * data/stats/marker advance in ONE atomic commit per batch.
+    */
+  def maintainStats(stream: DataFrame, cat: VersionedCatalog,
+      table: String, cols: Seq[String], k: Int = 4096)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        applyStatsBatch(batch.toDF(), batchId, cat, table, cols, k)
+        ()
+    }
+
+  /** One maintenance step (the foreachBatch body, exposed for direct
+    * testing and batch-driven backfills): true when applied, false when
+    * skipped (replayed id or empty batch).
+    */
+  def applyStatsBatch(batch: DataFrame, batchId: Long,
+      cat: VersionedCatalog, table: String, cols: Seq[String],
+      k: Int = 4096): Boolean = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return false
+    val meta = s"${table}__stats_meta"
+    if (cat.exists(meta) &&
+      batchId <= cat.read(spark, meta).head().getAs[Long]("last_batch_id"))
+      return false // replay
+    val marker = spark.range(1).select(lit(batchId).as("last_batch_id"))
+    cat.commitAll(Map(
+      table -> TableDelta(appends = Seq((batch, s"b$batchId"))),
+      statsTable(table) ->
+        TableDelta(appends = Seq((sketchRows(batch, cols, k), s"b$batchId"))),
+      meta -> TableDelta(rewrite = Some(marker))))
+    true
+  }
+
   /** Rebuild the stats table from the table's current contents (one full
     * scan — the bootstrap for pre-existing data, or recovery after a
     * rewrite). Rewrites the stats table in place.

@@ -53,6 +53,37 @@ class SketchStatsSpec extends SparkSpec {
     assert(rebuilt == got)
   }
 
+  test("streaming maintenance: micro-batches land exactly-once (replay " +
+      "is a no-op) and the maintained stats equal a batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = new VersionedCatalog(tmpDir("stats-stream"),
+      layouts = _ => None, statsCols = _ => Nil)
+    val src = MemoryStream[Long]
+    val q = SketchStats.maintainStats(src.toDF().toDF("v"), cat, "facts",
+        Seq("v"), k = 256)
+      .option("checkpointLocation", tmpDir("stats-ckpt")).start()
+    val b1 = Seq.tabulate(500)(i => (i % 40).toLong)
+    val b2 = Seq.tabulate(500)(i => (i % 55).toLong + 10L)
+    src.addData(b1: _*); q.processAllAvailable()
+    src.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    assert(cat.read(spark, "facts").count() == 1000L)
+    assert(cat.read(spark, SketchStats.statsTable("facts")).count() == 2L)
+    // replayed batch id: no-op, nothing advances
+    val commit = cat.currentCommit
+    assert(!SketchStats.applyStatsBatch(b1.toDF("v"), 0L, cat, "facts",
+      Seq("v"), k = 256))
+    assert(cat.currentCommit == commit)
+    // maintained stats == ground truth over everything ingested
+    val got = SketchStats.quantiles(cat, spark, "facts", probs, k = 256)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    val all = (b1 ++ b2).sorted
+    def q_(p: Double): Long =
+      all((math.max(1L, math.ceil(p * all.size.toDouble).toLong) - 1).toInt)
+    assert(got == (("v", 1000L, q_(0.25), q_(0.5), q_(0.75), q_(0.95), 0L)))
+  }
+
   test("optimistic concurrency passes through: a stale expected commit " +
       "fails the whole append, leaving data AND stats untouched") {
     val cat = new VersionedCatalog(tmpDir("stats-cas"),
