@@ -76,6 +76,31 @@ final class CmBuf(val depth: Int, val width: Int) {
     }
 }
 
+object CmBuf {
+  /** Wire/storage form — shared by the shuffle serde AND the persisted
+    * sketch-table column ([[CountMinSketchAgg]]). */
+  def toBytes(buf: CmBuf): Array[Byte] = {
+    val n = buf.cand.size
+    val bb = ByteBuffer.allocate(8 + 8 * buf.counts.length + 4 + 8 * n)
+    bb.putLong(buf.total)
+    buf.counts.foreach(bb.putLong)
+    bb.putInt(n)
+    buf.cand.foreachKey(bb.putLong(_))
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte], depth: Int, width: Int): CmBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new CmBuf(depth, width)
+    buf.total = bb.getLong
+    var i = 0
+    while (i < buf.counts.length) { buf.counts(i) = bb.getLong; i += 1 }
+    var n = bb.getInt
+    while (n > 0) { buf.cand.update(bb.getLong, ()); n -= 1 }
+    buf
+  }
+}
+
 /** Count-Min heavy hitters (Cormode & Muthukrishnan, "An improved data
   * stream summary: the count-min sketch and its applications", J.
   * Algorithms 2005) as a native `TypedImperativeAggregate` — the
@@ -165,30 +190,132 @@ case class CountMinTopK(child: Expression, depth: Int, width: Int,
     new GenericArrayData(top.asInstanceOf[Array[Any]])
   }
 
-  override def serialize(buf: CmBuf): Array[Byte] = {
-    val n = buf.cand.size
-    val bb = ByteBuffer.allocate(8 + 8 * buf.counts.length + 4 + 8 * n)
-    bb.putLong(buf.total)
-    buf.counts.foreach(bb.putLong)
-    bb.putInt(n)
-    buf.cand.foreachKey(bb.putLong(_))
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): CmBuf = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new CmBuf(depth, width)
-    buf.total = bb.getLong
-    var i = 0
-    while (i < buf.counts.length) { buf.counts(i) = bb.getLong; i += 1 }
-    var n = bb.getInt
-    while (n > 0) { buf.cand.update(bb.getLong, ()); n -= 1 }
-    buf
-  }
+  override def serialize(buf: CmBuf): Array[Byte] = CmBuf.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): CmBuf =
+    CmBuf.fromBytes(bytes, depth, width)
 
   override def withNewMutableAggBufferOffset(o: Int): CountMinTopK =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): CountMinTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `cm_sketch(v, depth, width, capacity)`: aggregate a BIGINT column
+  * into a SERIALIZED Count-Min sketch + candidate set (BINARY) — the
+  * heavy-hitter half of the mergeable-summary pattern. Because CM is
+  * LINEAR, stored partials merge with ZERO information loss under any
+  * merge tree (cell-wise sums): heavy hitters over any slice of a
+  * summary table are exactly what a direct sketch over that slice's
+  * rows would report — a stronger guarantee than the KLL rollup's
+  * zero-compaction condition.
+  */
+case class CountMinSketchAgg(child: Expression, depth: Int, width: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CmBuf] {
+  require(depth > 0 && width > 0 && Integer.bitCount(width) == 1,
+    s"need depth > 0 and width a power of 2, got d=$depth w=$width")
+  require(capacity > 0, s"need capacity > 0, got $capacity")
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cm_sketch requires a BIGINT input, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def prettyName: String = "cm_sketch"
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): CmBuf = new CmBuf(depth, width)
+  override def update(buf: CmBuf, input: InternalRow): CmBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[Long]
+      buf.add(item, 1L)
+      buf.cand.update(item, ())
+      if (buf.cand.size > 2 * capacity) buf.pruneCandidates(capacity)
+    }
+    buf
+  }
+  override def merge(buf: CmBuf, other: CmBuf): CmBuf = {
+    var i = 0
+    while (i < buf.counts.length) { buf.counts(i) += other.counts(i); i += 1 }
+    buf.total += other.total
+    other.cand.foreachKey(it => buf.cand.update(it, ()))
+    if (buf.cand.size > 2 * capacity) buf.pruneCandidates(capacity)
+    buf
+  }
+  override def eval(buf: CmBuf): Any = CmBuf.toBytes(buf)
+  override def serialize(buf: CmBuf): Array[Byte] = CmBuf.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): CmBuf =
+    CmBuf.fromBytes(bytes, depth, width)
+  override def withNewMutableAggBufferOffset(o: Int): CountMinSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `cm_merge(sketch, depth, width, capacity, k)`: merge SERIALIZED
+  * Count-Min sketches (BINARY, from [[CountMinSketchAgg]]) and report
+  * the top-`k` — the query half of the heavy-hitter summary table.
+  * Output shape and bias identical to [[CountMinTopK]]; linearity makes
+  * merged-partials == direct-over-the-slice exact (cell arrays sum),
+  * with the candidate union subject to the same capacity prune.
+  */
+case class CountMinMergeTopK(child: Expression, depth: Int, width: Int,
+    capacity: Int, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CmBuf] {
+  require(depth > 0 && width > 0 && Integer.bitCount(width) == 1,
+    s"need depth > 0 and width a power of 2, got d=$depth w=$width")
+  require(capacity > 0 && k > 0 && k <= capacity,
+    s"need 0 < k <= capacity, got k=$k capacity=$capacity")
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cm_merge requires a BINARY sketch input, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def prettyName: String = "cm_merge"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def createAggregationBuffer(): CmBuf = new CmBuf(depth, width)
+  override def update(buf: CmBuf, input: InternalRow): CmBuf = {
+    val v = child.eval(input)
+    if (v != null) merge(buf,
+      CmBuf.fromBytes(v.asInstanceOf[Array[Byte]], depth, width))
+    else buf
+  }
+  override def merge(buf: CmBuf, other: CmBuf): CmBuf = {
+    var i = 0
+    while (i < buf.counts.length) { buf.counts(i) += other.counts(i); i += 1 }
+    buf.total += other.total
+    other.cand.foreachKey(it => buf.cand.update(it, ()))
+    if (buf.cand.size > 2 * capacity) buf.pruneCandidates(capacity)
+    buf
+  }
+  override def eval(buf: CmBuf): Any = {
+    val errBound =
+      math.ceil(math.E * buf.total.toDouble / width.toDouble).toLong
+    val top = buf.cand.keys.toArray
+      .map(it => (it, buf.estimate(it)))
+      .sortBy { case (it, est) => (-est, it) }
+      .take(k)
+      .map { case (it, est) => InternalRow(it, est, errBound) }
+    new GenericArrayData(top.asInstanceOf[Array[Any]])
+  }
+  override def serialize(buf: CmBuf): Array[Byte] = CmBuf.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): CmBuf =
+    CmBuf.fromBytes(bytes, depth, width)
+  override def withNewMutableAggBufferOffset(o: Int): CountMinMergeTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinMergeTopK =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
@@ -204,4 +331,18 @@ object CountMin {
     ColumnBridge.column(
       CountMinTopK(ColumnBridge.expression(v), depth, width, capacity, k)
         .toAggregateExpression())
+
+  /** Serialized (depth × width) CM sketch + candidates (BINARY) — the
+    * stored half of a heavy-hitter summary table. */
+  def cmSketch(v: Column, depth: Int, width: Int, capacity: Int): Column =
+    ColumnBridge.column(
+      CountMinSketchAgg(ColumnBridge.expression(v), depth, width, capacity)
+        .toAggregateExpression())
+
+  /** Merge stored CM sketches and report the top-`k` (item, cnt, err). */
+  def cmMerge(sketch: Column, depth: Int, width: Int, capacity: Int,
+      k: Int): Column =
+    ColumnBridge.column(
+      CountMinMergeTopK(ColumnBridge.expression(sketch), depth, width,
+        capacity, k).toAggregateExpression())
 }

@@ -364,6 +364,29 @@ object Relational {
           $"s.err".as("err"), $"s.n".as("n"))
     }),
 
+    // A12: heavy-hitter SUMMARY TABLE — per-day CM partials stored as
+    // binary, merged at query time (q15's pattern for top-k). CM is
+    // LINEAR, so merged partials == a direct sketch over the union with
+    // NO extra condition (cell arrays sum) — only the candidate union is
+    // capacity-bound, covered here as in a10's exact regime. Same
+    // oracle as a10: the direct GROUP BY top-10
+    "a12_cm_rollup" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"user_id",
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val partials = ev.groupBy($"day")
+        .agg(graft.functions.CountMin
+          .cmSketch($"user_id", depth = 4, width = 4096, capacity = 256)
+          .as("sk"))
+      partials
+        .agg(graft.functions.CountMin
+          .cmMerge($"sk", depth = 4, width = 4096, capacity = 256, k = 10)
+          .as("hh"))
+        .select(posexplode($"hh").as(Seq("pos", "e")))
+        .select($"e.item".as("user_id"), $"e.cnt".as("cnt"),
+          $"e.err".as("err"), ($"pos" + 1).cast("int").as("rnk"))
+    }),
+
     // W6: ntile decile assignment per priority class — PARTITIONED
     // window (a global ntile would be a single-partition total sort, the
     // classic window scale hazard; within-group deciles shuffle once on
@@ -766,6 +789,20 @@ object Relational {
     // exact regime: estimates equal true counts, err = ceil(e·N/4096)
     // with the same double op order (E * N, then / width)
     "a10_cm_topk" ->
+      """SELECT user_id, cnt,
+        |       CAST(ceil(2.718281828459045 * CAST(
+        |         (SELECT count(*) FROM events) AS DOUBLE) / CAST(4096 AS DOUBLE))
+        |         AS BIGINT) AS err,
+        |       rnk FROM (
+        |  SELECT user_id, count(*) AS cnt,
+        |         CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
+        |           AS INTEGER) AS rnk
+        |  FROM events GROUP BY user_id) t
+        |WHERE rnk <= 10""".stripMargin,
+
+    // linearity: merged per-day partials == the direct sketch, so the
+    // oracle is a10's verbatim — the plain GROUP BY top-10
+    "a12_cm_rollup" ->
       """SELECT user_id, cnt,
         |       CAST(ceil(2.718281828459045 * CAST(
         |         (SELECT count(*) FROM events) AS DOUBLE) / CAST(4096 AS DOUBLE))

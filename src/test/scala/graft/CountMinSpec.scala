@@ -81,6 +81,40 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("heavy-hitter summary table: per-shard binary partials persisted " +
+      "to parquet merge to the single-stream answer — linearity " +
+      "survives storage") {
+    import graft.functions.CountMin.{cmMerge, cmSketch}
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(20000)(i =>
+      ((i % 7).toLong, (math.pow(rnd.nextDouble(), 2) * 120).toLong))
+    val store = tmpDir("cm-table")
+    rows.toDF("day", "v").repartition(5)
+      .groupBy(col("day"))
+      .agg(cmSketch(col("v"), 4, 1024, 200).as("sk"))
+      .write.mode("overwrite").parquet(store)
+    val got = spark.read.parquet(store)
+      .agg(cmMerge(col("sk"), 4, 1024, 200, 10).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .as[(Long, Long)].collect().toSeq
+    // exact regime (distinct 120 <= capacity, no 4-row full collision):
+    // merged storage partials == the plain groupBy top-10
+    val truth = rows.map(_._2).groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong) }.toSeq
+      .sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(got == truth)
+    // a SLICE merge (days 0-1 only) answers that slice exactly too
+    val slice = spark.read.parquet(store).where(col("day") < 2)
+      .agg(cmMerge(col("sk"), 4, 1024, 200, 10).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt")).as[(Long, Long)].collect().toSeq
+    val sliceTruth = rows.filter(_._1 < 2).map(_._2).groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong) }.toSeq
+      .sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(slice == sliceTruth)
+  }
+
   test("serialize/deserialize round-trips the sketch and candidates") {
     val agg = CountMinTopK(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")),
