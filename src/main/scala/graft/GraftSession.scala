@@ -63,17 +63,44 @@ object GraftSession {
         intArg(exprs, 1, "space_saving_topk"),
         intArg(exprs, 2, "space_saving_topk")).toAggregateExpression(),
       "scala_udf")
-    // kll_quantiles(v, k, p1[, p2, ...]) — probs as literal doubles
-    // (SQL numeric literals like 0.5 eval to Decimal, not Double)
+    // SQL numeric literals like 0.5 eval to Decimal, not Double
+    def probArgs(exprs: Seq[org.apache.spark.sql.catalyst.expressions
+        .Expression], from: Int, name: String): Seq[Double] =
+      exprs.drop(from).map(_.eval() match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: java.lang.Number => n.doubleValue
+        case other => throw new IllegalArgumentException(
+          s"$name: probability literal expected, got $other")
+      }).toSeq
+    // kll_quantiles(v, k, p1[, p2, ...])
     registry.createOrReplaceTempFunction("kll_quantiles", exprs =>
       graft.functions.KllQuantiles(exprs(0),
         intArg(exprs, 1, "kll_quantiles"),
-        exprs.drop(2).map(_.eval() match {
-          case d: org.apache.spark.sql.types.Decimal => d.toDouble
-          case n: java.lang.Number => n.doubleValue
-          case other => throw new IllegalArgumentException(
-            s"kll_quantiles: probability literal expected, got $other")
-        }).toSeq).toAggregateExpression(), "scala_udf")
+        probArgs(exprs, 2, "kll_quantiles")).toAggregateExpression(),
+      "scala_udf")
+    // the mergeable-summary pair: kll_sketch(v, k) → BINARY;
+    // kll_merge(sk, k, p1[, p2, ...]) → struct<qs, err, n>
+    registry.createOrReplaceTempFunction("kll_sketch", exprs =>
+      graft.functions.KllSketchAgg(exprs(0),
+        intArg(exprs, 1, "kll_sketch")).toAggregateExpression(),
+      "scala_udf")
+    registry.createOrReplaceTempFunction("kll_merge", exprs =>
+      graft.functions.KllMergeQuantiles(exprs(0),
+        intArg(exprs, 1, "kll_merge"),
+        probArgs(exprs, 2, "kll_merge")).toAggregateExpression(),
+      "scala_udf")
+    // heavy-hitter summary pair: cm_sketch(v, d, w, cap) → BINARY;
+    // cm_merge(sk, d, w, cap, k) → array<struct<item, cnt, err>>
+    registry.createOrReplaceTempFunction("cm_sketch", exprs =>
+      graft.functions.CountMinSketchAgg(exprs(0),
+        intArg(exprs, 1, "cm_sketch"), intArg(exprs, 2, "cm_sketch"),
+        intArg(exprs, 3, "cm_sketch")).toAggregateExpression(),
+      "scala_udf")
+    registry.createOrReplaceTempFunction("cm_merge", exprs =>
+      graft.functions.CountMinMergeTopK(exprs(0),
+        intArg(exprs, 1, "cm_merge"), intArg(exprs, 2, "cm_merge"),
+        intArg(exprs, 3, "cm_merge"), intArg(exprs, 4, "cm_merge"))
+        .toAggregateExpression(), "scala_udf")
   }
 
   /** Mount every table of `catalog` as a temp view over the CURRENT

@@ -68,6 +68,18 @@ class GraftSessionSpec extends SparkSpec {
         "(1L),(2L),(3L),(4L) AS t(v)").head().getStruct(0)
     assert(kq.getSeq[Long](0) == Seq(2L, 4L)) // ranks ceil(.5*4), ceil(.95*4)
     assert(kq.getLong(1) == 0L && kq.getLong(2) == 4L)
+    // summary-table pairs compose in pure SQL: sketch per group, merge
+    val km = spark.sql(
+      "SELECT kll_merge(sk, 16, 0.5) FROM (SELECT kll_sketch(v, 16) AS sk " +
+        "FROM VALUES (1L,1),(2L,1),(3L,2),(4L,2) AS t(v, g) GROUP BY g)")
+      .head().getStruct(0)
+    assert(km.getSeq[Long](0) == Seq(2L) && km.getLong(2) == 4L)
+    val cm = spark.sql(
+      "SELECT cm_merge(sk, 2, 64, 8, 1) FROM (SELECT " +
+        "cm_sketch(v, 2, 64, 8) AS sk FROM VALUES (7L,1),(7L,1),(9L,2) " +
+        "AS t(v, g) GROUP BY g)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(cm.map(r => (r.getLong(0), r.getLong(1))) == Seq(7L -> 2L))
   }
 
   test("views track the snapshot the mount saw; remount advances") {
