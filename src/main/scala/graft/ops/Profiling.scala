@@ -64,17 +64,50 @@ object Profiling {
     * engine. Returns the outlier rows with their group's fences and the
     * sketch certificate.
     */
-  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int = 4096): DataFrame = {
-    val fences = df.groupBy(col(groupCol))
+  /** Per-group Tukey fences (q1, q3, certificate) from one sketch agg. */
+  private def iqrFences(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame =
+    df.groupBy(col(groupCol))
       .agg(graft.functions.Kll
         .kllQuantiles(col(valueCol), k, Seq(0.25, 0.75)).as("s"))
       .select(col(groupCol), col("s.qs").getItem(0).as("q1"),
         col("s.qs").getItem(1).as("q3"), col("s.err").as("err"))
+
+  /** rows of `df` outside their group's [q1 − 1.5·IQR, q3 + 1.5·IQR] */
+  private def outsideFences(df: DataFrame, fences: DataFrame,
+      groupCol: String, valueCol: String): DataFrame = {
     val iqr3 = (col("q3") - col("q1")) * 3L
     df.join(broadcast(fences), Seq(groupCol))
       .where(col(valueCol) * 2L < col("q1") * 2L - iqr3 ||
         col(valueCol) * 2L > col("q3") * 2L + iqr3)
+  }
+
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 4096): DataFrame =
+    outsideFences(df, iqrFences(df, groupCol, valueCol, k), groupCol,
+      valueCol)
+
+  /** Streaming anomaly flagging — the production form of
+    * [[iqrOutliers]]: fences are computed ONCE from a static
+    * `calibration` frame (yesterday's data, the stats summary table, a
+    * reviewed baseline) and FROZEN; arriving rows are flagged by a
+    * stateless stream-static broadcast join — append-legal, zero state,
+    * and the alert rule can't drift mid-stream, so a batch replay over
+    * the same calibration flags the identical set
+    * (StreamingSpec parity). Re-calibration is a new query over new
+    * fences, not mutable state.
+    */
+  def iqrOutliersStream(stream: DataFrame, calibration: DataFrame,
+      groupCol: String, valueCol: String, k: Int = 4096): DataFrame = {
+    val spark = calibration.sparkSession
+    // materialize the (few-row, one per group) fence table to a LOCAL
+    // relation once: genuinely frozen — the calibration aggregation does
+    // NOT re-run per micro-batch, and the literal fences ship with the
+    // broadcast. Driver-side collect is bookkeeping-scale (#groups rows).
+    val computed = iqrFences(calibration, groupCol, valueCol, k)
+    val frozen = spark.createDataFrame(
+      java.util.Arrays.asList(computed.collect(): _*), computed.schema)
+    outsideFences(stream, frozen, groupCol, valueCol)
   }
 
   def profile(df: DataFrame, cols: Seq[(String, Int)],

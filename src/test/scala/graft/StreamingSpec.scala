@@ -355,6 +355,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 3 && !got.contains(w1Us + 3 * 3600L * 1000000L))
   }
 
+  test("streaming IQR anomaly flags: frozen calibration fences, " +
+      "stream == batch replay, calibration never re-aggregated") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val calib = graft.Tables.events(spark, sf)
+      .select($"event_type", $"event_id",
+        org.apache.spark.sql.functions.round($"value" * 100)
+          .cast("long").as("v_cents"))
+    val src = MemoryStream[(String, Long, Long)]
+    val flagged = graft.ops.Profiling.iqrOutliersStream(
+      src.toDF().toDF("event_type", "event_id", "v_cents"),
+      calib, "event_type", "v_cents")
+    // frozen: the streaming plan carries literal fences, no aggregation
+    // of the calibration side per micro-batch
+    assert(!flagged.queryExecution.analyzed.toString
+      .contains("kll_quantiles"), "calibration must be pre-materialized")
+    val q = flagged.select($"event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("iqr_stream").start()
+    // arrivals: replay the calibration rows themselves across 2 batches
+    val arrivals = calib.as[(String, Long, Long)].collect().toSeq
+    val (b1, b2) = arrivals.splitAt(arrivals.size / 2)
+    src.addData(b1: _*); q.processAllAvailable()
+    src.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("iqr_stream").as[Long].collect().toSet
+    val batch = graft.ops.Profiling.iqrOutliers(calib, "event_type",
+      "v_cents").select($"event_id").as[Long].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("windowed top-k: watermark-driven append emit across micro-batches") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
