@@ -83,6 +83,12 @@ object Bloom {
   def mightContain(v: Column, words: Array[Long], numHashes: Int): Column =
     ColumnBridge.column(
       BloomMightContain(ColumnBridge.expression(v), words, numHashes))
+
+  /** OR stored filter word arrays back into one filter (lossless). */
+  def bloomMerge(words: Column, numBits: Int): Column =
+    ColumnBridge.column(
+      BloomMergeAgg(ColumnBridge.expression(words), numBits)
+        .toAggregateExpression())
 }
 
 /** Bloom-filter build as a native aggregate: per-partition word arrays
@@ -140,6 +146,77 @@ case class BloomAgg(child: Expression, numBits: Int, numHashes: Int,
   override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): BloomAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `bloom_merge(words)`: OR stored Bloom word arrays (array<bigint>,
+  * from [[BloomAgg]]) back into one filter — the membership member of
+  * the summary-table family next to [[graft.functions.KllMergeQuantiles]]
+  * (quantiles) and [[graft.functions.CountMinMergeTopK]] (heavy
+  * hitters): store one small filter per (group, day) row — "ids seen
+  * that day" — and probe ANY date range later by merging the covered
+  * filters; bit-OR is lossless for Bloom (merged == direct over the
+  * union, bit for bit), so the no-false-negative contract survives
+  * storage and any merge tree. nAdded is unrecoverable from stored
+  * words (and would double-count shared keys anyway) — the merged
+  * buffer reports words only.
+  */
+case class BloomMergeAgg(child: Expression, numBits: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BloomBuf] {
+  require(numBits >= 64 && Integer.bitCount(numBits) == 1,
+    s"numBits $numBits must be a power of 2 and >= 64")
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_merge requires ARRAY<BIGINT> words, got ${other.simpleString}")
+    }
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_merge"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // numHashes plays no role in OR-merging; 1 satisfies the buffer ctor
+  override def createAggregationBuffer(): BloomBuf = new BloomBuf(numBits, 1)
+  override def update(buf: BloomBuf, input: InternalRow): BloomBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == buf.words.length,
+        s"stored filter has ${arr.numElements()} words, expected " +
+          s"${buf.words.length} — numBits mismatch")
+      var i = 0
+      while (i < buf.words.length) { buf.words(i) |= arr.getLong(i); i += 1 }
+    }
+    buf
+  }
+  override def merge(buf: BloomBuf, other: BloomBuf): BloomBuf = {
+    var i = 0
+    while (i < buf.words.length) { buf.words(i) |= other.words(i); i += 1 }
+    buf
+  }
+  override def eval(buf: BloomBuf): Any =
+    new GenericArrayData(buf.words.map(w => w: Any))
+  override def serialize(buf: BloomBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 8 * buf.words.length)
+    bb.putLong(buf.nAdded)
+    buf.words.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): BloomBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new BloomBuf(numBits, 1)
+    buf.nAdded = bb.getLong
+    var i = 0
+    while (i < buf.words.length) { buf.words(i) = bb.getLong; i += 1 }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =

@@ -29,6 +29,37 @@ class BloomSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("membership summary table: per-day filters persisted to parquet " +
+      "OR-merge to the direct union filter bit-for-bit; range probes " +
+      "keep the no-FN contract") {
+    val nb = 1 << 14
+    val rows = (0L until 6000L).map(i => ((i % 5).toInt, i * 131L + 3L))
+    val store = tmpDir("bloom-table")
+    rows.toDF("day", "v").repartition(7)
+      .groupBy($"day").agg(Bloom.bloomAgg($"v", nb, 4).as("bf"))
+      .write.mode("overwrite").parquet(store)
+    // whole-range merge == one direct filter over every key
+    val merged = spark.read.parquet(store)
+      .agg(Bloom.bloomMerge($"bf", nb))
+      .head().getSeq[Long](0).toArray
+    val direct = buildWords(rows.map(_._2), nb, 4, parts = 3)
+    assert(merged.sameElements(direct), "OR-merge lost bits vs direct")
+    // slice merge (days 0-1): every key of the slice still hits
+    val sliceWords = spark.read.parquet(store).where($"day" < 2)
+      .agg(Bloom.bloomMerge($"bf", nb)).head().getSeq[Long](0).toArray
+    val sliceKeys = rows.filter(_._1 < 2).map(_._2)
+    val misses = sliceKeys.toDF("v")
+      .where(!Bloom.mightContain($"v", sliceWords, 4)).count()
+    assert(misses == 0L, "false negative through storage + slice merge")
+    // and the slice filter is genuinely smaller than the union: most
+    // out-of-slice keys do NOT hit (it's a filter, not a constant true)
+    val outKeys = rows.filter(_._1 >= 2).map(_._2)
+    val outHits = outKeys.toDF("v")
+      .where(Bloom.mightContain($"v", sliceWords, 4)).count()
+    assert(outHits < outKeys.size / 10,
+      s"slice filter saturated: $outHits/${outKeys.size} out-of-slice hits")
+  }
+
   test("false-positive rate stays near the (1 - e^(-kn/m))^k envelope") {
     val n = 4000
     val m = 1 << 16
