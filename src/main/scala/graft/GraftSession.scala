@@ -89,6 +89,16 @@ object GraftSession {
         intArg(exprs, 1, "kll_merge"),
         probArgs(exprs, 2, "kll_merge")).toAggregateExpression(),
       "scala_udf")
+    // distinct-count summary pair: hll_sketch(v, p) → BINARY registers;
+    // hll_merge(regs, p) → struct<n_distinct, regs>
+    registry.createOrReplaceTempFunction("hll_sketch", exprs =>
+      graft.functions.HllSketchAgg(exprs(0),
+        intArg(exprs, 1, "hll_sketch")).toAggregateExpression(),
+      "scala_udf")
+    registry.createOrReplaceTempFunction("hll_merge", exprs =>
+      graft.functions.HllMergeCount(exprs(0),
+        intArg(exprs, 1, "hll_merge")).toAggregateExpression(),
+      "scala_udf")
     // heavy-hitter summary pair: cm_sketch(v, d, w, cap) → BINARY;
     // cm_merge(sk, d, w, cap, k) → array<struct<item, cnt, err>>
     registry.createOrReplaceTempFunction("cm_sketch", exprs =>

@@ -80,6 +80,11 @@ class GraftSessionSpec extends SparkSpec {
         "AS t(v, g) GROUP BY g)")
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(cm.map(r => (r.getLong(0), r.getLong(1))) == Seq(7L -> 2L))
+    val hll = spark.sql(
+      "SELECT hll_merge(r, 12).n_distinct FROM (SELECT hll_sketch(v, 12) " +
+        "AS r FROM VALUES (1L,1),(2L,1),(2L,2),(3L,2) AS t(v, g) GROUP BY g)")
+      .head().getLong(0)
+    assert(hll == 3L) // linear-counting regime: exact at tiny cardinality
   }
 
   test("views track the snapshot the mount saw; remount advances") {
