@@ -24,21 +24,25 @@ object SketchStats {
 
   def statsTable(table: String): String = s"${table}__colstats"
 
-  /** One (col_name, n, sketch) row per profiled column of `batch` —
-    * a single aggregation pass, unpivoted the profileQuantiles way.
+  /** One (col_name, n, sketch, hll) row per profiled column of `batch` —
+    * a single aggregation pass, unpivoted the profileQuantiles way. The
+    * KLL sketch carries order statistics, the HLL registers distinct
+    * counts; both merge across appends.
     */
   private[graft] def sketchRows(batch: DataFrame, cols: Seq[String],
-      k: Int): DataFrame = {
+      k: Int, hllP: Int = 12): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"n|$c"),
-        graft.functions.Kll.kllSketch(col(c).cast("long"), k).as(s"s|$c"))
+        graft.functions.Kll.kllSketch(col(c).cast("long"), k).as(s"s|$c"),
+        graft.functions.Hll.hllSketch(col(c).cast("long"), hllP)
+          .as(s"h|$c"))
     }
     batch.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map { c =>
         struct(lit(c).as("col_name"), col(s"n|$c").as("n"),
-          col(s"s|$c").as("sketch"))
+          col(s"s|$c").as("sketch"), col(s"h|$c").as("hll"))
       }: _*)).as("p"))
-      .select(col("p.col_name"), col("p.n"), col("p.sketch"))
+      .select(col("p.col_name"), col("p.n"), col("p.sketch"), col("p.hll"))
   }
 
   /** Append `batch` to `table` AND its per-column sketches to the stats
@@ -56,16 +60,20 @@ object SketchStats {
         TableDelta(appends = Seq((sketchRows(batch, cols, k), label)))),
       expected)
 
-  /** Column quantiles for the CURRENT table state from the stats table
+  /** Column statistics for the CURRENT table state from the stats table
     * alone — the data table is never touched. Returns
-    * (col_name, n, q1..qm, err).
+    * (col_name, n, n_distinct, q1..qm, err); n_distinct is the
+    * HLL-merged estimate (idempotent register max, so replayed or
+    * overlapping stats rows can't inflate it).
     */
   def quantiles(cat: VersionedCatalog, spark: SparkSession, table: String,
-      probs: Seq[Double], k: Int = 4096): DataFrame = {
+      probs: Seq[Double], k: Int = 4096, hllP: Int = 12): DataFrame = {
     val merged = cat.read(spark, statsTable(table))
       .groupBy(col("col_name"))
-      .agg(graft.functions.Kll.kllMerge(col("sketch"), k, probs).as("s"))
-    merged.select(Seq(col("col_name"), col("s.n").as("n")) ++
+      .agg(graft.functions.Kll.kllMerge(col("sketch"), k, probs).as("s"),
+        graft.functions.Hll.hllMerge(col("hll"), hllP).as("h"))
+    merged.select(Seq(col("col_name"), col("s.n").as("n"),
+      col("h.n_distinct").as("n_distinct")) ++
       probs.indices.map(i =>
         col("s.qs").getItem(i).as(s"q${i + 1}")) :+
       col("s.err").as("err"): _*)

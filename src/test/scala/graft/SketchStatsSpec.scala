@@ -29,13 +29,17 @@ class SketchStatsSpec extends SparkSpec {
     assert(cat.read(spark, SketchStats.statsTable("facts")).count() == 3L)
 
     val got = SketchStats.quantiles(cat, spark, "facts", probs, k = 1024)
-      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
     val all = batches.flatten
     val sorted = all.sorted
     def q(p: Double): Long =
       sorted((math.max(1L, math.ceil(p * all.size.toDouble).toLong) - 1).toInt)
-    assert(got == (("v", all.size.toLong, q(0.25), q(0.5), q(0.75), q(0.95),
-      0L)))
+    assert((got._1, got._2, got._4, got._5, got._6, got._7, got._8) ==
+      (("v", all.size.toLong, q(0.25), q(0.5), q(0.75), q(0.95), 0L)))
+    // HLL distinct estimate: linear-counting regime, within 5% of exact
+    val exactD = all.distinct.size.toLong
+    assert(math.abs(got._3 - exactD).toDouble / exactD < 0.05,
+      s"n_distinct ${got._3} vs exact $exactD")
 
     // the stats query never scans the data table's directories
     val plan = SketchStats.quantiles(cat, spark, "facts", probs, k = 1024)
@@ -49,7 +53,7 @@ class SketchStatsSpec extends SparkSpec {
     SketchStats.rebuildStats(cat, spark, "facts", Seq("v"), k = 1024)
     assert(cat.read(spark, SketchStats.statsTable("facts")).count() == 1L)
     val rebuilt = SketchStats.quantiles(cat, spark, "facts", probs, k = 1024)
-      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
     assert(rebuilt == got)
   }
 
@@ -77,11 +81,16 @@ class SketchStatsSpec extends SparkSpec {
     assert(cat.currentCommit == commit)
     // maintained stats == ground truth over everything ingested
     val got = SketchStats.quantiles(cat, spark, "facts", probs, k = 256)
-      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
     val all = (b1 ++ b2).sorted
     def q_(p: Double): Long =
       all((math.max(1L, math.ceil(p * all.size.toDouble).toLong) - 1).toInt)
-    assert(got == (("v", 1000L, q_(0.25), q_(0.5), q_(0.75), q_(0.95), 0L)))
+    assert((got._1, got._2, got._4, got._5, got._6, got._7, got._8) ==
+      (("v", 1000L, q_(0.25), q_(0.5), q_(0.75), q_(0.95), 0L)))
+    // 65 distinct values at p=12: linear counting is exact-ish
+    val exactD = all.distinct.size.toLong
+    assert(math.abs(got._3 - exactD) <= 2L,
+      s"n_distinct ${got._3} vs exact $exactD")
   }
 
   test("optimistic concurrency passes through: a stale expected commit " +
