@@ -32,7 +32,9 @@ final class BloomBuf(val numBits: Int, val numHashes: Int) {
 
   def add(item: Long): Unit = {
     val h1 = Bloom.mix(item, 0x9e3779b97f4a7c15L)
-    val h2 = Bloom.mix(item, 0xc2b2ae3d27d4eb4fL)
+    // force h2 odd: an even (or zero) stride collapses the k probe
+    // positions onto few distinct bits in the power-of-2 table
+    val h2 = Bloom.mix(item, 0xc2b2ae3d27d4eb4fL) | 1L
     var i = 0
     while (i < numHashes) {
       val bit = ((h1 + i * h2) & (numBits - 1)).toInt
@@ -58,7 +60,7 @@ object Bloom {
   def contains(words: Array[Long], numBits: Int, numHashes: Int,
       item: Long): Boolean = {
     val h1 = mix(item, 0x9e3779b97f4a7c15L)
-    val h2 = mix(item, 0xc2b2ae3d27d4eb4fL)
+    val h2 = mix(item, 0xc2b2ae3d27d4eb4fL) | 1L
     var i = 0
     while (i < numHashes) {
       val bit = ((h1 + i * h2) & (numBits - 1)).toInt
@@ -189,7 +191,11 @@ case class BloomMergeAgg(child: Expression, numBits: Int,
         s"stored filter has ${arr.numElements()} words, expected " +
           s"${buf.words.length} — numBits mismatch")
       var i = 0
-      while (i < buf.words.length) { buf.words(i) |= arr.getLong(i); i += 1 }
+      while (i < buf.words.length) {
+        require(!arr.isNullAt(i),
+          s"stored filter word $i is NULL — corrupt sketch row")
+        buf.words(i) |= arr.getLong(i); i += 1
+      }
     }
     buf
   }
@@ -233,6 +239,17 @@ case class BloomMightContain(child: Expression, words: Array[Long],
   require(words.nonEmpty && Integer.bitCount(words.length) == 1,
     s"word count ${words.length} must be a power of 2")
   private val numBits = words.length * 64
+
+  // Array fields make case-class equals/hashCode reference-based, which
+  // defeats Catalyst canonicalization (semantically identical probes
+  // never dedup). Compare the filter by content instead.
+  override def equals(other: Any): Boolean = other match {
+    case BloomMightContain(c, w, k) =>
+      c == child && k == numHashes && java.util.Arrays.equals(w, words)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + numHashes) + java.util.Arrays.hashCode(words)
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"

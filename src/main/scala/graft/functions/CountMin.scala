@@ -90,12 +90,22 @@ object CmBuf {
   }
 
   def fromBytes(bytes: Array[Byte], depth: Int, width: Int): CmBuf = {
+    // A sketch serialized with different depth/width would silently
+    // misparse into garbage counts — reject structurally up front.
+    val headerLen = 8 + 8 * depth * width + 4
+    require(bytes.length >= headerLen,
+      s"count-min sketch is ${bytes.length} bytes; a d=$depth w=$width " +
+        s"sketch needs at least $headerLen — depth/width mismatch")
     val bb = ByteBuffer.wrap(bytes)
     val buf = new CmBuf(depth, width)
     buf.total = bb.getLong
     var i = 0
     while (i < buf.counts.length) { buf.counts(i) = bb.getLong; i += 1 }
     var n = bb.getInt
+    require(n >= 0 && bytes.length == headerLen + 8L * n,
+      s"count-min sketch is ${bytes.length} bytes; a d=$depth w=$width " +
+        s"sketch with $n candidates needs ${headerLen + 8L * n} — " +
+        "depth/width mismatch")
     while (n > 0) { buf.cand.update(bb.getLong, ()); n -= 1 }
     buf
   }

@@ -229,7 +229,8 @@ case class KllQuantiles(child: Expression, k: Int, probs: Seq[Double],
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"kll_quantiles requires a BIGINT input, got ${child.dataType.simpleString}")
-  override def nullable: Boolean = false
+  // null on an empty buffer (all-NULL group) — like quantile_disc
+  override def nullable: Boolean = true
   override def prettyName: String = "kll_quantiles"
   override def dataType: DataType = StructType(Seq(
     StructField("qs", ArrayType(LongType, containsNull = false), nullable = false),
@@ -249,7 +250,8 @@ case class KllQuantiles(child: Expression, k: Int, probs: Seq[Double],
   }
 
   override def eval(buf: KllBuf): Any =
-    InternalRow(new GenericArrayData(buf.quantiles(probs.toArray)),
+    if (buf.n == 0) null
+    else InternalRow(new GenericArrayData(buf.quantiles(probs.toArray)),
       buf.errBound, buf.n)
 
   override def serialize(buf: KllBuf): Array[Byte] = KllBuf.toBytes(buf)
@@ -326,7 +328,8 @@ case class KllMergeQuantiles(child: Expression, k: Int, probs: Seq[Double],
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"kll_merge requires a BINARY sketch input, got ${child.dataType.simpleString}")
-  override def nullable: Boolean = false
+  // null on an empty buffer (no sketches / all-empty) — like quantile_disc
+  override def nullable: Boolean = true
   override def prettyName: String = "kll_merge"
   override def dataType: DataType = StructType(Seq(
     StructField("qs", ArrayType(LongType, containsNull = false), nullable = false),
@@ -343,7 +346,8 @@ case class KllMergeQuantiles(child: Expression, k: Int, probs: Seq[Double],
     buf.mergeIn(other); buf
   }
   override def eval(buf: KllBuf): Any =
-    InternalRow(new GenericArrayData(buf.quantiles(probs.toArray)),
+    if (buf.n == 0) null
+    else InternalRow(new GenericArrayData(buf.quantiles(probs.toArray)),
       buf.errBound, buf.n)
   override def serialize(buf: KllBuf): Array[Byte] = KllBuf.toBytes(buf)
   override def deserialize(bytes: Array[Byte]): KllBuf =

@@ -101,4 +101,38 @@ class BloomSpec extends SparkSpec {
     assert(plan.contains("bloom_might_contain"))
     Dedup.releaseCaches()
   }
+
+  test("probe expressions with identical filter content compare equal " +
+      "(content-based equals enables Catalyst canonicalization)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.BloomMightContain
+    val w = Array(5L, -9L)
+    val a = BloomMightContain(Literal(1L), w, 3)
+    val b = BloomMightContain(Literal(1L), w.clone(), 3)
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.canonicalized.semanticEquals(b.canonicalized))
+    assert(a != BloomMightContain(Literal(1L), Array(5L, -8L), 3))
+    assert(a != BloomMightContain(Literal(1L), w, 4))
+  }
+
+  test("bloom_merge rejects NULL filter words instead of reading " +
+      "undefined data") {
+    val ok = Seq((1L, 2L), (3L, 4L)).toDF("w0", "w1")
+      .select(array($"w0", $"w1").as("bf"))
+      .agg(Bloom.bloomMerge($"bf", numBits = 128))
+      .head().getSeq[Long](0)
+    assert(ok == Seq(3L, 6L))
+    val ex = intercept[Exception] {
+      Seq(Tuple1(1L)).toDF("w0")
+        .select(array($"w0", lit(null).cast("bigint")).as("bf"))
+        .agg(Bloom.bloomMerge($"bf", numBits = 128))
+        .head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("NULL")),
+      s"expected the NULL-word message in: $ex")
+  }
 }

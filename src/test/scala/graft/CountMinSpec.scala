@@ -128,4 +128,21 @@ class CountMinSpec extends SparkSpec {
     assert(back.total == buf.total)
     assert(back.cand.keys.toSet == buf.cand.keys.toSet)
   }
+
+  test("fromBytes structurally rejects a sketch serialized under " +
+      "different depth/width instead of misparsing it") {
+    val buf = new graft.functions.CmBuf(4, 1024)
+    (1L to 100L).foreach { i => buf.add(i, 1L); buf.cand.update(i, ()) }
+    val bytes = graft.functions.CmBuf.toBytes(buf)
+    // same params round-trip cleanly
+    val rt = graft.functions.CmBuf.fromBytes(bytes, 4, 1024)
+    assert(rt.total == buf.total && rt.counts.sameElements(buf.counts))
+    // wider, deeper, and narrower readers must all fail loudly
+    intercept[IllegalArgumentException](
+      graft.functions.CmBuf.fromBytes(bytes, 4, 2048))
+    intercept[IllegalArgumentException](
+      graft.functions.CmBuf.fromBytes(bytes, 8, 1024))
+    intercept[IllegalArgumentException](
+      graft.functions.CmBuf.fromBytes(bytes, 2, 1024))
+  }
 }

@@ -224,4 +224,19 @@ class KllSpec extends SparkSpec {
     val (bi, bw) = buf.weightedItems(); val (ri, rw) = back.weightedItems()
     assert(bi.sameElements(ri) && bw.sameElements(rw))
   }
+
+  test("all-NULL input yields NULL (quantile_disc semantics), not a " +
+      "sentinel value") {
+    val row = Seq[Option[Long]](None, None, None).toDF("v")
+      .agg(kllQuantiles(col("v"), 32, probs).as("s")).head()
+    assert(row.isNullAt(0), "empty sketch must evaluate to NULL")
+    // grouped: the all-NULL group is NULL, the live group is exact
+    val grouped = Seq(("a", Some(5L)), ("a", Some(7L)), ("b", None))
+      .toDF("g", "v").groupBy($"g")
+      .agg(kllQuantiles(col("v"), 32, Seq(0.5)).as("s"))
+      .orderBy($"g").collect()
+    assert(!grouped(0).isNullAt(1) &&
+      grouped(0).getStruct(1).getSeq[Long](0) == Seq(5L))
+    assert(grouped(1).isNullAt(1))
+  }
 }
