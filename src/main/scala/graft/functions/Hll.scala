@@ -99,6 +99,9 @@ case class HllSketchAgg(child: Expression, p: Int,
   override def serialize(buf: HllBuf): Array[Byte] = buf.regs.clone()
   override def deserialize(bytes: Array[Byte]): HllBuf = {
     val buf = new HllBuf(p)
+    require(bytes.length == buf.m,
+      s"serialized HLL has ${bytes.length} registers, expected ${buf.m} " +
+        "— precision mismatch")
     System.arraycopy(bytes, 0, buf.regs, 0, buf.m)
     buf
   }
@@ -154,6 +157,9 @@ case class HllMergeCount(child: Expression, p: Int,
   override def serialize(buf: HllBuf): Array[Byte] = buf.regs.clone()
   override def deserialize(bytes: Array[Byte]): HllBuf = {
     val buf = new HllBuf(p)
+    require(bytes.length == buf.m,
+      s"serialized HLL has ${bytes.length} registers, expected ${buf.m} " +
+        "— precision mismatch")
     System.arraycopy(bytes, 0, buf.regs, 0, buf.m)
     buf
   }

@@ -205,6 +205,9 @@ object KllBuf {
       buf.parities += par
       l += 1
     }
+    require(!bb.hasRemaining,
+      s"${bb.remaining} trailing bytes after parsing the KLL sketch — " +
+        "corrupt or foreign binary")
     buf
   }
 }

@@ -140,4 +140,49 @@ object Multimodal {
       }
     }
   }
+
+  final case class SampleWindow(media_id: Long, window_index: Int,
+      start_byte: Int, payload: Array[Byte])
+
+  /** Overlapping sample windows (the STFT / feature-frame shape for
+    * audio): a window of `windowBytes` every `hopBytes`, last windows
+    * truncated at the payload end. Partition-local 1→N explode like
+    * [[sampleFrames]], but windows OVERLAP when hop < window — each byte
+    * lands in up to ceil(window/hop) rows, which is the fan-out a real
+    * fbank/wav2vec front-end produces. Empty payloads emit no rows.
+    */
+  def windowSamples(items: Dataset[MediaItem], windowBytes: Int,
+      hopBytes: Int): Dataset[SampleWindow] = {
+    require(windowBytes > 0, s"windowSamples needs windowBytes >= 1, got $windowBytes")
+    require(hopBytes > 0, s"windowSamples needs hopBytes >= 1, got $hopBytes")
+    implicit val enc = Encoders.product[SampleWindow]
+    items.mapPartitions(_.flatMap { item =>
+      val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+      (0 until bytes.length by hopBytes).iterator.zipWithIndex.map {
+        case (start, idx) =>
+          SampleWindow(item.media_id, idx, start,
+            bytes.slice(start, math.min(bytes.length, start + windowBytes)))
+      }
+    })
+  }
+
+  final case class FeatureSummary(media_id: Long, top_dim: Long, nnz: Long)
+
+  /** Collapse an extracted embedding to its dominant dimension (ties →
+    * lowest index) and nonzero-dimension count — the integer shape the
+    * oracle can pin while the float vector itself feeds ANN downstream.
+    */
+  def featureSummary(features: Dataset[MediaFeature]): Dataset[FeatureSummary] = {
+    implicit val enc = Encoders.product[FeatureSummary]
+    features.map { f =>
+      var top = 0
+      var i = 1
+      while (i < f.embedding.length) {
+        if (f.embedding(i) > f.embedding(top)) top = i
+        i += 1
+      }
+      FeatureSummary(f.media_id, top.toLong,
+        f.embedding.count(_ != 0.0f).toLong)
+    }
+  }
 }

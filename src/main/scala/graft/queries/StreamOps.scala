@@ -97,6 +97,54 @@ object StreamOps {
       graft.ops.Multimodal.sampleFrames(media, stride = 4)
         .select($"media_id", $"frameIndex".cast("long").as("frame_index"),
           octet_length($"payload").cast("long").as("frame_bytes"))
+    }),
+
+    // multimodal resize: the typed Dataset[DecodedMeta] map through the
+    // real resizeMeta transform (aspect-preserving clamp to a 256 max
+    // side, floor + ≥1 guard), over arithmetic pseudo-decoded dimensions
+    // so the oracle can replay the exact IEEE sequence
+    "mm3_resize" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.ops.Dedup.charHash($"text")
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.DecodedMeta]
+      val meta = documents(s, d).select(
+        $"doc_id".as("media_id"),
+        lit("image").as("kind"),
+        (pmod(h, lit(640L)) + 1L).cast("int").as("width"),
+        (pmod(floor(h / 640.0).cast("long"), lit(480L)) + 1L).cast("int")
+          .as("height"),
+        lit(3).as("channels"), lit(0).as("sampleRate"), lit(1).as("nFrames"),
+        octet_length($"text".cast("binary")).cast("long").as("sizeBytes"))
+        .as[graft.ops.Multimodal.DecodedMeta]
+      graft.ops.Multimodal.resizeMeta(meta, maxSide = 256)
+        .select($"media_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"))
+    }),
+
+    // multimodal audio windowing: OVERLAPPING sample windows (400-byte
+    // window, 160-byte hop — the fbank/wav2vec front-end fan-out where
+    // each byte lands in up to 3 rows), partition-local 1→N explode
+    "mm4_audio_windows" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal.asMedia(
+        documents(s, d), "doc_id", lit("audio"), $"text".cast("binary"))
+      graft.ops.Multimodal.windowSamples(media,
+        windowBytes = 400, hopBytes = 160)
+        .select($"media_id", $"window_index".cast("long").as("window_index"),
+          $"start_byte".cast("long").as("start_byte"),
+          octet_length($"payload").cast("long").as("window_bytes"))
+    }),
+
+    // multimodal feature extraction: the stub encoder's byte-histogram
+    // embedding collapsed to integer invariants (dominant dimension +
+    // nonzero count) the oracle can pin exactly
+    "mm5_feature_argmax" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal.asMedia(
+        documents(s, d), "doc_id", lit("image"), $"text".cast("binary"))
+      graft.ops.Multimodal.featureSummary(
+        graft.ops.Multimodal.extractFeatures(media, dims = 16)).toDF()
     })
   )
 
@@ -262,6 +310,52 @@ object StreamOps {
         |FROM documents""".stripMargin).replace("CH",
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
-          "(acc, x) -> (acc * 31 + x) % 1000000007)")
+          "(acc, x) -> (acc * 31 + x) % 1000000007)"),
+
+    // resize replays the exact IEEE sequence: scale = 256.0/s first,
+    // then w*scale, then trunc — same double ops, same bits
+    "mm3_resize" ->
+      ("""WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (CH % 640) + 1 AS w,
+        |         ((CH // 640) % 480) + 1 AS h
+        |  FROM documents)
+        |SELECT media_id,
+        |  CASE WHEN greatest(w, h) <= 256 THEN w
+        |       ELSE greatest(1, CAST(trunc(CAST(w AS DOUBLE) *
+        |         (256.0 / CAST(greatest(w, h) AS DOUBLE))) AS BIGINT)) END
+        |    AS width,
+        |  CASE WHEN greatest(w, h) <= 256 THEN h
+        |       ELSE greatest(1, CAST(trunc(CAST(h AS DOUBLE) *
+        |         (256.0 / CAST(greatest(w, h) AS DOUBLE))) AS BIGINT)) END
+        |    AS height
+        |FROM m""".stripMargin).replace("CH",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
+          "(acc, x) -> (acc * 31 + x) % 1000000007)"),
+
+    "mm4_audio_windows" ->
+      """SELECT doc_id AS media_id, CAST(st // 160 AS BIGINT) AS window_index,
+        |       CAST(st AS BIGINT) AS start_byte,
+        |       CAST(least(400, octet_length(CAST(text AS BLOB)) - st)
+        |         AS BIGINT) AS window_bytes
+        |FROM documents,
+        |     unnest(range(0, octet_length(CAST(text AS BLOB)), 160))
+        |       AS t(st)""".stripMargin,
+
+    "mm5_feature_argmax" ->
+      """WITH c AS (
+        |  SELECT doc_id, ascii(ch) % 16 AS dim, count(*) AS cnt
+        |  FROM documents, unnest(regexp_extract_all(text, '.')) AS t(ch)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, dim, cnt,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY cnt DESC, dim) AS rn,
+        |         count(*) OVER (PARTITION BY doc_id) AS nnz
+        |  FROM c)
+        |SELECT doc_id AS media_id, CAST(dim AS BIGINT) AS top_dim,
+        |       CAST(nnz AS BIGINT) AS nnz
+        |FROM r WHERE rn = 1""".stripMargin
   )
 }

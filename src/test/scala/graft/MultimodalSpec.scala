@@ -59,4 +59,46 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(1L).width == 320 && resized(1L).height == 240)
     assert(resized(2L).width == 100 && resized(2L).height == 50, "no upscale")
   }
+
+  test("windowSamples: overlapping hop < window covers every byte in " +
+      "ceil(window/hop) rows; truncated tail; empty payload emits none") {
+    val ws = Multimodal.windowSamples(corpus(), windowBytes = 400,
+      hopBytes = 160).collect()
+    // empty payload (id 4) emits nothing
+    assert(!ws.exists(_.media_id == 4L))
+    // id 3 is 2000 bytes: starts at 0,160,...,1920 → 13 windows
+    val v = ws.filter(_.media_id == 3L).sortBy(_.window_index)
+    assert(v.length == 13)
+    assert(v.map(_.start_byte).toSeq == (0 until 2000 by 160).toSeq)
+    // full windows are 400 bytes; the last two truncate at the end
+    assert(v.dropRight(2).forall(_.payload.length == 400))
+    assert(v(11).payload.length == 2000 - 1760)
+    assert(v(12).payload.length == 2000 - 1920)
+    // reassembling hop-strided prefixes reproduces the payload bytes
+    val rebuilt = v.flatMap(_.payload.take(160)).toSeq ++
+      v.last.payload.drop(160).toSeq
+    assert(rebuilt == ("frame" * 400).getBytes("UTF-8").toSeq)
+    // short payloads still produce their partial head window
+    val a = ws.filter(_.media_id == 2L)
+    assert(a.length == 1 && a.head.payload.length == "audio-bytes".length)
+  }
+
+  test("featureSummary: dominant dimension with lowest-index ties, " +
+      "nonzero count") {
+    // craft payloads with known byte histograms mod 4
+    val rows = Seq(
+      // bytes 'a'(97%4=1) x3, 'b'(98%4=2) x1 → top_dim 1, nnz 2
+      (10L, "image", "aaab".getBytes("UTF-8")),
+      // tie: 'a' x2, 'b' x2 → lowest dim wins → 1
+      (11L, "image", "abab".getBytes("UTF-8")),
+      (12L, "image", Array.emptyByteArray)) // zero vector → top 0, nnz 0
+    val media = Multimodal.asMedia(rows.toDF("id", "kind", "payload"),
+      "id", $"kind", $"payload")
+    val got = Multimodal.featureSummary(
+      Multimodal.extractFeatures(media, dims = 4)).collect()
+      .map(f => f.media_id -> ((f.top_dim, f.nnz))).toMap
+    assert(got(10L) == ((1L, 2L)))
+    assert(got(11L) == ((1L, 2L)))
+    assert(got(12L) == ((0L, 0L)))
+  }
 }
