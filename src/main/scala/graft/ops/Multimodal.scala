@@ -37,11 +37,65 @@ object Multimodal {
     StructField("kind", StringType, nullable = false),
     StructField("payload", BinaryType, nullable = true)))
 
-  // ------------------------------------------------------------- STUB codec
+  // ------------------------------------------------------ codec: real + STUB
+
+  /** REAL image decode via the JDK's built-in `javax.imageio` (PNG, JPEG,
+    * GIF, BMP — no external library): width/height from the decoded
+    * raster, channels = raster band count. Returns null when the payload
+    * is not a parseable image, so [[decode]] can fall back to the stub.
+    */
+  private[ops] def decodeImage(item: MediaItem): DecodedMeta = {
+    val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+    if (bytes.isEmpty) null
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) null
+      else DecodedMeta(item.media_id, item.kind, img.getWidth, img.getHeight,
+        channels = img.getRaster.getNumBands, sampleRate = 0, nFrames = 1,
+        sizeBytes = bytes.length.toLong)
+    }
+  }
+
+  /** Deterministic PNG encoder (the test/gate-side payload source — a
+    * stand-in for dereferencing an object-store pointer): a `w`×`h`
+    * 3-band image whose pixel (x, y) is a pure function of (x, y, seed).
+    * PNG is lossless, so decode returns these exact pixels.
+    */
+  def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodePng needs positive dims, got ${w}x$h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (x * 31 + y * 17 + seed).toInt & 0xffffff
+        img.setRGB(x, y, v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Full decode dispatch: real `javax.imageio` for image payloads that
+    * parse, honest STUB for audio/video (no codec libraries in this
+    * environment) and for image bytes that aren't a decodable format.
+    */
+  private[ops] def decode(item: MediaItem): DecodedMeta =
+    if (item.kind == "image") {
+      val real = decodeImage(item)
+      if (real != null) real else stubDecode(item)
+    } else stubDecode(item)
 
   /** STUB decode: deterministic pseudo-metadata from the payload bytes.
-    * Replace with a real codec (javax.imageio / ffmpeg bindings) in a
-    * production deployment; everything downstream only sees the schema.
+    * Stands in for the audio/video codecs (not in this environment) and
+    * for undecodable image bytes; everything downstream only sees the
+    * schema.
     */
   private[ops] def stubDecode(item: MediaItem): DecodedMeta = {
     val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
@@ -86,11 +140,13 @@ object Multimodal {
   }
 
   /** Decode metadata partition-locally (batch per partition, codec called
-    * once per item inside the JVM — no shuffle, linear scan).
+    * once per item inside the JVM — no shuffle, linear scan). Image
+    * payloads go through the REAL `javax.imageio` decoder; audio/video
+    * and unparseable bytes through the stub.
     */
   def decodeMeta(items: Dataset[MediaItem]): Dataset[DecodedMeta] = {
     implicit val enc = Encoders.product[DecodedMeta]
-    items.mapPartitions(_.map(stubDecode))
+    items.mapPartitions(_.map(decode))
   }
 
   /** Feature extraction with the same batch shape; `dims` fixed up front

@@ -136,6 +136,28 @@ object StreamOps {
           octet_length($"payload").cast("long").as("window_bytes"))
     }),
 
+    // REAL image decode: render a PNG per document in the executor
+    // (dims derived from the text, the payload-pointer-dereference
+    // stand-in), then decode it back through javax.imageio — the
+    // decoded raster dims and band count must round-trip exactly
+    "mm6_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.ops.Dedup.charHash($"text")
+      val dims = documents(s, d).select(
+        $"doc_id",
+        (pmod(h, lit(64L)) + 1L).cast("int").as("w"),
+        (pmod(floor(h / 64.0).cast("long"), lit(48L)) + 1L).cast("int")
+          .as("h")).as[(Long, Int, Int)]
+      val media = dims.mapPartitions(_.map { case (id, w, hh) =>
+        graft.ops.Multimodal.MediaItem(id, "image",
+          graft.ops.Multimodal.encodePng(w, hh, id))
+      })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
+      graft.ops.Multimodal.decodeMeta(media)
+        .select($"media_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"channels".cast("long").as("channels"))
+    }),
+
     // multimodal feature extraction: the stub encoder's byte-histogram
     // embedding collapsed to integer invariants (dominant dimension +
     // nonzero count) the oracle can pin exactly
@@ -342,6 +364,19 @@ object StreamOps {
         |FROM documents,
         |     unnest(range(0, octet_length(CAST(text AS BLOB)), 160))
         |       AS t(st)""".stripMargin,
+
+    // the decoded dims/bands must equal the derivation that sized the
+    // rendered PNG — the oracle replays that arithmetic; channels is 3
+    // (TYPE_3BYTE_BGR) by construction
+    "mm6_image_decode" ->
+      ("""SELECT doc_id AS media_id,
+        |       (CH % 64) + 1 AS width,
+        |       CAST((CH // 64) % 48 AS BIGINT) + 1 AS height,
+        |       CAST(3 AS BIGINT) AS channels
+        |FROM documents""".stripMargin).replace("CH",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
+          "(acc, x) -> (acc * 31 + x) % 1000000007)"),
 
     "mm5_feature_argmax" ->
       """WITH c AS (

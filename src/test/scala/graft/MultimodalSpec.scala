@@ -83,6 +83,36 @@ class MultimodalSpec extends SparkSpec {
     assert(a.length == 1 && a.head.payload.length == "audio-bytes".length)
   }
 
+  test("real image decode: generated PNGs round-trip bit-exactly " +
+      "through javax.imageio; non-image bytes fall back to the stub") {
+    // pixel-level losslessness of the encode/decode pair itself
+    val png = Multimodal.encodePng(37, 23, seed = 42L)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 37 && img.getHeight == 23)
+    assert(img.getRaster.getNumBands == 3)
+    for (y <- 0 until 23; x <- 0 until 37) {
+      val want = (x * 31 + y * 17 + 42L).toInt & 0xffffff
+      assert((img.getRGB(x, y) & 0xffffff) == want, s"pixel ($x,$y)")
+    }
+    // the Dataset decode path reports the real raster dims for PNGs...
+    val rows = Seq(
+      (50L, "image", Multimodal.encodePng(64, 48, 7L)),
+      (51L, "image", Multimodal.encodePng(1, 1, 9L)),
+      (52L, "image", "not-a-png".getBytes("UTF-8")), // stub fallback
+      (53L, "audio", Multimodal.encodePng(8, 8, 1L))) // kind wins: stub
+    val media = Multimodal.asMedia(rows.toDF("id", "kind", "payload"),
+      "id", $"kind", $"payload")
+    val meta = Multimodal.decodeMeta(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(50L).width == 64 && meta(50L).height == 48 &&
+      meta(50L).channels == 3)
+    assert(meta(51L).width == 1 && meta(51L).height == 1)
+    // ...while undecodable bytes and non-image kinds keep stub semantics
+    assert(meta(52L).channels == 3 && meta(52L).width <= 640)
+    assert(meta(53L).channels == 2 && meta(53L).sampleRate == 16000)
+  }
+
   test("featureSummary: dominant dimension with lowest-index ties, " +
       "nonzero count") {
     // craft payloads with known byte histograms mod 4
