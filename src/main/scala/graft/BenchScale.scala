@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, IvfPqIndex, PqIndex, ScaleStress}
+
+/** The recorded scale datapoint beyond sf0.1: inflate the real fixtures
+  * ×N executor-side (ScaleStress — near-dup variant groups, the
+  * adversarial shape for banded dedup) and measure the headline
+  * scale-path operators end-to-end: wall seconds, total shuffle records
+  * (the quantity that separates a bucketed design from an all-pairs one
+  * — O(n) signatures vs O(n²) pairs), and output rows. Writes one JSON
+  * line to stdout and BENCH_SCALE.json.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.BenchScale"
+  */
+object BenchScale {
+
+  /** Force full evaluation of every output column AND count rows in the
+    * same aggregation (Bench.force's hash plus a count).
+    */
+  private def forceCount(df: DataFrame): Long = {
+    val r = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)), bit_xor(col("h"))).head()
+    r.getLong(0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleTally = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleTally.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    })
+    /** Shuffle records attributable to `body` (listener bus drained). */
+    def shuffled(body: => Unit): Long = {
+      // drain events from previous work first
+      var last = -1L
+      while (shuffleTally.get() != last) { last = shuffleTally.get(); Thread.sleep(200L) }
+      val before = shuffleTally.get()
+      body
+      var waited = 0
+      last = -1L
+      while (waited < 20000 && shuffleTally.get() != last) {
+        last = shuffleTally.get(); Thread.sleep(200L); waited += 200
+      }
+      shuffleTally.get() - before
+    }
+
+    val docs = ScaleStress.inflateDocs(Tables.documents(spark, sfDir), factor)
+    val emb = ScaleStress.inflateEmbeddings(Tables.embeddings(spark, sfDir), factor)
+    val events = ScaleStress.inflateEvents(Tables.events(spark, sfDir), factor)
+    val qVec = Tables.embeddings(spark, sfDir).where(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val nDocs = Tables.documents(spark, sfDir).count() * factor
+    val nVecs = Tables.embeddings(spark, sfDir).count() * factor
+    val nEvents = Tables.events(spark, sfDir).count() * factor
+
+    // the scale-path headliners: banded/capped dedup, ANN indexes, the
+    // bloom-prefiltered decontamination join, event sessionization
+    val cases: Seq[(String, () => DataFrame)] = Seq(
+      "dd3_minhash_lsh" -> (() => Dedup.minhashLshPairs(docs, "doc_id",
+        "text", n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)),
+      "dd6_simhash_pairs" -> (() => Dedup.simhashBandedPairs(docs,
+        "doc_id", "text", 6)),
+      "dd2b_jaccard_capped" -> (() => Dedup.jaccardPairsCapped(docs,
+        "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
+      "dd15b_containment_capped" -> (() => Dedup.containmentPairsCapped(
+        docs, "doc_id", "text", n = 3, threshold = 0.8, maxDocFreq = 20)),
+      "ts7b_decontaminate_bloom" -> (() => Dedup.decontaminateBloom(
+        docs.where(col("doc_id") % 29 =!= 0),
+        docs.where(col("doc_id") % 29 === 0),
+        "doc_id", "text", n = 4, numBits = 1 << 18, numHashes = 5)),
+      "sim6_pq_topk" -> (() => PqIndex.build(emb, "vec_id", "embedding",
+        m = 4, dims = 64, ksub = 16).probe(qVec, k = 30)),
+      "sim7_ivfpq_topk" -> (() => IvfPqIndex.build(emb, "vec_id",
+        "embedding", kc = 8, m = 4, dims = 64, ksub = 8)
+        .probe(qVec, k = 30, nprobe = 2)),
+      "st2_sessionize" -> (() => graft.streaming.EventStreams.sessionize(
+        events, gapUs = 1800L * 1000000L)))
+
+    // JVM/codegen warmup so the first case doesn't absorb startup cost
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val results = cases.map { case (name, mk) =>
+      var rows = 0L
+      val t0 = System.nanoTime()
+      val recs = shuffled { rows = forceCount(mk()) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      Dedup.releaseCaches()
+      System.err.println(f"[scale] $name%-26s $sec%8.1f s  " +
+        f"$recs%12d shuffle recs  $rows%10d rows")
+      (name, sec, recs, rows)
+    }
+
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (n, s, r, c) =>
+      s""""$n":{"sec":${f(s)},"shuffle_records":$r,"rows":$c}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
+      s""""unit":"sec","factor":$factor,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
+      s""""n_events":$nEvents,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

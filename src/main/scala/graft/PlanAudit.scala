@@ -160,7 +160,17 @@ object PlanAudit {
     Check("p12_like_scan", "substring predicate pushed as StringContains",
       p => p.contains("StringContains(p_name,bolt)")),
     Check("p13_prefix_scan", "prefix predicate pushed as StringStartsWith",
-      p => p.contains("StringStartsWith(p_name,blue)")))
+      p => p.contains("StringStartsWith(p_name,blue)")),
+    Check("mm4_audio_windows",
+      "overlapping-window explode is partition-local (map-only, no " +
+        "shuffle, no sort)",
+      p => !p.contains("Exchange") && !p.contains("SortExec")),
+    Check("mm6_image_decode",
+      "render + real ImageIO decode is one map-only pass (no shuffle)",
+      p => !p.contains("Exchange") && !p.contains("SortExec")),
+    Check("mm5_feature_argmax",
+      "feature extraction + summary is map-only (no shuffle)",
+      p => !p.contains("Exchange") && !p.contains("SortExec")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
