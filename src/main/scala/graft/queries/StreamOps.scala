@@ -36,6 +36,28 @@ object StreamOps {
     "st2_sessionize" -> ((s, d) =>
       EventStreams.sessionize(events(s, d), gapUs = 1800L * 1000000L)),
 
+    // purchase attribution: per purchase, every same-user event inside
+    // the 30 min window after it — the time-RANGE-bounded equi-join
+    // whose streaming twin is the watermarked stream-stream join
+    // (StreamingSpec asserts batch==stream parity on this exact plan)
+    "st10_attribution" -> ((s, d) =>
+      EventStreams.attributionJoin(events(s, d))),
+
+    // trailing 7-day per-user rolling sum: a RANGE window frame over
+    // event-time micros (peers at the same instant aggregate
+    // identically — the frame a ROWS window gets wrong on ties)
+    "w9_rolling_range" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-604800000000L, 0L)
+      events(s, d).select($"event_id", $"user_id",
+        unix_micros($"ts").as("ts_us"),
+        round($"value" * 100).cast("long").as("cents"))
+        .select($"event_id", $"user_id", $"ts_us",
+          sum($"cents").over(w).as("roll_cents"))
+    }),
+
     // gaps-and-islands: maximal consecutive-day activity runs per user
     "st3_gaps_islands" -> ((s, d) =>
       graft.ops.EventAnalytics.activityIslands(events(s, d))),
@@ -185,6 +207,23 @@ object StreamOps {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "st10_attribution" ->
+      """SELECT p.event_id AS p_event_id, e.event_id, e.user_id,
+        |       epoch_us(p.ts) AS p_ts_us, epoch_us(e.ts) AS ts_us
+        |FROM events e
+        |JOIN (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        | AND e.ts <= p.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    "w9_rolling_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS roll_cents
+        |FROM events""".stripMargin,
+
     "st1_window_agg" ->
       """SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
         |       event_type, count(*) AS n,
