@@ -27,90 +27,86 @@ object GraftSession {
       .getOrElse(throw new IllegalArgumentException(
         s"$name: missing argument ${i + 1}"))
 
-  def registerFunctions(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("spatial_cell", exprs =>
+  // SQL numeric literals like 0.5 eval to Decimal, not Double
+  private def probArgs(exprs: Seq[org.apache.spark.sql.catalyst.expressions
+      .Expression], from: Int, name: String): Seq[Double] =
+    exprs.drop(from).map(_.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"$name: probability literal expected, got $other")
+    }).toSeq
+
+  /** name -> expression builder for every engine SQL function — one
+    * list, two consumers: [[registerFunctions]] (temp functions on an
+    * existing session) and [[GraftExtensions]] (session-permanent
+    * injection at builder time).
+    */
+  val functionBuilders: Seq[(String, Seq[org.apache.spark.sql.catalyst
+      .expressions.Expression] => org.apache.spark.sql.catalyst
+      .expressions.Expression)] = Seq(
+    "spatial_cell" -> (exprs =>
       SpatialCell(exprs(0), exprs(1),
         exprs.lift(2).map(_.eval().asInstanceOf[Number].intValue)
-          .getOrElse(SpatialCell.DefaultLevel)), "scala_udf")
-    registry.createOrReplaceTempFunction("vec_dot", exprs =>
-      VecDot(exprs(0), exprs(1)), "scala_udf")
-    registry.createOrReplaceTempFunction("char_hash", exprs =>
-      CharHashExpr(exprs(0)), "scala_udf")
-    registry.createOrReplaceTempFunction("simhash", exprs =>
-      SimHashExpr(exprs(0)), "scala_udf")
-    registry.createOrReplaceTempFunction("shingle_hashes", exprs =>
-      ShingleHashExpr(exprs(0), intArg(exprs, 1, "shingle_hashes")),
-      "scala_udf")
-    registry.createOrReplaceTempFunction("minhash_sig", exprs =>
-      MinHashSigExpr(exprs(0), intArg(exprs, 1, "minhash_sig")),
-      "scala_udf")
-    registry.createOrReplaceTempFunction("text_stats", exprs =>
+          .getOrElse(SpatialCell.DefaultLevel))),
+    "vec_dot" -> (exprs =>
+      VecDot(exprs(0), exprs(1))),
+    "char_hash" -> (exprs =>
+      CharHashExpr(exprs(0))),
+    "simhash" -> (exprs =>
+      SimHashExpr(exprs(0))),
+    "shingle_hashes" -> (exprs =>
+      ShingleHashExpr(exprs(0), intArg(exprs, 1, "shingle_hashes"))),
+    "minhash_sig" -> (exprs =>
+      MinHashSigExpr(exprs(0), intArg(exprs, 1, "minhash_sig"))),
+    "text_stats" -> (exprs =>
       TextStatsExpr(exprs(0),
-        graft.ops.TextAnalysis.langLexicons.map(_._2)), "scala_udf")
-    registry.createOrReplaceTempFunction("repetition_stats", exprs =>
-      RepetitionExpr(exprs(0), intArg(exprs, 1, "repetition_stats")),
-      "scala_udf")
-    registry.createOrReplaceTempFunction("winnow_fingerprints", exprs =>
+        graft.ops.TextAnalysis.langLexicons.map(_._2))),
+    "repetition_stats" -> (exprs =>
+      RepetitionExpr(exprs(0), intArg(exprs, 1, "repetition_stats"))),
+    "winnow_fingerprints" -> (exprs =>
       WinnowExpr(exprs(0), intArg(exprs, 1, "winnow_fingerprints"),
-        intArg(exprs, 2, "winnow_fingerprints")), "scala_udf")
-    registry.createOrReplaceTempFunction("winnow_positions", exprs =>
+        intArg(exprs, 2, "winnow_fingerprints"))),
+    "winnow_positions" -> (exprs =>
       graft.functions.WinnowPosExpr(exprs(0),
         intArg(exprs, 1, "winnow_positions"),
-        intArg(exprs, 2, "winnow_positions")), "scala_udf")
-    registry.createOrReplaceTempFunction("space_saving_topk", exprs =>
+        intArg(exprs, 2, "winnow_positions"))),
+    "space_saving_topk" -> (exprs =>
       graft.functions.SpaceSavingTopK(exprs(0),
         intArg(exprs, 1, "space_saving_topk"),
-        intArg(exprs, 2, "space_saving_topk")).toAggregateExpression(),
-      "scala_udf")
-    // SQL numeric literals like 0.5 eval to Decimal, not Double
-    def probArgs(exprs: Seq[org.apache.spark.sql.catalyst.expressions
-        .Expression], from: Int, name: String): Seq[Double] =
-      exprs.drop(from).map(_.eval() match {
-        case d: org.apache.spark.sql.types.Decimal => d.toDouble
-        case n: java.lang.Number => n.doubleValue
-        case other => throw new IllegalArgumentException(
-          s"$name: probability literal expected, got $other")
-      }).toSeq
-    // kll_quantiles(v, k, p1[, p2, ...])
-    registry.createOrReplaceTempFunction("kll_quantiles", exprs =>
+        intArg(exprs, 2, "space_saving_topk")).toAggregateExpression()),
+    "kll_quantiles" -> (exprs =>
       graft.functions.KllQuantiles(exprs(0),
         intArg(exprs, 1, "kll_quantiles"),
-        probArgs(exprs, 2, "kll_quantiles")).toAggregateExpression(),
-      "scala_udf")
-    // the mergeable-summary pair: kll_sketch(v, k) → BINARY;
-    // kll_merge(sk, k, p1[, p2, ...]) → struct<qs, err, n>
-    registry.createOrReplaceTempFunction("kll_sketch", exprs =>
+        probArgs(exprs, 2, "kll_quantiles")).toAggregateExpression()),
+    "kll_sketch" -> (exprs =>
       graft.functions.KllSketchAgg(exprs(0),
-        intArg(exprs, 1, "kll_sketch")).toAggregateExpression(),
-      "scala_udf")
-    registry.createOrReplaceTempFunction("kll_merge", exprs =>
+        intArg(exprs, 1, "kll_sketch")).toAggregateExpression()),
+    "kll_merge" -> (exprs =>
       graft.functions.KllMergeQuantiles(exprs(0),
         intArg(exprs, 1, "kll_merge"),
-        probArgs(exprs, 2, "kll_merge")).toAggregateExpression(),
-      "scala_udf")
-    // distinct-count summary pair: hll_sketch(v, p) → BINARY registers;
-    // hll_merge(regs, p) → struct<n_distinct, regs>
-    registry.createOrReplaceTempFunction("hll_sketch", exprs =>
+        probArgs(exprs, 2, "kll_merge")).toAggregateExpression()),
+    "hll_sketch" -> (exprs =>
       graft.functions.HllSketchAgg(exprs(0),
-        intArg(exprs, 1, "hll_sketch")).toAggregateExpression(),
-      "scala_udf")
-    registry.createOrReplaceTempFunction("hll_merge", exprs =>
+        intArg(exprs, 1, "hll_sketch")).toAggregateExpression()),
+    "hll_merge" -> (exprs =>
       graft.functions.HllMergeCount(exprs(0),
-        intArg(exprs, 1, "hll_merge")).toAggregateExpression(),
-      "scala_udf")
-    // heavy-hitter summary pair: cm_sketch(v, d, w, cap) → BINARY;
-    // cm_merge(sk, d, w, cap, k) → array<struct<item, cnt, err>>
-    registry.createOrReplaceTempFunction("cm_sketch", exprs =>
+        intArg(exprs, 1, "hll_merge")).toAggregateExpression()),
+    "cm_sketch" -> (exprs =>
       graft.functions.CountMinSketchAgg(exprs(0),
         intArg(exprs, 1, "cm_sketch"), intArg(exprs, 2, "cm_sketch"),
-        intArg(exprs, 3, "cm_sketch")).toAggregateExpression(),
-      "scala_udf")
-    registry.createOrReplaceTempFunction("cm_merge", exprs =>
+        intArg(exprs, 3, "cm_sketch")).toAggregateExpression()),
+    "cm_merge" -> (exprs =>
       graft.functions.CountMinMergeTopK(exprs(0),
         intArg(exprs, 1, "cm_merge"), intArg(exprs, 2, "cm_merge"),
         intArg(exprs, 3, "cm_merge"), intArg(exprs, 4, "cm_merge"))
-        .toAggregateExpression(), "scala_udf")
+        .toAggregateExpression()))
+
+  def registerFunctions(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functionBuilders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 
   /** Mount every table of `catalog` as a temp view over the CURRENT
