@@ -248,6 +248,31 @@ object PlanAudit {
       if (!ok) { failed += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       println(f"${if (ok) "OK  " else "FAIL"}  ${"catalog_bucketize"}%-22s co-located join, no exchange")
     }
+    // extensions-injected range-join rule: a naive point-in-interval
+    // theta-join must lose its nested loop when the bin conf is set
+    {
+      import org.apache.spark.sql.SparkSession
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val ext = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.GraftExtensions())
+        .config("spark.ui.enabled", "false").getOrCreate()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+      try {
+        import ext.implicits._
+        val points = (0L to 300L by 3L).map(t => (t, t * 7 % 11)).toDF("t", "v")
+        val ivals = (0L to 5L).map(i => (i * 50L, i * 50L + 40L)).toDF("lo", "hi")
+        val cond = points("t") >= ivals("lo") && points("t") <= ivals("hi")
+        ext.conf.set("spark.graft.rangejoin.binwidth", "50")
+        val p = points.join(ivals, cond).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        ext.conf.unset("spark.graft.rangejoin.binwidth")
+        val ok = !p.contains("BroadcastNestedLoopJoin") && isEquiJoin(p) &&
+          p.contains("graft_bin")
+        if (!ok) { failed += 1; println(p.linesIterator.take(40).mkString("\n")) }
+        println(f"${if (ok) "OK  " else "FAIL"}  ${"rangejoin_rule"}%-22s injected rule turns theta range join into binned equi-join")
+      } finally ()
+    }
     // simhash index probe: candidate generation must be an equi-join on
     // (band, bits) — a nested-loop probe would defeat the index
     {
