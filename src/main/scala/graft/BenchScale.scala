@@ -79,6 +79,8 @@ object BenchScale {
         "text", n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)),
       "dd6_simhash_pairs" -> (() => Dedup.simhashBandedPairs(docs,
         "doc_id", "text", 6)),
+      "dd6b_simhash_capped" -> (() => Dedup.simhashBandedPairsCapped(docs,
+        "doc_id", "text", maxDist = 6, maxBucket = 20)),
       "dd2b_jaccard_capped" -> (() => Dedup.jaccardPairsCapped(docs,
         "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
       "dd15b_containment_capped" -> (() => Dedup.containmentPairsCapped(

@@ -1392,4 +1392,67 @@ object Dedup {
         hammingDist(col("a.sh"), col("b.sh")).as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** Fixed contiguous band masks: 64 bit positions split into `numBands`
+    * runs (first `64 % numBands` bands one bit wider). Plan literals —
+    * no stats pass — and fully replayable in the oracle's SQL.
+    */
+  private[graft] def contiguousBandMasks(numBands: Int): Seq[Long] = {
+    val base = 64 / numBands
+    val extra = 64 % numBands
+    val sizes = Seq.tabulate(numBands)(i => base + (if (i < extra) 1 else 0))
+    val starts = sizes.scanLeft(0)(_ + _)
+    Seq.tabulate(numBands) { i =>
+      (starts(i) until starts(i) + sizes(i))
+        .foldLeft(0L)((m, b) => m | (1L << b))
+    }
+  }
+
+  /** Frequency-capped SimHash near-dup pairs — the 100 TB twin of
+    * [[simhashBandedPairs]], built like [[jaccardPairsCapped]]: a
+    * (band, bits) bucket larger than `maxBucket` generates NOTHING (its
+    * members still pair through their other, more selective bands), so
+    * the in-bucket pair expansion is O(maxBucket²) per bucket at ANY
+    * corpus size — the mega-bucket pair explosion the uncapped form
+    * suffers on templated corpora (measured: 244M pairs at sf0.1×10,
+    * BENCH_SCALE.json) cannot happen.
+    *
+    * The cap also unlocks a structural simplification: the uncapped
+    * variant NEEDS entropy-balanced bands (a stats pass at plan-build
+    * time) because one corpus-constant band puts every doc in a single
+    * bucket; here that bucket is simply hot and skipped, so FIXED
+    * contiguous bands work — no eager stats job, streaming-friendly,
+    * and the whole pipeline (masks included) replays in the oracle.
+    * Recall contract: a true pair is lost only if EVERY band it agrees
+    * on is hot.
+    *
+    * Shape: one bounded-collect shuffle on (band, bits) — buckets cap at
+    * `maxBucket` doc ids regardless of skew — in-bucket ordered
+    * expansion, one bare-pair distinct shuffle, then hash-join
+    * verification of the bounded survivor set against the signatures.
+    */
+  def simhashBandedPairsCapped(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val numBands = maxDist + 1
+    val masks = contiguousBandMasks(numBands)
+    val sig = tracked(
+      df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh")))
+    val banded = sig.select(col("doc"),
+      posexplode(array(masks.map(m =>
+        col("sh").bitwiseAND(lit(m))): _*)).as(Seq("band", "bits")))
+    val cand = banded.groupBy(col("band"), col("bits"))
+      .agg(graft.functions.BoundedCollect
+        .boundedCollect(col("doc"), maxBucket).as("bc"))
+      .where(col("bc.df").between(2, maxBucket))
+      .select(explode(orderedPairs(col("bc.ds"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sig.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("sh_a"), col("sh_b")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
 }

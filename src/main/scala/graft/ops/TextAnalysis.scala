@@ -646,4 +646,34 @@ object TextAnalysis {
       .withColumn("mean_surprise",
         col("surprise").cast("double") / col("n_bigrams").cast("double"))
   }
+
+  /** Concat-and-cut sequence packing — the GPT-pretraining layout: per
+    * shard, documents are concatenated in deterministic [[sampleRank]]
+    * order and the token stream is cut every `seqLen` tokens, docs
+    * straddling cuts (zero padding waste; the trainer splits them).
+    * Each doc maps to its (start_seq, start_off) coordinates plus the
+    * number of sequences it spans — everything a loader needs to
+    * materialize any sequence range.
+    *
+    * Shape: ONE per-shard ordered window (the running token offset);
+    * all arithmetic integral (token offsets stay well under 2^63 —
+    * whole-corpus totals at 100 TB are ~1e13). Sharding keys the
+    * parallelism: sequences are numbered per shard, which is how
+    * training shards are laid out anyway.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(sampleRank(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(shardCol),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        expr(s"off DIV $seqLen").as("start_seq"),
+        (col("off") % seqLen).as("start_off"),
+        (expr(s"(off + n_tokens - 1) DIV $seqLen") -
+          expr(s"off DIV $seqLen") + 1L).as("n_seqs"))
+  }
 }

@@ -76,6 +76,13 @@ object TextOps {
       Dedup.containmentPairsCapped(documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.8, maxDocFreq = 20)),
 
+    // frequency-capped SimHash pairs (scale path): fixed contiguous
+    // bands — the cap makes mega-buckets harmless, so no entropy-stats
+    // pass is needed and the whole pipeline replays in the oracle
+    "dd6b_simhash_capped" -> ((s, d) =>
+      Dedup.simhashBandedPairsCapped(documents(s, d), "doc_id", "text",
+        maxDist = 6, maxBucket = 20)),
+
     // SimHash signatures
     "dd5_simhash" -> ((s, d) => {
       import s.implicits._
@@ -354,6 +361,13 @@ object TextOps {
     "ts13_stratified" -> ((s, d) =>
       TextAnalysis.stratifiedSample(documents(s, d), "doc_id", "source",
         quota = 5)),
+
+    // concat-and-cut sequence packing (the GPT-pretraining layout):
+    // per-shard token stream cut every 512 tokens, docs straddle cuts —
+    // each doc's (start_seq, start_off, n_seqs) coordinates
+    "ts21_sequence_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(documents(s, d), "doc_id", "text",
+        "source", seqLen = 512L)),
 
     // corpus-trained unigram surprisal (model-free perplexity proxy;
     // integer bit-length arithmetic, never a float log sum)
@@ -811,6 +825,26 @@ object TextOps {
         |  FROM documents) t
         |WHERE rnk <= 5""".stripMargin,
 
+    "ts21_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |           AS n_tokens,
+        |         ((doc_id % 1000003) * 2654435761) % 1000003 AS ord
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY ord, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS off
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |       off // 512 AS start_seq,
+        |       off % 512 AS start_off,
+        |       (off + n_tokens - 1) // 512 - off // 512 + 1 AS n_seqs
+        |FROM o""".stripMargin,
+
     "dd1_exact_dedup" ->
       """SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_id,
         |       count(*) AS n_copies
@@ -1066,6 +1100,42 @@ object TextOps {
          |       bit_count(xor(a.sh, b.sh)) AS dist
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 6""".stripMargin,
+
+    // the capped variant's whole pipeline — fixed contiguous masks,
+    // bucket-size cap, candidate union, exact Hamming verify — replayed
+    // literally (mask literals computed from the same Scala function)
+    "dd6b_simhash_capped" -> {
+      val bands = graft.ops.Dedup.contiguousBandMasks(7).zipWithIndex
+        .map { case (m, i) => s"($i, CAST($m AS BIGINT))" }.mkString(", ")
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(0, 63), j ->
+         |      CASE WHEN list_sum(list_transform(hs, hv ->
+         |             CASE WHEN (hv & (CAST(1 AS BIGINT) << j)) <> 0
+         |                  THEN 1 ELSE -1 END)) > 0
+         |           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS sh
+         |  FROM (SELECT doc_id,
+         |          list_transform(string_split(text, ' '), w ->
+         |            list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(regexp_extract_all(w, '.'), ch -> ascii(ch))),
+         |              (acc, x) -> (acc * 131 + x) % 4611686018427387847)) AS hs
+         |        FROM documents)),
+         |bands(band, mask) AS (VALUES $bands),
+         |b AS (SELECT s.doc_id, s.sh, bands.band, s.sh & bands.mask AS bits
+         |      FROM sig s CROSS JOIN bands),
+         |sz AS (SELECT band, bits, count(*) AS n FROM b GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |         FROM b a
+         |         JOIN b b2 ON a.band = b2.band AND a.bits = b2.bits
+         |              AND a.doc_id < b2.doc_id
+         |         JOIN sz ON sz.band = a.band AND sz.bits = a.bits
+         |         WHERE sz.n <= 20)
+         |SELECT c.id_a, c.id_b, bit_count(xor(sa.sh, sb.sh)) AS dist
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.id_a
+         |JOIN sig sb ON sb.doc_id = c.id_b
+         |WHERE bit_count(xor(sa.sh, sb.sh)) <= 6""".stripMargin
+    },
 
     "ts1_langid" ->
       """SELECT doc_id,

@@ -475,4 +475,30 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(11L, 12L), s"kept $kept")
     idx.release()
   }
+
+  test("capped simhash pairs: complete at high cap (== the " +
+      "entropy-balanced variant == brute force), a subset under a " +
+      "tight cap, and hot buckets only ever REMOVE pairs") {
+    val docs = (1L to 60L).map { i =>
+      // 6 families of shared boilerplate with per-doc tail tokens
+      val fam = i % 6
+      (i, s"alpha$fam beta$fam gamma$fam delta common words " +
+        s"tail${i % 9} x${i % 4}")
+    }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val complete = pairSet(
+      Dedup.simhashBandedPairs(docs, "doc_id", "text", 6))
+    // cap >= corpus: nothing is hot, every bucket complete → the fixed
+    // contiguous bands find exactly the pigeonhole-complete answer
+    val high = pairSet(Dedup.simhashBandedPairsCapped(
+      docs, "doc_id", "text", maxDist = 6, maxBucket = 60))
+    assert(high == complete, s"high-cap diff: ${high.diff(complete)} / " +
+      s"${complete.diff(high)}")
+    assert(complete.nonEmpty)
+    val tight = pairSet(Dedup.simhashBandedPairsCapped(
+      docs, "doc_id", "text", maxDist = 6, maxBucket = 4))
+    assert(tight.subsetOf(complete), "capping invented a pair")
+    Dedup.releaseCaches()
+  }
 }

@@ -133,4 +133,34 @@ class TextStatsSpec extends SparkSpec {
     // ranking: doc 1 first (desc score, then id)
     assert(got.head._1 == 1L)
   }
+
+  test("packSequences: per-shard offsets are a gap-free concatenation, " +
+      "cut coordinates consistent, straddlers span the right count") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 2 == 0) "a" else "b", ("w " * (i % 13 + 1).toInt).trim)
+    }.toDF("doc_id", "source", "text")
+    val packed = graft.ops.TextAnalysis
+      .packSequences(docs, "doc_id", "text", "source", seqLen = 10L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_seq"), r.getAs[Long]("start_off"),
+        r.getAs[Long]("n_seqs")))
+    assert(packed.length == 40)
+    for (shard <- Seq("a", "b")) {
+      val rows = packed.filter(_._1 == shard)
+        .sortBy(t => t._3 * 10 + t._4) // global token offset
+      // gap-free: each doc starts exactly where the previous one ended
+      var off = 0L
+      for ((_, n, seq, so, ns) <- rows) {
+        assert(seq == off / 10 && so == off % 10,
+          s"$shard: expected offset $off, got seq=$seq off=$so")
+        assert(ns == (off + n - 1) / 10 - off / 10 + 1,
+          s"$shard: span wrong for n=$n at $off")
+        off += n
+      }
+      // totals: last end == sum of tokens; at least one doc straddles
+      assert(off == rows.map(_._2).sum)
+      assert(rows.exists(_._5 > 1), "fixture should contain a straddler")
+    }
+  }
 }
