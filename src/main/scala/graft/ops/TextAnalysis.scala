@@ -676,4 +676,29 @@ object TextAnalysis {
         (expr(s"(off + n_tokens - 1) DIV $seqLen") -
           expr(s"off DIV $seqLen") + 1L).as("n_seqs"))
   }
+
+  /** The loader-facing inverse of [[packSequences]]: one row per
+    * (sequence, contributing doc) with the doc-local token slice
+    * [take_from, take_from + take_n) that sequence consumes — exactly
+    * what materializing sequence `s` of a shard requires, with no token
+    * data touched (pure coordinate arithmetic + a 1→n_seqs explode; a
+    * doc appears once per sequence it straddles).
+    */
+  def sequenceManifest(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, seqLen: Long): DataFrame = {
+    val packed = packSequences(df, idCol, textCol, shardCol, seqLen)
+    packed
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        col("start_seq"), col("start_off"),
+        explode(sequence(lit(0L), col("n_seqs") - 1L)).as("k"))
+      .withColumn("take_from",
+        when(col("k") === 0L, 0L)
+          .otherwise(lit(seqLen) - col("start_off") +
+            (col("k") - 1L) * seqLen))
+      .select(col(shardCol), (col("start_seq") + col("k")).as("seq_id"),
+        col(idCol), col("take_from"),
+        least(col("n_tokens") - col("take_from"),
+          when(col("k") === 0L, lit(seqLen) - col("start_off"))
+            .otherwise(lit(seqLen))).as("take_n"))
+  }
 }

@@ -369,6 +369,13 @@ object TextOps {
       TextAnalysis.packSequences(documents(s, d), "doc_id", "text",
         "source", seqLen = 512L)),
 
+    // the loader-facing inverse: per (sequence, doc) token-slice
+    // coordinates — materializing any training sequence is a lookup,
+    // never a rescan
+    "ts22_sequence_manifest" -> ((s, d) =>
+      TextAnalysis.sequenceManifest(documents(s, d), "doc_id", "text",
+        "source", seqLen = 512L)),
+
     // corpus-trained unigram surprisal (model-free perplexity proxy;
     // integer bit-length arithmetic, never a float log sum)
     "ts14_unigram_lm" -> ((s, d) =>
@@ -834,16 +841,51 @@ object TextOps {
         |  FROM documents),
         |o AS (
         |  SELECT doc_id, source, n_tokens,
-        |         coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
         |           ORDER BY ord, doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |           0) AS off
+        |           0) AS BIGINT) AS off
         |  FROM d)
         |SELECT doc_id, source, n_tokens,
         |       off // 512 AS start_seq,
         |       off % 512 AS start_off,
         |       (off + n_tokens - 1) // 512 - off // 512 + 1 AS n_seqs
         |FROM o""".stripMargin,
+
+    "ts22_sequence_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |           AS n_tokens,
+        |         ((doc_id % 1000003) * 2654435761) % 1000003 AS ord
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY ord, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS BIGINT) AS off
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         off // 512 AS start_seq,
+        |         off % 512 AS start_off,
+        |         (off + n_tokens - 1) // 512 - off // 512 + 1 AS n_seqs
+        |  FROM o),
+        |x AS (
+        |  SELECT p.*, CAST(k AS BIGINT) AS k
+        |  FROM p, unnest(range(0, CAST(n_seqs AS BIGINT))) AS t(k)),
+        |f AS (
+        |  SELECT source, start_seq + k AS seq_id, doc_id,
+        |         CASE WHEN k = 0 THEN 0
+        |              ELSE 512 - start_off + (k - 1) * 512 END AS take_from,
+        |         n_tokens, start_off, k
+        |  FROM x)
+        |SELECT source, seq_id, doc_id, take_from,
+        |       least(n_tokens - take_from,
+        |             CASE WHEN k = 0 THEN 512 - start_off
+        |                  ELSE 512 END) AS take_n
+        |FROM f""".stripMargin,
 
     "dd1_exact_dedup" ->
       """SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_id,

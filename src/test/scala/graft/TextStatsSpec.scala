@@ -162,5 +162,31 @@ class TextStatsSpec extends SparkSpec {
       assert(off == rows.map(_._2).sum)
       assert(rows.exists(_._5 > 1), "fixture should contain a straddler")
     }
+
+    // the loader manifest: every sequence except a shard's last is
+    // exactly full, every doc's slices tile [0, n_tokens) gap-free
+    val manifest = graft.ops.TextAnalysis
+      .sequenceManifest(docs, "doc_id", "text", "source", seqLen = 10L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("take_from"),
+        r.getAs[Long]("take_n")))
+    for (shard <- Seq("a", "b")) {
+      val m = manifest.filter(_._1 == shard)
+      val bySeq = m.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+      val last = bySeq.keys.max
+      for ((seq, tok) <- bySeq)
+        assert(seq == last || tok == 10L, s"$shard seq $seq holds $tok")
+      val byDoc = m.groupBy(_._3)
+      for ((doc, slices) <- byDoc) {
+        val sorted = slices.sortBy(_._4)
+        assert(sorted.head._4 == 0L, s"doc $doc starts at nonzero")
+        sorted.sliding(2).filter(_.length == 2).foreach { w =>
+          assert(w(0)._4 + w(0)._5 == w(1)._4, s"doc $doc slice gap")
+        }
+        // fully consumed: slices sum to the doc's token count
+        assert(sorted.map(_._5).sum == doc % 13 + 1,
+          s"doc $doc not fully consumed")
+      }
+    }
   }
 }
