@@ -701,4 +701,35 @@ object TextAnalysis {
           when(col("k") === 0L, lit(seqLen) - col("start_off"))
             .otherwise(lit(seqLen))).as("take_n"))
   }
+
+  /** Incremental packing — the per-append form of [[packSequences]]:
+    * pack ONLY `batch`, continuing each shard's token stream from
+    * `priorTotals` (shardCol, total_tokens). Appending a batch costs
+    * the batch, never a corpus rescan; the sequence space is
+    * APPEND-ORDERED (batch docs follow everything already packed, in
+    * [[sampleRank]] order within the batch) — the ingest-time contract,
+    * where earlier coordinates are immutable because training shards
+    * already consumed them. A shard absent from `priorTotals` starts
+    * at offset 0.
+    */
+  def packSequencesAppend(batch: DataFrame, idCol: String, textCol: String,
+      shardCol: String, seqLen: Long, priorTotals: DataFrame): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(sampleRank(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    batch.select(col(idCol), col(shardCol),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("local_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(broadcast(priorTotals
+          .select(col(shardCol), col("total_tokens").cast("long"))),
+        Seq(shardCol), "left")
+      .withColumn("off",
+        col("local_off") + coalesce(col("total_tokens"), lit(0L)))
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        expr(s"off DIV $seqLen").as("start_seq"),
+        (col("off") % seqLen).as("start_off"),
+        (expr(s"(off + n_tokens - 1) DIV $seqLen") -
+          expr(s"off DIV $seqLen") + 1L).as("n_seqs"))
+  }
 }

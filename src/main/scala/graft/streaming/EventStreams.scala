@@ -537,6 +537,52 @@ object EventStreams {
       .toDF("doc_id", "source", "n_tok")
   }
 
+  /** Per-shard running token total for [[packStream]]. */
+  final case class PackState(totalTokens: Long)
+  final case class PackOut(doc_id: Long, source: String, n_tokens: Long,
+      start_seq: Long, start_off: Long, n_seqs: Long)
+
+  /** Ingest-time sequence packing — the streaming twin of
+    * [[graft.ops.TextAnalysis.packSequencesAppend]]: per-shard state is
+    * ONE long (the running token total), each micro-batch's docs extend
+    * the shard's token stream in deterministic sampleRank order within
+    * the batch, and emitted (start_seq, start_off, n_seqs) coordinates
+    * are final the moment they appear (append-mode legal — earlier
+    * coordinates are immutable by construction, exactly the ingest
+    * contract training shards need). Replaying the same micro-batches
+    * through [[graft.ops.TextAnalysis.packSequencesAppend]] yields the
+    * identical coordinates (StreamingSpec asserts bit parity).
+    */
+  def packStream(docs: DataFrame, seqLen: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"),
+        graft.ops.TextAnalysis.sampleRank(col(idCol)).as("hr"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[PackState]) =>
+          var off = state.getOption.map(_.totalTokens).getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._4, r._1)).map {
+            case (id, _, n, _) =>
+              val o = PackOut(id, source, n, off / seqLen, off % seqLen,
+                (off + n - 1) / seqLen - off / seqLen + 1)
+              off += n
+              o
+          }
+          state.update(PackState(off))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Host a micro-batch sink: run `transform` over a parquet-backed stream
     * into an in-memory table (used by specs; production would point at the
     * chunk export dirs and a foreachBatch committing via the catalog).

@@ -829,4 +829,46 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(batch == streamed)
   }
+
+  test("ingest-time packing: stream coordinates == sequential " +
+      "packSequencesAppend replay, bit for bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def mkDocs(ids: Range): Seq[(Long, String, String)] = ids.map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b",
+        ("w " * (i % 7 + 1)).trim)
+    }.toSeq
+    val (b1, b2) = (mkDocs(1 to 15), mkDocs(16 to 30))
+    val src = MemoryStream[(Long, String, String)]
+    val q = EventStreams.packStream(
+        src.toDF().toDF("doc_id", "source", "text"), seqLen = 10L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_stream").start()
+    src.addData(b1: _*); q.processAllAvailable()
+    src.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pack_stream")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+
+    // replay the same micro-batches through the incremental batch form
+    val zero = Seq(("a", 0L), ("b", 0L)).toDF("source", "total_tokens")
+    val d1 = b1.toDF("doc_id", "source", "text")
+    val d2 = b2.toDF("doc_id", "source", "text")
+    val p1 = TextAnalysis.packSequencesAppend(
+      d1, "doc_id", "text", "source", 10L, zero)
+    val totals1 = d1.select($"source",
+        size(split($"text", "\\s+")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("total_tokens"))
+    val p2 = TextAnalysis.packSequencesAppend(
+      d2, "doc_id", "text", "source", 10L, totals1)
+    val replayed = p1.unionByName(p2)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == replayed && streamed.size == 30)
+    // continuation: batch-2 docs start exactly at batch-1's totals
+    val aTotal = b1.filter(_._2 == "a").map(_._3.split(" ").length).sum
+    val firstA2 = replayed.filter(t => t._2 == "a" && t._1 >= 16L)
+      .minBy(t => t._4 * 10 + t._5)
+    assert(firstA2._4 * 10 + firstA2._5 == aTotal.toLong)
+  }
 }
