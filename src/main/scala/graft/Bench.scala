@@ -80,6 +80,32 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => () }
+    // The driver artifact stores only the LAST ~2000 chars of stdout and
+    // parses the bench line out of that window; with 100+ gate queries
+    // the full line is ~4.5 KB, so its head falls outside the window and
+    // every round's artifact records parsed=null (full data survives only
+    // in BENCH_LOCAL.json). Emit, as the FINAL stdout line, a compact
+    // variant guaranteed to fit: same schema, `queries` trimmed to the
+    // most expensive entries within a hard character budget (the ones a
+    // per-query comparison cares about), with an explicit pointer at the
+    // full artifact.
+    val budget = 1500
+    val byCost = results.sortBy { case (_, v) => -v }
+    val picked = Seq.newBuilder[String]
+    var used = 0
+    var kept = 0
+    byCost.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + f(v)
+      if (used + entry.length + 1 <= budget) {
+        picked += entry; used += entry.length + 1; kept += 1
+      }
+    }
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"queries_kept":$kept,""" +
+      s""""queries_full":"BENCH_LOCAL.json",""" +
+      s""""queries":${picked.result().mkString("{", ",", "}")},""" +
+      s""""sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -4,7 +4,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.catalog.VersionedCatalog
 import graft.ops.{Dedup, IvfPqIndex, PqIndex, ScaleStress}
+import graft.replicate.{ChunkUploader, PpdbStaged, Promoter, Replicator}
 
 /** The recorded scale datapoint beyond sf0.1: inflate the real fixtures
   * ×N executor-side (ScaleStress — near-dup variant groups, the
@@ -112,14 +114,68 @@ object BenchScale {
       (name, sec, recs, rows)
     }
 
+    // ---- the full replicate→upload→stage→promote service cycle at the
+    // same ×factor scale, recorded with the reference's named timers
+    // (BASELINE.md §1). The APDB side is generated executor-side
+    // (ScaleStress.ScaleApdb) — nObjects·nChunks rows per data table flow
+    // export→upload→stage→promote, with field-level update records
+    // exercising the LWW patch merge inside the same promote commit.
+    val nObj = 10000L * factor
+    val nChunks = 3
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale").toFile
+    val catalog = new VersionedCatalog(s"$tmp/catalog")
+    val promoter = new Promoter(spark, catalog, s"$tmp/export")
+    promoter.init()
+    val apdb = new ScaleStress.ScaleApdb(spark, nObj, nChunks,
+      updatesPerChunk = 200)
+    val replicator = new Replicator(spark, apdb, new PpdbStaged(spark, promoter))
+    graft.Metrics.reset()
+    def phaseSec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val repS = phaseSec {
+      replicator.runOnce(nowUs = Long.MaxValue / 4)
+    }
+    System.err.println(f"[scale] promote_cycle.replicate  $repS%8.1f s")
+    val upS = phaseSec {
+      new ChunkUploader(spark, promoter, s"$tmp/remote").runOnce()
+    }
+    System.err.println(f"[scale] promote_cycle.upload     $upS%8.1f s")
+    var promoted: Seq[Long] = Nil
+    val promoteS = phaseSec {
+      promoter.stageUploaded()
+      promoted = promoter.promote()
+    }
+    System.err.println(f"[scale] promote_cycle.promote    $promoteS%8.1f s")
+    val snapRows = catalog.read(spark, "public.DiaObjectLast").count()
+    val objRows = catalog.read(spark, "internal.DiaObject").count()
+    require(promoted.size == nChunks && objRows == nObj * nChunks &&
+      snapRows == nObj,
+      s"promote cycle broke: promoted=$promoted obj=$objRows snap=$snapRows")
+    val timerTable = graft.Metrics.summary()
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(tmp)
+
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (n, s, r, c) =>
       s""""$n":{"sec":${f(s)},"shuffle_records":$r,"rows":$c}"""
     }.mkString("{", ",", "}")
+    val timers = timerTable.toSeq.sortBy(_._1).map { case (m, (n, s)) =>
+      s""""$m":{"n":$n,"total_s":${f(s)}}"""
+    }.mkString("{", ",", "}")
+    val cycle = s"""{"n_objects":$nObj,"n_chunks":$nChunks,""" +
+      s""""updates_per_chunk":200,"replicate_s":${f(repS)},""" +
+      s""""upload_s":${f(upS)},"promote_s":${f(promoteS)},""" +
+      s""""object_rows":$objRows,"snapshot_rows":$snapRows,""" +
+      s""""timers":$timers}"""
     val total = results.map(_._2).sum
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
       s""""unit":"sec","factor":$factor,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
-      s""""n_events":$nEvents,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+      s""""n_events":$nEvents,"cpus":$cpus,"queries":$qs,""" +
+      s""""promote_cycle":$cycle,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")

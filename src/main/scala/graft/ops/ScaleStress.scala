@@ -1,7 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.replicate.{ApdbSource, ChunkData}
+import graft.schema.UpdateRecord
 
 /** Synthetic ×N corpus inflation for scale-stress testing. No fixture
   * beyond sf0.1 exists, so the stress harness inflates a real table
@@ -47,6 +50,76 @@ object ScaleStress {
         (col("value") + col("rep").cast("double") * lit(0.0001) *
           pmod(col("event_id"), lit(997)).cast("double")).as("value"),
         col("props"))
+
+  /** A synthetic APDB at benchmark scale: `nObjects` sky objects
+    * re-versioned across `nChunks` ~10-minute replica chunks, one
+    * DiaSource + one DiaForcedSource per object per chunk (the
+    * reference's fill_apdb shape, P/tests/_ppdb.py:120-161), generated
+    * EXECUTOR-side with `spark.range` — unlike the spec fixtures, no row
+    * ever materializes on the driver, so nObjects can be millions.
+    * Chunks 2.. also carry `updatesPerChunk` field-level update records
+    * against chunk-1 rows, exercising the LWW patch-merge path of
+    * promotion at the same scale.
+    */
+  final class ScaleApdb(spark: SparkSession, nObjects: Long, nChunks: Int,
+      updatesPerChunk: Int = 0) extends ApdbSource {
+
+    val baseMjd = 60000.0
+    val chunkUs: Long = 600L * 1000000L
+
+    override def listChunks(): DataFrame =
+      spark.range(1, nChunks + 1L).select(
+        col("id").as("apdb_replica_chunk"),
+        (col("id") * chunkUs).as("last_update_time_us"),
+        concat(lit("uuid-"), col("id")).as("unique_id"))
+
+    override def chunkData(id: Long): ChunkData = {
+      val mjd = baseMjd + id * 0.007
+      val base = spark.range(nObjects)
+      val even = col("id") % 2 === 0
+      val ra = when(even, lit(45.0) + col("id") * 0.00001)
+        .otherwise(lit(225.0) + col("id") * 0.00001).as("ra")
+      val dec = when(even, lit(-30.0)).otherwise(lit(30.0)).as("dec")
+      val objs = base.select(
+        (col("id") + 1000L).as("diaObjectId"),
+        lit(mjd).as("validityStartMjdTai"),
+        lit(null).cast("double").as("validityEndMjdTai"),
+        ra, dec,
+        lit(null).cast("float").as("parallax"),
+        lit(id.toInt).as("nDiaSources"),
+        lit(baseMjd).as("firstDiaSourceMjdTai"))
+      val srcs = base.select(
+        (lit(id) * 100000000L + col("id")).as("diaSourceId"),
+        lit(id).as("visit"),
+        (col("id") % 4).cast("short").as("detector"),
+        (col("id") + 1000L).as("diaObjectId"),
+        lit(null).cast("long").as("ssObjectId"),
+        lit(null).cast("long").as("parentDiaSourceId"),
+        ra, dec,
+        lit(null).cast("double").as("ssObjectReassocTimeMjdTai"),
+        lit(mjd).as("midpointMjdTai"),
+        lit(null).cast("boolean").as("centroid_flag"),
+        lit(mjd).as("timeProcessedMjdTai"),
+        lit(null).cast("double").as("timeWithdrawnMjdTai"))
+      val fsrcs = base.select(
+        (col("id") + 1000L).as("diaObjectId"),
+        ra, dec,
+        lit(id).as("visit"),
+        (col("id") % 4).cast("short").as("detector"),
+        lit(mjd).as("midpointMjdTai"),
+        lit(0L).as("flags"),
+        lit(mjd).as("timeProcessedMjdTai"),
+        lit(null).cast("double").as("timeWithdrawnMjdTai"))
+      val updates: Seq[(Long, UpdateRecord)] =
+        if (id < 2 || updatesPerChunk == 0) Nil
+        else (0 until updatesPerChunk).map { k =>
+          val tNs = id * chunkUs * 1000L + k
+          id -> (UpdateRecord.UpdateNDiaSources(tNs, k.toLong,
+            1000L + k % nObjects, id.toInt * 10): UpdateRecord)
+        }
+      ChunkData(id, s"uuid-$id", id * chunkUs, objs, srcs, fsrcs, updates)
+    }
+  }
 
   /** embeddings ×n: vec_id' = vec_id·n + rep; variants 1.. get a small
     * deterministic per-rep offset on every dimension — distinct vectors,
