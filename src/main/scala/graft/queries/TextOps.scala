@@ -448,7 +448,17 @@ object TextOps {
         .select($"doc_id", sha2(norm, 256).as("content_sha"))
         .groupBy("content_sha")
         .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
-    })
+    }),
+
+    // TRAINED quality classifier: 16 rounds of full-batch gradient
+    // descent (one distributed agg per round — integer fixed-point
+    // gradient sums, so the trajectory is partition-order-free) over
+    // hard-sigmoid logistic regression on mean-centered single-pass
+    // text stats, then map-only scoring. The oracle replays the entire
+    // training trajectory unrolled in SQL — bit-exact because the model
+    // contains no transcendentals
+    "ts23_quality_model" -> ((s, d) =>
+      graft.ops.QualityModel.trainScore(documents(s, d)))
   )
 
   /** Shared MinHash banding candidate pipeline (8 hash slots, 4 bands of
@@ -586,7 +596,86 @@ object TextOps {
        |        >= 0.6""".stripMargin
   }
 
+  /** Unrolled SQL replay of [[graft.ops.QualityModel]]'s full training
+    * trajectory: the same features (power-of-two rescalings of the ts2
+    * stats), the same heuristic label, and `iters` gradient-descent
+    * rounds as chained single-row CTEs — exact because the model is
+    * transcendental-free (IEEE +,-,*,/ only) and gradient sums run in
+    * 2^-24 fixed-point BIGINT on both engines.
+    */
+  private def qualityModelSql(iters: Int): String = {
+    val S = "16777216.0" // 2^24, QualityModel.Scale
+    val z = "(w0 + w1*x1 + w2*x2 + w3*x3 + w4*x4)"
+    val sig = s"GREATEST(0.0, LEAST(1.0, $z*0.25 + 0.5))"
+    def fx(c: String) = s"CAST(floor(($c)*$S + 0.5) AS BIGINT)"
+    val feats =
+      """SELECT doc_id,
+        |  CAST(len(toks) AS DOUBLE) / 256.0 AS x1,
+        |  (CASE WHEN len(toks) = 0 THEN 0.0
+        |        ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+        |             / CAST(len(toks) AS DOUBLE) END) / 8.0 AS x2,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |            / CAST(length(text) AS DOUBLE) END AS x3,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(toks, t ->
+        |              t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |            / CAST(len(toks) AS DOUBLE) END AS x4
+        |FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+        |      FROM documents)""".stripMargin
+    // y: the ts2 quality heuristic > 0.5 (x2*8.0 recovers mean_tok_len
+    // exactly — power-of-two scaling is lossless)
+    // CAST the label: a bare DuckDB CASE over 1.0/0.0 literals types as
+    // DECIMAL, and the gate compares column types against Spark's DOUBLE
+    val fyr =
+      s"""SELECT *, CASE WHEN x4*0.4 +
+         |  (CASE WHEN x2*8.0 >= 3.0 AND x2*8.0 <= 10.0 THEN 1.0 ELSE 0.0 END)*0.4 +
+         |  (1.0 - x3)*0.2 > 0.625 THEN CAST(1.0 AS DOUBLE)
+         |  ELSE CAST(0.0 AS DOUBLE) END AS y
+         |FROM ($feats)""".stripMargin
+    // exact fixed-point feature means, then center + scale by 16
+    // (power of two — lossless), mirroring QualityModel.features
+    val mm =
+      s"""SELECT count(*) AS n, ${(1 to 4).map(j =>
+           s"(CAST(sum(${fx(s"x$j")}) AS DOUBLE)/$S)/CAST(count(*) AS DOUBLE) AS m$j")
+           .mkString(", ")}
+         |FROM fyr""".stripMargin
+    val fy =
+      s"""SELECT doc_id, ${(1 to 4).map(j =>
+           s"(x$j - m$j)*16.0 AS x$j").mkString(", ")}, y
+         |FROM fyr, mm""".stripMargin
+    // every round CTE MATERIALIZED: g_i and wv_i each reference wv_{i-1}
+    // (two references per round), so plain inlining doubles the plan per
+    // round — 2^iters expansion (observed as a hung oracle at 16 rounds)
+    val rounds = (1 to iters).map { i =>
+      s"""g$i AS MATERIALIZED (
+         |  SELECT count(*) AS n,
+         |    sum(${fx("err")}) AS s0, sum(${fx("err*x1")}) AS s1,
+         |    sum(${fx("err*x2")}) AS s2, sum(${fx("err*x3")}) AS s3,
+         |    sum(${fx("err*x4")}) AS s4
+         |  FROM (SELECT ($sig - y) AS err, x1, x2, x3, x4
+         |        FROM fy, wv${i - 1})),
+         |wv$i AS MATERIALIZED (
+         |  SELECT ${(0 to 4).map(j =>
+             s"w$j - 2.0*((CAST(s$j AS DOUBLE)/$S)/CAST(n AS DOUBLE)) AS w$j")
+             .mkString(", ")}
+         |  FROM wv${i - 1}, g$i)""".stripMargin
+    }.mkString(",\n")
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference, so the 16
+    // gradient rounds would re-open the documents parquet 16+ times
+    // (observed: "Too many open files"); materializing fy scans it once
+    s"""WITH fyr AS MATERIALIZED ($fyr),
+       |mm AS ($mm),
+       |fy AS MATERIALIZED ($fy),
+       |wv0 AS (SELECT ${(0 to 4).map(j =>
+           s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
+       |$rounds
+       |SELECT doc_id, ${fx(sig)} AS score_fx, y AS label
+       |FROM fy, wv$iters""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ts23_quality_model" -> qualityModelSql(16),
     "dd12_minhash_probe" -> dd12Sql,
     "dd9_star_clusters" -> dd8Sql,
 
