@@ -170,7 +170,13 @@ object PlanAudit {
       p => !p.contains("Exchange") && !p.contains("SortExec")),
     Check("mm5_feature_argmax",
       "feature extraction + summary is map-only (no shuffle)",
-      p => !p.contains("Exchange") && !p.contains("SortExec")))
+      p => !p.contains("Exchange") && !p.contains("SortExec")),
+    Check("ts23_quality_model",
+      "trained-model scoring is map-only over the cached features (no " +
+        "row shuffle in the returned plan; training runs as one global " +
+        "agg per round with map-side partials, off-plan)",
+      p => !p.contains("Exchange hashpartitioning") &&
+        !p.contains("SortExec")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
