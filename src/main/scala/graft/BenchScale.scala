@@ -102,7 +102,15 @@ object BenchScale {
     // JVM/codegen warmup so the first case doesn't absorb startup cost
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val results = cases.map { case (name, mk) =>
+    // SPARK_GRAFT_SCALE_CASES: comma list to run a subset (e.g. only the
+    // promote cycle while iterating on it — pass "none"); default all
+    val caseFilter = sys.env.get("SPARK_GRAFT_SCALE_CASES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = caseFilter match {
+      case None => cases
+      case Some(f) => cases.filter { case (n, _) => f.contains(n) }
+    }
+    val results = selected.map { case (name, mk) =>
       var rows = 0L
       val t0 = System.nanoTime()
       val recs = shuffled { rows = forceCount(mk()) }
@@ -177,9 +185,12 @@ object BenchScale {
       s""""n_events":$nEvents,"cpus":$cpus,"queries":$qs,""" +
       s""""promote_cycle":$cycle,"sf":"$sfDir"}"""
     println(line)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // only a FULL run may replace the committed artifact — a filtered
+    // iteration run would clobber it with partial data
+    if (caseFilter.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -908,6 +908,31 @@ object Dedup {
       maxIters: Int = 50): DataFrame =
     dupClustersWithCache(ids, idCol, pairs, maxIters)._1
 
+  /** Leakage-free train/val/test split (dd20): every document inherits
+    * its near-dup CLUSTER's split, so no near-duplicate pair ever
+    * straddles train and eval — the train/test contamination that
+    * decontamination (ts7) detects after the fact, prevented at split
+    * time instead. The cluster's split comes from a Knuth multiplicative
+    * mix of its canonical id (odd constant ⇒ bijective mod 2^32): plain
+    * integer *,% both engines evaluate identically, so the assignment is
+    * reproducible anywhere and stable under re-splitting — growing the
+    * corpus never moves an untouched cluster between splits (new pairs
+    * can merge clusters, which must re-route; nothing else does).
+    * Percent thresholds keep the knob integral: (trainPct, valPct,
+    * rest=test). Adds one map-only projection over [[dupClusters]].
+    */
+  def leakageFreeSplit(ids: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val bucket = col("cluster_id") * lit(2654435761L) %
+      lit(4294967296L) % lit(100L)
+    dupClusters(ids, idCol, pairs).select(
+      col(idCol), col("cluster_id"),
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   /** [[dupClusters]] plus a handle on the final round's persisted cache
     * (the returned labels read it, so it cannot be unpersisted inside the
     * loop). Callers that discard the labels after materializing them

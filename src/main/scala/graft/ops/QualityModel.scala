@@ -50,11 +50,12 @@ object QualityModel {
     * standard bootstrap for corpus-quality models when no human labels
     * exist.
     */
-  def rawFeatures(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def rawFeatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
     docs
-      .select(col("doc_id"), TextAnalysis.stats(col(textCol)).as("st"))
+      .select(col(idCol), TextAnalysis.stats(col(textCol)).as("st"))
       .select(
-        col("doc_id"),
+        col(idCol),
         (TextAnalysis.tokenCountOf(col("st")).cast("double") / lit(256.0))
           .as("x1"),
         (TextAnalysis.meanTokenLenOf(col("st")) / lit(8.0)).as("x2"),
@@ -70,20 +71,10 @@ object QualityModel {
     * majority class; with it the model reaches ~96% label agreement in
     * 16 rounds. One extra distributed agg, map-only after.
     */
-  def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val raw = rawFeatures(docs, textCol)
-    val r = raw.agg(
-      count(lit(1)), sum(fx(col("x1"))), sum(fx(col("x2"))),
-      sum(fx(col("x3"))), sum(fx(col("x4")))).head()
-    val n = r.getLong(0).toDouble
-    val m = Array.tabulate(4)(j => (r.getLong(j + 1) / Scale) / n)
-    raw.select(
-      col("doc_id"),
-      ((col("x1") - lit(m(0))) * lit(16.0)).as("x1"),
-      ((col("x2") - lit(m(1))) * lit(16.0)).as("x2"),
-      ((col("x3") - lit(m(2))) * lit(16.0)).as("x3"),
-      ((col("x4") - lit(m(3))) * lit(16.0)).as("x4"),
-      col("y"))
+  def features(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val raw = rawFeatures(docs, textCol, idCol)
+    centerWith(raw, featureMeans(raw), idCol)
   }
 
   private def zOf(w: Array[Double]): Column =
@@ -126,17 +117,84 @@ object QualityModel {
     * contract obvious). Keeps the heuristic label alongside for
     * agreement audits.
     */
-  def score(feats: DataFrame, w: Array[Double]): DataFrame =
+  def score(feats: DataFrame, w: Array[Double],
+      idCol: String = "doc_id"): DataFrame =
     feats.select(
-      col("doc_id"),
+      col(idCol),
       fx(hardSigmoid(zOf(w))).as("score_fx"),
       col("y").as("label"))
 
   /** The gate composition: featurize → train `iters` rounds → score. */
   def trainScore(docs: DataFrame, textCol: String = "text",
-      iters: Int = 16, lr: Double = 2.0): DataFrame = {
-    val feats = features(docs, textCol)
+      iters: Int = 16, lr: Double = 2.0,
+      idCol: String = "doc_id"): DataFrame = {
+    val feats = features(docs, textCol, idCol)
     feats.persist()
-    score(feats, train(feats, iters, lr))
+    score(feats, train(feats, iters, lr), idCol)
   }
+
+  // ------------------------------------------------- persistence (train
+  // once on a reference corpus, score many later batches — the same
+  // build/probe split the ANN indexes use; the "model" is NumFeatures
+  // weights plus the feature means frozen at training time, stored as
+  // one catalog table row per coefficient)
+
+  /** Persist trained weights + the training-corpus feature means. */
+  def save(cat: graft.catalog.VersionedCatalog, name: String,
+      w: Array[Double], means: Array[Double],
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    require(w.length == NumFeatures && means.length == NumFeatures - 1)
+    val rows = w.zipWithIndex.map { case (v, j) => ("w", j, v) } ++
+      means.zipWithIndex.map { case (v, j) => ("mean", j + 1, v) }
+    cat.commit(Map(name -> rows.toSeq.toDF("kind", "idx", "value")))
+    ()
+  }
+
+  /** Load (weights, means) saved by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String)
+      : (Array[Double], Array[Double]) = {
+    val rows = cat.read(spark, name).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    (Array.tabulate(NumFeatures)(j => rows(("w", j))),
+      Array.tabulate(NumFeatures - 1)(j => rows(("mean", j + 1))))
+  }
+
+  /** The exact feature means [[features]] centers by — exposed so a
+    * frozen model can re-create its training-time standardization on a
+    * NEW batch (centering a new batch by ITS OWN means would shift every
+    * score; the model's means are part of the model).
+    */
+  def featureMeans(raw: DataFrame): Array[Double] = {
+    val r = raw.agg(
+      count(lit(1)), sum(fx(col("x1"))), sum(fx(col("x2"))),
+      sum(fx(col("x3"))), sum(fx(col("x4")))).head()
+    val n = r.getLong(0).toDouble
+    Array.tabulate(NumFeatures - 1)(j => (r.getLong(j + 1) / Scale) / n)
+  }
+
+  /** Center raw features with FROZEN means (a stored model's view of a
+    * new batch).
+    */
+  def centerWith(raw: DataFrame, means: Array[Double],
+      idCol: String = "doc_id"): DataFrame =
+    raw.select(
+      col(idCol),
+      ((col("x1") - lit(means(0))) * lit(16.0)).as("x1"),
+      ((col("x2") - lit(means(1))) * lit(16.0)).as("x2"),
+      ((col("x3") - lit(means(2))) * lit(16.0)).as("x3"),
+      ((col("x4") - lit(means(3))) * lit(16.0)).as("x4"),
+      col("y"))
+
+  /** Score a NEW batch under a frozen stored model: featurize, center by
+    * the model's training-time means, apply its weights — map-only, no
+    * training pass, exactly what the model would have scored at train
+    * time (the streaming-admission shape: the stream's foreachBatch
+    * calls this per micro-batch with the same frozen (w, means)).
+    */
+  def scoreWith(docs: DataFrame, w: Array[Double], means: Array[Double],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    score(centerWith(rawFeatures(docs, textCol, idCol), means, idCol),
+      w, idCol)
 }

@@ -24,11 +24,20 @@ final case class CurationConfig(
     maxTokens: Int = 1 << 20,
     minQuality: Double = 0.0,
     langs: Set[String] = Set.empty, // empty = keep all languages
+    // TRAINED quality gate: bootstrap-train QualityModel on the corpus
+    // and drop docs whose model probability falls below this (the
+    // learned smoothing of the heuristic filter above)
+    minModelQuality: Option[Double] = None,
     dedupExact: Boolean = true,
     nearDupThreshold: Option[Double] = None, // e.g. Some(0.6)
     benchmark: Option[DataFrame] = None,     // docs with the text column
     decontaminateN: Int = 4,
     budgetPerSource: Option[Long] = None,
+    // (trainPct, valPct): annotate survivors with a leakage-free
+    // train/val/test split — per near-dup cluster when nearDupThreshold
+    // is on (no near-dup pair straddles train/eval), per exact-content
+    // group otherwise
+    split: Option[(Int, Int)] = None,
     // (chunkTokens, overlap): split survivors into context windows as the
     // final stage — output becomes chunk-granular (chunk_idx, chunk_text,
     // n_tok per chunk replace the doc text column)
@@ -74,6 +83,17 @@ object TextPipeline {
     // convention for persisted query internals)
     kept = kept.persist()
 
+    // 1b. TRAINED quality gate: bootstrap-train the classifier on the
+    // heuristic-filtered corpus (16 one-agg GD rounds), then drop docs
+    // whose model probability sits below the threshold — the learned
+    // smoothing of stage 1's hard heuristic cuts
+    cfg.minModelQuality.foreach { t =>
+      val keep = QualityModel.trainScore(kept, textCol, idCol = idCol)
+        .where(col("score_fx") >= math.round(t * QualityModel.Scale))
+        .select(id)
+      kept = kept.join(keep, Seq(idCol), "left_semi")
+    }
+
     // 2. exact dedup: keep the canonical (min id) doc per content hash
     if (cfg.dedupExact) {
       val canon = Dedup.exactDedup(kept, idCol, textCol)
@@ -113,6 +133,24 @@ object TextPipeline {
       val sample = TextAnalysis.tokenBudgetSampleApproxCounted(
         kept, idCol, "n_tokens", sourceCol, budget).select(id)
       kept = kept.join(sample, Seq(idCol), "left_semi")
+    }
+
+    // 5b. leakage-free split annotation. With near-dedup ON, every
+    // cluster already collapsed to its canonical doc, so clusters are
+    // singletons and the assignment is the pure hash — still leakage-free
+    // (the near-dups are gone). With near-dedup OFF the corpus KEEPS its
+    // near-dups, so the split must route whole clusters together: compute
+    // the banded pairs here at the standard 0.6 threshold
+    cfg.split.foreach { case (trainPct, valPct) =>
+      val pairs =
+        if (cfg.nearDupThreshold.isDefined)
+          kept.select(id.as("id_a"), id.as("id_b")).limit(0)
+        else Dedup.minhashLshPairs(kept, idCol, textCol,
+          n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+          .select("id_a", "id_b")
+      val assign = Dedup.leakageFreeSplit(kept.select(id), idCol, pairs,
+        trainPct, valPct).select(id, col("split"))
+      kept = kept.join(assign, Seq(idCol))
     }
 
     // 6. context-window chunking: survivors become (doc, chunk) rows;

@@ -450,6 +450,18 @@ object TextOps {
         .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
     }),
 
+    // leakage-free split: train/val/test assigned per near-dup CLUSTER
+    // (dd8's components), so no near-duplicate pair straddles train and
+    // eval — contamination prevented at split time rather than detected
+    // after the fact (ts7)
+    "dd20_leakage_split" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.leakageFreeSplit(docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+          .select("id_a", "id_b"))
+    }),
+
     // TRAINED quality classifier: 16 rounds of full-batch gradient
     // descent (one distributed agg per round — integer fixed-point
     // gradient sums, so the trajectory is partition-order-free) over
@@ -674,7 +686,21 @@ object TextOps {
        |FROM fy, wv$iters""".stripMargin
   }
 
+  /** dd20 oracle: dd8's recursive-CTE components + the same Knuth
+    * multiplicative split hash (integer *,% — exact in both engines).
+    */
+  private val dd20Sql: String =
+    s"""WITH cl AS ($dd8Sql)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ((cluster_id * 2654435761) % 4294967296) % 100 < 80
+       |         THEN 'train'
+       |       WHEN ((cluster_id * 2654435761) % 4294967296) % 100 < 90
+       |         THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM cl""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dd20_leakage_split" -> dd20Sql,
     "ts23_quality_model" -> qualityModelSql(16),
     "dd12_minhash_probe" -> dd12Sql,
     "dd9_star_clusters" -> dd8Sql,

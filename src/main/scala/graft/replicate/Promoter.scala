@@ -223,9 +223,12 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
         })
       val chunkTable =
         setStatus(sources.map(_._1), PpdbSchema.ChunkStatus.Staged)
-      catalog.commitAll(writes + updWrites +
-        ("PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))),
-        Some(expected))
+      graft.Metrics.time("stage_commit_time",
+          "chunks" -> sources.map(_._1).mkString(",")) {
+        catalog.commitAll(writes + updWrites +
+          ("PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))),
+          Some(expected))
+      }
     }
     ()
   }
@@ -264,13 +267,16 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
   private def promoteBatch(ids: Seq[Long], expected: Long): Seq[Long] = {
     val inChunks = col("apdb_replica_chunk").isin(ids: _*)
     val batchLabel = s"promo${ids.head}_${ids.last}"
+    val batchTag = "batch" -> batchLabel
 
     // T6/W3: latest-only update patches for the batch
     val updates = catalog.read(spark, "staging.updates").where(inChunks)
     val latest = PpdbOps.latestOnly(updates).cache()
     try {
-    val touched = latest.select("table_name").distinct()
-      .collect().map(_.getString(0)).toSet
+    val touched = graft.Metrics.time("promote_latest_updates_time", batchTag) {
+      latest.select("table_name").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
 
     // J9: staged rows for the batch, realigned to internal schema
     val stagedObj = catalog.read(spark, "staging.DiaObject").where(inChunks)
@@ -286,8 +292,13 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     val objScope = stagedObj.select("diaObjectId")
       .unionByName(PpdbOps.patchKeys(latest, objSpec, internalObj))
       .distinct()
-    val objAffected = catalog.dirsTouching(spark, "internal.DiaObject",
-      Seq("diaObjectId"), objScope)
+    def probe(table: String)(body: => Seq[String]): Seq[String] =
+      graft.Metrics.time("promote_dir_probe_time", batchTag,
+        "table" -> table)(body)
+    val objAffected = probe("internal.DiaObject") {
+      catalog.dirsTouching(spark, "internal.DiaObject",
+        Seq("diaObjectId"), objScope)
+    }
     val objBase0 =
       if (objAffected.isEmpty) emptyDf(internalObj.schema)
       else catalog.readDirs(spark, objAffected, internalObj.columns.toSeq)
@@ -327,7 +338,9 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
     val snapTable = "public.DiaObjectLast"
     val snapAffected =
       if (!catalog.exists(snapTable)) Nil
-      else catalog.dirsTouching(spark, snapTable, Seq("diaObjectId"), objScope)
+      else probe(snapTable) {
+        catalog.dirsTouching(spark, snapTable, Seq("diaObjectId"), objScope)
+      }
     val snapBase =
       if (snapAffected.isEmpty) emptyDf(snapNew.schema)
       else catalog.readDirs(spark, snapAffected, snapNew.columns.toSeq)
@@ -354,7 +367,8 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
         val keys = (Seq(deltaKeys) ++
           (if (touched(t)) Seq(PpdbOps.patchKeys(latest, spec, internal))
            else Nil)).reduce(_.unionByName(_)).distinct()
-        val affected = catalog.dirsTouching(spark, name, spec.keys, keys)
+        val affected =
+          probe(name)(catalog.dirsTouching(spark, name, spec.keys, keys))
         if (affected.isEmpty && !touched(t))
           name -> TableDelta(appends = Seq(delta -> batchLabel))
         else {
@@ -388,10 +402,16 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
 
     val chunkTable = setStatus(ids, PpdbSchema.ChunkStatus.Promoted)
 
-    catalog.commitAll(internalWrites ++ stagingWrites ++ Map(
-      "public.DiaObjectLast" -> snapshotDelta,
-      "PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))),
-      Some(expected))
+    // the commit is where the lazily-built merge/fill/patch plans
+    // actually EXECUTE (parquet writes) — this timer is the whole
+    // rewrite cost; the probes/validations above are the only other
+    // jobs promotion runs
+    graft.Metrics.time("promote_commit_time", batchTag) {
+      catalog.commitAll(internalWrites ++ stagingWrites ++ Map(
+        "public.DiaObjectLast" -> snapshotDelta,
+        "PpdbReplicaChunk" -> TableDelta(rewrite = Some(chunkTable))),
+        Some(expected))
+    }
     ids
     // the patch cache is only read by the writes above; drop it even when
     // validation/commit throws, so storage memory doesn't accumulate
@@ -469,7 +489,8 @@ final class Promoter(spark: SparkSession, val catalog: VersionedCatalog,
   // ----------------------------------------------------------------- helpers
 
   private def requireNoDangling(table: String, target: DataFrame,
-      patch: DataFrame, spec: PpdbOps.MergeSpec): Unit = {
+      patch: DataFrame, spec: PpdbOps.MergeSpec): Unit =
+      graft.Metrics.time("promote_validate_time", "table" -> table) {
     val bad = PpdbOps.danglingUpdates(target, patch, spec).limit(1).collect()
     if (bad.nonEmpty)
       throw new IllegalStateException(

@@ -501,4 +501,35 @@ class DedupSpec extends SparkSpec {
     assert(tight.subsetOf(complete), "capping invented a pair")
     Dedup.releaseCaches()
   }
+
+  test("leakageFreeSplit: no near-dup pair straddles splits; every doc " +
+      "assigned; singletons spread across all three splits") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+      .select("id_a", "id_b").cache()
+    val split = Dedup.leakageFreeSplit(
+      docs.select($"doc_id"), "doc_id", pairs).cache()
+    assert(split.count() == docs.count(), "every doc gets a split")
+    // THE invariant: both endpoints of every near-dup edge land in the
+    // same split — contamination is impossible by construction
+    val straddling = pairs
+      .join(split.select($"doc_id".as("id_a"), $"split".as("sa")), Seq("id_a"))
+      .join(split.select($"doc_id".as("id_b"), $"split".as("sb")), Seq("id_b"))
+      .where($"sa" =!= $"sb")
+    assert(straddling.isEmpty, s"straddling pairs: ${straddling.head(3).toSeq}")
+    val byed = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byed.keySet == Set("train", "val", "test"),
+      s"splits present: $byed")
+    assert(byed("train") > byed("val") && byed("train") > byed("test"),
+      s"80/10/10 shape: $byed")
+    // stability: re-splitting the same corpus is bit-identical
+    val again = Dedup.leakageFreeSplit(
+      docs.select($"doc_id"), "doc_id", pairs)
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+    pairs.unpersist(); split.unpersist()
+    Dedup.releaseCaches()
+  }
 }

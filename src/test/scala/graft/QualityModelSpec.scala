@@ -55,6 +55,35 @@ class QualityModelSpec extends SparkSpec {
     ()
   }
 
+  test("persist/reopen: a frozen model scores NEW batches under its " +
+      "training-time means (build-once, score-many)") {
+    import graft.catalog.VersionedCatalog
+    val trainDocs = docs.where($"doc_id" % 2 === 0)
+    val newDocs = docs.where($"doc_id" % 2 =!= 0)
+    val raw = QualityModel.rawFeatures(trainDocs)
+    val means = QualityModel.featureMeans(raw)
+    val feats = QualityModel.centerWith(raw, means).cache()
+    val w = QualityModel.train(feats)
+    val root = tmpDir("qmodel")
+    QualityModel.save(new VersionedCatalog(root), "quality_model",
+      w, means, spark)
+    val (w2, m2) = QualityModel.load(spark, new VersionedCatalog(root),
+      "quality_model")
+    assert(w2.toSeq == w.toSeq && m2.toSeq == means.toSeq,
+      "weights/means round-trip bit-exactly")
+    val fresh = QualityModel.scoreWith(newDocs, w, means)
+    val loaded = QualityModel.scoreWith(newDocs, w2, m2)
+    assert(fresh.exceptAll(loaded).isEmpty && loaded.exceptAll(fresh).isEmpty)
+    // the frozen means ARE part of the model: centering the new batch by
+    // its own means instead would shift scores
+    val selfCentered = QualityModel.score(
+      QualityModel.features(newDocs), w)
+    assert(fresh.exceptAll(selfCentered).count() > 0,
+      "frozen-mean and self-mean scoring should differ on a shifted batch")
+    feats.unpersist()
+    ()
+  }
+
   test("scoring is map-only and training aggregates partial map-side " +
       "(no row shuffle in the hot path)") {
     val feats = QualityModel.features(docs)

@@ -99,4 +99,38 @@ class TextPipelineSpec extends SparkSpec {
     // per-chunk annotations still present
     assert(chunked.columns.contains("quality"))
   }
+
+  test("model-quality gate and leakage-free split compose into curate") {
+    // trained-model gate on the real fixture (the toy corpus is too
+    // small to train on): a strict threshold must CUT something, a zero
+    // threshold must cut nothing, and survivors of the strict run are a
+    // subset of the lax run's
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", lit("src").as("source"), $"text")
+    val lax = TextPipeline.curate(corpus, "doc_id", "text", "source",
+      CurationConfig(minTokens = 1, dedupExact = false,
+        minModelQuality = Some(0.0)))
+    assert(lax.count() == corpus.count(), "p >= 0 cuts nothing")
+    val strict = TextPipeline.curate(corpus, "doc_id", "text", "source",
+      CurationConfig(minTokens = 1, dedupExact = false,
+        minModelQuality = Some(0.5)))
+    val nStrict = strict.count()
+    assert(nStrict > 0 && nStrict < corpus.count(),
+      s"p >= 0.5 keeps a proper subset ($nStrict of ${corpus.count()})")
+
+    // split WITHOUT near-dedup: near-dups stay but never straddle splits
+    val split = TextPipeline.curate(corpus, "doc_id", "text", "source",
+      CurationConfig(minTokens = 1, dedupExact = false,
+        split = Some((80, 10))))
+    assert(split.columns.contains("split"))
+    assert(split.count() == corpus.count())
+    val pairs = graft.ops.Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+    val straddle = pairs
+      .join(split.select($"doc_id".as("id_a"), $"split".as("sa")), Seq("id_a"))
+      .join(split.select($"doc_id".as("id_b"), $"split".as("sb")), Seq("id_b"))
+      .where($"sa" =!= $"sb")
+    assert(straddle.isEmpty, "a near-dup pair straddles train/eval")
+    spark.catalog.clearCache()
+  }
 }
