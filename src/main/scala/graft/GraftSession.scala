@@ -100,7 +100,17 @@ object GraftSession {
       graft.functions.CountMinMergeTopK(exprs(0),
         intArg(exprs, 1, "cm_merge"), intArg(exprs, 2, "cm_merge"),
         intArg(exprs, 3, "cm_merge"), intArg(exprs, 4, "cm_merge"))
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    "kmv_sketch" -> (exprs =>
+      graft.functions.KmvSketchAgg(exprs(0),
+        intArg(exprs, 1, "kmv_sketch")).toAggregateExpression()),
+    "kmv_merge" -> (exprs =>
+      graft.functions.KmvMergeAgg(exprs(0),
+        intArg(exprs, 1, "kmv_merge")).toAggregateExpression()),
+    "kmv_intersect" -> (exprs =>
+      graft.functions.KmvIntersectEst(exprs(0), exprs(1))),
+    "kmv_est" -> (exprs =>
+      graft.functions.KmvEstimate(exprs(0))))
 
   def registerFunctions(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

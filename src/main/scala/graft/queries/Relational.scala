@@ -387,6 +387,29 @@ object Relational {
           $"e.err".as("err"), ($"pos" + 1).cast("int").as("rnk"))
     }),
 
+    // A13: audience-overlap SUMMARY TABLE — the set-INTERSECTION member
+    // of the mergeable-sketch family (HLL registers union losslessly but
+    // cannot intersect; KMV keeps the actual k-minimum hash SAMPLE, so
+    // stored sketches answer "how many users did BOTH" as a scalar probe
+    // — no row rescan, and the pairwise join is over the group-
+    // cardinality-sized sketch table, never the events). Exact regime at
+    // gate scale (distinct users per type << k = 4096), the same
+    // discipline as q12/a10: the oracle is the exact pairwise distinct
+    // intersection
+    "a13_kmv_overlap" -> ((s, d) => {
+      import s.implicits._
+      val sk = events(s, d).groupBy($"event_type")
+        .agg(graft.functions.Kmv.kmvSketch($"user_id", 4096).as("sk"))
+      val a = sk.select($"event_type".as("type_a"), $"sk".as("sk_a"))
+      val b = sk.select($"event_type".as("type_b"), $"sk".as("sk_b"))
+      a.join(b, $"type_a" < $"type_b")
+        .select($"type_a", $"type_b",
+          graft.functions.Kmv.kmvEst($"sk_a").as("n_a"),
+          graft.functions.Kmv.kmvEst($"sk_b").as("n_b"),
+          graft.functions.Kmv.kmvIntersect($"sk_a", $"sk_b")
+            .as("n_overlap"))
+    }),
+
     // W6: ntile decile assignment per priority class — PARTITIONED
     // window (a global ntile would be a single-partition total sort, the
     // classic window scale hazard; within-group deciles shuffle once on
@@ -813,6 +836,24 @@ object Relational {
         |           AS INTEGER) AS rnk
         |  FROM events GROUP BY user_id) t
         |WHERE rnk <= 10""".stripMargin,
+
+    // exact regime (distinct users per type << k): the stored KMV
+    // sketches ARE the distinct hash sets, so estimates and overlaps
+    // equal the exact pairwise distinct-intersection counts
+    "a13_kmv_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+        |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |              count(*) AS n_overlap
+        |       FROM d x JOIN d y
+        |         ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |       GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |       ca.n AS n_a, cb.n AS n_b,
+        |       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN ov ON ov.type_a = ca.event_type
+        |            AND ov.type_b = cb.event_type""".stripMargin,
 
     // exact regime: 50 distinct cents values ≤ k=256 ⇒ the sketch is the
     // exact weighted histogram and err = 0; quantile_disc rank rule is

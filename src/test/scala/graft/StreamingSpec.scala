@@ -871,4 +871,36 @@ class StreamingSpec extends SparkSpec {
       .minBy(t => t._4 * 10 + t._5)
     assert(firstA2._4 * 10 + firstA2._5 == aTotal.toLong)
   }
+
+  test("streaming quality scoring under a FROZEN trained model: " +
+      "stream == batch replay, scores independent of batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.QualityModel
+    // train once on the fixture; the frozen (weights, means) then score
+    // arriving docs map-only — scoreWith is stateless, so it lifts to a
+    // streaming plan unchanged (no aggregation per micro-batch)
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val raw = QualityModel.rawFeatures(corpus)
+    val means = QualityModel.featureMeans(raw)
+    val w = QualityModel.train(
+      QualityModel.centerWith(raw, means).cache())
+    val src = MemoryStream[(Long, String)]
+    val scored = QualityModel.scoreWith(
+      src.toDF().toDF("doc_id", "text"), w, means)
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("qm_stream").start()
+    val arrivals = corpus.as[(Long, String)].collect().toSeq
+    val (b1q, b2q) = arrivals.splitAt(arrivals.size / 3)
+    src.addData(b1q: _*); q.processAllAvailable()
+    src.addData(b2q: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qm_stream")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = QualityModel.scoreWith(corpus, w, means)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty,
+      "frozen-model scores must not depend on micro-batch boundaries")
+    spark.catalog.clearCache()
+  }
 }
