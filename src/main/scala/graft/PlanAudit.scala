@@ -171,6 +171,12 @@ object PlanAudit {
     Check("mm5_feature_argmax",
       "feature extraction + summary is map-only (no shuffle)",
       p => !p.contains("Exchange") && !p.contains("SortExec")),
+    Check("q16_drift_report",
+      "both snapshot profiles aggregate sketches (rows never shuffle " +
+        "past the partial agg); the side join runs on the " +
+        "group-cardinality table",
+      p => "ObjectHashAggregate".r.findAllIn(p).size >= 4 &&
+        !p.contains("CartesianProduct")),
     Check("ts23_quality_model",
       "trained-model scoring is map-only over the cached features (no " +
         "row shuffle in the returned plan; training runs as one global " +

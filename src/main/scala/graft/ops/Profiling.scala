@@ -52,6 +52,40 @@ object Profiling {
       .select(col("p.*"))
   }
 
+  /** Snapshot-drift report (q16) — the data-validation pass between two
+    * corpus snapshots ("did the new crawl shift the distribution?"),
+    * composed entirely from the mergeable-sketch family so each side
+    * costs one scan and only sketches shuffle: per group, row counts,
+    * median (KLL — exact with certificate err = 0 while per-group
+    * distinct ≤ k), distinct entities (KMV — exact below k), and the
+    * DISTINCT-ENTITY OVERLAP between the sides (KMV intersection — the
+    * question a recompute can't answer from two separate profiles
+    * without rescanning both corpora; here it is a scalar probe over
+    * the two stored sketches). Full-outer on the group key: a group
+    * present on one side only reports 0s/nulls for the other — exactly
+    * the "vanished/new group" drift signal.
+    */
+  def driftReport(a: DataFrame, b: DataFrame, groupCol: String,
+      valCol: String, idCol: String, k: Int = 4096): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col(groupCol)).agg(
+        count(lit(1)).as(s"n_$tag"),
+        graft.functions.Kll
+          .kllQuantiles(col(valCol), k, Seq(0.5)).as(s"s_$tag"),
+        graft.functions.Kmv.kmvSketch(col(idCol), k).as(s"sk_$tag"))
+    side(a, "a").join(side(b, "b"), Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("s_a.qs").getItem(0).as("p50_a"),
+        col("s_b.qs").getItem(0).as("p50_b"),
+        graft.functions.Kmv.kmvEst(col("sk_a")).as("nd_a"),
+        graft.functions.Kmv.kmvEst(col("sk_b")).as("nd_b"),
+        coalesce(
+          graft.functions.Kmv.kmvIntersect(col("sk_a"), col("sk_b")),
+          lit(0L)).as("nd_overlap"))
+  }
+
   /** Tukey-fence outlier detection per group — the standard numeric
     * data-cleaning pass ("drop rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR]
     * of their own group"), sketch-shaped: per-group q1/q3 come from ONE

@@ -410,6 +410,23 @@ object Relational {
             .as("n_overlap"))
     }),
 
+    // Q16: snapshot-drift report — the data-validation pass between two
+    // corpus slices, composed from the sketch family (KLL median + KMV
+    // distinct + KMV overlap): each side costs one scan, only sketches
+    // shuffle, and the distinct-entity overlap between the sides — the
+    // question two separate profiles cannot answer without rescanning —
+    // is a scalar probe over the stored sketches. Exact regime at gate
+    // scale (distincts per group-side << k), q12/a13's discipline
+    "q16_drift_report" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"event_type",
+        round($"value" * 100).cast("long").as("v_cents"),
+        $"user_id", $"event_id")
+      graft.ops.Profiling.driftReport(
+        ev.where($"event_id" % 2 === 0), ev.where($"event_id" % 2 === 1),
+        "event_type", "v_cents", "user_id")
+    }),
+
     // W6: ntile decile assignment per priority class — PARTITIONED
     // window (a global ntile would be a single-partition total sort, the
     // classic window scale hazard; within-group deciles shuffle once on
@@ -836,6 +853,33 @@ object Relational {
         |           AS INTEGER) AS rnk
         |  FROM events GROUP BY user_id) t
         |WHERE rnk <= 10""".stripMargin,
+
+    // exact regime on every sketch: KLL median == quantile_disc (rank
+    // max(1, ceil(p·n))), KMV distinct/overlap == exact distinct counts
+    "q16_drift_report" ->
+      """WITH ea AS (SELECT event_type,
+        |              CAST(round(value * 100) AS BIGINT) AS v, user_id
+        |            FROM events WHERE event_id % 2 = 0),
+        |eb AS (SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS v, user_id
+        |       FROM events WHERE event_id % 2 = 1),
+        |ca AS (SELECT event_type, count(*) AS n_a,
+        |         quantile_disc(v, 0.5) AS p50_a,
+        |         count(DISTINCT user_id) AS nd_a
+        |       FROM ea GROUP BY 1),
+        |cb AS (SELECT event_type, count(*) AS n_b,
+        |         quantile_disc(v, 0.5) AS p50_b,
+        |         count(DISTINCT user_id) AS nd_b
+        |       FROM eb GROUP BY 1),
+        |ov AS (SELECT x.event_type, count(*) AS nd_overlap
+        |       FROM (SELECT DISTINCT event_type, user_id FROM ea) x
+        |       JOIN (SELECT DISTINCT event_type, user_id FROM eb) y
+        |         USING (event_type, user_id)
+        |       GROUP BY 1)
+        |SELECT event_type, n_a, n_b, p50_a, p50_b, nd_a, nd_b,
+        |       CAST(COALESCE(nd_overlap, 0) AS BIGINT) AS nd_overlap
+        |FROM ca JOIN cb USING (event_type)
+        |LEFT JOIN ov USING (event_type)""".stripMargin,
 
     // exact regime (distinct users per type << k): the stored KMV
     // sketches ARE the distinct hash sets, so estimates and overlaps

@@ -47,4 +47,27 @@ class ProfilingSpec extends SparkSpec {
     assert(!approxPlan.contains("Expand"),
       s"approx plan should not Expand:\n$approxPlan")
   }
+
+  test("driftReport: vanished and new groups survive the full-outer " +
+      "join with 0-counts; overlap is exact in the small regime") {
+    import spark.implicits._
+    val a = Seq(("x", 10L, 1L), ("x", 20L, 2L), ("x", 30L, 3L),
+      ("gone", 5L, 9L)).toDF("g", "v", "uid")
+    val b = Seq(("x", 15L, 2L), ("x", 25L, 3L), ("x", 35L, 4L),
+      ("new", 7L, 9L)).toDF("g", "v", "uid")
+    val rep = graft.ops.Profiling.driftReport(a, b, "g", "v", "uid", k = 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = rep("x")
+    assert(x.getLong(1) == 3L && x.getLong(2) == 3L) // n_a, n_b
+    assert(x.getLong(3) == 20L && x.getLong(4) == 25L) // medians
+    assert(x.getLong(5) == 3L && x.getLong(6) == 3L) // distinct uids
+    assert(x.getLong(7) == 2L, "uid overlap {2,3}") // nd_overlap
+    val gone = rep("gone")
+    assert(gone.getLong(1) == 1L && gone.getLong(2) == 0L &&
+      gone.isNullAt(4) && gone.getLong(7) == 0L,
+      "a group missing on one side reports 0/null for that side")
+    val fresh = rep("new")
+    assert(fresh.getLong(1) == 0L && fresh.getLong(2) == 1L &&
+      fresh.isNullAt(3) && fresh.getLong(7) == 0L)
+  }
 }
