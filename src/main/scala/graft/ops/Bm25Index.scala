@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.VersionedCatalog
+
+/** Persisted BM25 inverted index — the retrieval analog of the persisted
+  * ANN indexes (build once over the corpus, probe many times later):
+  * instead of re-tokenizing every document per query (`bm25TopK`'s
+  * shape — one full corpus scan PER QUERY, untenable at 100 TB), the
+  * build pays one tokenization pass and stores
+  *
+  *   - `postings` (term, doc_id, tf) — written SORTED BY TERM, so the
+  *     catalog's parquet row groups carry tight term min/max stats and a
+  *     probe's `term IN (...)` predicate prunes at the scan (the
+  *     inverted-file property re-expressed as columnar-layout pruning
+  *     rather than a pointer structure);
+  *   - `doclens` (doc_id, dl) — the BM25 length normalizer;
+  *   - `stats` — one row: (nd, tt) = corpus doc count and total tokens.
+  *
+  * A probe reads ONLY the queried terms' posting lists: df(term) is a
+  * count over the semi-joined postings (no stored df table to keep
+  * consistent), candidate docs are the union of those lists, and the
+  * integer BM25 arithmetic is bit-identical to [[TextAnalysis.bm25TopK]]
+  * — the spec pins probe == corpus-scan, so the ts18 oracle transfers.
+  *
+  * Incremental: [[addDocs]] appends the batch's postings/doclens and
+  * bumps the stats row — valid because tf/dl are per-document and df/nd/
+  * tt are pure sums; a fresh-id guard rejects re-ingestion (same
+  * contract as [[IvfIndex.addVectors]]). NOTE the BM25 scores of OLD
+  * docs change when nd/tt grow — that is correct retrieval semantics
+  * (idf drifts as the corpus grows), and the spec's rebuild-equality
+  * pins it.
+  */
+final case class Bm25Index(postings: DataFrame, docLens: DataFrame,
+    nd: Long, tt: Long) {
+
+  /** Top-k docs for `terms`, scored exactly like the corpus-scan form. */
+  def probe(terms: Seq[String], k: Int, scale: Long = 100000L): DataFrame = {
+    val hits = postings.where(col("term").isin(terms: _*))
+    val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    hits.join(broadcast(dfreq), Seq("term"))
+      .join(docLens, Seq("doc_id"))
+      .withColumn("idf_bits",
+        (length(bin(lit(nd))) - length(bin(col("df")))).cast("long"))
+      .withColumn("tfn", expr(s"($scale * 220 * tf * $tt) div " +
+        s"(100 * tf * $tt + 30 * $tt + 90 * dl * $nd)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf_bits") * col("tfn")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Append a batch of NEW documents (per-doc rows are independent;
+    * corpus stats are sums). Fails fast on an id the index already
+    * holds — re-ingestion would double that doc's postings.
+    */
+  def addDocs(batch: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val dup = batch.select(col(idCol).as("doc_id"))
+      .join(docLens, Seq("doc_id"), "left_semi").limit(1).collect()
+    require(dup.isEmpty,
+      s"addDocs: doc_id ${dup.headOption.map(_.getLong(0))} already indexed")
+    val b = Bm25Index.build(batch, idCol, textCol)
+    Bm25Index(postings.unionByName(b.postings),
+      docLens.unionByName(b.docLens), nd + b.nd, tt + b.tt)
+  }
+
+  /** Persist: postings term-sorted (zone-map-prunable), one stats row. */
+  def save(cat: VersionedCatalog, name: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    cat.commit(Map(
+      s"$name.postings" -> postings.repartition(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id")),
+      s"$name.doclens" -> docLens,
+      s"$name.stats" -> Seq((nd, tt)).toDF("nd", "tt")))
+    ()
+  }
+}
+
+object Bm25Index {
+
+  /** One tokenization pass over the corpus. */
+  def build(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docLens = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
+    val r = docLens.agg(count(lit(1)), sum(col("dl"))).head()
+    Bm25Index(postings, docLens, r.getLong(0), r.getLong(1))
+  }
+
+  def load(spark: SparkSession, cat: VersionedCatalog,
+      name: String): Bm25Index = {
+    val s = cat.read(spark, s"$name.stats").head()
+    Bm25Index(cat.read(spark, s"$name.postings"),
+      cat.read(spark, s"$name.doclens"), s.getLong(0), s.getLong(1))
+  }
+}

@@ -450,6 +450,15 @@ object TextOps {
         .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
     }),
 
+    // persisted-BM25 probe: the build-once/probe-many retrieval path —
+    // the probe touches only the queried terms' posting lists (term
+    // predicate prunes the term-sorted postings at the scan), never
+    // re-tokenizes the corpus; scoring arithmetic is bit-identical to
+    // ts18's corpus-scan form
+    "ts24_bm25_index" -> ((s, d) =>
+      graft.ops.Bm25Index.build(documents(s, d), "doc_id", "text")
+        .probe(Seq("the", "of", "data"), k = 20)),
+
     // leakage-free split: train/val/test assigned per near-dup CLUSTER
     // (dd8's components), so no near-duplicate pair straddles train and
     // eval — contamination prevented at split time rather than detected
@@ -925,6 +934,33 @@ object TextOps {
         |SELECT doc_id, CAST(sum(idf_bits * tfn) AS BIGINT) AS score
         |FROM sc GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // identical arithmetic to ts18 — the index is a materialization of
+    // the same (term, doc, tf) relation, so the oracle is the same SQL
+    // at the probe's terms/k
+    "ts24_bm25_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |              CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+        |qtf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |        WHERE term IN ('the', 'of', 'data')
+        |        GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+        |sc AS (
+        |  SELECT q.doc_id,
+        |         CAST(length(bin(st.nd)) - length(bin(f.df)) AS BIGINT)
+        |           AS idf_bits,
+        |         (100000 * 220 * q.tf * st.tt)
+        |           // (100 * q.tf * st.tt + 30 * st.tt
+        |              + 90 * d.dl * st.nd) AS tfn
+        |  FROM qtf q JOIN dfreq f USING (term)
+        |  JOIN dl d USING (doc_id), st)
+        |SELECT doc_id, CAST(sum(idf_bits * tfn) AS BIGINT) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // priority = (hash · 2^20) // (n_tok + 1); bottom-k with (pri, id)
     // tie-break — DuckDB // floors like Spark div on these positives
