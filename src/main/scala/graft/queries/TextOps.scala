@@ -450,6 +450,14 @@ object TextOps {
         .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
     }),
 
+    // BPE tokenizer training: 8 merge-learning rounds over the exploded
+    // char-symbol table — each round one distributed pair-count argmax
+    // (lexicographic tie-break) + a windowed greedy-left merge
+    // application (run parity via gaps-and-islands). The output is the
+    // 8-row merge table; the oracle replays the whole trajectory
+    "ts25_bpe_train" -> ((s, d) =>
+      graft.ops.Bpe.train(documents(s, d), "doc_id", "text", nMerges = 8)),
+
     // persisted-BM25 probe: the build-once/probe-many retrieval path —
     // the probe touches only the queried terms' posting lists (term
     // predicate prunes the term-sorted postings at the scan), never
@@ -708,7 +716,68 @@ object TextOps {
        |       ELSE 'test' END AS split
        |FROM cl""".stripMargin
 
+  /** ts25 oracle: the full BPE merge-learning trajectory unrolled —
+    * per round a pair-count argmax CTE (m_i) and a windowed greedy-left
+    * application CTE (s_i, run parity via gaps-and-islands), every CTE
+    * materialized (s_i and m_i are each referenced twice; inlining would
+    * double the plan per round). Mirrors [[graft.ops.Bpe]] step for step.
+    */
+  private def bpeSql(iters: Int): String = {
+    val base =
+      """s0 AS MATERIALIZED (
+        |  SELECT doc_id, wpos, j AS i, cs[j] AS sym
+        |  FROM (SELECT doc_id, wpos, regexp_extract_all(w, '.') AS cs,
+        |          unnest(range(1, len(regexp_extract_all(w, '.')) + 1)) AS j
+        |        FROM (SELECT doc_id, i AS wpos, tk[i] AS w
+        |              FROM (SELECT doc_id,
+        |                      string_split_regex(text, '\s+') AS tk,
+        |                      unnest(range(1, len(string_split_regex(text, '\s+')) + 1)) AS i
+        |                    FROM documents)
+        |              WHERE length(tk[i]) > 0)))""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val p = r - 1
+      s"""m$r AS MATERIALIZED (
+         |  SELECT sym AS a, nxt AS b, count(*) AS c FROM (
+         |    SELECT sym, lead(sym) OVER
+         |      (PARTITION BY doc_id, wpos ORDER BY i) AS nxt FROM s$p)
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT doc_id, wpos,
+         |    CAST(row_number() OVER
+         |      (PARTITION BY doc_id, wpos ORDER BY i) AS BIGINT) AS i,
+         |    CASE WHEN strt THEN sym || nxt ELSE sym END AS sym
+         |  FROM (
+         |    SELECT *, coalesce(lag(strt) OVER
+         |        (PARTITION BY doc_id, wpos ORDER BY i), FALSE) AS consumed
+         |    FROM (
+         |      SELECT *, mat AND ((i - min(i) OVER
+         |          (PARTITION BY doc_id, wpos, isl)) % 2 = 0) AS strt
+         |      FROM (
+         |        SELECT *, CASE WHEN mat THEN i - row_number() OVER
+         |            (PARTITION BY doc_id, wpos, mat ORDER BY i) END AS isl
+         |        FROM (
+         |          SELECT s.doc_id, s.wpos, s.i, s.sym,
+         |            lead(s.sym) OVER
+         |              (PARTITION BY s.doc_id, s.wpos ORDER BY s.i) AS nxt,
+         |            (s.sym = m.a AND coalesce(lead(s.sym) OVER
+         |              (PARTITION BY s.doc_id, s.wpos ORDER BY s.i) = m.b,
+         |              FALSE)) AS mat
+         |          FROM s$p s, m$r m))))
+         |  WHERE NOT consumed)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to iters).map(r =>
+      s"SELECT $r AS rank, a AS lhs, b AS rhs, c AS pair_count FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $base,
+       |$rounds
+       |SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs,
+       |       CAST(pair_count AS BIGINT) AS pair_count
+       |FROM ($out)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ts25_bpe_train" -> bpeSql(8),
     "dd20_leakage_split" -> dd20Sql,
     "ts23_quality_model" -> qualityModelSql(16),
     "dd12_minhash_probe" -> dd12Sql,
