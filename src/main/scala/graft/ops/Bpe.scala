@@ -32,17 +32,21 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * stays O(1) per round via [[PlanBridge]] truncation (the Dedup
   * iterative-loop convention).
   *
-  * Scale note: rounds scan the symbol table (k rounds ≈ k corpus
-  * scans of a shrinking table). At 100 TB you train the tokenizer on a
-  * deterministic sample ([[TextAnalysis.sampleRank]] cut) — standard
-  * practice — then APPLY the frozen merges anywhere.
+  * Scale note: training runs on the WEIGHTED VOCABULARY (one symbol row
+  * per distinct word, carrying its corpus frequency — pair counts are
+  * identical to instance counts since adjacency is within words), so
+  * the corpus is scanned ONCE to build the frequency table and the k
+  * rounds re-window only dictionary-sized data; [[segment]] then
+  * applies the frozen merges to instances anywhere.
   */
 object Bpe {
 
   private val wWord = Window.partitionBy("doc_id", "wpos").orderBy("i")
+  private val wVocab = Window.partitionBy("w").orderBy("i")
 
   /** The exploded char-symbol table (doc_id, wpos, i, sym), 1-based
-    * positions, empty words dropped.
+    * positions, empty words dropped — the per-INSTANCE view
+    * ([[segment]] uses it; training uses the weighted vocabulary form).
     */
   def symbols(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -54,40 +58,67 @@ object Bpe {
       .select(col("doc_id"), col("wpos"),
         (col("j") + 1).cast("long").as("i"), col("sym"))
 
-  /** Most frequent adjacent pair (count desc, then (a, b) lexicographic),
-    * or None when no adjacency remains.
+  /** The weighted vocabulary symbol table (w, freq, i, sym): one symbol
+    * row per DISTINCT word, carrying the word's corpus frequency — the
+    * form Sennrich's reference trainer uses. Pair counts weighted by
+    * freq are IDENTICAL to instance-level counts (adjacency is within
+    * words), while table size drops from total corpus characters to
+    * vocabulary characters — the difference between re-windowing 100 TB
+    * of text per round and re-windowing a dictionary.
+    */
+  def vocabSymbols(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        posexplode(expr("regexp_extract_all(w, '.', 0)")).as(Seq("j", "sym")))
+      .select(col("w"), col("freq"),
+        (col("j") + 1).cast("long").as("i"), col("sym"))
+
+  /** Most frequent adjacent pair over the weighted vocabulary (summed
+    * instance count desc, then (a, b) lexicographic), or None when no
+    * adjacency remains.
     */
   def topPair(state: DataFrame): Option[(String, String, Long)] =
     state
-      .select(col("sym"), lead(col("sym"), 1).over(wWord).as("nxt"))
+      .select(col("freq"), col("sym"),
+        lead(col("sym"), 1).over(wVocab).as("nxt"))
       .where(col("nxt").isNotNull)
-      .groupBy(col("sym"), col("nxt")).agg(count(lit(1)).as("c"))
+      .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("c"))
       .orderBy(col("c").desc, col("sym"), col("nxt")).limit(1)
       .collect().headOption
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
 
-  /** One greedy-left application of merge (a, b) over the symbol table. */
-  def applyMerge(state: DataFrame, a: String, b: String): DataFrame = {
+  /** One greedy-left application of merge (a, b) over a symbol table.
+    * `keys` names the word-identity columns: ("w") for the vocabulary
+    * form, ("doc_id", "wpos") for the instance form.
+    */
+  def applyMerge(state: DataFrame, a: String, b: String,
+      keys: Seq[String] = Seq("w")): DataFrame = {
+    val word = Window.partitionBy(keys.map(col): _*).orderBy("i")
     val matched = state
-      .withColumn("nxt", lead(col("sym"), 1).over(wWord))
+      .withColumn("nxt", lead(col("sym"), 1).over(word))
       .withColumn("mat",
         col("sym") === a && coalesce(col("nxt") === b, lit(false)))
     // islands of consecutive match positions; merge starts at even
     // offsets from the island head (greedy-left run parity)
     val isl = matched.withColumn("isl",
       when(col("mat"), col("i") - row_number().over(
-        Window.partitionBy("doc_id", "wpos", "mat").orderBy("i"))))
+        Window.partitionBy((keys.map(col) :+ col("mat")): _*).orderBy("i"))))
     val started = isl.withColumn("strt",
       col("mat") && (col("i") - min(col("i")).over(
-        Window.partitionBy("doc_id", "wpos", "isl"))) % 2 === 0)
+        Window.partitionBy((keys.map(col) :+ col("isl")): _*))) % 2 === 0)
+    val carry = state.columns.filterNot(c => c == "i" || c == "sym")
     started
       .withColumn("consumed",
-        coalesce(lag(col("strt"), 1).over(wWord), lit(false)))
+        coalesce(lag(col("strt"), 1).over(word), lit(false)))
       .where(!col("consumed"))
-      .select(col("doc_id"), col("wpos"),
-        row_number().over(wWord).cast("long").as("i"),
+      .select(carry.map(col) ++ Seq(
+        row_number().over(word).cast("long").as("i"),
         when(col("strt"), concat(col("sym"), col("nxt")))
-          .otherwise(col("sym")).as("sym"))
+          .otherwise(col("sym")).as("sym")): _*)
   }
 
   /** Learn `nMerges` merges; returns (rank, left, right, pair_count) —
@@ -97,23 +128,31 @@ object Bpe {
   def train(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
-    var state = PlanBridge.truncated(symbols(docs, idCol, textCol)).persist()
+    var state =
+      PlanBridge.truncated(vocabSymbols(docs, idCol, textCol)).persist()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var prev: Option[DataFrame] = None
     var rank = 1
     var done = false
     while (rank <= nMerges && !done) {
-      topPair(state) match {
+      // this round's argmax is also what materializes this round's
+      // cached state — only THEN is the parent's cache safe to drop
+      // (truncated leaves recompute through plain RDD lineage, but
+      // recomputing k chained rounds would defeat the cache)
+      val tp = topPair(state)
+      prev.foreach(_.unpersist()); prev = None
+      tp match {
         case Some((a, b, c)) =>
           merges += ((rank, a, b, c))
           val next = PlanBridge.truncated(applyMerge(state, a, b)).persist()
-          next.count() // materialize before releasing the parent blocks
-          state.unpersist()
+          prev = Some(state)
           state = next
           rank += 1
         case None => done = true
       }
     }
     state.unpersist()
+    prev.foreach(_.unpersist())
     import spark.implicits._
     // lhs/rhs, not left/right: both engines parse them unquoted
     merges.result().toDF("rank", "lhs", "rhs", "pair_count")
@@ -128,6 +167,6 @@ object Bpe {
   def segment(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
     merges.foldLeft(symbols(docs, idCol, textCol)) {
-      case (st, (a, b)) => applyMerge(st, a, b)
+      case (st, (a, b)) => applyMerge(st, a, b, Seq("doc_id", "wpos"))
     }
 }
