@@ -169,4 +169,28 @@ object Bpe {
     merges.foldLeft(symbols(docs, idCol, textCol)) {
       case (st, (a, b)) => applyMerge(st, a, b, Seq("doc_id", "wpos"))
     }
+
+  /** Per-document token counts under a FROZEN merge table, applied at
+    * DICTIONARY cost: the distinct-word vocabulary is segmented once
+    * (the merge windows run over dictionary-sized data), each word's
+    * piece count is joined back to the word instances, and per-doc
+    * counts are one sum — so tokenizing N TB of text costs one word
+    * explode + one vocabulary equi-join, never per-instance windows.
+    * (Per-doc piece count == the instance-level segmentation's count:
+    * segmentation is a pure function of the word.)
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocabSeg = merges.foldLeft(vocabSymbols(docs, idCol, textCol)) {
+        case (st, (a, b)) => applyMerge(st, a, b, Seq("w"))
+      }
+      .groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .join(vocabSeg, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pieces")).as("n_bpe"))
+  }
 }

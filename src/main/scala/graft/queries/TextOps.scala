@@ -458,6 +458,18 @@ object TextOps {
     "ts25_bpe_train" -> ((s, d) =>
       graft.ops.Bpe.train(documents(s, d), "doc_id", "text", nMerges = 8)),
 
+    // frozen-tokenizer application at DICTIONARY cost: train 4 merges,
+    // segment the distinct-word vocabulary once, join instances to
+    // their word's piece count — tokenizing the corpus is one word
+    // explode + one vocab equi-join, never per-instance windows
+    "ts26_bpe_tokenize" -> ((s, d) => {
+      val docs = documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "doc_id", "text", nMerges = 4)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+    }),
+
     // persisted-BM25 probe: the build-once/probe-many retrieval path —
     // the probe touches only the queried terms' posting lists (term
     // predicate prunes the term-sorted postings at the scan), never
@@ -722,7 +734,25 @@ object TextOps {
     * materialized (s_i and m_i are each referenced twice; inlining would
     * double the plan per round). Mirrors [[graft.ops.Bpe]] step for step.
     */
-  private def bpeSql(iters: Int): String = {
+  private def bpeSql(iters: Int): String =
+    s"""WITH ${bpeCtes(iters)}
+       |SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs,
+       |       CAST(pair_count AS BIGINT) AS pair_count
+       |FROM (${(1 to iters).map(r =>
+         s"SELECT $r AS rank, a AS lhs, b AS rhs, c AS pair_count FROM m$r")
+         .mkString("\nUNION ALL\n")})""".stripMargin
+
+  /** ts26 oracle: the same unrolled trajectory, final state consumed as
+    * per-doc piece counts (the instance-level equivalent of the
+    * vocabulary-join application — segmentation is a pure function of
+    * the word, so the counts coincide).
+    */
+  private def bpeTokenizeSql(iters: Int): String =
+    s"""WITH ${bpeCtes(iters)}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe
+       |FROM s$iters GROUP BY doc_id""".stripMargin
+
+  private def bpeCtes(iters: Int): String = {
     val base =
       """s0 AS MATERIALIZED (
         |  SELECT doc_id, wpos, j AS i, cs[j] AS sym
@@ -766,18 +796,12 @@ object TextOps {
          |          FROM s$p s, m$r m))))
          |  WHERE NOT consumed)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to iters).map(r =>
-      s"SELECT $r AS rank, a AS lhs, b AS rhs, c AS pair_count FROM m$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH $base,
-       |$rounds
-       |SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs,
-       |       CAST(pair_count AS BIGINT) AS pair_count
-       |FROM ($out)""".stripMargin
+    s"$base,\n$rounds"
   }
 
   val oracles: Map[String, String] = Map(
     "ts25_bpe_train" -> bpeSql(8),
+    "ts26_bpe_tokenize" -> bpeTokenizeSql(4),
     "dd20_leakage_split" -> dd20Sql,
     "ts23_quality_model" -> qualityModelSql(16),
     "dd12_minhash_probe" -> dd12Sql,

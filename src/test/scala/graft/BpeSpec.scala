@@ -41,6 +41,27 @@ class BpeSpec extends SparkSpec {
     }, "pair counts never increase across rounds on a shrinking table")
   }
 
+  test("dictionary-cost tokenization == per-instance segmentation " +
+      "counts (segmentation is a pure function of the word)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").limit(50)
+    val merges = Bpe.train(docs, "doc_id", "text", 4)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val viaVocab = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaInstances = Bpe.segment(docs, "doc_id", "text", merges)
+      .groupBy($"doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaVocab == viaInstances && viaVocab.nonEmpty)
+    // merging strictly reduces token counts vs raw characters
+    val chars = docs.select($"doc_id",
+        length(regexp_replace($"text", "\\s+", "")).cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaVocab.forall { case (id, n) => n < chars(id) },
+      "4 merges must compress every doc below its character count")
+  }
+
   test("early stop: a corpus with no adjacency learns nothing past " +
       "its single merges") {
     val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
