@@ -647,6 +647,54 @@ object TextAnalysis {
         col("surprise").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** Cross-corpus LM scoring — the CCNet/KenLM curation stage: a bigram
+    * LM is FROZEN from a reference corpus (the Wikipedia side) and
+    * scores a target corpus (the crawl side); low mean surprise ≈ "reads
+    * like the reference". Same integer-bits surprisal as
+    * [[bigramSurprisal]] (bitlen(cfreq) − bitlen(bfreq) — the exact,
+    * transcendental-free −log₂ p proxy), extended with the two OOV
+    * regimes a cross-corpus score needs, both integer-exact:
+    *
+    *   - unseen bigram under a seen prefix: bitlen(cfreq) + 1 — one bit
+    *     worse than any OBSERVED continuation of that prefix can cost
+    *     (observed max is bitlen(cfreq) − 1 at bfreq = 1);
+    *   - unseen prefix entirely: a flat 32-bit penalty (the "this isn't
+    *     the reference language" ceiling).
+    *
+    * Plan shape: the reference is scanned once into (w1,w2)→bfreq and
+    * w1→cfreq tables; the target joins them LEFT on its bigrams — two
+    * equi-joins, per-doc sum, no window over the reference at score
+    * time. Returns (doc_id, n_bigrams, surprise, mean_surprise).
+    */
+  def bigramSurprisalAgainst(target: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = {
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      df.select(col(idCol).as("doc_id"),
+          posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+        .select(col("doc_id"), lag(col("w"), 1).over(wOrd).as("w1"),
+          col("w").as("w2"))
+        .where(col("w1").isNotNull)
+    }
+    val bf = bigrams(reference).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("bfreq"))
+    val cf = bf.groupBy(col("w1")).agg(sum(col("bfreq")).as("cfreq"))
+    bigrams(target)
+      .join(bf, Seq("w1", "w2"), "left")
+      .join(cf, Seq("w1"), "left")
+      .select(col("doc_id"),
+        when(col("cfreq").isNull, lit(32L))
+          .when(col("bfreq").isNull,
+            (length(bin(col("cfreq"))) + 1).cast("long"))
+          .otherwise((length(bin(col("cfreq"))) -
+            length(bin(col("bfreq")))).cast("long")).as("surp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surp")).as("surprise"))
+      .withColumn("mean_surprise",
+        col("surprise").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Concat-and-cut sequence packing — the GPT-pretraining layout: per
     * shard, documents are concatenated in deterministic [[sampleRank]]
     * order and the token stream is cut every `seqLen` tokens, docs

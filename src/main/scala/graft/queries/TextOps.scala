@@ -424,6 +424,16 @@ object TextOps {
     "ts16_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramSurprisal(documents(s, d), "doc_id", "text")),
 
+    // cross-corpus LM scoring (the CCNet/KenLM curation stage): the LM
+    // freezes on the reference slice, scores the target slice; integer
+    // bit-length surprisal with exact OOV penalties
+    "ts27_lm_cross_score" -> ((s, d) => {
+      val docs = documents(s, d)
+      TextAnalysis.bigramSurprisalAgainst(
+        docs.where(col("doc_id") % 29 === 0),
+        docs.where(col("doc_id") % 29 =!= 0), "doc_id", "text")
+    }),
+
     // mixture sampling: per-source token budgets (the data-mixing step);
     // deterministic hash-order prefix per source, unnamed sources = 0
     "ts15_mixture" -> ((s, d) =>
@@ -1155,6 +1165,35 @@ object TextOps {
     // bigram surprisal: zipped equal-length unnests build the bigram
     // stream; context freq is a rollup of the bigram counts, exactly as
     // in the engine
+    // LM frozen on the reference slice; target bigrams LEFT-join it.
+    // OOV: unseen prefix → 32; unseen bigram, seen prefix →
+    // bitlen(cfreq)+1; else bitlen(cfreq) − bitlen(bfreq)
+    "ts27_lm_cross_score" ->
+      """WITH tt AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+        |            FROM documents WHERE doc_id % 29 = 0),
+        |tr AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+        |       FROM documents WHERE doc_id % 29 <> 0),
+        |bt AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+        |              unnest(tk[2:len(tk)]) AS w2
+        |       FROM tt WHERE len(tk) >= 2),
+        |br AS (SELECT unnest(tk[1:len(tk)-1]) AS w1,
+        |              unnest(tk[2:len(tk)]) AS w2
+        |       FROM tr WHERE len(tk) >= 2),
+        |bf AS (SELECT w1, w2, count(*) AS bfreq FROM br GROUP BY 1, 2),
+        |cf AS (SELECT w1, CAST(sum(bfreq) AS BIGINT) AS cfreq
+        |       FROM bf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |         CASE WHEN cf.cfreq IS NULL THEN 32
+        |              WHEN bf.bfreq IS NULL THEN length(bin(cf.cfreq)) + 1
+        |              ELSE length(bin(cf.cfreq)) - length(bin(bf.bfreq))
+        |         END AS surp
+        |       FROM bt LEFT JOIN bf USING (w1, w2) LEFT JOIN cf USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(surp) AS BIGINT) AS surprise,
+        |       CAST(sum(surp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS mean_surprise
+        |FROM sc GROUP BY doc_id""".stripMargin,
+
     "ts16_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
         |           FROM documents),
