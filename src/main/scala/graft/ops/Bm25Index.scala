@@ -79,6 +79,58 @@ final case class Bm25Index(postings: DataFrame, docLens: DataFrame,
   }
 }
 
+/** Positional postings — the phrase-query half of the retrieval layer:
+  * one row per (term, doc) carrying the term's SORTED occurrence
+  * positions, so a phrase probe is pure array algebra over the queried
+  * terms' posting rows (shift the running match set by one, intersect
+  * with the next term's positions — n−1 intersections for an n-word
+  * phrase), never a scan of the text. Overlapping occurrences count
+  * individually ("a a a" contains "a a" twice), the standard positional
+  * semantics. Same persistence/pruning posture as [[Bm25Index]]:
+  * term-sorted parquet, probe's term predicate prunes at the scan.
+  */
+final case class PositionalIndex(postings: DataFrame) {
+
+  /** (doc_id, n_occ) for every doc containing the exact phrase. */
+  def phraseCount(phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      postings.where(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"p$i"))
+    }
+    val joined = parts.reduce(_.join(_, Seq("doc_id")))
+    val matches = phrase.indices.tail.foldLeft(col("p0")) { (acc, i) =>
+      array_intersect(transform(acc, x => x + 1), col(s"p$i"))
+    }
+    joined.select(col("doc_id"), size(matches).cast("long").as("n_occ"))
+      .where(col("n_occ") > 0)
+  }
+
+  def save(cat: VersionedCatalog, name: String): Unit = {
+    cat.commit(Map(s"$name.positional" -> postings
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))))
+    ()
+  }
+}
+
+object PositionalIndex {
+  /** One tokenization pass: (term, doc_id, positions) with 1-based,
+    * sorted, doc-wide token positions.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String)
+      : PositionalIndex =
+    PositionalIndex(docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos") + 1)).as("positions")))
+
+  def load(spark: SparkSession, cat: VersionedCatalog,
+      name: String): PositionalIndex =
+    PositionalIndex(cat.read(spark, s"$name.positional"))
+}
+
 object Bm25Index {
 
   /** One tokenization pass over the corpus. */

@@ -480,6 +480,14 @@ object TextOps {
       graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
     }),
 
+    // phrase search over positional postings: an exact-phrase probe is
+    // array algebra over the queried terms' posting rows (shift the
+    // match set, intersect with the next term's positions) — never a
+    // text scan; overlapping occurrences count individually
+    "ts28_phrase_search" -> ((s, d) =>
+      graft.ops.PositionalIndex.build(documents(s, d), "doc_id", "text")
+        .phraseCount(Seq("table", "hash"))),
+
     // persisted-BM25 probe: the build-once/probe-many retrieval path —
     // the probe touches only the queried terms' posting lists (term
     // predicate prunes the term-sorted postings at the scan), never
@@ -1037,6 +1045,25 @@ object TextOps {
         |SELECT doc_id, CAST(sum(idf_bits * tfn) AS BIGINT) AS score
         |FROM sc GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // positional semantics replayed with list algebra: per (term, doc)
+    // sorted positions, shift-and-intersect across the phrase
+    "ts28_phrase_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS pos, tk[i] AS term
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk,
+        |          unnest(range(1, len(string_split_regex(text, '\s+')) + 1)) AS i
+        |        FROM documents)),
+        |p0 AS (SELECT doc_id, list_sort(list(pos)) AS p FROM tok
+        |       WHERE term = 'table' GROUP BY doc_id),
+        |p1 AS (SELECT doc_id, list_sort(list(pos)) AS p FROM tok
+        |       WHERE term = 'hash' GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(list_transform(p0.p, x -> x + 1), p1.p))
+        |    AS BIGINT) AS n_occ
+        |FROM p0 JOIN p1 USING (doc_id)
+        |WHERE len(list_intersect(list_transform(p0.p, x -> x + 1), p1.p)) > 0
+        |""".stripMargin,
 
     // identical arithmetic to ts18 — the index is a materialization of
     // the same (term, doc, tf) relation, so the oracle is the same SQL

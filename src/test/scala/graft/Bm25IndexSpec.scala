@@ -38,6 +38,35 @@ class Bm25IndexSpec extends SparkSpec {
       s"term predicate must prune the postings scan:\n${plan.take(2000)}")
   }
 
+  test("phrase search: exact positional matches, overlapping " +
+      "occurrences counted, persists and reloads") {
+    import graft.ops.PositionalIndex
+    val corpus = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "a a a b a a"),
+      (3L, "cat the")).toDF("doc_id", "text")
+    val idx = PositionalIndex.build(corpus, "doc_id", "text")
+    // "the cat" occurs twice in doc 1, never in doc 3 (reversed)
+    val tc = idx.phraseCount(Seq("the", "cat")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc == Map(1L -> 2L), tc)
+    // overlap: "a a" in "a a a ... a a" = positions 1,2 and 5 -> 3
+    val aa = idx.phraseCount(Seq("a", "a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa == Map(2L -> 3L), aa)
+    // 3-word phrase
+    val aab = idx.phraseCount(Seq("a", "a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aab == Map(2L -> 1L), aab)
+    // persist/reopen parity
+    val root = tmpDir("pos")
+    idx.save(new VersionedCatalog(root), "pos_idx")
+    val loaded = PositionalIndex.load(spark,
+      new VersionedCatalog(root), "pos_idx")
+    assert(loaded.phraseCount(Seq("the", "cat")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == tc)
+  }
+
   test("incremental addDocs == full rebuild (idf drift included); " +
       "re-ingesting an indexed id fails fast") {
     val half1 = docs.where($"doc_id" % 2 === 0)
