@@ -142,7 +142,10 @@ object Bm25Index {
     val docLens = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
     val r = docLens.agg(count(lit(1)), sum(col("dl"))).head()
-    Bm25Index(postings, docLens, r.getLong(0), r.getLong(1))
+    // sum over zero rows is NULL: an empty corpus (or an addDocs batch
+    // that filtered to nothing) builds a valid empty index, not an NPE
+    Bm25Index(postings, docLens, r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   def load(spark: SparkSession, cat: VersionedCatalog,

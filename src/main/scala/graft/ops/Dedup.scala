@@ -913,24 +913,39 @@ object Dedup {
     * straddles train and eval — the train/test contamination that
     * decontamination (ts7) detects after the fact, prevented at split
     * time instead. The cluster's split comes from a Knuth multiplicative
-    * mix of its canonical id (odd constant ⇒ bijective mod 2^32): plain
-    * integer *,% both engines evaluate identically, so the assignment is
-    * reproducible anywhere and stable under re-splitting — growing the
-    * corpus never moves an untouched cluster between splits (new pairs
-    * can merge clusters, which must re-route; nothing else does).
-    * Percent thresholds keep the knob integral: (trainPct, valPct,
-    * rest=test). Adds one map-only projection over [[dupClusters]].
+    * mix of its canonical id, PRE-REDUCED mod the prime 1000003 before
+    * the multiply (the [[TextAnalysis.sampleRank]] discipline): without
+    * the reduction, ids above ~3.47e9 — any snowflake-style 64-bit id —
+    * overflow the Long multiply, Spark wraps negative (everything lands
+    * in 'train') while DuckDB raises, and the two engines diverge.
+    * Plain integer *,% both engines evaluate identically on the reduced
+    * domain, so the assignment is reproducible anywhere and stable under
+    * re-splitting — growing the corpus never moves an untouched cluster
+    * between splits (new pairs can merge clusters, which must re-route;
+    * nothing else does). Percent thresholds keep the knob integral:
+    * (trainPct, valPct, rest=test). Adds one map-only projection over
+    * [[dupClusters]].
     */
   def leakageFreeSplit(ids: DataFrame, idCol: String, pairs: DataFrame,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
-    val bucket = col("cluster_id") * lit(2654435761L) %
-      lit(4294967296L) % lit(100L)
     dupClusters(ids, idCol, pairs).select(
       col(idCol), col("cluster_id"),
-      when(bucket < trainPct, lit("train"))
-        .when(bucket < trainPct + valPct, lit("val"))
-        .otherwise(lit("test")).as("split"))
+      splitOf(col("cluster_id"), trainPct, valPct).as("split"))
+  }
+
+  /** The split assignment expression of [[leakageFreeSplit]] on an
+    * arbitrary key column — exposed so an already-deduplicated corpus
+    * (every doc its own cluster) can split map-only without running the
+    * connected-components machinery against a known-empty pair set.
+    */
+  def splitOf(key: org.apache.spark.sql.Column, trainPct: Int,
+      valPct: Int): org.apache.spark.sql.Column = {
+    val bucket = key % lit(1000003L) * lit(2654435761L) %
+      lit(1000003L) % lit(100L)
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
   }
 
   /** [[dupClusters]] plus a handle on the final round's persisted cache

@@ -124,7 +124,13 @@ object QualityModel {
       fx(hardSigmoid(zOf(w))).as("score_fx"),
       col("y").as("label"))
 
-  /** The gate composition: featurize → train `iters` rounds → score. */
+  /** The gate composition: featurize → train `iters` rounds → score.
+    * The featurized corpus is persisted so the `iters` training aggs and
+    * the scoring pass share one stats scan; the returned DataFrame reads
+    * that cache, so release follows the repo-wide convention for
+    * persisted query internals — `spark.catalog.clearCache()` after the
+    * result is materialized (the cache IS CacheManager-visible).
+    */
   def trainScore(docs: DataFrame, textCol: String = "text",
       iters: Int = 16, lr: Double = 2.0,
       idCol: String = "doc_id"): DataFrame = {

@@ -34,9 +34,11 @@ final case class CurationConfig(
     decontaminateN: Int = 4,
     budgetPerSource: Option[Long] = None,
     // (trainPct, valPct): annotate survivors with a leakage-free
-    // train/val/test split — per near-dup cluster when nearDupThreshold
-    // is on (no near-dup pair straddles train/eval), per exact-content
-    // group otherwise
+    // train/val/test split. With near-dedup ON the survivors are already
+    // one-per-cluster, so the assignment is a map-only hash of the doc
+    // id (still leakage-free — the near-dups are gone); with near-dedup
+    // OFF the corpus keeps its near-dups and the split routes whole
+    // clusters together (banded pairs computed at split time)
     split: Option[(Int, Int)] = None,
     // (chunkTokens, overlap): split survivors into context windows as the
     // final stage — output becomes chunk-granular (chunk_idx, chunk_text,
@@ -142,15 +144,21 @@ object TextPipeline {
     // near-dups, so the split must route whole clusters together: compute
     // the banded pairs here at the standard 0.6 threshold
     cfg.split.foreach { case (trainPct, valPct) =>
-      val pairs =
+      kept =
         if (cfg.nearDupThreshold.isDefined)
-          kept.select(id.as("id_a"), id.as("id_b")).limit(0)
-        else Dedup.minhashLshPairs(kept, idCol, textCol,
-          n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
-          .select("id_a", "id_b")
-      val assign = Dedup.leakageFreeSplit(kept.select(id), idCol, pairs,
-        trainPct, valPct).select(id, col("split"))
-      kept = kept.join(assign, Seq(idCol))
+          // survivors are one-per-cluster: the split is the same hash
+          // leakageFreeSplit would assign to these singleton clusters,
+          // applied map-only — no point running connected components
+          // against a known-empty pair set
+          kept.withColumn("split", Dedup.splitOf(id, trainPct, valPct))
+        else {
+          val pairs = Dedup.minhashLshPairs(kept, idCol, textCol,
+            n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+            .select("id_a", "id_b")
+          val assign = Dedup.leakageFreeSplit(kept.select(id), idCol,
+            pairs, trainPct, valPct).select(id, col("split"))
+          kept.join(assign, Seq(idCol))
+        }
     }
 
     // 6. context-window chunking: survivors become (doc, chunk) rows;

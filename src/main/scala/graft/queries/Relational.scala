@@ -876,10 +876,15 @@ object Relational {
         |       JOIN (SELECT DISTINCT event_type, user_id FROM eb) y
         |         USING (event_type, user_id)
         |       GROUP BY 1)
-        |SELECT event_type, n_a, n_b, p50_a, p50_b, nd_a, nd_b,
-        |       CAST(COALESCE(nd_overlap, 0) AS BIGINT) AS nd_overlap
-        |FROM ca JOIN cb USING (event_type)
-        |LEFT JOIN ov USING (event_type)""".stripMargin,
+        |SELECT COALESCE(ca.event_type, cb.event_type) AS event_type,
+        |       CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+        |       CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+        |       p50_a, p50_b, nd_a, nd_b,
+        |       CAST(COALESCE(ov.nd_overlap, 0) AS BIGINT) AS nd_overlap
+        |FROM ca FULL JOIN cb USING (event_type)
+        |LEFT JOIN ov
+        |  ON ov.event_type = COALESCE(ca.event_type, cb.event_type)
+        |""".stripMargin,
 
     // exact regime (distinct users per type << k): the stored KMV
     // sketches ARE the distinct hash sets, so estimates and overlaps

@@ -682,8 +682,9 @@ object TextOps {
         |            / CAST(len(toks) AS DOUBLE) END AS x4
         |FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
         |      FROM documents)""".stripMargin
-    // y: the ts2 quality heuristic > 0.5 (x2*8.0 recovers mean_tok_len
-    // exactly — power-of-two scaling is lossless)
+    // y: the ts2 quality heuristic > 0.625 — the exact binary constant
+    // near the fixture median (0.5 would label everything 1); x2*8.0
+    // recovers mean_tok_len exactly (power-of-two scaling is lossless)
     // CAST the label: a bare DuckDB CASE over 1.0/0.0 literals types as
     // DECIMAL, and the gate compares column types against Spark's DOUBLE
     val fyr =
@@ -734,17 +735,19 @@ object TextOps {
   }
 
   /** dd20 oracle: dd8's recursive-CTE components + the same Knuth
-    * multiplicative split hash (integer *,% — exact in both engines).
+    * multiplicative split hash, pre-reduced mod 1000003 before the
+    * multiply (integer *,% — exact in both engines, no 64-bit overflow
+    * at any id magnitude).
     */
-  private val dd20Sql: String =
+  private val dd20Sql: String = {
+    val bucket = "((cluster_id % 1000003) * 2654435761) % 1000003 % 100"
     s"""WITH cl AS ($dd8Sql)
        |SELECT doc_id, cluster_id,
-       |  CASE WHEN ((cluster_id * 2654435761) % 4294967296) % 100 < 80
-       |         THEN 'train'
-       |       WHEN ((cluster_id * 2654435761) % 4294967296) % 100 < 90
-       |         THEN 'val'
+       |  CASE WHEN $bucket < 80 THEN 'train'
+       |       WHEN $bucket < 90 THEN 'val'
        |       ELSE 'test' END AS split
        |FROM cl""".stripMargin
+  }
 
   /** ts25 oracle: the full BPE merge-learning trajectory unrolled —
     * per round a pair-count argmax CTE (m_i) and a windowed greedy-left
