@@ -97,7 +97,16 @@ object BenchScale {
         "embedding", kc = 8, m = 4, dims = 64, ksub = 8)
         .probe(qVec, k = 30, nprobe = 2)),
       "st2_sessionize" -> (() => graft.streaming.EventStreams.sessionize(
-        events, gapUs = 1800L * 1000000L)))
+        events, gapUs = 1800L * 1000000L)),
+      // BPE at x10: training cost is bound by the VOCABULARY (the x10
+      // corpus adds ~one noise token per doc — vocab grows to ~n_docs,
+      // not n_chars), evidencing the dictionary-cost claim
+      "ts25_bpe_train" -> (() => graft.ops.Bpe.train(
+        docs, "doc_id", "text", nMerges = 8)),
+      // build+probe of the inverted index at x10: posting lists only
+      "ts24_bm25_probe" -> (() => graft.ops.Bm25Index
+        .build(docs, "doc_id", "text")
+        .probe(Seq("the", "of", "data"), k = 20)))
 
     // JVM/codegen warmup so the first case doesn't absorb startup cost
     spark.range(1000000L).selectExpr("sum(id)").collect()
