@@ -182,7 +182,27 @@ object PlanAudit {
         "row shuffle in the returned plan; training runs as one global " +
         "agg per round with map-side partials, off-plan)",
       p => !p.contains("Exchange hashpartitioning") &&
-        !p.contains("SortExec")))
+        !p.contains("SortExec")),
+    Check("a13_kmv_overlap",
+      "per-group KMV sketches aggregate partial map-side; the pairwise " +
+        "probe joins only the group-cardinality sketch table",
+      p => "ObjectHashAggregate".r.findAllIn(p).size >= 2),
+    Check("ts24_bm25_index",
+      "index probe: df broadcast back to the posting lists, top-k " +
+        "without a full sort",
+      p => p.contains("BroadcastHashJoin") &&
+        p.contains("TakeOrderedAndProject") &&
+        !p.contains("CartesianProduct")),
+    Check("ts27_lm_cross_score",
+      "frozen-LM scoring: target bigrams equi-join the LM tables — " +
+        "never a nested-loop, never a cartesian",
+      p => !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct") && isEquiJoin(p)),
+    Check("ts28_phrase_search",
+      "phrase probe: per-term posting rows equi-join on doc_id; the " +
+        "position algebra is projection-level (no extra shuffle, no " +
+        "cartesian)",
+      p => isEquiJoin(p) && !p.contains("CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
