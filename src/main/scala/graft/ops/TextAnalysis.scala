@@ -725,6 +725,39 @@ object TextAnalysis {
           expr(s"off DIV $seqLen") + 1L).as("n_seqs"))
   }
 
+  /** Deterministic per-epoch loader order over the packed sequence
+    * space: every shard's sequences 0..n−1 receive a reproducible
+    * pseudo-random position that CHANGES with `epoch` — the training-
+    * loader contract (fresh order each epoch, same order on every
+    * re-run/resume, no stored RNG state; resuming mid-epoch is "skip to
+    * epoch_pos p", a pure coordinate filter). Order key = the
+    * [[sampleRank]] affine mix of the sequence id shifted by an
+    * epoch-dependent prime offset; (key, seq) totals the order. Epoch 0
+    * is intentionally NOT the identity. One per-shard window — the same
+    * partitioning discipline as packing itself.
+    */
+  def epochOrder(seqCounts: DataFrame, shardCol: String,
+      epoch: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col("shuffle_key"), col("seq"))
+    seqCounts
+      .select(col(shardCol),
+        explode(sequence(lit(0L), col("n_seqs") - 1)).as("seq"))
+      .withColumn("shuffle_key",
+        (col("seq") + lit(epoch) * lit(999983L)) % lit(1000003L) *
+          lit(2654435761L) % lit(1000003L))
+      .withColumn("epoch_pos",
+        (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Per-shard packed-sequence totals from a [[packSequences]] layout —
+    * the `n_seqs` input [[epochOrder]] wants (the last doc's
+    * end coordinate; sequences are gap-free by construction).
+    */
+  def shardSeqCounts(packed: DataFrame, shardCol: String): DataFrame =
+    packed.groupBy(col(shardCol))
+      .agg(max(col("start_seq") + col("n_seqs")).as("n_seqs"))
+
   /** The loader-facing inverse of [[packSequences]]: one row per
     * (sequence, contributing doc) with the doc-local token slice
     * [take_from, take_from + take_n) that sequence consumes — exactly

@@ -376,6 +376,17 @@ object TextOps {
       TextAnalysis.sequenceManifest(documents(s, d), "doc_id", "text",
         "source", seqLen = 512L)),
 
+    // per-epoch loader order over the packed sequence space: fresh
+    // deterministic shuffle each epoch, resumable from (shard,
+    // epoch_pos) with no stored state — the training-loader contract
+    "ts29_epoch_order" -> ((s, d) => {
+      val packed = TextAnalysis.packSequences(documents(s, d), "doc_id",
+        "text", "source", seqLen = 512L)
+      TextAnalysis.epochOrder(
+        TextAnalysis.shardSeqCounts(packed, "source"), "source",
+        epoch = 3L)
+    }),
+
     // corpus-trained unigram surprisal (model-free perplexity proxy;
     // integer bit-length arithmetic, never a float log sum)
     "ts14_unigram_lm" -> ((s, d) =>
@@ -821,6 +832,24 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // shard seq totals = ceil(shard tokens / 512) (packing is gap-free);
+    // the shuffle key replays the same affine mix
+    "ts29_epoch_order" ->
+      """WITH counts AS (
+        |  SELECT source,
+        |    (CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      + 511) // 512 AS n_seqs
+        |  FROM documents GROUP BY source),
+        |seqs AS (SELECT source, unnest(range(0, n_seqs)) AS seq
+        |         FROM counts)
+        |SELECT source, seq,
+        |  ((seq + 3 * 999983) % 1000003 * 2654435761) % 1000003
+        |    AS shuffle_key,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY ((seq + 3 * 999983) % 1000003 * 2654435761) % 1000003,
+        |             seq) - 1 AS BIGINT) AS epoch_pos
+        |FROM seqs""".stripMargin,
+
     "ts25_bpe_train" -> bpeSql(8),
     "ts26_bpe_tokenize" -> bpeTokenizeSql(4),
     "dd20_leakage_split" -> dd20Sql,

@@ -189,4 +189,30 @@ class TextStatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("epochOrder: a bijection over each shard's sequence space, " +
+      "distinct across epochs, deterministic within one") {
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text",
+      "source", seqLen = 256L)
+    val counts = TextAnalysis.shardSeqCounts(packed, "source").cache()
+    def order(epoch: Long): Map[(String, Long), Long] =
+      TextAnalysis.epochOrder(counts, "source", epoch)
+        .select($"source", $"seq", $"epoch_pos").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val e1 = order(1L)
+    // bijection: per shard, epoch positions are exactly 0..n-1
+    e1.keys.groupBy(_._1).foreach { case (shard, ks) =>
+      val ps = ks.map(e1).toSeq.sorted
+      assert(ps == (0L until ps.size.toLong), s"shard $shard not a " +
+        "permutation")
+    }
+    // epochs reorder; re-running an epoch does not
+    val e2 = order(2L)
+    assert(e1 != e2, "epochs 1 and 2 must differ")
+    assert(order(1L) == e1, "same epoch, same order")
+    counts.unpersist()
+    ()
+  }
 }
