@@ -82,13 +82,102 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Full decode dispatch: real `javax.imageio` for image payloads that
-    * parse, honest STUB for audio/video (no codec libraries in this
-    * environment) and for image bytes that aren't a decodable format.
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled` (WAV/
+    * AIFF/AU PCM — no external library): channels and sample rate from the
+    * container format, nFrames = PCM frame count. width/height are 0 for
+    * audio (the stub fakes nonzero ones, so 0 also marks "really
+    * decoded"). Returns null when the payload is not a parseable audio
+    * container, so [[decode]] can fall back to the stub.
+    */
+  private[ops] def decodeAudio(item: MediaItem): DecodedMeta = {
+    val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+    if (bytes.isEmpty) null
+    else {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          DecodedMeta(item.media_id, item.kind, width = 0, height = 0,
+            channels = fmt.getChannels,
+            sampleRate = math.round(fmt.getSampleRate),
+            nFrames = in.getFrameLength.toInt,
+            sizeBytes = bytes.length.toLong)
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    }
+  }
+
+  /** Decoded PCM16 samples, interleaved by channel — the input a real
+    * feature front-end (fbank/wav2vec) consumes. PCM in a WAV container
+    * is lossless, so [[encodeWav]]'s samples round-trip bit-exactly.
+    */
+  def decodeAudioSamples(item: MediaItem): Array[Short] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(item.payload))
+    try {
+      require(in.getFormat.getSampleSizeInBits == 16,
+        s"decodeAudioSamples expects PCM16, got ${in.getFormat}")
+      val bytes = in.readAllBytes()
+      val bigEndian = in.getFormat.isBigEndian
+      val out = new Array[Short](bytes.length / 2)
+      var i = 0
+      while (i < out.length) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1) & 0xff
+        out(i) = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort
+        i += 1
+      }
+      out
+    } finally in.close()
+  }
+
+  /** Deterministic WAV (PCM16 little-endian) encoder — the audio twin of
+    * [[encodePng]]: `nSamples` frames of `channels` interleaved samples,
+    * each a pure function of (frame, channel, seed).
+    */
+  def encodeWav(nSamples: Int, sampleRate: Int, channels: Int,
+      seed: Long): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0 && channels > 0,
+      s"encodeWav needs positive dims, got n=$nSamples sr=$sampleRate ch=$channels")
+    val data = new Array[Byte](nSamples * channels * 2)
+    var i = 0
+    var off = 0
+    while (i < nSamples) {
+      var c = 0
+      while (c < channels) {
+        val v = (((i.toLong * 2654435761L + c * 40503L + seed) >>> 16) & 0xffffL).toShort
+        data(off) = (v & 0xff).toByte
+        data(off + 1) = ((v >> 8) & 0xff).toByte
+        off += 2
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16,
+      channels, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Full decode dispatch: real `javax.imageio` for image payloads and
+    * real `javax.sound.sampled` for audio payloads that parse; honest
+    * STUB for video (no codec library in this environment) and for
+    * bytes that aren't a decodable container.
     */
   private[ops] def decode(item: MediaItem): DecodedMeta =
     if (item.kind == "image") {
       val real = decodeImage(item)
+      if (real != null) real else stubDecode(item)
+    } else if (item.kind == "audio") {
+      val real = decodeAudio(item)
       if (real != null) real else stubDecode(item)
     } else stubDecode(item)
 

@@ -180,6 +180,32 @@ object StreamOps {
           $"channels".cast("long").as("channels"))
     }),
 
+    // REAL audio decode: synthesize a PCM16 WAV per document in the
+    // executor (rate/channels/length derived from the text — the
+    // payload-pointer-dereference stand-in), then decode it back through
+    // javax.sound.sampled — container format and frame count must
+    // round-trip exactly
+    "mm7_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.ops.Dedup.charHash($"text")
+      val dims = documents(s, d).select(
+        $"doc_id",
+        // 4 common rates; mono/stereo; 50..549 frames
+        element_at(array(lit(8000), lit(16000), lit(22050), lit(44100)),
+          (pmod(h, lit(4L)) + 1L).cast("int")).as("sr"),
+        (pmod(floor(h / 4.0).cast("long"), lit(2L)) + 1L).cast("int").as("ch"),
+        (pmod(floor(h / 8.0).cast("long"), lit(500L)) + 50L).cast("int")
+          .as("n")).as[(Long, Int, Int, Int)]
+      val media = dims.mapPartitions(_.map { case (id, sr, ch, n) =>
+        graft.ops.Multimodal.MediaItem(id, "audio",
+          graft.ops.Multimodal.encodeWav(n, sr, ch, id))
+      })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
+      graft.ops.Multimodal.decodeMeta(media)
+        .select($"media_id", $"sampleRate".cast("long").as("sample_rate"),
+          $"channels".cast("long").as("channels"),
+          $"nFrames".cast("long").as("n_frames"))
+    }),
+
     // multimodal feature extraction: the stub encoder's byte-histogram
     // embedding collapsed to integer invariants (dominant dimension +
     // nonzero count) the oracle can pin exactly
@@ -412,6 +438,19 @@ object StreamOps {
         |       (CH % 64) + 1 AS width,
         |       CAST((CH // 64) % 48 AS BIGINT) + 1 AS height,
         |       CAST(3 AS BIGINT) AS channels
+        |FROM documents""".stripMargin).replace("CH",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
+          "(acc, x) -> (acc * 31 + x) % 1000000007)"),
+
+    // the decoded container format must equal the derivation that sized
+    // the synthesized WAV — the oracle replays that arithmetic
+    "mm7_audio_decode" ->
+      ("""SELECT doc_id AS media_id,
+        |       CAST(CASE CH % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |            WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+        |       CAST((CH // 4) % 2 AS BIGINT) + 1 AS channels,
+        |       CAST((CH // 8) % 500 AS BIGINT) + 50 AS n_frames
         |FROM documents""".stripMargin).replace("CH",
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +

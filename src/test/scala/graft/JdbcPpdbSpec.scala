@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.replicate._
+import graft.schema.{PpdbSchema, VersionTuple}
+import graft.schema.UpdateRecord._
+
+/** The live-RDBMS (JDBC/Derby) backend behind the same [[ReplicaTarget]]
+  * contract the Parquet backends satisfy — the reference's primary SQL
+  * backend (P/sql/_ppdb_sql.py:74-557). Each test drives the UNCHANGED
+  * Replicator over an embedded in-memory Derby store.
+  */
+class JdbcPpdbSpec extends SparkSpec {
+
+  private var n = 0
+  private def freshJdbc(): PpdbJdbc = {
+    n += 1
+    PpdbJdbc.open(spark, PpdbJdbc.derbyMemUrl(s"jdbcspec_${System.nanoTime()}_$n"))
+  }
+
+  val farFuture: Long = 100L * 24 * 3600 * 1000000L
+
+  test("end-to-end replicate: validity chains, counts, exactly-once") {
+    val apdb = new TestApdb(spark, nObjects = 10, nChunks = 3)
+    val ppdb = freshJdbc()
+    val rep = new Replicator(spark, apdb, ppdb)
+    assert(rep.runOnce(nowUs = farFuture) == Seq(1L, 2L, 3L))
+
+    val objects = ppdb.read("DiaObject")
+    assert(objects.count() == 30, "3 versions x 10 objects")
+    val byObj = objects.collect().groupBy(_.getLong(0))
+    byObj.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getDouble(1))
+      assert(sorted.length == 3)
+      // first two closed by successor start, last open
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(2) == b.getDouble(1))
+      }
+      assert(sorted.last.isNullAt(2))
+    }
+    assert(ppdb.read("DiaSource").count() == 30)
+    assert(ppdb.read("DiaForcedSource").count() == 30)
+
+    // exactly-once: a second pass copies nothing, stores nothing
+    assert(rep.runOnce(nowUs = farFuture).isEmpty)
+    assert(ppdb.read("DiaObject").count() == 30)
+    assert(ppdb.replicaChunks().count() == 3)
+  }
+
+  test("update records: LWW patch applied transactionally") {
+    val withdrawTime = 60099.5
+    val updates = Map(3L -> Seq[(Long, graft.schema.UpdateRecord)](
+      3L -> WithdrawDiaSource(10L, 0L, 100000L, withdrawTime),
+      3L -> ReassignDiaSourceToSSObject(11L, 1L, 100001L, 777L, 60010.0),
+      // two updates to the same field: newest (time 13) must win
+      3L -> UpdateNDiaSources(12L, 2L, 1000L, 5),
+      3L -> UpdateNDiaSources(13L, 3L, 1000L, 9),
+      3L -> WithdrawDiaForcedSource(14L, 4L, 1001L, 1L, 1L, withdrawTime)))
+    val apdb = new TestApdb(spark, nObjects = 10, nChunks = 3, updates)
+    val ppdb = freshJdbc()
+    new Replicator(spark, apdb, ppdb).runOnce(nowUs = farFuture)
+
+    val src = ppdb.read("DiaSource")
+    assert(src.where(col("diaSourceId") === 100000L)
+      .select("timeWithdrawnMjdTai").head.getDouble(0) == withdrawTime)
+    val re = src.where(col("diaSourceId") === 100001L)
+      .select("ssObjectId", "ssObjectReassocTimeMjdTai").head
+    assert(re.getLong(0) == 777L && re.getDouble(1) == 60010.0)
+    // LWW: every version row of object 1000 patched to the newest value
+    assert(ppdb.read("DiaObject").where(col("diaObjectId") === 1000L)
+      .select("nDiaSources").collect().forall(_.getInt(0) == 9))
+    assert(ppdb.read("DiaForcedSource")
+      .where(col("diaObjectId") === 1001L && col("visit") === 1L &&
+        col("detector") === 1)
+      .select("timeWithdrawnMjdTai").head.getDouble(0) == withdrawTime)
+  }
+
+  test("dangling update rolls back the WHOLE chunk (T7 atomicity)") {
+    val updates = Map(2L -> Seq[(Long, graft.schema.UpdateRecord)](
+      2L -> WithdrawDiaSource(10L, 0L, 999999999L, 60050.0))) // no such row
+    val apdb = new TestApdb(spark, nObjects = 5, nChunks = 2, updates)
+    val ppdb = freshJdbc()
+    val rep = new Replicator(spark, apdb, ppdb)
+    val err = intercept[Exception] { rep.runOnce(nowUs = farFuture) }
+    assert(err.getMessage.contains("missing DiaSource row") ||
+      Option(err.getCause).exists(_.getMessage.contains("missing DiaSource row")))
+    // chunk 1 landed; chunk 2 left NOTHING behind — not even its inserts
+    assert(ppdb.read("DiaObject").count() == 5)
+    assert(ppdb.read("DiaSource").count() == 5)
+    assert(ppdb.replicaChunks().select("apdb_replica_chunk")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // repairing the source lets the SAME chunk id replay cleanly
+    val fixed = new TestApdb(spark, nObjects = 5, nChunks = 2)
+    assert(new Replicator(spark, fixed, ppdb).runOnce(nowUs = farFuture) ==
+      Seq(2L))
+    assert(ppdb.read("DiaObject").count() == 10)
+  }
+
+  test("upsert mode replaces same-PK rows and keeps one bookkeeping row") {
+    val apdb = new TestApdb(spark, nObjects = 4, nChunks = 1)
+    val ppdb = freshJdbc()
+    new Replicator(spark, apdb, ppdb).runOnce(nowUs = farFuture)
+    assert(ppdb.read("DiaSource").count() == 4)
+
+    // re-store chunk 1 in update mode: same PKs must replace, not duplicate
+    ppdb.store(apdb.chunkData(1L), update = true)
+    assert(ppdb.read("DiaObject").count() == 4)
+    assert(ppdb.read("DiaSource").count() == 4)
+    assert(ppdb.replicaChunks().count() == 1)
+
+    // without update, a known chunk is a no-op
+    ppdb.store(apdb.chunkData(1L))
+    assert(ppdb.read("DiaSource").count() == 4)
+  }
+
+  test("replicaChunks minId bound is pushed into the database scan") {
+    val apdb = new TestApdb(spark, nObjects = 2, nChunks = 3)
+    val ppdb = freshJdbc()
+    new Replicator(spark, apdb, ppdb).runOnce(nowUs = farFuture)
+    val df = ppdb.replicaChunks(minId = Some(2L))
+    assert(df.select("apdb_replica_chunk").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(apdb_replica_chunk,2)"),
+      s"minId must reach the JDBC scan as a pushed filter:\n$plan")
+  }
+
+  test("partitioned parallel read returns the same rows") {
+    val apdb = new TestApdb(spark, nObjects = 8, nChunks = 2)
+    val ppdb = freshJdbc()
+    new Replicator(spark, apdb, ppdb).runOnce(nowUs = farFuture)
+    val par = ppdb.read("DiaSource", "diaSourceId", 0L, 10L * 100000L, 4)
+    assert(par.rdd.getNumPartitions == 4)
+    assert(par.count() == 16)
+    assert(par.select("diaSourceId").collect().map(_.getLong(0)).sorted.toSeq ==
+      ppdb.read("DiaSource").select("diaSourceId").collect()
+        .map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("bulk backfill via distributed write.jdbc") {
+    val ppdb = freshJdbc()
+    val apdb = new TestApdb(spark, nObjects = 20, nChunks = 1)
+    ppdb.bulkLoad("DiaSource", apdb.chunkData(1L).diaSources, batchSize = 7)
+    assert(ppdb.read("DiaSource").count() == 20)
+  }
+
+  test("reopen version-checks; incompatible stored version refuses") {
+    val url = PpdbJdbc.derbyMemUrl(s"jdbcspec_ver_${System.nanoTime()}")
+    PpdbJdbc.open(spark, url)
+    // reopen of a compatible store succeeds
+    PpdbJdbc.open(spark, url)
+    // poison the stored schema version to a newer major
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """UPDATE "metadata" SET "value" = '99.0.0' WHERE "name" = 'version:schema'""")
+      st.close()
+    } finally conn.close()
+    val err = intercept[IllegalStateException] { PpdbJdbc.open(spark, url) }
+    assert(err.getMessage.contains("cannot read stored 99.0.0"))
+  }
+
+  test("metadata surfaces versions and the store url") {
+    val ppdb = freshJdbc()
+    val m = ppdb.metadata
+    assert(m("version:schema") == PpdbSchema.schemaVersion.render)
+    assert(m("version:ppdb-spark") == VersionTuple.Current.render)
+    assert(m("jdbc_url").startsWith("jdbc:derby:memory:"))
+  }
+}

@@ -113,6 +113,38 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(53L).channels == 2 && meta(53L).sampleRate == 16000)
   }
 
+  test("real audio decode: generated WAVs round-trip bit-exactly " +
+      "through javax.sound.sampled; non-audio bytes fall back to the stub") {
+    // sample-level losslessness of the encode/decode pair itself
+    val wav = Multimodal.encodeWav(nSamples = 101, sampleRate = 22050,
+      channels = 2, seed = 42L)
+    val item = MediaItem(1L, "audio", wav)
+    val samples = Multimodal.decodeAudioSamples(item)
+    assert(samples.length == 101 * 2)
+    for (i <- 0 until 101; c <- 0 until 2) {
+      val want = (((i.toLong * 2654435761L + c * 40503L + 42L) >>> 16) & 0xffffL).toShort
+      assert(samples(i * 2 + c) == want, s"sample ($i,$c)")
+    }
+    // the Dataset decode path reports the real container format for WAVs...
+    val rows = Seq(
+      (60L, "audio", Multimodal.encodeWav(300, 16000, 1, 7L)),
+      (61L, "audio", Multimodal.encodeWav(1, 8000, 2, 9L)),
+      (62L, "audio", "not-a-wav".getBytes("UTF-8")), // stub fallback
+      (63L, "video", Multimodal.encodeWav(10, 44100, 1, 1L))) // kind wins: stub
+    val media = Multimodal.asMedia(rows.toDF("id", "kind", "payload"),
+      "id", $"kind", $"payload")
+    val meta = Multimodal.decodeMeta(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(60L).sampleRate == 16000 && meta(60L).channels == 1 &&
+      meta(60L).nFrames == 300 && meta(60L).width == 0)
+    assert(meta(61L).sampleRate == 8000 && meta(61L).channels == 2 &&
+      meta(61L).nFrames == 1)
+    // ...while undecodable bytes and non-audio kinds keep stub semantics
+    assert(meta(62L).channels == 2 && meta(62L).sampleRate == 16000 &&
+      meta(62L).width > 0)
+    assert(meta(63L).kind == "video" && meta(63L).sampleRate == 0)
+  }
+
   test("featureSummary: dominant dimension with lowest-index ties, " +
       "nonzero count") {
     // craft payloads with known byte histograms mod 4
