@@ -27,6 +27,10 @@ import graft.schema.PpdbSchema
   *       [--check-interval S] [--metrics-json <dest>]
   *   runMain graft.cli.Cli demo <catalogRoot> [nObjects nChunks]
   *   runMain graft.cli.Cli vacuum <catalogRoot>
+  *
+  * `run` and `list-chunks` accept a `jdbc:` URL (e.g.
+  * `jdbc:derby:/path/to/db;create=true`) in place of <catalogRoot> to
+  * target the live-RDBMS backend instead of a parquet catalog.
   */
 object Cli {
 
@@ -322,6 +326,10 @@ object Cli {
               new VersionedCatalog(catalogRoot, VersionedCatalog.ppdbWriteOptions), dir)
             promoter.init()
             new PpdbStaged(spark, promoter)
+          // a jdbc: URL targets the live-RDBMS backend (the reference's
+          // primary SQL store) instead of a parquet catalog root
+          case None if catalogRoot.startsWith("jdbc:") =>
+            PpdbJdbc.open(spark, catalogRoot)
           case None =>
             val ppdb = new PpdbSpark(spark,
               new VersionedCatalog(catalogRoot, VersionedCatalog.ppdbWriteOptions))
@@ -387,8 +395,10 @@ object Cli {
         println(s"Total: ${chunks.length}")
 
       case "list-chunks" :: root :: Nil =>
-        new PpdbSpark(spark, new VersionedCatalog(root))
-          .replicaChunks().show(1000, truncate = false)
+        val target: Ppdb =
+          if (root.startsWith("jdbc:")) PpdbJdbc.open(spark, root)
+          else new PpdbSpark(spark, new VersionedCatalog(root))
+        target.replicaChunks().show(1000, truncate = false)
 
       case "seed-apdb" :: root :: rest =>
         val (nObjects, nChunks, start) = parseSeedArgs(rest)

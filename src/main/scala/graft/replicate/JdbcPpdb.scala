@@ -356,6 +356,10 @@ final class PpdbJdbc(spark: SparkSession, val url: String)
     finally ins.close()
   }
 
+  private def insertBatch(conn: Connection, table: String, schema: StructType,
+      rows: Array[Row], batchSize: Int = 1000): Unit =
+    PpdbJdbc.insertBatch(conn, table, schema, rows, batchSize)
+
   private def deleteByKeys(conn: Connection, table: String, schema: StructType,
       keys: Seq[String], rows: Array[Row]): Unit = {
     if (rows.isEmpty) return
@@ -374,26 +378,6 @@ final class PpdbJdbc(spark: SparkSession, val url: String)
     } finally ps.close()
   }
 
-  private def insertBatch(conn: Connection, table: String, schema: StructType,
-      rows: Array[Row], batchSize: Int = 1000): Unit = {
-    if (rows.isEmpty) return
-    val cols = schema.fieldNames.map(c => s""""$c"""").mkString(", ")
-    val marks = schema.fieldNames.map(_ => "?").mkString(", ")
-    val ps = conn.prepareStatement(
-      s"""INSERT INTO "$table" ($cols) VALUES ($marks)""")
-    try {
-      var pending = 0
-      rows.foreach { r =>
-        schema.fields.zipWithIndex.foreach { case (f, i) =>
-          setParam(ps, i + 1, f.dataType, r, i)
-        }
-        ps.addBatch(); pending += 1
-        if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
-      }
-      if (pending > 0) ps.executeBatch()
-      ()
-    } finally ps.close()
-  }
 }
 
 object PpdbJdbc {
@@ -433,7 +417,28 @@ object PpdbJdbc {
     ("PpdbReplicaChunk", PpdbSchema.replicaChunk, Seq("apdb_replica_chunk")),
     ("metadata", PpdbSchema.metadata, Seq("name")))
 
-  private def listTables(conn: Connection): Set[String] = {
+  private[graft] def insertBatch(conn: Connection, table: String,
+      schema: StructType, rows: Array[Row], batchSize: Int = 1000): Unit = {
+    if (rows.isEmpty) return
+    val cols = schema.fieldNames.map(c => s""""$c"""").mkString(", ")
+    val marks = schema.fieldNames.map(_ => "?").mkString(", ")
+    val ps = conn.prepareStatement(
+      s"""INSERT INTO "$table" ($cols) VALUES ($marks)""")
+    try {
+      var pending = 0
+      rows.foreach { r =>
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          setParam(ps, i + 1, f.dataType, r, i)
+        }
+        ps.addBatch(); pending += 1
+        if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+      }
+      if (pending > 0) ps.executeBatch()
+      ()
+    } finally ps.close()
+  }
+
+  private[graft] def listTables(conn: Connection): Set[String] = {
     val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
     val b = Set.newBuilder[String]
     while (rs.next()) b += rs.getString("TABLE_NAME")
@@ -452,22 +457,24 @@ object PpdbJdbc {
       s"no JDBC mapping for $other")
   }
 
-  private def createDdl(name: String, schema: StructType,
+  private[graft] def createDdl(name: String, schema: StructType,
       pk: Seq[String]): String = {
     val cols = schema.fields.map { f =>
       val nn = if (f.nullable) "" else " NOT NULL"
       s""""${f.name}" ${sqlType(f.dataType)}$nn"""
     }
-    val pkc = s"""PRIMARY KEY (${pk.map(k => s""""$k"""").mkString(", ")})"""
-    s"""CREATE TABLE "$name" (${(cols :+ pkc).mkString(", ")})"""
+    val pkc =
+      if (pk.isEmpty) Nil
+      else Seq(s"""PRIMARY KEY (${pk.map(k => s""""$k"""").mkString(", ")})""")
+    s"""CREATE TABLE "$name" (${(cols ++ pkc).mkString(", ")})"""
   }
 
-  private def exec(conn: Connection, sql: String): Unit = {
+  private[graft] def exec(conn: Connection, sql: String): Unit = {
     val st = conn.createStatement()
     try { st.executeUpdate(sql); () } finally st.close()
   }
 
-  private def setParam(ps: PreparedStatement, pIdx: Int, dt: DataType,
+  private[graft] def setParam(ps: PreparedStatement, pIdx: Int, dt: DataType,
       r: Row, rIdx: Int): Unit =
     if (r.isNullAt(rIdx)) ps.setNull(pIdx, dt match {
       case LongType => Types.BIGINT

@@ -50,6 +50,21 @@ class CliSpec extends SparkSpec {
       .replicaChunks().count() == 5)
   }
 
+  test("run targets a jdbc: URL — live-RDBMS backend through the same CLI") {
+    val apdbRoot = tmpDir("cli-apdb-jdbc")
+    val url = PpdbJdbc.derbyMemUrl(s"clijdbc_${System.nanoTime()}")
+    dispatchCapturing("seed-apdb", apdbRoot, "4", "2")
+    val out = dispatchCapturing("run", apdbRoot, url, "--exit-on-empty")
+    assert(out.contains("poll 1: replicated chunks 1, 2"), out)
+    assert(out.contains("run finished: 2 chunks replicated"), out)
+    val ppdb = PpdbJdbc.open(spark, url)
+    assert(ppdb.replicaChunks().count() == 2)
+    assert(ppdb.read("DiaObject").count() == 8, "2 chunks x 4")
+    // list-chunks accepts the same jdbc: URL
+    val ls = dispatchCapturing("list-chunks", url)
+    assert(ls.contains("promoted"), ls)
+  }
+
   test("list-chunks --apdb prints the source-side chunk table") {
     val apdbRoot = tmpDir("cli-apdb-ls")
     dispatchCapturing("seed-apdb", apdbRoot, "2", "2")

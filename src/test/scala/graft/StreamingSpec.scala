@@ -903,4 +903,57 @@ class StreamingSpec extends SparkSpec {
       "frozen-model scores must not depend on micro-batch boundaries")
     spark.catalog.clearCache()
   }
+
+  test("exactly-once JDBC stream sink: replayed batches skip, failed " +
+      "batches leave nothing, a real stream drains completely") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    import graft.streaming.JdbcStreamSink
+    val url = graft.replicate.PpdbJdbc.derbyMemUrl(
+      s"streamsink_${System.nanoTime()}")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("payload", StringType, nullable = true)))
+    val sink = new JdbcStreamSink(url, "stream_events", schema, "sinkA")
+    sink.init()
+    sink.init() // idempotent
+
+    // a real micro-batched stream through foreachBatch
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("event_id", "payload")
+      .writeStream.foreachBatch(sink.foreachBatchWriter)
+      .option("checkpointLocation", tmpDir("sink-ckpt")).start()
+    src.addData(1L -> "a", 2L -> "b")
+    q.processAllAvailable()
+    src.addData(3L -> "c")
+    q.processAllAvailable()
+    q.stop()
+    def readAll() = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "\"stream_events\"").load()
+    assert(readAll().count() == 3)
+
+    // at-least-once redelivery: same batch id again → clean no-op
+    val replay = Seq(1L -> "a", 2L -> "b").toDF("event_id", "payload")
+    assert(!sink.applyBatch(replay, 0L))
+    assert(readAll().count() == 3)
+
+    // crash mid-batch: a NOT NULL violation rolls back marker AND rows,
+    // so the retry (fixed data, same id) starts from nothing
+    intercept[Exception] { sink.applyBatch(
+      Seq[(java.lang.Long, String)]((10L, "x"), (null, "boom"))
+        .toDF("event_id", "payload"), 99L) }
+    assert(readAll().count() == 3, "failed batch must leave no rows")
+    assert(sink.applyBatch(Seq(10L -> "x", 11L -> "y")
+      .toDF("event_id", "payload"), 99L), "retry after rollback must land")
+    assert(readAll().count() == 5)
+    assert(!sink.applyBatch(Seq(12L -> "z").toDF("event_id", "payload"), 99L),
+      "the retried id is now committed — further replays skip")
+
+    // a second sink id on the same database keeps independent markers
+    val sinkB = new JdbcStreamSink(url, "stream_events", schema, "sinkB")
+    sinkB.init()
+    assert(sinkB.applyBatch(Seq(20L -> "w").toDF("event_id", "payload"), 0L))
+    assert(readAll().count() == 6)
+  }
 }
