@@ -27,6 +27,7 @@ import graft.schema.PpdbSchema
   *       [--check-interval S] [--metrics-json <dest>]
   *   runMain graft.cli.Cli demo <catalogRoot> [nObjects nChunks]
   *   runMain graft.cli.Cli vacuum <catalogRoot>
+  *   runMain graft.cli.Cli snapshot <catalogRoot|jdbcUrl> <destRoot>
   *
   * `run` and `list-chunks` accept a `jdbc:` URL (e.g.
   * `jdbc:derby:/path/to/db;create=true`) in place of <catalogRoot> to
@@ -50,7 +51,7 @@ object Cli {
       extends RuntimeException(msg)
 
   private val knownCommands = Set("create", "run", "list-chunks",
-    "seed-apdb", "upload", "promote", "vacuum", "demo")
+    "seed-apdb", "upload", "promote", "vacuum", "demo", "snapshot")
 
   def main(args: Array[String]): Unit = args.toList match {
     case "vacuum" :: root :: rest =>
@@ -231,7 +232,8 @@ object Cli {
           "promote <root> <exportRoot> [--loop|--single] [--exit-on-empty] " +
           "[--max-chunks N] [--check-interval S] | " +
           "vacuum <root> [--retain-commits N] [--dry-run] | " +
-          "demo <root> [nObjects nChunks]"
+          "demo <root> [nObjects nChunks] | " +
+          "snapshot <root|jdbcUrl> <destRoot>"
       case _ =>
         s"unknown command: ${args.mkString(" ")}\n" +
           "commands: create | run | list-chunks | seed-apdb | upload | " +
@@ -491,6 +493,29 @@ object Cli {
           println(if (ids.isEmpty) "nothing promotable"
             else s"promoted chunks ${ids.mkString(", ")}")
         }
+
+      // analytic bridge: materialize the latest-version DiaObject
+      // snapshot (S14 CTAS — open intervals only, spatial cell attached,
+      // cell-clustered) from EITHER backend into a parquet catalog. From
+      // a jdbc: source the scan is partitioned over the PK range, so
+      // every executor reads its own stride of the live store.
+      case "snapshot" :: source :: destRoot :: Nil =>
+        val dia =
+          if (source.startsWith("jdbc:")) {
+            val ppdb = PpdbJdbc.open(spark, source)
+            ppdb.keyBounds("DiaObject", "diaObjectId") match {
+              case Some((lo, hi)) if hi > lo =>
+                ppdb.read("DiaObject", "diaObjectId", lo, hi + 1,
+                  math.min(32, spark.sparkContext.defaultParallelism))
+              case _ => ppdb.read("DiaObject")
+            }
+          } else new VersionedCatalog(source).read(spark, "DiaObject")
+        val snap = graft.ops.PpdbOps.latestSnapshot(dia)
+        val dest = new VersionedCatalog(destRoot,
+          VersionedCatalog.ppdbWriteOptions)
+        dest.commit(Map("DiaObjectLast" -> snap))
+        val n = dest.read(spark, "DiaObjectLast").count()
+        println(s"snapshot: $n DiaObjectLast rows -> $destRoot")
 
       case "demo" :: root :: rest =>
         val (nObjects, nChunks) = parseDemoArgs(rest)

@@ -313,6 +313,22 @@ final class PpdbJdbc(spark: SparkSession, val url: String)
       .option("numPartitions", numPartitions)
       .load()
 
+  /** Driver-side min/max of a numeric key — the partition bounds for
+    * [[read]]'s parallel scan (one 1-row query; the database computes it
+    * from the PK index). None on an empty table.
+    */
+  def keyBounds(table: String, column: String): Option[(Long, Long)] =
+    withConn { conn =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"""SELECT MIN("$column"), MAX("$column") FROM "$table"""")
+        if (rs.next() && rs.getObject(1) != null)
+          Some((rs.getLong(1), rs.getLong(2)))
+        else None
+      } finally st.close()
+    }
+
   private def jdbcRead(table: String): DataFrame =
     spark.read.format("jdbc")
       .option("url", url)

@@ -22,24 +22,16 @@ final case class ChunkData(
 /** The PPDB store interface (P/ppdb.py:51-153): ordered chunk ingestion
   * with exactly-once semantics, plus chunk bookkeeping queries.
   *
-  * == Backend boundary (including the JDBC variant not built here) ==
+  * == Backend boundary ==
   *
   * The reference's primary backend is a LIVE RDBMS (Postgres/SQLite via
-  * SQLAlchemy, P/sql/_ppdb_sql.py:74-557). This engine ships two Parquet
-  * backends ([[PpdbSpark]] direct-store, [[PpdbStaged]] export-based);
-  * a live-database target is deliberately out of scope in this
-  * environment (no DB server, no JDBC driver jar, zero egress), but the
-  * trait seam is where it plugs in: a `PpdbJdbc(url, props)` would
-  * implement `store` as `df.write.jdbc(url, table, props)` per table
-  * delta inside one transaction (chunk-id guard for exactly-once, the
-  * same known/update contract [[ReplicaTarget]] specifies),
-  * `replicaChunks` as a pushed-down `spark.read.jdbc` predicate on the
-  * bookkeeping table, and the window-fill/merge steps as the SAME
-  * DataFrame plans [[graft.ops.PpdbOps]] already builds — only the
-  * source/sink changes, not the operator semantics. Everything above
-  * this trait (Replicator ordering, settled gating, unique-id
-  * consistency, update expansion) is backend-agnostic and already
-  * spec-tested against both shipped backends.
+  * SQLAlchemy, P/sql/_ppdb_sql.py:74-557). This engine ships three
+  * backends behind this trait: two Parquet ([[PpdbSpark]] direct-store,
+  * [[PpdbStaged]] export-based) and the live-RDBMS [[PpdbJdbc]] over the
+  * embedded Derby engine on the Spark classpath (any other JDBC store
+  * plugs in by URL). Everything above this trait (Replicator ordering,
+  * settled gating, unique-id consistency, update expansion) is
+  * backend-agnostic and spec-tested against all three.
   */
 trait Ppdb {
   def store(chunk: ChunkData): Unit

@@ -65,6 +65,31 @@ class CliSpec extends SparkSpec {
     assert(ls.contains("promoted"), ls)
   }
 
+  test("snapshot bridges a live jdbc store into an analytic parquet catalog") {
+    val apdbRoot = tmpDir("cli-apdb-snap")
+    val url = PpdbJdbc.derbyMemUrl(s"clisnap_${System.nanoTime()}")
+    dispatchCapturing("seed-apdb", apdbRoot, "6", "3")
+    dispatchCapturing("run", apdbRoot, url, "--exit-on-empty")
+
+    val destRoot = tmpDir("cli-snap-dest")
+    val out = dispatchCapturing("snapshot", url, destRoot)
+    assert(out.contains(s"snapshot: 6 DiaObjectLast rows"), out)
+    val snap = new VersionedCatalog(destRoot).read(spark, "DiaObjectLast")
+    // latest version only (3 versions per object in the store), open
+    // interval dropped, spatial cell attached
+    assert(snap.count() == 6)
+    assert(!snap.columns.contains("validityEndMjdTai"))
+    assert(snap.columns.contains("cellId"))
+    assert(snap.select("nDiaSources").collect().forall(_.getInt(0) == 3),
+      "latest version carries the chunk-3 counter")
+
+    // the same command accepts a parquet catalog root as source
+    val catRoot = tmpDir("cli-snap-cat")
+    dispatchCapturing("run", apdbRoot, catRoot, "--exit-on-empty")
+    val out2 = dispatchCapturing("snapshot", catRoot, tmpDir("cli-snap-dest2"))
+    assert(out2.contains("snapshot: 6 DiaObjectLast rows"), out2)
+  }
+
   test("list-chunks --apdb prints the source-side chunk table") {
     val apdbRoot = tmpDir("cli-apdb-ls")
     dispatchCapturing("seed-apdb", apdbRoot, "2", "2")
