@@ -163,6 +163,117 @@ class JdbcPpdbSpec extends SparkSpec {
     assert(err.getMessage.contains("cannot read stored 99.0.0"))
   }
 
+  test("differential: JDBC and Parquet backends converge to identical " +
+      "tables under a randomized chunk/update workload") {
+    // One seeded workload, two backends, exact table equality — the
+    // strongest evidence the per-chunk SQL transaction reproduces the
+    // Parquet backends' validity-fill + LWW-merge semantics, including
+    // multi-version-per-chunk objects and cross-chunk update records.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val nObjects = 12
+    val nChunks = 5
+    val baseMjd = 60000.0
+    val chunkUs = 600L * 1000000L
+    // pre-generate the whole workload so both replications see the same
+    // data (ApdbSource.chunkData may be called once per backend)
+    val emittedSources = scala.collection.mutable.ArrayBuffer[Long]()
+    val emittedForced = scala.collection.mutable.ArrayBuffer[(Long, Long, Short)]()
+    val emittedObjects = scala.collection.mutable.LinkedHashSet[Long]()
+    val chunks: Map[Long, ChunkData] = (1L to nChunks.toLong).map { c =>
+      val mjd = baseMjd + c * 0.007
+      val objRows = (0 until nObjects).flatMap { i =>
+        if (rnd.nextDouble() < 0.8) {
+          emittedObjects += 1000L + i
+          val two = rnd.nextDouble() < 0.2
+          val base = org.apache.spark.sql.Row(1000L + i, mjd, null,
+            45.0 + i * 0.01, -30.0, null, c.toInt, baseMjd)
+          if (two)
+            Seq(base, org.apache.spark.sql.Row(1000L + i, mjd + 0.001, null,
+              45.0 + i * 0.01, -30.0, null, c.toInt * 10, baseMjd))
+          else Seq(base)
+        } else Nil
+      }
+      val srcRows = (0 until nObjects).filter(_ => rnd.nextDouble() < 0.7)
+        .map { i =>
+          val sid = c * 100000L + i
+          emittedSources += sid
+          org.apache.spark.sql.Row(sid, c, (i % 4).toShort, 1000L + i, null,
+            null, 45.0, -30.0, null, mjd, null, mjd, null)
+        }
+      val fsrcRows = (0 until nObjects).filter(_ => rnd.nextDouble() < 0.7)
+        .map { i =>
+          emittedForced += ((1000L + i, c, (i % 4).toShort))
+          org.apache.spark.sql.Row(1000L + i, 45.0, -30.0, c,
+            (i % 4).toShort, mjd, 0L, mjd, null)
+        }
+      // updates target rows that exist by now (earlier chunks or this one)
+      val updates = scala.collection.mutable.ArrayBuffer[(Long, graft.schema.UpdateRecord)]()
+      var ord = 0L
+      if (emittedSources.nonEmpty) (0 until rnd.nextInt(4)).foreach { _ =>
+        val sid = emittedSources(rnd.nextInt(emittedSources.length))
+        val rec: graft.schema.UpdateRecord = rnd.nextInt(3) match {
+          case 0 => WithdrawDiaSource(c * 100 + ord, ord, sid, mjd + 0.5)
+          case 1 => ReassignDiaSourceToSSObject(c * 100 + ord, ord, sid,
+            7000L + rnd.nextInt(10), mjd + 0.25)
+          case _ => ReassignDiaSourceToDiaObject(c * 100 + ord, ord, sid,
+            1000L + rnd.nextInt(nObjects))
+        }
+        updates += (c -> rec); ord += 1
+      }
+      if (emittedForced.nonEmpty && rnd.nextBoolean()) {
+        val (oid, v, det) = emittedForced(rnd.nextInt(emittedForced.length))
+        updates += (c -> WithdrawDiaForcedSource(c * 100 + ord, ord, oid, v,
+          det, mjd + 0.75))
+        ord += 1
+      }
+      if (emittedObjects.nonEmpty) (0 until rnd.nextInt(3)).foreach { _ =>
+        val oids = emittedObjects.toIndexedSeq
+        updates += (c -> UpdateNDiaSources(c * 100 + ord, ord,
+          oids(rnd.nextInt(oids.length)), rnd.nextInt(50)))
+        ord += 1
+      }
+      c -> ChunkData(c, s"uuid-$c", c * chunkUs,
+        spark.createDataFrame(java.util.List.of(objRows: _*), PpdbSchema.diaObject),
+        spark.createDataFrame(java.util.List.of(srcRows: _*), PpdbSchema.diaSource),
+        spark.createDataFrame(java.util.List.of(fsrcRows: _*), PpdbSchema.diaForcedSource),
+        updates.toSeq)
+    }.toMap
+
+    class FixedApdb extends ApdbSource {
+      def listChunks() = spark.createDataFrame(
+        java.util.List.of((1L to nChunks.toLong).map(c =>
+          org.apache.spark.sql.Row(c, c * chunkUs, s"uuid-$c")): _*),
+        new org.apache.spark.sql.types.StructType()
+          .add("apdb_replica_chunk", "long", nullable = false)
+          .add("last_update_time_us", "long", nullable = false)
+          .add("unique_id", "string", nullable = false))
+      def chunkData(id: Long) = chunks(id)
+    }
+
+    val parquet = new PpdbSpark(spark,
+      new graft.catalog.VersionedCatalog(tmpDir("diff-parquet")))
+    parquet.init()
+    val jdbc = freshJdbc()
+    new Replicator(spark, new FixedApdb, parquet).runOnce(nowUs = farFuture)
+    new Replicator(spark, new FixedApdb, jdbc).runOnce(nowUs = farFuture)
+
+    def canon(df: org.apache.spark.sql.DataFrame,
+        schema: org.apache.spark.sql.types.StructType): Seq[String] =
+      df.select(schema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    for ((t, schema) <- Seq(
+        "DiaObject" -> PpdbSchema.diaObject,
+        "DiaSource" -> PpdbSchema.diaSource,
+        "DiaForcedSource" -> PpdbSchema.diaForcedSource)) {
+      val p = canon(parquet.catalog.read(spark, t), schema)
+      val j = canon(jdbc.read(t), schema)
+      assert(p.nonEmpty, s"$t: workload must produce rows")
+      assert(p == j, s"$t diverged between backends:\n  parquet=${
+        p.diff(j).take(3)}\n  jdbc=${j.diff(p).take(3)}")
+    }
+  }
+
   test("metadata surfaces versions and the store url") {
     val ppdb = freshJdbc()
     val m = ppdb.metadata
