@@ -88,15 +88,8 @@ final class PpdbJdbc(spark: SparkSession, val url: String)
 
   def store(chunk: ChunkData): Unit = store(chunk, update = false)
 
-  def store(chunk: ChunkData, update: Boolean): Unit = {
-    val known = withConn { conn =>
-      val ps = conn.prepareStatement(
-        s"""SELECT 1 FROM $QChunk WHERE "apdb_replica_chunk" = ?""")
-      try { ps.setLong(1, chunk.chunkId); ps.executeQuery().next() }
-      finally ps.close()
-    }
-    store(chunk, update, known)
-  }
+  def store(chunk: ChunkData, update: Boolean): Unit =
+    store(chunk, update, known = chunkRowExists(chunk.chunkId))
 
   /** Exactly-once chunk ingest in ONE transaction (T3/T7): close open
     * validity intervals, insert the three deltas, apply ordered update
@@ -132,36 +125,76 @@ final class PpdbJdbc(spark: SparkSession, val url: String)
         finally { latest.unpersist(); () }
       }
 
-    withConn { conn =>
-      conn.setAutoCommit(false)
+    // Concurrent-writer discipline (the JDBC analog of the catalog's
+    // commit-id CAS): the bookkeeping PK arbitrates duplicate-chunk
+    // races — the loser's transaction trips 23505, rolls back WHOLLY,
+    // and resolves to a no-op iff the winner's chunk row is now visible.
+    // Deadlocks / lock timeouts (Derby 40001/40XL1) retry the whole
+    // transaction from scratch — safe, because nothing of a rolled-back
+    // attempt survives.
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
       try {
-        graft.Metrics.time("store_data_time",
-            "chunk_id" -> chunk.chunkId.toString, "backend" -> "jdbc") {
-          if (update) {
-            deleteByKeys(conn, "DiaObject", PpdbSchema.diaObject,
-              Seq("diaObjectId", "validityStartMjdTai"), objRows)
-            deleteByKeys(conn, "DiaSource", PpdbSchema.diaSource,
-              Seq("diaSourceId"), srcRows)
-            deleteByKeys(conn, "DiaForcedSource", PpdbSchema.diaForcedSource,
-              Seq("diaObjectId", "visit", "detector"), fsrcRows)
+        withConn { conn =>
+          conn.setAutoCommit(false)
+          try {
+            graft.Metrics.time("store_data_time",
+                "chunk_id" -> chunk.chunkId.toString, "backend" -> "jdbc") {
+              if (update) {
+                deleteByKeys(conn, "DiaObject", PpdbSchema.diaObject,
+                  Seq("diaObjectId", "validityStartMjdTai"), objRows)
+                deleteByKeys(conn, "DiaSource", PpdbSchema.diaSource,
+                  Seq("diaSourceId"), srcRows)
+                deleteByKeys(conn, "DiaForcedSource", PpdbSchema.diaForcedSource,
+                  Seq("diaObjectId", "visit", "detector"), fsrcRows)
+              }
+              graft.Metrics.time("update_validity_time", "table" -> "DiaObject",
+                "backend" -> "jdbc") { closeOpenIntervals(conn, objRows) }
+              insertBatch(conn, "DiaObject", PpdbSchema.diaObject,
+                chainWithinChunk(objRows))
+              insertBatch(conn, "DiaSource", PpdbSchema.diaSource, srcRows)
+              insertBatch(conn, "DiaForcedSource", PpdbSchema.diaForcedSource,
+                fsrcRows)
+              patches.foreach { case (t, (spec, rows, schema)) =>
+                applyPatch(conn, chunk.chunkId, t, spec, rows, schema)
+              }
+              upsertChunkRow(conn, chunk, known)
+            }
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
           }
-          graft.Metrics.time("update_validity_time", "table" -> "DiaObject",
-            "backend" -> "jdbc") { closeOpenIntervals(conn, objRows) }
-          insertBatch(conn, "DiaObject", PpdbSchema.diaObject,
-            chainWithinChunk(objRows))
-          insertBatch(conn, "DiaSource", PpdbSchema.diaSource, srcRows)
-          insertBatch(conn, "DiaForcedSource", PpdbSchema.diaForcedSource,
-            fsrcRows)
-          patches.foreach { case (t, (spec, rows, schema)) =>
-            applyPatch(conn, chunk.chunkId, t, spec, rows, schema)
-          }
-          upsertChunkRow(conn, chunk, known)
         }
-        conn.commit()
+        done = true
       } catch {
-        case e: Throwable => conn.rollback(); throw e
+        case e: java.sql.SQLException
+            if !update && hasSqlState(e, "23505") && chunkRowExists(chunk.chunkId) =>
+          // lost the duplicate-chunk race; the winner's copy is complete
+          done = true
+        case e: java.sql.SQLException
+            if hasSqlState(e, "40001", "40XL1") && attempt < 4 =>
+          () // serialization conflict — retry the whole transaction
       }
     }
+  }
+
+  private def chunkRowExists(chunkId: Long): Boolean = withConn { conn =>
+    val ps = conn.prepareStatement(
+      s"""SELECT 1 FROM $QChunk WHERE "apdb_replica_chunk" = ?""")
+    try { ps.setLong(1, chunkId); ps.executeQuery().next() }
+    finally ps.close()
+  }
+
+  private def hasSqlState(e: java.sql.SQLException,
+      states: String*): Boolean = {
+    var cur: java.sql.SQLException = e
+    while (cur != null) {
+      if (states.contains(cur.getSQLState)) return true
+      cur = cur.getNextException
+    }
+    false
   }
 
   /** Close pre-existing open intervals at the chunk's earliest incoming

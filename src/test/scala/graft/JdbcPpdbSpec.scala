@@ -274,6 +274,25 @@ class JdbcPpdbSpec extends SparkSpec {
     }
   }
 
+  test("duplicate-chunk race: concurrent writers resolve to exactly one copy") {
+    val apdb = new TestApdb(spark, nObjects = 6, nChunks = 1)
+    val ppdb = freshJdbc()
+    val data = apdb.chunkData(1L)
+    // both threads believe the chunk is unknown (the frontier said so
+    // before either committed) — the bookkeeping PK must arbitrate
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        try ppdb.store(data, update = false, known = false)
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"race must resolve silently, got ${errs.peek()}")
+    assert(ppdb.replicaChunks().count() == 1)
+    assert(ppdb.read("DiaObject").count() == 6, "exactly one copy of the rows")
+    assert(ppdb.read("DiaSource").count() == 6)
+  }
+
   test("metadata surfaces versions and the store url") {
     val ppdb = freshJdbc()
     val m = ppdb.metadata
