@@ -170,6 +170,26 @@ object BenchScale {
       snapRows == nObj,
       s"promote cycle broke: promoted=$promoted obj=$objRows snap=$snapRows")
     val timerTable = graft.Metrics.summary()
+
+    // ---- the live-RDBMS ingest path at the same scale: the SAME APDB
+    // workload replicated into the JDBC (embedded Derby) backend — one
+    // database transaction per chunk, batched DML, LWW patches applied
+    // as indexed UPDATEs. This is the reference's primary-SQL-backend
+    // cost model measured, not extrapolated.
+    val jdbcUrl = graft.replicate.PpdbJdbc.derbyUrl(s"$tmp/jdbcdb")
+    val jppdb = graft.replicate.PpdbJdbc.open(spark, jdbcUrl)
+    val japdb = new ScaleStress.ScaleApdb(spark, nObj, nChunks,
+      updatesPerChunk = 200)
+    val jdbcS = phaseSec {
+      new Replicator(spark, japdb, jppdb).runOnce(nowUs = Long.MaxValue / 4)
+    }
+    val jObjRows = jppdb.read("DiaObject").count()
+    val jChunks = jppdb.replicaChunks().count()
+    require(jChunks == nChunks && jObjRows == nObj * nChunks,
+      s"jdbc cycle broke: chunks=$jChunks obj=$jObjRows")
+    System.err.println(f"[scale] jdbc_cycle.replicate     $jdbcS%8.1f s")
+    graft.replicate.PpdbJdbc.shutdownDerby(jdbcUrl)
+
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
       f.delete(); ()
@@ -187,6 +207,7 @@ object BenchScale {
       s""""updates_per_chunk":200,"replicate_s":${f(repS)},""" +
       s""""upload_s":${f(upS)},"promote_s":${f(promoteS)},""" +
       s""""object_rows":$objRows,"snapshot_rows":$snapRows,""" +
+      s""""jdbc_replicate_s":${f(jdbcS)},"jdbc_object_rows":$jObjRows,""" +
       s""""timers":$timers}"""
     val total = results.map(_._2).sum
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +

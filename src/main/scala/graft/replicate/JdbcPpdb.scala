@@ -440,6 +440,16 @@ object PpdbJdbc {
   /** In-memory embedded-Derby URL (specs, scratch stores). */
   def derbyMemUrl(name: String): String = s"jdbc:derby:memory:$name;create=true"
 
+  /** Cleanly shut down an embedded-Derby database (releases its file
+    * locks so the directory can be removed). Derby signals success with
+    * SQLState 08006, so the "error" is swallowed.
+    */
+  def shutdownDerby(url: String): Unit = {
+    val base = url.split(";").head
+    try { DriverManager.getConnection(s"$base;shutdown=true"); () }
+    catch { case _: java.sql.SQLException => () }
+  }
+
   /** Open + initialize a store at `url` (creates tables on first open,
     * version-checks on reopen).
     */
