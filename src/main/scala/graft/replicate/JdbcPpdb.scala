@@ -150,10 +150,9 @@ final class PpdbJdbc(spark: SparkSession, val url: String)
                 deleteByKeys(conn, "DiaForcedSource", PpdbSchema.diaForcedSource,
                   Seq("diaObjectId", "visit", "detector"), fsrcRows)
               }
+              insertBatch(conn, "DiaObject", PpdbSchema.diaObject, objRows)
               graft.Metrics.time("update_validity_time", "table" -> "DiaObject",
-                "backend" -> "jdbc") { closeOpenIntervals(conn, objRows) }
-              insertBatch(conn, "DiaObject", PpdbSchema.diaObject,
-                chainWithinChunk(objRows))
+                "backend" -> "jdbc") { fillValidity(conn, objRows) }
               insertBatch(conn, "DiaSource", PpdbSchema.diaSource, srcRows)
               insertBatch(conn, "DiaForcedSource", PpdbSchema.diaForcedSource,
                 fsrcRows)
@@ -197,48 +196,34 @@ final class PpdbJdbc(spark: SparkSession, val url: String)
     false
   }
 
-  /** Close pre-existing open intervals at the chunk's earliest incoming
-    * validityStart per object — the UPDATE form of
-    * [[PpdbOps.fillValidityEnd]]'s LEAD fill (only NULL intervals close;
-    * closed history is never touched — fill_diaobject_validity_end
-    * semantics).
+  /** The UPDATE form of [[PpdbOps.fillValidityEnd]]'s LEAD fill, run
+    * AFTER the chunk's rows are inserted: for the incoming object ids,
+    * every OPEN interval that has a later version closes at that
+    * successor's start. Only NULL intervals close — closed history is
+    * never touched (gap preservation) — and an open interval with no
+    * successor stays open, exactly the window semantics. Covers the
+    * within-chunk multi-version chain, closure of prior versions by this
+    * chunk, AND re-closure of upsert-replaced rows by later versions
+    * already in the table (the case a pre-insert closure pass misses).
+    * Per id this is a PK-index range scan; the batch is chunk-bounded.
     */
-  private def closeOpenIntervals(conn: Connection, objRows: Array[Row]): Unit = {
+  private def fillValidity(conn: Connection, objRows: Array[Row]): Unit = {
     if (objRows.isEmpty) return
-    val earliest = objRows.groupBy(_.getLong(0)).view
-      .mapValues(_.map(_.getDouble(1)).min)
+    val ids = objRows.map(_.getLong(0)).distinct
     val ps = conn.prepareStatement(
-      s"""UPDATE $QObj SET "validityEndMjdTai" = ?
-         | WHERE "diaObjectId" = ? AND "validityEndMjdTai" IS NULL
-         |   AND "validityStartMjdTai" < ?""".stripMargin)
+      s"""UPDATE $QObj o SET "validityEndMjdTai" =
+         |   (SELECT MIN(n."validityStartMjdTai") FROM $QObj n
+         |     WHERE n."diaObjectId" = o."diaObjectId"
+         |       AND n."validityStartMjdTai" > o."validityStartMjdTai")
+         | WHERE o."diaObjectId" = ? AND o."validityEndMjdTai" IS NULL
+         |   AND EXISTS (SELECT 1 FROM $QObj s
+         |     WHERE s."diaObjectId" = o."diaObjectId"
+         |       AND s."validityStartMjdTai" > o."validityStartMjdTai")""".stripMargin)
     try {
-      earliest.foreach { case (id, start) =>
-        ps.setDouble(1, start); ps.setLong(2, id); ps.setDouble(3, start)
-        ps.addBatch()
-      }
+      ids.foreach { id => ps.setLong(1, id); ps.addBatch() }
       ps.executeBatch()
       ()
     } finally ps.close()
-  }
-
-  /** Within-chunk validity chaining: when one chunk carries several
-    * versions of the same object, close each non-final version at its
-    * successor's start (the same answer the LEAD window gives the
-    * Parquet backends). Row field order is the DiaObject schema's.
-    */
-  private def chainWithinChunk(objRows: Array[Row]): Array[Row] = {
-    if (objRows.length < 2) return objRows
-    val endIdx = PpdbSchema.diaObject.fieldIndex("validityEndMjdTai")
-    objRows.groupBy(_.getLong(0)).values.flatMap { versions =>
-      if (versions.length == 1) versions
-      else {
-        val sorted = versions.sortBy(_.getDouble(1))
-        sorted.zipWithIndex.map { case (r, i) =>
-          if (i == sorted.length - 1 || !r.isNullAt(endIdx)) r
-          else Row.fromSeq(r.toSeq.updated(endIdx, sorted(i + 1).getDouble(1)))
-        }
-      }
-    }.toArray
   }
 
   /** Apply one table's collapsed patch as batched UPDATEs. Rows are

@@ -262,16 +262,30 @@ class JdbcPpdbSpec extends SparkSpec {
       df.select(schema.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
         .collect().map(_.toString).sorted.toSeq
-    for ((t, schema) <- Seq(
-        "DiaObject" -> PpdbSchema.diaObject,
-        "DiaSource" -> PpdbSchema.diaSource,
-        "DiaForcedSource" -> PpdbSchema.diaForcedSource)) {
-      val p = canon(parquet.catalog.read(spark, t), schema)
-      val j = canon(jdbc.read(t), schema)
-      assert(p.nonEmpty, s"$t: workload must produce rows")
-      assert(p == j, s"$t diverged between backends:\n  parquet=${
-        p.diff(j).take(3)}\n  jdbc=${j.diff(p).take(3)}")
-    }
+    def assertTablesEqual(phase: String): Unit =
+      for ((t, schema) <- Seq(
+          "DiaObject" -> PpdbSchema.diaObject,
+          "DiaSource" -> PpdbSchema.diaSource,
+          "DiaForcedSource" -> PpdbSchema.diaForcedSource)) {
+        val p = canon(parquet.catalog.read(spark, t), schema)
+        val j = canon(jdbc.read(t), schema)
+        assert(p.nonEmpty, s"$t: workload must produce rows")
+        assert(p == j, s"$t diverged between backends ($phase):\n  parquet=${
+          p.diff(j).take(3)}\n  jdbc=${j.diff(p).take(3)}")
+      }
+    assertTablesEqual("initial replication")
+
+    // upsert parity: the source regenerates chunk 3 (doubled counters,
+    // new unique_id) — update-mode re-store must leave both backends
+    // identical again (same-PK replacement + re-applied patches)
+    val c3 = chunks(3L)
+    val mod = ChunkData(3L, "uuid-3b", c3.lastUpdateTimeUs,
+      c3.diaObjects.withColumn("nDiaSources",
+        (org.apache.spark.sql.functions.col("nDiaSources") * 2).cast("int")),
+      c3.diaSources, c3.diaForcedSources, c3.updates)
+    parquet.store(mod, update = true)
+    jdbc.store(mod, update = true)
+    assertTablesEqual("after upsert re-store")
   }
 
   test("duplicate-chunk race: concurrent writers resolve to exactly one copy") {
