@@ -232,6 +232,15 @@ class JdbcPpdbSpec extends SparkSpec {
           oids(rnd.nextInt(oids.length)), rnd.nextInt(50)))
         ord += 1
       }
+      if (emittedObjects.nonEmpty && rnd.nextBoolean()) {
+        // the sixth record type, in both its nDiaSources regimes (None
+        // exercises the requireValueNonNull keep-old path)
+        val oids = emittedObjects.toIndexedSeq
+        updates += (c -> CloseDiaObjectValidity(c * 100 + ord, ord,
+          oids(rnd.nextInt(oids.length)), mjd + 0.9,
+          if (rnd.nextBoolean()) Some(rnd.nextInt(99)) else None))
+        ord += 1
+      }
       c -> ChunkData(c, s"uuid-$c", c * chunkUs,
         spark.createDataFrame(java.util.List.of(objRows: _*), PpdbSchema.diaObject),
         spark.createDataFrame(java.util.List.of(srcRows: _*), PpdbSchema.diaSource),
