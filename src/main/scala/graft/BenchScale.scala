@@ -169,8 +169,6 @@ object BenchScale {
     require(promoted.size == nChunks && objRows == nObj * nChunks &&
       snapRows == nObj,
       s"promote cycle broke: promoted=$promoted obj=$objRows snap=$snapRows")
-    val timerTable = graft.Metrics.summary()
-
     // ---- the live-RDBMS ingest path at the same scale: the SAME APDB
     // workload replicated into the JDBC (embedded Derby) backend — one
     // database transaction per chunk, batched DML, LWW patches applied
@@ -189,6 +187,9 @@ object BenchScale {
       s"jdbc cycle broke: chunks=$jChunks obj=$jObjRows")
     System.err.println(f"[scale] jdbc_cycle.replicate     $jdbcS%8.1f s")
     graft.replicate.PpdbJdbc.shutdownDerby(jdbcUrl)
+    // capture AFTER both cycles so the jdbc-tagged store/validity timers
+    // land in the artifact alongside the parquet ones
+    val timerTable = graft.Metrics.summary()
 
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)

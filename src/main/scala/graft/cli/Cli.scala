@@ -237,7 +237,7 @@ object Cli {
       case _ =>
         s"unknown command: ${args.mkString(" ")}\n" +
           "commands: create | run | list-chunks | seed-apdb | upload | " +
-          "promote | vacuum | demo"
+          "promote | vacuum | demo | snapshot"
     }
 
   /** Replication-loop knobs (defaults from P/cli/options.py:105-124). */

@@ -98,10 +98,19 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
-          DecodedMeta(item.media_id, item.kind, width = 0, height = 0,
+          // frame length can be NOT_SPECIFIED (-1) for streamed
+          // containers (e.g. AU with the 0xFFFFFFFF unknown-size
+          // header) — count the PCM bytes instead of shipping -1
+          val fl = in.getFrameLength
+          val nFrames =
+            if (fl >= 0) fl.toInt
+            else if (fmt.getFrameSize > 0) in.readAllBytes().length / fmt.getFrameSize
+            else -1
+          if (nFrames < 0) null
+          else DecodedMeta(item.media_id, item.kind, width = 0, height = 0,
             channels = fmt.getChannels,
             sampleRate = math.round(fmt.getSampleRate),
-            nFrames = in.getFrameLength.toInt,
+            nFrames = nFrames,
             sizeBytes = bytes.length.toLong)
         } finally in.close()
       } catch {

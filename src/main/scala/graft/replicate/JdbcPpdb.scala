@@ -55,12 +55,19 @@ final class PpdbJdbc(spark: SparkSession, val url: String)
     val existing = listTables(conn)
     if (!existing.contains("DiaObject")) {
       conn.setAutoCommit(false)
-      allTables.foreach { case (name, schema, pk) =>
-        if (!existing.contains(name)) exec(conn, createDdl(name, schema, pk))
+      try {
+        allTables.foreach { case (name, schema, pk) =>
+          if (!existing.contains(name)) exec(conn, createDdl(name, schema, pk))
+        }
+        upsertMeta(conn, MetaSchemaKey, PpdbSchema.schemaVersion.render)
+        upsertMeta(conn, MetaCodeKey, VersionTuple.Current.render)
+        conn.commit()
+      } catch {
+        // e.g. X0Y32 when two opens race the create — roll back so
+        // close() doesn't mask the real error with "active transaction";
+        // the loser's reopen then version-checks the winner's store
+        case e: Throwable => conn.rollback(); throw e
       }
-      upsertMeta(conn, MetaSchemaKey, PpdbSchema.schemaVersion.render)
-      upsertMeta(conn, MetaCodeKey, VersionTuple.Current.render)
-      conn.commit()
     } else checkVersions(conn)
   }
 
@@ -186,15 +193,6 @@ final class PpdbJdbc(spark: SparkSession, val url: String)
     finally ps.close()
   }
 
-  private def hasSqlState(e: java.sql.SQLException,
-      states: String*): Boolean = {
-    var cur: java.sql.SQLException = e
-    while (cur != null) {
-      if (states.contains(cur.getSQLState)) return true
-      cur = cur.getNextException
-    }
-    false
-  }
 
   /** The UPDATE form of [[PpdbOps.fillValidityEnd]]'s LEAD fill, run
     * AFTER the chunk's rows are inserted: for the incoming object ids,
@@ -480,6 +478,29 @@ object PpdbJdbc {
       if (pending > 0) ps.executeBatch()
       ()
     } finally ps.close()
+  }
+
+  /** Does the exception chain carry one of these SQLStates? Walks BOTH
+    * the getNextException chain and the cause chain (Derby uses either,
+    * depending on whether a BatchUpdateException wraps the violation).
+    */
+  private[graft] def hasSqlState(e: java.sql.SQLException,
+      states: String*): Boolean = {
+    var cur: Throwable = e
+    var hops = 0
+    while (cur != null && hops < 20) {
+      cur match {
+        case s: java.sql.SQLException =>
+          if (states.contains(s.getSQLState)) return true
+          if (s.getNextException != null && (s.getNextException ne s)) {
+            if (hasSqlState(s.getNextException, states: _*)) return true
+          }
+        case _ => ()
+      }
+      cur = if (cur.getCause ne cur) cur.getCause else null
+      hops += 1
+    }
+    false
   }
 
   private[graft] def listTables(conn: Connection): Set[String] = {

@@ -52,6 +52,11 @@ final class JdbcStreamSink(url: String, table: String, schema: StructType,
     * landed, false when skipped as a replay.
     */
   def applyBatch(batch: DataFrame, batchId: Long): Boolean = {
+    // materialize the micro-batch BEFORE opening the transaction: a
+    // failed Spark job must surface its own error, not pin an open
+    // transaction that conn.close() then rejects (Derby 25001)
+    val rows: Array[Row] =
+      batch.select(schema.fieldNames.map(col).toSeq: _*).collect()
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
@@ -63,8 +68,6 @@ final class JdbcStreamSink(url: String, table: String, schema: StructType,
           probe.executeQuery().next() }
         finally probe.close()
       if (replayed) { conn.rollback(); return false }
-      val rows: Array[Row] =
-        batch.select(schema.fieldNames.map(col).toSeq: _*).collect()
       try {
         PpdbJdbc.insertBatch(conn, JdbcStreamSink.CommitsTable,
           JdbcStreamSink.commitsSchema,
@@ -73,25 +76,14 @@ final class JdbcStreamSink(url: String, table: String, schema: StructType,
         conn.commit()
         true
       } catch {
-        case e: java.sql.SQLException if isDuplicateKey(e) =>
+        // ONLY 23505 (duplicate key) means "replayed batch" — other
+        // integrity violations (e.g. 23502 NOT NULL) are real failures
+        // that must propagate so the stream retries the batch
+        case e: java.sql.SQLException if PpdbJdbc.hasSqlState(e, "23505") =>
           conn.rollback(); false // concurrent replay lost the marker race
         case e: Throwable => conn.rollback(); throw e
       }
     } finally conn.close()
-  }
-
-  /** Derby reports duplicate keys as SQLState 23505, possibly wrapped in
-    * a BatchUpdateException chain. ONLY 23505 means "replayed batch" —
-    * other integrity violations (e.g. 23502 NOT NULL) are real failures
-    * that must propagate so the stream retries the batch.
-    */
-  private def isDuplicateKey(e: java.sql.SQLException): Boolean = {
-    var cur: java.sql.SQLException = e
-    while (cur != null) {
-      if ("23505" == cur.getSQLState) return true
-      cur = cur.getNextException
-    }
-    false
   }
 
   /** Plug into `df.writeStream.foreachBatch(sink.foreachBatchWriter)`. */
