@@ -263,15 +263,32 @@ class JdbcPpdbSpec extends SparkSpec {
       new graft.catalog.VersionedCatalog(tmpDir("diff-parquet")))
     parquet.init()
     val jdbc = freshJdbc()
+    // third backend: the staged export→stage→promote chain
+    val promoCat = new graft.catalog.VersionedCatalog(tmpDir("diff-staged"))
+    val promoter = new Promoter(spark, promoCat, tmpDir("diff-export"))
+    promoter.init()
     new Replicator(spark, new FixedApdb, parquet).runOnce(nowUs = farFuture)
     new Replicator(spark, new FixedApdb, jdbc).runOnce(nowUs = farFuture)
+    // per-chunk promotion, matching the incremental backends' update
+    // interleaving. (Promoting a MULTI-chunk batch is a different,
+    // equally valid semantics: a chunk's updates then also patch
+    // later-chunk rows loaded in the same batch — record keys like
+    // diaObjectId span versions — so batch-size-1 is the apples-to-
+    // apples comparison.)
+    val stagedRep = new Replicator(spark, new FixedApdb,
+      new PpdbStaged(spark, promoter))
+    (1L to nChunks.toLong).foreach { c =>
+      assert(stagedRep.runOnce(nowUs = farFuture, limit = Some(1)) == Seq(c))
+      promoter.stageChunks(Seq(c))
+      assert(promoter.promote() == Seq(c))
+    }
 
     def canon(df: org.apache.spark.sql.DataFrame,
         schema: org.apache.spark.sql.types.StructType): Seq[String] =
       df.select(schema.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
         .collect().map(_.toString).sorted.toSeq
-    def assertTablesEqual(phase: String): Unit =
+    def assertTablesEqual(phase: String, staged: Boolean): Unit =
       for ((t, schema) <- Seq(
           "DiaObject" -> PpdbSchema.diaObject,
           "DiaSource" -> PpdbSchema.diaSource,
@@ -281,8 +298,13 @@ class JdbcPpdbSpec extends SparkSpec {
         assert(p.nonEmpty, s"$t: workload must produce rows")
         assert(p == j, s"$t diverged between backends ($phase):\n  parquet=${
           p.diff(j).take(3)}\n  jdbc=${j.diff(p).take(3)}")
+        if (staged) {
+          val s = canon(promoCat.read(spark, s"internal.$t"), schema)
+          assert(p == s, s"$t diverged parquet vs staged ($phase):\n" +
+            s"  parquet=${p.diff(s).take(3)}\n  staged=${s.diff(p).take(3)}")
+        }
       }
-    assertTablesEqual("initial replication")
+    assertTablesEqual("initial replication", staged = true)
 
     // upsert parity: the source regenerates chunk 3 (doubled counters,
     // new unique_id) — update-mode re-store must leave both backends
@@ -294,7 +316,7 @@ class JdbcPpdbSpec extends SparkSpec {
       c3.diaSources, c3.diaForcedSources, c3.updates)
     parquet.store(mod, update = true)
     jdbc.store(mod, update = true)
-    assertTablesEqual("after upsert re-store")
+    assertTablesEqual("after upsert re-store", staged = false)
   }
 
   test("duplicate-chunk race: concurrent writers resolve to exactly one copy") {
