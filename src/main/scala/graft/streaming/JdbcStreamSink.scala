@@ -86,9 +86,66 @@ final class JdbcStreamSink(url: String, table: String, schema: StructType,
     } finally conn.close()
   }
 
+  /** Keyed upsert variant — the `foreachBatch` MERGE pattern for
+    * update-mode streaming aggregates: within the SAME marker
+    * transaction, rows sharing the batch's key values are replaced
+    * (delete + insert) instead of appended, so a re-aggregated window
+    * overwrites its previous row and a replayed batch still skips
+    * cleanly. Returns true when the batch landed.
+    */
+  def applyBatchUpsert(batch: DataFrame, batchId: Long,
+      keys: Seq[String]): Boolean = {
+    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
+      s"upsert keys $keys must be columns of $schema")
+    val rows: Array[Row] =
+      batch.select(schema.fieldNames.map(col).toSeq: _*).collect()
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val probe = conn.prepareStatement(
+        s"""SELECT 1 FROM "${JdbcStreamSink.CommitsTable}"
+           | WHERE "sink_id" = ? AND "batch_id" = ?""".stripMargin)
+      val replayed =
+        try { probe.setString(1, sinkId); probe.setLong(2, batchId)
+          probe.executeQuery().next() }
+        finally probe.close()
+      if (replayed) { conn.rollback(); return false }
+      try {
+        PpdbJdbc.insertBatch(conn, JdbcStreamSink.CommitsTable,
+          JdbcStreamSink.commitsSchema,
+          Array(Row(sinkId, batchId, rows.length.toLong)))
+        val keyIdx = keys.map(schema.fieldIndex)
+        val where = keys.map(k => s""""$k" = ?""").mkString(" AND ")
+        val del = conn.prepareStatement(
+          s"""DELETE FROM "$table" WHERE $where""")
+        try {
+          rows.foreach { r =>
+            keyIdx.zipWithIndex.foreach { case (ri, i) =>
+              PpdbJdbc.setParam(del, i + 1, schema(ri).dataType, r, ri)
+            }
+            del.addBatch()
+          }
+          del.executeBatch()
+        } finally del.close()
+        PpdbJdbc.insertBatch(conn, table, schema, rows)
+        conn.commit()
+        true
+      } catch {
+        case e: java.sql.SQLException if PpdbJdbc.hasSqlState(e, "23505") =>
+          conn.rollback(); false
+        case e: Throwable => conn.rollback(); throw e
+      }
+    } finally conn.close()
+  }
+
   /** Plug into `df.writeStream.foreachBatch(sink.foreachBatchWriter)`. */
   def foreachBatchWriter: (org.apache.spark.sql.Dataset[Row], Long) => Unit =
     (batch, id) => { applyBatch(batch.toDF(), id); () }
+
+  /** `foreachBatch` writer with [[applyBatchUpsert]] semantics. */
+  def foreachBatchUpsertWriter(keys: Seq[String])
+      : (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+    (batch, id) => { applyBatchUpsert(batch.toDF(), id, keys); () }
 }
 
 object JdbcStreamSink {

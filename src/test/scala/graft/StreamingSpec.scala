@@ -956,4 +956,54 @@ class StreamingSpec extends SparkSpec {
     assert(sinkB.applyBatch(Seq(20L -> "w").toDF("event_id", "payload"), 0L))
     assert(readAll().count() == 6)
   }
+
+  test("update-mode windowed aggregate upserts into JDBC: final table " +
+      "== batch aggregation, replays skip") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    import graft.streaming.JdbcStreamSink
+    val url = graft.replicate.PpdbJdbc.derbyMemUrl(
+      s"winupsert_${System.nanoTime()}")
+    val schema = StructType(Seq(
+      StructField("window_us", LongType, nullable = false),
+      StructField("user", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    val sink = new JdbcStreamSink(url, "win_counts", schema, "winA")
+    sink.init()
+
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = src.toDF().toDF("ts", "user")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"user").count()
+      .select(unix_micros($"window.start").as("window_us"), $"user",
+        $"count".as("cnt"))
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch(sink.foreachBatchUpsertWriter(Seq("window_us", "user")))
+      .option("checkpointLocation", tmpDir("win-ckpt")).start()
+    // two micro-batches touch the SAME (window, user): the upsert must
+    // leave the refreshed count, not two rows
+    src.addData(ts(5) -> "a", ts(10) -> "a", ts(20) -> "b")
+    q.processAllAvailable()
+    src.addData(ts(40) -> "a", ts(50) -> "b")
+    q.processAllAvailable()
+    q.stop()
+
+    val stored = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "\"win_counts\"").load()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expect = Seq(ts(5) -> "a", ts(10) -> "a", ts(20) -> "b",
+        ts(40) -> "a", ts(50) -> "b").toDF("ts", "user")
+      .groupBy(window($"ts", "1 hour"), $"user").count()
+      .select(unix_micros($"window.start"), $"user", $"count")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(stored == expect, s"stored=$stored expect=$expect")
+
+    // replayed upsert batch (same id, stale counts) must skip
+    val stale = Seq((0L, "a", 1L)).toDF("window_us", "user", "cnt")
+    assert(!sink.applyBatchUpsert(stale, 0L, Seq("window_us", "user")))
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "\"win_counts\"").load().count() == stored.size)
+  }
 }
