@@ -163,13 +163,20 @@ class JdbcPpdbSpec extends SparkSpec {
     assert(err.getMessage.contains("cannot read stored 99.0.0"))
   }
 
-  test("differential: JDBC and Parquet backends converge to identical " +
-      "tables under a randomized chunk/update workload") {
-    // One seeded workload, two backends, exact table equality — the
-    // strongest evidence the per-chunk SQL transaction reproduces the
-    // Parquet backends' validity-fill + LWW-merge semantics, including
-    // multi-version-per-chunk objects and cross-chunk update records.
-    val rnd = new scala.util.Random(0xC0FFEE)
+  // Seeded workload, three backends, exact table equality — the
+  // strongest evidence the per-chunk SQL transaction and the staged
+  // promote chain reproduce the direct backend's validity-fill +
+  // LWW-merge semantics, including multi-version-per-chunk objects and
+  // cross-chunk update records. Several seeds cover different workload
+  // shapes (which objects skip chunks, which records collide).
+  for (seed <- Seq(0xC0FFEEL, 0xBEEF01L, 0xFACE42L))
+    test("differential: JDBC and Parquet backends converge to identical " +
+        s"tables under a randomized chunk/update workload (seed 0x${seed.toHexString})") {
+      differentialRun(seed)
+    }
+
+  private def differentialRun(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
     val nObjects = 12
     val nChunks = 5
     val baseMjd = 60000.0
