@@ -176,10 +176,103 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Full decode dispatch: real `javax.imageio` for image payloads and
-    * real `javax.sound.sampled` for audio payloads that parse; honest
-    * STUB for video (no codec library in this environment) and for
-    * bytes that aren't a decodable container.
+  /** REAL video CONTAINER decode: a hand-rolled RIFF-AVI parser (pure
+    * JVM — walking the chunk tree needs no codec) reads the MainAVIHeader
+    * (`avih`): width, height, total frames, and the frame rate recovered
+    * from dwMicroSecPerFrame (reported in the sampleRate slot — frames
+    * per second — when 10⁶ divides evenly, else 0). This is the honest
+    * scope without codec libraries: the container metadata a pipeline
+    * catalogs is real; PIXEL decode of the frames stays out of scope.
+    * Returns null for payloads that aren't a well-formed AVI, so
+    * [[decode]] can fall back to the stub.
+    */
+  def decodeVideo(item: MediaItem): DecodedMeta = {
+    val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+    if (bytes.length < 24) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return null
+    val riffEnd = math.min(bytes.length.toLong, 8L + (bb.getInt(4) & 0xffffffffL))
+    // walk top-level chunks; descend into LIST hdrl for avih
+    def findAvih(start: Long, end: Long): Int = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off.toInt)
+        val size = bb.getInt(off.toInt + 4) & 0xffffffffL
+        if (id == "avih") return off.toInt + 8
+        if (id == "LIST" && off + 12 <= end &&
+            fourcc(off.toInt + 8) == "hdrl") {
+          val inner = findAvih(off + 12, math.min(end, off + 8 + size))
+          if (inner >= 0) return inner
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      -1
+    }
+    val avih = findAvih(12L, riffEnd)
+    if (avih < 0 || avih + 40 > bytes.length) return null
+    val usPerFrame = bb.getInt(avih) & 0xffffffffL
+    val nFrames = bb.getInt(avih + 16)
+    val width = bb.getInt(avih + 32)
+    val height = bb.getInt(avih + 36)
+    if (width <= 0 || height <= 0 || nFrames < 0) return null
+    val fps =
+      if (usPerFrame > 0 && 1000000L % usPerFrame == 0L)
+        (1000000L / usPerFrame).toInt
+      else 0
+    DecodedMeta(item.media_id, item.kind, width = width, height = height,
+      channels = 3, sampleRate = fps, nFrames = nFrames,
+      sizeBytes = bytes.length.toLong)
+  }
+
+  /** Deterministic minimal-AVI encoder — the video twin of [[encodePng]]/
+    * [[encodeWav]]: RIFF("AVI ") → LIST(hdrl){avih} → LIST(movi){nFrames ×
+    * 00dc chunks of `frameBytes` seed-derived bytes}. [[decodeVideo]]
+    * recovers (w, h, nFrames, fps) exactly.
+    */
+  def encodeAvi(w: Int, h: Int, nFrames: Int, fps: Int, seed: Long,
+      frameBytes: Int = 16): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames >= 0 && fps > 0 && 1000000 % fps == 0,
+      s"encodeAvi needs positive dims and fps dividing 1e6, got " +
+        s"${w}x$h n=$nFrames fps=$fps")
+    val avihData = new Array[Int](14)
+    avihData(0) = 1000000 / fps // dwMicroSecPerFrame
+    avihData(4) = nFrames // dwTotalFrames
+    avihData(6) = 1 // dwStreams
+    avihData(8) = w // dwWidth
+    avihData(9) = h // dwHeight
+    val hdrlSize = 4 + 8 + 56 // "hdrl" + avih chunk
+    val frame = frameBytes + (frameBytes & 1)
+    val moviSize = 4 + nFrames * (8 + frame)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) =
+      out.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    cc("RIFF"); out.putInt(riffSize); cc("AVI ")
+    cc("LIST"); out.putInt(hdrlSize); cc("hdrl")
+    cc("avih"); out.putInt(56); avihData.foreach(out.putInt)
+    cc("LIST"); out.putInt(moviSize); cc("movi")
+    var i = 0
+    while (i < nFrames) {
+      cc("00dc"); out.putInt(frame)
+      var b = 0
+      while (b < frame) {
+        out.put((((i.toLong * 31 + b) * 2654435761L + seed) >>> 24).toByte)
+        b += 1
+      }
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Full decode dispatch: real `javax.imageio` for images, real
+    * `javax.sound.sampled` for audio, real RIFF-AVI container parsing
+    * for video; honest STUB for bytes that aren't a decodable container
+    * (and for video pixel data, which needs codecs this environment
+    * doesn't have).
     */
   private[ops] def decode(item: MediaItem): DecodedMeta =
     if (item.kind == "image") {
@@ -187,6 +280,9 @@ object Multimodal {
       if (real != null) real else stubDecode(item)
     } else if (item.kind == "audio") {
       val real = decodeAudio(item)
+      if (real != null) real else stubDecode(item)
+    } else if (item.kind == "video") {
+      val real = decodeVideo(item)
       if (real != null) real else stubDecode(item)
     } else stubDecode(item)
 

@@ -206,6 +206,34 @@ object StreamOps {
           $"nFrames".cast("long").as("n_frames"))
     }),
 
+    // REAL video container decode: synthesize a minimal RIFF-AVI per
+    // document in the executor (dims/frames/fps derived from the text),
+    // then parse the container back — MainAVIHeader fields must
+    // round-trip exactly
+    "mm8_video_decode" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.ops.Dedup.charHash($"text")
+      val dims = documents(s, d).select(
+        $"doc_id",
+        (pmod(h, lit(320L)) + 1L).cast("int").as("w"),
+        (pmod(floor(h / 320.0).cast("long"), lit(240L)) + 1L).cast("int")
+          .as("h"),
+        (pmod(floor(h / 76800.0).cast("long"), lit(200L)) + 1L).cast("int")
+          .as("n"),
+        element_at(array(lit(10), lit(20), lit(25), lit(50)),
+          (pmod(h, lit(4L)) + 1L).cast("int")).as("fps"))
+        .as[(Long, Int, Int, Int, Int)]
+      val media = dims.mapPartitions(_.map { case (id, w, hh, n, fps) =>
+        graft.ops.Multimodal.MediaItem(id, "video",
+          graft.ops.Multimodal.encodeAvi(w, hh, n, fps, id))
+      })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
+      graft.ops.Multimodal.decodeMeta(media)
+        .select($"media_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"nFrames".cast("long").as("n_frames"),
+          $"sampleRate".cast("long").as("fps"))
+    }),
+
     // multimodal feature extraction: the stub encoder's byte-histogram
     // embedding collapsed to integer invariants (dominant dimension +
     // nonzero count) the oracle can pin exactly
@@ -451,6 +479,20 @@ object StreamOps {
         |            WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
         |       CAST((CH // 4) % 2 AS BIGINT) + 1 AS channels,
         |       CAST((CH // 8) % 500 AS BIGINT) + 50 AS n_frames
+        |FROM documents""".stripMargin).replace("CH",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
+          "(acc, x) -> (acc * 31 + x) % 1000000007)"),
+
+    // the parsed MainAVIHeader must equal the derivation that sized the
+    // synthesized AVI — the oracle replays that arithmetic
+    "mm8_video_decode" ->
+      ("""SELECT doc_id AS media_id,
+        |       (CH % 320) + 1 AS width,
+        |       CAST((CH // 320) % 240 AS BIGINT) + 1 AS height,
+        |       CAST((CH // 76800) % 200 AS BIGINT) + 1 AS n_frames,
+        |       CAST(CASE CH % 4 WHEN 0 THEN 10 WHEN 1 THEN 20
+        |            WHEN 2 THEN 25 ELSE 50 END AS BIGINT) AS fps
         |FROM documents""".stripMargin).replace("CH",
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +

@@ -145,6 +145,35 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(63L).kind == "video" && meta(63L).sampleRate == 0)
   }
 
+  test("real video container decode: generated AVIs round-trip exactly " +
+      "through the RIFF parser; non-AVI bytes fall back to the stub") {
+    // container-level losslessness of the encode/decode pair
+    val avi = Multimodal.encodeAvi(w = 320, h = 240, nFrames = 123,
+      fps = 25, seed = 42L)
+    val meta0 = Multimodal.decodeVideo(MediaItem(1L, "video", avi))
+    assert(meta0.width == 320 && meta0.height == 240 &&
+      meta0.nFrames == 123 && meta0.sampleRate == 25)
+    // zero-frame AVI is well-formed too
+    val empty = Multimodal.decodeVideo(MediaItem(2L, "video",
+      Multimodal.encodeAvi(16, 16, 0, 50, 7L)))
+    assert(empty.nFrames == 0 && empty.width == 16)
+    // the Dataset decode path reports the real container header...
+    val rows = Seq(
+      (70L, "video", Multimodal.encodeAvi(64, 48, 9, 10, 3L)),
+      (71L, "video", "RIFFnope".getBytes("UTF-8")), // stub fallback
+      (72L, "image", Multimodal.encodeAvi(8, 8, 1, 25, 1L))) // kind wins
+    val media = Multimodal.asMedia(rows.toDF("id", "kind", "payload"),
+      "id", $"kind", $"payload")
+    val meta = Multimodal.decodeMeta(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(70L).width == 64 && meta(70L).height == 48 &&
+      meta(70L).nFrames == 9 && meta(70L).sampleRate == 10)
+    // ...while undecodable bytes and non-video kinds keep stub semantics
+    assert(meta(71L).sampleRate == 0 && meta(71L).nFrames >= 1 &&
+      meta(71L).width <= 640)
+    assert(meta(72L).kind == "image" && meta(72L).channels == 3)
+  }
+
   test("featureSummary: dominant dimension with lowest-index ties, " +
       "nonzero count") {
     // craft payloads with known byte histograms mod 4
