@@ -374,6 +374,68 @@ object Multimodal {
     })
   }
 
+  /** REAL frame demux for AVI payloads: walk the `movi` LIST and emit
+    * every `stride`-th video-data chunk (`??dc`/`??db`) as a Frame row —
+    * the payload bytes are the ACTUAL stored frame data, byte for byte
+    * (spec round-trips them against [[encodeAvi]]'s generator). Non-AVI
+    * payloads fall back to the byte-window stub splitter, so the 1→N
+    * contract is total. Partition-local like [[sampleFrames]].
+    */
+  def demuxFrames(items: Dataset[MediaItem], stride: Int): Dataset[Frame] = {
+    require(stride > 0, s"demuxFrames needs stride >= 1, got $stride")
+    implicit val enc = Encoders.product[Frame]
+    items.filter(_.kind == "video").mapPartitions(_.flatMap { item =>
+      val frames = aviFrames(item)
+      if (frames != null)
+        frames.zipWithIndex.collect {
+          case (f, i) if i % stride == 0 => Frame(item.media_id, i, f)
+        }.iterator
+      else {
+        val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+        val nFrames = math.max(1, bytes.length / 256)
+        (0 until nFrames by stride).iterator.map { f =>
+          Frame(item.media_id, f, bytes.slice(f * 256, (f + 1) * 256))
+        }
+      }
+    })
+  }
+
+  /** The stored frame chunks of an AVI payload in stream order, or null
+    * when the payload is not a well-formed AVI with a movi list.
+    */
+  private[ops] def aviFrames(item: MediaItem): Seq[Array[Byte]] = {
+    val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+    if (bytes.length < 24) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return null
+    val riffEnd = math.min(bytes.length.toLong, 8L + (bb.getInt(4) & 0xffffffffL))
+    var off = 12L
+    while (off + 8 <= riffEnd) {
+      val id = fourcc(off.toInt)
+      val size = bb.getInt(off.toInt + 4) & 0xffffffffL
+      if (id == "LIST" && off + 12 <= riffEnd && fourcc(off.toInt + 8) == "movi") {
+        val end = math.min(riffEnd, off + 8 + size)
+        var f = off + 12
+        val out = Seq.newBuilder[Array[Byte]]
+        while (f + 8 <= end) {
+          val fid = fourcc(f.toInt)
+          val fsize = bb.getInt(f.toInt + 4) & 0xffffffffL
+          if ((fid.endsWith("dc") || fid.endsWith("db")) &&
+              f + 8 + fsize <= end)
+            out += java.util.Arrays.copyOfRange(bytes, f.toInt + 8,
+              (f + 8 + fsize).toInt)
+          f += 8 + fsize + (fsize & 1)
+        }
+        return out.result()
+      }
+      off += 8 + size + (size & 1)
+    }
+    null
+  }
+
   /** Resize stub: metadata-only transform (a real impl rewrites payload
     * bytes; the pipeline contract — pure function of (payload, target
     * size) — is identical).

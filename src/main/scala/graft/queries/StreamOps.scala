@@ -234,6 +234,29 @@ object StreamOps {
           $"sampleRate".cast("long").as("fps"))
     }),
 
+    // REAL frame demux: every 3rd stored 00dc chunk of the synthesized
+    // AVIs comes back as a Frame row (payload bytes are the actual
+    // stored frame data — spec round-trips them; the gate pins the
+    // index/size contract)
+    "mm9_frame_demux" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.ops.Dedup.charHash($"text")
+      val dims = documents(s, d).select(
+        $"doc_id",
+        (pmod(floor(h / 76800.0).cast("long"), lit(200L)) + 1L).cast("int")
+          .as("n"),
+        element_at(array(lit(10), lit(20), lit(25), lit(50)),
+          (pmod(h, lit(4L)) + 1L).cast("int")).as("fps"))
+        .as[(Long, Int, Int)]
+      val media = dims.mapPartitions(_.map { case (id, n, fps) =>
+        graft.ops.Multimodal.MediaItem(id, "video",
+          graft.ops.Multimodal.encodeAvi(32, 24, n, fps, id))
+      })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
+      graft.ops.Multimodal.demuxFrames(media, stride = 3)
+        .select($"media_id", $"frameIndex".cast("long").as("frame_index"),
+          octet_length($"payload").cast("long").as("frame_bytes"))
+    }),
+
     // multimodal feature extraction: the stub encoder's byte-histogram
     // embedding collapsed to integer invariants (dominant dimension +
     // nonzero count) the oracle can pin exactly
@@ -494,6 +517,16 @@ object StreamOps {
         |       CAST(CASE CH % 4 WHEN 0 THEN 10 WHEN 1 THEN 20
         |            WHEN 2 THEN 25 ELSE 50 END AS BIGINT) AS fps
         |FROM documents""".stripMargin).replace("CH",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
+          "(acc, x) -> (acc * 31 + x) % 1000000007)"),
+
+    "mm9_frame_demux" ->
+      ("""SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_index,
+        |       CAST(16 AS BIGINT) AS frame_bytes
+        |FROM documents,
+        |     unnest(range(0, CAST((CH // 76800) % 200 AS BIGINT) + 1, 3))
+        |       AS t(f)""".stripMargin).replace("CH",
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
           "(acc, x) -> (acc * 31 + x) % 1000000007)"),

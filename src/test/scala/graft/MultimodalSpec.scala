@@ -174,6 +174,31 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(72L).kind == "image" && meta(72L).channels == 3)
   }
 
+  test("demuxFrames: stored AVI frame chunks round-trip bit-exactly; " +
+      "stride filters; non-AVI video falls back to the byte-window stub") {
+    val avi = Multimodal.encodeAvi(w = 8, h = 8, nFrames = 7, fps = 25,
+      seed = 5L, frameBytes = 16)
+    val rows = Seq(
+      (80L, "video", avi),
+      (81L, "video", ("x" * 800).getBytes("UTF-8")), // stub: 3 windows
+      (82L, "audio", avi)) // kind filter: no rows
+    val media = Multimodal.asMedia(rows.toDF("id", "kind", "payload"),
+      "id", $"kind", $"payload")
+    val frames = Multimodal.demuxFrames(media, stride = 2).collect()
+      .groupBy(_.media_id)
+    // every 2nd of 7 frames: indexes 0,2,4,6 — with the EXACT stored bytes
+    assert(frames(80L).map(_.frameIndex).sorted.toSeq == Seq(0, 2, 4, 6))
+    frames(80L).foreach { f =>
+      val want = Array.tabulate[Byte](16)(b =>
+        (((f.frameIndex.toLong * 31 + b) * 2654435761L + 5L) >>> 24).toByte)
+      assert(java.util.Arrays.equals(f.payload, want),
+        s"frame ${f.frameIndex} bytes must equal the generator's")
+    }
+    // stub fallback: 800 bytes / 256 → 3 windows at stride 2 → index 0 and 2
+    assert(frames(81L).map(_.frameIndex).sorted.toSeq == Seq(0, 2))
+    assert(!frames.contains(82L), "non-video kinds emit nothing")
+  }
+
   test("featureSummary: dominant dimension with lowest-index ties, " +
       "nonzero count") {
     // craft payloads with known byte histograms mod 4
