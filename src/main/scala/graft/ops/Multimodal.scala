@@ -436,6 +436,153 @@ object Multimodal {
     null
   }
 
+  /** Deterministic UNCOMPRESSED AVI encoder — the full-fidelity video
+    * fixture: a proper stream header pair (strh 'vids'/'DIB ', strf =
+    * 40-byte BITMAPINFOHEADER with biCompression=0 BI_RGB, 24bpp) and
+    * every frame a raw bottom-up BGR bitmap with 4-byte-aligned row
+    * stride, pixel (x, y, frame) a pure function of the seed. BI_RGB
+    * frames need NO codec, so [[decodeVideoFrame]] recovers these exact
+    * pixels.
+    */
+  def encodeAviRgb(w: Int, h: Int, nFrames: Int, fps: Int,
+      seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames >= 0 && fps > 0 && 1000000 % fps == 0,
+      s"encodeAviRgb needs positive dims and fps dividing 1e6, got " +
+        s"${w}x$h n=$nFrames fps=$fps")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameSize = stride * h
+    val strhSize = 56
+    val strfSize = 40
+    val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + nFrames * (8 + frameSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) =
+      out.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    cc("RIFF"); out.putInt(riffSize); cc("AVI ")
+    cc("LIST"); out.putInt(hdrlSize); cc("hdrl")
+    cc("avih"); out.putInt(56)
+    val avih = new Array[Int](14)
+    avih(0) = 1000000 / fps; avih(4) = nFrames; avih(6) = 1
+    avih(7) = frameSize; avih(8) = w; avih(9) = h
+    avih.foreach(out.putInt)
+    cc("LIST"); out.putInt(strlSize); cc("strl")
+    cc("strh"); out.putInt(strhSize)
+    cc("vids"); cc("DIB ")
+    out.putInt(0); out.putInt(0); out.putInt(0) // flags, prio+lang, initial
+    out.putInt(1); out.putInt(fps) // dwScale, dwRate → fps
+    out.putInt(0); out.putInt(nFrames) // start, length
+    out.putInt(frameSize); out.putInt(-1) // bufSize, quality
+    out.putInt(frameSize) // sampleSize
+    out.putShort(0); out.putShort(0); out.putShort(w.toShort); out.putShort(h.toShort)
+    cc("strf"); out.putInt(strfSize)
+    out.putInt(40); out.putInt(w); out.putInt(h) // biSize, biWidth, biHeight
+    out.putShort(1); out.putShort(24) // biPlanes, biBitCount
+    out.putInt(0); out.putInt(frameSize) // biCompression=BI_RGB, biSizeImage
+    out.putInt(0); out.putInt(0); out.putInt(0); out.putInt(0)
+    cc("LIST"); out.putInt(moviSize); cc("movi")
+    var f = 0
+    while (f < nFrames) {
+      cc("00db"); out.putInt(frameSize)
+      var y = h - 1 // bottom-up row order
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = pixelValue(x, y, f, seed)
+          out.put((v & 0xff).toByte) // B
+          out.put(((v >> 8) & 0xff).toByte) // G
+          out.put(((v >> 16) & 0xff).toByte) // R
+          x += 1
+        }
+        var pad = w * 3
+        while (pad < stride) { out.put(0.toByte); pad += 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** The generator behind [[encodeAviRgb]]'s pixels: 24-bit RGB of
+    * (x, y, frame, seed).
+    */
+  def pixelValue(x: Int, y: Int, frame: Int, seed: Long): Int =
+    (((x * 31L + y * 17L + frame * 7001L + seed) * 2654435761L) >>> 24).toInt & 0xffffff
+
+  /** REAL pixel decode of one stored frame — valid for uncompressed
+    * (BI_RGB 24bpp) AVI payloads, where a frame IS a raw bottom-up BGR
+    * bitmap: returns the row-major top-down 0xRRGGBB pixel array, or
+    * null when the payload isn't such an AVI (compressed formats need
+    * codec libraries — that boundary is the remaining honest stub).
+    */
+  def decodeVideoFrame(item: MediaItem, frameIndex: Int): Array[Int] = {
+    val meta = decodeVideo(item)
+    if (meta == null) return null
+    val fmt = aviBitmapInfo(item)
+    if (fmt == null) return null
+    val (w, h, bpp, compression) = fmt
+    if (bpp != 24 || compression != 0) return null
+    val frames = aviFrames(item)
+    if (frames == null || frameIndex < 0 || frameIndex >= frames.length)
+      return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    val data = frames(frameIndex)
+    if (data.length < stride * h) return null
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val row = (h - 1 - y) * stride // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val b = data(row + x * 3) & 0xff
+        val g = data(row + x * 3 + 1) & 0xff
+        val r = data(row + x * 3 + 2) & 0xff
+        out(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** (biWidth, biHeight, biBitCount, biCompression) from the first
+    * video stream's BITMAPINFOHEADER (strf inside LIST strl inside LIST
+    * hdrl), or null when absent.
+    */
+  private[ops] def aviBitmapInfo(item: MediaItem): (Int, Int, Int, Int) = {
+    val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+    if (bytes.length < 24) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return null
+    val riffEnd = math.min(bytes.length.toLong, 8L + (bb.getInt(4) & 0xffffffffL))
+    def findStrf(start: Long, end: Long): Int = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off.toInt)
+        val size = bb.getInt(off.toInt + 4) & 0xffffffffL
+        if (id == "strf") return off.toInt + 8
+        if (id == "LIST" && off + 12 <= end) {
+          val lt = fourcc(off.toInt + 8)
+          if (lt == "hdrl" || lt == "strl") {
+            val inner = findStrf(off + 12, math.min(end, off + 8 + size))
+            if (inner >= 0) return inner
+          }
+        }
+        off += 8 + size + (size & 1)
+      }
+      -1
+    }
+    val strf = findStrf(12L, riffEnd)
+    if (strf < 0 || strf + 20 > bytes.length) return null
+    (bb.getInt(strf + 4), bb.getInt(strf + 8),
+      bb.getShort(strf + 14).toInt, bb.getInt(strf + 16))
+  }
+
   /** Resize stub: metadata-only transform (a real impl rewrites payload
     * bytes; the pipeline contract — pure function of (payload, target
     * size) — is identical).

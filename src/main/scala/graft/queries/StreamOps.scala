@@ -257,6 +257,29 @@ object StreamOps {
           octet_length($"payload").cast("long").as("frame_bytes"))
     }),
 
+    // REAL pixel decode end-to-end: an uncompressed (BI_RGB) AVI per
+    // document, every frame's decoded pixels summed — the oracle replays
+    // the pixel generator arithmetic independently, so the whole
+    // encode→demux→bottom-up-BGR-decode chain must be bit-faithful
+    "mm10_pixel_checksum" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          graft.ops.Multimodal.MediaItem(id, "video",
+            graft.ops.Multimodal.encodeAviRgb(8, 6, 2, 25, id))
+        })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
+      media.mapPartitions(_.flatMap { item =>
+        (0 until 2).iterator.map { f =>
+          val px = graft.ops.Multimodal.decodeVideoFrame(item, f)
+          (item.media_id, f.toLong, px.map(_.toLong).sum)
+        }
+      })(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("media_id", "frame_index", "pix_sum")
+    }),
+
     // multimodal feature extraction: the stub encoder's byte-histogram
     // embedding collapsed to integer invariants (dominant dimension +
     // nonzero count) the oracle can pin exactly
@@ -530,6 +553,20 @@ object StreamOps {
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
           "(acc, x) -> (acc * 31 + x) % 1000000007)"),
+
+    // the pixel generator is pure integer arithmetic: value =
+    // ((x*31+y*17+f*7001+seed)*2654435761 >> 24) mod 2^24, no 64-bit
+    // wraparound at these magnitudes — so the oracle recomputes every
+    // pixel of every frame and sums
+    "mm10_pixel_checksum" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_index,
+        |       CAST(SUM(((x*31 + y*17 + f*7001 + doc_id) * 2654435761
+        |         // 16777216) % 16777216) AS BIGINT) AS pix_sum
+        |FROM documents,
+        |     unnest(range(0, 8)) AS tx(x),
+        |     unnest(range(0, 6)) AS ty(y),
+        |     unnest(range(0, 2)) AS tf(f)
+        |GROUP BY 1, 2""".stripMargin,
 
     "mm5_feature_argmax" ->
       """WITH c AS (

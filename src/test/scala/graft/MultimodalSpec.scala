@@ -199,6 +199,31 @@ class MultimodalSpec extends SparkSpec {
     assert(!frames.contains(82L), "non-video kinds emit nothing")
   }
 
+  test("real pixel decode for uncompressed (BI_RGB) AVI frames: every " +
+      "pixel of every frame round-trips; format guards return null") {
+    // w=13 → row stride pads 39 → 40 bytes: the alignment edge
+    val avi = Multimodal.encodeAviRgb(w = 13, h = 9, nFrames = 3, fps = 25,
+      seed = 11L)
+    val item = MediaItem(1L, "video", avi)
+    val meta = Multimodal.decodeVideo(item)
+    assert(meta.width == 13 && meta.height == 9 && meta.nFrames == 3 &&
+      meta.sampleRate == 25)
+    for (f <- 0 until 3) {
+      val px = Multimodal.decodeVideoFrame(item, f)
+      assert(px.length == 13 * 9)
+      for (y <- 0 until 9; x <- 0 until 13)
+        assert(px(y * 13 + x) == Multimodal.pixelValue(x, y, f, 11L),
+          s"pixel ($x,$y) frame $f")
+    }
+    // guards: out-of-range frame; header-only AVI carries no strf, so no
+    // pixel claim is made for it
+    assert(Multimodal.decodeVideoFrame(item, 3) == null)
+    val minimal = MediaItem(2L, "video", Multimodal.encodeAvi(8, 8, 2, 25, 1L))
+    assert(Multimodal.decodeVideo(minimal) != null, "container metadata ok")
+    assert(Multimodal.decodeVideoFrame(minimal, 0) == null,
+      "no BITMAPINFOHEADER -> pixel decode declines")
+  }
+
   test("featureSummary: dominant dimension with lowest-index ties, " +
       "nonzero count") {
     // craft payloads with known byte histograms mod 4
