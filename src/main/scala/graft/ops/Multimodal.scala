@@ -583,6 +583,116 @@ object Multimodal {
       bb.getShort(strf + 14).toInt, bb.getInt(strf + 16))
   }
 
+  /** REAL payload-rewriting resize for uncompressed AVI video: clamp the
+    * long side to `maxSide` (aspect floor-preserved, ≥1 — the same rule
+    * as [[resizeMeta]]) and re-encode every frame by integer
+    * nearest-neighbor sampling — target pixel (x, y) reads source pixel
+    * (x·w÷w2, y·h÷h2), integer division, so the transform is exactly
+    * replayable with no float scale anywhere. Already-small or
+    * non-BI_RGB payloads pass through untouched (a codec-bearing impl
+    * would transcode; this engine declines rather than guesses).
+    * Partition-local map, like every codec step here.
+    */
+  def resizeVideo(items: Dataset[MediaItem], maxSide: Int): Dataset[MediaItem] = {
+    require(maxSide > 0, s"resizeVideo needs maxSide >= 1, got $maxSide")
+    implicit val enc = Encoders.product[MediaItem]
+    items.map { item =>
+      if (item.kind != "video") item
+      else {
+        val resized = resizeAviRgb(item, maxSide)
+        if (resized == null) item else item.copy(payload = resized)
+      }
+    }
+  }
+
+  /** One payload's resize, or null when not applicable (not BI_RGB,
+    * malformed, or already within `maxSide`).
+    */
+  private[ops] def resizeAviRgb(item: MediaItem, maxSide: Int): Array[Byte] = {
+    val meta = decodeVideo(item)
+    if (meta == null) return null
+    val fmt = aviBitmapInfo(item)
+    if (fmt == null || fmt._3 != 24 || fmt._4 != 0) return null
+    val (w, h) = (meta.width, meta.height)
+    val s = math.max(w, h)
+    if (s <= maxSide) return null
+    // the resizeMeta rule: scale both sides by maxSide/s, floor, >= 1
+    val w2 = math.max(1, w * maxSide / s)
+    val h2 = math.max(1, h * maxSide / s)
+    val frames = aviFrames(item)
+    if (frames == null) return null
+    val srcStride = ((w * 3 + 3) / 4) * 4
+    val dstStride = ((w2 * 3 + 3) / 4) * 4
+    val frameSize = dstStride * h2
+    val out = new Array[Array[Byte]](frames.length)
+    var f = 0
+    while (f < frames.length) {
+      val src = frames(f)
+      if (src.length < srcStride * h) return null
+      val dst = new Array[Byte](frameSize)
+      var y = 0
+      while (y < h2) {
+        val sy = y * h / h2
+        var x = 0
+        while (x < w2) {
+          val sx = x * w / w2
+          // rows are stored bottom-up in both source and target
+          val so = (h - 1 - sy) * srcStride + sx * 3
+          val do_ = (h2 - 1 - y) * dstStride + x * 3
+          dst(do_) = src(so); dst(do_ + 1) = src(so + 1); dst(do_ + 2) = src(so + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out(f) = dst
+      f += 1
+    }
+    rebuildAviRgb(w2, h2, meta.sampleRate, out)
+  }
+
+  /** Assemble an uncompressed AVI from decoded-frame byte planes (the
+    * writer half shared by [[encodeAviRgb]]'s fixture and
+    * [[resizeAviRgb]]'s transform).
+    */
+  private def rebuildAviRgb(w: Int, h: Int, fps: Int,
+      frames: Array[Array[Byte]]): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameSize = stride * h
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + frames.length * (8 + frameSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) =
+      out.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val usPerFrame = if (fps > 0) 1000000 / fps else 0
+    cc("RIFF"); out.putInt(riffSize); cc("AVI ")
+    cc("LIST"); out.putInt(hdrlSize); cc("hdrl")
+    cc("avih"); out.putInt(56)
+    val avih = new Array[Int](14)
+    avih(0) = usPerFrame; avih(4) = frames.length; avih(6) = 1
+    avih(7) = frameSize; avih(8) = w; avih(9) = h
+    avih.foreach(out.putInt)
+    cc("LIST"); out.putInt(strlSize); cc("strl")
+    cc("strh"); out.putInt(56)
+    cc("vids"); cc("DIB ")
+    out.putInt(0); out.putInt(0); out.putInt(0)
+    out.putInt(1); out.putInt(math.max(1, fps))
+    out.putInt(0); out.putInt(frames.length)
+    out.putInt(frameSize); out.putInt(-1)
+    out.putInt(frameSize)
+    out.putShort(0); out.putShort(0); out.putShort(w.toShort); out.putShort(h.toShort)
+    cc("strf"); out.putInt(40)
+    out.putInt(40); out.putInt(w); out.putInt(h)
+    out.putShort(1); out.putShort(24)
+    out.putInt(0); out.putInt(frameSize)
+    out.putInt(0); out.putInt(0); out.putInt(0); out.putInt(0)
+    cc("LIST"); out.putInt(moviSize); cc("movi")
+    frames.foreach { fr => cc("00db"); out.putInt(frameSize); out.put(fr, 0, frameSize) }
+    out.array()
+  }
+
   /** Resize stub: metadata-only transform (a real impl rewrites payload
     * bytes; the pipeline contract — pure function of (payload, target
     * size) — is identical).

@@ -280,6 +280,37 @@ object StreamOps {
         .toDF("media_id", "frame_index", "pix_sum")
     }),
 
+    // REAL video resize end-to-end: per-doc-sized RGB AVIs clamped to a
+    // 5-pixel long side by integer nearest-neighbor; the oracle replays
+    // the sampling map (x·w÷w2, y·h÷h2 — integer division throughout)
+    // against the pixel generator, so the payload-rewriting transform
+    // must be bit-faithful
+    "mm11_resize_checksum" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.ops.Dedup.charHash($"text")
+      val dims = documents(s, d).select(
+        $"doc_id",
+        (pmod(h, lit(20L)) + 6L).cast("int").as("w"),
+        (pmod(floor(h / 20.0).cast("long"), lit(15L)) + 6L).cast("int")
+          .as("h")).as[(Long, Int, Int)]
+      val media = dims.mapPartitions(_.map { case (id, w, hh) =>
+        graft.ops.Multimodal.MediaItem(id, "video",
+          graft.ops.Multimodal.encodeAviRgb(w, hh, 2, 25, id))
+      })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
+      graft.ops.Multimodal.resizeVideo(media, maxSide = 5)
+        .mapPartitions(_.flatMap { item =>
+          val meta = graft.ops.Multimodal.decodeVideo(item)
+          (0 until meta.nFrames).iterator.map { f =>
+            val px = graft.ops.Multimodal.decodeVideoFrame(item, f)
+            (item.media_id, f.toLong, px.map(_.toLong).sum)
+          }
+        })(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("media_id", "frame_index", "pix_sum")
+    }),
+
     // multimodal feature extraction: the stub encoder's byte-histogram
     // embedding collapsed to integer invariants (dominant dimension +
     // nonzero count) the oracle can pin exactly
@@ -567,6 +598,29 @@ object StreamOps {
         |     unnest(range(0, 6)) AS ty(y),
         |     unnest(range(0, 2)) AS tf(f)
         |GROUP BY 1, 2""".stripMargin,
+
+    "mm11_resize_checksum" ->
+      ("""WITH m AS (
+        |  SELECT doc_id, (CH % 20) + 6 AS w,
+        |         CAST((CH // 20) % 15 AS BIGINT) + 6 AS h
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, w, h,
+        |         greatest(1, w * 5 // greatest(w, h)) AS w2,
+        |         greatest(1, h * 5 // greatest(w, h)) AS h2
+        |  FROM m)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_index,
+        |       CAST(SUM((((x2 * w // w2) * 31 + (y2 * h // h2) * 17
+        |         + f * 7001 + doc_id) * 2654435761 // 16777216)
+        |         % 16777216) AS BIGINT) AS pix_sum
+        |FROM d,
+        |     unnest(range(0, 2)) AS tf(f),
+        |     unnest(range(0, w2)) AS tx(x2),
+        |     unnest(range(0, h2)) AS ty(y2)
+        |GROUP BY 1, 2""".stripMargin).replace("CH",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
+          "(acc, x) -> (acc * 31 + x) % 1000000007)"),
 
     "mm5_feature_argmax" ->
       """WITH c AS (

@@ -224,6 +224,37 @@ class MultimodalSpec extends SparkSpec {
       "no BITMAPINFOHEADER -> pixel decode declines")
   }
 
+  test("real video resize: frames re-encoded by integer nearest-neighbor; " +
+      "pass-through for small, non-RGB, and non-video items") {
+    val avi = Multimodal.encodeAviRgb(w = 20, h = 10, nFrames = 3, fps = 25,
+      seed = 9L)
+    val rows = Seq(
+      (90L, "video", avi),
+      (91L, "video", Multimodal.encodeAvi(8, 8, 2, 25, 1L)), // no strf
+      (92L, "audio", avi))
+    val media = Multimodal.asMedia(rows.toDF("id", "kind", "payload"),
+      "id", $"kind", $"payload")
+    val resized = Multimodal.resizeVideo(media, maxSide = 5).collect()
+      .map(m => m.media_id -> m).toMap
+    val m90 = Multimodal.decodeVideo(resized(90L))
+    assert(m90.width == 5 && m90.height == 2 && m90.nFrames == 3 &&
+      m90.sampleRate == 25, s"$m90")
+    // every target pixel is the exact source pixel at (x*w/w2, y*h/h2)
+    for (f <- 0 until 3) {
+      val px = Multimodal.decodeVideoFrame(resized(90L), f)
+      for (y <- 0 until 2; x <- 0 until 5)
+        assert(px(y * 5 + x) ==
+          Multimodal.pixelValue(x * 20 / 5, y * 10 / 2, f, 9L),
+          s"pixel ($x,$y) frame $f")
+    }
+    // header-only AVI (no BITMAPINFOHEADER) and non-video kinds pass
+    // through byte-identical; an already-small payload would too
+    assert(java.util.Arrays.equals(resized(91L).payload,
+      rows(1)._3), "non-RGB passes through")
+    assert(java.util.Arrays.equals(resized(92L).payload, avi),
+      "non-video kind untouched")
+  }
+
   test("featureSummary: dominant dimension with lowest-index ties, " +
       "nonzero count") {
     // craft payloads with known byte histograms mod 4
