@@ -202,7 +202,31 @@ object PlanAudit {
       "phrase probe: per-term posting rows equi-join on doc_id; the " +
         "position algebra is projection-level (no extra shuffle, no " +
         "cartesian)",
-      p => isEquiJoin(p) && !p.contains("CartesianProduct")))
+      p => isEquiJoin(p) && !p.contains("CartesianProduct")),
+    Check("sim11_sq_topk",
+      "SQ8 probe scans the code table only — no join of any kind, " +
+        "decode+distance in projection, top-k without a full sort",
+      p => p.contains("TakeOrderedAndProject") && !p.contains("Join") &&
+        !p.contains("Exchange hashpartitioning")),
+    Check("ts30_dsir_select",
+      "DSIR scoring: bigrams equi-join both frozen LM tables, " +
+        "selection is a global TakeOrdered — never a nested loop",
+      p => isEquiJoin(p) && !p.contains("CartesianProduct") &&
+        p.contains("TakeOrderedAndProject")),
+    Check("ts31_hybrid_rrf",
+      "hybrid RRF: each side cuts to a TakeOrdered shortlist before " +
+        "fusion; the fusion join runs on shortlists — the only nested " +
+        "loop is BM25's 1-row corpus-stats cross join (ts18's shape)",
+      p => p.contains("TakeOrderedAndProject") &&
+        !p.contains("CartesianProduct") &&
+        "BroadcastNestedLoopJoin (?!Cross)".r.findFirstIn(p).isEmpty),
+    Check("mm12_image_resize",
+      "render + resize + re-decode is one map-only pass (no shuffle)",
+      p => !p.contains("Exchange") && !p.contains("SortExec")),
+    Check("mm13_audio_decimate",
+      "synthesize + decimate + re-decode is one map-only pass (no " +
+        "shuffle)",
+      p => !p.contains("Exchange") && !p.contains("SortExec")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

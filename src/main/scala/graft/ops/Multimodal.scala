@@ -44,7 +44,7 @@ object Multimodal {
     * raster, channels = raster band count. Returns null when the payload
     * is not a parseable image, so [[decode]] can fall back to the stub.
     */
-  private[ops] def decodeImage(item: MediaItem): DecodedMeta = {
+  def decodeImage(item: MediaItem): DecodedMeta = {
     val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
     if (bytes.isEmpty) null
     else {
@@ -89,7 +89,7 @@ object Multimodal {
     * decoded"). Returns null when the payload is not a parseable audio
     * container, so [[decode]] can fall back to the stub.
     */
-  private[ops] def decodeAudio(item: MediaItem): DecodedMeta = {
+  def decodeAudio(item: MediaItem): DecodedMeta = {
     val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
     if (bytes.isEmpty) null
     else {
@@ -691,6 +691,156 @@ object Multimodal {
     cc("LIST"); out.putInt(moviSize); cc("movi")
     frames.foreach { fr => cc("00db"); out.putInt(frameSize); out.put(fr, 0, frameSize) }
     out.array()
+  }
+
+  /** Row-major top-down 0xRRGGBB pixel array of an image payload
+    * decoded through `javax.imageio`, or null when the payload isn't a
+    * decodable image — the image twin of [[decodeVideoFrame]].
+    */
+  def decodeImagePixels(item: MediaItem): Array[Int] = {
+    val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+    if (bytes.isEmpty) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = img.getRGB(x, y) & 0xffffff
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL payload-rewriting resize for image payloads — the image twin
+    * of [[resizeVideo]]: clamp the long side to `maxSide` with the same
+    * integer rule (w·maxSide÷s, floor, ≥1) and re-encode through
+    * lossless PNG by integer nearest-neighbor sampling — target pixel
+    * (x, y) reads source pixel (x·w÷w2, y·h÷h2), integer division, no
+    * float scale anywhere, so the transform is exactly replayable.
+    * Undecodable or already-small payloads pass through untouched.
+    * Partition-local map, like every codec step here.
+    */
+  def resizeImage(items: Dataset[MediaItem], maxSide: Int): Dataset[MediaItem] = {
+    require(maxSide > 0, s"resizeImage needs maxSide >= 1, got $maxSide")
+    implicit val enc = Encoders.product[MediaItem]
+    items.map { item =>
+      if (item.kind != "image") item
+      else {
+        val resized = resizePng(item, maxSide)
+        if (resized == null) item else item.copy(payload = resized)
+      }
+    }
+  }
+
+  /** One image payload's resize, or null when not applicable
+    * (undecodable or already within `maxSide`).
+    */
+  private[ops] def resizePng(item: MediaItem, maxSide: Int): Array[Byte] = {
+    val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+    if (bytes.isEmpty) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    val s = math.max(w, h)
+    if (s <= maxSide) return null
+    val w2 = math.max(1, w * maxSide / s)
+    val h2 = math.max(1, h * maxSide / s)
+    val dst = new java.awt.image.BufferedImage(w2, h2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h2) {
+      val sy = y * h / h2
+      var x = 0
+      while (x < w2) {
+        dst.setRGB(x, y, img.getRGB(x * w / w2, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL payload-rewriting sample-rate reduction for audio payloads:
+    * keep every `factor`-th PCM frame (all channels — plain decimation,
+    * the integer-exact end of a resampler) and re-encode as PCM16
+    * little-endian WAV at rate÷factor. The kept samples are the SOURCE
+    * samples bit for bit, so the transform is exactly replayable.
+    * Non-PCM16 or undecodable payloads pass through untouched.
+    * Partition-local map, like every codec step here.
+    */
+  def decimateAudio(items: Dataset[MediaItem], factor: Int): Dataset[MediaItem] = {
+    require(factor > 0, s"decimateAudio needs factor >= 1, got $factor")
+    implicit val enc = Encoders.product[MediaItem]
+    items.map { item =>
+      if (item.kind != "audio") item
+      else {
+        val decimated = decimateWav(item, factor)
+        if (decimated == null) item else item.copy(payload = decimated)
+      }
+    }
+  }
+
+  /** One audio payload's decimation, or null when not applicable
+    * (undecodable, not PCM16, or empty).
+    */
+  private[ops] def decimateWav(item: MediaItem, factor: Int): Array[Byte] = {
+    val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+    if (bytes.isEmpty) return null
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val ch = fmt.getChannels
+        if (fmt.getSampleSizeInBits != 16 || fmt.getFrameSize != ch * 2)
+          return null
+        val pcm = in.readAllBytes()
+        val big = fmt.isBigEndian
+        val nFrames = pcm.length / (2 * ch)
+        if (nFrames == 0) return null
+        val nKept = (nFrames + factor - 1) / factor
+        val data = new Array[Byte](nKept * ch * 2)
+        var k = 0
+        var i = 0
+        while (i < nFrames) {
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            val lo = pcm(off) & 0xff
+            val hi = pcm(off + 1) & 0xff
+            val v = if (big) (lo << 8) | hi else (hi << 8) | lo
+            data(k) = (v & 0xff).toByte
+            data(k + 1) = ((v >> 8) & 0xff).toByte
+            k += 2
+            c += 1
+          }
+          i += factor
+        }
+        val sr2 = math.max(1, math.round(fmt.getSampleRate) / factor)
+        val outFmt = new javax.sound.sampled.AudioFormat(sr2.toFloat, 16,
+          ch, true, false)
+        val stream = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), outFmt, nKept.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(stream,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+    }
   }
 
   /** Resize stub: metadata-only transform (a real impl rewrites payload

@@ -337,6 +337,86 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------ scalar quantization (SQ8)
+
+  /** Per-dimension (min, max) of the corpus — the training pass of SQ8
+    * scalar quantization. One posexplode scan + one `dims`-row shuffle
+    * (sketch-sized output: 64 rows at dims = 64, regardless of corpus
+    * size); the result is an index sidecar collected driver-side and
+    * embedded as literals, the same discipline as the IVF centroid and
+    * PQ codebook tables. min/max are order-independent exact aggregates,
+    * so the quantizer is bit-reproducible in portable SQL.
+    */
+  def sqParams(df: DataFrame, vecCol: String,
+      dims: Int): (Array[Double], Array[Double]) = {
+    val mn = new Array[Double](dims)
+    val mx = new Array[Double](dims)
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .collect() // dims rows — index-sidecar scale
+      .foreach { r =>
+        val d = r.getInt(0)
+        mn(d) = r.getDouble(1)
+        mx(d) = r.getDouble(2)
+      }
+    (mn, mx)
+  }
+
+  /** SQ8 encode: each dimension affinely mapped to an int8 code —
+    * code_d = round((v_d − mn_d) · (255 / (mx_d − mn_d))), clamped to
+    * [0, 255] (constant dimensions get scale 0 → code 0). Map-only
+    * (no shuffle); codes are 1 byte of information per dimension vs the
+    * raw float's 4 — the middle storage point of the quantized family
+    * (raw 4 B/dim, SQ 1 B/dim, PQ ~m/dims B/dim). Every arithmetic step
+    * is a fixed IEEE sequence, so encoding is exactly replayable in SQL.
+    */
+  def sqEncode(df: DataFrame, idCol: String, vecCol: String,
+      mn: Array[Double], mx: Array[Double]): DataFrame = {
+    val scale = mn.indices.map { d =>
+      if (mx(d) == mn(d)) 0.0 else 255.0 / (mx(d) - mn(d))
+    }
+    val mnA = array(mn.map(lit).toSeq: _*)
+    val scA = array(scale.map(lit): _*)
+    df.select(col(idCol),
+      transform(col(vecCol), (x, i) =>
+        least(lit(255), greatest(lit(0),
+          round((x.cast("double") - element_at(mnA, i + 1)) *
+            element_at(scA, i + 1)).cast("int")))).as("codes"))
+  }
+
+  /** SQ8 asymmetric probe: squared L2 between the exact query and the
+    * DECODED codes (v̂_d = mn_d + code_d · ((mx_d − mn_d) / 255)),
+    * accumulated left-to-right — a single scan over the code table plus
+    * a local top-k (TakeOrdered; no shuffle join, no corpus-vector
+    * read). Dequantization error is bounded per dimension by half a
+    * quantization step, so ranking quality degrades gracefully; the
+    * arithmetic is a fixed IEEE op sequence with an exact SQL oracle.
+    */
+  def sqTopK(codes: DataFrame, mn: Array[Double], mx: Array[Double],
+      query: Seq[Float], k: Int, idCol: String = "vec_id"): DataFrame = {
+    require(query.length == mn.length,
+      s"query has ${query.length} dims, index has ${mn.length}")
+    val inv = mn.indices.map { d =>
+      if (mx(d) == mn(d)) 0.0 else (mx(d) - mn(d)) / 255.0
+    }
+    val mnA = array(mn.map(lit).toSeq: _*)
+    val invA = array(inv.map(lit): _*)
+    val qA = array(query.map(x => lit(x.toDouble)): _*)
+    val dist = aggregate(
+      transform(col("codes"), (c, i) => {
+        val vhat = element_at(mnA, i + 1) +
+          c.cast("double") * element_at(invA, i + 1)
+        val dlt = element_at(qA, i + 1) - vhat
+        dlt * dlt
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    codes.select(col(idCol), dist.as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
   // ------------------------------------------------ rotated PQ (OPQ-lite)
 
   /** Seeded Householder reflection vectors for [[rotateExpr]] — the

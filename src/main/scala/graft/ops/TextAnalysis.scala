@@ -813,4 +813,63 @@ object TextAnalysis {
         (expr(s"(off + n_tokens - 1) DIV $seqLen") -
           expr(s"off DIV $seqLen") + 1L).as("n_seqs"))
   }
+
+  /** DSIR-style importance-weighted data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * pick from the raw corpus the documents that look most like a small
+    * TARGET domain, by importance weight log p_target(doc) −
+    * log p_raw(doc) under cheap n-gram language models. Here both LMs
+    * are the frozen bigram tables of [[bigramSurprisalAgainst]] and the
+    * log-probabilities its integer bit-length surprisal (surprisal ≈
+    * −log₂ p, so importance = raw_bits − tgt_bits) — every score a
+    * BIGINT, bit-stable under any aggregation order.
+    *
+    * Plan shape: the corpus windows into bigrams once per scoring pass;
+    * each pass is two equi-joins against its LM's frequency tables
+    * (sharded freely — the Zipf tail is wide at 100 TB, deliberately
+    * not broadcast) and one doc rollup; selection is a global
+    * TakeOrdered of the `quota` best (importance DESC, id tie-break).
+    * Nothing ever pairs documents — cost is linear in corpus tokens.
+    */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, quota: Int): DataFrame = {
+    require(quota > 0, s"dsirSelect needs quota >= 1, got $quota")
+    val sTgt = bigramSurprisalAgainst(corpus, target, idCol, textCol)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("surprise").as("tgt_bits"))
+    val sRaw = bigramSurprisalAgainst(corpus, corpus, idCol, textCol)
+      .select(col("doc_id"), col("surprise").as("raw_bits"))
+    sTgt.join(sRaw, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("raw_bits"),
+        col("tgt_bits"), (col("raw_bits") - col("tgt_bits")).as("importance"))
+      .orderBy(col("importance").desc, col("doc_id"))
+      .limit(quota)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    * shortlists — the standard hybrid-search combiner (BM25 ∪ dense
+    * ANN): each document's fused score is Σ 1/(kRrf + rank), here in
+    * exact integer arithmetic (`1000000 div (kRrf + rank)`; a list
+    * that didn't retrieve the doc contributes 0), so fusion has an
+    * exact SQL oracle and is bit-stable. Each side's rank comes from a
+    * row_number over ITS OWN order — a single-partition sort, which is
+    * fine because inputs are top-k shortlists (k rows by construction,
+    * never the corpus).
+    */
+  def rrfFuse(a: DataFrame, aOrder: Seq[Column], b: DataFrame,
+      bOrder: Seq[Column], idCol: String, k: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(k > 0, s"rrfFuse needs k >= 1, got $k")
+    val ra = a.select(col(idCol),
+      row_number().over(Window.orderBy(aOrder: _*)).cast("long").as("rank_a"))
+    val rb = b.select(col(idCol),
+      row_number().over(Window.orderBy(bOrder: _*)).cast("long").as("rank_b"))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        (coalesce(expr(s"1000000 DIV ($kRrf + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($kRrf + rank_b)"), lit(0L)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -205,6 +205,19 @@ object Relational {
             .as("sum_price_cents"))
     }),
 
+    // q17: arbitrary GROUPING SETS — the subtotal shapes ROLLUP/CUBE
+    // can't express (each dim alone, neither the pair nor the grand
+    // total); same single-shuffle Expand-before-partial-agg plan as q5
+    "q17_grouping_sets" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .groupingSets(Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"l_extendedprice" * 100).cast("long"))
+            .as("sum_price_cents"))
+    }),
+
     // q8: statistical moments + correlation per group. Sums are exact
     // BIGINTs over rounded integer units (so partial-agg order can't
     // perturb them); the correlation is then ONE double expression over
@@ -774,6 +787,14 @@ object Relational {
         |         AS BIGINT) AS sum_price_cents
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q17_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS sum_price_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+        .stripMargin,
 
     "q8_moments" ->
       """WITH t AS (

@@ -311,6 +311,69 @@ object StreamOps {
         .toDF("media_id", "frame_index", "pix_sum")
     }),
 
+    // REAL image resize end-to-end: per-doc-sized PNGs clamped to a
+    // 5-pixel long side by integer nearest-neighbor through the
+    // lossless PNG re-encode; the oracle replays the sampling map
+    // (x·w÷w2, y·h÷h2) against the PNG pixel generator, so the
+    // payload-rewriting transform must be bit-faithful
+    "mm12_image_resize" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.ops.Dedup.charHash($"text")
+      val dims = documents(s, d).select(
+        $"doc_id",
+        (pmod(h, lit(20L)) + 6L).cast("int").as("w"),
+        (pmod(floor(h / 20.0).cast("long"), lit(15L)) + 6L).cast("int")
+          .as("h")).as[(Long, Int, Int)]
+      val media = dims.mapPartitions(_.map { case (id, w, hh) =>
+        graft.ops.Multimodal.MediaItem(id, "image",
+          graft.ops.Multimodal.encodePng(w, hh, id))
+      })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
+      graft.ops.Multimodal.resizeImage(media, maxSide = 5)
+        .mapPartitions(_.map { item =>
+          val px = graft.ops.Multimodal.decodeImagePixels(item)
+          val meta = graft.ops.Multimodal.decodeImage(item)
+          (item.media_id, meta.width.toLong, meta.height.toLong,
+            px.map(_.toLong).sum)
+        })(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("media_id", "width", "height", "pix_sum")
+    }),
+
+    // REAL audio decimation end-to-end: per-doc PCM16 WAVs decimated
+    // 4× (every 4th frame kept bit for bit, rate divided); the oracle
+    // replays the kept-frame set against the WAV sample generator, so
+    // the payload-rewriting transform must be bit-faithful
+    "mm13_audio_decimate" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.ops.Dedup.charHash($"text")
+      val dims = documents(s, d).select(
+        $"doc_id",
+        element_at(array(lit(8000), lit(16000), lit(22050), lit(44100)),
+          (pmod(h, lit(4L)) + 1L).cast("int")).as("sr"),
+        (pmod(floor(h / 4.0).cast("long"), lit(2L)) + 1L).cast("int").as("ch"),
+        (pmod(floor(h / 8.0).cast("long"), lit(500L)) + 50L).cast("int")
+          .as("n")).as[(Long, Int, Int, Int)]
+      val media = dims.mapPartitions(_.map { case (id, sr, ch, n) =>
+        graft.ops.Multimodal.MediaItem(id, "audio",
+          graft.ops.Multimodal.encodeWav(n, sr, ch, id))
+      })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
+      graft.ops.Multimodal.decimateAudio(media, factor = 4)
+        .mapPartitions(_.map { item =>
+          val meta = graft.ops.Multimodal.decodeAudio(item)
+          val samples = graft.ops.Multimodal.decodeAudioSamples(item)
+          (item.media_id, meta.sampleRate.toLong, meta.nFrames.toLong,
+            samples.map(_.toLong).sum)
+        })(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("media_id", "sample_rate", "n_frames", "sample_sum")
+    }),
+
     // multimodal feature extraction: the stub encoder's byte-histogram
     // embedding collapsed to integer invariants (dominant dimension +
     // nonzero count) the oracle can pin exactly
@@ -618,6 +681,57 @@ object StreamOps {
         |     unnest(range(0, w2)) AS tx(x2),
         |     unnest(range(0, h2)) AS ty(y2)
         |GROUP BY 1, 2""".stripMargin).replace("CH",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
+          "(acc, x) -> (acc * 31 + x) % 1000000007)"),
+
+    // the PNG pixel generator is (x*31 + y*17 + seed) mod 2^24; resize
+    // reads source pixel (x2*w//w2, y2*h//h2) — the oracle recomputes
+    // every target pixel from that map and sums
+    "mm12_image_resize" ->
+      ("""WITH m AS (
+        |  SELECT doc_id, (CH % 20) + 6 AS w,
+        |         CAST((CH // 20) % 15 AS BIGINT) + 6 AS h
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, w, h,
+        |         greatest(1, w * 5 // greatest(w, h)) AS w2,
+        |         greatest(1, h * 5 // greatest(w, h)) AS h2
+        |  FROM m)
+        |SELECT doc_id AS media_id, CAST(w2 AS BIGINT) AS width,
+        |       CAST(h2 AS BIGINT) AS height,
+        |       CAST(SUM(((x2 * w // w2) * 31 + (y2 * h // h2) * 17
+        |         + doc_id) % 16777216) AS BIGINT) AS pix_sum
+        |FROM d,
+        |     unnest(range(0, w2)) AS tx(x2),
+        |     unnest(range(0, h2)) AS ty(y2)
+        |GROUP BY 1, 2, 3""".stripMargin).replace("CH",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
+          "(acc, x) -> (acc * 31 + x) % 1000000007)"),
+
+    // the WAV sample generator is signed16(((i*2654435761 + c*40503 +
+    // seed) >> 16) mod 2^16); decimation keeps frames i ≡ 0 (mod 4) bit
+    // for bit and divides the rate — the oracle recomputes the kept set
+    "mm13_audio_decimate" ->
+      ("""WITH m AS (
+        |  SELECT doc_id,
+        |         CASE CH % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |              WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+        |         CAST((CH // 4) % 2 AS BIGINT) + 1 AS ch,
+        |         CAST((CH // 8) % 500 AS BIGINT) + 50 AS n
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(sr // 4 AS BIGINT) AS sample_rate,
+        |       CAST((n + 3) // 4 AS BIGINT) AS n_frames,
+        |       CAST(SUM(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+        |         AS BIGINT) AS sample_sum
+        |FROM (
+        |  SELECT doc_id, sr, n,
+        |         ((i * 2654435761 + c * 40503 + doc_id) // 65536) % 65536 AS u
+        |  FROM m,
+        |       unnest(range(0, n, 4)) AS ti(i),
+        |       unnest(range(0, ch)) AS tc(c))
+        |GROUP BY 1, 2, 3""".stripMargin).replace("CH",
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
           "(acc, x) -> (acc * 31 + x) % 1000000007)"),

@@ -445,6 +445,34 @@ object TextOps {
         docs.where(col("doc_id") % 29 =!= 0), "doc_id", "text")
     }),
 
+    // DSIR importance-weighted data selection: the corpus docs most
+    // like the src0 target domain by bigram-LM importance weight
+    // (raw_bits − tgt_bits, integer bit-length surprisal both sides)
+    "ts30_dsir_select" -> ((s, d) => {
+      val docs = documents(s, d)
+      TextAnalysis.dsirSelect(docs, docs.where(col("source") === "src0"),
+        "doc_id", "text", quota = 200)
+    }),
+
+    // hybrid retrieval with reciprocal-rank fusion: the ts18 BM25
+    // shortlist and the sim1 dense-cosine shortlist fused by integer
+    // RRF — the standard lexical ∪ semantic combiner
+    "ts31_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      val lex = TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text",
+        terms = Seq("dup", "vector", "spark"), k = 50)
+      val e = embeddings(s, d)
+      val q = e.where($"vec_id" === 0L).select($"embedding")
+        .head().getSeq[Float](0)
+      val dense = graft.ops.Similarity
+        .bruteForceTopK(e, "vec_id", "embedding", q, 50)
+        .withColumnRenamed("vec_id", "doc_id")
+      TextAnalysis.rrfFuse(
+        lex, Seq(col("score").desc, col("doc_id")),
+        dense, Seq(col("cos").desc, col("doc_id")),
+        "doc_id", k = 20)
+    }),
+
     // mixture sampling: per-source token budgets (the data-mixing step);
     // deterministic hash-order prefix per source, unnamed sources = 0
     "ts15_mixture" -> ((s, d) =>
@@ -1252,6 +1280,94 @@ object TextOps {
         |       CAST(sum(surp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |         AS mean_surprise
         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // hybrid RRF: the ts18 BM25 chain (cut at 50) and the sim1 exact
+    // cosine chain (cut at 50), each ranked by its own order, fused by
+    // integer reciprocal-rank scores — full outer so one-sided docs
+    // keep their single contribution
+    "ts31_hybrid_rrf" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * " +
+          s"CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+      val cos = s"${dot("e.embedding", "q.qv")} / " +
+        s"(sqrt(${dot("e.embedding", "e.embedding")}) * " +
+        s"sqrt(${dot("q.qv", "q.qv")}))"
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |              CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+         |qtf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |        WHERE term IN ('dup', 'vector', 'spark')
+         |        GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+         |sc AS (
+         |  SELECT q.doc_id,
+         |         CAST(length(bin(st.nd)) - length(bin(f.df)) AS BIGINT)
+         |           AS idf_bits,
+         |         (100000 * 220 * q.tf * st.tt)
+         |           // (100 * q.tf * st.tt + 30 * st.tt
+         |              + 90 * d.dl * st.nd) AS tfn
+         |  FROM qtf q JOIN dfreq f USING (term)
+         |  JOIN dl d USING (doc_id), st),
+         |lex AS (SELECT doc_id, CAST(sum(idf_bits * tfn) AS BIGINT) AS score
+         |        FROM sc GROUP BY doc_id
+         |        ORDER BY score DESC, doc_id LIMIT 50),
+         |lr AS (SELECT doc_id, CAST(row_number() OVER (
+         |         ORDER BY score DESC, doc_id) AS BIGINT) AS rank_a
+         |       FROM lex),
+         |dense AS (SELECT e.vec_id AS doc_id, $cos AS cos
+         |          FROM embeddings e
+         |          CROSS JOIN (SELECT embedding AS qv FROM embeddings
+         |                      WHERE vec_id = 0) q
+         |          ORDER BY cos DESC, e.vec_id LIMIT 50),
+         |dr AS (SELECT doc_id, CAST(row_number() OVER (
+         |         ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_b
+         |       FROM dense)
+         |SELECT doc_id, rank_a, rank_b,
+         |       coalesce(1000000 // (60 + rank_a), 0)
+         |         + coalesce(1000000 // (60 + rank_b), 0) AS rrf_score
+         |FROM lr FULL JOIN dr USING (doc_id)
+         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // DSIR: the ts27 LM-scoring CTEs twice — once against the raw
+    // (whole-corpus) bigram LM, once against the src0 target LM —
+    // importance = raw_bits − tgt_bits, top-quota by (importance, id)
+    "ts30_dsir_select" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  string_split_regex(text, '\s+') AS tk
+        |           FROM documents),
+        |b AS (SELECT doc_id, source, unnest(tk[1:len(tk)-1]) AS w1,
+        |             unnest(tk[2:len(tk)]) AS w2
+        |      FROM t WHERE len(tk) >= 2),
+        |rbf AS (SELECT w1, w2, count(*) AS bfreq FROM b GROUP BY 1, 2),
+        |rcf AS (SELECT w1, CAST(sum(bfreq) AS BIGINT) AS cfreq
+        |        FROM rbf GROUP BY 1),
+        |tbf AS (SELECT w1, w2, count(*) AS bfreq FROM b
+        |        WHERE source = 'src0' GROUP BY 1, 2),
+        |tcf AS (SELECT w1, CAST(sum(bfreq) AS BIGINT) AS cfreq
+        |        FROM tbf GROUP BY 1),
+        |raw AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |          CAST(sum(CASE WHEN rcf.cfreq IS NULL THEN 32
+        |            WHEN rbf.bfreq IS NULL THEN length(bin(rcf.cfreq)) + 1
+        |            ELSE length(bin(rcf.cfreq)) - length(bin(rbf.bfreq))
+        |          END) AS BIGINT) AS raw_bits
+        |        FROM b LEFT JOIN rbf USING (w1, w2)
+        |        LEFT JOIN rcf USING (w1) GROUP BY b.doc_id),
+        |tgt AS (SELECT b.doc_id,
+        |          CAST(sum(CASE WHEN tcf.cfreq IS NULL THEN 32
+        |            WHEN tbf.bfreq IS NULL THEN length(bin(tcf.cfreq)) + 1
+        |            ELSE length(bin(tcf.cfreq)) - length(bin(tbf.bfreq))
+        |          END) AS BIGINT) AS tgt_bits
+        |        FROM b LEFT JOIN tbf USING (w1, w2)
+        |        LEFT JOIN tcf USING (w1) GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams, raw_bits, tgt_bits,
+        |       raw_bits - tgt_bits AS importance
+        |FROM raw JOIN tgt USING (doc_id)
+        |ORDER BY importance DESC, doc_id LIMIT 200""".stripMargin,
 
     "ts16_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk

@@ -206,6 +206,18 @@ object VectorOps {
         q, k = 20)
     }),
 
+    // SQ8 scalar-quantized ANN: per-dim affine int8 codes (1 B/dim — the
+    // storage point between raw floats and PQ codes), probe = squared L2
+    // against the DECODED codes over the code table only. Training
+    // (per-dim min/max) is order-independent, so the whole
+    // train→encode→probe chain has an exact oracle
+    "sim11_sq_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val (mn, mx) = Similarity.sqParams(e, "embedding", DIMS)
+      val codes = Similarity.sqEncode(e, "vec_id", "embedding", mn, mx)
+      Similarity.sqTopK(codes, mn, mx, queryVec(s, d), k = 30)
+    }),
+
     // embedding-space semantic dedup (SemDeDup): IVF cells localize the
     // search, in-cell lower-id docs closer than 0.4 cosine drop a doc —
     // the meaning-level twin of the lexical MinHash dedup pipeline
@@ -232,6 +244,36 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // SQ8: per-dim min/max (exact order-independent aggregates), code =
+    // clamp(round((v − mn)·(255/(mx − mn)))) with constant dims → 0,
+    // probe = ordered-fold squared L2 against the decoded codes —
+    // identical IEEE op sequence to the engine
+    "sim11_sq_topk" ->
+      s"""WITH s AS (
+         |  SELECT dim, min(x) AS mn, max(x) AS mx
+         |  FROM (SELECT generate_subscripts(embedding, 1) AS dim,
+         |          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+         |  GROUP BY 1),
+         |p AS (SELECT list(mn ORDER BY dim) AS mns,
+         |             list(mx ORDER BY dim) AS mxs FROM s),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (
+         |  SELECT vec_id, list_transform(range(1, ${DIMS + 1}), i ->
+         |    CASE WHEN mxs[i] = mns[i] THEN 0
+         |         ELSE least(255, greatest(0, CAST(round(
+         |           (CAST(embedding[i] AS DOUBLE) - mns[i]) *
+         |           (255.0 / (mxs[i] - mns[i]))) AS BIGINT))) END) AS codes
+         |  FROM embeddings CROSS JOIN p)
+         |SELECT vec_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, ${DIMS + 1}), i ->
+         |    (CAST(qv[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) *
+         |       ((mxs[i] - mns[i]) / 255.0))) *
+         |    (CAST(qv[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) *
+         |       ((mxs[i] - mns[i]) / 255.0))))),
+         |  (acc, x) -> acc + x) AS adist
+         |FROM c CROSS JOIN p CROSS JOIN q
+         |ORDER BY adist, vec_id LIMIT 30""".stripMargin,
+
     "sim5_label_pool" ->
       """SELECT label, dim,
         |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))

@@ -255,6 +255,62 @@ class MultimodalSpec extends SparkSpec {
       "non-video kind untouched")
   }
 
+  test("real image resize: lossless PNG re-encode by integer " +
+      "nearest-neighbor; pass-through for small, undecodable, non-image") {
+    val png = Multimodal.encodePng(20, 10, seed = 9L)
+    val rows = Seq(
+      (80L, "image", png),
+      (81L, "image", Multimodal.encodePng(4, 3, 2L)), // already small
+      (82L, "image", "not-a-png".getBytes("UTF-8")),
+      (83L, "video", png))
+    val media = Multimodal.asMedia(rows.toDF("id", "kind", "payload"),
+      "id", $"kind", $"payload")
+    val resized = Multimodal.resizeImage(media, maxSide = 5).collect()
+      .map(m => m.media_id -> m).toMap
+    val m80 = Multimodal.decodeImage(resized(80L))
+    assert(m80.width == 5 && m80.height == 2, s"$m80")
+    // every target pixel is the exact source pixel at (x*w/w2, y*h/h2)
+    val px = Multimodal.decodeImagePixels(resized(80L))
+    for (y <- 0 until 2; x <- 0 until 5)
+      assert(px(y * 5 + x) ==
+        ((x * 20 / 5 * 31 + y * 10 / 2 * 17 + 9L).toInt & 0xffffff),
+        s"pixel ($x,$y)")
+    assert(java.util.Arrays.equals(resized(81L).payload, rows(1)._3),
+      "already-small passes through")
+    assert(java.util.Arrays.equals(resized(82L).payload, rows(2)._3),
+      "undecodable passes through")
+    assert(java.util.Arrays.equals(resized(83L).payload, png),
+      "non-image kind untouched")
+  }
+
+  test("real audio decimation: kept frames are the source samples bit " +
+      "for bit, rate divided; pass-through for non-PCM and non-audio") {
+    val wav = Multimodal.encodeWav(nSamples = 10, sampleRate = 16000,
+      channels = 2, seed = 5L)
+    val rows = Seq(
+      (85L, "audio", wav),
+      (86L, "audio", "not-a-wav".getBytes("UTF-8")),
+      (87L, "video", wav))
+    val media = Multimodal.asMedia(rows.toDF("id", "kind", "payload"),
+      "id", $"kind", $"payload")
+    val out = Multimodal.decimateAudio(media, factor = 4).collect()
+      .map(m => m.media_id -> m).toMap
+    val meta = Multimodal.decodeAudio(out(85L))
+    assert(meta.sampleRate == 4000 && meta.channels == 2 &&
+      meta.nFrames == 3, s"$meta") // frames 0, 4, 8
+    val got = Multimodal.decodeAudioSamples(out(85L))
+    val want = Seq(0, 4, 8).flatMap { i =>
+      Seq(0, 1).map { c =>
+        (((i.toLong * 2654435761L + c * 40503L + 5L) >>> 16) & 0xffffL).toShort
+      }
+    }
+    assert(got.toSeq == want, s"${got.toSeq} vs $want")
+    assert(java.util.Arrays.equals(out(86L).payload, rows(1)._3),
+      "undecodable passes through")
+    assert(java.util.Arrays.equals(out(87L).payload, wav),
+      "non-audio kind untouched")
+  }
+
   test("featureSummary: dominant dimension with lowest-index ties, " +
       "nonzero count") {
     // craft payloads with known byte histograms mod 4

@@ -467,6 +467,53 @@ class SimilaritySpec extends SparkSpec {
       s"both REAL cells must be probed on the ADC path, got $adc")
   }
 
+  test("SQ8: codes bounded, constant dims code to 0, dequantization " +
+      "error within half a step, ranking tracks exact L2") {
+    val (mn, mx) = Similarity.sqParams(emb, "embedding", 64)
+    assert(mn.indices.forall(d => mn(d) <= mx(d)))
+    val codes = Similarity.sqEncode(emb, "vec_id", "embedding", mn, mx)
+      .cache()
+    val rows = codes.collect()
+    val raw = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.length == raw.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 64)
+      cs.indices.foreach { d =>
+        assert(cs(d) >= 0 && cs(d) <= 255)
+        // dequantization error ≤ half a quantization step per dim
+        val inv = if (mx(d) == mn(d)) 0.0 else (mx(d) - mn(d)) / 255.0
+        val vhat = mn(d) + cs(d) * inv
+        assert(math.abs(raw(id)(d) - vhat) <= inv / 2 + 1e-9,
+          s"vec $id dim $d")
+      }
+    }
+    // constant dimension → scale 0 → code 0 (and decode = mn exactly)
+    val synth = Seq((0L, Seq(1.5f, 0.0f)), (1L, Seq(1.5f, 2.0f)),
+      (2L, Seq(1.5f, 4.0f))).toDF("vec_id", "embedding")
+    val (smn, smx) = Similarity.sqParams(synth, "embedding", 2)
+    assert(smn(0) == 1.5 && smx(0) == 1.5)
+    val sc = Similarity.sqEncode(synth, "vec_id", "embedding", smn, smx)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sc.values.forall(_.head == 0), "constant dim codes to 0")
+    assert(sc(0L)(1) == 0 && sc(1L)(1) == 128 && sc(2L)(1) == 255)
+    // the probe finds the query's own vector first and keeps most of
+    // the exact-L2 top-10 at 8-bit resolution
+    val approx = Similarity.sqTopK(codes, mn, mx, queryVec, 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(approx.head == 0L, "query's own code decodes nearest")
+    val q = queryVec.map(_.toDouble)
+    val exact = raw.toSeq.map { case (id, v) =>
+      var acc = 0.0
+      v.indices.foreach { d => val dd = q(d) - v(d); acc += dd * dd }
+      (acc, id)
+    }.sorted.take(10).map(_._2).toSet
+    val overlap = approx.toSet.intersect(exact).size
+    assert(overlap >= 6, s"SQ8 top-10 recall $overlap/10 vs exact L2")
+  }
+
   test("multi-probe LSH recall >= single-probe recall") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queryVec, 10).select("vec_id").collect().map(_.getLong(0)).toSet

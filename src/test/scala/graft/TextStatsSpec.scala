@@ -134,6 +134,40 @@ class TextStatsSpec extends SparkSpec {
     assert(got.head._1 == 1L)
   }
 
+  test("dsirSelect: importance = raw_bits − tgt_bits exactly; " +
+      "target-like docs rank first") {
+    // corpus: d1 is pure target-style, d2 mixes, d3 is foreign
+    val corpus = Seq((1L, "s t s t"), (2L, "s t u"), (3L, "x y x"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "s t s t")).toDF("doc_id", "text")
+    val got = TextAnalysis.dsirSelect(corpus, target, "doc_id", "text",
+      quota = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // hand arithmetic: raw LM bf(s,t)=3 cf(s)=3, bf(t,s)=1 cf(t)=2,
+    // bf(t,u)=1, bf(x,y)=1 cf(x)=1, bf(y,x)=1 cf(y)=1; target LM
+    // bf(s,t)=2 cf(s)=2, bf(t,s)=1 cf(t)=1.
+    // d1: raw 0+1+0=1, tgt 0+0+0=0 → +1
+    // d2: raw 0+1=1, tgt 0+(bitlen(1)+1)=2 → −1
+    // d3: raw 0, tgt 32+32=64 → −64 (cut by quota)
+    assert(got.toSeq == Seq((1L, 3L, 1L), (2L, 2L, -1L)), got.toSeq)
+  }
+
+  test("rrfFuse: integer reciprocal-rank scores, one-sided docs keep " +
+      "their single contribution, deterministic tie-break") {
+    val a = Seq((10L, 5L), (11L, 3L), (12L, 1L)).toDF("doc_id", "score")
+    val b = Seq((11L, 0.9), (13L, 0.8)).toDF("doc_id", "cos")
+    val got = TextAnalysis.rrfFuse(
+      a, Seq(col("score").desc, col("doc_id")),
+      b, Seq(col("cos").desc, col("doc_id")),
+      "doc_id", k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // ranks: a → 10:1, 11:2, 12:3; b → 11:1, 13:2
+    // 11: 1000000/62 + 1000000/61 = 16129 + 16393 = 32522
+    // 10: 16393; 13: 16129; 12: 15873
+    assert(got.toSeq == Seq((11L, 32522L), (10L, 16393L),
+      (13L, 16129L), (12L, 15873L)), got.toSeq)
+  }
+
   test("packSequences: per-shard offsets are a gap-free concatenation, " +
       "cut coordinates consistent, straddlers span the right count") {
     import spark.implicits._
