@@ -195,9 +195,11 @@ object PlanAudit {
         !p.contains("CartesianProduct")),
     Check("ts27_lm_cross_score",
       "frozen-LM scoring: target bigrams equi-join the LM tables — " +
-        "never a nested-loop, never a cartesian",
+        "never a nested-loop, never a cartesian; bigrams build " +
+        "map-only (array zip, no per-doc window shuffle)",
       p => !p.contains("BroadcastNestedLoopJoin") &&
-        !p.contains("CartesianProduct") && isEquiJoin(p)),
+        !p.contains("CartesianProduct") && isEquiJoin(p) &&
+        "\\(\\d+\\) Window".r.findFirstIn(p).isEmpty),
     Check("ts28_phrase_search",
       "phrase probe: per-term posting rows equi-join on doc_id; the " +
         "position algebra is projection-level (no extra shuffle, no " +
@@ -210,9 +212,11 @@ object PlanAudit {
         !p.contains("Exchange hashpartitioning")),
     Check("ts30_dsir_select",
       "DSIR scoring: bigrams equi-join both frozen LM tables, " +
-        "selection is a global TakeOrdered — never a nested loop",
+        "selection is a global TakeOrdered — never a nested loop, " +
+        "never a per-doc window shuffle",
       p => isEquiJoin(p) && !p.contains("CartesianProduct") &&
-        p.contains("TakeOrderedAndProject")),
+        p.contains("TakeOrderedAndProject") &&
+        "\\(\\d+\\) Window".r.findFirstIn(p).isEmpty),
     Check("ts31_hybrid_rrf",
       "hybrid RRF: each side cuts to a TakeOrdered shortlist before " +
         "fusion; the fusion join runs on shortlists — the only nested " +

@@ -628,12 +628,7 @@ object TextAnalysis {
     */
   def bigramSurprisal(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = df.select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-      .select(col("doc_id"), lag(col("w"), 1).over(wOrd).as("w1"),
-        col("w").as("w2"))
-      .where(col("w1").isNotNull)
+    val bi = bigramRows(df, idCol, textCol)
     val bf = bi.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("bfreq"))
     val cf = bf.groupBy(col("w1")).agg(sum(col("bfreq")).as("cfreq"))
@@ -666,16 +661,25 @@ object TextAnalysis {
     * equi-joins, per-doc sum, no window over the reference at score
     * time. Returns (doc_id, n_bigrams, surprise, mean_surprise).
     */
+  /** The (doc_id, w1, w2) bigram stream of a corpus, built MAP-ONLY by
+    * zipping each doc's token array with its own tail — same multiset
+    * as a per-doc lag window, without the corpus-wide token shuffle +
+    * sort the window form pays (at 100 TB that shuffle dwarfs the LM
+    * joins it feeds). Docs under 2 tokens emit nothing, exactly like
+    * the window form's null-lag filter.
+    */
+  private def bigramRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1).as("w1"),
+        slice(col("tk"), lit(2), size(col("tk")) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
   def bigramSurprisalAgainst(target: DataFrame, reference: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    def bigrams(df: DataFrame): DataFrame = {
-      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      df.select(col(idCol).as("doc_id"),
-          posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-        .select(col("doc_id"), lag(col("w"), 1).over(wOrd).as("w1"),
-          col("w").as("w2"))
-        .where(col("w1").isNotNull)
-    }
+    def bigrams(df: DataFrame): DataFrame = bigramRows(df, idCol, textCol)
     val bf = bigrams(reference).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("bfreq"))
     val cf = bf.groupBy(col("w1")).agg(sum(col("bfreq")).as("cfreq"))
