@@ -1209,3 +1209,81 @@ object IvfPqIndex {
       cat.read(spark, s"$name.codes"))
   }
 }
+
+/** A built SQ8 scalar-quantization index: the int8 code table plus the
+  * per-dimension (mn, mx) training ranges — the quantizer IS those 2·dims
+  * doubles, so the persisted index is the code table plus a dims-row
+  * params sidecar. Build once (one min/max pass + one map-only encode),
+  * probe many ([[Similarity.sqTopK]] — a code-table scan, no join).
+  */
+final case class SqIndex(mn: Array[Double], mx: Array[Double],
+    codes: DataFrame) {
+
+  /** Persist codes + per-dim ranges in one atomic catalog commit; later
+    * sessions [[SqIndex.load]] and probe without touching the corpus.
+    */
+  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    cat.commit(Map(
+      s"$name.codes" -> codes,
+      s"$name.params" -> mn.indices.map(d => (d, mn(d), mx(d)))
+        .toDF("dim", "mn", "mx")))
+    ()
+  }
+
+  def probe(query: Seq[Float], k: Int, idCol: String = "vec_id"): DataFrame =
+    Similarity.sqTopK(codes, mn, mx, query, k, idCol)
+
+  /** Incremental maintenance under the FROZEN quantizer (the same
+    * contract as the PQ family's frozen codebooks): the batch encodes
+    * against the stored ranges — values outside them clamp to 0/255,
+    * the quantizer's saturation semantics — so the increment equals a
+    * re-encode of the union under those ranges exactly, and earlier
+    * codes never change. Re-train (rebuild) when drift makes the
+    * stored ranges stale. Fresh ids only (clash fails fast).
+    */
+  def addVectors(batch: DataFrame, idCol: String,
+      vecCol: String): SqIndex = {
+    Similarity.requireFreshIds(batch, codes, idCol, "addVectors")
+    copy(codes = codes.unionByName(
+      Similarity.sqEncode(batch, idCol, vecCol, mn, mx)))
+  }
+
+  /** Persisted incremental ingest: append-only catalog delta of the
+    * batch's codes — never rewrites the corpus-sized code table.
+    */
+  def appendVectors(cat: graft.catalog.VersionedCatalog, name: String,
+      batch: DataFrame, idCol: String, vecCol: String): SqIndex = {
+    Similarity.requireFreshIds(batch, codes, idCol, "appendVectors")
+    cat.commitAll(Map(s"$name.codes" -> graft.catalog.TableDelta(
+      appends = Seq((Similarity.sqEncode(batch, idCol, vecCol, mn, mx),
+        "")))))
+    SqIndex.load(batch.sparkSession, cat, name)
+  }
+}
+
+object SqIndex {
+
+  /** Train (per-dim min/max) + encode in one build; fully
+    * SQL-expressible (the sim11 oracle reproduces every step).
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int): SqIndex = {
+    val (mn, mx) = Similarity.sqParams(df, vecCol, dims)
+    SqIndex(mn, mx, Similarity.sqEncode(df, idCol, vecCol, mn, mx))
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String): SqIndex = {
+    val rows = cat.read(spark, s"$name.params").collect()
+    val mn = new Array[Double](rows.length)
+    val mx = new Array[Double](rows.length)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("dim")
+      mn(d) = r.getAs[Double]("mn")
+      mx(d) = r.getAs[Double]("mx")
+    }
+    SqIndex(mn, mx, cat.read(spark, s"$name.codes"))
+  }
+}

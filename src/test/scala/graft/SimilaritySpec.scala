@@ -514,6 +514,41 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 6, s"SQ8 top-10 recall $overlap/10 vs exact L2")
   }
 
+  test("SQ index: persist, reopen, probe equals a fresh build; " +
+      "addVectors encodes under the frozen ranges; saturation clamps") {
+    val root = tmpDir("sq")
+    val cat = new graft.catalog.VersionedCatalog(root)
+    val base = emb.where($"vec_id" >= 10L)
+    val idx = graft.ops.SqIndex.build(base, "vec_id", "embedding", 64)
+    idx.save(cat, "sq")
+    val reopened = graft.ops.SqIndex.load(spark, cat, "sq")
+    assert(reopened.mn.toSeq == idx.mn.toSeq &&
+      reopened.mx.toSeq == idx.mx.toSeq)
+    val fresh = idx.probe(queryVec, 15).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val again = reopened.probe(queryVec, 15).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fresh == again, "reopened probe == fresh probe")
+    // incremental ingest under the FROZEN ranges == re-encoding the
+    // union under those same ranges (earlier codes never move)
+    val batch = emb.where($"vec_id" < 10L)
+    val inc = reopened.appendVectors(cat, "sq", batch, "vec_id", "embedding")
+    val unionCodes = Similarity.sqEncode(emb, "vec_id", "embedding",
+      reopened.mn, reopened.mx)
+    assert(inc.codes.exceptAll(unionCodes).isEmpty &&
+      unionCodes.exceptAll(inc.codes).isEmpty)
+    // values outside the trained range saturate to the end codes
+    val out = Similarity.sqEncode(
+      Seq((99L, Seq(9.0f, -9.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", Array(0.0, 0.0), Array(1.0, 1.0))
+      .head().getSeq[Int](1)
+    assert(out == Seq(255, 0), s"saturation, got $out")
+    // id clash fails fast
+    intercept[Exception] {
+      inc.addVectors(batch, "vec_id", "embedding")
+    }
+  }
+
   test("multi-probe LSH recall >= single-probe recall") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queryVec, 10).select("vec_id").collect().map(_.getLong(0)).toSet

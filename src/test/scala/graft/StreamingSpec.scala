@@ -737,6 +737,39 @@ class StreamingSpec extends SparkSpec {
         .forall(_._2 == 0L))
   }
 
+  test("streaming frozen-LM scoring: the batch scorer lifts to a " +
+      "stream unchanged (map-only bigrams + stream-static LM joins); " +
+      "stream == batch after all micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+    val ref = docs.where(col("doc_id") % 29 === 0)
+    val tgt = docs.where(col("doc_id") % 29 =!= 0)
+    val batch = graft.ops.TextAnalysis.bigramSurprisalAgainst(
+        tgt, ref, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "surprise")
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = tgt.select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq
+    val src = MemoryStream[(Long, String)]
+    // the IDENTICAL op over a streaming target: bigrams are
+    // projection-level, the LM tables join stream-static, the per-doc
+    // rollup is the only stateful stage
+    val scored = graft.ops.TextAnalysis.bigramSurprisalAgainst(
+      src.toDF().toDF("doc_id", "text"), ref, "doc_id", "text")
+    val q = scored.writeStream.format("memory").queryName("lm_stream")
+      .outputMode("complete").start()
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    src.addData(h1: _*); q.processAllAvailable()
+    src.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lm_stream")
+      .select("doc_id", "n_bigrams", "surprise")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream (${streamed.size}) != batch (${batch.size})")
+  }
+
   test("streaming mixture quota: hash-order arrival equals the batch " +
       "prefix; budget never exceeded under adversarial arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
