@@ -71,6 +71,10 @@ object GraftSession {
       graft.functions.WinnowPosExpr(exprs(0),
         intArg(exprs, 1, "winnow_positions"),
         intArg(exprs, 2, "winnow_positions"))),
+    "cdc_chunks" -> (exprs =>
+      graft.functions.CdcChunksExpr(exprs(0),
+        intArg(exprs, 1, "cdc_chunks"),
+        intArg(exprs, 2, "cdc_chunks"))),
     "space_saving_topk" -> (exprs =>
       graft.functions.SpaceSavingTopK(exprs(0),
         intArg(exprs, 1, "space_saving_topk"),

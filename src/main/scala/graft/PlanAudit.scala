@@ -224,6 +224,13 @@ object PlanAudit {
       p => p.contains("TakeOrderedAndProject") &&
         !p.contains("CartesianProduct") &&
         "BroadcastNestedLoopJoin (?!Cross)".r.findFirstIn(p).isEmpty),
+    Check("dd21_cdc_dedup",
+      "CDC: codegen chunking explodes map-side and the chunk TEXT is " +
+        "hashed away before any exchange — both shuffles (per-doc " +
+        "distinct, then ledger) carry 32-byte hashes; no join",
+      p => p.contains("cdc_chunks") && p.contains("Generate") &&
+        !p.contains("Join") &&
+        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 2),
     Check("mm12_image_resize",
       "render + resize + re-decode is one map-only pass (no shuffle)",
       p => !p.contains("Exchange") && !p.contains("SortExec")),

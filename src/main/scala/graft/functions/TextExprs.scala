@@ -258,6 +258,50 @@ object TextHashing {
       org.apache.spark.sql.catalyst.InternalRow(fp, pos)
     }: Array[Any])
 
+  /** Content-defined chunking (the rsync/LBFS/restic boundary rule): a
+    * chunk boundary falls after code point i+k−1 whenever the rolling
+    * hash of the k-gram ending there is ≡ 0 (mod `modulus`) — so
+    * boundaries are a pure LOCAL function of the content, and an edit
+    * anywhere re-chunks only the window it touches: every boundary
+    * past the first one clear of the edit realigns, which is what makes
+    * chunk-level dedup robust to prefix/infix edits where fixed-size
+    * blocks lose alignment forever. Expected chunk ≈ modulus + k − 1
+    * chars. Same [[gramHashes]] arithmetic as winnowing — O(len),
+    * rolling. The trailing remainder is always its own chunk; chunks
+    * concatenate back to the input exactly. (Production CDC adds
+    * min/max chunk clamps — a sequential variant of the same scan —
+    * omitted here to keep boundaries stateless and SQL-replayable.)
+    */
+  def cdcChunks(text: String, k: Int, modulus: Int): Array[String] = {
+    val cps = text.codePoints().toArray
+    if (cps.length == 0) return Array.empty
+    val grams = gramHashes(cps, k)
+    val cutsB = Array.newBuilder[Int] // exclusive code-point end index
+    var i = 0
+    while (i < grams.length) {
+      if (grams(i) % modulus == 0) {
+        val end = i + k
+        if (end < cps.length) cutsB += end
+      }
+      i += 1
+    }
+    val cuts = cutsB.result() :+ cps.length
+    val out = new Array[String](cuts.length)
+    var start = 0
+    var j = 0
+    while (j < cuts.length) {
+      out(j) = new String(cps, start, cuts(j) - start)
+      start = cuts(j)
+      j += 1
+    }
+    out
+  }
+
+  def cdcChunksData(s: UTF8String, k: Int, modulus: Int): GenericArrayData =
+    new GenericArrayData(
+      cdcChunks(s.toString, k, modulus)
+        .map(UTF8String.fromString): Array[Any])
+
   def minhashAllNull(numHashes: Int): GenericArrayData =
     new GenericArrayData(new Array[Any](numHashes))
 
@@ -438,6 +482,29 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** array<string> of content-defined chunks (see
+  * [[TextHashing.cdcChunks]]) — O(len) rolling-hash boundary scan.
+  */
+case class CdcChunksExpr(child: Expression, k: Int, modulus: Int)
+    extends UnaryExpression {
+  require(k >= 2 && modulus >= 1,
+    s"need k >= 2 and modulus >= 1, got k=$k modulus=$modulus")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashing.cdcChunksData(s.asInstanceOf[UTF8String], k, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashing.cdcChunksData($c, $k, $modulus)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** array<struct<fp,pos>> of position-annotated winnowing selections
   * (leftmost window minimum — see [[TextHashing.winnowPos]]).
   */
@@ -581,4 +648,7 @@ object TextExprs {
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
   def winnowPositions(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowPosExpr(ColumnBridge.expression(text), k, w))
+  def cdcChunks(text: Column, k: Int, modulus: Int): Column =
+    ColumnBridge.column(CdcChunksExpr(ColumnBridge.expression(text), k,
+      modulus))
 }

@@ -1014,6 +1014,34 @@ object Dedup {
     * aggregate over bare (id, id) rows. Returns (id_a, id_b, n_shared)
     * with n_shared ≥ `minShared`, id_a < id_b.
     */
+  /** Content-defined chunk dedup — the STORAGE-level dedup primitive
+    * (the rsync/LBFS boundary rule): each doc splits at content-defined
+    * boundaries (rolling k-gram hash ≡ 0 mod `modulus`, the codegen
+    * O(len) [[graft.functions.CdcChunksExpr]]), so an edit re-chunks
+    * only its own neighborhood and shared runs across docs — or doc
+    * VERSIONS — land in byte-identical chunks, which then dedup exactly
+    * by sha256. Fixed-size blocks lose alignment forever after one
+    * insertion; content-defined ones re-synchronize at the next
+    * boundary. Returns the corpus chunk ledger: one row per distinct
+    * chunk with multiplicity, doc spread, length and canonical owner —
+    * stored bytes = Σ chunk_len, raw bytes = Σ chunk_len · n_copies.
+    *
+    * Plan: map-only chunking (1→N explode), then ONE shuffle keyed by
+    * the 32-byte chunk hash — [[exactDedup]]'s shape at sub-document
+    * grain.
+    */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, modulus: Int = 64): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextExprs.cdcChunks(col(textCol), k,
+          modulus)).as("chunk"))
+      .select(col("doc_id"), sha2(col("chunk"), 256).as("chunk_sha"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .groupBy(col("chunk_sha"), col("chunk_len"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_id"))
+
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long, maxDocFreq: Int): DataFrame = {
     val fp = df.select(col(idCol).as("doc"),

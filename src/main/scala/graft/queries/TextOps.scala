@@ -486,6 +486,14 @@ object TextOps {
       TextAnalysis.scrubRepeatedSpans(documents(s, d), "doc_id", "text",
         n = 8, minDf = 2)),
 
+    // content-defined chunk dedup (rsync/LBFS boundaries): rolling
+    // 16-gram hash ≡ 0 (mod 64) cuts each doc into content-aligned
+    // chunks that dedup exactly by sha256 — the storage-level dedup
+    // primitive that survives prefix/infix edits
+    "dd21_cdc_dedup" -> ((s, d) =>
+      Dedup.cdcDedup(documents(s, d), "doc_id", "text",
+        k = 16, modulus = 64)),
+
     // normalized (C4-style fuzzy-exact) dedup: lowercase, strip
     // non-alphanumerics, collapse whitespace, then hash-groupBy — same
     // single-shuffle shape as dd1 on the normalized key
@@ -1407,6 +1415,41 @@ object TextOps {
         |         AS sum_tokens,
         |       count(CASE WHEN lang = 'en' THEN 1 END) AS n_en
         |FROM documents GROUP BY source""".stripMargin,
+
+    // CDC: gram hashes replayed with the dd11 naive fold (same values
+    // as the engine's rolling form — identical mod-P arithmetic); cut
+    // after char i+15 when the gram divides 64, trailing remainder is
+    // its own chunk; chunks then group by sha256
+    "dd21_cdc_dedup" ->
+      ("""WITH g AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    CASE WHEN length(text) >= 16 THEN
+        |      list_filter(range(1, length(text) - 16 + 2),
+        |        i -> (GH) % 64 = 0 AND i + 15 < length(text))
+        |    ELSE [] END AS cuts
+        |  FROM documents WHERE length(text) >= 1),
+        |b AS (
+        |  SELECT doc_id, text,
+        |         list_append(list_transform(cuts, i -> i + 15), n) AS ends
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, text, ends,
+        |         list_prepend(1, list_transform(ends[1:len(ends)-1],
+        |           e -> e + 1)) AS starts
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ends) + 1),
+        |           j -> text[starts[j]:ends[j]])) AS chunk
+        |  FROM s)
+        |SELECT sha256(chunk) AS chunk_sha,
+        |       CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |       count(*) AS n_copies,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS canonical_id
+        |FROM c GROUP BY 1, 2""".stripMargin).replace("GH",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(text[i:i+15], '.'), " +
+          "ch -> ascii(ch))), (acc, x) -> (acc * 31 + x) % 1000000007)"),
 
     "dd7_normalized_dedup" ->
       """WITH n AS (SELECT doc_id,

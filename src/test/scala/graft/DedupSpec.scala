@@ -137,6 +137,40 @@ class DedupSpec extends SparkSpec {
     assert(got == (1L to 5L).map(i => i -> i).toMap)
   }
 
+  test("cdcDedup: chunks concatenate back; a prefix edit re-chunks " +
+      "only its neighborhood; the ledger counts copies exactly") {
+    val rnd = new scala.util.Random(7)
+    val t = (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def chunksOf(s: String) =
+      graft.functions.TextHashing.cdcChunks(s, 16, 64).toSeq
+    val base = chunksOf(t)
+    assert(base.mkString == t, "chunks concatenate to the input")
+    assert(base.size >= 3, s"expected multiple chunks, got ${base.size}")
+    // content-defined boundary guarantee: an edit at the front leaves
+    // every boundary past the junction aligned, so only the chunks
+    // touching the junction change
+    val edited = chunksOf("PREFIX-INSERTED " + t)
+    assert(edited.mkString == "PREFIX-INSERTED " + t)
+    val shared = base.toSet.intersect(edited.toSet).size
+    assert(shared >= base.size - 2,
+      s"${base.size} base chunks, only $shared survive the prefix edit")
+    // degenerate inputs
+    assert(chunksOf("").isEmpty)
+    assert(chunksOf("short") == Seq("short"))
+    // ledger: identical docs share every chunk; singles stay single
+    val df = Seq((1L, t), (2L, t), (3L, "short")).toDF("doc_id", "text")
+    val led = graft.ops.Dedup.cdcDedup(df, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val dups = led.filter(_._4 == 2L)
+    assert(dups.length == base.distinct.size)
+    assert(dups.forall(c => c._3 == 2L && c._5 == 1L),
+      "both copies counted, canonical = min doc id")
+    val single = led.filter(_._5 == 3L)
+    assert(single.length == 1 && single.head._2 == 5L &&
+      single.head._3 == 1L && single.head._4 == 1L)
+  }
+
   test("winnow: rolling-hash fingerprints match the direct formulation") {
     // brute-force reference: hash every k-gram independently (the fold
     // the DuckDB oracle replays), window minima, sorted distinct
