@@ -224,6 +224,11 @@ object PlanAudit {
       p => p.contains("TakeOrderedAndProject") &&
         !p.contains("CartesianProduct") &&
         "BroadcastNestedLoopJoin (?!Cross)".r.findFirstIn(p).isEmpty),
+    Check("ts32_blocklist",
+      "blocklist scan is one map-only automaton pass (no shuffle, no " +
+        "sort, codegen'd blocklist_hits)",
+      p => p.contains("blocklist_hits") && !p.contains("Exchange") &&
+        !p.contains("SortExec")),
     Check("dd21_cdc_dedup",
       "CDC: codegen chunking explodes map-side and the chunk TEXT is " +
         "hashed away before any exchange — both shuffles (per-doc " +

@@ -651,4 +651,7 @@ object TextExprs {
   def cdcChunks(text: Column, k: Int, modulus: Int): Column =
     ColumnBridge.column(CdcChunksExpr(ColumnBridge.expression(text), k,
       modulus))
+  def blocklistHits(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(BlocklistHitsExpr(ColumnBridge.expression(text),
+      patterns))
 }

@@ -818,6 +818,26 @@ object TextAnalysis {
           expr(s"off DIV $seqLen") + 1L).as("n_seqs"))
   }
 
+  /** Phrase-blocklist scan (the NSFW/boilerplate/banned-phrase curation
+    * stage) via one Aho–Corasick automaton pass per document
+    * ([[graft.functions.BlocklistHitsExpr]]): O(text + hits) regardless
+    * of how many patterns the blocklist holds, where a regexp
+    * alternation or per-pattern `contains` chain pays O(text·patterns)
+    * — the difference between feasible and not at 100 TB × a
+    * thousands-entry blocklist. Counts every (pattern, end-position)
+    * occurrence, overlaps included. Map-only; returns per-doc total
+    * hits and the number of distinct patterns that fired.
+    */
+  def blocklistStats(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val hits = graft.functions.TextExprs.blocklistHits(col(textCol),
+      patterns)
+    df.select(col(idCol).as("doc_id"), hits.as("hits"))
+      .select(col("doc_id"),
+        aggregate(col("hits"), lit(0L), (a, x) => a + x).as("n_hits"),
+        size(filter(col("hits"), _ > 0L)).cast("long").as("n_patterns"))
+  }
+
   /** DSIR-style importance-weighted data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * pick from the raw corpus the documents that look most like a small

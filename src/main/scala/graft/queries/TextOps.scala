@@ -445,6 +445,13 @@ object TextOps {
         docs.where(col("doc_id") % 29 =!= 0), "doc_id", "text")
     }),
 
+    // phrase-blocklist scan: one Aho–Corasick pass counts every
+    // occurrence of every pattern (overlaps included — "table" fires
+    // "tab"/"able"/"table" at once; phrases span token boundaries)
+    "ts32_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklistStats(documents(s, d), "doc_id", "text",
+        Seq("table", "tab", "able", "spark row", "merge batch"))),
+
     // DSIR importance-weighted data selection: the corpus docs most
     // like the src0 target domain by bigram-LM importance weight
     // (raw_bits − tgt_bits, integer bit-length surprisal both sides)
@@ -1288,6 +1295,26 @@ object TextOps {
         |       CAST(sum(surp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |         AS mean_surprise
         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // blocklist: per pattern, occurrences = match END positions (the
+    // position scan counts overlaps exactly like the automaton)
+    "ts32_blocklist" -> {
+      val pats = Seq("table", "tab", "able", "spark row", "merge batch")
+      def cnt(p: String): String = {
+        val esc = p.replace("'", "''")
+        s"CAST(len(list_filter(range(${p.length}, length(text) + 1), " +
+          s"i -> text[i-${p.length - 1}:i] = '$esc')) AS BIGINT)"
+      }
+      val cs = pats.indices.map(j => s"c$j")
+      s"""SELECT doc_id,
+         |       ${cs.map(c => s"$c").mkString(" + ")} AS n_hits,
+         |       CAST(${cs.map(c => s"(CASE WHEN $c > 0 THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS BIGINT) AS n_patterns
+         |FROM (SELECT doc_id,
+         |        ${pats.zipWithIndex.map { case (p, j) =>
+                  s"${cnt(p)} AS c$j" }.mkString(",\n        ")}
+         |      FROM documents)""".stripMargin
+    },
 
     // hybrid RRF: the ts18 BM25 chain (cut at 50) and the sim1 exact
     // cosine chain (cut at 50), each ranked by its own order, fused by

@@ -134,6 +134,32 @@ class TextStatsSpec extends SparkSpec {
     assert(got.head._1 == 1L)
   }
 
+  test("Aho–Corasick blocklist: every overlapping occurrence counted; " +
+      "fail links cross pattern boundaries; op totals are exact") {
+    val ac = new graft.functions.AcAutomaton(
+      Array("he", "she", "his", "hers"))
+    // the textbook fixture: "ushers" contains she, he (inside shers),
+    // hers — and his not at all
+    assert(ac.countHits("ushers").toSeq == Seq(1L, 1L, 0L, 1L))
+    val ov = new graft.functions.AcAutomaton(Array("a", "aa"))
+    assert(ov.countHits("aaa").toSeq == Seq(3L, 2L), "overlaps count")
+    val nest = new graft.functions.AcAutomaton(
+      Array("table", "tab", "able"))
+    assert(nest.countHits("a table!").toSeq == Seq(1L, 1L, 1L),
+      "nested patterns all fire from one pass")
+    assert(nest.countHits("").toSeq == Seq(0L, 0L, 0L))
+    // the DataFrame op (codegen path): totals and distinct-fired counts
+    val df = Seq((1L, "she sells seashells"), (2L, "nothing")).toDF(
+      "doc_id", "text")
+    val got = graft.ops.TextAnalysis.blocklistStats(df, "doc_id", "text",
+      Seq("he", "she", "sell")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // she: "she" + "seashells"→... "she" occurs in "she" and inside
+    // "seashells" (sea-SHE-lls); he inside both shes; sell once
+    assert(got(1L) == ((5L, 3L)), got)
+    assert(got(2L) == ((0L, 0L)), got)
+  }
+
   test("dsirSelect: importance = raw_bits − tgt_bits exactly; " +
       "target-like docs rank first") {
     // corpus: d1 is pure target-style, d2 mixes, d3 is foreign
