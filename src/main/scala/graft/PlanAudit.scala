@@ -229,6 +229,11 @@ object PlanAudit {
         "sort, codegen'd blocklist_hits)",
       p => p.contains("blocklist_hits") && !p.contains("Exchange") &&
         !p.contains("SortExec")),
+    Check("ts33_blocklist_scrub",
+      "blocklist scrub is one map-only automaton pass (no shuffle, no " +
+        "sort, codegen'd blocklist_scrub)",
+      p => p.contains("blocklist_scrub") && !p.contains("Exchange") &&
+        !p.contains("SortExec")),
     Check("dd21_cdc_dedup",
       "CDC: codegen chunking explodes map-side and the chunk TEXT is " +
         "hashed away before any exchange — both shuffles (per-doc " +

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Aho–Corasick multi-pattern matcher (Aho & Corasick 1975, CACM) — the
@@ -98,6 +98,43 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
 
   def countHitsData(s: UTF8String): GenericArrayData =
     new GenericArrayData(countHits(s.toString))
+
+  /** Scrub: delete every character covered by ANY pattern occurrence
+    * (the union of all matched spans — overlapping matches merge
+    * naturally through the cover mask) and rebuild the rest in order.
+    */
+  def scrub(text: String): String = {
+    val covered = new Array[Boolean](text.length)
+    var state = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      var t = gotoMap(state).get(ch)
+      while (t == null && state != 0) {
+        state = fail(state)
+        t = gotoMap(state).get(ch)
+      }
+      state = if (t != null) t.intValue() else 0
+      val o = out(state)
+      var j = 0
+      while (j < o.length) {
+        var s = i - patterns(o(j)).length + 1
+        while (s <= i) { covered(s) = true; s += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(text.length)
+    i = 0
+    while (i < text.length) {
+      if (!covered(i)) sb.append(text.charAt(i))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def scrubU(s: UTF8String): UTF8String =
+    UTF8String.fromString(scrub(s.toString))
 }
 
 /** array<long> of per-pattern occurrence counts (pattern order = the
@@ -119,6 +156,31 @@ case class BlocklistHitsExpr(child: Expression, patterns: Seq[String])
     val ac = ctx.addReferenceObj("acAutomaton", automaton,
       classOf[AcAutomaton].getName)
     defineCodeGen(ctx, ev, c => s"$ac.countHitsData($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** The scrubbed text: input minus the union of all matched spans —
+  * same single automaton pass, codegen'd.
+  */
+case class BlocklistScrubExpr(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "blocklist_scrub"
+
+  @transient private lazy val automaton =
+    new AcAutomaton(patterns.toArray)
+
+  override protected def nullSafeEval(s: Any): Any =
+    automaton.scrubU(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("acAutomaton", automaton,
+      classOf[AcAutomaton].getName)
+    defineCodeGen(ctx, ev, c => s"$ac.scrubU($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

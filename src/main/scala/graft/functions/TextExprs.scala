@@ -654,4 +654,7 @@ object TextExprs {
   def blocklistHits(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(BlocklistHitsExpr(ColumnBridge.expression(text),
       patterns))
+  def blocklistScrub(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(BlocklistScrubExpr(ColumnBridge.expression(text),
+      patterns))
 }

@@ -838,6 +838,20 @@ object TextAnalysis {
         size(filter(col("hits"), _ > 0L)).cast("long").as("n_patterns"))
   }
 
+  /** Blocklist scrub — [[blocklistStats]]'s cleaning half: delete the
+    * union of all matched spans (overlaps merge through the cover
+    * mask) in the same single automaton pass, map-only. Returns
+    * (doc_id, scrubbed, n_cut).
+    */
+  def blocklistScrub(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.TextExprs.blocklistScrub(col(textCol), patterns)
+          .as("scrubbed"),
+        length(col(textCol)).cast("long").as("n0"))
+      .select(col("doc_id"), col("scrubbed"),
+        (col("n0") - length(col("scrubbed"))).cast("long").as("n_cut"))
+
   /** DSIR-style importance-weighted data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * pick from the raw corpus the documents that look most like a small

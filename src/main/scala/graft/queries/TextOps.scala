@@ -452,6 +452,12 @@ object TextOps {
       TextAnalysis.blocklistStats(documents(s, d), "doc_id", "text",
         Seq("table", "tab", "able", "spark row", "merge batch"))),
 
+    // blocklist scrub: the union of every matched span deleted in the
+    // same automaton pass (phrases included)
+    "ts33_blocklist_scrub" -> ((s, d) =>
+      TextAnalysis.blocklistScrub(documents(s, d), "doc_id", "text",
+        Seq("table", "spark row", "merge batch"))),
+
     // DSIR importance-weighted data selection: the corpus docs most
     // like the src0 target domain by bigram-LM importance weight
     // (raw_bits − tgt_bits, integer bit-length surprisal both sides)
@@ -1295,6 +1301,29 @@ object TextOps {
         |       CAST(sum(surp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |         AS mean_surprise
         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // scrub: a char survives iff NO pattern occurrence covers it; the
+    // position scan unions spans exactly like the automaton's mask
+    "ts33_blocklist_scrub" -> {
+      val pats = Seq("table", "spark row", "merge batch")
+      def cov(p: String): String = {
+        val esc = p.replace("'", "''")
+        val L = p.length
+        s"len(list_filter(range(greatest(1, i - ${L - 1}), " +
+          s"least(i, length(text) - ${L - 1}) + 1), " +
+          s"j -> text[j:j+${L - 1}] = '$esc')) > 0"
+      }
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |         list_filter(range(1, length(text) + 1),
+         |           i -> NOT (${pats.map(cov).mkString(" OR ")})) AS keep
+         |  FROM documents)
+         |SELECT doc_id,
+         |       array_to_string(list_transform(keep, i -> text[i:i]), '')
+         |         AS scrubbed,
+         |       CAST(length(text) - len(keep) AS BIGINT) AS n_cut
+         |FROM s""".stripMargin
+    },
 
     // blocklist: per pattern, occurrences = match END positions (the
     // position scan counts overlaps exactly like the automaton)

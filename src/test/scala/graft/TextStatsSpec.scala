@@ -148,6 +148,16 @@ class TextStatsSpec extends SparkSpec {
     assert(nest.countHits("a table!").toSeq == Seq(1L, 1L, 1L),
       "nested patterns all fire from one pass")
     assert(nest.countHits("").toSeq == Seq(0L, 0L, 0L))
+    // scrub: the union of matched spans disappears, overlaps merge
+    val sc = new graft.functions.AcAutomaton(Array("she", "ell"))
+    assert(sc.scrub("she sells") == " ss",
+      s"got '${sc.scrub("she sells")}'")
+    assert(ov.scrub("aaa") == "", "total cover scrubs to empty")
+    assert(sc.scrub("clean") == "clean", "no match → untouched")
+    val op = graft.ops.TextAnalysis.blocklistScrub(
+      Seq((1L, "she sells")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq("she", "ell")).head()
+    assert(op.getString(1) == " ss" && op.getLong(2) == 6L)
     // the DataFrame op (codegen path): totals and distinct-fired counts
     val df = Seq((1L, "she sells seashells"), (2L, "nothing")).toDF(
       "doc_id", "text")
