@@ -106,7 +106,24 @@ object BenchScale {
       // build+probe of the inverted index at x10: posting lists only
       "ts24_bm25_probe" -> (() => graft.ops.Bm25Index
         .build(docs, "doc_id", "text")
-        .probe(Seq("the", "of", "data"), k = 20)))
+        .probe(Seq("the", "of", "data"), k = 20)),
+      // SQ8 at x10: train (64-row min/max) + map-only encode + a
+      // code-table-only probe — shuffle records stay at the dims count
+      "sim11_sq_topk" -> (() => graft.ops.SqIndex
+        .build(emb, "vec_id", "embedding", 64).probe(qVec, k = 30)),
+      // CDC chunk ledger at x10: chunk text hashed away map-side, both
+      // shuffles carry 32-byte hashes — linear in corpus bytes
+      "dd21_cdc_dedup" -> (() => Dedup.cdcDedup(docs, "doc_id", "text",
+        k = 16, modulus = 64)),
+      // DSIR at x10: two frozen-LM scoring passes (map-only bigrams +
+      // LM equi-joins), global TakeOrdered selection
+      "ts30_dsir_select" -> (() => graft.ops.TextAnalysis.dsirSelect(
+        docs, docs.where(col("doc_id") % 3 === 0), "doc_id", "text",
+        quota = 200)),
+      // blocklist scan at x10: one automaton pass, zero shuffle
+      "ts32_blocklist" -> (() => graft.ops.TextAnalysis.blocklistStats(
+        docs, "doc_id", "text",
+        Seq("table", "tab", "able", "spark row", "merge batch"))))
 
     // JVM/codegen warmup so the first case doesn't absorb startup cost
     spark.range(1000000L).selectExpr("sum(id)").collect()

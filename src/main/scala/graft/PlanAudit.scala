@@ -229,6 +229,14 @@ object PlanAudit {
         "sort, codegen'd blocklist_hits)",
       p => p.contains("blocklist_hits") && !p.contains("Exchange") &&
         !p.contains("SortExec")),
+    Check("q18_expectations",
+      "all row+unique rules share ONE fact scan (3 scans total: rules, " +
+        "ref child, broadcast parent); ref probe is a broadcast " +
+        "left-anti, never a nested loop",
+      p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 3 &&
+        p.contains("LeftAnti") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")),
     Check("ts33_blocklist_scrub",
       "blocklist scrub is one map-only automaton pass (no shuffle, no " +
         "sort, codegen'd blocklist_scrub)",

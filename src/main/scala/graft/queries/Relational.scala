@@ -218,6 +218,24 @@ object Relational {
             .as("sum_price_cents"))
     }),
 
+    // q18: data-quality expectations — all row rules + the key-
+    // uniqueness rule in ONE scan (each rule a conditional count in
+    // the same aggregate), referential integrity as a left-anti probe;
+    // the publish-gate validation pass generalizing promote's J6 abort
+    "q18_expectations" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d)
+      graft.ops.Expectations.check(li,
+        rowRules = Seq(
+          "qty_in_range" -> ($"l_quantity" >= 1 && $"l_quantity" <= 50),
+          "discount_in_range" -> ($"l_discount" >= 0 && $"l_discount" <= 0.1),
+          "shipdate_not_null" -> $"l_shipdate".isNotNull),
+        uniqueKeys = Seq("pk_unique" -> Seq("l_orderkey", "l_linenumber")))
+        .unionByName(graft.ops.Expectations.checkRef(
+          li, Seq("l_orderkey"), orders(s, d), Seq("o_orderkey"),
+          "fk_orders"))
+    }),
+
     // q8: statistical moments + correlation per group. Sums are exact
     // BIGINTs over rounded integer units (so partial-agg order can't
     // perturb them); the correlation is then ONE double expression over
@@ -794,6 +812,30 @@ object Relational {
         |         AS BIGINT) AS sum_price_cents
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+        .stripMargin,
+
+    // violation = predicate false OR null (the CASE ELSE arm catches
+    // both, matching when(pred, 0).otherwise(1))
+    "q18_expectations" ->
+      """SELECT 'qty_in_range' AS rule,
+        |  CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM lineitem
+        |UNION ALL
+        |SELECT 'discount_in_range',
+        |  CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+        |    THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'shipdate_not_null',
+        |  CAST(sum(CASE WHEN l_shipdate IS NOT NULL
+        |    THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'pk_unique',
+        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'fk_orders', count(*) FROM lineitem l
+        |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL"""
         .stripMargin,
 
     "q8_moments" ->
