@@ -1042,6 +1042,18 @@ object Dedup {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("canonical_id"))
 
+  /** Merge CDC ledgers: counts and doc spreads are ADDITIVE provided no
+    * document is chunked into more than one input (each doc chunks in
+    * exactly one batch and doc ids are fresh across batches — the same
+    * append contract as packSequencesAppend), canonical = min. The
+    * associativity is what makes the persisted ledger append-only.
+    */
+  def mergeCdcLedgers(parts: DataFrame): DataFrame =
+    parts.groupBy(col("chunk_sha"), col("chunk_len"))
+      .agg(sum(col("n_copies")).as("n_copies"),
+        sum(col("n_docs")).as("n_docs"),
+        min(col("canonical_id")).as("canonical_id"))
+
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long, maxDocFreq: Int): DataFrame = {
     val fp = df.select(col(idCol).as("doc"),
@@ -1522,5 +1534,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         hammingDist(col("sh_a"), col("sh_b")).as("dist"))
       .where(col("dist") <= maxDist)
+  }
+}
+
+/** Persisted CDC chunk ledger — [[Dedup.cdcDedup]]'s build-once/
+  * append-many form, on the mergeable-summary-table discipline: the
+  * stored table holds PRE-AGGREGATED per-batch ledgers as append-only
+  * catalog deltas (counts are associative — see
+  * [[Dedup.mergeCdcLedgers]]), [[CdcLedger.load]] folds them on read,
+  * and [[compact]] re-materializes when the delta count grows. New
+  * corpus batches never re-chunk old documents; the corpus-sized text
+  * is never rewritten.
+  */
+final case class CdcLedger(k: Int, modulus: Int, ledger: DataFrame) {
+
+  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+    val spark = ledger.sparkSession
+    import spark.implicits._
+    cat.commit(Map(
+      s"$name.ledger" -> ledger,
+      s"$name.params" -> Seq((k, modulus)).toDF("k", "modulus")))
+    ()
+  }
+
+  /** In-memory incremental: chunk ONLY the batch (fresh doc ids — the
+    * append contract) and fold it in; equals a full rebuild exactly.
+    */
+  def addDocs(batch: DataFrame, idCol: String,
+      textCol: String): CdcLedger =
+    copy(ledger = Dedup.mergeCdcLedgers(ledger.unionByName(
+      Dedup.cdcDedup(batch, idCol, textCol, k, modulus))))
+
+  /** Persisted incremental: append the batch's aggregated ledger as a
+    * catalog delta; the merged view folds on read.
+    */
+  def appendDocs(cat: graft.catalog.VersionedCatalog, name: String,
+      batch: DataFrame, idCol: String, textCol: String): CdcLedger = {
+    cat.commitAll(Map(s"$name.ledger" -> graft.catalog.TableDelta(
+      appends = Seq((Dedup.cdcDedup(batch, idCol, textCol, k, modulus),
+        "")))))
+    CdcLedger.load(batch.sparkSession, cat, name)
+  }
+
+  /** Fold the accumulated deltas back into one materialized ledger. */
+  def compact(cat: graft.catalog.VersionedCatalog,
+      name: String): CdcLedger = {
+    cat.commit(Map(s"$name.ledger" -> ledger))
+    CdcLedger.load(ledger.sparkSession, cat, name)
+  }
+}
+
+object CdcLedger {
+
+  def build(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, modulus: Int = 64): CdcLedger =
+    CdcLedger(k, modulus, Dedup.cdcDedup(df, idCol, textCol, k, modulus))
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String): CdcLedger = {
+    val p = cat.read(spark, s"$name.params").head()
+    CdcLedger(p.getAs[Int]("k"), p.getAs[Int]("modulus"),
+      Dedup.mergeCdcLedgers(cat.read(spark, s"$name.ledger")))
   }
 }

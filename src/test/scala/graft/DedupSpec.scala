@@ -171,6 +171,30 @@ class DedupSpec extends SparkSpec {
       single.head._3 == 1L && single.head._4 == 1L)
   }
 
+  test("CdcLedger: persisted append-only deltas fold to exactly the " +
+      "full rebuild; compact preserves the view") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.where($"doc_id" % 2 === 0)
+    val b = docs.where($"doc_id" % 2 =!= 0)
+    val root = tmpDir("cdc-ledger")
+    val cat = new graft.catalog.VersionedCatalog(root)
+    graft.ops.CdcLedger.build(a, "doc_id", "text").save(cat, "cdc")
+    val reopened = graft.ops.CdcLedger.load(spark, cat, "cdc")
+    val inc = reopened.appendDocs(cat, "cdc", b, "doc_id", "text")
+    val full = graft.ops.CdcLedger.build(docs, "doc_id", "text").ledger
+    assert(inc.ledger.exceptAll(full).isEmpty &&
+      full.exceptAll(inc.ledger).isEmpty,
+      "append == full rebuild")
+    // the in-memory fold agrees too
+    val mem = reopened.addDocs(b, "doc_id", "text")
+    assert(mem.ledger.exceptAll(full).isEmpty &&
+      full.exceptAll(mem.ledger).isEmpty)
+    // compaction re-materializes without changing the view
+    val compacted = inc.compact(cat, "cdc")
+    assert(compacted.ledger.exceptAll(full).isEmpty &&
+      full.exceptAll(compacted.ledger).isEmpty)
+  }
+
   test("winnow: rolling-hash fingerprints match the direct formulation") {
     // brute-force reference: hash every k-gram independently (the fold
     // the DuckDB oracle replays), window minima, sorted distinct
