@@ -229,6 +229,13 @@ object PlanAudit {
         "sort, codegen'd blocklist_hits)",
       p => p.contains("blocklist_hits") && !p.contains("Exchange") &&
         !p.contains("SortExec")),
+    Check("ts34_cluster_sample",
+      "per-cluster quota runs as WindowGroupLimit (partial top-k on " +
+        "both sides of the exchange); the doc join is broadcast-hash; " +
+        "the only nested loop is the centroid-broadcast cross",
+      p => "WindowGroupLimit".r.findAllIn(p).size >= 2 &&
+        p.contains("BroadcastHashJoin") &&
+        "BroadcastNestedLoopJoin (?!Cross)".r.findFirstIn(p).isEmpty),
     Check("q18_expectations",
       "all row+unique rules share ONE fact scan (3 scans total: rules, " +
         "ref child, broadcast parent); ref probe is a broadcast " +

@@ -337,6 +337,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cluster-balanced corpus draw — the topic-balance curation stage:
+    * assign every document's embedding to its nearest centroid (the IVF
+    * [[assign]] argmax — broadcast centroids, one max-of-struct
+    * shuffle), then take an equal per-cluster quota in deterministic
+    * hash order ([[TextAnalysis.stratifiedSample]] keyed on the
+    * cluster id). Balances a training draw across embedding-space
+    * topics instead of letting the head topic crowd out the tail — the
+    * cluster-level twin of per-source mixture sampling. With seeded
+    * centroids the whole chain is exactly SQL-replayable.
+    */
+  def clusterBalancedSample(docs: DataFrame, docIdCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String,
+      centroids: DataFrame, quota: Int): DataFrame = {
+    val assigned = assign(emb, vecIdCol, vecCol, centroids)
+      .select(col(vecIdCol).as(docIdCol), col("centroid_id"))
+    TextAnalysis.stratifiedSample(
+      docs.join(assigned, Seq(docIdCol)), docIdCol, "centroid_id", quota)
+  }
+
   // ------------------------------------------ scalar quantization (SQ8)
 
   /** Per-dimension (min, max) of the corpus — the training pass of SQ8

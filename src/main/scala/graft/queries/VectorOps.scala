@@ -228,6 +228,18 @@ object VectorOps {
         threshold = 0.4)
     }),
 
+    // cluster-balanced corpus draw (topic balance): nearest seeded
+    // centroid per embedding, equal per-cluster quota in deterministic
+    // hash order — the embedding-space twin of per-source mixture
+    // sampling
+    "ts34_cluster_sample" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.clusterBalancedSample(
+        graft.Tables.documents(s, d), "doc_id", e, "vec_id", "embedding",
+        Similarity.ivfSeedCentroids(e, "vec_id", "embedding", 8),
+        quota = 10)
+    }),
+
     // per-label embedding pooling (mean-pool modulo the final divide) in
     // FIXED POINT: floor(x * 1e6) per dimension, then an exact integer
     // sum — float sums are order-dependent, so the deterministic form is
@@ -273,6 +285,27 @@ object VectorOps {
          |  (acc, x) -> acc + x) AS adist
          |FROM c CROSS JOIN p CROSS JOIN q
          |ORDER BY adist, vec_id LIMIT 30""".stripMargin,
+
+    // sim4's seeded-centroid assignment + ts13's deterministic
+    // hash-order window, partitioned by cluster
+    "ts34_cluster_sample" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id,
+         |                  list_transform(embedding,
+         |                    x -> CAST(x AS DOUBLE)) AS centroid
+         |           FROM embeddings ORDER BY vec_id LIMIT 8),
+         |a AS (SELECT vec_id, centroid_id FROM (
+         |        SELECT e.vec_id, c.centroid_id,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY ${sqlCosine("e.embedding", "c.centroid")}
+         |                   DESC, c.centroid_id) AS rn
+         |        FROM embeddings e CROSS JOIN c) WHERE rn = 1)
+         |SELECT doc_id, centroid_id, rnk FROM (
+         |  SELECT d.doc_id, a.centroid_id,
+         |         CAST(row_number() OVER (PARTITION BY a.centroid_id
+         |           ORDER BY ((d.doc_id % 1000003) * 2654435761) % 1000003,
+         |                    d.doc_id) AS INTEGER) AS rnk
+         |  FROM documents d JOIN a ON d.doc_id = a.vec_id) t
+         |WHERE rnk <= 10""".stripMargin,
 
     "sim5_label_pool" ->
       """SELECT label, dim,
