@@ -262,6 +262,9 @@ object PlanAudit {
     Check("mm13_audio_decimate",
       "synthesize + decimate + re-decode is one map-only pass (no " +
         "shuffle)",
+      p => !p.contains("Exchange") && !p.contains("SortExec")),
+    Check("mm14_channel_stats",
+      "render + decode + channel sums is one map-only pass (no shuffle)",
       p => !p.contains("Exchange") && !p.contains("SortExec")))
 
   def main(args: Array[String]): Unit = {

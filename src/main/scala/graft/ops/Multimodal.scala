@@ -843,6 +843,39 @@ object Multimodal {
     }
   }
 
+  final case class ChannelStats(media_id: Long, n_px: Long, sum_r: Long,
+      sum_g: Long, sum_b: Long)
+
+  /** REAL image feature extraction — the exact-integer core of
+    * mean-channel features (the first block of any vision front-end):
+    * per-channel pixel sums + pixel count from the ACTUAL decoded
+    * raster. Only decodable image payloads emit a row (1→0/1
+    * partition-local flatMap); undecodable or non-image items are the
+    * caller's stub path. Integer sums, so the oracle replays the pixel
+    * generator arithmetic exactly.
+    */
+  def channelStats(items: Dataset[MediaItem]): Dataset[ChannelStats] = {
+    implicit val enc = Encoders.product[ChannelStats]
+    items.mapPartitions(_.flatMap { item =>
+      if (item.kind != "image") None
+      else {
+        val px = decodeImagePixels(item)
+        if (px == null) None
+        else {
+          var r = 0L; var g = 0L; var b = 0L
+          var i = 0
+          while (i < px.length) {
+            r += (px(i) >> 16) & 0xff
+            g += (px(i) >> 8) & 0xff
+            b += px(i) & 0xff
+            i += 1
+          }
+          Some(ChannelStats(item.media_id, px.length.toLong, r, g, b))
+        }
+      }
+    })
+  }
+
   /** Resize stub: metadata-only transform (a real impl rewrites payload
     * bytes; the pipeline contract — pure function of (payload, target
     * size) — is identical).

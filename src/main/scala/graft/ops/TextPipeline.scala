@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   */
 final case class CurationConfig(
     scrubPii: Boolean = false, // redact emails/phones/IPs BEFORE analysis
+    // phrase blocklist: delete every matched span (one Aho–Corasick
+    // pass) BEFORE analysis, like the PII scrub — downstream hashes and
+    // stats must never see banned phrases
+    blocklist: Seq[String] = Nil,
     minTokens: Int = 10,
     maxTokens: Int = 1 << 20,
     minQuality: Double = 0.0,
@@ -56,10 +60,19 @@ object TextPipeline {
 
     // 0. PII scrub — BEFORE analysis/dedup so every downstream hash,
     // signature, and emitted row sees only the redacted text
-    val scrubbed =
+    val piiScrubbed =
       if (cfg.scrubPii)
         docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       else docs
+
+    // 0b. phrase blocklist — the automaton scrub, after PII redaction
+    // (mask tokens can't re-assemble a banned phrase) and before
+    // analysis for the same reason the PII scrub runs first
+    val scrubbed =
+      if (cfg.blocklist.nonEmpty)
+        piiScrubbed.withColumn(textCol, graft.functions.TextExprs
+          .blocklistScrub(col(textCol), cfg.blocklist))
+      else piiScrubbed
 
     // 1. annotate + filter in ONE fused stats pass. Pre-existing
     // annotation columns (a re-curation of already-curated output) are

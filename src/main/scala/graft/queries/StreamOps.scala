@@ -374,6 +374,24 @@ object StreamOps {
         .toDF("media_id", "sample_rate", "n_frames", "sample_sum")
     }),
 
+    // REAL image feature extraction: per-channel pixel sums from the
+    // decoded raster — the oracle recomputes every pixel's R/G/B from
+    // the PNG generator arithmetic
+    "mm14_channel_stats" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.ops.Dedup.charHash($"text")
+      val dims = documents(s, d).select(
+        $"doc_id",
+        (pmod(h, lit(24L)) + 2L).cast("int").as("w"),
+        (pmod(floor(h / 24.0).cast("long"), lit(18L)) + 2L).cast("int")
+          .as("h")).as[(Long, Int, Int)]
+      val media = dims.mapPartitions(_.map { case (id, w, hh) =>
+        graft.ops.Multimodal.MediaItem(id, "image",
+          graft.ops.Multimodal.encodePng(w, hh, id))
+      })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
+      graft.ops.Multimodal.channelStats(media).toDF()
+    }),
+
     // multimodal feature extraction: the stub encoder's byte-histogram
     // embedding collapsed to integer invariants (dominant dimension +
     // nonzero count) the oracle can pin exactly
@@ -732,6 +750,28 @@ object StreamOps {
         |       unnest(range(0, n, 4)) AS ti(i),
         |       unnest(range(0, ch)) AS tc(c))
         |GROUP BY 1, 2, 3""".stripMargin).replace("CH",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
+          "(acc, x) -> (acc * 31 + x) % 1000000007)"),
+
+    // pixel v = (x*31 + y*17 + seed) mod 2^24; r = v >> 16, g = middle
+    // byte, b = low byte — summed per image
+    "mm14_channel_stats" ->
+      ("""WITH m AS (
+        |  SELECT doc_id, (CH % 24) + 2 AS w,
+        |         CAST((CH // 24) % 18 AS BIGINT) + 2 AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(w * h AS BIGINT) AS n_px,
+        |       CAST(SUM(v // 65536) AS BIGINT) AS sum_r,
+        |       CAST(SUM((v // 256) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM(v % 256) AS BIGINT) AS sum_b
+        |FROM (
+        |  SELECT doc_id, w, h,
+        |         (x * 31 + y * 17 + doc_id) % 16777216 AS v
+        |  FROM m,
+        |       unnest(range(0, w)) AS tx(x),
+        |       unnest(range(0, h)) AS ty(y))
+        |GROUP BY 1, 2""".stripMargin).replace("CH",
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
           "(acc, x) -> (acc * 31 + x) % 1000000007)"),

@@ -540,6 +540,29 @@ object TextOps {
       graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
     }),
 
+    // tokenizer fertility eval: per-source pieces/words/chars under the
+    // frozen 4-merge tokenizer — the compression-rate numbers a
+    // tokenizer ships with (pieces-per-word, chars-per-piece), all
+    // exact integers over the ts26 dictionary-cost application
+    "ts35_bpe_fertility" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "doc_id", "text", nMerges = 4)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val counts = graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      val words = docs
+        .select($"doc_id", $"source", explode(split($"text", "\\s+")).as("w"))
+        .where(length($"w") > 0)
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("w_n"), sum(length($"w")).as("c_n"))
+      words.join(counts, Seq("doc_id"))
+        .groupBy($"source")
+        .agg(sum($"w_n").as("n_words"),
+          sum($"c_n").cast("long").as("n_chars"),
+          sum($"n_bpe").as("n_pieces"))
+    }),
+
     // phrase search over positional postings: an exact-phrase probe is
     // array algebra over the queried terms' posting rows (shift the
     // match set, intersect with the next term's positions) — never a
@@ -833,6 +856,24 @@ object TextOps {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe
        |FROM s$iters GROUP BY doc_id""".stripMargin
 
+  /** ts35 oracle: the same trajectory, final state rolled up per
+    * source — words = distinct (doc, wpos), chars = base symbols,
+    * pieces = final symbols.
+    */
+  private def bpeFertilitySql(iters: Int): String =
+    s"""WITH ${bpeCtes(iters)},
+       |pieces AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces
+       |           FROM s$iters GROUP BY doc_id),
+       |base AS (SELECT doc_id,
+       |           CAST(count(DISTINCT wpos) AS BIGINT) AS n_words,
+       |           CAST(count(*) AS BIGINT) AS n_chars
+       |         FROM s0 GROUP BY doc_id)
+       |SELECT source, CAST(sum(base.n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(base.n_chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(pieces.n_pieces) AS BIGINT) AS n_pieces
+       |FROM documents JOIN base USING (doc_id) JOIN pieces USING (doc_id)
+       |GROUP BY source""".stripMargin
+
   private def bpeCtes(iters: Int): String = {
     val base =
       """s0 AS MATERIALIZED (
@@ -901,6 +942,7 @@ object TextOps {
 
     "ts25_bpe_train" -> bpeSql(8),
     "ts26_bpe_tokenize" -> bpeTokenizeSql(4),
+    "ts35_bpe_fertility" -> bpeFertilitySql(4),
     "dd20_leakage_split" -> dd20Sql,
     "ts23_quality_model" -> qualityModelSql(16),
     "dd12_minhash_probe" -> dd12Sql,

@@ -311,6 +311,26 @@ class MultimodalSpec extends SparkSpec {
       "non-audio kind untouched")
   }
 
+  test("channelStats: per-channel sums from the decoded raster; " +
+      "undecodable and non-image items emit nothing") {
+    val rows = Seq(
+      (70L, "image", Multimodal.encodePng(3, 2, seed = 11L)),
+      (71L, "image", "junk".getBytes("UTF-8")),
+      (72L, "video", Multimodal.encodePng(3, 2, 11L)))
+    val media = Multimodal.asMedia(rows.toDF("id", "kind", "payload"),
+      "id", $"kind", $"payload")
+    val got = Multimodal.channelStats(media).collect()
+    assert(got.map(_.media_id).toSeq == Seq(70L))
+    var (r, g, b) = (0L, 0L, 0L)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val v = (x * 31 + y * 17 + 11L).toInt & 0xffffff
+      r += (v >> 16) & 0xff; g += (v >> 8) & 0xff; b += v & 0xff
+    }
+    val cs = got.head
+    assert(cs.n_px == 6L && cs.sum_r == r && cs.sum_g == g &&
+      cs.sum_b == b, cs)
+  }
+
   test("featureSummary: dominant dimension with lowest-index ties, " +
       "nonzero count") {
     // craft payloads with known byte histograms mod 4

@@ -1,0 +1,86 @@
+package graft
+
+import scala.util.Random
+
+/** Randomized parity for the two scan primitives added in round 10 —
+  * the Aho–Corasick automaton and the content-defined chunker — against
+  * plain reference implementations, covering the corner geometry
+  * (overlapping matches, patterns nested in patterns, boundary grams at
+  * text edges, edits near chunk cuts) a hand fixture can miss. Fixed
+  * seed: reproducible.
+  */
+class ScanPropertySpec extends SparkSpec {
+
+  /** Naive all-ends matcher: for every pattern, count every position
+    * where it occurs (overlaps included).
+    */
+  private def refCounts(text: String, pats: Seq[String]): Seq[Long] =
+    pats.map { p =>
+      (0 to text.length - p.length)
+        .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    }
+
+  /** Naive cover-mask scrub. */
+  private def refScrub(text: String, pats: Seq[String]): String = {
+    val covered = new Array[Boolean](text.length)
+    pats.foreach { p =>
+      (0 to text.length - p.length).foreach { i =>
+        if (text.regionMatches(i, p, 0, p.length))
+          (i until i + p.length).foreach(covered(_) = true)
+      }
+    }
+    text.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
+  }
+
+  test("AcAutomaton == naive matcher on 300 random (text, patterns) " +
+      "draws over a tiny alphabet (dense overlap regime)") {
+    val rnd = new Random(20260814L)
+    (1 to 300).foreach { trial =>
+      val text = (1 to 1 + rnd.nextInt(60))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val nPats = 1 + rnd.nextInt(5)
+      val pats = (1 to nPats).map { _ =>
+        (1 to 1 + rnd.nextInt(4))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val ac = new graft.functions.AcAutomaton(pats.toArray)
+      assert(ac.countHits(text).toSeq == refCounts(text, pats),
+        s"trial $trial text='$text' pats=$pats")
+      assert(ac.scrub(text) == refScrub(text, pats),
+        s"trial $trial scrub text='$text' pats=$pats")
+    }
+  }
+
+  test("cdcChunks on 200 random texts: chunks concatenate back, every " +
+      "cut is a true boundary gram, and a mid-text edit only re-chunks " +
+      "its neighborhood") {
+    val rnd = new Random(20260814L)
+    val k = 8
+    val m = 16
+    (1 to 200).foreach { trial =>
+      val text = (1 to 50 + rnd.nextInt(300))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val chunks = graft.functions.TextHashing.cdcChunks(text, k, m)
+      assert(chunks.mkString == text, s"trial $trial concatenation")
+      // every internal cut ends a gram whose hash divides the modulus
+      var pos = 0
+      chunks.dropRight(1).foreach { c =>
+        pos += c.length
+        val gram = text.substring(pos - k, pos)
+        assert(graft.functions.TextHashing.charHash(gram) % m == 0
+          // charHash skips newlines, gramHashes doesn't — the random
+          // alphabet here has none, so the two folds agree
+          , s"trial $trial cut at $pos not a boundary gram")
+      }
+      // locality: append a random prefix; the chunk multiset of the
+      // suffix past the first post-junction boundary is preserved
+      val prefix = (1 to 1 + rnd.nextInt(30))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val edited = graft.functions.TextHashing.cdcChunks(prefix + text, k, m)
+      assert(edited.mkString == prefix + text)
+      val shared = chunks.toSeq.intersect(edited.toSeq).size
+      assert(shared >= chunks.length - 2,
+        s"trial $trial: ${chunks.length} chunks, only $shared survive")
+    }
+  }
+}

@@ -100,6 +100,21 @@ class TextPipelineSpec extends SparkSpec {
     assert(chunked.columns.contains("quality"))
   }
 
+  test("phrase blocklist scrubs before hashing: banned spans vanish " +
+      "and exact dedup sees the scrubbed content") {
+    val docs = Seq(
+      (1L, "srcA", "one two BANNED PHRASE three four five six seven"),
+      (2L, "srcA", "one two three four five six seven"))
+      .toDF("doc_id", "source", "text")
+    val out = TextPipeline.curate(docs, "doc_id", "text", "source",
+      CurationConfig(blocklist = Seq("BANNED PHRASE "), minTokens = 1,
+        dedupExact = true))
+    // with the banned span deleted, doc 1's text equals doc 2's — the
+    // dedup stage must see scrubbed content and collapse them
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(!out.head().getAs[String]("text").contains("BANNED"))
+  }
+
   test("model-quality gate and leakage-free split compose into curate") {
     // trained-model gate on the real fixture (the toy corpus is too
     // small to train on): a strict threshold must CUT something, a zero
