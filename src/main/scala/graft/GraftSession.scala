@@ -27,6 +27,18 @@ object GraftSession {
       .getOrElse(throw new IllegalArgumentException(
         s"$name: missing argument ${i + 1}"))
 
+  /** Trailing string-literal arguments (e.g. a pattern list). */
+  private def stringArgs(exprs: Seq[org.apache.spark.sql.catalyst
+      .expressions.Expression], from: Int, name: String): Seq[String] = {
+    val out = exprs.drop(from).map(e => Option(e.eval())
+      .map(_.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$name: pattern arguments must be non-null string literals")))
+    if (out.isEmpty) throw new IllegalArgumentException(
+      s"$name: needs at least one pattern argument")
+    out
+  }
+
   // SQL numeric literals like 0.5 eval to Decimal, not Double
   private def probArgs(exprs: Seq[org.apache.spark.sql.catalyst.expressions
       .Expression], from: Int, name: String): Seq[Double] =
@@ -75,6 +87,18 @@ object GraftSession {
       graft.functions.CdcChunksExpr(exprs(0),
         intArg(exprs, 1, "cdc_chunks"),
         intArg(exprs, 2, "cdc_chunks"))),
+    "cdc_chunks_clamped" -> (exprs =>
+      graft.functions.CdcChunksClampedExpr(exprs(0),
+        intArg(exprs, 1, "cdc_chunks_clamped"),
+        intArg(exprs, 2, "cdc_chunks_clamped"),
+        intArg(exprs, 3, "cdc_chunks_clamped"),
+        intArg(exprs, 4, "cdc_chunks_clamped"))),
+    "blocklist_hits" -> (exprs =>
+      graft.functions.BlocklistHitsExpr(exprs(0),
+        stringArgs(exprs, 1, "blocklist_hits"))),
+    "blocklist_scrub" -> (exprs =>
+      graft.functions.BlocklistScrubExpr(exprs(0),
+        stringArgs(exprs, 1, "blocklist_scrub"))),
     "space_saving_topk" -> (exprs =>
       graft.functions.SpaceSavingTopK(exprs(0),
         intArg(exprs, 1, "space_saving_topk"),

@@ -302,6 +302,55 @@ object TextHashing {
       cdcChunks(s.toString, k, modulus)
         .map(UTF8String.fromString): Array[Any])
 
+  /** [[cdcChunks]] with production chunk-size clamps (LBFS §3.2): a
+    * boundary only cuts once the current chunk reaches `minLen`
+    * (suppressing pathological slivers when boundary grams cluster),
+    * and a cut is FORCED at `maxLen` (bounding the no-boundary tail).
+    * The clamp makes the scan sequential (each decision depends on the
+    * previous cut), still O(len); with minLen = 1 and a huge maxLen it
+    * equals the stateless form exactly. Clamped boundaries stay
+    * content-local: an edit's influence ends at the first unsuppressed
+    * boundary past it plus at most one maxLen window.
+    */
+  def cdcChunksClamped(text: String, k: Int, modulus: Int, minLen: Int,
+      maxLen: Int): Array[String] = {
+    require(minLen >= 1 && maxLen >= minLen,
+      s"need 1 <= minLen <= maxLen, got $minLen..$maxLen")
+    val cps = text.codePoints().toArray
+    if (cps.length == 0) return Array.empty
+    val grams = gramHashes(cps, k)
+    val cutsB = Array.newBuilder[Int]
+    var start = 0
+    var e = 1 // exclusive end candidate
+    while (e < cps.length) {
+      val len = e - start
+      val gi = e - k // the gram ending exactly at e
+      val isBoundary = gi >= 0 && gi < grams.length &&
+        grams(gi) % modulus == 0
+      if (len >= maxLen || (len >= minLen && isBoundary)) {
+        cutsB += e
+        start = e
+      }
+      e += 1
+    }
+    val cuts = cutsB.result() :+ cps.length
+    val out = new Array[String](cuts.length)
+    var s0 = 0
+    var j = 0
+    while (j < cuts.length) {
+      out(j) = new String(cps, s0, cuts(j) - s0)
+      s0 = cuts(j)
+      j += 1
+    }
+    out
+  }
+
+  def cdcChunksClampedData(s: UTF8String, k: Int, modulus: Int,
+      minLen: Int, maxLen: Int): GenericArrayData =
+    new GenericArrayData(
+      cdcChunksClamped(s.toString, k, modulus, minLen, maxLen)
+        .map(UTF8String.fromString): Array[Any])
+
   def minhashAllNull(numHashes: Int): GenericArrayData =
     new GenericArrayData(new Array[Any](numHashes))
 
@@ -505,6 +554,31 @@ case class CdcChunksExpr(child: Expression, k: Int, modulus: Int)
     copy(child = c)
 }
 
+/** array<string> of size-clamped content-defined chunks (see
+  * [[TextHashing.cdcChunksClamped]]).
+  */
+case class CdcChunksClampedExpr(child: Expression, k: Int, modulus: Int,
+    minLen: Int, maxLen: Int) extends UnaryExpression {
+  require(k >= 2 && modulus >= 1 && minLen >= 1 && maxLen >= minLen,
+    s"bad params k=$k modulus=$modulus clamp=$minLen..$maxLen")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks_clamped"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashing.cdcChunksClampedData(s.asInstanceOf[UTF8String], k,
+      modulus, minLen, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.cdcChunksClampedData($c, $k, " +
+        s"$modulus, $minLen, $maxLen)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** array<struct<fp,pos>> of position-annotated winnowing selections
   * (leftmost window minimum — see [[TextHashing.winnowPos]]).
   */
@@ -657,4 +731,8 @@ object TextExprs {
   def blocklistScrub(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(BlocklistScrubExpr(ColumnBridge.expression(text),
       patterns))
+  def cdcChunksClamped(text: Column, k: Int, modulus: Int, minLen: Int,
+      maxLen: Int): Column =
+    ColumnBridge.column(CdcChunksClampedExpr(ColumnBridge.expression(text),
+      k, modulus, minLen, maxLen))
 }

@@ -32,6 +32,12 @@ final case class CurationConfig(
     // and drop docs whose model probability falls below this (the
     // learned smoothing of the heuristic filter above)
     minModelQuality: Option[Double] = None,
+    // CCNet-style language-model filter: score every doc against a
+    // bigram LM frozen on the reference corpus (ts27 semantics) and
+    // drop docs whose mean bit-surprisal exceeds the threshold —
+    // "doesn't read like the reference". Docs too short to score
+    // (< 2 tokens) drop too; set minTokens >= 2 to make that explicit
+    lmFilter: Option[(DataFrame, Double)] = None,
     dedupExact: Boolean = true,
     nearDupThreshold: Option[Double] = None, // e.g. Some(0.6)
     benchmark: Option[DataFrame] = None,     // docs with the text column
@@ -107,6 +113,23 @@ object TextPipeline {
         .where(col("score_fx") >= math.round(t * QualityModel.Scale))
         .select(id)
       kept = kept.join(keep, Seq(idCol), "left_semi")
+    }
+
+    // 1c. CCNet LM filter: frozen reference bigram LM, drop docs that
+    // don't read like the reference. The reference is scrubbed with the
+    // same redactions as the corpus (the benchmark-symmetry rule)
+    cfg.lmFilter.foreach { case (ref0, maxBits) =>
+      var ref = ref0
+      if (cfg.scrubPii)
+        ref = ref.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      if (cfg.blocklist.nonEmpty)
+        ref = ref.withColumn(textCol, graft.functions.TextExprs
+          .blocklistScrub(col(textCol), cfg.blocklist))
+      val keepIds = TextAnalysis
+        .bigramSurprisalAgainst(kept, ref, idCol, textCol)
+        .where(col("mean_surprise") <= maxBits)
+        .select(col("doc_id").as(idCol))
+      kept = kept.join(keepIds, Seq(idCol), "left_semi")
     }
 
     // 2. exact dedup: keep the canonical (min id) doc per content hash

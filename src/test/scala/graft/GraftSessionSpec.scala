@@ -85,6 +85,16 @@ class GraftSessionSpec extends SparkSpec {
         "AS r FROM VALUES (1L,1),(2L,1),(2L,2),(3L,2) AS t(v, g) GROUP BY g)")
       .head().getLong(0)
     assert(hll == 3L) // linear-counting regime: exact at tiny cardinality
+    val cdc = spark.sql("SELECT cdc_chunks('short text', 16, 64)")
+      .head().getSeq[String](0)
+    assert(cdc == Seq("short text"))
+    val bh = spark.sql(
+      "SELECT blocklist_hits('ushers', 'he', 'she', 'his', 'hers')")
+      .head().getSeq[Long](0)
+    assert(bh == Seq(1L, 1L, 0L, 1L))
+    val bs = spark.sql("SELECT blocklist_scrub('she sells', 'she', 'ell')")
+      .head().getString(0)
+    assert(bs == " ss")
   }
 
   test("views track the snapshot the mount saw; remount advances") {

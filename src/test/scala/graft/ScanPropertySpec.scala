@@ -51,6 +51,32 @@ class ScanPropertySpec extends SparkSpec {
     }
   }
 
+  test("cdcChunksClamped on 200 random texts: bounds respected, " +
+      "concatenation holds, loose clamps equal the stateless form") {
+    val rnd = new Random(20260814L)
+    val (k, m, lo, hi) = (8, 16, 12, 48)
+    (1 to 200).foreach { trial =>
+      val text = (1 to 20 + rnd.nextInt(400))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val chunks =
+        graft.functions.TextHashing.cdcChunksClamped(text, k, m, lo, hi)
+      assert(chunks.mkString == text, s"trial $trial concatenation")
+      // every chunk but the trailing remainder is in [lo, hi]; the
+      // remainder only bounded above
+      chunks.dropRight(1).foreach(c => assert(
+        c.length >= lo && c.length <= hi, s"trial $trial len ${c.length}"))
+      assert(chunks.last.length <= hi, s"trial $trial tail")
+      // loose clamps degenerate to the stateless form exactly
+      val loose = graft.functions.TextHashing.cdcChunksClamped(
+        text, k, m, 1, Int.MaxValue)
+      assert(loose.toSeq ==
+        graft.functions.TextHashing.cdcChunks(text, k, m).toSeq,
+        s"trial $trial loose != stateless")
+    }
+    assert(graft.functions.TextHashing
+      .cdcChunksClamped("", k, m, lo, hi).isEmpty)
+  }
+
   test("cdcChunks on 200 random texts: chunks concatenate back, every " +
       "cut is a true boundary gram, and a mid-text edit only re-chunks " +
       "its neighborhood") {

@@ -115,6 +115,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(!out.head().getAs[String]("text").contains("BANNED"))
   }
 
+  test("CCNet LM filter: docs that don't read like the reference drop") {
+    val ref = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "the cat ran on the mat"),
+      (102L, "the dog sat on the mat")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "srcA", "the cat sat on the mat"), // reference-like
+      (2L, "srcA", "zx qv wq jj kk zz pp qq")) // every bigram OOV (32 bits)
+      .toDF("doc_id", "source", "text")
+    val out = TextPipeline.curate(docs, "doc_id", "text", "source",
+      CurationConfig(minTokens = 2, dedupExact = false,
+        lmFilter = Some((ref, 8.0))))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L))
+    // a permissive threshold keeps both
+    val loose = TextPipeline.curate(docs, "doc_id", "text", "source",
+      CurationConfig(minTokens = 2, dedupExact = false,
+        lmFilter = Some((ref, 33.0))))
+    assert(loose.count() == 2)
+  }
+
   test("model-quality gate and leakage-free split compose into curate") {
     // trained-model gate on the real fixture (the toy corpus is too
     // small to train on): a strict threshold must CUT something, a zero
