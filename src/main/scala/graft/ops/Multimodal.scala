@@ -843,6 +843,56 @@ object Multimodal {
     }
   }
 
+  final case class MediaCurationConfig(
+      minSide: Int = 1, // image/video: decoded long side at least this
+      maxSide: Int = Int.MaxValue, // ...and at most this
+      resizeTo: Option[Int] = None, // payload-rewriting clamp afterwards
+      minAudioFrames: Int = 0,
+      maxAudioFrames: Int = Int.MaxValue,
+      dropUndecodable: Boolean = false) // drop items only the stub fakes
+
+  /** One-call media curation — the multimodal twin of
+    * `TextPipeline.curate`: gate every item on its REAL decoded
+    * properties (raster dims for images, container dims for video, PCM
+    * frame count for audio — never the stub's pseudo-metadata),
+    * optionally drop whatever no real decoder accepts, then rewrite
+    * surviving payloads to the target size through the lossless
+    * PNG / uncompressed-AVI resize paths. Every stage is
+    * partition-local (decode happens where the bytes already are —
+    * at 100 TB the payload column never shuffles).
+    */
+  def curateMedia(items: Dataset[MediaItem],
+      cfg: MediaCurationConfig): Dataset[MediaItem] = {
+    require(cfg.minSide >= 1 && cfg.maxSide >= cfg.minSide,
+      s"bad side gate ${cfg.minSide}..${cfg.maxSide}")
+    implicit val enc = Encoders.product[MediaItem]
+    val gated = items.filter { item =>
+      item.kind match {
+        case "image" =>
+          val m = decodeImage(item)
+          if (m == null) !cfg.dropUndecodable
+          else {
+            val s = math.max(m.width, m.height)
+            s >= cfg.minSide && s <= cfg.maxSide
+          }
+        case "video" =>
+          val m = decodeVideo(item)
+          if (m == null) !cfg.dropUndecodable
+          else {
+            val s = math.max(m.width, m.height)
+            s >= cfg.minSide && s <= cfg.maxSide
+          }
+        case "audio" =>
+          val m = decodeAudio(item)
+          if (m == null) !cfg.dropUndecodable
+          else m.nFrames >= cfg.minAudioFrames &&
+            m.nFrames <= cfg.maxAudioFrames
+        case _ => !cfg.dropUndecodable
+      }
+    }
+    cfg.resizeTo.fold(gated)(t => resizeVideo(resizeImage(gated, t), t))
+  }
+
   final case class ChannelStats(media_id: Long, n_px: Long, sum_r: Long,
       sum_g: Long, sum_b: Long)
 

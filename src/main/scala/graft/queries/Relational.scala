@@ -495,6 +495,21 @@ object Relational {
         .withColumn("cd", cume_dist().over(w))
     }),
 
+    // W10: percent_rank + first_value — the last members of the window
+    // family not yet gated: each order's price percentile within its
+    // priority class, next to the class minimum carried on every row
+    // (first_value over the ordered frame; orderkey tie-break keeps the
+    // frame head deterministic)
+    "w10_pct_first" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("class_min", first($"o_totalprice").over(w))
+    }),
+
     // W8: nth_value over the FULL partition frame — third-highest order
     // value per priority class (deterministic orderkey tiebreak),
     // collapsed to one row per class
@@ -1047,6 +1062,15 @@ object Relational {
         |         ORDER BY o_totalprice DESC, o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |         AS third_price
+        |FROM orders""".stripMargin,
+
+    "w10_pct_first" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       percent_rank() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice, o_orderkey) AS pr,
+        |       first_value(o_totalprice) OVER (
+        |         PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice, o_orderkey) AS class_min
         |FROM orders""".stripMargin,
 
     "j10_range_attr" ->

@@ -331,6 +331,32 @@ class MultimodalSpec extends SparkSpec {
       cs.sum_b == b, cs)
   }
 
+  test("curateMedia: gates on REAL decoded properties, drops what only " +
+      "the stub fakes, resizes survivors payload-level") {
+    val rows = Seq(
+      (1L, "image", Multimodal.encodePng(40, 20, 1L)), // big → resized
+      (2L, "image", Multimodal.encodePng(2, 2, 2L)), // below minSide
+      (3L, "image", "junk".getBytes("UTF-8")), // undecodable
+      (4L, "audio", Multimodal.encodeWav(100, 16000, 1, 4L)), // kept
+      (5L, "audio", Multimodal.encodeWav(3, 16000, 1, 5L)), // too short
+      (6L, "video", Multimodal.encodeAviRgb(30, 10, 2, 25, 6L))) // resized
+    val media = Multimodal.asMedia(rows.toDF("id", "kind", "payload"),
+      "id", $"kind", $"payload")
+    val cfg = Multimodal.MediaCurationConfig(minSide = 5,
+      resizeTo = Some(10), minAudioFrames = 50, dropUndecodable = true)
+    val out = Multimodal.curateMedia(media, cfg).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out.keySet == Set(1L, 4L, 6L), out.keySet)
+    val img = Multimodal.decodeImage(out(1L))
+    assert(img.width == 10 && img.height == 5, s"$img")
+    val vid = Multimodal.decodeVideo(out(6L))
+    assert(vid.width == 10 && vid.height == 3, s"$vid")
+    // without the drop flag, undecodables ride through untouched
+    val lax = Multimodal.curateMedia(media,
+      cfg.copy(dropUndecodable = false)).collect().map(_.media_id).toSet
+    assert(lax == Set(1L, 3L, 4L, 6L), lax)
+  }
+
   test("featureSummary: dominant dimension with lowest-index ties, " +
       "nonzero count") {
     // craft payloads with known byte histograms mod 4
