@@ -32,6 +32,66 @@ class ScanPropertySpec extends SparkSpec {
     text.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
   }
 
+  test("round-10 ops hold their shuffle posture at sf0.01 x10: SQ8 " +
+      "shuffles only the dims sketch, CDC only chunk hashes, the " +
+      "blocklist scan nothing at all") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val tally = new java.util.concurrent.atomic.AtomicLong
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) tally.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    }
+    def shuffled(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(l)
+      tally.set(0L)
+      try {
+        body
+        var waited = 0
+        var last = -1L
+        while (waited < 10000 && tally.get() != last) {
+          last = tally.get(); Thread.sleep(200L); waited += 200
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      tally.get()
+    }
+    val docs = graft.ops.ScaleStress.inflateDocs(
+      Tables.documents(spark, "/root/testdata/sf0.01"), 10)
+    val nDocs = Tables.documents(spark, "/root/testdata/sf0.01").count() * 10
+    val emb = graft.ops.ScaleStress.inflateEmbeddings(
+      Tables.embeddings(spark, "/root/testdata/sf0.01"), 10)
+    val q = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    // SQ8: the training min/max is the ONLY aggregation — dims rows of
+    // partials; the probe is a pure scan into TakeOrdered
+    val sqRecs = shuffled {
+      assert(graft.ops.SqIndex.build(emb, "vec_id", "embedding", 64)
+        .probe(q, 30).count() == 30L)
+    }
+    assert(sqRecs <= 64L * 40,
+      s"SQ8 shuffled $sqRecs records — the sketch should be dims-sized")
+    // CDC: chunk text hashed away map-side; both exchanges carry hash
+    // rows — a bounded number per doc
+    var ledger = 0L
+    val cdcRecs = shuffled {
+      ledger = graft.ops.Dedup.cdcDedup(docs, "doc_id", "text").count()
+    }
+    assert(ledger > 0)
+    assert(cdcRecs <= nDocs * 40,
+      s"CDC shuffled $cdcRecs records for $nDocs docs — superlinear")
+    // blocklist: map-only scan — the single forced-eval agg record is
+    // all that ever moves
+    val blRecs = shuffled {
+      graft.ops.TextAnalysis.blocklistStats(docs, "doc_id", "text",
+        Seq("table", "spark row")).write.format("noop").mode("overwrite")
+        .save()
+    }
+    assert(blRecs == 0L, s"blocklist scan shuffled $blRecs records")
+  }
+
   test("AcAutomaton == naive matcher on 300 random (text, patterns) " +
       "draws over a tiny alphabet (dense overlap regime)") {
     val rnd = new Random(20260814L)
