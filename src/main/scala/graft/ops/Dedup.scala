@@ -1548,12 +1548,14 @@ object Dedup {
   */
 final case class CdcLedger(k: Int, modulus: Int, ledger: DataFrame) {
 
-  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+  def save(cat: graft.catalog.VersionedCatalog, name: String,
+      lastBatchId: Long = -1L): Unit = {
     val spark = ledger.sparkSession
     import spark.implicits._
     cat.commit(Map(
       s"$name.ledger" -> ledger,
-      s"$name.params" -> Seq((k, modulus)).toDF("k", "modulus")))
+      s"$name.params" -> Seq((k, modulus, lastBatchId))
+        .toDF("k", "modulus", "last_batch_id")))
     ()
   }
 
@@ -1566,14 +1568,23 @@ final case class CdcLedger(k: Int, modulus: Int, ledger: DataFrame) {
       Dedup.cdcDedup(batch, idCol, textCol, k, modulus))))
 
   /** Persisted incremental: append the batch's aggregated ledger as a
-    * catalog delta; the merged view folds on read.
+    * catalog delta (and, when `batchId` is given, advance the recorded
+    * batch id in the SAME atomic commit — the exactly-once marker the
+    * streaming maintenance loop replays against); the merged view folds
+    * on read.
     */
   def appendDocs(cat: graft.catalog.VersionedCatalog, name: String,
-      batch: DataFrame, idCol: String, textCol: String): CdcLedger = {
-    cat.commitAll(Map(s"$name.ledger" -> graft.catalog.TableDelta(
-      appends = Seq((Dedup.cdcDedup(batch, idCol, textCol, k, modulus),
-        "")))))
-    CdcLedger.load(batch.sparkSession, cat, name)
+      batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long = -1L): CdcLedger = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    cat.commitAll(Map(
+      s"$name.ledger" -> graft.catalog.TableDelta(
+        appends = Seq((Dedup.cdcDedup(batch, idCol, textCol, k, modulus),
+          ""))),
+      s"$name.params" -> graft.catalog.TableDelta(rewrite = Some(
+        Seq((k, modulus, batchId)).toDF("k", "modulus", "last_batch_id")))))
+    CdcLedger.load(spark, cat, name)
   }
 
   /** Fold the accumulated deltas back into one materialized ledger. */
@@ -1595,5 +1606,46 @@ object CdcLedger {
     val p = cat.read(spark, s"$name.params").head()
     CdcLedger(p.getAs[Int]("k"), p.getAs[Int]("modulus"),
       Dedup.mergeCdcLedgers(cat.read(spark, s"$name.ledger")))
+  }
+
+  /** Exactly-once streaming maintenance — the CDC twin of
+    * [[Dedup.maintainDupClusters]]: each micro-batch chunks ONLY its own
+    * documents and lands as one atomic (ledger delta + batch-id marker)
+    * commit; a redelivered batch id is a no-op, so crash/replay cannot
+    * double-count a chunk.
+    */
+  def maintain(docs: DataFrame, idCol: String, textCol: String,
+      cat: graft.catalog.VersionedCatalog, name: String, k: Int = 16,
+      modulus: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        applyBatch(batch.toDF(), batchId, idCol, textCol, cat, name, k,
+          modulus)
+        ()
+    }
+
+  /** One maintenance step (the foreachBatch body, exposed for direct
+    * testing): true when applied, false when skipped (replayed id or
+    * empty batch).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, cat: graft.catalog.VersionedCatalog, name: String,
+      k: Int, modulus: Int): Boolean = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return false
+    if (!cat.exists(s"$name.params")) {
+      build(batch, idCol, textCol, k, modulus).save(cat, name, batchId)
+      true
+    } else {
+      val p = cat.read(spark, s"$name.params").head()
+      if (batchId <= p.getAs[Long]("last_batch_id")) false // replay
+      else {
+        load(spark, cat, name)
+          .appendDocs(cat, name, batch, idCol, textCol, batchId)
+        true
+      }
+    }
   }
 }

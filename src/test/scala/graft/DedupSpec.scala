@@ -195,6 +195,26 @@ class DedupSpec extends SparkSpec {
       full.exceptAll(compacted.ledger).isEmpty)
   }
 
+  test("exactly-once CDC ledger maintenance: replayed batch ids are " +
+      "no-ops; applied folds equal a batch rebuild") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.where($"doc_id" % 2 === 0)
+    val b = docs.where($"doc_id" % 2 =!= 0)
+    val root = tmpDir("cdc-maint")
+    val cat = new graft.catalog.VersionedCatalog(root)
+    import graft.ops.CdcLedger
+    assert(CdcLedger.applyBatch(a, 0L, "doc_id", "text", cat, "cdc", 16, 64))
+    assert(CdcLedger.applyBatch(b, 1L, "doc_id", "text", cat, "cdc", 16, 64))
+    // redelivery of either id is a no-op
+    assert(!CdcLedger.applyBatch(b, 1L, "doc_id", "text", cat, "cdc", 16, 64))
+    assert(!CdcLedger.applyBatch(a, 0L, "doc_id", "text", cat, "cdc", 16, 64))
+    assert(!CdcLedger.applyBatch(a.limit(0), 2L, "doc_id", "text", cat,
+      "cdc", 16, 64), "empty batch skips")
+    val full = CdcLedger.build(docs, "doc_id", "text").ledger
+    val got = CdcLedger.load(spark, cat, "cdc").ledger
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+  }
+
   test("winnow: rolling-hash fingerprints match the direct formulation") {
     // brute-force reference: hash every k-gram independently (the fold
     // the DuckDB oracle replays), window minima, sorted distinct
