@@ -120,6 +120,9 @@ object GraftSession {
     "hll_merge" -> (exprs =>
       graft.functions.HllMergeCount(exprs(0),
         intArg(exprs, 1, "hll_merge")).toAggregateExpression()),
+    "cm_inner" -> (exprs =>
+      graft.functions.CmInnerProduct(exprs(0), exprs(1),
+        intArg(exprs, 2, "cm_inner"), intArg(exprs, 3, "cm_inner"))),
     "cm_sketch" -> (exprs =>
       graft.functions.CountMinSketchAgg(exprs(0),
         intArg(exprs, 1, "cm_sketch"), intArg(exprs, 2, "cm_sketch"),

@@ -229,6 +229,12 @@ object PlanAudit {
         "sort, codegen'd blocklist_hits)",
       p => p.contains("blocklist_hits") && !p.contains("Exchange") &&
         !p.contains("SortExec")),
+    Check("a14_join_estimate",
+      "join-size estimate: per-side sketch aggregates (partial map-" +
+        "side), the 'join' at estimate time is a 1-row × 1-row cross " +
+        "of sketches — the fact tables are never equi-joined",
+      p => "ObjectHashAggregate".r.findAllIn(p).size >= 4 &&
+        !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")),
     Check("ts34_cluster_sample",
       "per-cluster quota runs as WindowGroupLimit (partial top-k on " +
         "both sides of the exchange); the doc join is broadcast-hash; " +

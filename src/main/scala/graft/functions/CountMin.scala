@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -332,7 +332,74 @@ case class CountMinMergeTopK(child: Expression, depth: Int, width: Int,
     copy(child = newChildren.head)
 }
 
+/** `cm_inner(sketchA, sketchB)`: the Cormode–Muthukrishnan inner-
+  * product estimate — equi-join SIZE between two keyed datasets from
+  * their stored CM sketches alone: per hash row, Σ_cell aCell·bCell;
+  * the reported value is the MIN over rows, a true UPPER bound on
+  * Σ_key fa(key)·fb(key) (a shared key lands in the same cell of both
+  * sketches — the salted hash depends only on the key — so its product
+  * survives every row; colliders only ADD). Exact whenever some row
+  * maps the active keys of both sides to distinct cells. The classic
+  * use: size a join before running it, from two sketch-table lookups,
+  * no data scanned.
+  */
+case class CmInnerProduct(left: Expression, right: Expression,
+    depth: Int, width: Int) extends BinaryExpression {
+  require(depth >= 1 && Integer.bitCount(width) == 1,
+    s"need depth >= 1 and power-of-2 width, got d=$depth w=$width")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cm_inner"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cm_inner requires two BINARY sketches, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CmInnerProduct.compute(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], depth, width)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CmInnerProduct.compute($a, $b, $depth, $width)")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+object CmInnerProduct {
+  def compute(a: Array[Byte], b: Array[Byte], depth: Int,
+      width: Int): Long = {
+    val ba = CmBuf.fromBytes(a, depth, width)
+    val bb = CmBuf.fromBytes(b, depth, width)
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var s = 0L
+      var j = r * width
+      val end = j + width
+      while (j < end) {
+        s += ba.counts(j) * bb.counts(j)
+        j += 1
+      }
+      if (s < best) best = s
+      r += 1
+    }
+    best
+  }
+}
+
 object CountMin {
+
+  /** Join-size estimate between two stored sketches (see
+    * [[CmInnerProduct]]). */
+  def cmInner(a: Column, b: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(CmInnerProduct(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), depth, width))
   /** Top-`k` heavy hitters of a BIGINT column via a (depth × width)
     * Count-Min sketch with `capacity` tracked candidates.
     */

@@ -236,6 +236,27 @@ object Relational {
           "fk_orders"))
     }),
 
+    // a14: join-size estimation from stored sketches alone (the
+    // Cormode–Muthukrishnan CM inner product — size the join BEFORE
+    // running it, no data scanned at estimate time). Exact regime: the
+    // active key sets are tiny relative to the 2^16 row width, so no
+    // row has cross-collisions and the upper bound IS the true size —
+    // which is what the plain-COUNT oracle checks
+    "a14_join_estimate" -> ((s, d) => {
+      import s.implicits._
+      val sn = nation(s, d)
+        .agg(graft.functions.CountMin
+          .cmSketch($"n_regionkey".cast("long"), 4, 1 << 16, 8)
+          .as("sk"))
+      val sr = region(s, d)
+        .agg(graft.functions.CountMin
+          .cmSketch($"r_regionkey".cast("long"), 4, 1 << 16, 8)
+          .as("sk"))
+      sn.crossJoin(sr.withColumnRenamed("sk", "sk2"))
+        .select(graft.functions.CountMin
+          .cmInner($"sk", $"sk2", 4, 1 << 16).as("est_join_size"))
+    }),
+
     // q8: statistical moments + correlation per group. Sums are exact
     // BIGINTs over rounded integer units (so partial-agg order can't
     // perturb them); the correlation is then ONE double expression over
@@ -827,6 +848,13 @@ object Relational {
         |         AS BIGINT) AS sum_price_cents
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+        .stripMargin,
+
+    // exact regime: no cross-collisions in a 2^16-wide row at ≤ 25
+    // active keys, so the sketch estimate equals the true join count
+    "a14_join_estimate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS est_join_size
+        |FROM nation JOIN region ON n_regionkey = r_regionkey"""
         .stripMargin,
 
     // violation = predicate false OR null (the CASE ELSE arm catches

@@ -145,4 +145,41 @@ class CountMinSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.functions.CmBuf.fromBytes(bytes, 2, 1024))
   }
+
+  test("cm_inner: join-size estimate from two stored sketches — upper " +
+      "bound always, exact without cross-collisions; SQL-callable") {
+    import graft.functions.{CmBuf, CountMin}
+    val (d, w) = (4, 1 << 16)
+    val a = new CmBuf(d, w)
+    val b = new CmBuf(d, w)
+    (0 to 20).foreach(i => a.add(i.toLong, i + 1L))
+    (10 to 30).foreach(i => b.add(i.toLong, 2L))
+    val truth = (10 to 20).map(i => (i + 1L) * 2L).sum
+    val est = Seq((CmBuf.toBytes(a), CmBuf.toBytes(b))).toDF("sa", "sb")
+      .select(CountMin.cmInner(col("sa"), col("sb"), d, w).as("e"))
+      .head().getLong(0)
+    // 42 active keys in a 2^16-wide row: this fixture is collision-free
+    // (deterministic hashing — if it ever collided the test would have
+    // failed on day one), so the estimate is EXACT
+    assert(est == truth, s"est $est vs true join size $truth")
+    // a deliberately narrow sketch can only over-count
+    val (d2, w2) = (2, 16)
+    val na = new CmBuf(d2, w2)
+    val nb = new CmBuf(d2, w2)
+    (0 to 20).foreach(i => na.add(i.toLong, i + 1L))
+    (10 to 30).foreach(i => nb.add(i.toLong, 2L))
+    val nEst = Seq((CmBuf.toBytes(na), CmBuf.toBytes(nb)))
+      .toDF("sa", "sb")
+      .select(CountMin.cmInner(col("sa"), col("sb"), d2, w2).as("e"))
+      .head().getLong(0)
+    assert(nEst >= truth, s"narrow estimate $nEst under-counts $truth")
+    // the whole flow in SQL: sketch per side, estimate the join size
+    GraftSession.registerFunctions(spark)
+    val sqlEst = spark.sql(
+      "SELECT cm_inner(sa, sb, 4, 65536) FROM " +
+        "(SELECT (SELECT cm_sketch(v, 4, 65536, 8) FROM VALUES " +
+        "(1L),(1L),(2L) AS t(v)) AS sa, (SELECT cm_sketch(v, 4, 65536, 8) " +
+        "FROM VALUES (1L),(3L) AS u(v)) AS sb)").head().getLong(0)
+    assert(sqlEst == 2L) // fa(1)=2 * fb(1)=1
+  }
 }
