@@ -229,6 +229,12 @@ object PlanAudit {
         "sort, codegen'd blocklist_hits)",
       p => p.contains("blocklist_hits") && !p.contains("Exchange") &&
         !p.contains("SortExec")),
+    Check("st11_interpolate",
+      "all four neighbor-scan window frames (prev/next value+day) " +
+        "share ONE user-key exchange; the grid join is broadcast",
+      p => "hashpartitioning\\(user_id#\\d+L, \\d+\\)".r
+        .findAllIn(p).size == 1 &&
+        p.contains("BroadcastHashJoin")),
     Check("a14_join_estimate",
       "join-size estimate: per-side sketch aggregates (partial map-" +
         "side), the 'join' at estimate time is a 1-row × 1-row cross " +

@@ -157,6 +157,51 @@ object EventAnalytics {
       .select(col("user_id"), col("day"), col("filled_cents"))
   }
 
+  /** Linear-interpolation resample — the numeric twin of
+    * [[forwardFillDaily]]: the same per-user daily grid, but gap days
+    * take the straight line between their surrounding observations,
+    * in EXACT integer arithmetic (interp = prev + (next − prev) ·
+    * (day − prev_day) DIV (next_day − prev_day), floored — bit-stable
+    * where a float slope is not). Observed days keep their value
+    * exactly (the formula degenerates to prev there); the grid spans
+    * lo..hi per user, so every gap day has both neighbors by
+    * construction. Plan: both neighbor scans are windows over ONE
+    * user-keyed partitioning — the asc-preceding and asc-following
+    * frames share their Exchange.
+    */
+  def interpolateDaily(events: DataFrame): DataFrame = {
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        datediff(to_date(col("ts")), lit(EpochDay0)).cast("long").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(wDay)).where(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("cents"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("day"),
+        // the slope step in floor-of-double form: the integer product
+        // (≤ ~2^40 here) is double-exact, so floor(p / q) is the exact
+        // rational floor in BOTH engines (same IEEE divide)
+        when(col("nd") === col("pd"), col("pv"))
+          .otherwise(col("pv") + floor(
+            ((col("nv") - col("pv")) * (col("day") - col("pd")))
+              .cast("double") / (col("nd") - col("pd")).cast("double")))
+          .cast("long").as("interp_cents"))
+  }
+
   /** Weekly cohort retention: cohort = the user's first active epoch-week;
     * one output row per (cohort_week, week_offset) with the distinct-user
     * count. The cohort side is one row per user — small relative to the

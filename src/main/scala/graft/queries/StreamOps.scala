@@ -80,6 +80,12 @@ object StreamOps {
 
     // daily grid resample + LOCF forward-fill (regular series from an
     // irregular event log)
+    // linear-interpolation resample: gap days take the straight line
+    // between their surrounding observations, exact integer floor
+    // arithmetic — the numeric twin of st6's LOCF
+    "st11_interpolate" -> ((s, d) =>
+      graft.ops.EventAnalytics.interpolateDaily(events(s, d))),
+
     "st6_forward_fill" -> ((s, d) =>
       graft.ops.EventAnalytics.forwardFillDaily(events(s, d))),
 
@@ -568,6 +574,48 @@ object StreamOps {
         |       last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
         |         ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled_cents
         |FROM j""".stripMargin,
+    // st6's daily grid; neighbors via preceding/following IGNORE NULLS
+    // frames, slope step as floor-of-double (integer product is
+    // double-exact, so the floor is the exact rational floor)
+    "st11_interpolate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |dv AS (
+        |  SELECT user_id, CAST(day AS BIGINT) AS day, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM e) t
+        |  WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS day
+        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |        FROM dv GROUP BY user_id) s),
+        |j AS (
+        |  SELECT g.user_id, g.day, dv.cents,
+        |         CASE WHEN dv.cents IS NOT NULL THEN g.day END AS od
+        |  FROM grid g LEFT JOIN dv USING (user_id, day)),
+        |n AS (
+        |  SELECT user_id, day,
+        |    last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(od IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd,
+        |    first_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY day ROWS BETWEEN CURRENT ROW AND
+        |      UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(od IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY day ROWS BETWEEN CURRENT ROW AND
+        |      UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT user_id, day,
+        |       CASE WHEN nd = pd THEN pv
+        |            ELSE pv + CAST(floor(CAST((nv - pv) * (day - pd)
+        |              AS DOUBLE) / CAST(nd - pd AS DOUBLE)) AS BIGINT)
+        |       END AS interp_cents
+        |FROM n""".stripMargin,
+
     "mm2_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_index,
         |       CAST(least(256, octet_length(CAST(text AS BLOB)) - f * 256)

@@ -116,6 +116,25 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, d + 1, 100L)))
   }
 
+  test("interpolateDaily: gap days take the exact integer-floored line " +
+      "between neighbors; observed days keep their value") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0, 1L), // day d: 100 cents
+      (1L, ts("2024-01-04 01:00:00"), 4.0, 2L), // day d+3: 400
+      (2L, ts("2024-01-01 00:00:00"), 1.0, 3L), // negative slope user
+      (2L, ts("2024-01-04 00:00:00"), 0.0, 4L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val got = graft.ops.EventAnalytics.interpolateDaily(df)
+      .as[(Long, Long, Long)].collect().toSet
+    val d = 19723L
+    assert(got == Set(
+      (1L, d, 100L), (1L, d + 1, 200L), (1L, d + 2, 300L), (1L, d + 3, 400L),
+      // 100 → 0 over 3 days, floored: 100+floor(-100/3)=66,
+      // 100+floor(-200/3)=33
+      (2L, d, 100L), (2L, d + 1, 66L), (2L, d + 2, 33L), (2L, d + 3, 0L)),
+      got)
+  }
+
   test("weeklyRetention offsets are relative to each user's first week") {
     val df = ev(
       (1L, "2024-01-01 00:00:00", "view"), // u1 cohort week w
