@@ -27,13 +27,23 @@ object GraftSession {
       .getOrElse(throw new IllegalArgumentException(
         s"$name: missing argument ${i + 1}"))
 
-  /** Trailing string-literal arguments (e.g. a pattern list). */
+  /** Trailing string-literal arguments (e.g. a pattern list) —
+    * rejected unless genuinely foldable STRING expressions (a column
+    * reference would eval() against no row; a numeric literal would
+    * silently stringify into a bogus pattern).
+    */
   private def stringArgs(exprs: Seq[org.apache.spark.sql.catalyst
       .expressions.Expression], from: Int, name: String): Seq[String] = {
-    val out = exprs.drop(from).map(e => Option(e.eval())
-      .map(_.toString)
-      .getOrElse(throw new IllegalArgumentException(
-        s"$name: pattern arguments must be non-null string literals")))
+    val out = exprs.drop(from).map { e =>
+      if (!e.foldable ||
+          e.dataType != org.apache.spark.sql.types.StringType)
+        throw new IllegalArgumentException(
+          s"$name: pattern arguments must be string literals, got " +
+            e.sql)
+      Option(e.eval()).map(_.toString).getOrElse(
+        throw new IllegalArgumentException(
+          s"$name: pattern arguments must be non-null string literals"))
+    }
     if (out.isEmpty) throw new IllegalArgumentException(
       s"$name: needs at least one pattern argument")
     out

@@ -26,9 +26,11 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
   require(patterns.nonEmpty, "AcAutomaton needs at least one pattern")
   require(patterns.forall(_.nonEmpty), "empty pattern matches everywhere")
 
-  // trie over UTF-16 chars: per-node char→child, built mutably then
-  // frozen into parallel arrays for the scan loop
-  private val (gotoMap, fail, out) = {
+  // trie over UTF-16 chars, built with boxed maps then FROZEN into
+  // primitive parallel arrays — the scan loop pays a binary search over
+  // a char[] per input character, never boxing or HashMap hashing (this
+  // loop is what the O(text + hits) claim is about)
+  private val (nodeChars, nodeNext, fail, out) = {
     val children =
       scala.collection.mutable.ArrayBuffer(
         new java.util.HashMap[Character, Integer]())
@@ -69,7 +71,26 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
         queue.add(c)
       }
     }
-    (children.map(m => m).toArray, failA, outA)
+    val charsA = new Array[Array[Char]](n)
+    val nextA = new Array[Array[Int]](n)
+    var v = 0
+    while (v < n) {
+      val pairs = new Array[(Char, Int)](children(v).size)
+      var i = 0
+      children(v).forEach { (ch, c) => pairs(i) = (ch.charValue(), c); i += 1 }
+      val sorted = pairs.sortBy(_._1)
+      charsA(v) = sorted.map(_._1)
+      nextA(v) = sorted.map(_._2)
+      v += 1
+    }
+    (charsA, nextA, failA, outA)
+  }
+
+  /** goto(state, ch) or -1 — binary search over the node's sorted
+    * children. */
+  private def step(state: Int, ch: Char): Int = {
+    val idx = java.util.Arrays.binarySearch(nodeChars(state), ch)
+    if (idx >= 0) nodeNext(state)(idx) else -1
   }
 
   /** Per-pattern occurrence counts over one text (all match ends). */
@@ -79,12 +100,12 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
     var i = 0
     while (i < text.length) {
       val ch = text.charAt(i)
-      var t = gotoMap(state).get(ch)
-      while (t == null && state != 0) {
+      var t = step(state, ch)
+      while (t < 0 && state != 0) {
         state = fail(state)
-        t = gotoMap(state).get(ch)
+        t = step(state, ch)
       }
-      state = if (t != null) t.intValue() else 0
+      state = if (t >= 0) t else 0
       val o = out(state)
       var j = 0
       while (j < o.length) {
@@ -109,12 +130,12 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
     var i = 0
     while (i < text.length) {
       val ch = text.charAt(i)
-      var t = gotoMap(state).get(ch)
-      while (t == null && state != 0) {
+      var t = step(state, ch)
+      while (t < 0 && state != 0) {
         state = fail(state)
-        t = gotoMap(state).get(ch)
+        t = step(state, ch)
       }
-      state = if (t != null) t.intValue() else 0
+      state = if (t >= 0) t else 0
       val o = out(state)
       var j = 0
       while (j < o.length) {

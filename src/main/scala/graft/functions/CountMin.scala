@@ -379,11 +379,21 @@ object CmInnerProduct {
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {
+      // SATURATING accumulation: at corpus scale a row sum can exceed
+      // Long range (width × (rows/width)² products); wrapping would
+      // return a tiny/negative "upper bound" — clamping to MaxValue
+      // keeps the estimate an honest upper bound instead
       var s = 0L
       var j = r * width
       val end = j + width
-      while (j < end) {
-        s += ba.counts(j) * bb.counts(j)
+      while (j < end && s != Long.MaxValue) {
+        val x = ba.counts(j)
+        val y = bb.counts(j)
+        if (x != 0L && y != 0L) {
+          val p =
+            if (x > Long.MaxValue / y) Long.MaxValue else x * y
+          s = if (s > Long.MaxValue - p) Long.MaxValue else s + p
+        }
         j += 1
       }
       if (s < best) best = s

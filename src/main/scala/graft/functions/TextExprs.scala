@@ -285,7 +285,16 @@ object TextHashing {
       }
       i += 1
     }
-    val cuts = cutsB.result() :+ cps.length
+    chunksFromCuts(cps, cutsB.result())
+  }
+
+  /** Materialize chunks from internal cut positions (exclusive
+    * code-point ends, ascending) plus the implicit final cut — the one
+    * copy of the reassembly both chunkers share.
+    */
+  private def chunksFromCuts(cps: Array[Int],
+      internalCuts: Array[Int]): Array[String] = {
+    val cuts = internalCuts :+ cps.length
     val out = new Array[String](cuts.length)
     var start = 0
     var j = 0
@@ -333,16 +342,7 @@ object TextHashing {
       }
       e += 1
     }
-    val cuts = cutsB.result() :+ cps.length
-    val out = new Array[String](cuts.length)
-    var s0 = 0
-    var j = 0
-    while (j < cuts.length) {
-      out(j) = new String(cps, s0, cuts(j) - s0)
-      s0 = cuts(j)
-      j += 1
-    }
-    out
+    chunksFromCuts(cps, cutsB.result())
   }
 
   def cdcChunksClampedData(s: UTF8String, k: Int, modulus: Int,

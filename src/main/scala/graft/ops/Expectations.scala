@@ -28,6 +28,10 @@ object Expectations {
       uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
     require(rowRules.nonEmpty || uniqueKeys.nonEmpty,
       "declare at least one expectation")
+    val names = rowRules.map(_._1) ++ uniqueKeys.map(_._1)
+    require(names.distinct.length == names.length,
+      s"duplicate rule names: ${names.diff(names.distinct).distinct
+        .mkString(", ")} — each rule needs a unique name")
     val rowAggs = rowRules.map { case (name, pred) =>
       sum(when(pred, 0L).otherwise(1L)).as(s"rule_$name")
     }
@@ -37,7 +41,6 @@ object Expectations {
     }
     val agged = df.agg((rowAggs ++ uniqAggs).head,
       (rowAggs ++ uniqAggs).tail: _*)
-    val names = rowRules.map(_._1) ++ uniqueKeys.map(_._1)
     // 1-row aggregate → one output row per rule (explode of a literal
     // name/value pair array; no second scan)
     agged.select(explode(array(names.map(n =>

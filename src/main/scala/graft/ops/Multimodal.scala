@@ -124,6 +124,17 @@ object Multimodal {
     * feature front-end (fbank/wav2vec) consumes. PCM in a WAV container
     * is lossless, so [[encodeWav]]'s samples round-trip bit-exactly.
     */
+  /** One PCM16 sample from its two container bytes (the first byte is
+    * high in big-endian containers) — the ONE copy of the assembly both
+    * [[decodeAudioSamples]] and [[decimateWav]] read through.
+    */
+  private def pcm16(bytes: Array[Byte], off: Int,
+      bigEndian: Boolean): Short = {
+    val b0 = bytes(off) & 0xff
+    val b1 = bytes(off + 1) & 0xff
+    (if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort
+  }
+
   def decodeAudioSamples(item: MediaItem): Array[Short] = {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(item.payload))
@@ -135,9 +146,7 @@ object Multimodal {
       val out = new Array[Short](bytes.length / 2)
       var i = 0
       while (i < out.length) {
-        val lo = bytes(2 * i) & 0xff
-        val hi = bytes(2 * i + 1) & 0xff
-        out(i) = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort
+        out(i) = pcm16(bytes, 2 * i, bigEndian)
         i += 1
       }
       out
@@ -740,7 +749,9 @@ object Multimodal {
   }
 
   /** One image payload's resize, or null when not applicable
-    * (undecodable or already within `maxSide`).
+    * (undecodable, carrying an alpha channel — the RGB re-encode would
+    * silently destroy transparency, so decline rather than guess — or
+    * already within `maxSide`).
     */
   private[ops] def resizePng(item: MediaItem, maxSide: Int): Array[Byte] = {
     val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
@@ -749,6 +760,16 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null }
     if (img == null) return null
+    resizeDecodedPng(img, maxSide)
+  }
+
+  /** The resize over an ALREADY-DECODED raster (shared by [[resizePng]]
+    * and the single-decode [[curateMedia]] path), or null when not
+    * applicable.
+    */
+  private[ops] def resizeDecodedPng(img: java.awt.image.BufferedImage,
+      maxSide: Int): Array[Byte] = {
+    if (img.getColorModel.hasAlpha) return null
     val (w, h) = (img.getWidth, img.getHeight)
     val s = math.max(w, h)
     if (s <= maxSide) return null
@@ -803,7 +824,12 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val ch = fmt.getChannels
-        if (fmt.getSampleSizeInBits != 16 || fmt.getFrameSize != ch * 2)
+        // SIGNED PCM16 only: an unsigned-PCM container has the same
+        // bits/frameSize but every sample offset by 32768 — reinterpret
+        // as signed and the audio corrupts. Decline, don't guess.
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getFrameSize != ch * 2)
           return null
         val pcm = in.readAllBytes()
         val big = fmt.isBigEndian
@@ -816,10 +842,7 @@ object Multimodal {
         while (i < nFrames) {
           var c = 0
           while (c < ch) {
-            val off = (i * ch + c) * 2
-            val lo = pcm(off) & 0xff
-            val hi = pcm(off + 1) & 0xff
-            val v = if (big) (lo << 8) | hi else (hi << 8) | lo
+            val v = pcm16(pcm, (i * ch + c) * 2, big)
             data(k) = (v & 0xff).toByte
             data(k + 1) = ((v >> 8) & 0xff).toByte
             k += 2
@@ -866,31 +889,57 @@ object Multimodal {
     require(cfg.minSide >= 1 && cfg.maxSide >= cfg.minSide,
       s"bad side gate ${cfg.minSide}..${cfg.maxSide}")
     implicit val enc = Encoders.product[MediaItem]
-    val gated = items.filter { item =>
+    // ONE flatMap: each payload decodes exactly once and the decoded
+    // raster feeds both the gate and the resize (images are where the
+    // decode dominates; video gates on the cheap header parse and only
+    // the survivors pay the frame walk)
+    items.mapPartitions(_.flatMap { item =>
       item.kind match {
         case "image" =>
-          val m = decodeImage(item)
-          if (m == null) !cfg.dropUndecodable
-          else {
-            val s = math.max(m.width, m.height)
-            s >= cfg.minSide && s <= cfg.maxSide
+          val bytes = Option(item.payload).getOrElse(Array.emptyByteArray)
+          val img =
+            if (bytes.isEmpty) null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) {
+            if (cfg.dropUndecodable) None else Some(item)
+          } else {
+            val s = math.max(img.getWidth, img.getHeight)
+            if (s < cfg.minSide || s > cfg.maxSide) None
+            else cfg.resizeTo match {
+              case Some(t) =>
+                val resized = resizeDecodedPng(img, t)
+                Some(if (resized == null) item
+                else item.copy(payload = resized))
+              case None => Some(item)
+            }
           }
         case "video" =>
           val m = decodeVideo(item)
-          if (m == null) !cfg.dropUndecodable
-          else {
+          if (m == null) {
+            if (cfg.dropUndecodable) None else Some(item)
+          } else {
             val s = math.max(m.width, m.height)
-            s >= cfg.minSide && s <= cfg.maxSide
+            if (s < cfg.minSide || s > cfg.maxSide) None
+            else cfg.resizeTo match {
+              case Some(t) =>
+                val resized = resizeAviRgb(item, t)
+                Some(if (resized == null) item
+                else item.copy(payload = resized))
+              case None => Some(item)
+            }
           }
         case "audio" =>
           val m = decodeAudio(item)
-          if (m == null) !cfg.dropUndecodable
-          else m.nFrames >= cfg.minAudioFrames &&
-            m.nFrames <= cfg.maxAudioFrames
-        case _ => !cfg.dropUndecodable
+          if (m == null) {
+            if (cfg.dropUndecodable) None else Some(item)
+          } else if (m.nFrames < cfg.minAudioFrames ||
+              m.nFrames > cfg.maxAudioFrames) None
+          else Some(item)
+        case _ => if (cfg.dropUndecodable) None else Some(item)
       }
-    }
-    cfg.resizeTo.fold(gated)(t => resizeVideo(resizeImage(gated, t), t))
+    })
   }
 
   final case class ChannelStats(media_id: Long, n_px: Long, sum_r: Long,

@@ -370,16 +370,23 @@ object Similarity {
       dims: Int): (Array[Double], Array[Double]) = {
     val mn = new Array[Double](dims)
     val mx = new Array[Double](dims)
-    df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+    val rows = df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col("dim"))
       .agg(min(col("x").cast("double")).as("mn"),
         max(col("x").cast("double")).as("mx"))
       .collect() // dims rows — index-sidecar scale
-      .foreach { r =>
-        val d = r.getInt(0)
-        mn(d) = r.getDouble(1)
-        mx(d) = r.getDouble(2)
-      }
+    // a dim the data never produced would keep the (0, 0) array default
+    // and the persisted index would score phantom zero-range dims — fail
+    // fast on a dims/corpus mismatch instead
+    require(rows.length == dims,
+      s"sqParams saw ${rows.length} dims in the data, expected $dims — " +
+        "wrong dims for this corpus (short or empty vectors?)")
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      require(d >= 0 && d < dims, s"vector longer than $dims dims (dim $d)")
+      mn(d) = r.getDouble(1)
+      mx(d) = r.getDouble(2)
+    }
     (mn, mx)
   }
 
