@@ -229,6 +229,12 @@ object PlanAudit {
         "sort, codegen'd blocklist_hits)",
       p => p.contains("blocklist_hits") && !p.contains("Exchange") &&
         !p.contains("SortExec")),
+    Check("g3_kcore",
+      "iterative peel: the returned plan reads the truncated cached " +
+        "final edge set (one degree agg), never re-deriving the " +
+        "co-occurrence join",
+      p => p.contains("ExistingRDD") && !p.contains("SortMergeJoin") &&
+        !p.contains("BroadcastHashJoin")),
     Check("st11_interpolate",
       "all four neighbor-scan window frames (prev/next value+day) " +
         "share ONE user-key exchange; the grid join is broadcast",

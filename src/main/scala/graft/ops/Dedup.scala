@@ -1042,6 +1042,49 @@ object Dedup {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("canonical_id"))
 
+  /** k-core of the near-dup pair graph: iteratively peel every node
+    * whose degree in the SURVIVING subgraph falls below `k` until
+    * fixpoint — what remains is the maximal subgraph where every doc
+    * has ≥ k near-duplicates among the other survivors. On a curation
+    * corpus that is the template-farm detector: organic near-dup pairs
+    * peel away in a round or two, machine-generated families (every
+    * page a variant of every other) survive any k up to their size.
+    * Returns (id, degree) over the survivors.
+    *
+    * Each round is one degree aggregation + two semi-joins; rounds are
+    * bounded by the peel depth (≤ the degeneracy ordering length, in
+    * practice a handful), with per-round [[roundCache]] plan
+    * truncation like the connected-components loops. The two counts
+    * per round read cached data — control flow only, never a rescan of
+    * the pair source.
+    */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    var edges = roundCache(pairs
+      .select(col("id_a"), col("id_b"))
+      .where(col("id_a") =!= col("id_b")).distinct())
+    var before = edges.count()
+    var round = 0
+    var done = before == 0L
+    while (!done && round < maxRounds) {
+      val deg = edges
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select(col("id"))
+      val pruned = roundCache(edges
+        .join(keep.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi"))
+      val after = pruned.count()
+      edges.unpersist()
+      edges = pruned
+      done = after == before
+      before = after
+      round += 1
+    }
+    edges.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Merge CDC ledgers: counts and doc spreads are ADDITIVE provided no
     * document is chunked into more than one input (each doc chunks in
     * exactly one batch and doc ids are fresh across batches — the same

@@ -499,6 +499,22 @@ object TextOps {
       TextAnalysis.scrubRepeatedSpans(documents(s, d), "doc_id", "text",
         n = 8, minDf = 2)),
 
+    // k-core peel of the part co-occurrence graph (parts ordered
+    // together): iterative degree peeling to the maximal subgraph
+    // where every node keeps ≥ 80 co-ordered neighbors — 6 peel
+    // rounds deep at sf0.01, so the fixpoint is NOT the one-shot
+    // degree filter; the dense-cluster detector (template farms on
+    // the near-dup graph, basket cores here)
+    "g3_kcore" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d).select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("id_a"), $"b.l_partkey".as("id_b"))
+      Dedup.kCore(pairs, k = 80)
+    }),
+
     // content-defined chunk dedup (rsync/LBFS boundaries): rolling
     // 16-gram hash ≡ 0 (mod 64) cuts each doc into content-aligned
     // chunks that dedup exactly by sha256 — the storage-level dedup
@@ -1513,6 +1529,33 @@ object TextOps {
         |         AS sum_tokens,
         |       count(CASE WHEN lang = 'en' THEN 1 END) AS n_en
         |FROM documents GROUP BY source""".stripMargin,
+
+    // k-core unrolled: each round keeps edges whose BOTH endpoints
+    // hold degree >= k in the previous round's edge set; 10 rounds
+    // cover the 6-round peel depth with headroom (converged rounds
+    // are no-ops, so over-unrolling is safe)
+    "g3_kcore" -> {
+      val rounds = (1 to 10).map { i =>
+        val p = i - 1
+        s"""d$i AS MATERIALIZED (
+           |  SELECT id, count(*) AS deg FROM (
+           |    SELECT id_a AS id FROM e$p
+           |    UNION ALL SELECT id_b FROM e$p) GROUP BY id),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.id_a, e.id_b FROM e$p e
+           |  JOIN d$i x ON e.id_a = x.id AND x.deg >= 80
+           |  JOIN d$i y ON e.id_b = y.id AND y.deg >= 80)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey < b.l_partkey),
+         |$rounds
+         |SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT id_a AS id FROM e10
+         |  UNION ALL SELECT id_b FROM e10) GROUP BY id""".stripMargin
+    },
 
     // CDC: gram hashes replayed with the dd11 naive fold (same values
     // as the engine's rolling form — identical mod-P arithmetic); cut

@@ -215,6 +215,28 @@ class DedupSpec extends SparkSpec {
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
   }
 
+  test("kCore: iterative peel reaches the maximal subgraph — cascades " +
+      "resolve, survivors all have in-subgraph degree >= k") {
+    // K4 {1,2,3,4} with a pendant chain 4-5-6: at k=3 the chain peels
+    // in CASCADE (6 first, then 5 drops below, then the 4-side edge)
+    // leaving exactly the K4 with all degrees 3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val core3 = Dedup.kCore(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core3)
+    // k=2 keeps K4 only as well (5 has degree 2 BEFORE the peel but
+    // loses 6 in round one and follows) — the fixpoint is not the
+    // one-shot degree filter
+    val core2 = Dedup.kCore(edges, k = 2).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L), core2)
+    // k=1: every edge endpoint survives
+    assert(Dedup.kCore(edges, k = 1).count() == 6L)
+    // k above the densest core: empty
+    assert(Dedup.kCore(edges, k = 4).isEmpty)
+  }
+
   test("winnow: rolling-hash fingerprints match the direct formulation") {
     // brute-force reference: hash every k-gram independently (the fold
     // the DuckDB oracle replays), window minima, sorted distinct
