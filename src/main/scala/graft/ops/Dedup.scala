@@ -1058,10 +1058,14 @@ object Dedup {
     * per round read cached data — control flow only, never a rescan of
     * the pair source.
     */
-  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 50,
+      requireConverged: Boolean = true): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
+    // canonicalize orientation first: a producer emitting BOTH (a,b)
+    // and (b,a) would otherwise double-count every degree
     var edges = roundCache(pairs
-      .select(col("id_a"), col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
       .where(col("id_a") =!= col("id_b")).distinct())
     var before = edges.count()
     var round = 0
@@ -1081,6 +1085,16 @@ object Dedup {
       before = after
       round += 1
     }
+    // the documented contract is a FIXPOINT (every survivor holds >= k
+    // in-subgraph neighbors); a truncated peel silently breaks it —
+    // refuse unless the caller explicitly asked for the bounded-round
+    // semantic (requireConverged = false: exactly-maxRounds
+    // simultaneous peel, the form a fixed-unroll oracle replays)
+    if (requireConverged && !done)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds rounds (deep peel " +
+          "cascade — raise maxRounds, or pass requireConverged = false " +
+          "for the bounded-round semantic)")
     edges.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
   }

@@ -168,6 +168,12 @@ object EventAnalytics {
     * construction. Plan: both neighbor scans are windows over ONE
     * user-keyed partitioning — the asc-preceding and asc-following
     * frames share their Exchange.
+    *
+    * Domain bound: the slope step needs |Δcents| · gap-days < 2^52 for
+    * the floor-of-double form to be the exact rational floor (beyond
+    * that Spark's non-ANSI multiply would also wrap where the SQL
+    * oracle errors). Cents from bounded metrics over day-scale gaps sit
+    * ~10 orders of magnitude inside the bound.
     */
   def interpolateDaily(events: DataFrame): DataFrame = {
     val wDay = Window.partitionBy(col("user_id"), col("day"))

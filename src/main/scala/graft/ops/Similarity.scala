@@ -377,13 +377,16 @@ object Similarity {
       .collect() // dims rows — index-sidecar scale
     // a dim the data never produced would keep the (0, 0) array default
     // and the persisted index would score phantom zero-range dims — fail
-    // fast on a dims/corpus mismatch instead
+    // fast on a dims/corpus mismatch instead. (posexplode dims are a
+    // union of 0-based prefixes, so observed dims are always contiguous
+    // from 0: the row count alone detects short, empty, AND over-long
+    // vectors.)
     require(rows.length == dims,
       s"sqParams saw ${rows.length} dims in the data, expected $dims — " +
-        "wrong dims for this corpus (short or empty vectors?)")
+        "wrong dims for this corpus (vectors shorter or longer than " +
+        s"$dims)")
     rows.foreach { r =>
       val d = r.getInt(0)
-      require(d >= 0 && d < dims, s"vector longer than $dims dims (dim $d)")
       mn(d) = r.getDouble(1)
       mx(d) = r.getDouble(2)
     }

@@ -78,14 +78,14 @@ object StreamOps {
     "st5_retention" -> ((s, d) =>
       graft.ops.EventAnalytics.weeklyRetention(events(s, d))),
 
-    // daily grid resample + LOCF forward-fill (regular series from an
-    // irregular event log)
     // linear-interpolation resample: gap days take the straight line
     // between their surrounding observations, exact integer floor
     // arithmetic — the numeric twin of st6's LOCF
     "st11_interpolate" -> ((s, d) =>
       graft.ops.EventAnalytics.interpolateDaily(events(s, d))),
 
+    // daily grid resample + LOCF forward-fill (regular series from an
+    // irregular event log)
     "st6_forward_fill" -> ((s, d) =>
       graft.ops.EventAnalytics.forwardFillDaily(events(s, d))),
 

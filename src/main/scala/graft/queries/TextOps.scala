@@ -512,7 +512,12 @@ object TextOps {
           $"a.l_orderkey" === $"b.l_orderkey" &&
             $"a.l_partkey" < $"b.l_partkey")
         .select($"a.l_partkey".as("id_a"), $"b.l_partkey".as("id_b"))
-      Dedup.kCore(pairs, k = 80)
+      // the GATE runs the bounded-round semantic (exactly 12
+      // simultaneous peel rounds — what the unrolled oracle replays),
+      // so engine and oracle agree at ANY peel depth; sf0.01 converges
+      // in 6, making this also the fixpoint there
+      Dedup.kCore(pairs, k = 80, maxRounds = 12,
+        requireConverged = false)
     }),
 
     // content-defined chunk dedup (rsync/LBFS boundaries): rolling
@@ -1531,11 +1536,11 @@ object TextOps {
         |FROM documents GROUP BY source""".stripMargin,
 
     // k-core unrolled: each round keeps edges whose BOTH endpoints
-    // hold degree >= k in the previous round's edge set; 10 rounds
-    // cover the 6-round peel depth with headroom (converged rounds
-    // are no-ops, so over-unrolling is safe)
+    // hold degree >= k in the previous round's edge set; 12 rounds
+    // replay EXACTLY the engine's bounded-round semantic (converged
+    // rounds are no-ops, so the two agree at any peel depth)
     "g3_kcore" -> {
-      val rounds = (1 to 10).map { i =>
+      val rounds = (1 to 12).map { i =>
         val p = i - 1
         s"""d$i AS MATERIALIZED (
            |  SELECT id, count(*) AS deg FROM (
@@ -1553,8 +1558,8 @@ object TextOps {
          |   AND a.l_partkey < b.l_partkey),
          |$rounds
          |SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
-         |  SELECT id_a AS id FROM e10
-         |  UNION ALL SELECT id_b FROM e10) GROUP BY id""".stripMargin
+         |  SELECT id_a AS id FROM e12
+         |  UNION ALL SELECT id_b FROM e12) GROUP BY id""".stripMargin
     },
 
     // CDC: gram hashes replayed with the dd11 naive fold (same values

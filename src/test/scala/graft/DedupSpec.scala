@@ -235,6 +235,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.kCore(edges, k = 1).count() == 6L)
     // k above the densest core: empty
     assert(Dedup.kCore(edges, k = 4).isEmpty)
+    // symmetric-orientation input canonicalizes — (1,2)+(2,1) is ONE
+    // edge, so the 2-core of a single edge is empty, never a phantom
+    // degree-2 pair
+    val sym = Seq((1L, 2L), (2L, 1L)).toDF("id_a", "id_b")
+    assert(Dedup.kCore(sym, k = 2).isEmpty)
+    assert(Dedup.kCore(sym, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L))
+    // a deep peel cascade past maxRounds refuses rather than returning
+    // a silent non-fixpoint; the bounded-round semantic is opt-in
+    val chain = (1L to 7L).sliding(2)
+      .map(s => (s.head, s.last)).toSeq.toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.kCore(chain, k = 2, maxRounds = 2)
+    }
+    assert(Dedup.kCore(chain, k = 2).isEmpty, "converged: path has no 2-core")
+    // bounded-round semantic: exactly 2 simultaneous peels leave the
+    // middle of the path
+    assert(Dedup.kCore(chain, k = 2, maxRounds = 2,
+      requireConverged = false).collect().map(_.getLong(0)).toSet ==
+      Set(3L, 4L, 5L))
   }
 
   test("winnow: rolling-hash fingerprints match the direct formulation") {
