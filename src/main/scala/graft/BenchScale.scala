@@ -87,6 +87,29 @@ object BenchScale {
         "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
       "dd15b_containment_capped" -> (() => Dedup.containmentPairsCapped(
         docs, "doc_id", "text", n = 3, threshold = 0.8, maxDocFreq = 20)),
+      // graceful-degradation twins: at ×30 every 30-doc variant group
+      // exceeds the cap — the plain capped variants return 0 pairs (the
+      // round-10 recall cliff), the star variants must return the farms'
+      // canonical pairs with shuffle still bounded (star candidates are
+      // linear in hot occurrences)
+      "dd2c_jaccard_capped_star" -> (() => Dedup.jaccardPairsCappedStar(
+        docs, "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
+      "dd15c_containment_capped_star" -> (() =>
+        Dedup.containmentPairsCappedStar(docs, "doc_id", "text", n = 3,
+          threshold = 0.8, maxDocFreq = 20)),
+      // graph analytics over the near-dup graph at scale: the variant
+      // farms are k-cliques, so PageRank concentrates rank on canonical
+      // sources and the k-core peel must keep exactly the dense families;
+      // both run the bounded-round semantics the oracles replay
+      "g2_pagerank" -> (() => Dedup.pageRank(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+          numHashes = 8, rowsPerBand = 2, threshold = 0.6),
+        "doc_id", iters = 3)),
+      "g3_kcore" -> (() => Dedup.kCore(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+          numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+          .select(col("id_a"), col("id_b")),
+        k = 10, maxRounds = 12, requireConverged = false)),
       "ts7b_decontaminate_bloom" -> (() => Dedup.decontaminateBloom(
         docs.where(col("doc_id") % 29 =!= 0),
         docs.where(col("doc_id") % 29 === 0),
@@ -147,6 +170,34 @@ object BenchScale {
         f"$recs%12d shuffle recs  $rows%10d rows")
       (name, sec, recs, rows)
     }
+
+    // ---- ANN recall@k at scale: the speed/accuracy trade measured where
+    // it matters — each approximate index's probe against the exact
+    // brute-force top-k on the SAME inflated corpus. Driver traffic is k
+    // ids per probe; the brute-force pass is one TakeOrdered scan.
+    val kRecall = 30
+    lazy val truth = graft.ops.Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", qVec, kRecall)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    def recallOf(df: DataFrame): Double = {
+      val got = df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val recalls: Seq[(String, Double)] = (if (caseFilter.nonEmpty) Nil
+    else Seq(
+      "sim6_pq_topk" -> (() => PqIndex.build(emb, "vec_id", "embedding",
+        m = 4, dims = 64, ksub = 16).probe(qVec, k = kRecall)),
+      "sim7_ivfpq_topk" -> (() => IvfPqIndex.build(emb, "vec_id",
+        "embedding", kc = 8, m = 4, dims = 64, ksub = 8)
+        .probe(qVec, k = kRecall, nprobe = 2)),
+      "sim11_sq_topk" -> (() => graft.ops.SqIndex
+        .build(emb, "vec_id", "embedding", 64).probe(qVec, k = kRecall))))
+      .map { case (name, mk) =>
+        val r = try recallOf(mk()) catch { case _: Throwable => -1.0 }
+        spark.catalog.clearCache()
+        System.err.println(f"[scale] recall@$kRecall $name%-22s $r%6.3f")
+        name -> r
+      }
 
     // ---- the full replicate→upload→stage→promote service cycle at the
     // same ×factor scale, recorded with the reference's named timers
@@ -228,9 +279,12 @@ object BenchScale {
       s""""jdbc_replicate_s":${f(jdbcS)},"jdbc_object_rows":$jObjRows,""" +
       s""""timers":$timers}"""
     val total = results.map(_._2).sum
+    val recallJson = recalls.map { case (n, r) => s""""$n":${f(r)}""" }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
       s""""unit":"sec","factor":$factor,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
       s""""n_events":$nEvents,"cpus":$cpus,"queries":$qs,""" +
+      s""""recall_at_$kRecall":$recallJson,""" +
       s""""promote_cycle":$cycle,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may replace the committed artifact — a filtered

@@ -20,12 +20,16 @@ final class BoundedBuf(var n: Long, val elems: ArrayBuffer[Long])
 
 /** Size-capped collect with an exact count — the skew-safe primitive for
   * frequency-capped dedup: `groupBy(key).agg(bounded_collect(v, cap))`
-  * returns struct(df = exact group size, ds = up to `cap` collected
-  * values, sorted). Memory per group is bounded by `cap` at ANY corpus
-  * size (a mega-hot key costs cap longs, not its full membership list),
-  * unlike collect_list, so doc-frequency capping and bucket building fuse
-  * into ONE shuffle. `ds` is complete (and deterministic, post-sort)
-  * exactly when df ≤ cap — callers discard over-cap groups by df.
+  * returns struct(df = exact group size, ds = the `cap` SMALLEST
+  * collected values, sorted ascending). Memory per group is bounded by
+  * `cap` at ANY corpus size (a mega-hot key costs cap longs, not its
+  * full membership list), unlike collect_list, so doc-frequency capping
+  * and bucket building fuse into ONE shuffle. Min-k (not first-k)
+  * retention makes `ds` DETERMINISTIC at any df — independent of
+  * partitioning and arrival order — so over-cap groups expose a
+  * reproducible bounded sample (ds(0) is the group's exact minimum, the
+  * canonical representative the sampled dedup variants pivot on), while
+  * df ≤ cap groups still come out complete.
   */
 case class BoundedCollectLong(child: Expression, cap: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -49,11 +53,26 @@ case class BoundedCollectLong(child: Expression, cap: Int,
   override def createAggregationBuffer(): BoundedBuf =
     new BoundedBuf(0L, new ArrayBuffer[Long](math.min(cap, 16)))
 
+  /** Keep `v` iff it is among the `cap` smallest seen: below the cap just
+    * append; at the cap replace the current maximum when `v` undercuts it.
+    * Linear max-scan per displacing insert — caps here are O(10¹), and
+    * for shuffled input the displacement probability decays as cap/seen,
+    * so the amortized cost per element is ~O(1).
+    */
+  private def keepMinK(elems: ArrayBuffer[Long], v: Long): Unit =
+    if (elems.length < cap) elems += v
+    else {
+      var mi = 0
+      var i = 1
+      while (i < elems.length) { if (elems(i) > elems(mi)) mi = i; i += 1 }
+      if (v < elems(mi)) elems(mi) = v
+    }
+
   override def update(buf: BoundedBuf, input: InternalRow): BoundedBuf = {
     val v = child.eval(input)
     if (v != null) {
       buf.n += 1L
-      if (buf.elems.length < cap) buf.elems += v.asInstanceOf[Long]
+      keepMinK(buf.elems, v.asInstanceOf[Long])
     }
     buf
   }
@@ -61,8 +80,8 @@ case class BoundedCollectLong(child: Expression, cap: Int,
   override def merge(buf: BoundedBuf, other: BoundedBuf): BoundedBuf = {
     buf.n += other.n
     var i = 0
-    while (buf.elems.length < cap && i < other.elems.length) {
-      buf.elems += other.elems(i); i += 1
+    while (i < other.elems.length) {
+      keepMinK(buf.elems, other.elems(i)); i += 1
     }
     buf
   }

@@ -191,6 +191,42 @@ object Dedup {
         (col("common") / col("cnt_b")).as("cont_ba"))
       .where(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
 
+  /** [[jaccardPairsCapped]] with graceful degradation under DENSE
+    * duplication: over-cap shingles emit a canonical star (bucket-min doc
+    * paired with every other occurrence) instead of being discarded, so a
+    * template farm whose every shingle is "hot" — exactly the group the
+    * plain cap zeroes out on — still surfaces its duplicates, each
+    * verified with its TRUE Jaccard. Candidate work stays bounded:
+    * O(cap²) per rare bucket, O(df) per hot bucket (linear in the
+    * occurrences already shuffled). Recall trade vs exact: only
+    * star-to-center pairs of a purely-hot group are emitted (leaves are
+    * not paired with each other), which is precisely what canonical-keep
+    * dedup consumes.
+    */
+  def jaccardPairsCappedStar(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int): DataFrame =
+    cappedCommon(df, idCol, textCol, n, maxDocFreq,
+      (ubc, ca, cb) => ubc / (ca + cb - ubc) >= threshold, sampleHot = true)
+      .select(col("id_a"), col("id_b"),
+        (col("common") / (col("cnt_a") + col("cnt_b") - col("common")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+
+  /** [[containmentPairsCapped]] with the same canonical-star graceful
+    * degradation as [[jaccardPairsCappedStar]].
+    */
+  def containmentPairsCappedStar(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double, maxDocFreq: Int)
+      : DataFrame =
+    cappedCommon(df, idCol, textCol, n, maxDocFreq,
+      (ubc, ca, cb) => greatest(ubc / ca, ubc / cb) >= threshold,
+      sampleHot = true)
+      .select(col("id_a"), col("id_b"),
+        col("common").cast("long").as("common"),
+        (col("common") / col("cnt_a")).as("cont_ab"),
+        (col("common") / col("cnt_b")).as("cont_ba"))
+      .where(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+
   /** Shared body of the capped near-dup variants: stop-shingle-capped
     * candidate generation, a caller-chosen conservative bound filter on
     * (upper-bound common, |A|, |B|), then exact verification over the
@@ -199,7 +235,8 @@ object Dedup {
     */
   private def cappedCommon(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDocFreq: Int,
-      bound: (Column, Column, Column) => Column): DataFrame = {
+      bound: (Column, Column, Column) => Column,
+      sampleHot: Boolean = false): DataFrame = {
     // hash shingles (8-byte elements): the candidate explode and the
     // verification arrays shuffle long[]s, not strings
     val sh = tracked(df
@@ -232,10 +269,34 @@ object Dedup {
     // shared-rare-shingle count per pair: in-bucket ordered expansion
     // (O(cap²) per bucket at any corpus size), then a count aggregate
     // shuffling bare (id, id, n) rows — no arrays
-    val ck = rare.where(size(col("ds")) >= 2)
+    val rareCk = rare.where(size(col("ds")) >= 2)
       .select(explode(orderedPairs(col("ds"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("ck"))
+    // graceful degradation for dense duplication (template farms): a
+    // shingle whose doc-frequency exceeds the cap contributes a CANONICAL
+    // STAR instead of nothing — every occurrence pairs its doc with the
+    // bucket's exact minimum doc-id (bounded_collect is min-k, so
+    // ds(0) IS the group min, deterministically). Per bucket that is
+    // O(df) candidate rows — LINEAR, the cheap side of the O(cap²)
+    // budget — and the shuffle is bounded by the hot occurrence count
+    // already paid for hot_cnt. Star candidates carry ck = 0 (they share
+    // no RARE shingles by construction unless the rare path also found
+    // them, in which case max() keeps the informative count); the
+    // conservative ubc bound and the exact verification downstream are
+    // unchanged, so surfaced pairs still carry true similarity.
+    val ck =
+      if (!sampleHot) rareCk
+      else {
+        val hotMin = freq.where(col("bc.df") > maxDocFreq)
+          .select(col("shingle"), element_at(col("bc.ds"), 1).as("min_doc"))
+        val star = ex.join(hotMin, Seq("shingle"))
+          .where(col("doc") > col("min_doc"))
+          .select(col("min_doc").as("id_a"), col("doc").as("id_b"),
+            lit(0L).as("ck"))
+        rareCk.unionByName(star)
+          .groupBy("id_a", "id_b").agg(max("ck").as("ck"))
+      }
     // upper-bound pre-filter: true common ≤ ck + min(hot_a, hot_b), so
     // the caller's conservative bound prunes candidates that cannot
     // reach its threshold — typically ~all of them — before any array

@@ -58,6 +58,14 @@ object TextOps {
       Dedup.jaccardPairsCapped(documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.6, maxDocFreq = 20)),
 
+    // dd2b with graceful degradation: over-cap shingles emit a canonical
+    // star (bucket-min doc × every occurrence) instead of vanishing, so
+    // dense template farms still dedup; exact verification unchanged.
+    // The low cap (4) makes the documents fixture exercise the star path.
+    "dd2c_jaccard_capped_star" -> ((s, d) =>
+      Dedup.jaccardPairsCappedStar(documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.6, maxDocFreq = 4)),
+
     // MinHash + LSH banding with exact-Jaccard verification (scale path)
     "dd3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
@@ -75,6 +83,11 @@ object TextOps {
     "dd15b_containment_capped" -> ((s, d) =>
       Dedup.containmentPairsCapped(documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.8, maxDocFreq = 20)),
+
+    // dd15b's canonical-star graceful-degradation twin (see dd2c)
+    "dd15c_containment_capped_star" -> ((s, d) =>
+      Dedup.containmentPairsCappedStar(documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDocFreq = 4)),
 
     // frequency-capped SimHash pairs (scale path): fixed contiguous
     // bands — the cap makes mega-buckets harmless, so no entropy-stats
@@ -1718,6 +1731,63 @@ object TextOps {
          |FROM cand JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin,
+
+    // dd2b's capped pipeline plus the canonical star over hot shingles:
+    // over-cap buckets pair their exact min doc with every occurrence.
+    // The engine's ubc bound filter is a true upper bound (monotone in
+    // the shared count), so the oracle can verify all candidates exactly
+    // and apply only the final threshold — same surviving set.
+    "dd2c_jaccard_capped_star" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+         |      FROM t),
+         |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
+         |      FROM w WHERE len(wh) >= 3),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |f AS (SELECT shingle, count(*) AS df, min(doc_id) AS mn
+         |      FROM e GROUP BY shingle),
+         |k AS (SELECT e.doc_id, e.shingle FROM e JOIN f USING (shingle)
+         |      WHERE f.df BETWEEN 2 AND 4),
+         |rc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM k a JOIN k b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |star AS (SELECT DISTINCT f.mn AS id_a, e.doc_id AS id_b
+         |         FROM e JOIN f USING (shingle)
+         |         WHERE f.df > 4 AND e.doc_id > f.mn),
+         |cand AS (SELECT id_a, id_b FROM rc UNION SELECT id_a, id_b FROM star)
+         |SELECT id_a, id_b,
+         |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+         |FROM cand JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin,
+
+    // dd15b + the same canonical star (asymmetric containment verify)
+    "dd15c_containment_capped_star" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+         |      FROM t),
+         |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
+         |      FROM w WHERE len(wh) >= 3),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |f AS (SELECT shingle, count(*) AS df, min(doc_id) AS mn
+         |      FROM e GROUP BY shingle),
+         |k AS (SELECT e.doc_id, e.shingle FROM e JOIN f USING (shingle)
+         |      WHERE f.df BETWEEN 2 AND 4),
+         |rc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM k a JOIN k b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |star AS (SELECT DISTINCT f.mn AS id_a, e.doc_id AS id_b
+         |         FROM e JOIN f USING (shingle)
+         |         WHERE f.df > 4 AND e.doc_id > f.mn),
+         |cand AS (SELECT id_a, id_b FROM rc UNION SELECT id_a, id_b FROM star),
+         |v AS (SELECT id_a, id_b,
+         |             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS common,
+         |             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |               CAST(len(sa.sh) AS DOUBLE) AS cont_ab,
+         |             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |               CAST(len(sb.sh) AS DOUBLE) AS cont_ba
+         |      FROM cand JOIN s sa ON id_a = sa.doc_id
+         |                JOIN s sb ON id_b = sb.doc_id)
+         |SELECT * FROM v WHERE greatest(cont_ab, cont_ba) >= 0.8""".stripMargin,
 
     "dd3_minhash_lsh" -> dd3Sql,
 

@@ -23,8 +23,22 @@ class BoundedCollectSpec extends SparkSpec {
     assert(out(1L)._1 == 3L, "exact count under cap")
     assert(out(1L)._2 == Seq(1L, 2L, 3L), "complete + sorted under cap")
     assert(out(2L)._1 == 7L, "count keeps going past the cap")
-    assert(out(2L)._2.length == 5, "membership capped")
-    assert(out(2L)._2.toSet.subsetOf((1L to 7L).toSet))
+    assert(out(2L)._2 == Seq(1L, 2L, 3L, 4L, 5L),
+      "min-k: the cap SMALLEST members, sorted — deterministic over cap")
+  }
+
+  test("over-cap sample is the k smallest regardless of partitioning") {
+    // 200 members for one key, several partition layouts: ds must always
+    // be exactly 1..8 — arrival order and partial-buffer merge order must
+    // not leak into the sample (the canonical-star dedup contract)
+    val vs = scala.util.Random.shuffle((1 to 200).toList)
+    for (parts <- Seq(1, 4, 16)) {
+      val df = vs.map(v => (1L, v.toLong)).toDF("k", "v").repartition(parts)
+      val ds = df.groupBy("k")
+        .agg(BoundedCollect.boundedCollect(col("v"), 8).as("bc"))
+        .select($"bc.ds").head().getSeq[Long](0)
+      assert(ds == (1L to 8L), s"parts=$parts got $ds")
+    }
   }
 
   test("deterministic across shuffles when df <= cap") {

@@ -539,6 +539,51 @@ class DedupSpec extends SparkSpec {
     assert(capped == expected.map { case (a, b, _) => (a, b) })
   }
 
+  test("capped star variant survives dense duplication the plain cap " +
+      "zeroes out on") {
+    // a 30-copy template farm: EVERY shingle has doc-frequency 30 > cap,
+    // so the plain capped variant finds nothing — the round-10 recall
+    // cliff. The star variant pairs each copy with the group's min doc.
+    val farm = (1L to 30L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    val other = Seq(
+      (100L, "completely unrelated text about spark partitioning"),
+      (101L, "completely unrelated text about spark partitioning plus"))
+    val df = (farm ++ other).toDF("doc_id", "text")
+    val plain = Dedup
+      .jaccardPairsCapped(df, "doc_id", "text", 3, 0.6, maxDocFreq = 20)
+      .as[(Long, Long, Double)].collect()
+    assert(plain.forall { case (a, b, _) => a >= 100L && b >= 100L },
+      "plain cap must drop every farm pair (the documented cliff)")
+    val star = Dedup
+      .jaccardPairsCappedStar(df, "doc_id", "text", 3, 0.6, maxDocFreq = 20)
+      .as[(Long, Long, Double)].collect()
+    val farmPairs = star.filter(_._1 < 100L)
+    assert(farmPairs.map(p => (p._1, p._2)).toSet ==
+      (2L to 30L).map(i => (1L, i)).toSet,
+      "canonical star: min doc paired with every other copy")
+    assert(farmPairs.forall(_._3 == 1.0), "verified true Jaccard")
+    // the rare-shingle path is untouched: 100–101 still pair via it
+    assert(star.exists(p => p._1 == 100L && p._2 == 101L))
+    // mixed pair (shares BOTH rare and hot shingles) keeps exact verify:
+    // doc 102 = farm text + extra tail appearing in doc 103 too
+    val df2 = (farm ++ Seq(
+      (102L, "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+        "unique tail marker words"),
+      (103L, "other prefix entirely unique tail marker words"))).toDF(
+      "doc_id", "text")
+    val star2 = Dedup
+      .containmentPairsCappedStar(df2, "doc_id", "text", 3, 0.8,
+        maxDocFreq = 20)
+      .select($"id_a", $"id_b", $"cont_ab", $"cont_ba")
+      .as[(Long, Long, Double, Double)].collect()
+    // doc 102 contains the whole farm template → containment from each
+    // farm doc into 102 is 1.0; star centers on doc 1
+    val into102 = star2.filter(p => p._1 == 1L && p._2 == 102L)
+    assert(into102.length == 1 && into102.head._3 == 1.0,
+      s"farm-min→102 containment via star, got ${star2.mkString(",")}")
+  }
+
   test("pageRank: hand-computed fixed point on a path graph; hub wins") {
     // path a(1)–b(2)–c(3): deg 1/2/1, n=3, scale=1200 → r0=400 each,
     // base=(15·1200/100)/3=60
