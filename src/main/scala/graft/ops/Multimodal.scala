@@ -342,6 +342,79 @@ object Multimodal {
       kindCol.as("kind"), payloadCol.as("payload")).as[MediaItem]
   }
 
+  /** Media kind from the payload's magic bytes, falling back to the file
+    * extension for container-less formats, else "binary". Magic wins over
+    * extension — a mislabeled file routes to the decoder that can
+    * actually parse it.
+    */
+  def sniffKind(bytes: Array[Byte], path: String): String = {
+    val b = Option(bytes).getOrElse(Array.emptyByteArray)
+    def at(off: Int, s: String): Boolean =
+      b.length >= off + s.length &&
+        s.indices.forall(i => (b(off + i) & 0xff) == s.charAt(i).toInt)
+    if ((b.length >= 4 && (b(0) & 0xff) == 0x89 && at(1, "PNG")) ||
+        (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+        (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) ||
+        at(0, "GIF8") || at(0, "BM")) "image"
+    else if (at(0, "RIFF") && at(8, "WAVE")) "audio"
+    else if (at(0, "RIFF") && at(8, "AVI ")) "video"
+    else if (at(0, "FORM") && at(8, "AIFF")) "audio"
+    else if (at(0, ".snd")) "audio"
+    else {
+      val dot = path.lastIndexOf('.')
+      val ext = if (dot < 0) "" else
+        path.substring(dot + 1).toLowerCase(java.util.Locale.ROOT)
+      ext match {
+        case "png" | "jpg" | "jpeg" | "gif" | "bmp" => "image"
+        case "wav" | "aiff" | "au" => "audio"
+        case "avi" => "video"
+        case _ => "binary"
+      }
+    }
+  }
+
+  /** Stable media_id for a file path: the trailing digit run of the
+    * basename (the `img_000123.png` curation-catalog convention), else a
+    * non-negative polynomial hash of the basename — deterministic across
+    * runs and listing orders, unlike monotonically_increasing_id.
+    */
+  def mediaIdFor(path: String): Long = {
+    val slash = path.lastIndexOf('/')
+    val dot = path.lastIndexOf('.')
+    val base = path.substring(slash + 1,
+      if (dot > slash) dot else path.length)
+    var end = base.length
+    var start = end
+    while (start > 0 && base.charAt(start - 1).isDigit) start -= 1
+    // ≤ 18 digits can't overflow a Long
+    if (start < end && end - start <= 18) base.substring(start, end).toLong
+    else base.foldLeft(1125899906842597L)((h, c) => 31 * h + c) &
+      Long.MaxValue
+  }
+
+  /** Real-file ingestion: a directory of on-disk media files →
+    * `Dataset[MediaItem]` through Spark's distributed `binaryFile`
+    * source (one task per file group, partition pruning via
+    * `pathGlobFilter`, no driver-side listing of contents). kind comes
+    * from [[sniffKind]] (magic bytes first), media_id from
+    * [[mediaIdFor]]. At 100 TB this is the entry point: payloads stay in
+    * executor memory per-partition, and everything downstream
+    * ([[decodeMeta]], [[extractFeatures]], [[demuxFrames]]) is already
+    * partition-local.
+    */
+  def fromFiles(spark: SparkSession, dir: String,
+      glob: String = "*"): Dataset[MediaItem] = {
+    implicit val enc = Encoders.product[MediaItem]
+    spark.read.format("binaryFile").option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])](
+        Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .mapPartitions(_.map { case (p, bytes) =>
+        MediaItem(mediaIdFor(p), sniffKind(bytes, p), bytes)
+      })
+  }
+
   /** Decode metadata partition-locally (batch per partition, codec called
     * once per item inside the JVM — no shuffle, linear scan). Image
     * payloads go through the REAL `javax.imageio` decoder; audio/video

@@ -398,6 +398,25 @@ object StreamOps {
       graft.ops.Multimodal.channelStats(media).toDF()
     }),
 
+    // REAL-FILE media ingestion: the committed fixture directory of
+    // actual PNG/JPEG/WAV/AVI files (src/test/resources/media, generated
+    // by GenMediaFixtures) read through the distributed binaryFile
+    // source, kind sniffed from magic bytes (one file hides PNG bytes
+    // behind a .dat extension), then decoded by the real codecs; the
+    // oracle pins the independently recorded dims/rates/frame counts
+    "mm15_file_ingest" -> ((s, _) => {
+      import s.implicits._
+      graft.ops.Multimodal.decodeMeta(
+        graft.ops.Multimodal.fromFiles(s, "src/test/resources/media"))
+        .select($"media_id", $"kind",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"channels".cast("long").as("channels"),
+          $"sampleRate".cast("long").as("sample_rate"),
+          $"nFrames".cast("long").as("n_frames"),
+          $"sizeBytes".as("size_bytes"))
+    }),
+
     // multimodal feature extraction: the stub encoder's byte-histogram
     // embedding collapsed to integer invariants (dominant dimension +
     // nonzero count) the oracle can pin exactly
@@ -823,6 +842,30 @@ object StreamOps {
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch))), " +
           "(acc, x) -> (acc * 31 + x) % 1000000007)"),
+
+    // the decoded truth for the 8 committed fixture files, recorded at
+    // generation time (GenMediaFixtures prints it) — an INDEPENDENT pin,
+    // not a replay: if ingestion, sniffing, or any codec drifts, this
+    // gate breaks
+    "mm15_file_ingest" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |       CAST(width AS BIGINT) AS width,
+        |       CAST(height AS BIGINT) AS height,
+        |       CAST(channels AS BIGINT) AS channels,
+        |       CAST(sample_rate AS BIGINT) AS sample_rate,
+        |       CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(size_bytes AS BIGINT) AS size_bytes
+        |FROM (VALUES
+        |  (1001, 'image', 37, 23, 3, 0, 1, 1763),
+        |  (1002, 'image', 64, 48, 3, 0, 1, 4755),
+        |  (1003, 'image', 20, 30, 3, 0, 1, 797),
+        |  (2001, 'audio', 0, 0, 1, 16000, 400, 844),
+        |  (2002, 'audio', 0, 0, 2, 8000, 250, 1044),
+        |  (3001, 'video', 16, 8, 3, 25, 5, 2184),
+        |  (3002, 'video', 12, 10, 3, 20, 4, 196),
+        |  (4001, 'image', 9, 7, 3, 0, 1, 214)
+        |) AS t(media_id, kind, width, height, channels, sample_rate,
+        |       n_frames, size_bytes)""".stripMargin,
 
     "mm5_feature_argmax" ->
       """WITH c AS (

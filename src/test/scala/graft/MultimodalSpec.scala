@@ -83,6 +83,39 @@ class MultimodalSpec extends SparkSpec {
     assert(a.length == 1 && a.head.payload.length == "audio-bytes".length)
   }
 
+  test("fromFiles: real on-disk files ingest with sniffed kinds, stable " +
+      "ids, and byte-exact payload round-trips") {
+    val dir = "src/test/resources/media"
+    val items = Multimodal.fromFiles(spark, dir).collect()
+      .map(i => i.media_id -> i).toMap
+    assert(items.size == 8, s"fixture dir should yield 8 items, got " +
+      s"${items.keySet.toSeq.sorted}")
+    // ids parsed from the basename digits; kinds from magic bytes —
+    // including the PNG hidden behind a .dat extension
+    assert(items(4001L).kind == "image", "magic sniff must beat extension")
+    assert(items(2002L).kind == "audio" && items(3001L).kind == "video")
+    // payloads are the exact on-disk bytes: the deterministic encoders
+    // regenerate them bit-for-bit
+    assert(java.util.Arrays.equals(items(1001L).payload,
+      Multimodal.encodePng(37, 23, 1001L)))
+    assert(java.util.Arrays.equals(items(3002L).payload,
+      Multimodal.encodeAvi(12, 10, 4, 20, 3002L)))
+    // and the decoded PCM of the ingested WAV matches the generator's
+    // sample function (full codec round-trip through the file system)
+    val pcm = Multimodal.decodeAudioSamples(items(2001L))
+    assert(pcm.length == 400)
+    assert(pcm.zipWithIndex.forall { case (v, i) =>
+      v == (((i.toLong * 2654435761L + 2001L) >>> 16) & 0xffffL).toShort
+    })
+    // glob filter prunes at the source (partition pruning, not a scan)
+    val pngOnly = Multimodal.fromFiles(spark, dir, glob = "*.png").collect()
+    assert(pngOnly.map(_.media_id).sorted.toSeq == Seq(1001L, 1002L))
+    // id fallback for digit-less names: stable non-negative hash
+    assert(Multimodal.mediaIdFor("/x/cover-art.png") ==
+      Multimodal.mediaIdFor("/y/cover-art.jpg"))
+    assert(Multimodal.mediaIdFor("/x/cover-art.png") >= 0L)
+  }
+
   test("real image decode: generated PNGs round-trip bit-exactly " +
       "through javax.imageio; non-image bytes fall back to the stub") {
     // pixel-level losslessness of the encode/decode pair itself
