@@ -142,6 +142,68 @@ final class VersionedCatalog(val root: String,
 
   def exists(table: String): Boolean = current._2.contains(table)
 
+  /** The declared-schema registry co-located at this catalog's root
+    * (`root/_schemas` — the same files `Ppdb.create` populates).
+    */
+  lazy val schemas: SchemaRegistry = new SchemaRegistry(root)
+
+  /** Additive schema evolution (the reference's VersionTuple-guarded
+    * schema bumps, P/sql/_ppdb_sql_base.py:333-372, extended with an
+    * actual migration path): declare `newSchema` for a live table WITHOUT
+    * rewriting any data. Only additions of NULLABLE columns (and
+    * nullability widening) are allowed — drops, renames, type changes,
+    * or non-nullable additions are breaking (major bump + rewrite, not
+    * evolve) and are refused with a precise message. Old directories stay
+    * byte-identical and remain readable at every commit: [[read]],
+    * [[readAt]], and [[diff]] schema-merge on read (missing columns
+    * surface as NULL), and the next [[compact]] materializes the NULLs —
+    * backfill-on-compact, zero-cost until then.
+    *
+    * Versioning follows the compat rule: an additive change bumps the
+    * MINOR (new code reads old data; old code refuses new data). Pass
+    * `newVersion` to control the bump; it must keep the major and not
+    * regress the minor, and an actual schema change must raise it.
+    */
+  def evolve(table: String,
+      newSchema: org.apache.spark.sql.types.StructType,
+      newVersion: Option[graft.schema.VersionTuple] = None)
+      : graft.schema.VersionTuple = synchronized {
+    require(exists(table), s"table '$table' not in catalog $root")
+    val (storedV, storedS) = schemas.get(table).getOrElse(
+      throw new IllegalStateException(s"table '$table' has no declared " +
+        "schema to evolve from; register a baseline (SchemaRegistry.put) " +
+        "first"))
+    val newByName = newSchema.fields.map(f => f.name -> f).toMap
+    storedS.fields.foreach { f =>
+      val n = newByName.getOrElse(f.name,
+        throw new IllegalArgumentException(s"evolve($table): column " +
+          s"'${f.name}' missing from the new schema — drops/renames are " +
+          "breaking changes (major bump + rewrite), not an evolution"))
+      require(n.dataType == f.dataType, s"evolve($table): column " +
+        s"'${f.name}' changes type ${f.dataType.simpleString} -> " +
+        s"${n.dataType.simpleString} — breaking, refuse")
+      require(n.nullable || !f.nullable, s"evolve($table): column " +
+        s"'${f.name}' tightens nullability — existing NULLs would violate it")
+    }
+    val storedNames = storedS.fieldNames.toSet
+    val added = newSchema.fields.filterNot(f => storedNames.contains(f.name))
+    added.foreach(f => require(f.nullable, s"evolve($table): new column " +
+      s"'${f.name}' must be nullable — existing rows have no value for it"))
+    val changed = newSchema != storedS
+    val v = newVersion.getOrElse(
+      if (changed) graft.schema.VersionTuple(storedV.major,
+        storedV.minor + 1, 0)
+      else storedV)
+    require(v.major == storedV.major && v.minor >= storedV.minor,
+      s"evolve($table): version ${v.render} cannot read data stored at " +
+        s"${storedV.render} (same major, minor must not regress)")
+    require(!changed || v.minor > storedV.minor,
+      s"evolve($table): a schema change must bump the minor past " +
+        s"${storedV.render} so pre-evolution readers refuse the new data")
+    schemas.put(table, newSchema, v)
+    v
+  }
+
   /** Snapshot read of one table at the current commit (union of its
     * directories; empty dirs-list yields an empty scan is impossible —
     * tables always have ≥1 dir). Layout tables read per-dir so each dir's
@@ -153,11 +215,42 @@ final class VersionedCatalog(val root: String,
     readDirList(spark, table, tableDirs(table))
 
   private def readDirList(spark: SparkSession, table: String,
-      dirs: Seq[String]): DataFrame =
+      dirs: Seq[String]): DataFrame = {
+    // declared-schema read: after an additive [[evolve]], a table's dirs
+    // carry MIXED schemas. Reading with the declared StructType makes the
+    // parquet source fill absent columns with NULL per file — one
+    // registry-file read instead of a mergeSchema footer sweep over every
+    // data file (the 100 TB-relevant difference). Undeclared tables keep
+    // the inferred-schema fast path unchanged.
+    val declared = schemas.get(table).map(_._2)
     layouts(table) match {
-      case None => spark.read.parquet(dirs: _*)
-      case Some(tb) => dirs.map(readDir(spark, _, tb, None)).reduce(_ unionByName _)
+      case None => declared match {
+        case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+        case None => spark.read.parquet(dirs: _*)
+      }
+      case Some(tb) =>
+        val merged = dirs.map(readDir(spark, _, tb, None))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        declared match {
+          case Some(s) => conformTo(merged, s)
+          case None => merged
+        }
     }
+  }
+
+  /** Project `df` to exactly the declared schema: declared order, absent
+    * columns materialized as typed NULLs (a just-evolved table may have
+    * no dir carrying the new column yet).
+    */
+  private def conformTo(df: DataFrame,
+      s: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(s.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
 
   /** Time-range read of a layout table: the range becomes a partition
     * filter on the derived bucket column per directory (whole bucket dirs
@@ -170,9 +263,13 @@ final class VersionedCatalog(val root: String,
     layouts(table) match {
       case None => read(spark, table)
       case Some(tb) =>
-        tableDirs(table).map(readDir(spark, _, tb, Some((lo, hi))))
-          .reduce(_ unionByName _)
+        val merged = tableDirs(table).map(readDir(spark, _, tb, Some((lo, hi))))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
           .where(org.apache.spark.sql.functions.col(tb.column).between(lo, hi))
+        schemas.get(table).map(_._2) match {
+          case Some(s) => conformTo(merged, s)
+          case None => merged
+        }
     }
 
   private def tableDirs(table: String): Seq[String] =

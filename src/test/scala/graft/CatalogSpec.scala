@@ -380,4 +380,113 @@ class CatalogSpec extends SparkSpec {
       Paths.get(cat.root, "_bucketed", dimB, "_BUCKETSPEC.json")))
     assert(spark.table(dimB).count() == 100)
   }
+
+  test("evolve: additive column lands without rewriting data; old " +
+      "commits, range reads, and diff stay readable; compact backfills") {
+    import graft.catalog.TableDelta
+    import graft.schema.VersionTuple
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val cat = new VersionedCatalog(tmpDir("cat-evolve"))
+    val v1 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ra", DoubleType, nullable = true)))
+    val c1 = cat.commit(Map("obj" -> Seq((1L, 0.5), (2L, 1.5)).toDF("id", "ra")))
+    cat.schemas.put("obj", v1, VersionTuple(1, 0, 0))
+
+    // evolve: one nullable column appended; version auto-bumps the minor
+    val v2 = StructType(v1.fields :+
+      StructField("flux", DoubleType, nullable = true))
+    val bumped = cat.evolve("obj", v2)
+    assert(bumped == VersionTuple(1, 1, 0))
+    // immediately readable: new column NULL for every pre-evolution row,
+    // zero data dirs rewritten
+    val snap = cat.read(spark, "obj")
+    assert(snap.columns.toSeq == Seq("id", "ra", "flux"))
+    assert(snap.where(col("flux").isNull).count() == 2)
+    // pre-evolution readers refuse post-evolution data (the reference's
+    // compat rule), new code reads old data
+    intercept[IllegalStateException] {
+      cat.schemas.check("obj", VersionTuple(1, 0, 0))
+    }
+    assert(cat.schemas.check("obj", VersionTuple(1, 1, 0)) == v2)
+
+    // append NEW-schema rows next to the untouched old dir
+    cat.commitAll(Map("obj" -> TableDelta(appends =
+      Seq((Seq((3L, 2.5, Some(9.0))).toDF("id", "ra", "flux"), "delta")))))
+    val mixed = cat.read(spark, "obj").select("id", "flux")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(mixed == Map(1L -> None, 2L -> None, 3L -> Some(9.0)))
+
+    // time travel to the pre-evolution commit still serves the old rows
+    val old = cat.readAt(spark, "obj", c1)
+    assert(old.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // diff across the evolution boundary (mixed-schema dir lists)
+    val d = cat.diff(spark, "obj", c1, cat.currentCommit)
+    assert(d.where(col("change") === "added").count() == 1)
+
+    // compact = backfill: one dir again, NULLs materialized, contents kept
+    cat.compact(spark, "obj")
+    assert(cat.current._2("obj").size == 1)
+    val after = cat.read(spark, "obj").select("id", "flux")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(after == mixed)
+
+    // breaking shapes are refused with precise errors
+    intercept[IllegalArgumentException] { // drop
+      cat.evolve("obj", StructType(v2.fields.filter(_.name != "ra")))
+    }
+    intercept[IllegalArgumentException] { // type change
+      cat.evolve("obj", StructType(v2.fields.map(f =>
+        if (f.name == "ra") f.copy(dataType = StringType) else f)))
+    }
+    intercept[IllegalArgumentException] { // non-nullable addition
+      cat.evolve("obj", StructType(v2.fields :+
+        StructField("must", LongType, nullable = false)))
+    }
+    intercept[IllegalArgumentException] { // nullability tightening
+      cat.evolve("obj", StructType(v2.fields.map(f =>
+        if (f.name == "ra") f.copy(nullable = false) else f)))
+    }
+    intercept[IllegalArgumentException] { // major regression via override
+      cat.evolve("obj", StructType(v2.fields :+
+        StructField("x", LongType, nullable = true)),
+        Some(VersionTuple(2, 0, 0)))
+    }
+    intercept[IllegalArgumentException] { // change without a minor bump
+      cat.evolve("obj", StructType(v2.fields :+
+        StructField("x", LongType, nullable = true)),
+        Some(VersionTuple(1, 1, 1)))
+    }
+    // no-op evolution (same schema) keeps the version
+    assert(cat.evolve("obj", v2) == VersionTuple(1, 1, 0))
+  }
+
+  test("evolve on a time-bucket layout table: mixed-schema dirs merge " +
+      "and range reads still prune") {
+    import graft.catalog.{TableDelta, TimeBucket}
+    import graft.schema.VersionTuple
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val cat = new VersionedCatalog(tmpDir("cat-evolve-tb"),
+      layouts = t => if (t == "src") Some(TimeBucket("mjd", 10.0)) else None)
+    val v1 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("mjd", DoubleType, nullable = false)))
+    cat.commit(Map("src" -> Seq((1L, 5.0), (2L, 15.0)).toDF("id", "mjd")))
+    cat.schemas.put("src", v1, VersionTuple(1, 0, 0))
+    cat.evolve("src", StructType(v1.fields :+
+      StructField("band", StringType, nullable = true)))
+    cat.commitAll(Map("src" -> TableDelta(appends = Seq(
+      (Seq((3L, 25.0, "g")).toDF("id", "mjd", "band"), "d1")))))
+    val all = cat.read(spark, "src")
+    assert(all.columns.toSeq == Seq("id", "mjd", "band"))
+    assert(all.count() == 3)
+    val ranged = cat.readRange(spark, "src", 20.0, 30.0)
+    assert(ranged.columns.toSeq == Seq("id", "mjd", "band"))
+    assert(ranged.select("id").as[Long].collect().toSeq == Seq(3L))
+    // and the old bucket dirs still serve the evolved schema with NULLs
+    val lows = cat.readRange(spark, "src", 0.0, 9.0)
+    assert(lows.select("band").collect().forall(_.isNullAt(0)))
+  }
 }

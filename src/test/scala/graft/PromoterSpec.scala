@@ -349,4 +349,36 @@ class PromoterSpec extends SparkSpec {
     // nothing left to promote
     assert(p.promote().isEmpty)
   }
+
+  test("idempotent re-promote: running promote again over the same " +
+      "contiguous prefix is a metadata no-op — _CURRENT unchanged, " +
+      "contents bit-identical (ref chunk_promoter.py:117-177)") {
+    val (p, apdb) = fresh()
+    Seq(1L, 2L).foreach(id => p.exportChunk(apdb.chunkData(id)))
+    p.stageChunks(Seq(1L, 2L))
+    assert(p.promote() == Seq(1L, 2L))
+    val cat = p.`catalog`
+    val commitBefore = cat.currentCommit
+    def fingerprint(): Map[String, (Long, Long)] =
+      Seq("internal.DiaObject", "internal.DiaSource",
+        "public.DiaObjectLast", "PpdbReplicaChunk").map { t =>
+        val df = cat.read(spark, t)
+        val h = df.select(xxhash64(df.columns.map(col).toSeq: _*).as("h"))
+          .agg(bit_xor($"h")).head()
+        t -> ((df.count(), if (h.isNullAt(0)) 0L else h.getLong(0)))
+      }.toMap
+    val before = fingerprint()
+    // second promote over the same prefix: the status machine yields no
+    // promotable chunks, so NOTHING is committed — not even an empty one
+    assert(p.promote().isEmpty)
+    assert(cat.currentCommit == commitBefore,
+      "re-promote must not publish a commit")
+    assert(fingerprint() == before)
+    // restart-safety: a brand-new Promoter over the same catalog (crash
+    // and re-run of the service) is the same no-op
+    val p2 = new Promoter(spark, cat, tmpDir("export2"))
+    assert(p2.promote().isEmpty)
+    assert(cat.currentCommit == commitBefore)
+    assert(fingerprint() == before)
+  }
 }
