@@ -1696,12 +1696,20 @@ final case class CdcLedger(k: Int, modulus: Int, ledger: DataFrame) {
       batchId: Long = -1L): CdcLedger = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // a manual append (no batchId) must PRESERVE the stored replay
+    // marker: rewriting it to -1 would let an already-applied streaming
+    // micro-batch pass applyBatch's `batchId <= last_batch_id` guard and
+    // double-count its chunks. Monotone max keeps both writers safe.
+    val stored = scala.util.Try(
+      cat.read(spark, s"$name.params").head()
+        .getAs[Long]("last_batch_id")).getOrElse(-1L)
     cat.commitAll(Map(
       s"$name.ledger" -> graft.catalog.TableDelta(
         appends = Seq((Dedup.cdcDedup(batch, idCol, textCol, k, modulus),
           ""))),
       s"$name.params" -> graft.catalog.TableDelta(rewrite = Some(
-        Seq((k, modulus, batchId)).toDF("k", "modulus", "last_batch_id")))))
+        Seq((k, modulus, math.max(stored, batchId)))
+          .toDF("k", "modulus", "last_batch_id")))))
     CdcLedger.load(spark, cat, name)
   }
 

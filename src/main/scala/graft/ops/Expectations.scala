@@ -32,20 +32,25 @@ object Expectations {
     require(names.distinct.length == names.length,
       s"duplicate rule names: ${names.diff(names.distinct).distinct
         .mkString(", ")} — each rule needs a unique name")
-    val rowAggs = rowRules.map { case (name, pred) =>
-      sum(when(pred, 0L).otherwise(1L)).as(s"rule_$name")
+    // internal aggregate aliases are INDEX-based (`rule_0`, `rule_1`, …)
+    // so user-chosen rule names never enter column-name resolution — a
+    // name holding a dot or stray backtick would parse as a nested-field
+    // path (or fail outright); the user name travels only as literal DATA
+    val rowAggs = rowRules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 0L).otherwise(1L)).as(s"rule_$i")
     }
-    val uniqAggs = uniqueKeys.map { case (name, keys) =>
+    val uniqAggs = uniqueKeys.zipWithIndex.map { case ((_, keys), i) =>
       (count(lit(1)) -
-        count_distinct(struct(keys.map(col): _*))).as(s"rule_$name")
+        count_distinct(struct(keys.map(col): _*)))
+        .as(s"rule_${rowRules.length + i}")
     }
     val agged = df.agg((rowAggs ++ uniqAggs).head,
       (rowAggs ++ uniqAggs).tail: _*)
     // 1-row aggregate → one output row per rule (explode of a literal
     // name/value pair array; no second scan)
-    agged.select(explode(array(names.map(n =>
+    agged.select(explode(array(names.zipWithIndex.map { case (n, i) =>
         struct(lit(n).as("rule"),
-          coalesce(col(s"rule_$n"), lit(0L)).as("n_violations"))): _*))
+          coalesce(col(s"rule_$i"), lit(0L)).as("n_violations")) }: _*))
         .as("e"))
       .select(col("e.rule").as("rule"),
         col("e.n_violations").as("n_violations"))

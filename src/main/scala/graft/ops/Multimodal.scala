@@ -698,9 +698,10 @@ object Multimodal {
     val (w, h) = (meta.width, meta.height)
     val s = math.max(w, h)
     if (s <= maxSide) return null
-    // the resizeMeta rule: scale both sides by maxSide/s, floor, >= 1
-    val w2 = math.max(1, w * maxSide / s)
-    val h2 = math.max(1, h * maxSide / s)
+    // the resizeMeta rule: scale both sides by maxSide/s, floor, >= 1 —
+    // in Long, as in resizeDecodedPng (w*maxSide can pass 2^31)
+    val w2 = math.max(1L, w.toLong * maxSide / s).toInt
+    val h2 = math.max(1L, h.toLong * maxSide / s).toInt
     val frames = aviFrames(item)
     if (frames == null) return null
     val srcStride = ((w * 3 + 3) / 4) * 4
@@ -714,10 +715,10 @@ object Multimodal {
       val dst = new Array[Byte](frameSize)
       var y = 0
       while (y < h2) {
-        val sy = y * h / h2
+        val sy = (y.toLong * h / h2).toInt
         var x = 0
         while (x < w2) {
-          val sx = x * w / w2
+          val sx = (x.toLong * w / w2).toInt
           // rows are stored bottom-up in both source and target
           val so = (h - 1 - sy) * srcStride + sx * 3
           val do_ = (h2 - 1 - y) * dstStride + x * 3
@@ -846,16 +847,19 @@ object Multimodal {
     val (w, h) = (img.getWidth, img.getHeight)
     val s = math.max(w, h)
     if (s <= maxSide) return null
-    val w2 = math.max(1, w * maxSide / s)
-    val h2 = math.max(1, h * maxSide / s)
+    // Long arithmetic: for a huge raster a large maxSide makes w*maxSide
+    // overflow Int and the max(1, ...) clamp would silently collapse the
+    // output to 1 px; the quotient itself always fits (≤ maxSide)
+    val w2 = math.max(1L, w.toLong * maxSide / s).toInt
+    val h2 = math.max(1L, h.toLong * maxSide / s).toInt
     val dst = new java.awt.image.BufferedImage(w2, h2,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
     while (y < h2) {
-      val sy = y * h / h2
+      val sy = (y.toLong * h / h2).toInt
       var x = 0
       while (x < w2) {
-        dst.setRGB(x, y, img.getRGB(x * w / w2, sy))
+        dst.setRGB(x, y, img.getRGB((x.toLong * w / w2).toInt, sy))
         x += 1
       }
       y += 1

@@ -387,6 +387,12 @@ object Similarity {
         s"$dims)")
     rows.foreach { r =>
       val d = r.getInt(0)
+      // a dimension whose every value is NULL aggregates to null min/max;
+      // surface the same descriptive shape as the dims mismatch instead
+      // of a bare NullPointerException from getDouble
+      require(!r.isNullAt(1) && !r.isNullAt(2),
+        s"sqParams: dimension $d holds only NULL values — the corpus " +
+          s"cannot train a $dims-dim scalar quantizer")
       mn(d) = r.getDouble(1)
       mx(d) = r.getDouble(2)
     }

@@ -213,6 +213,14 @@ class DedupSpec extends SparkSpec {
     val full = CdcLedger.build(docs, "doc_id", "text").ledger
     val got = CdcLedger.load(spark, cat, "cdc").ledger
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+    // a MANUAL append between micro-batches (no batchId) must not reset
+    // the replay marker: batch 1 redelivered afterwards is still a no-op
+    val led = CdcLedger.load(spark, cat, "cdc")
+    led.appendDocs(cat, "cdc",
+      Seq((1000L, "entirely fresh manual doc text here"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(!CdcLedger.applyBatch(b, 1L, "doc_id", "text", cat, "cdc",
+      16, 64), "manual append reset last_batch_id — double-count risk")
   }
 
   test("kCore: iterative peel reaches the maximal subgraph — cascades " +

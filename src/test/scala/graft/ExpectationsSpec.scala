@@ -27,6 +27,12 @@ class ExpectationsSpec extends SparkSpec {
       rowRules = Seq("v_pos" -> (col("v") > 0)))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(empty == Map("v_pos" -> 0L), empty)
+    // rule names containing dots (or other path-y characters) resolve
+    // literally — regression: col("rule_a.b") parsed as a nested field
+    val dotted = Expectations.check(df,
+      rowRules = Seq("v.pos`check" -> (col("v") > 0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dotted == Map("v.pos`check" -> 2L), dotted)
   }
 
   test("referential probe: dangling child keys counted; null keys " +
