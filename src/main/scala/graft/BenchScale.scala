@@ -114,11 +114,15 @@ object BenchScale {
         docs.where(col("doc_id") % 29 =!= 0),
         docs.where(col("doc_id") % 29 === 0),
         "doc_id", "text", n = 4, numBits = 1 << 18, numHashes = 5)),
-      "sim6_pq_topk" -> (() => PqIndex.build(emb, "vec_id", "embedding",
-        m = 4, dims = 64, ksub = 16).probe(qVec, k = 30)),
+      // production-resolution codes (48-bit PQ, Lloyd-trained): the gate
+      // variants keep tiny codebooks for oracle tractability, but a
+      // recall MEASUREMENT on 16-bit codes would only measure tie-break
+      // noise — thousands of vectors share each code
+      "sim6_pq_topk" -> (() => PqIndex.buildTrained(emb, "vec_id",
+        "embedding", m = 8, dims = 64, ksub = 64).probe(qVec, k = 30)),
       "sim7_ivfpq_topk" -> (() => IvfPqIndex.build(emb, "vec_id",
-        "embedding", kc = 8, m = 4, dims = 64, ksub = 8)
-        .probe(qVec, k = 30, nprobe = 2)),
+        "embedding", kc = 16, m = 8, dims = 64, ksub = 64)
+        .probe(qVec, k = 30, nprobe = 4)),
       "st2_sessionize" -> (() => graft.streaming.EventStreams.sessionize(
         events, gapUs = 1800L * 1000000L)),
       // BPE at x10: training cost is bound by the VOCABULARY (the x10
@@ -152,13 +156,21 @@ object BenchScale {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     // SPARK_GRAFT_SCALE_CASES: comma list to run a subset (e.g. only the
-    // promote cycle while iterating on it — pass "none"); default all
+    // promote cycle while iterating on it — pass "none"); default all.
+    // Iteration-only: a CASES-filtered run never replaces the artifact.
     val caseFilter = sys.env.get("SPARK_GRAFT_SCALE_CASES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = caseFilter match {
+    // SPARK_GRAFT_SCALE_SKIP: comma list of cases to EXCLUDE from a full
+    // run (e.g. dd6_simhash_pairs at ×30, whose quadratic OUTPUT would
+    // dominate the wall clock). Unlike CASES this still writes the
+    // artifact — with the skipped names recorded, never silently.
+    val skip = sys.env.get("SPARK_GRAFT_SCALE_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val selected = (caseFilter match {
       case None => cases
       case Some(f) => cases.filter { case (n, _) => f.contains(n) }
-    }
+    }).filterNot { case (n, _) => skip.contains(n) }
     val results = selected.map { case (name, mk) =>
       var rows = 0L
       val t0 = System.nanoTime()
@@ -175,28 +187,111 @@ object BenchScale {
     // it matters — each approximate index's probe against the exact
     // brute-force top-k on the SAME inflated corpus. Driver traffic is k
     // ids per probe; the brute-force pass is one TakeOrdered scan.
+    //
+    // Three views per index, because the inflated corpus is adversarial
+    // for exact-set recall BY CONSTRUCTION: each base vector becomes
+    // `factor` clones 0.0013 apart, so the exact top-k is a tie-break
+    // among near-identical variants that a few-bit code (PQ m=4) cannot
+    // order — a low `exact` there is quantization resolution, not a lost
+    // neighborhood. `base` scores the neighborhoods found (ids div
+    // factor), and `rerank` is the production shape: probe an 8×k
+    // shortlist, exact-rerank it (broadcast semi-join), top-k on the
+    // true metric.
     val kRecall = 30
-    lazy val truth = graft.ops.Similarity.bruteForceTopK(
+    lazy val truthIds = graft.ops.Similarity.bruteForceTopK(
       emb, "vec_id", "embedding", qVec, kRecall)
-      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-    def recallOf(df: DataFrame): Double = {
-      val got = df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
-      truth.intersect(got).size.toDouble / truth.size
-    }
-    val recalls: Seq[(String, Double)] = (if (caseFilter.nonEmpty) Nil
-    else Seq(
-      "sim6_pq_topk" -> (() => PqIndex.build(emb, "vec_id", "embedding",
-        m = 4, dims = 64, ksub = 16).probe(qVec, k = kRecall)),
-      "sim7_ivfpq_topk" -> (() => IvfPqIndex.build(emb, "vec_id",
-        "embedding", kc = 8, m = 4, dims = 64, ksub = 8)
-        .probe(qVec, k = kRecall, nprobe = 2)),
-      "sim11_sq_topk" -> (() => graft.ops.SqIndex
-        .build(emb, "vec_id", "embedding", 64).probe(qVec, k = kRecall))))
-      .map { case (name, mk) =>
-        val r = try recallOf(mk()) catch { case _: Throwable => -1.0 }
-        spark.catalog.clearCache()
-        System.err.println(f"[scale] recall@$kRecall $name%-22s $r%6.3f")
-        name -> r
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    lazy val truth = truthIds.toSet
+    lazy val truthBases = truthIds.map(_ / factor).toSet
+    def ids(df: DataFrame): Set[Long] =
+      df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val recalls: Seq[(String, Double, Double, Double)] =
+      (if (caseFilter.nonEmpty) Nil
+      else Seq[(String, Int => DataFrame)](
+        "sim6_pq_topk" -> (k => PqIndex.buildTrained(emb, "vec_id",
+          "embedding", m = 8, dims = 64, ksub = 64).probe(qVec, k = k)),
+        "sim7_ivfpq_topk" -> (k => IvfPqIndex.build(emb, "vec_id",
+          "embedding", kc = 16, m = 8, dims = 64, ksub = 64)
+          .probe(qVec, k = k, nprobe = 4)),
+        "sim11_sq_topk" -> (k => graft.ops.SqIndex
+          .build(emb, "vec_id", "embedding", 64).probe(qVec, k = k))))
+        .map { case (name, mk) =>
+          val (ex, base, rr) = try {
+            val found = ids(mk(kRecall))
+            val e = truth.intersect(found).size.toDouble / truth.size
+            val b = truthBases.intersect(found.map(_ / factor)).size
+              .toDouble / truthBases.size
+            val reranked = ids(graft.ops.Similarity.rerankTopK(
+              mk(kRecall * 8), emb, "vec_id", "embedding", qVec, kRecall))
+            val r = truth.intersect(reranked).size.toDouble / truth.size
+            (e, b, r)
+          } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+          spark.catalog.clearCache()
+          System.err.println(f"[scale] recall@$kRecall $name%-22s " +
+            f"exact $ex%6.3f  base $base%6.3f  rerank $rr%6.3f")
+          (name, ex, base, rr)
+        }
+
+    // ---- dedup recall at scale: the inflated corpus has KNOWN duplicate
+    // structure (each base doc's `factor` variants form a near-dup group),
+    // so exact ground truth is computable without an all-pairs join — one
+    // group-keyed self-join, O(factor²) pairs per base doc. Two views:
+    // pair recall (did the exact pair surface) and doc recall (did the
+    // doc surface in ANY pair — what canonical-keep dedup consumes). The
+    // round-10 recall cliff is visible here: the plain cap's doc recall
+    // collapses once groups exceed maxDocFreq; the star variant must hold.
+    val dupRecalls: Seq[(String, Double, Double)] =
+      if (caseFilter.nonEmpty) Nil
+      else {
+        val sh = docs.select(col("doc_id").as("doc"),
+            expr(s"doc_id div $factor").as("grp"),
+            Dedup.shingleHashes(col("text"), 3).as("sh"))
+          .where(size(col("sh")) > 0)
+          .persist()
+        val truth = sh.as("a").join(sh.as("b"),
+            col("a.grp") === col("b.grp") && col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+            size(array_intersect(col("a.sh"), col("b.sh")))
+              .cast("double").as("common"),
+            size(col("a.sh")).cast("double").as("cnt_a"),
+            size(col("b.sh")).cast("double").as("cnt_b"))
+          .where(col("common") /
+            (col("cnt_a") + col("cnt_b") - col("common")) >= 0.6)
+          .select(col("id_a"), col("id_b"))
+          .persist()
+        val nTruthPairs = truth.count().toDouble
+        val truthDocs = truth.select(col("id_a").as("doc"))
+          .union(truth.select(col("id_b").as("doc"))).distinct().persist()
+        val nTruthDocs = truthDocs.count().toDouble
+        def recallsOf(found: DataFrame): (Double, Double) = {
+          val p = found.select(col("id_a"), col("id_b")).persist()
+          val pairR = p.join(truth, Seq("id_a", "id_b"), "left_semi")
+            .count() / math.max(nTruthPairs, 1.0)
+          val foundDocs = p.select(col("id_a").as("doc"))
+            .union(p.select(col("id_b").as("doc"))).distinct()
+          val docR = foundDocs.join(truthDocs, Seq("doc"), "left_semi")
+            .count() / math.max(nTruthDocs, 1.0)
+          p.unpersist()
+          (pairR, docR)
+        }
+        val out = Seq(
+          "dd2b_jaccard_capped" -> (() => Dedup.jaccardPairsCapped(docs,
+            "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
+          "dd2c_jaccard_capped_star" -> (() => Dedup.jaccardPairsCappedStar(
+            docs, "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
+          "dd3_minhash_lsh" -> (() => Dedup.minhashLshPairs(docs, "doc_id",
+            "text", n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)))
+          .map { case (name, mk) =>
+            val (pr, dr) = try recallsOf(mk())
+              catch { case _: Throwable => (-1.0, -1.0) }
+            // NOT clearCache(): that would evict truth/truthDocs mid-loop
+            Dedup.releaseCaches()
+            System.err.println(
+              f"[scale] dup_recall $name%-26s pair $pr%6.3f  doc $dr%6.3f")
+            (name, pr, dr)
+          }
+        sh.unpersist(); truth.unpersist(); truthDocs.unpersist()
+        out
       }
 
     // ---- the full replicate→upload→stage→promote service cycle at the
@@ -279,19 +374,28 @@ object BenchScale {
       s""""jdbc_replicate_s":${f(jdbcS)},"jdbc_object_rows":$jObjRows,""" +
       s""""timers":$timers}"""
     val total = results.map(_._2).sum
-    val recallJson = recalls.map { case (n, r) => s""""$n":${f(r)}""" }
-      .mkString("{", ",", "}")
+    val recallJson = recalls.map { case (n, ex, base, rr) =>
+      s""""$n":{"exact":${f(ex)},"base":${f(base)},"rerank":${f(rr)}}"""
+    }.mkString("{", ",", "}")
+    val dupRecallJson = dupRecalls.map { case (n, pr, dr) =>
+      s""""$n":{"pair":${f(pr)},"doc":${f(dr)}}"""
+    }.mkString("{", ",", "}")
+    val skippedJson = skip.toSeq.sorted.map(s => s""""$s"""")
+      .mkString("[", ",", "]")
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
       s""""unit":"sec","factor":$factor,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
-      s""""n_events":$nEvents,"cpus":$cpus,"queries":$qs,""" +
-      s""""recall_at_$kRecall":$recallJson,""" +
+      s""""n_events":$nEvents,"cpus":$cpus,"skipped":$skippedJson,""" +
+      s""""queries":$qs,"recall_at_$kRecall":$recallJson,""" +
+      s""""dup_recall":$dupRecallJson,""" +
       s""""promote_cycle":$cycle,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may replace the committed artifact — a filtered
     // iteration run would clobber it with partial data
+    val outName =
+      if (factor == 10) "BENCH_SCALE.json" else s"BENCH_SCALE_X$factor.json"
     if (caseFilter.isEmpty)
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")
+        java.nio.file.Paths.get(outName), line + "\n")
       catch { case _: Throwable => () }
     spark.stop()
   }

@@ -1653,6 +1653,82 @@ object Dedup {
         hammingDist(col("sh_a"), col("sh_b")).as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  // -------------------------------------------------- passage-level dedup
+
+  /** Non-overlapping `w`-word passages of each document, with position:
+    * (doc, pos, passage, passage_h). The corpus-level unit of the
+    * C4/RefinedWeb-style "remove text duplicated across the corpus" pass —
+    * coarser than a shingle (which detects similarity), finer than a
+    * document (which misses partial duplication like shared boilerplate).
+    * Map-side explode, no shuffle; the last passage may be short.
+    * `passage_h` is the [[charHash]] polynomial (engine-reproducible, an
+    * 8-byte group key at scale; the ~n²/2P collision odds merge both
+    * sides of any comparison identically since every engine replays the
+    * same fold).
+    */
+  private def passageExplode(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w > 0, s"need w > 0, got $w")
+    val toks = split(col(textCol), "\\s+")
+    val nPass = expr(s"(size(__toks) + ${w - 1}) div $w")
+    df.select(col(idCol).as("doc"), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(0), nPass - 1),
+          i => array_join(slice(col("__toks"), i * w + 1, w), " ")))
+          .as(Seq("pos", "passage")))
+      .select(col("doc"), col("pos"), col("passage"),
+        charHash(col("passage")).as("passage_h"))
+  }
+
+  /** Corpus-wide duplicated-passage inventory: every `w`-word passage
+    * occurring ≥ 2 times, with its occurrence count, distinct-document
+    * count, and canonical (minimum) document id. ONE shuffle, keyed on
+    * the 8-byte passage hash — the profiling half of passage dedup (what
+    * boilerplate dominates the corpus; candidate scrub list sizing).
+    * Returns (passage_h, passage, n_occ, n_docs, canonical_id).
+    */
+  def passageStats(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    passageExplode(df, idCol, textCol, w)
+      .groupBy(col("passage_h"))
+      .agg(min(col("passage")).as("passage"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc")).as("n_docs"),
+        min(col("doc")).as("canonical_id"))
+      .where(col("n_occ") >= 2)
+
+  /** Passage-level corpus scrub: drop from EVERY document the passages
+    * whose corpus-wide occurrence count exceeds `maxOcc`, and reassemble
+    * the survivors in order — the C4 "discard any three-sentence span
+    * seen more than once" rule re-expressed over word windows. Hot
+    * passages are detected with one groupBy on the 8-byte hash; the
+    * verdict joins back onto the exploded frame (the hot side is the
+    * small one — duplicated boilerplate is a sliver of a real corpus, so
+    * AQE broadcasts it); per-document reassembly is one final groupBy.
+    * Three shuffles total, none keyed on raw text. A document whose
+    * every passage is hot survives with empty text (the caller decides
+    * whether to drop empties — that's a filter, not this operator's
+    * call). Returns (idCol, n_kept, n_scrubbed, text_clean).
+    */
+  def passageScrub(df: DataFrame, idCol: String, textCol: String,
+      w: Int, maxOcc: Long): DataFrame = {
+    val ex = tracked(passageExplode(df, idCol, textCol, w))
+    val hot = ex.groupBy(col("passage_h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") > maxOcc)
+      .select(col("passage_h"), lit(true).as("__hot"))
+    ex.join(hot, Seq("passage_h"), "left")
+      .groupBy(col("doc").as(idCol))
+      .agg(
+        count(when(col("__hot").isNull, 1)).as("n_kept"),
+        count(when(col("__hot").isNotNull, 1)).as("n_scrubbed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("pos"), col("passage"))))),
+          x => x.getField("passage")), " ").as("text_clean"))
+  }
 }
 
 /** Persisted CDC chunk ledger — [[Dedup.cdcDedup]]'s build-once/

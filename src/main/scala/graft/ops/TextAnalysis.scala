@@ -186,6 +186,55 @@ object TextAnalysis {
     total
   }
 
+  // ------------------------------------------------- Gopher quality rules
+
+  /** Stop words of the Gopher quality rule set (Rae et al. 2021,
+    * "Scaling Language Models", §A1.1.2).
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher document-quality rules as one map-only pass:
+    * word-count bounds, mean-word-length bounds, minimum share of words
+    * containing an alphabetic character, and a minimum stop-word hit
+    * count. Distinct from [[qualityScore]] (a continuous score): these
+    * are the named, hard accept/reject gates a curation pipeline logs
+    * per rule. Every flag is integer arithmetic (`sum_len` vs
+    * `bound·n_words`, `100·n_alpha` vs `pct·n_words`) so the verdicts
+    * replay bit-exactly on any engine; `mean_word_len` itself is the
+    * single double division. No shuffle, no UDF — codegen'd
+    * size/filter/aggregate over the token array.
+    *
+    * Returns (idCol, n_words, mean_word_len, n_alpha, n_stop, ok_words,
+    * ok_mean_len, ok_alpha, ok_stopwords, keep).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Int = 3, maxMeanLen: Int = 10,
+      minAlphaPct: Int = 80, minStopHits: Int = 2): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_words"),
+        aggregate(col("__toks"), lit(0L), (acc, x) => acc + length(x))
+          .as("sum_len"),
+        size(filter(col("__toks"), x => x.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha"),
+        size(filter(col("__toks"), x => x.isin(gopherStopwords: _*)))
+          .cast("long").as("n_stop"))
+      .select(col(idCol), col("n_words"),
+        (col("sum_len").cast("double") / col("n_words").cast("double"))
+          .as("mean_word_len"),
+        col("n_alpha"), col("n_stop"),
+        col("n_words").between(minWords, maxWords).as("ok_words"),
+        (col("sum_len") >= lit(minMeanLen.toLong) * col("n_words") &&
+          col("sum_len") <= lit(maxMeanLen.toLong) * col("n_words"))
+          .as("ok_mean_len"),
+        (col("n_alpha") * 100L >= col("n_words") * minAlphaPct.toLong)
+          .as("ok_alpha"),
+        (col("n_stop") >= minStopHits.toLong).as("ok_stopwords"))
+      .withColumn("keep", col("ok_words") && col("ok_mean_len") &&
+        col("ok_alpha") && col("ok_stopwords"))
+
   // ----------------------------------------------------- context chunking
 
   /** Split each document into overlapping token-window chunks — the

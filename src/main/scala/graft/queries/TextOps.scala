@@ -634,7 +634,48 @@ object TextOps {
     // training trajectory unrolled in SQL — bit-exact because the model
     // contains no transcendentals
     "ts23_quality_model" -> ((s, d) =>
-      graft.ops.QualityModel.trainScore(documents(s, d)))
+      graft.ops.QualityModel.trainScore(documents(s, d))),
+
+    // corpus-wide duplicated-passage inventory (6-word windows): the
+    // profiling half of C4-style passage dedup — one shuffle keyed on
+    // the 8-byte passage hash
+    "dd22_passage_stats" -> ((s, d) =>
+      Dedup.passageStats(documents(s, d), "doc_id", "text", w = 6)),
+
+    // passage-level corpus scrub: 6-word passages occurring > 2× are
+    // removed from EVERY document, survivors reassembled in order —
+    // the C4 "duplicated span" rule over word windows (finer than doc
+    // dedup, exact unlike the winnowing spans of dd16)
+    "dd23_passage_scrub" -> ((s, d) =>
+      Dedup.passageScrub(documents(s, d), "doc_id", "text",
+        w = 6, maxOcc = 2L)),
+
+    // PII redaction: the fixture carries no PII, so deterministic
+    // synthetic PII (email/phone/IPv4 derived from doc_id) is appended
+    // in-query — same discipline as the mm gates' synthetic payloads:
+    // real regex chain, synthetic entities. Counts are taken on the
+    // progressively-redacted text (piiMatchCount), so overlapping
+    // classes never double-count
+    "ts36_pii_redact" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", concat($"text",
+          lit(" reach u"), $"doc_id".cast("string"),
+          lit("@ex"), pmod($"doc_id", lit(7L)).cast("string"),
+          lit(".org call 555 123 4567 from 10."),
+          pmod($"doc_id", lit(256L)).cast("string"), lit("."),
+          pmod($"doc_id", lit(200L)).cast("string"), lit("."),
+          pmod($"doc_id", lit(100L)).cast("string")).as("text"))
+        .select($"doc_id",
+          TextAnalysis.piiMatchCount($"text").as("n_pii"),
+          TextAnalysis.redactPii($"text").as("text_redacted"))
+    }),
+
+    // the published Gopher hard quality gates (word-count bounds,
+    // mean-word-length bounds, alpha-word share, stop-word hits) —
+    // integer-arithmetic verdicts, one map-only pass
+    "ts37_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(documents(s, d), "doc_id", "text"))
   )
 
   /** Shared MinHash banding candidate pipeline (8 hash slots, 4 bands of
