@@ -1676,7 +1676,7 @@ object Dedup {
       .where(size(col("__toks")) > 0)
       .select(col("doc"),
         posexplode(transform(sequence(lit(0), nPass - 1),
-          i => array_join(slice(col("__toks"), i * w + 1, w), " ")))
+          i => array_join(slice(col("__toks"), i * w + 1, lit(w)), " ")))
           .as(Seq("pos", "passage")))
       .select(col("doc"), col("pos"), col("passage"),
         charHash(col("passage")).as("passage_h"))
