@@ -1776,9 +1776,14 @@ final case class CdcLedger(k: Int, modulus: Int, ledger: DataFrame) {
     // marker: rewriting it to -1 would let an already-applied streaming
     // micro-batch pass applyBatch's `batchId <= last_batch_id` guard and
     // double-count its chunks. Monotone max keeps both writers safe.
-    val stored = scala.util.Try(
-      cat.read(spark, s"$name.params").head()
-        .getAs[Long]("last_batch_id")).getOrElse(-1L)
+    // Only the EXPECTED absent-table case may default to -1; a params
+    // table that exists but cannot be read must fail the append —
+    // silently resetting the marker would re-open the double-apply
+    // window this guard exists to close.
+    val stored =
+      if (cat.exists(s"$name.params"))
+        cat.read(spark, s"$name.params").head().getAs[Long]("last_batch_id")
+      else -1L
     cat.commitAll(Map(
       s"$name.ledger" -> graft.catalog.TableDelta(
         appends = Seq((Dedup.cdcDedup(batch, idCol, textCol, k, modulus),

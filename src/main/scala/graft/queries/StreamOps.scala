@@ -14,6 +14,23 @@ object StreamOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Committed media-fixture directory, resolved independently of the
+    * launcher's cwd: env override first, then a walk up from cwd (the
+    * driver may run sbt from the repo root or a parent). The returned
+    * path is absolute so Spark's binaryFile source never re-resolves it
+    * against a different working directory.
+    */
+  private[queries] def mediaFixtureDir: String =
+    sys.env.get("SPARK_GRAFT_MEDIA_DIR").getOrElse {
+      val rel = java.nio.file.Paths.get("src", "test", "resources", "media")
+      Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null).take(6)
+        .map(_.resolve(rel))
+        .find(java.nio.file.Files.isDirectory(_))
+        .map(_.toString)
+        .getOrElse(rel.toAbsolutePath.toString)
+    }
+
   val queries: Map[String, Q] = Map(
     // T1-analog: tumbling event-time window aggregate (runs identically
     // under readStream with a watermark)
@@ -407,7 +424,7 @@ object StreamOps {
     "mm15_file_ingest" -> ((s, _) => {
       import s.implicits._
       graft.ops.Multimodal.decodeMeta(
-        graft.ops.Multimodal.fromFiles(s, "src/test/resources/media"))
+        graft.ops.Multimodal.fromFiles(s, mediaFixtureDir))
         .select($"media_id", $"kind",
           $"width".cast("long").as("width"),
           $"height".cast("long").as("height"),

@@ -1981,6 +1981,116 @@ object TextOps {
         |FROM documents""".stripMargin,
 
     "ts4_fingerprint" ->
-      s"SELECT doc_id, ${sqlCharHash("text")} AS fp FROM documents"
+      s"SELECT doc_id, ${sqlCharHash("text")} AS fp FROM documents",
+
+    // passage inventory replay: same non-overlapping 6-word windows
+    // (1-based inclusive slice toks[p*6+1 : p*6+6] = Spark
+    // slice(toks, p*6+1, 6)), same charHash fold on the joined passage,
+    // same ≥2-occurrence cut. Grouping on the hash on BOTH sides means
+    // any collision merges identically.
+    "dd22_passage_stats" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, toks,
+         |        unnest(range(0, (len(toks) + 5) // 6)) AS pos
+         |      FROM t WHERE len(toks) > 0),
+         |pp AS (SELECT doc_id, pos,
+         |         array_to_string(toks[pos*6+1:pos*6+6], ' ') AS passage
+         |       FROM p),
+         |h AS (SELECT doc_id, pos, passage,
+         |        ${sqlCharHash("passage")} AS passage_h FROM pp)
+         |SELECT passage_h, min(passage) AS passage,
+         |       CAST(count(*) AS BIGINT) AS n_occ,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       min(doc_id) AS canonical_id
+         |FROM h GROUP BY passage_h HAVING count(*) >= 2""".stripMargin,
+
+    // passage scrub replay: hot = hash occurring > 2 times corpus-wide;
+    // survivors re-joined in position order (string_agg ORDER BY pos =
+    // the engine's array_sort on (pos, passage) structs — pos is unique
+    // per doc). Docs whose every passage is hot keep an empty string,
+    // exactly like array_join over an empty collect_list.
+    "dd23_passage_scrub" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, toks,
+         |        unnest(range(0, (len(toks) + 5) // 6)) AS pos
+         |      FROM t WHERE len(toks) > 0),
+         |pp AS (SELECT doc_id, pos,
+         |         array_to_string(toks[pos*6+1:pos*6+6], ' ') AS passage
+         |       FROM p),
+         |h AS (SELECT doc_id, pos, passage,
+         |        ${sqlCharHash("passage")} AS passage_h FROM pp),
+         |hot AS (SELECT passage_h FROM h GROUP BY passage_h
+         |        HAVING count(*) > 2),
+         |m AS (SELECT h.doc_id, h.pos, h.passage,
+         |        CASE WHEN hot.passage_h IS NOT NULL THEN 1 ELSE 0 END AS bp
+         |      FROM h LEFT JOIN hot ON h.passage_h = hot.passage_h)
+         |SELECT doc_id,
+         |  CAST(count(CASE WHEN bp = 0 THEN 1 END) AS BIGINT) AS n_kept,
+         |  CAST(count(CASE WHEN bp = 1 THEN 1 END) AS BIGINT) AS n_scrubbed,
+         |  coalesce(string_agg(CASE WHEN bp = 0 THEN passage END, ' '
+         |    ORDER BY pos), '') AS text_clean
+         |FROM m GROUP BY doc_id""".stripMargin,
+
+    // PII replay: identical synthetic-entity append, then the SAME
+    // progressive chain — count pattern i on the text with patterns
+    // 1..i-1 already redacted, then redact (DuckDB regexp_replace needs
+    // the explicit 'g' flag to match Spark's replace-all). Patterns are
+    // interpolated from TextAnalysis.piiPatterns so engine and oracle
+    // cannot drift; they are lookaround-free by design (RE2-safe).
+    "ts36_pii_redact" -> {
+      val Seq((peml, teml), (pph, tph), (pip, tip)) =
+        graft.ops.TextAnalysis.piiPatterns
+      s"""WITH b AS (SELECT doc_id,
+         |  text || ' reach u' || CAST(doc_id AS VARCHAR) || '@ex' ||
+         |  CAST(doc_id % 7 AS VARCHAR) ||
+         |  '.org call 555 123 4567 from 10.' ||
+         |  CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |  CAST(doc_id % 200 AS VARCHAR) || '.' ||
+         |  CAST(doc_id % 100 AS VARCHAR) AS t0 FROM documents),
+         |r1 AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t0, '$peml')) AS BIGINT) AS c1,
+         |  regexp_replace(t0, '$peml', '$teml', 'g') AS t1 FROM b),
+         |r2 AS (SELECT doc_id, c1,
+         |  CAST(len(regexp_extract_all(t1, '$pph')) AS BIGINT) AS c2,
+         |  regexp_replace(t1, '$pph', '$tph', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id, c1, c2,
+         |  CAST(len(regexp_extract_all(t2, '$pip')) AS BIGINT) AS c3,
+         |  regexp_replace(t2, '$pip', '$tip', 'g') AS t3 FROM r2)
+         |SELECT doc_id, c1 + c2 + c3 AS n_pii, t3 AS text_redacted
+         |FROM r3""".stripMargin
+    },
+
+    // Gopher rules replay: integer flag arithmetic (sum_len vs
+    // bound·n_words, 100·n_alpha vs 80·n_words) is engine-exact; the
+    // one double (mean_word_len) is a single division with identical
+    // operands on both sides.
+    "ts37_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(list_sum(list_transform(toks,
+        |          x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sum_len,
+        |        CAST(len(list_filter(toks,
+        |          x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |        CAST(len(list_filter(toks, x -> x IN
+        |          ('the','be','to','of','and','that','have','with')))
+        |          AS BIGINT) AS n_stop
+        |      FROM t)
+        |SELECT doc_id, n_words,
+        |  CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |    AS mean_word_len,
+        |  n_alpha, n_stop,
+        |  n_words BETWEEN 50 AND 100000 AS ok_words,
+        |  sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+        |    AS ok_mean_len,
+        |  n_alpha * 100 >= n_words * 80 AS ok_alpha,
+        |  n_stop >= 2 AS ok_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND
+        |  (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AND
+        |  (n_alpha * 100 >= n_words * 80) AND (n_stop >= 2) AS keep
+        |FROM c""".stripMargin
   )
 }
