@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.VersionedCatalog
-import graft.ops.{Dedup, IvfPqIndex, PqIndex, ScaleStress}
+import graft.ops.{Dedup, IvfPqSharedIndex, PqIndex, ScaleStress}
 import graft.replicate.{ChunkUploader, PpdbStaged, Promoter, Replicator}
 
 /** The recorded scale datapoint beyond sf0.1: inflate the real fixtures
@@ -114,15 +114,23 @@ object BenchScale {
         docs.where(col("doc_id") % 29 =!= 0),
         docs.where(col("doc_id") % 29 === 0),
         "doc_id", "text", n = 4, numBits = 1 << 18, numHashes = 5)),
-      // production-resolution codes (48-bit PQ, Lloyd-trained): the gate
-      // variants keep tiny codebooks for oracle tractability, but a
-      // recall MEASUREMENT on 16-bit codes would only measure tie-break
-      // noise — thousands of vectors share each code
+      // production-resolution codes (128-bit PQ16x8, Lloyd-trained on a
+      // bounded spread-sample): the gate variants keep tiny codebooks
+      // for oracle tractability, but a recall MEASUREMENT on 16-bit
+      // codes would only measure tie-break noise — thousands of vectors
+      // share each code. Spread seeding is load-bearing here: the
+      // inflated corpus numbers clone families consecutively, so
+      // first-k-by-id seeds would collapse to a handful of directions
+      // (the round-11 recall cliff: rerank 0.30-0.37)
       "sim6_pq_topk" -> (() => PqIndex.buildTrained(emb, "vec_id",
-        "embedding", m = 8, dims = 64, ksub = 64).probe(qVec, k = 30)),
-      "sim7_ivfpq_topk" -> (() => IvfPqIndex.build(emb, "vec_id",
-        "embedding", kc = 16, m = 8, dims = 64, ksub = 64)
-        .probe(qVec, k = 30, nprobe = 4)),
+        "embedding", m = 16, dims = 64, ksub = 256, iters = 2,
+        trainLimit = Some(8192)).probe(qVec, k = 30)),
+      // the FAISS IVFADC shape: Lloyd coarse + ONE Lloyd residual PQ
+      // shared across cells; probe = 8 of 64 inverted lists
+      "sim7_ivfpq_topk" -> (() => IvfPqSharedIndex.buildTrained(emb,
+        "vec_id", "embedding", kc = 64, m = 16, dims = 64, ksub = 256,
+        iters = 2, trainLimit = Some(8192))
+        .probe(qVec, k = 30, nprobe = 8)),
       "st2_sessionize" -> (() => graft.streaming.EventStreams.sessionize(
         events, gapUs = 1800L * 1000000L)),
       // BPE at x10: training cost is bound by the VOCABULARY (the x10
@@ -205,16 +213,25 @@ object BenchScale {
     lazy val truthBases = truthIds.map(_ / factor).toSet
     def ids(df: DataFrame): Set[Long] =
       df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // same production builds as the timing cases above; a CASES filter
+    // runs the recall block only when it names the entry (or "recall"),
+    // so quantizer iterations don't pay for the full case sweep
+    val recallDefs = Seq[(String, Int => DataFrame)](
+      "sim6_pq_topk" -> (k => PqIndex.buildTrained(emb, "vec_id",
+        "embedding", m = 16, dims = 64, ksub = 256, iters = 2,
+        trainLimit = Some(8192)).probe(qVec, k = k)),
+      "sim7_ivfpq_topk" -> (k => IvfPqSharedIndex.buildTrained(emb,
+        "vec_id", "embedding", kc = 64, m = 16, dims = 64, ksub = 256,
+        iters = 2, trainLimit = Some(8192))
+        .probe(qVec, k = k, nprobe = 8)),
+      "sim11_sq_topk" -> (k => graft.ops.SqIndex
+        .build(emb, "vec_id", "embedding", 64).probe(qVec, k = k)))
     val recalls: Seq[(String, Double, Double, Double)] =
-      (if (caseFilter.nonEmpty) Nil
-      else Seq[(String, Int => DataFrame)](
-        "sim6_pq_topk" -> (k => PqIndex.buildTrained(emb, "vec_id",
-          "embedding", m = 8, dims = 64, ksub = 64).probe(qVec, k = k)),
-        "sim7_ivfpq_topk" -> (k => IvfPqIndex.build(emb, "vec_id",
-          "embedding", kc = 16, m = 8, dims = 64, ksub = 64)
-          .probe(qVec, k = k, nprobe = 4)),
-        "sim11_sq_topk" -> (k => graft.ops.SqIndex
-          .build(emb, "vec_id", "embedding", 64).probe(qVec, k = k))))
+      (caseFilter match {
+        case None => recallDefs
+        case Some(f) => recallDefs.filter { case (n, _) =>
+          f.contains(n) || f.contains("recall") }
+      }).filterNot { case (n, _) => skip.contains(n) }
         .map { case (name, mk) =>
           val (ex, base, rr) = try {
             val found = ids(mk(kRecall))

@@ -317,6 +317,26 @@ object PlanAudit {
       }
     }
 
+    // curation-pipeline composition: the passage scrub → blocklist scrub
+    // → Gopher rules pipeline (ts38) must add ZERO exchanges over the
+    // passage scrub alone (dd23) — the downstream stages are projections
+    // riding the same plan, never a re-tokenization shuffle
+    {
+      def exchanges(q: String): Int = {
+        val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+        "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(plan).size
+      }
+      val p38 = SparkEntry.queries("ts38_curation_pipeline")(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      val ex38 = "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p38).size
+      val ex23 = exchanges("dd23_passage_scrub")
+      val ok = ex38 == ex23 && p38.contains("blocklist_scrub")
+      if (!ok) { failed += 1; println(s"ts38 exchanges $ex38 vs dd23 $ex23") }
+      println(f"${if (ok) "OK  " else "FAIL"}  ${"ts38_curation_pipeline"}%-22s " +
+        "scrub+rules stages add zero exchanges over the passage scrub")
+    }
     // catalog fact-table layout: a time-range read over bucketed appends
     // must plan a partition filter on the derived bucket column
     {

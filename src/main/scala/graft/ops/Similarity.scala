@@ -102,6 +102,46 @@ object Similarity {
       .select(col(idCol).as("centroid_id"),
         transform(col(vecCol), _.cast("double")).as("centroid"))
 
+  /** Deterministic id-spreading sort key: a golden-ratio multiplicative
+    * mix ((id mod P)·A mod P with P = 2^31−1 prime, A ≈ P/φ) — a Weyl
+    * sequence, so CONSECUTIVE ids land ~0.618·P apart (low-discrepancy,
+    * maximally spread; a small multiplier like MINSTD's 48271 would keep
+    * a whole clone family inside the smallest-key prefix). Seeding "the
+    * first k by id" collapses when ids are assigned in content order (a
+    * re-inflated corpus, an ingest that numbers near-duplicates
+    * consecutively): the seed prefix then holds a handful of
+    * near-identical directions and every downstream Lloyd refinement
+    * keeps the duplicates duplicated (empty cells retain their
+    * codeword), so the EFFECTIVE codebook size is the number of distinct
+    * families in the prefix, not k. Ordering by this mix makes the seed
+    * prefix a deterministic pseudo-random corpus sample — still
+    * seed-free, still exactly replayable in portable SQL, and
+    * overflow-safe for any BIGINT id ((P−1)·A < 2^63). Ties (ids ≡ mod
+    * P) break on the raw id.
+    */
+  def spreadKey(id: Column): Column =
+    pmod(pmod(id, lit(2147483647L)) * lit(1327217884L), lit(2147483647L))
+
+  /** A deterministic pseudo-random sample of `n` rows: top-n by
+    * [[spreadKey]] — a TakeOrdered at scale (never a full sort), the
+    * sample every Lloyd trainer here draws its iterations over. Training
+    * on a bounded sample is the 100 TB shape: k-means quality depends on
+    * points-per-centroid, not corpus size, so the train scan must not
+    * grow with the corpus (FAISS trains its quantizers the same way).
+    */
+  def spreadSample(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.orderBy(spreadKey(col(idCol)), col(idCol)).limit(n)
+
+  /** [[ivfSeedCentroids]] over the spread ordering: seeds are a
+    * deterministic pseudo-random draw instead of the lowest-id prefix —
+    * immune to id-clustered corpora, still SQL-replayable.
+    */
+  def ivfSpreadSeedCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    spreadSample(df, idCol, k)
+      .select(col(idCol).as("centroid_id"),
+        transform(col(vecCol), _.cast("double")).as("centroid"))
+
   /** IVF (inverted-file) coarse quantizer: k-means centroids trained with
     * a fixed number of Lloyd iterations as pure DataFrame aggregations —
     * deterministic (seed-free: initial centroids are the first k vectors
@@ -112,14 +152,21 @@ object Similarity {
     * k centroids broadcast to the scan.
     */
   def ivfTrain(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, trainLimit: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    var centroids = ivfSeedCentroids(df, idCol, vecCol, k)
+    // Lloyd iterations run over a bounded spread-sample when trainLimit
+    // is set (points-per-centroid, not corpus size, governs quality —
+    // the 100 TB shape); seeds come from the spread ordering so an
+    // id-clustered corpus cannot collapse the initial codebook (see
+    // [[spreadKey]]).
+    val train = trainLimit.map(spreadSample(df, idCol, _).cache())
+      .getOrElse(df)
+    var centroids = ivfSpreadSeedCentroids(train, idCol, vecCol, k)
     for (_ <- 0 until iters) {
-      val assigned = assign(df, idCol, vecCol, centroids)
+      val assigned = assign(train, idCol, vecCol, centroids)
       centroids = assigned
-        .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+        .join(train.select(col(idCol), col(vecCol)), Seq(idCol))
         .select(col("centroid_id"),
           posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("centroid_id"), col("dim"))
@@ -204,6 +251,25 @@ object Similarity {
       .select(col("sc.sub"), col("centroid_id"), col("sc.centroid"))
   }
 
+  /** [[pqSeedCodebooks]] over the spread ordering (see [[spreadKey]]):
+    * the ksub seed vectors are a deterministic pseudo-random corpus draw
+    * instead of the lowest-id prefix, so id-clustered corpora (where
+    * consecutive ids are near-duplicates) still seed ksub DISTINCT
+    * directions per subspace. Still seed-free and SQL-replayable.
+    */
+  def pqSpreadSeedCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, dims: Int, ksub: Int): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by $m subspaces")
+    val sd = dims / m
+    spreadSample(df, idCol, ksub)
+      .select(col(idCol).as("centroid_id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"),
+            transform(slice(col(vecCol), j * sd + 1, sd), _.cast("double"))
+              .as("centroid"))): _*)).as("sc"))
+      .select(col("sc.sub"), col("centroid_id"), col("sc.centroid"))
+  }
+
   /** Lloyd-refined PQ codebooks: per subspace, k-means over the corpus'
     * subvectors — seeded from [[pqSeedCodebooks]] (deterministic,
     * seed-free) and refined with `iters` iterations as pure DataFrame
@@ -215,14 +281,18 @@ object Similarity {
     * sim6 gate.
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
-      dims: Int, ksub: Int, iters: Int = 3): DataFrame = {
+      dims: Int, ksub: Int, iters: Int = 3,
+      trainLimit: Option[Int] = None): DataFrame = {
     val sd = dims / m
-    val subs = df.select(col(idCol),
+    // bounded spread-sample training + spread seeding, as [[ivfTrain]]
+    val train = trainLimit.map(spreadSample(df, idCol, _).cache())
+      .getOrElse(df)
+    val subs = train.select(col(idCol),
         explode(array((0 until m).map(j =>
           struct(lit(j).as("sub"),
             slice(col(vecCol), j * sd + 1, sd).as("v"))): _*)).as("sv"))
       .select(col(idCol), col("sv.sub").as("sub"), col("sv.v").as("v"))
-    var codebooks = pqSeedCodebooks(df, idCol, vecCol, m, dims, ksub)
+    var codebooks = pqSpreadSeedCodebooks(train, idCol, vecCol, m, dims, ksub)
     for (_ <- 0 until iters) {
       // nearest codeword per (vector, subspace): same argmin shape as
       // pqEncode, against the current codebooks
@@ -930,6 +1000,88 @@ object Similarity {
       .limit(k)
   }
 
+  /** Encode residuals against ONE codebook set shared by every cell —
+    * the standard IVFADC construction (Jégou et al. 2011 train a single
+    * product quantizer on residuals of all cells): per (vector,
+    * subspace) the shared codeword minimizing |c|² − 2·r_j·c, lowest
+    * code id on ties. Same broadcast-join + argmin-shuffle shape as
+    * [[pqEncode]], but the cell id rides along so the probe can restrict
+    * to inverted lists. Shared codebooks are the scale choice: the
+    * broadcast is m·ksub rows regardless of kc (per-cell codebooks grow
+    * the broadcast kc-fold and train each cell on only its own members).
+    * Returns (id, centroid_id, sub, code).
+    */
+  def ivfPqEncodeShared(residuals: DataFrame, idCol: String,
+      codebooks: DataFrame, m: Int, dims: Int): DataFrame = {
+    val sd = dims / m
+    residuals.select(col(idCol), col("centroid_id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"),
+            slice(col("resid"), j * sd + 1, sd).as("r"))): _*)).as("sr"))
+      .select(col(idCol), col("centroid_id"), col("sr.sub").as("sub"),
+        col("sr.r").as("r"))
+      .join(broadcast(codebooks.select(col("sub"),
+        col("centroid_id").as("code_id"), col("centroid").as("codeword"))),
+        Seq("sub"))
+      .select(col(idCol), col("centroid_id"), col("sub"), col("code_id"),
+        (dot(col("codeword"), col("codeword"))
+          - lit(2.0) * dot(col("r"), col("codeword"))).as("score"))
+      .groupBy(col(idCol), col("centroid_id"), col("sub"))
+      .agg(min(struct(col("score"), col("code_id"))).as("best"))
+      .select(col(idCol), col("centroid_id"), col("sub"),
+        col("best.code_id").as("code"))
+  }
+
+  /** IVFADC probe over SHARED residual codebooks: rank the nprobe cells
+    * nearest the query, build one ADC table per probed cell (the tables
+    * differ only through the query's per-cell residual; nprobe·m·ksub
+    * rows total, broadcast), and score only the probed cells' inverted
+    * lists. Same order-deterministic pivoted-sum tail as [[pqTopK]].
+    */
+  def ivfPqTopKShared(codes: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, query: Seq[Float], m: Int, k: Int,
+      nprobe: Int, idCol: String = "vec_id"): DataFrame = {
+    val dims = query.length
+    require(dims % m == 0,
+      s"query has $dims dims, not divisible into $m subspaces — wrong " +
+        "query length for this index")
+    val sd = dims / m
+    val q = array(query.map(lit): _*)
+    // nanvl discipline as [[ivfPqTopK]]: undefined similarity loses
+    val probed = centroids
+      .select(col("centroid_id"), col("centroid"),
+        nanvl(cosine(col("centroid"), q), lit(Double.NegativeInfinity))
+          .as("sim"))
+      .orderBy(col("sim").desc, col("centroid_id")).limit(nprobe)
+      .select(col("centroid_id"), residual(q, col("centroid")).as("rq"))
+    val dj = (0 until m).reverse.foldLeft(lit(Double.NaN)) { (acc, j) =>
+      val rqj = slice(col("rq"), j * sd + 1, sd)
+      when(col("sub") === j,
+        (dot(col("codeword"), col("codeword"))
+          - lit(2.0) * dot(rqj, col("codeword")))
+          + dot(rqj, rqj))
+        .otherwise(acc)
+    }
+    val dt = codebooks
+      .select(col("sub"), col("centroid_id").as("code"),
+        col("centroid").as("codeword"))
+      .crossJoin(probed)
+      .select(col("centroid_id"), col("sub"), col("code"), dj.as("dj"))
+    val perSub = codes
+      .join(broadcast(dt), Seq("centroid_id", "sub", "code"))
+      .groupBy(col(idCol))
+      .agg(max(when(col("sub") === 0, col("dj"))).as("d0"),
+        (1 until m).map(j =>
+          max(when(col("sub") === j, col("dj"))).as(s"d$j")): _*)
+    perSub
+      .where((0 until m).map(j => col(s"d$j").isNotNull).reduce(_ && _))
+      .select(col(idCol),
+        (0 until m).map(j => col(s"d$j"))
+          .reduce(_ + _).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
   /** Incremental-ingest guard shared by the index `addVectors` paths:
     * re-ingesting an existing id would leave two index rows racing at
     * probe time, so clash = hard error (the [[Dedup.DupClusterIndex]]
@@ -1134,8 +1286,13 @@ object PqIndex {
     * means).
     */
   def buildTrained(df: DataFrame, idCol: String, vecCol: String, m: Int,
-      dims: Int, ksub: Int, iters: Int = 3): PqIndex = {
-    val cb = Similarity.pqTrain(df, idCol, vecCol, m, dims, ksub, iters)
+      dims: Int, ksub: Int, iters: Int = 3,
+      trainLimit: Option[Int] = None): PqIndex = {
+    // materialize the m·ksub-row codebooks once: every probe (and the
+    // corpus encode) reuses them, and an unmaterialized plan would
+    // re-run the whole Lloyd loop per probe
+    val cb = Similarity.pqTrain(df, idCol, vecCol, m, dims, ksub, iters,
+      trainLimit).cache()
     PqIndex(m, dims, cb, Similarity.pqEncode(df, idCol, vecCol, cb, m, dims))
   }
 
@@ -1239,6 +1396,91 @@ object IvfPqIndex {
       cat: graft.catalog.VersionedCatalog, name: String): IvfPqIndex = {
     val p = cat.read(spark, s"$name.params").head()
     IvfPqIndex(p.getAs[Int]("m"), p.getAs[Int]("dims"),
+      cat.read(spark, s"$name.centroids"),
+      cat.read(spark, s"$name.codebooks"),
+      cat.read(spark, s"$name.codes"))
+  }
+}
+
+/** The PRODUCTION-shape IVFADC index: Lloyd-trained coarse quantizer +
+  * ONE Lloyd-trained product quantizer on residuals shared by every cell
+  * (Jégou et al. 2011, §IV — FAISS's IVFx,PQy construction). Differs
+  * from the oracle-gated [[IvfPqIndex]] (seeded, per-cell codebooks) in
+  * both quality and scale shape: shared codebooks keep the probe-side
+  * broadcast at m·ksub rows however many cells the index has, training
+  * runs over a bounded spread-sample (never the corpus), and the
+  * deterministic spread seeding survives id-clustered corpora. Probe
+  * cost per query: nprobe/kc of the code table, m bytes-ish per
+  * candidate, one broadcast ADC table of nprobe·m·ksub rows.
+  */
+final case class IvfPqSharedIndex(m: Int, dims: Int, centroids: DataFrame,
+    codebooks: DataFrame, codes: DataFrame) {
+
+  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    cat.commit(Map(
+      s"$name.centroids" -> centroids,
+      s"$name.codebooks" -> codebooks,
+      s"$name.codes" -> codes,
+      s"$name.params" -> Seq((m, dims)).toDF("m", "dims")))
+    ()
+  }
+
+  /** Shared-codebook IVFADC top-k (see [[Similarity.ivfPqTopKShared]]). */
+  def probe(query: Seq[Float], k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(query.length == dims,
+      s"query has ${query.length} dims, index was built at $dims")
+    Similarity.ivfPqTopKShared(codes, centroids, codebooks, query, m, k,
+      nprobe, idCol)
+  }
+
+  /** Incremental maintenance under the frozen coarse + shared fine
+    * quantizers: assign the batch, encode its residuals, extend the code
+    * table — equals a full re-encode of the union exactly (per-vector
+    * encoding). Fresh ids only.
+    */
+  def addVectors(batch: DataFrame, idCol: String,
+      vecCol: String): IvfPqSharedIndex = {
+    Similarity.requireFreshIds(batch, codes, idCol, "addVectors")
+    val assignments = Similarity.assign(batch, idCol, vecCol, centroids)
+    val residuals = Similarity.ivfResiduals(batch, idCol, vecCol,
+      centroids, assignments)
+    copy(codes = codes.unionByName(
+      Similarity.ivfPqEncodeShared(residuals, idCol, codebooks, m, dims)))
+  }
+}
+
+object IvfPqSharedIndex {
+
+  /** Train coarse + shared residual quantizers on a bounded
+    * spread-sample, then encode the whole corpus once. `trainLimit`
+    * bounds BOTH Lloyd loops (quality needs points-per-centroid, not
+    * corpus size); pass None to train on everything.
+    */
+  def buildTrained(df: DataFrame, idCol: String, vecCol: String, kc: Int,
+      m: Int, dims: Int, ksub: Int, iters: Int = 3,
+      trainLimit: Option[Int] = None): IvfPqSharedIndex = {
+    val centroids =
+      Similarity.ivfTrain(df, idCol, vecCol, kc, iters, trainLimit).cache()
+    val assignments = Similarity.assign(df, idCol, vecCol, centroids)
+    val residuals = Similarity.ivfResiduals(df, idCol, vecCol, centroids,
+      assignments)
+    // the residual PQ trains on the residuals of the SAME spread-sample
+    // (spreadSample is a pure filter of df, so sampling the residual
+    // frame by the same id mix draws the matching rows); cache = the
+    // same one-materialization discipline as the coarse centroids
+    val cb = Similarity.pqTrain(residuals, idCol, "resid", m, dims, ksub,
+      iters, trainLimit).cache()
+    IvfPqSharedIndex(m, dims, centroids, cb,
+      Similarity.ivfPqEncodeShared(residuals, idCol, cb, m, dims))
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String): IvfPqSharedIndex = {
+    val p = cat.read(spark, s"$name.params").head()
+    IvfPqSharedIndex(p.getAs[Int]("m"), p.getAs[Int]("dims"),
       cat.read(spark, s"$name.centroids"),
       cat.read(spark, s"$name.codebooks"),
       cat.read(spark, s"$name.codes"))

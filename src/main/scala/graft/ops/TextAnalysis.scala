@@ -211,27 +211,31 @@ object TextAnalysis {
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanLen: Int = 3, maxMeanLen: Int = 10,
-      minAlphaPct: Int = 80, minStopHits: Int = 2): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        size(col("__toks")).cast("long").as("n_words"),
+      minAlphaPct: Int = 80, minStopHits: Int = 2,
+      carryCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: tokens(col(textCol)).as("__toks") +:
+        carryCols.map(col): _*)
+      .select(col(idCol) +:
+        size(col("__toks")).cast("long").as("n_words") +:
         aggregate(col("__toks"), lit(0L), (acc, x) => acc + length(x))
-          .as("sum_len"),
+          .as("sum_len") +:
         size(filter(col("__toks"), x => x.rlike("[A-Za-z]"))).cast("long")
-          .as("n_alpha"),
+          .as("n_alpha") +:
         size(filter(col("__toks"), x => x.isin(gopherStopwords: _*)))
-          .cast("long").as("n_stop"))
-      .select(col(idCol), col("n_words"),
+          .cast("long").as("n_stop") +:
+        carryCols.map(col): _*)
+      .select(col(idCol) +: col("n_words") +:
         (col("sum_len").cast("double") / col("n_words").cast("double"))
-          .as("mean_word_len"),
-        col("n_alpha"), col("n_stop"),
-        col("n_words").between(minWords, maxWords).as("ok_words"),
+          .as("mean_word_len") +:
+        col("n_alpha") +: col("n_stop") +:
+        col("n_words").between(minWords, maxWords).as("ok_words") +:
         (col("sum_len") >= lit(minMeanLen.toLong) * col("n_words") &&
           col("sum_len") <= lit(maxMeanLen.toLong) * col("n_words"))
-          .as("ok_mean_len"),
+          .as("ok_mean_len") +:
         (col("n_alpha") * 100L >= col("n_words") * minAlphaPct.toLong)
-          .as("ok_alpha"),
-        (col("n_stop") >= minStopHits.toLong).as("ok_stopwords"))
+          .as("ok_alpha") +:
+        (col("n_stop") >= minStopHits.toLong).as("ok_stopwords") +:
+        carryCols.map(col): _*)
       .withColumn("keep", col("ok_words") && col("ok_mean_len") &&
         col("ok_alpha") && col("ok_stopwords"))
 
@@ -893,13 +897,15 @@ object TextAnalysis {
     * (doc_id, scrubbed, n_cut).
     */
   def blocklistScrub(df: DataFrame, idCol: String, textCol: String,
-      patterns: Seq[String]): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+      patterns: Seq[String], carryCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("doc_id") +:
         graft.functions.TextExprs.blocklistScrub(col(textCol), patterns)
-          .as("scrubbed"),
-        length(col(textCol)).cast("long").as("n0"))
-      .select(col("doc_id"), col("scrubbed"),
-        (col("n0") - length(col("scrubbed"))).cast("long").as("n_cut"))
+          .as("scrubbed") +:
+        length(col(textCol)).cast("long").as("n0") +:
+        carryCols.map(col): _*)
+      .select(col("doc_id") +: col("scrubbed") +:
+        (col("n0") - length(col("scrubbed"))).cast("long").as("n_cut") +:
+        carryCols.map(col): _*)
 
   /** DSIR-style importance-weighted data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):

@@ -675,7 +675,24 @@ object TextOps {
     // mean-word-length bounds, alpha-word share, stop-word hits) —
     // integer-arithmetic verdicts, one map-only pass
     "ts37_gopher_rules" -> ((s, d) =>
-      TextAnalysis.gopherRules(documents(s, d), "doc_id", "text"))
+      TextAnalysis.gopherRules(documents(s, d), "doc_id", "text")),
+
+    // the curation PIPELINE: passage-level corpus scrub → blocklist span
+    // scrub → Gopher quality gates composed as ONE DataFrame plan. The
+    // scrub and rule stages are pure projections over the passage
+    // scrub's output (per-stage counts ride through as carry columns),
+    // so the whole pipeline keeps passage scrub's exchange count —
+    // composing curation stages must not re-tokenize or re-shuffle the
+    // corpus (PlanAudit pins the exchange count)
+    "ts38_curation_pipeline" -> ((s, d) => {
+      val p = Dedup.passageScrub(documents(s, d), "doc_id", "text",
+        w = 6, maxOcc = 2L)
+      val b = TextAnalysis.blocklistScrub(p, "doc_id", "text_clean",
+        Seq("table", "spark row", "merge batch"),
+        carryCols = Seq("n_scrubbed"))
+      TextAnalysis.gopherRules(b, "doc_id", "scrubbed",
+        carryCols = Seq("n_scrubbed", "n_cut"))
+    })
   )
 
   /** Shared MinHash banding candidate pipeline (8 hash slots, 4 bands of
@@ -2091,6 +2108,76 @@ object TextOps {
         |  (n_words BETWEEN 50 AND 100000) AND
         |  (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AND
         |  (n_alpha * 100 >= n_words * 80) AND (n_stop >= 2) AS keep
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // pipeline replay: the dd23 chain (through per-doc text_clean), then
+    // the ts33 cover-mask scrub on text_clean, then the ts37 integer
+    // rules on the twice-scrubbed string — each stage's oracle idiom
+    // verbatim, composed in one CTE chain like the engine's one plan
+    "ts38_curation_pipeline" -> {
+      val pats = Seq("table", "spark row", "merge batch")
+      def cov(p: String): String = {
+        val esc = p.replace("'", "''")
+        val L = p.length
+        s"len(list_filter(range(greatest(1, i - ${L - 1}), " +
+          s"least(i, length(text_clean) - ${L - 1}) + 1), " +
+          s"j -> text_clean[j:j+${L - 1}] = '$esc')) > 0"
+      }
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, toks,
+         |        unnest(range(0, (len(toks) + 5) // 6)) AS pos
+         |      FROM t WHERE len(toks) > 0),
+         |pp AS (SELECT doc_id, pos,
+         |         array_to_string(toks[pos*6+1:pos*6+6], ' ') AS passage
+         |       FROM p),
+         |h AS (SELECT doc_id, pos, passage,
+         |        ${sqlCharHash("passage")} AS passage_h FROM pp),
+         |hot AS (SELECT passage_h FROM h GROUP BY passage_h
+         |        HAVING count(*) > 2),
+         |m AS (SELECT h.doc_id, h.pos, h.passage,
+         |        CASE WHEN hot.passage_h IS NOT NULL THEN 1 ELSE 0 END AS bp
+         |      FROM h LEFT JOIN hot ON h.passage_h = hot.passage_h),
+         |d1 AS (SELECT doc_id,
+         |  CAST(count(CASE WHEN bp = 1 THEN 1 END) AS BIGINT) AS n_scrubbed,
+         |  coalesce(string_agg(CASE WHEN bp = 0 THEN passage END, ' '
+         |    ORDER BY pos), '') AS text_clean
+         |FROM m GROUP BY doc_id),
+         |bl AS (SELECT doc_id, n_scrubbed, text_clean,
+         |         list_filter(range(1, length(text_clean) + 1),
+         |           i -> NOT (${pats.map(cov).mkString(" OR ")})) AS ki
+         |       FROM d1),
+         |d2 AS (SELECT doc_id, n_scrubbed,
+         |         coalesce(array_to_string(list_transform(ki,
+         |           i -> text_clean[i:i]), ''), '') AS scrubbed,
+         |         CAST(length(text_clean) - len(ki) AS BIGINT) AS n_cut
+         |       FROM bl),
+         |g AS (SELECT doc_id, n_scrubbed, n_cut,
+         |        string_split_regex(scrubbed, '\\s+') AS toks FROM d2),
+         |c AS (SELECT doc_id, n_scrubbed, n_cut,
+         |        CAST(len(toks) AS BIGINT) AS n_words,
+         |        CAST(list_sum(list_transform(toks,
+         |          x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sum_len,
+         |        CAST(len(list_filter(toks,
+         |          x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(toks, x -> x IN
+         |          ('the','be','to','of','and','that','have','with')))
+         |          AS BIGINT) AS n_stop
+         |      FROM g)
+         |SELECT doc_id, n_words,
+         |  CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS mean_word_len,
+         |  n_alpha, n_stop,
+         |  n_words BETWEEN 50 AND 100000 AS ok_words,
+         |  sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+         |    AS ok_mean_len,
+         |  n_alpha * 100 >= n_words * 80 AS ok_alpha,
+         |  n_stop >= 2 AS ok_stopwords,
+         |  n_scrubbed, n_cut,
+         |  (n_words BETWEEN 50 AND 100000) AND
+         |  (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AND
+         |  (n_alpha * 100 >= n_words * 80) AND (n_stop >= 2) AS keep
+         |FROM c""".stripMargin
+    }
   )
 }

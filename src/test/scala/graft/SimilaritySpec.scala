@@ -778,4 +778,93 @@ class SimilaritySpec extends SparkSpec {
     }
     centroids.unpersist(); assignments.unpersist()
   }
+
+  test("spread seeding survives id-clustered corpora where prefix " +
+      "seeding collapses") {
+    // inflate the fixture the way a re-numbered ingest would: clone
+    // families get CONSECUTIVE ids (base·4 + rep), each clone nudged a
+    // hair off its base — the adversarial case for first-k-by-id seeds
+    val factor = 4
+    val inflated = emb
+      .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("rep"))
+      .select(($"vec_id" * factor + $"rep").as("vec_id"),
+        transform($"embedding",
+          x => (x + $"rep".cast("float") * lit(0.0013f)).cast("float"))
+          .as("embedding"))
+    def families(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(($"vec_id" / factor).cast("long")).distinct().count()
+    // the first 16 ids span exactly 4 base families; the spread draw
+    // must cover 16 distinct ones (the golden-ratio step sends each
+    // consecutive id ~0.618·P away, so no family contributes twice
+    // before every stride-apart base has appeared)
+    assert(families(inflated.orderBy($"vec_id").limit(16)) == 4L)
+    assert(families(Similarity.spreadSample(inflated, "vec_id", 16)) == 16L)
+    // deterministic: the same draw twice
+    val a = Similarity.spreadSample(inflated, "vec_id", 16)
+    val b = Similarity.spreadSample(inflated, "vec_id", 16)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("shared-codebook IVFADC: exactness limit, deterministic rebuild, " +
+      "persist/reopen, frozen-quantizer increment") {
+    import graft.ops.IvfPqSharedIndex
+    val n = emb.count().toInt
+    // exactness limit: every residual is its own (distance-0) codeword
+    // when ksub = corpus size, so with all cells probed the ADC ranking
+    // IS the exact squared-L2 ranking
+    val idx = IvfPqSharedIndex.buildTrained(emb, "vec_id", "embedding",
+      kc = 4, m = 4, dims = 64, ksub = n, iters = 0)
+    assert(idx.codes.count() == n.toLong * 4)
+    val got = idx.probe(queryVec, k = 15, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val qArr = array(queryVec.map(lit): _*)
+    val exact = emb
+      .select($"vec_id",
+        ((Similarity.dot($"embedding", $"embedding")
+          - lit(2.0) * Similarity.dot($"embedding", qArr))
+          + Similarity.dot(qArr, qArr)).as("d"))
+      .orderBy($"d", $"vec_id").limit(15)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"shared IVFADC $got != exact $exact")
+
+    // trained build is deterministic: identical codebooks on rebuild
+    val t1 = IvfPqSharedIndex.buildTrained(emb, "vec_id", "embedding",
+      kc = 4, m = 4, dims = 64, ksub = 16, iters = 2,
+      trainLimit = Some(128))
+    val t2 = IvfPqSharedIndex.buildTrained(emb, "vec_id", "embedding",
+      kc = 4, m = 4, dims = 64, ksub = 16, iters = 2,
+      trainLimit = Some(128))
+    assert(t1.codebooks.exceptAll(t2.codebooks).isEmpty &&
+      t2.codebooks.exceptAll(t1.codebooks).isEmpty)
+    assert(t1.centroids.exceptAll(t2.centroids).isEmpty)
+
+    // persist → reopen → probe equals the fresh build's probe
+    val root = tmpDir("ivfpq_shared")
+    val cat = new graft.catalog.VersionedCatalog(root)
+    t1.save(cat, "shared_idx")
+    val reopened = IvfPqSharedIndex.load(spark,
+      new graft.catalog.VersionedCatalog(root), "shared_idx")
+    assert(reopened.m == 4 && reopened.dims == 64)
+    val fresh = t1.probe(queryVec, 10, nprobe = 2)
+    val loaded = reopened.probe(queryVec, 10, nprobe = 2)
+    assert(loaded.exceptAll(fresh).isEmpty && fresh.exceptAll(loaded).isEmpty)
+
+    // frozen-quantizer increment == full union encode (batch ids above
+    // the training corpus leave sample and quantizers unchanged)
+    val lowIds = emb.where($"vec_id" < 100L)
+    val batch = emb.where($"vec_id" >= 100L)
+    val base = IvfPqSharedIndex.buildTrained(lowIds, "vec_id", "embedding",
+      kc = 4, m = 4, dims = 64, ksub = 16, iters = 1)
+    val grown = base.addVectors(batch, "vec_id", "embedding")
+    val unionEnc = {
+      val assignments = Similarity.assign(emb, "vec_id", "embedding",
+        base.centroids)
+      Similarity.ivfPqEncodeShared(
+        Similarity.ivfResiduals(emb, "vec_id", "embedding",
+          base.centroids, assignments),
+        "vec_id", base.codebooks, 4, 64)
+    }
+    assert(grown.codes.exceptAll(unionEnc).isEmpty &&
+      unionEnc.exceptAll(grown.codes).isEmpty)
+  }
 }
