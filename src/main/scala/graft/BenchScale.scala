@@ -97,6 +97,13 @@ object BenchScale {
       "dd15c_containment_capped_star" -> (() =>
         Dedup.containmentPairsCappedStar(docs, "doc_id", "text", n = 3,
           threshold = 0.8, maxDocFreq = 20)),
+      // chain escalation: the star recovers only the bucket-minimum's
+      // own group when a hot shingle spans many duplicate groups;
+      // adjacency chaining adds per-bucket predecessor edges (O(df)),
+      // so every group keeps in-group candidates — the dup_recall rows
+      // below measure the star→chain doc-recall lift
+      "dd2d_jaccard_capped_chain" -> (() => Dedup.jaccardPairsCappedChain(
+        docs, "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
       // graph analytics over the near-dup graph at scale: the variant
       // farms are k-cliques, so PageRank concentrates rank on canonical
       // sources and the k-core peel must keep exactly the dense families;
@@ -295,6 +302,8 @@ object BenchScale {
           "dd2b_jaccard_capped" -> (() => Dedup.jaccardPairsCapped(docs,
             "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
           "dd2c_jaccard_capped_star" -> (() => Dedup.jaccardPairsCappedStar(
+            docs, "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
+          "dd2d_jaccard_capped_chain" -> (() => Dedup.jaccardPairsCappedChain(
             docs, "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
           "dd3_minhash_lsh" -> (() => Dedup.minhashLshPairs(docs, "doc_id",
             "text", n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)))

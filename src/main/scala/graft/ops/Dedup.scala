@@ -227,6 +227,49 @@ object Dedup {
         (col("common") / col("cnt_b")).as("cont_ba"))
       .where(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
 
+  /** [[jaccardPairsCappedStar]] plus ADJACENCY CHAINING across hot
+    * buckets: the star pairs every hot-bucket occurrence with the
+    * bucket's ONE minimum doc, which recovers a group only when that
+    * minimum happens to be a true near-duplicate — in a corpus where one
+    * hot shingle spans MANY duplicate groups, every group except the
+    * minimum's own fails verification and vanishes (the measured ×10
+    * star doc-recall ceiling, ~0.52). Chaining adds each hot
+    * occurrence's PREDECESSOR in doc-id order within its bucket as a
+    * second candidate source: a duplicate group's members sit adjacent
+    * in the sorted bucket whenever ids correlate with content (ingest
+    * order, re-inflation), so every group gets in-group candidate edges
+    * regardless of who the bucket minimum is. Still O(df) candidates per
+    * bucket; the cost over the star is one lag window keyed on the
+    * 8-byte shingle hash over hot occurrences only. Exact verification
+    * downstream is unchanged — surfaced pairs always carry true
+    * similarity; chaining only widens WHICH true pairs can surface.
+    */
+  def jaccardPairsCappedChain(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double, maxDocFreq: Int)
+      : DataFrame =
+    cappedCommon(df, idCol, textCol, n, maxDocFreq,
+      (ubc, ca, cb) => ubc / (ca + cb - ubc) >= threshold,
+      sampleHot = true, chainHot = true)
+      .select(col("id_a"), col("id_b"),
+        (col("common") / (col("cnt_a") + col("cnt_b") - col("common")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+
+  /** [[containmentPairsCappedStar]] with [[jaccardPairsCappedChain]]'s
+    * adjacency chaining.
+    */
+  def containmentPairsCappedChain(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double, maxDocFreq: Int)
+      : DataFrame =
+    cappedCommon(df, idCol, textCol, n, maxDocFreq,
+      (ubc, ca, cb) => greatest(ubc / ca, ubc / cb) >= threshold,
+      sampleHot = true, chainHot = true)
+      .select(col("id_a"), col("id_b"),
+        col("common").cast("long").as("common"),
+        (col("common") / col("cnt_a")).as("cont_ab"),
+        (col("common") / col("cnt_b")).as("cont_ba"))
+      .where(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+
   /** Shared body of the capped near-dup variants: stop-shingle-capped
     * candidate generation, a caller-chosen conservative bound filter on
     * (upper-bound common, |A|, |B|), then exact verification over the
@@ -236,7 +279,7 @@ object Dedup {
   private def cappedCommon(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDocFreq: Int,
       bound: (Column, Column, Column) => Column,
-      sampleHot: Boolean = false): DataFrame = {
+      sampleHot: Boolean = false, chainHot: Boolean = false): DataFrame = {
     // hash shingles (8-byte elements): the candidate explode and the
     // verification arrays shuffle long[]s, not strings
     val sh = tracked(df
@@ -294,7 +337,22 @@ object Dedup {
           .where(col("doc") > col("min_doc"))
           .select(col("min_doc").as("id_a"), col("doc").as("id_b"),
             lit(0L).as("ck"))
-        rareCk.unionByName(star)
+        // adjacency chain over hot buckets (see jaccardPairsCappedChain):
+        // each hot occurrence pairs with its predecessor in doc-id order
+        // within the bucket — O(df) rows per bucket, one lag window
+        // keyed on the 8-byte shingle hash over hot occurrences only
+        val chain =
+          if (!chainHot) rareCk.limit(0)
+          else {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("shingle")).orderBy(col("doc"))
+            ex.join(broadcast(hotSet), Seq("shingle"), "left_semi")
+              .withColumn("prev", lag(col("doc"), 1).over(w))
+              .where(col("prev").isNotNull)
+              .select(col("prev").as("id_a"), col("doc").as("id_b"),
+                lit(0L).as("ck"))
+          }
+        rareCk.unionByName(star).unionByName(chain)
           .groupBy("id_a", "id_b").agg(max("ck").as("ck"))
       }
     // upper-bound pre-filter: true common ≤ ck + min(hot_a, hot_b), so

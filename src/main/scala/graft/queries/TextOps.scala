@@ -66,6 +66,15 @@ object TextOps {
       Dedup.jaccardPairsCappedStar(documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.6, maxDocFreq = 4)),
 
+    // dd2c plus adjacency CHAINING across hot buckets: each hot
+    // occurrence also pairs with its predecessor in doc-id order within
+    // the bucket, so a hot shingle spanning MANY duplicate groups gives
+    // every group in-group candidate edges (the star recovers only the
+    // bucket-minimum's own group); still O(df) candidates per bucket
+    "dd2d_jaccard_capped_chain" -> ((s, d) =>
+      Dedup.jaccardPairsCappedChain(documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.6, maxDocFreq = 4)),
+
     // MinHash + LSH banding with exact-Jaccard verification (scale path)
     "dd3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
@@ -87,6 +96,11 @@ object TextOps {
     // dd15b's canonical-star graceful-degradation twin (see dd2c)
     "dd15c_containment_capped_star" -> ((s, d) =>
       Dedup.containmentPairsCappedStar(documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDocFreq = 4)),
+
+    // dd15c + adjacency chaining (see dd2d)
+    "dd15d_containment_capped_chain" -> ((s, d) =>
+      Dedup.containmentPairsCappedChain(documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.8, maxDocFreq = 4)),
 
     // frequency-capped SimHash pairs (scale path): fixed contiguous
@@ -1819,6 +1833,42 @@ object TextOps {
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin,
 
+    // dd2c + the hot-bucket adjacency chain: lag over (shingle, doc_id)
+    // on over-cap shingles adds each occurrence's predecessor as a
+    // candidate; the same verify-all-then-threshold replay stays exact
+    // (the engine's ubc bound remains a true upper bound)
+    "dd2d_jaccard_capped_chain" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+         |      FROM t),
+         |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
+         |      FROM w WHERE len(wh) >= 3),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |f AS (SELECT shingle, count(*) AS df, min(doc_id) AS mn
+         |      FROM e GROUP BY shingle),
+         |k AS (SELECT e.doc_id, e.shingle FROM e JOIN f USING (shingle)
+         |      WHERE f.df BETWEEN 2 AND 4),
+         |rc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM k a JOIN k b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |star AS (SELECT DISTINCT f.mn AS id_a, e.doc_id AS id_b
+         |         FROM e JOIN f USING (shingle)
+         |         WHERE f.df > 4 AND e.doc_id > f.mn),
+         |chain AS (SELECT DISTINCT prev AS id_a, doc_id AS id_b FROM (
+         |       SELECT e.doc_id,
+         |         lag(e.doc_id) OVER (PARTITION BY e.shingle
+         |           ORDER BY e.doc_id) AS prev
+         |       FROM e JOIN f USING (shingle) WHERE f.df > 4)
+         |       WHERE prev IS NOT NULL),
+         |cand AS (SELECT id_a, id_b FROM rc UNION
+         |         SELECT id_a, id_b FROM star UNION
+         |         SELECT id_a, id_b FROM chain)
+         |SELECT id_a, id_b,
+         |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+         |FROM cand JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin,
+
     // dd15b + the same canonical star (asymmetric containment verify)
     "dd15c_containment_capped_star" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1837,6 +1887,42 @@ object TextOps {
          |         FROM e JOIN f USING (shingle)
          |         WHERE f.df > 4 AND e.doc_id > f.mn),
          |cand AS (SELECT id_a, id_b FROM rc UNION SELECT id_a, id_b FROM star),
+         |v AS (SELECT id_a, id_b,
+         |             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS common,
+         |             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |               CAST(len(sa.sh) AS DOUBLE) AS cont_ab,
+         |             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |               CAST(len(sb.sh) AS DOUBLE) AS cont_ba
+         |      FROM cand JOIN s sa ON id_a = sa.doc_id
+         |                JOIN s sb ON id_b = sb.doc_id)
+         |SELECT * FROM v WHERE greatest(cont_ab, cont_ba) >= 0.8""".stripMargin,
+
+    // dd15c + the hot-bucket adjacency chain (see dd2d)
+    "dd15d_containment_capped_chain" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+         |      FROM t),
+         |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
+         |      FROM w WHERE len(wh) >= 3),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |f AS (SELECT shingle, count(*) AS df, min(doc_id) AS mn
+         |      FROM e GROUP BY shingle),
+         |k AS (SELECT e.doc_id, e.shingle FROM e JOIN f USING (shingle)
+         |      WHERE f.df BETWEEN 2 AND 4),
+         |rc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM k a JOIN k b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |star AS (SELECT DISTINCT f.mn AS id_a, e.doc_id AS id_b
+         |         FROM e JOIN f USING (shingle)
+         |         WHERE f.df > 4 AND e.doc_id > f.mn),
+         |chain AS (SELECT DISTINCT prev AS id_a, doc_id AS id_b FROM (
+         |       SELECT e.doc_id,
+         |         lag(e.doc_id) OVER (PARTITION BY e.shingle
+         |           ORDER BY e.doc_id) AS prev
+         |       FROM e JOIN f USING (shingle) WHERE f.df > 4)
+         |       WHERE prev IS NOT NULL),
+         |cand AS (SELECT id_a, id_b FROM rc UNION
+         |         SELECT id_a, id_b FROM star UNION
+         |         SELECT id_a, id_b FROM chain),
          |v AS (SELECT id_a, id_b,
          |             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS common,
          |             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /

@@ -592,6 +592,37 @@ class DedupSpec extends SparkSpec {
       s"farm-min→102 containment via star, got ${star2.mkString(",")}")
   }
 
+  test("chain variant recovers the duplicate group the star misses when " +
+      "every bucket minimum lives in another group") {
+    // farm A (ids 1-30) holds the full template; farm B (ids 31-60) a
+    // PREFIX of it — every B shingle's bucket therefore contains all of
+    // A, so each bucket's minimum doc is doc 1 (in A). The star's only
+    // candidates for B docs are (1, b), which fail exact verification
+    // (jaccard(A,B) = 4/8 < 0.6) — farm B vanishes from the star
+    // variant entirely. Chaining pairs adjacent bucket members, so B's
+    // in-group edges (31,32)...(59,60) surface with jaccard 1.0.
+    val full = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val prefix = "w1 w2 w3 w4 w5 w6"
+    val df = ((1L to 30L).map((_, full)) ++ (31L to 60L).map((_, prefix)))
+      .toDF("doc_id", "text")
+    val star = Dedup
+      .jaccardPairsCappedStar(df, "doc_id", "text", 3, 0.6, maxDocFreq = 20)
+      .as[(Long, Long, Double)].collect()
+    assert(!star.exists(p => p._1 > 30L || p._2 > 30L),
+      s"star must miss farm B entirely, got ${star.length} pairs")
+    val chain = Dedup
+      .jaccardPairsCappedChain(df, "doc_id", "text", 3, 0.6, maxDocFreq = 20)
+      .as[(Long, Long, Double)].collect()
+    val bDocs = chain.filter(p => p._2 > 30L).flatMap(p => Seq(p._1, p._2))
+      .filter(_ > 30L).toSet
+    assert(bDocs == (31L to 60L).toSet,
+      s"chain must surface every farm-B doc, got $bDocs")
+    assert(chain.filter(p => p._1 > 30L).forall(_._3 == 1.0))
+    // chain candidates only ADD to the star's: A's pairs survive intact
+    assert(star.map(p => (p._1, p._2)).toSet.subsetOf(
+      chain.map(p => (p._1, p._2)).toSet))
+  }
+
   test("pageRank: hand-computed fixed point on a path graph; hub wins") {
     // path a(1)–b(2)–c(3): deg 1/2/1, n=3, scale=1200 → r0=400 each,
     // base=(15·1200/100)/3=60
