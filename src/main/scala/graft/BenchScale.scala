@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.VersionedCatalog
-import graft.ops.{Dedup, IvfPqSharedIndex, PqIndex, ScaleStress}
+import graft.ops.{Dedup, IvfPqSharedPackedIndex, PqPackedIndex, ScaleStress}
 import graft.replicate.{ChunkUploader, PpdbStaged, Promoter, Replicator}
 
 /** The recorded scale datapoint beyond sf0.1: inflate the real fixtures
@@ -122,19 +122,22 @@ object BenchScale {
         docs.where(col("doc_id") % 29 === 0),
         "doc_id", "text", n = 4, numBits = 1 << 18, numHashes = 5)),
       // production-resolution codes (128-bit PQ16x8, Lloyd-trained on a
-      // bounded spread-sample): the gate variants keep tiny codebooks
-      // for oracle tractability, but a recall MEASUREMENT on 16-bit
-      // codes would only measure tie-break noise — thousands of vectors
-      // share each code. Spread seeding is load-bearing here: the
-      // inflated corpus numbers clone families consecutively, so
+      // bounded spread-sample) in the PACKED kernel layout — encode is
+      // one map-only corpus scan (QuantKernels), probe a map-only ADC
+      // projection + TakeOrdered; bit-identical to the relational
+      // oracle-gated variants (QuantKernelsSpec). The gate variants keep
+      // tiny codebooks for oracle tractability, but a recall MEASUREMENT
+      // on 16-bit codes would only measure tie-break noise — thousands
+      // of vectors share each code. Spread seeding is load-bearing here:
+      // the inflated corpus numbers clone families consecutively, so
       // first-k-by-id seeds would collapse to a handful of directions
       // (the round-11 recall cliff: rerank 0.30-0.37)
-      "sim6_pq_topk" -> (() => PqIndex.buildTrained(emb, "vec_id",
+      "sim6_pq_topk" -> (() => PqPackedIndex.buildTrained(emb, "vec_id",
         "embedding", m = 16, dims = 64, ksub = 256, iters = 2,
         trainLimit = Some(8192)).probe(qVec, k = 30)),
       // the FAISS IVFADC shape: Lloyd coarse + ONE Lloyd residual PQ
       // shared across cells; probe = 8 of 64 inverted lists
-      "sim7_ivfpq_topk" -> (() => IvfPqSharedIndex.buildTrained(emb,
+      "sim7_ivfpq_topk" -> (() => IvfPqSharedPackedIndex.buildTrained(emb,
         "vec_id", "embedding", kc = 64, m = 16, dims = 64, ksub = 256,
         iters = 2, trainLimit = Some(8192))
         .probe(qVec, k = 30, nprobe = 8)),
@@ -224,10 +227,10 @@ object BenchScale {
     // runs the recall block only when it names the entry (or "recall"),
     // so quantizer iterations don't pay for the full case sweep
     val recallDefs = Seq[(String, Int => DataFrame)](
-      "sim6_pq_topk" -> (k => PqIndex.buildTrained(emb, "vec_id",
+      "sim6_pq_topk" -> (k => PqPackedIndex.buildTrained(emb, "vec_id",
         "embedding", m = 16, dims = 64, ksub = 256, iters = 2,
         trainLimit = Some(8192)).probe(qVec, k = k)),
-      "sim7_ivfpq_topk" -> (k => IvfPqSharedIndex.buildTrained(emb,
+      "sim7_ivfpq_topk" -> (k => IvfPqSharedPackedIndex.buildTrained(emb,
         "vec_id", "embedding", kc = 64, m = 16, dims = 64, ksub = 256,
         iters = 2, trainLimit = Some(8192))
         .probe(qVec, k = k, nprobe = 8)),

@@ -153,8 +153,6 @@ object Similarity {
     */
   def ivfTrain(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 3, trainLimit: Option[Int] = None): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     // Lloyd iterations run over a bounded spread-sample when trainLimit
     // is set (points-per-centroid, not corpus size, governs quality —
     // the 100 TB shape); seeds come from the spread ordering so an
@@ -164,9 +162,17 @@ object Similarity {
       .getOrElse(df)
     var centroids = ivfSpreadSeedCentroids(train, idCol, vecCol, k)
     for (_ <- 0 until iters) {
-      val assigned = assign(train, idCol, vecCol, centroids)
-      centroids = assigned
-        .join(train.select(col(idCol), col(vecCol)), Seq(idCol))
+      // the k-row centroid table is collected and assignment runs as the
+      // kernel twin of [[assign]] (identical argmax, map-only: the
+      // collected rows are exactly what the broadcast join would ship) —
+      // no crossJoin materialization, no argmax shuffle, no per-iteration
+      // plan nesting (each round restarts from `train`), and the id join
+      // back to the vectors disappears because the vector rides along
+      val local = collectCentroids(centroids)
+      centroids = train
+        .select(graft.functions.QuantKernelCols
+            .nearestCentroid(col(vecCol), local).as("centroid_id"),
+          col(vecCol))
         .select(col("centroid_id"),
           posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("centroid_id"), col("dim"))
@@ -283,28 +289,28 @@ object Similarity {
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
       dims: Int, ksub: Int, iters: Int = 3,
       trainLimit: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val sd = dims / m
     // bounded spread-sample training + spread seeding, as [[ivfTrain]]
     val train = trainLimit.map(spreadSample(df, idCol, _).cache())
       .getOrElse(df)
-    val subs = train.select(col(idCol),
-        explode(array((0 until m).map(j =>
-          struct(lit(j).as("sub"),
-            slice(col(vecCol), j * sd + 1, sd).as("v"))): _*)).as("sv"))
-      .select(col(idCol), col("sv.sub").as("sub"), col("sv.v").as("v"))
     var codebooks = pqSpreadSeedCodebooks(train, idCol, vecCol, m, dims, ksub)
     for (_ <- 0 until iters) {
-      // nearest codeword per (vector, subspace): same argmin shape as
-      // pqEncode, against the current codebooks
-      val assigned = subs
-        .join(broadcast(codebooks), Seq("sub"))
-        .select(col(idCol), col("sub"), col("centroid_id"), col("v"),
-          (dot(col("centroid"), col("centroid"))
-            - lit(2.0) * dot(col("v"), col("centroid"))).as("score"))
-        .groupBy(col(idCol), col("sub"))
-        .agg(min(struct(col("score"), col("centroid_id"), col("v"))).as("b"))
-        .select(col("sub"), col("b.centroid_id").as("centroid_id"),
-          col("b.v").as("v"))
+      // nearest codeword per (vector, subspace) via the kernel twin of
+      // [[pqEncode]] (identical argmin over the collected m·ksub-row
+      // codebooks, all m subspaces in one map-only pass) — the
+      // n·m·ksub-row join materialization and its argmin shuffle
+      // disappear, and each iteration's plan restarts from `train` plus
+      // a LocalRelation of the collected codebooks instead of nesting
+      // the previous iteration's join chain
+      val local = collectCodebooks(codebooks, m)
+      val assigned = train
+        .select(posexplode(graft.functions.QuantKernelCols
+            .pqCodes(col(vecCol), local, sd)).as(Seq("sub", "centroid_id")),
+          col(vecCol))
+        .select(col("sub"), col("centroid_id"),
+          slice(col(vecCol), col("sub") * lit(sd) + lit(1), lit(sd)).as("v"))
       // new codeword = member mean per dimension (empty cells keep their
       // old codeword via the left join below)
       val means = assigned
@@ -316,7 +322,11 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
         .select(col("sub"), col("centroid_id"),
           transform(col("dm"), s => s.getField("mu")).as("refined"))
-      codebooks = codebooks
+      val prior = local.ids.indices.flatMap(j =>
+        local.ids(j).indices.map(kk =>
+          (j, local.ids(j)(kk), local.vecs(j)(kk).toSeq)))
+        .toDF("sub", "centroid_id", "centroid")
+      codebooks = prior
         .join(means, Seq("sub", "centroid_id"), "left")
         .select(col("sub"), col("centroid_id"),
           coalesce(col("refined"), col("centroid")).as("centroid"))
@@ -1082,6 +1092,209 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------ kernel (packed) paths
+  //
+  // The production twins of the relational quantizer steps: identical
+  // arithmetic (spec-pinned bit parity), executed as map-only projections
+  // over collected codebooks instead of explode + broadcast-join + argmin
+  // shuffles. The relational forms stay as the oracle-gated reference
+  // implementation; these carry the at-scale builds, where the encode of
+  // an n-vector corpus at production codebook sizes (m=16, ksub=256)
+  // otherwise materializes n·m·ksub scored rows through a shuffle.
+
+  /** Collect a coarse-centroid table (kc rows — index-sidecar scale) into
+    * the kernel holder, ids ascending (the tie-break order).
+    */
+  def collectCentroids(centroids: DataFrame)
+      : graft.functions.CentroidsLocal = {
+    val rows = centroids.select(col("centroid_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    new graft.functions.CentroidsLocal(rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Collect a PQ codebook table (m·ksub rows) into the kernel holder,
+    * per-subspace code ids ascending.
+    */
+  def collectCodebooks(cb: DataFrame, m: Int)
+      : graft.functions.CodebooksLocal = {
+    val rows = cb.select(col("sub"), col("centroid_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val bySub = rows.groupBy(_._1)
+    val perSub = Array.tabulate(m) { j =>
+      bySub.getOrElse(j, Array.empty[(Int, Long, Array[Double])])
+        .sortBy(_._2)
+    }
+    new graft.functions.CodebooksLocal(
+      perSub.map(_.map(_._2)), perSub.map(_.map(_._3)))
+  }
+
+  /** Kernel twin of [[assign]]: identical argmax-cosine (same IEEE ops,
+    * NaN→−∞, lowest-id ties), one map-only projection — no crossJoin, no
+    * shuffle. The centroid table is collected at plan build (it is kc
+    * rows of a static quantizer).
+    */
+  def assignFast(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val local = collectCentroids(centroids)
+    df.select(col(idCol), graft.functions.QuantKernelCols
+      .nearestCentroid(col(vecCol), local).as("centroid_id"))
+  }
+
+  /** [[ivfResiduals]] with the kernel assignment fused in: the corpus is
+    * scanned ONCE (assign is a projection, the centroid fetch a broadcast
+    * hash join) — the relational path's corpus-with-assignments id join
+    * disappears. Identical rows.
+    */
+  def ivfResidualsFast(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val local = collectCentroids(centroids)
+    df.select(col(idCol), graft.functions.QuantKernelCols
+        .nearestCentroid(col(vecCol), local).as("centroid_id"),
+        col(vecCol))
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"),
+        residual(col(vecCol), col("centroid")).as("resid"))
+  }
+
+  /** Kernel twin of [[pqEncode]] in PACKED layout: (id, codes
+    * array<long>) — all m argmins per vector in one projection, codes in
+    * subspace order. The per-code values are bit-identical to the
+    * relational encoder's (spec-pinned); the layout is the FAISS shape
+    * (contiguous codes per vector), which the packed ADC probe scans
+    * without re-grouping.
+    */
+  def pqEncodePacked(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by $m subspaces")
+    val local = collectCodebooks(codebooks, m)
+    df.select(col(idCol), graft.functions.QuantKernelCols
+      .pqCodes(col(vecCol), local, dims / m).as("codes"))
+  }
+
+  /** Kernel encode in the relational (id, sub, code) layout — a drop-in
+    * for [[pqEncode]] call sites that keep the row-per-subspace code
+    * table (bit-identical rows, map-only instead of the argmin shuffle).
+    */
+  def pqEncodeFast(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dims: Int): DataFrame =
+    pqEncodePacked(df, idCol, vecCol, codebooks, m, dims)
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+
+  /** Driver-side ADC tables for one query — the same dj arithmetic as
+    * [[pqTopKD]]'s distance-table expression, value-for-value:
+    * dj = (|c|² − 2·q_j·c) + |q_j|², every dot the ordered fold.
+    */
+  def adcTables(cb: graft.functions.CodebooksLocal, query: Seq[Double],
+      sd: Int): graft.functions.AdcTablesLocal = {
+    val K = graft.functions.QuantKernels
+    val tabs = Array.tabulate(cb.m) { j =>
+      val qj = query.slice(j * sd, j * sd + sd).toArray
+      val qq = K.selfDot(qj)
+      val t = new scala.collection.mutable.LongMap[Double](
+        math.max(8, cb.ids(j).length * 2))
+      var k = 0
+      while (k < cb.ids(j).length) {
+        t(cb.ids(j)(k)) =
+          (cb.ccs(j)(k) - 2.0 * K.dot(qj, cb.vecs(j)(k))) + qq
+        k += 1
+      }
+      t
+    }
+    new graft.functions.AdcTablesLocal(cb.m, tabs)
+  }
+
+  /** Packed ADC top-k — the kernel twin of [[pqTopKD]]: one map-only
+    * distance projection over the packed code table plus a TakeOrdered;
+    * no join, no pivot aggregation. Results (ids AND adist bits) match
+    * the relational probe exactly.
+    */
+  def pqTopKPackedD(codes: DataFrame, cb: graft.functions.CodebooksLocal,
+      query: Seq[Double], k: Int, idCol: String = "vec_id"): DataFrame = {
+    val dims = query.length
+    require(dims % cb.m == 0,
+      s"query has $dims dims, not divisible into ${cb.m} subspaces — " +
+        "wrong query length for this index")
+    val tabs = adcTables(cb, query, dims / cb.m)
+    codes.select(col(idCol),
+        graft.functions.QuantKernelCols.adcDist(col("codes"), tabs)
+          .as("adist"))
+      .where(col("adist").isNotNull)
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Kernel twin of [[ivfPqEncodeShared]] in packed layout:
+    * (id, centroid_id, codes array<long>).
+    */
+  def ivfPqEncodeSharedPacked(residuals: DataFrame, idCol: String,
+      codebooks: DataFrame, m: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by $m subspaces")
+    val local = collectCodebooks(codebooks, m)
+    residuals.select(col(idCol), col("centroid_id"),
+      graft.functions.QuantKernelCols
+        .pqCodes(col("resid"), local, dims / m).as("codes"))
+  }
+
+  /** Packed shared-codebook IVFADC probe — the kernel twin of
+    * [[ivfPqTopKShared]]: cells ranked driver-side over the collected
+    * centroids (same cosine/NaN/tie ordering), one per-cell ADC table
+    * family built with the identical residual arithmetic, then a
+    * partition-prunable `centroid_id IN (probed)` filter + map-only
+    * distance + TakeOrdered. At scale the IN filter is the inverted-list
+    * restriction: with the code table written cell-partitioned it prunes
+    * at the file level, and nothing shuffles.
+    */
+  def ivfPqTopKSharedPacked(codes: DataFrame,
+      cents: graft.functions.CentroidsLocal,
+      cb: graft.functions.CodebooksLocal, query: Seq[Float], k: Int,
+      nprobe: Int, idCol: String = "vec_id"): DataFrame = {
+    val K = graft.functions.QuantKernels
+    val dims = query.length
+    require(dims % cb.m == 0,
+      s"query has $dims dims, not divisible into ${cb.m} subspaces — " +
+        "wrong query length for this index")
+    val sd = dims / cb.m
+    val qd = query.map(_.toDouble).toArray
+    val qn = math.sqrt(K.selfDot(qd))
+    // rank cells exactly as the relational probe: nanvl(cosine(c, q),
+    // −∞) desc, centroid_id asc
+    val ranked = cents.ids.indices.map { i =>
+      val np = cents.norms(i) * qn
+      val s0 = if (np == 0.0) Double.NaN else K.dot(cents.vecs(i), qd) / np
+      ((if (s0 != s0) Double.NegativeInfinity else s0), cents.ids(i), i)
+    }.sortBy { case (s, id, _) => (-s, id) }.take(nprobe)
+    val cellTabs = new scala.collection.mutable.LongMap[Array[
+      scala.collection.mutable.LongMap[Double]]]
+    ranked.foreach { case (_, cid, ci) =>
+      val cent = cents.vecs(ci)
+      val rq = Array.tabulate(dims)(i => qd(i) - cent(i))
+      cellTabs(cid) = Array.tabulate(cb.m) { j =>
+        val rqj = java.util.Arrays.copyOfRange(rq, j * sd, j * sd + sd)
+        val qq = K.selfDot(rqj)
+        val t = new scala.collection.mutable.LongMap[Double](
+          math.max(8, cb.ids(j).length * 2))
+        var kk = 0
+        while (kk < cb.ids(j).length) {
+          t(cb.ids(j)(kk)) =
+            (cb.ccs(j)(kk) - 2.0 * K.dot(rqj, cb.vecs(j)(kk))) + qq
+          kk += 1
+        }
+        t
+      }
+    }
+    val probedIds = ranked.map(_._2)
+    codes.where(col("centroid_id").isin(probedIds: _*))
+      .select(col(idCol), graft.functions.QuantKernelCols.adcDistCell(
+        col("centroid_id"), col("codes"),
+        new graft.functions.CellAdcTablesLocal(cb.m, cellTabs)).as("adist"))
+      .where(col("adist").isNotNull)
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
   /** Incremental-ingest guard shared by the index `addVectors` paths:
     * re-ingesting an existing id would leave two index rows racing at
     * probe time, so clash = hard error (the [[Dedup.DupClusterIndex]]
@@ -1290,10 +1503,12 @@ object PqIndex {
       trainLimit: Option[Int] = None): PqIndex = {
     // materialize the m·ksub-row codebooks once: every probe (and the
     // corpus encode) reuses them, and an unmaterialized plan would
-    // re-run the whole Lloyd loop per probe
+    // re-run the whole Lloyd loop per probe. The corpus encode runs the
+    // kernel twin (bit-identical rows, map-only — no n·m·ksub join).
     val cb = Similarity.pqTrain(df, idCol, vecCol, m, dims, ksub, iters,
       trainLimit).cache()
-    PqIndex(m, dims, cb, Similarity.pqEncode(df, idCol, vecCol, cb, m, dims))
+    PqIndex(m, dims, cb,
+      Similarity.pqEncodeFast(df, idCol, vecCol, cb, m, dims))
   }
 
   def load(spark: org.apache.spark.sql.SparkSession,
@@ -1464,9 +1679,9 @@ object IvfPqSharedIndex {
       trainLimit: Option[Int] = None): IvfPqSharedIndex = {
     val centroids =
       Similarity.ivfTrain(df, idCol, vecCol, kc, iters, trainLimit).cache()
-    val assignments = Similarity.assign(df, idCol, vecCol, centroids)
-    val residuals = Similarity.ivfResiduals(df, idCol, vecCol, centroids,
-      assignments)
+    // kernel assignment fused into the residual pass: one corpus scan
+    val residuals =
+      Similarity.ivfResidualsFast(df, idCol, vecCol, centroids)
     // the residual PQ trains on the residuals of the SAME spread-sample
     // (spreadSample is a pure filter of df, so sampling the residual
     // frame by the same id mix draws the matching rows); cache = the
@@ -1474,7 +1689,9 @@ object IvfPqSharedIndex {
     val cb = Similarity.pqTrain(residuals, idCol, "resid", m, dims, ksub,
       iters, trainLimit).cache()
     IvfPqSharedIndex(m, dims, centroids, cb,
-      Similarity.ivfPqEncodeShared(residuals, idCol, cb, m, dims))
+      Similarity.ivfPqEncodeSharedPacked(residuals, idCol, cb, m, dims)
+        .select(col(idCol), col("centroid_id"),
+          posexplode(col("codes")).as(Seq("sub", "code"))))
   }
 
   def load(spark: org.apache.spark.sql.SparkSession,
@@ -1562,5 +1779,155 @@ object SqIndex {
       mx(d) = r.getAs[Double]("mx")
     }
     SqIndex(mn, mx, cat.read(spark, s"$name.codes"))
+  }
+}
+
+/** The production PQ index in PACKED layout: one row per vector,
+  * `codes: array<long>` of length m in subspace order — the FAISS
+  * storage shape. Build/encode/probe all run the quantization KERNELS
+  * (map-only projections over the collected codebooks; see
+  * [[graft.functions.QuantKernels]]) instead of the relational
+  * explode + broadcast-join + argmin shuffles, with bit-identical
+  * arithmetic (spec-pinned against [[PqIndex]]). This is the index the
+  * at-scale builds use; the relational [[PqIndex]] remains the
+  * oracle-replayable reference.
+  *
+  * Scale shape: encode is one corpus scan with zero shuffle; a probe is
+  * one map-only distance projection over the code table (m longs per
+  * vector) + TakeOrdered — no join, no pivot aggregation.
+  */
+final case class PqPackedIndex(m: Int, dims: Int, codebooks: DataFrame,
+    codes: DataFrame) {
+
+  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    cat.commit(Map(
+      s"$name.codebooks" -> codebooks,
+      s"$name.codes" -> codes,
+      s"$name.params" -> Seq((m, dims)).toDF("m", "dims")))
+    ()
+  }
+
+  /** Packed ADC top-k (see [[Similarity.pqTopKPackedD]]); results are
+    * bit-identical to the relational [[PqIndex.probe]].
+    */
+  def probe(query: Seq[Float], k: Int, idCol: String = "vec_id"): DataFrame = {
+    require(query.length == dims,
+      s"query has ${query.length} dims, index was built at $dims")
+    Similarity.pqTopKPackedD(codes,
+      Similarity.collectCodebooks(codebooks, m),
+      query.map(_.toDouble), k, idCol)
+  }
+
+  /** Frozen-codebook incremental ingest (the [[PqIndex.addVectors]]
+    * contract): kernel-encode the batch only, fresh ids enforced.
+    */
+  def addVectors(batch: DataFrame, idCol: String,
+      vecCol: String): PqPackedIndex = {
+    Similarity.requireFreshIds(batch, codes, idCol, "addVectors")
+    copy(codes = codes.unionByName(
+      Similarity.pqEncodePacked(batch, idCol, vecCol, codebooks, m, dims)))
+  }
+}
+
+object PqPackedIndex {
+
+  /** Lloyd-trained build over a bounded spread-sample, corpus encoded
+    * once with the kernel encoder — the at-scale twin of
+    * [[PqIndex.buildTrained]] (identical codebooks: same training path).
+    */
+  def buildTrained(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      dims: Int, ksub: Int, iters: Int = 3,
+      trainLimit: Option[Int] = None): PqPackedIndex = {
+    val cb = Similarity.pqTrain(df, idCol, vecCol, m, dims, ksub, iters,
+      trainLimit).cache()
+    PqPackedIndex(m, dims, cb,
+      Similarity.pqEncodePacked(df, idCol, vecCol, cb, m, dims))
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String): PqPackedIndex = {
+    val p = cat.read(spark, s"$name.params").head()
+    PqPackedIndex(p.getAs[Int]("m"), p.getAs[Int]("dims"),
+      cat.read(spark, s"$name.codebooks"), cat.read(spark, s"$name.codes"))
+  }
+}
+
+/** The production shared-codebook IVFADC index in PACKED layout: one row
+  * per vector — (id, centroid_id, codes array<long>). The kernel twin of
+  * [[IvfPqSharedIndex]] (identical quantizers, bit-identical codes and
+  * probe results), with the inverted-list restriction expressed as a
+  * partition-prunable `centroid_id IN (probed)` filter: persisted
+  * cell-partitioned, a probe reads nprobe/kc of the code files and
+  * shuffles nothing.
+  */
+final case class IvfPqSharedPackedIndex(m: Int, dims: Int,
+    centroids: DataFrame, codebooks: DataFrame, codes: DataFrame) {
+
+  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    cat.commit(Map(
+      s"$name.centroids" -> centroids,
+      s"$name.codebooks" -> codebooks,
+      s"$name.codes" -> codes,
+      s"$name.params" -> Seq((m, dims)).toDF("m", "dims")))
+    ()
+  }
+
+  /** Packed IVFADC top-k (see [[Similarity.ivfPqTopKSharedPacked]]);
+    * bit-identical to the relational [[IvfPqSharedIndex.probe]].
+    */
+  def probe(query: Seq[Float], k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(query.length == dims,
+      s"query has ${query.length} dims, index was built at $dims")
+    Similarity.ivfPqTopKSharedPacked(codes,
+      Similarity.collectCentroids(centroids),
+      Similarity.collectCodebooks(codebooks, m), query, k, nprobe, idCol)
+  }
+
+  /** Frozen-quantizer incremental ingest: kernel-assign + kernel-encode
+    * the batch only, fresh ids enforced.
+    */
+  def addVectors(batch: DataFrame, idCol: String,
+      vecCol: String): IvfPqSharedPackedIndex = {
+    Similarity.requireFreshIds(batch, codes, idCol, "addVectors")
+    val residuals =
+      Similarity.ivfResidualsFast(batch, idCol, vecCol, centroids)
+    copy(codes = codes.unionByName(
+      Similarity.ivfPqEncodeSharedPacked(residuals, idCol, codebooks, m,
+        dims)))
+  }
+}
+
+object IvfPqSharedPackedIndex {
+
+  /** Lloyd coarse + ONE Lloyd residual PQ (both over a bounded
+    * spread-sample), corpus assigned + encoded in one kernel scan — the
+    * at-scale twin of [[IvfPqSharedIndex.buildTrained]].
+    */
+  def buildTrained(df: DataFrame, idCol: String, vecCol: String, kc: Int,
+      m: Int, dims: Int, ksub: Int, iters: Int = 3,
+      trainLimit: Option[Int] = None): IvfPqSharedPackedIndex = {
+    val centroids =
+      Similarity.ivfTrain(df, idCol, vecCol, kc, iters, trainLimit).cache()
+    val residuals =
+      Similarity.ivfResidualsFast(df, idCol, vecCol, centroids)
+    val cb = Similarity.pqTrain(residuals, idCol, "resid", m, dims, ksub,
+      iters, trainLimit).cache()
+    IvfPqSharedPackedIndex(m, dims, centroids, cb,
+      Similarity.ivfPqEncodeSharedPacked(residuals, idCol, cb, m, dims))
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog,
+      name: String): IvfPqSharedPackedIndex = {
+    val p = cat.read(spark, s"$name.params").head()
+    IvfPqSharedPackedIndex(p.getAs[Int]("m"), p.getAs[Int]("dims"),
+      cat.read(spark, s"$name.centroids"),
+      cat.read(spark, s"$name.codebooks"),
+      cat.read(spark, s"$name.codes"))
   }
 }
