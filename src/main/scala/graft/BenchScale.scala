@@ -136,11 +136,21 @@ object BenchScale {
         "embedding", m = 16, dims = 64, ksub = 256, iters = 2,
         trainLimit = Some(8192)).probe(qVec, k = 30)),
       // the FAISS IVFADC shape: Lloyd coarse + ONE Lloyd residual PQ
-      // shared across cells; probe = 8 of 64 inverted lists
+      // shared across cells. Operating point nprobe = 24 of 64: on this
+      // near-uniform synthetic corpus the coarse cells are grab-bags
+      // (beyond the query's own clone family, neighbor directions are
+      // uncorrelated with cell structure — the clustered-data assumption
+      // of IVFADC does not hold), so the measured rerank-recall curve
+      // (sim7_nprobe_curve below) rises slowly: 0.825 @ 8, 0.875 @ 16,
+      // 0.904 @ 24, plateau 0.946 @ 32+ — the plateau below plain PQ's
+      // 0.988-1.000 is shared-codebook residual noise, not cell miss.
+      // 24 is where the curve crosses 0.9 with probe cost still < half
+      // the lists; sim6 (full ADC scan) and sim11 (SQ8) are the
+      // recall-optimal paths when the corpus is unclustered.
       "sim7_ivfpq_topk" -> (() => IvfPqSharedPackedIndex.buildTrained(emb,
         "vec_id", "embedding", kc = 64, m = 16, dims = 64, ksub = 256,
         iters = 2, trainLimit = Some(8192))
-        .probe(qVec, k = 30, nprobe = 8)),
+        .probe(qVec, k = 30, nprobe = 24)),
       "st2_sessionize" -> (() => graft.streaming.EventStreams.sessionize(
         events, gapUs = 1800L * 1000000L)),
       // BPE at x10: training cost is bound by the VOCABULARY (the x10
@@ -215,49 +225,108 @@ object BenchScale {
     // factor), and `rerank` is the production shape: probe an 8×k
     // shortlist, exact-rerank it (broadcast semi-join), top-k on the
     // true metric.
+    //
+    // Measured as the MEAN over a deterministic spread-sampled query
+    // set, not a single vector — one query's recall is ±1/k noise. Each
+    // index builds ONCE (codes persisted, the build-once/probe-many
+    // production shape); only the probes repeat per query.
     val kRecall = 30
-    lazy val truthIds = graft.ops.Similarity.bruteForceTopK(
-      emb, "vec_id", "embedding", qVec, kRecall)
-      .select(col("vec_id")).collect().map(_.getLong(0))
-    lazy val truth = truthIds.toSet
-    lazy val truthBases = truthIds.map(_ / factor).toSet
+    val nRecallQ = 8
+    val recallQs: Seq[Seq[Float]] = graft.ops.Similarity.spreadSample(
+        Tables.embeddings(spark, sfDir), "vec_id", nRecallQ)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0)).toSeq
+    lazy val truths: Seq[(Set[Long], Set[Long])] = recallQs.map { q =>
+      val t = graft.ops.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", q, kRecall)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+      (t.toSet, t.map(_ / factor).toSet)
+    }
     def ids(df: DataFrame): Set[Long] =
       df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
-    // same production builds as the timing cases above; a CASES filter
-    // runs the recall block only when it names the entry (or "recall"),
-    // so quantizer iterations don't pay for the full case sweep
-    val recallDefs = Seq[(String, Int => DataFrame)](
-      "sim6_pq_topk" -> (k => PqPackedIndex.buildTrained(emb, "vec_id",
-        "embedding", m = 16, dims = 64, ksub = 256, iters = 2,
-        trainLimit = Some(8192)).probe(qVec, k = k)),
-      "sim7_ivfpq_topk" -> (k => IvfPqSharedPackedIndex.buildTrained(emb,
-        "vec_id", "embedding", kc = 64, m = 16, dims = 64, ksub = 256,
-        iters = 2, trainLimit = Some(8192))
-        .probe(qVec, k = k, nprobe = 8)),
-      "sim11_sq_topk" -> (k => graft.ops.SqIndex
-        .build(emb, "vec_id", "embedding", 64).probe(qVec, k = k)))
+    // same production builds as the timing cases above, materialized
+    // once per index ((codes DataFrame, probe fn)); a CASES filter runs
+    // the recall block only when it names the entry (or "recall"), so
+    // quantizer iterations don't pay for the full case sweep
+    val recallDefs = Seq[(String, () => (DataFrame, (Seq[Float], Int) => DataFrame))](
+      "sim6_pq_topk" -> (() => {
+        val idx = PqPackedIndex.buildTrained(emb, "vec_id", "embedding",
+          m = 16, dims = 64, ksub = 256, iters = 2,
+          trainLimit = Some(8192))
+        val cached = idx.copy(codes = idx.codes.persist())
+        (cached.codes, (q, k) => cached.probe(q, k = k))
+      }),
+      "sim7_ivfpq_topk" -> (() => {
+        val idx = IvfPqSharedPackedIndex.buildTrained(emb, "vec_id",
+          "embedding", kc = 64, m = 16, dims = 64, ksub = 256, iters = 2,
+          trainLimit = Some(8192))
+        val cached = idx.copy(codes = idx.codes.persist())
+        (cached.codes, (q, k) => cached.probe(q, k = k, nprobe = 24))
+      }),
+      "sim11_sq_topk" -> (() => {
+        val idx = graft.ops.SqIndex.build(emb, "vec_id", "embedding", 64)
+        val cached = idx.copy(codes = idx.codes.persist())
+        (cached.codes, (q, k) => cached.probe(q, k = k))
+      }))
     val recalls: Seq[(String, Double, Double, Double)] =
       (caseFilter match {
         case None => recallDefs
         case Some(f) => recallDefs.filter { case (n, _) =>
           f.contains(n) || f.contains("recall") }
       }).filterNot { case (n, _) => skip.contains(n) }
-        .map { case (name, mk) =>
+        .map { case (name, mkIdx) =>
           val (ex, base, rr) = try {
-            val found = ids(mk(kRecall))
-            val e = truth.intersect(found).size.toDouble / truth.size
-            val b = truthBases.intersect(found.map(_ / factor)).size
-              .toDouble / truthBases.size
-            val reranked = ids(graft.ops.Similarity.rerankTopK(
-              mk(kRecall * 8), emb, "vec_id", "embedding", qVec, kRecall))
-            val r = truth.intersect(reranked).size.toDouble / truth.size
-            (e, b, r)
+            val (codes, probe) = mkIdx()
+            codes.count() // materialize the build once
+            val per = recallQs.zip(truths).map { case (q, (truth, truthBases)) =>
+              val found = ids(probe(q, kRecall))
+              val e = truth.intersect(found).size.toDouble / truth.size
+              val b = truthBases.intersect(found.map(_ / factor)).size
+                .toDouble / truthBases.size
+              val reranked = ids(graft.ops.Similarity.rerankTopK(
+                probe(q, kRecall * 8), emb, "vec_id", "embedding", q,
+                kRecall))
+              val r = truth.intersect(reranked).size.toDouble / truth.size
+              (e, b, r)
+            }
+            codes.unpersist()
+            (per.map(_._1).sum / per.size, per.map(_._2).sum / per.size,
+              per.map(_._3).sum / per.size)
           } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
           spark.catalog.clearCache()
-          System.err.println(f"[scale] recall@$kRecall $name%-22s " +
-            f"exact $ex%6.3f  base $base%6.3f  rerank $rr%6.3f")
+          System.err.println(f"[scale] recall@$kRecall x$nRecallQ " +
+            f"$name%-22s exact $ex%6.3f  base $base%6.3f  rerank $rr%6.3f")
           (name, ex, base, rr)
         }
+
+    // ---- the IVFADC recall/probe-cost curve: mean rerank-recall over
+    // the query set as nprobe sweeps — the committed evidence for the
+    // sim7 operating point (and for the honest verdict that on this
+    // unclustered corpus the curve plateaus below plain PQ: the
+    // residual-coding win assumes tight cells). One build, cached codes;
+    // each sweep point is nQ map-only probes.
+    val nprobeCurve: Seq[(Int, Double)] =
+      if (caseFilter.nonEmpty) Nil
+      else {
+        val idx = IvfPqSharedPackedIndex.buildTrained(emb, "vec_id",
+          "embedding", kc = 64, m = 16, dims = 64, ksub = 256, iters = 2,
+          trainLimit = Some(8192))
+        val cached = idx.copy(codes = idx.codes.persist())
+        cached.codes.count()
+        val out = Seq(8, 16, 24, 32).map { np =>
+          val rr = recallQs.zip(truths).map { case (q, (truth, _)) =>
+            val reranked = ids(graft.ops.Similarity.rerankTopK(
+              cached.probe(q, kRecall * 8, nprobe = np), emb, "vec_id",
+              "embedding", q, kRecall))
+            truth.intersect(reranked).size.toDouble / truth.size
+          }.sum / recallQs.size
+          System.err.println(
+            f"[scale] sim7 nprobe curve  nprobe=$np%-3d rerank $rr%6.3f")
+          (np, rr)
+        }
+        cached.codes.unpersist()
+        spark.catalog.clearCache()
+        out
+      }
 
     // ---- dedup recall at scale: the inflated corpus has KNOWN duplicate
     // structure (each base doc's `factor` variants form a near-dup group),
@@ -409,12 +478,17 @@ object BenchScale {
     val dupRecallJson = dupRecalls.map { case (n, pr, dr) =>
       s""""$n":{"pair":${f(pr)},"doc":${f(dr)}}"""
     }.mkString("{", ",", "}")
+    val curveJson = nprobeCurve.map { case (np, rr) =>
+      s""""$np":${f(rr)}"""
+    }.mkString("{", ",", "}")
     val skippedJson = skip.toSeq.sorted.map(s => s""""$s"""")
       .mkString("[", ",", "]")
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
       s""""unit":"sec","factor":$factor,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
       s""""n_events":$nEvents,"cpus":$cpus,"skipped":$skippedJson,""" +
-      s""""queries":$qs,"recall_at_$kRecall":$recallJson,""" +
+      s""""queries":$qs,"recall_queries":$nRecallQ,""" +
+      s""""recall_at_$kRecall":$recallJson,""" +
+      s""""sim7_nprobe_curve":$curveJson,""" +
       s""""dup_recall":$dupRecallJson,""" +
       s""""promote_cycle":$cycle,"sf":"$sfDir"}"""
     println(line)

@@ -1370,16 +1370,18 @@ final case class IvfIndex(centroids: DataFrame, assignments: DataFrame) {
     * STREAMING frame (pure projection, no state store; the batch
     * [[Similarity.assign]] is a groupBy-argmax a streaming append can't
     * run). The centroid table is collected once at plan build (it is kc
-    * rows of a persisted, static index) and embedded as literals;
-    * results are bit-identical to the batch assignment.
+    * rows of a persisted, static index) and evaluated by the
+    * [[graft.functions.NearestCentroidId]] kernel — bit-identical to the
+    * batch assignment, and unlike the literal-embedding form
+    * ([[Similarity.assignCellExpr]], kept as the SQL-shaped reference)
+    * it stays flat at production centroid counts (a kc·dims literal tree
+    * is what blows up plan compilation).
     */
   def assignRows(docs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val cents = centroids.select(col("centroid_id"), col("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    docs.select(col(idCol),
-      Similarity.assignCellExpr(col(vecCol), cents).as("centroid_id"))
+    docs.select(col(idCol), graft.functions.QuantKernelCols
+      .nearestCentroid(col(vecCol), Similarity.collectCentroids(centroids))
+      .as("centroid_id"))
   }
 }
 
@@ -1465,20 +1467,18 @@ final case class PqIndex(m: Int, dims: Int, codebooks: DataFrame,
     * frame (projection + generator only, no state store; the batch
     * [[Similarity.pqEncode]] needs a groupBy-argmin). The codebooks
     * (m × ksub rows of a persisted, static index) are collected once at
-    * plan build and embedded as literals; output rows (id, sub, code)
-    * are bit-identical to the batch encoder's, so appending them to the
-    * index's code table keeps every later ADC probe exact.
+    * plan build and evaluated by the [[graft.functions.PqCodes]] kernel;
+    * output rows (id, sub, code) are bit-identical to the batch
+    * encoder's, so appending them to the index's code table keeps every
+    * later ADC probe exact. Unlike the literal-embedding form
+    * ([[Similarity.pqCodeExprs]], kept as the SQL-shaped reference) the
+    * kernel stays flat at production codebook sizes — an m·ksub·sd
+    * literal tree is what OOM'd plan compilation at m=16, ksub=256.
     */
   def encodeRows(docs: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    import org.apache.spark.sql.functions.{array, col, explode, lit, struct}
-    val cbs = codebooks.select(col("sub"), col("centroid_id"), col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-    val codeCols = Similarity.pqCodeExprs(col(vecCol), cbs, m, dims)
-    docs.select(col(idCol),
-        explode(array(codeCols.zipWithIndex.map { case (c, j) =>
-          struct(lit(j).as("sub"), c.as("code")) }: _*)).as("sc"))
-      .select(col(idCol), col("sc.sub").as("sub"), col("sc.code").as("code"))
+    import org.apache.spark.sql.functions.{col, posexplode}
+    Similarity.pqEncodePacked(docs, idCol, vecCol, codebooks, m, dims)
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
   }
 }
 
