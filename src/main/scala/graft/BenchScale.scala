@@ -166,6 +166,18 @@ object BenchScale {
       // code-table-only probe — shuffle records stay at the dims count
       "sim11_sq_topk" -> (() => graft.ops.SqIndex
         .build(emb, "vec_id", "embedding", 64).probe(qVec, k = 30)),
+      // SemDeDup at scale: Lloyd cells (bounded-sample training) +
+      // kernel cell assignment (map-only), in-cell pair scan, first-
+      // writer-wins keep — the embedding twin of the lexical dedup
+      // rows; threshold 0.9 separates the clone families (worst
+      // within-family pair at ×30 is cos 0.953, cross-family max 0.36).
+      // The sem_dedup block below scores the kept set against the known
+      // family structure.
+      "dd17b_semdedup_scale" -> (() => graft.ops.Similarity.semDedup(emb,
+        "vec_id", "embedding",
+        graft.ops.Similarity.ivfTrain(emb, "vec_id", "embedding", k = 64,
+          iters = 2, trainLimit = Some(8192)),
+        threshold = 0.9, kernelAssign = true)),
       // CDC chunk ledger at x10: chunk text hashed away map-side, both
       // shuffles carry 32-byte hashes — linear in corpus bytes
       "dd21_cdc_dedup" -> (() => Dedup.cdcDedup(docs, "doc_id", "text",
@@ -392,6 +404,39 @@ object BenchScale {
         out
       }
 
+    // ---- semantic-dedup quality at scale: the inflated embedding corpus
+    // has KNOWN family structure (factor clones per base vector, all
+    // above the 0.9 threshold; cross-family cosine maxes out ~0.36), so
+    // the kept set scores exactly: drop_recall = dropped / should-drop
+    // (over-drop is impossible at this threshold — any loss is a family
+    // straddling a cell boundary, which one_kept_frac exposes).
+    val semDedupStats: Option[(Long, Long, Double, Double)] =
+      if (caseFilter.nonEmpty) None
+      else {
+        val kept = graft.ops.Similarity.semDedup(emb, "vec_id",
+          "embedding",
+          graft.ops.Similarity.ivfTrain(emb, "vec_id", "embedding",
+            k = 64, iters = 2, trainLimit = Some(8192)),
+          threshold = 0.9, kernelAssign = true)
+        val perFam = kept
+          .select(expr(s"vec_id div $factor").as("grp"))
+          .groupBy(col("grp")).agg(count(lit(1)).as("kept"))
+          .persist()
+        val families = perFam.count()
+        val keptRows = perFam.agg(sum(col("kept"))).head().getLong(0)
+        val oneKept = perFam.where(col("kept") === 1).count()
+        perFam.unpersist()
+        spark.catalog.clearCache()
+        val shouldDrop = (nVecs - families).toDouble
+        val dropRecall =
+          if (shouldDrop <= 0) 1.0 else (nVecs - keptRows) / shouldDrop
+        val oneKeptFrac = oneKept.toDouble / math.max(families, 1L)
+        System.err.println(f"[scale] sem_dedup kept $keptRows%d of " +
+          f"$nVecs%d (families $families%d, one_kept $oneKeptFrac%5.3f, " +
+          f"drop_recall $dropRecall%5.3f)")
+        Some((keptRows, families, oneKeptFrac, dropRecall))
+      }
+
     // ---- the full replicate→upload→stage→promote service cycle at the
     // same ×factor scale, recorded with the reference's named timers
     // (BASELINE.md §1). The APDB side is generated executor-side
@@ -481,6 +526,10 @@ object BenchScale {
     val curveJson = nprobeCurve.map { case (np, rr) =>
       s""""$np":${f(rr)}"""
     }.mkString("{", ",", "}")
+    val semJson = semDedupStats.map { case (kept, fams, ok, dr) =>
+      s"""{"kept":$kept,"families":$fams,"one_kept_frac":${f(ok)},""" +
+        s""""drop_recall":${f(dr)}}"""
+    }.getOrElse("{}")
     val skippedJson = skip.toSeq.sorted.map(s => s""""$s"""")
       .mkString("[", ",", "]")
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
@@ -489,7 +538,7 @@ object BenchScale {
       s""""queries":$qs,"recall_queries":$nRecallQ,""" +
       s""""recall_at_$kRecall":$recallJson,""" +
       s""""sim7_nprobe_curve":$curveJson,""" +
-      s""""dup_recall":$dupRecallJson,""" +
+      s""""dup_recall":$dupRecallJson,"sem_dedup":$semJson,""" +
       s""""promote_cycle":$cycle,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may replace the committed artifact — a filtered

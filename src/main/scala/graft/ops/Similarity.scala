@@ -785,9 +785,17 @@ object Similarity {
     * cross-cell recall for in-cell pair cost — exactly the IVF posture.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, threshold: Double): DataFrame = {
+      centroids: DataFrame, threshold: Double,
+      kernelAssign: Boolean = false): DataFrame = {
+    // kernelAssign: evaluate the cell argmax through the map-only
+    // kernel twin (bit-identical, spec-pinned) instead of the
+    // crossJoin + argmax shuffle — the at-scale choice; default stays
+    // the relational oracle-replayable form the dd17 gate exercises
+    val assigned =
+      if (kernelAssign) assignFast(df, idCol, vecCol, centroids)
+      else assign(df, idCol, vecCol, centroids)
     val cells = df.select(col(idCol), col(vecCol))
-      .join(assign(df, idCol, vecCol, centroids), Seq(idCol))
+      .join(assigned, Seq(idCol))
     val sides = cells.select(col(idCol).as("id"), col("centroid_id"),
       col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val dropped = sides.as("a").join(sides.as("b"),

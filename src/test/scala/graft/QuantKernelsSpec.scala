@@ -95,6 +95,16 @@ class QuantKernelsSpec extends SparkSpec {
     }
   }
 
+  test("semDedup kernelAssign produces the identical kept set") {
+    val centroids = Similarity.ivfSpreadSeedCentroids(
+      emb, "vec_id", "embedding", 16).cache()
+    val rel = Similarity.semDedup(emb, "vec_id", "embedding", centroids,
+      threshold = 0.9)
+    val fast = Similarity.semDedup(emb, "vec_id", "embedding", centroids,
+      threshold = 0.9, kernelAssign = true)
+    assert(rel.exceptAll(fast).isEmpty && fast.exceptAll(rel).isEmpty)
+  }
+
   test("packed index round-trips through the catalog and frozen-codebook " +
       "ingest matches a full re-encode") {
     val root = tmpDir("pqpacked")
