@@ -259,26 +259,40 @@ object BenchScale {
     // once per index ((codes DataFrame, probe fn)); a CASES filter runs
     // the recall block only when it names the entry (or "recall"), so
     // quantizer iterations don't pay for the full case sweep
-    val recallDefs = Seq[(String, () => (DataFrame, (Seq[Float], Int) => DataFrame))](
+    // Each entry: (codes to materialize, probe at the operating point,
+    // optional nprobe-sweep probe — sim7 exposes one so the recall/
+    // probe-cost curve reuses the SAME build while it is persisted).
+    val recallDefs = Seq[(String, () => (DataFrame,
+        (Seq[Float], Int) => DataFrame,
+        Option[(Seq[Float], Int, Int) => DataFrame]))](
       "sim6_pq_topk" -> (() => {
         val idx = PqPackedIndex.buildTrained(emb, "vec_id", "embedding",
           m = 16, dims = 64, ksub = 256, iters = 2,
           trainLimit = Some(8192))
         val cached = idx.copy(codes = idx.codes.persist())
-        (cached.codes, (q, k) => cached.probe(q, k = k))
+        (cached.codes, (q, k) => cached.probe(q, k = k), None)
       }),
       "sim7_ivfpq_topk" -> (() => {
         val idx = IvfPqSharedPackedIndex.buildTrained(emb, "vec_id",
           "embedding", kc = 64, m = 16, dims = 64, ksub = 256, iters = 2,
           trainLimit = Some(8192))
         val cached = idx.copy(codes = idx.codes.persist())
-        (cached.codes, (q, k) => cached.probe(q, k = k, nprobe = 24))
+        (cached.codes, (q, k) => cached.probe(q, k = k, nprobe = 24),
+          Some((q, k, np) => cached.probe(q, k = k, nprobe = np)))
       }),
       "sim11_sq_topk" -> (() => {
         val idx = graft.ops.SqIndex.build(emb, "vec_id", "embedding", 64)
         val cached = idx.copy(codes = idx.codes.persist())
-        (cached.codes, (q, k) => cached.probe(q, k = k))
+        (cached.codes, (q, k) => cached.probe(q, k = k), None)
       }))
+    // The IVFADC recall/probe-cost curve: mean rerank-recall over the
+    // query set as nprobe sweeps — the committed evidence for the sim7
+    // operating point (and for the honest verdict that on this
+    // unclustered corpus the curve plateaus below plain PQ: the
+    // residual-coding win assumes tight cells). Probed off sim7's recall
+    // build while its codes are still persisted — full runs only, and
+    // skipping sim7 skips the curve (SKIP's cost contract).
+    var nprobeCurve: Seq[(Int, Double)] = Nil
     val recalls: Seq[(String, Double, Double, Double)] =
       (caseFilter match {
         case None => recallDefs
@@ -287,7 +301,7 @@ object BenchScale {
       }).filterNot { case (n, _) => skip.contains(n) }
         .map { case (name, mkIdx) =>
           val (ex, base, rr) = try {
-            val (codes, probe) = mkIdx()
+            val (codes, probe, sweepProbe) = mkIdx()
             codes.count() // materialize the build once
             val per = recallQs.zip(truths).map { case (q, (truth, truthBases)) =>
               val found = ids(probe(q, kRecall))
@@ -300,6 +314,19 @@ object BenchScale {
               val r = truth.intersect(reranked).size.toDouble / truth.size
               (e, b, r)
             }
+            sweepProbe.filter(_ => caseFilter.isEmpty).foreach { sp =>
+              nprobeCurve = Seq(8, 16, 24, 32).map { np =>
+                val rrNp = recallQs.zip(truths).map { case (q, (truth, _)) =>
+                  val reranked = ids(graft.ops.Similarity.rerankTopK(
+                    sp(q, kRecall * 8, np), emb, "vec_id", "embedding", q,
+                    kRecall))
+                  truth.intersect(reranked).size.toDouble / truth.size
+                }.sum / recallQs.size
+                System.err.println(f"[scale] sim7 nprobe curve  " +
+                  f"nprobe=$np%-3d rerank $rrNp%6.3f")
+                (np, rrNp)
+              }
+            }
             codes.unpersist()
             (per.map(_._1).sum / per.size, per.map(_._2).sum / per.size,
               per.map(_._3).sum / per.size)
@@ -309,36 +336,6 @@ object BenchScale {
             f"$name%-22s exact $ex%6.3f  base $base%6.3f  rerank $rr%6.3f")
           (name, ex, base, rr)
         }
-
-    // ---- the IVFADC recall/probe-cost curve: mean rerank-recall over
-    // the query set as nprobe sweeps — the committed evidence for the
-    // sim7 operating point (and for the honest verdict that on this
-    // unclustered corpus the curve plateaus below plain PQ: the
-    // residual-coding win assumes tight cells). One build, cached codes;
-    // each sweep point is nQ map-only probes.
-    val nprobeCurve: Seq[(Int, Double)] =
-      if (caseFilter.nonEmpty) Nil
-      else {
-        val idx = IvfPqSharedPackedIndex.buildTrained(emb, "vec_id",
-          "embedding", kc = 64, m = 16, dims = 64, ksub = 256, iters = 2,
-          trainLimit = Some(8192))
-        val cached = idx.copy(codes = idx.codes.persist())
-        cached.codes.count()
-        val out = Seq(8, 16, 24, 32).map { np =>
-          val rr = recallQs.zip(truths).map { case (q, (truth, _)) =>
-            val reranked = ids(graft.ops.Similarity.rerankTopK(
-              cached.probe(q, kRecall * 8, nprobe = np), emb, "vec_id",
-              "embedding", q, kRecall))
-            truth.intersect(reranked).size.toDouble / truth.size
-          }.sum / recallQs.size
-          System.err.println(
-            f"[scale] sim7 nprobe curve  nprobe=$np%-3d rerank $rr%6.3f")
-          (np, rr)
-        }
-        cached.codes.unpersist()
-        spark.catalog.clearCache()
-        out
-      }
 
     // ---- dedup recall at scale: the inflated corpus has KNOWN duplicate
     // structure (each base doc's `factor` variants form a near-dup group),
@@ -391,6 +388,7 @@ object BenchScale {
             docs, "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
           "dd3_minhash_lsh" -> (() => Dedup.minhashLshPairs(docs, "doc_id",
             "text", n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)))
+          .filterNot { case (name, _) => skip.contains(name) }
           .map { case (name, mk) =>
             val (pr, dr) = try recallsOf(mk())
               catch { case _: Throwable => (-1.0, -1.0) }
@@ -411,7 +409,7 @@ object BenchScale {
     // (over-drop is impossible at this threshold — any loss is a family
     // straddling a cell boundary, which one_kept_frac exposes).
     val semDedupStats: Option[(Long, Long, Double, Double)] =
-      if (caseFilter.nonEmpty) None
+      if (caseFilter.nonEmpty || skip.contains("dd17b_semdedup_scale")) None
       else {
         val kept = graft.ops.Similarity.semDedup(emb, "vec_id",
           "embedding",

@@ -87,6 +87,9 @@ object RecallLab {
             ksub = opt(p, "ksub", 64))
           idx.codes.cache().count()
           (q, kk) => idx.probe(q, k = kk, nprobe = opt(p, "nprobe", 4))
+        case other =>
+          sys.error(s"unknown variant kind '$other' (want pq | ivfpq | " +
+            "ivfpq_seeded), e.g. pq:m=16,ksub=256")
       }
       val rerankMult = opt(p, "rr", 8)
       val tBuild = (System.nanoTime() - t0) / 1e9

@@ -810,8 +810,10 @@ object Similarity {
 
   /** Streaming admission against a FROZEN semantic-dedup kept set: an
     * arriving document is admitted iff no kept representative in its
-    * cell sits at cosine ≥ `threshold`. [[assignCellExpr]] keeps the
-    * cell assignment a stateless projection (literal-embedded centroids,
+    * cell sits at cosine ≥ `threshold`. The quantization kernel keeps the
+    * cell assignment a stateless projection (collected centroids in the
+    * expression — [[assignCellExpr]]'s literal tree is the SQL-shaped
+    * reference but blows plan compilation at production kc·dims;
     * bit-identical to the batch argmax) and the kept set — `kept` must
     * carry (centroid_id, `keptVecCol`) — joins stream-static LEFT-ANTI:
     * append-legal with zero state, the embedding twin of the MinHash
@@ -829,8 +831,12 @@ object Similarity {
   def semDedupAdmitStream(docs: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Long, Array[Double])], kept: DataFrame,
       keptVecCol: String, threshold: Double): DataFrame = {
+    require(centroids.nonEmpty, "empty centroid table")
+    val sorted = centroids.sortBy(_._1)
+    val local = new graft.functions.CentroidsLocal(
+      sorted.map(_._1), sorted.map(_._2))
     val assigned = docs.withColumn("__cell",
-      assignCellExpr(col(vecCol), centroids))
+      graft.functions.QuantKernelCols.nearestCentroid(col(vecCol), local))
     val reps = kept.select(col("centroid_id").as("__k_cell"),
       col(keptVecCol).as("__k_vec"))
     assigned.join(reps,
@@ -1807,6 +1813,12 @@ object SqIndex {
 final case class PqPackedIndex(m: Int, dims: Int, codebooks: DataFrame,
     codes: DataFrame) {
 
+  // Collected once per index instance (m·ksub rows — sidecar scale), so a
+  // probe-many workload pays one Spark job for the codebooks, not one per
+  // probe.
+  private lazy val codebooksLocal: graft.functions.CodebooksLocal =
+    Similarity.collectCodebooks(codebooks, m)
+
   def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
     val spark = codebooks.sparkSession
     import spark.implicits._
@@ -1823,8 +1835,7 @@ final case class PqPackedIndex(m: Int, dims: Int, codebooks: DataFrame,
   def probe(query: Seq[Float], k: Int, idCol: String = "vec_id"): DataFrame = {
     require(query.length == dims,
       s"query has ${query.length} dims, index was built at $dims")
-    Similarity.pqTopKPackedD(codes,
-      Similarity.collectCodebooks(codebooks, m),
+    Similarity.pqTopKPackedD(codes, codebooksLocal,
       query.map(_.toDouble), k, idCol)
   }
 
@@ -1873,6 +1884,13 @@ object PqPackedIndex {
 final case class IvfPqSharedPackedIndex(m: Int, dims: Int,
     centroids: DataFrame, codebooks: DataFrame, codes: DataFrame) {
 
+  // Quantizers are frozen per index instance — collect each once (kc and
+  // m·ksub rows), not once per probe.
+  private lazy val centroidsLocal: graft.functions.CentroidsLocal =
+    Similarity.collectCentroids(centroids)
+  private lazy val codebooksLocal: graft.functions.CodebooksLocal =
+    Similarity.collectCodebooks(codebooks, m)
+
   def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
     val spark = codebooks.sparkSession
     import spark.implicits._
@@ -1891,9 +1909,8 @@ final case class IvfPqSharedPackedIndex(m: Int, dims: Int,
       idCol: String = "vec_id"): DataFrame = {
     require(query.length == dims,
       s"query has ${query.length} dims, index was built at $dims")
-    Similarity.ivfPqTopKSharedPacked(codes,
-      Similarity.collectCentroids(centroids),
-      Similarity.collectCodebooks(codebooks, m), query, k, nprobe, idCol)
+    Similarity.ivfPqTopKSharedPacked(codes, centroidsLocal,
+      codebooksLocal, query, k, nprobe, idCol)
   }
 
   /** Frozen-quantizer incremental ingest: kernel-assign + kernel-encode
