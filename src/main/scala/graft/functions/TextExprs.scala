@@ -382,6 +382,61 @@ object TextHashing {
     if (!any) minhashAllNull(numHashes)
     else new GenericArrayData(mins)
   }
+
+  // One-permutation-hashing constants: the single universal rehash
+  // (decorrelates bin routing from the raw shingle values) and the
+  // densification offset step. All arithmetic stays in [0, P·OphA + OphB]
+  // ≪ Long.MaxValue, so the oracle replays it exactly in BIGINT.
+  val OphA: Long = 1299721L
+  val OphB: Long = 104729L
+  val OphQ: Long = 7919L
+
+  /** One-permutation MinHash signature (Li, Owen & Zhang, NIPS 2012) with
+    * rotation densification (Shrivastava & Li, ICML 2014): each shingle
+    * hash is rehashed ONCE — u = (OphA·h + OphB) mod P — routed to bin
+    * u mod H, and each bin keeps its minimum u; an empty bin j borrows
+    * the first non-empty bin clockwise ((j+d) mod H, smallest d ≥ 1) at
+    * offset penalty d·OphQ so different borrow distances cannot
+    * spuriously collide. ONE hash evaluation per shingle instead of
+    * classic MinHash's H — the hashing pass drops from O(n·H) to O(n) at
+    * corpus scale — while the signature LSH-bands exactly like the
+    * classic one. Deterministic; all-null signature for null/empty input
+    * (the [[minhashAllNull]] contract).
+    */
+  def ophSigData(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int): GenericArrayData = {
+    val m = arr.numElements()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) {
+        any = true
+        val h = arr.getLong(j)
+        val u = (OphA * h + OphB) % P
+        val bin = (u % numHashes).toInt
+        if (u < mins(bin)) mins(bin) = u
+      }
+      j += 1
+    }
+    if (!any) minhashAllNull(numHashes)
+    else {
+      val out = new Array[Long](numHashes)
+      var i = 0
+      while (i < numHashes) {
+        if (mins(i) != Long.MaxValue) out(i) = mins(i)
+        else {
+          var d = 1
+          while (mins((i + d) % numHashes) == Long.MaxValue) d += 1
+          out(i) = mins((i + d) % numHashes) + d.toLong * OphQ
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 /** Single-pass text statistics: every raw count the ts1/ts2/ts3/ts6
@@ -669,6 +724,50 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** One-permutation MinHash signature over precomputed shingle hashes:
+  * one rehash per shingle routed into `numHashes` bins, empty bins
+  * densified by rotation (see [[TextHashing.ophSigData]]). The
+  * signature is a drop-in for [[MinHashSigExpr]]'s in LSH banding at
+  * 1/numHashes of the hashing cost.
+  */
+case class OphSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "oph_sig"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextHashing.minhashAllNull(numHashes)
+    else nullSafeEval(v)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashing.ophSigData(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numHashes)
+
+  // never-null output with special null-INPUT handling (see
+  // MinHashSigExpr) — generate the ternary directly
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${childGen.isNull}
+            ? graft.functions.TextHashing.minhashAllNull($numHashes)
+            : graft.functions.TextHashing.ophSigData(
+                ${childGen.value}, $numHashes);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Rolling polynomial char hash of a text column (single-pass). */
 case class CharHashExpr(child: Expression)
     extends UnaryExpression {
@@ -716,6 +815,8 @@ object TextExprs {
     ColumnBridge.column(CharHashExpr(ColumnBridge.expression(text)))
   def minhashSig(sh: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(sh), numHashes))
+  def ophSig(sh: Column, numHashes: Int): Column =
+    ColumnBridge.column(OphSigExpr(ColumnBridge.expression(sh), numHashes))
   def textStats(text: Column, lexicons: Seq[Seq[String]]): Column =
     ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(text), lexicons))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
