@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.VersionedCatalog
-import graft.ops.{Dedup, IvfPqSharedPackedIndex, PqPackedIndex, ScaleStress}
+import graft.ops.{Dedup, IvfPqCellPackedIndex, IvfPqSharedPackedIndex,
+  PqPackedIndex, ScaleStress}
 import graft.replicate.{ChunkUploader, PpdbStaged, Promoter, Replicator}
 
 /** The recorded scale datapoint beyond sf0.1: inflate the real fixtures
@@ -79,6 +80,12 @@ object BenchScale {
     val cases: Seq[(String, () => DataFrame)] = Seq(
       "dd3_minhash_lsh" -> (() => Dedup.minhashLshPairs(docs, "doc_id",
         "text", n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)),
+      // REFERENCE-ONLY: the uncapped pair set is O(dups²) OUTPUT by
+      // definition (243.9M rows at ×10 — the true answer, not a plan
+      // failure; the banded join itself moves 2 shuffle records).
+      // Production path = dd6b below; skip this case at ×30+ via
+      // SPARK_GRAFT_SCALE_SKIP and never read its wall clock as a
+      // regression (COVERAGE.md "Scale evidence").
       "dd6_simhash_pairs" -> (() => Dedup.simhashBandedPairs(docs,
         "doc_id", "text", 6)),
       "dd6b_simhash_capped" -> (() => Dedup.simhashBandedPairsCapped(docs,
@@ -144,13 +151,31 @@ object BenchScale {
       // (sim7_nprobe_curve below) rises slowly: 0.825 @ 8, 0.875 @ 16,
       // 0.904 @ 24, plateau 0.946 @ 32+ — the plateau below plain PQ's
       // 0.988-1.000 is shared-codebook residual noise, not cell miss.
-      // 24 is where the curve crosses 0.9 with probe cost still < half
-      // the lists; sim6 (full ADC scan) and sim11 (SQ8) are the
-      // recall-optimal paths when the corpus is unclustered.
+      // sim7c below removes BOTH losses; sim7 stays as the
+      // broadcast-minimal shape for corpora where kc·ksub outgrows a
+      // codebook sidecar.
       "sim7_ivfpq_topk" -> (() => IvfPqSharedPackedIndex.buildTrained(emb,
         "vec_id", "embedding", kc = 64, m = 16, dims = 64, ksub = 256,
         iters = 2, trainLimit = Some(8192))
         .probe(qVec, k = 30, nprobe = 24)),
+      // per-cell codebooks + SPANN-style redundant assignment — the two
+      // measured recall ceilings of sim7 dismantled separately: LOCAL
+      // codebooks (each cell's residual quantizer trains on its own
+      // members) remove the shared-codebook coding noise (rerank 1.000
+      // probing all cells, vs sim7's 0.946 plateau), and storing each
+      // vector in its 3 nearest cells removes the cell miss at small
+      // nprobe (a true neighbor's PRIMARY cell often ranks outside the
+      // probe set on this unclustered corpus, but one of 3 host cells
+      // ranks inside). Measured (sim7c_nprobe_curve): rerank ≥ 0.98 at
+      // nprobe 12, 1.000 at 16 — at the cost of a ×3 code table and a
+      // kc-fold codebook sidecar (~8 MB here; the shared-codebook sim7
+      // is the fallback where that product outgrows a broadcast).
+      // Encode stays one kernel scan, zero shuffle.
+      "sim7c_ivfpq_cell" -> (() => IvfPqCellPackedIndex.buildTrained(emb,
+        "vec_id", "embedding", kc = 64, m = 16, dims = 64, ksub = 256,
+        iters = 2, trainLimit = Some(8192),
+        perCellTrainLimit = Some(2048), assigns = 3)
+        .probe(qVec, k = 30, nprobe = 16)),
       "st2_sessionize" -> (() => graft.streaming.EventStreams.sessionize(
         events, gapUs = 1800L * 1000000L)),
       // BPE at x10: training cost is bound by the VOCABULARY (the x10
@@ -158,6 +183,13 @@ object BenchScale {
       // not n_chars), evidencing the dictionary-cost claim
       "ts25_bpe_train" -> (() => graft.ops.Bpe.train(
         docs, "doc_id", "text", nMerges = 8)),
+      // the production trainer at PRODUCTION merge depth: 256 merges in
+      // ONE Spark job (distributed weighted-vocabulary scan + exact
+      // driver-side rounds over the dictionary — the reference-trainer
+      // shape; trajectory == sequential, BpeSpec-pinned). train() here
+      // would be 256 full jobs — the round-12 job-count wall, removed.
+      "ts25c_bpe_local256" -> (() => graft.ops.Bpe.trainLocal(
+        docs, "doc_id", "text", nMerges = 256)),
       // build+probe of the inverted index at x10: posting lists only
       "ts24_bm25_probe" -> (() => graft.ops.Bm25Index
         .build(docs, "doc_id", "text")
@@ -171,13 +203,17 @@ object BenchScale {
       // writer-wins keep — the embedding twin of the lexical dedup
       // rows; threshold 0.9 separates the clone families (worst
       // within-family pair at ×30 is cos 0.953, cross-family max 0.36).
-      // The sem_dedup block below scores the kept set against the known
-      // family structure.
+      // probes=2: each vector's pair scan covers its 2 nearest cells, so
+      // clone families straddling a Lloyd boundary (the round-12 ×30
+      // one_kept_frac dip to 0.825 — two sub-families in adjacent cells
+      // never met) still meet in a shared host cell; join input ×2,
+      // still cell-local. The sem_dedup block below scores the kept set
+      // against the known family structure.
       "dd17b_semdedup_scale" -> (() => graft.ops.Similarity.semDedup(emb,
         "vec_id", "embedding",
         graft.ops.Similarity.ivfTrain(emb, "vec_id", "embedding", k = 64,
           iters = 2, trainLimit = Some(8192)),
-        threshold = 0.9, kernelAssign = true)),
+        threshold = 0.9, kernelAssign = true, probes = 2)),
       // CDC chunk ledger at x10: chunk text hashed away map-side, both
       // shuffles carry 32-byte hashes — linear in corpus bytes
       "dd21_cdc_dedup" -> (() => Dedup.cdcDedup(docs, "doc_id", "text",
@@ -280,19 +316,32 @@ object BenchScale {
         (cached.codes, (q, k) => cached.probe(q, k = k, nprobe = 24),
           Some((q, k, np) => cached.probe(q, k = k, nprobe = np)))
       }),
+      "sim7c_ivfpq_cell" -> (() => {
+        val idx = IvfPqCellPackedIndex.buildTrained(emb, "vec_id",
+          "embedding", kc = 64, m = 16, dims = 64, ksub = 256, iters = 2,
+          trainLimit = Some(8192), perCellTrainLimit = Some(2048),
+          assigns = 3)
+        val cached = idx.copy(codes = idx.codes.persist())
+        (cached.codes, (q, k) => cached.probe(q, k = k, nprobe = 16),
+          Some((q, k, np) => cached.probe(q, k = k, nprobe = np)))
+      }),
       "sim11_sq_topk" -> (() => {
         val idx = graft.ops.SqIndex.build(emb, "vec_id", "embedding", 64)
         val cached = idx.copy(codes = idx.codes.persist())
         (cached.codes, (q, k) => cached.probe(q, k = k), None)
       }))
-    // The IVFADC recall/probe-cost curve: mean rerank-recall over the
-    // query set as nprobe sweeps — the committed evidence for the sim7
-    // operating point (and for the honest verdict that on this
-    // unclustered corpus the curve plateaus below plain PQ: the
-    // residual-coding win assumes tight cells). Probed off sim7's recall
-    // build while its codes are still persisted — full runs only, and
-    // skipping sim7 skips the curve (SKIP's cost contract).
-    var nprobeCurve: Seq[(Int, Double)] = Nil
+    // The IVFADC recall/probe-cost curves: mean rerank-recall over the
+    // query set as nprobe sweeps — the committed evidence for the sim7 /
+    // sim7c operating points (sim7's shared-codebook curve plateaus at
+    // 0.946; sim7c's per-cell + redundant-assignment curve crosses 0.98
+    // by nprobe 12). Probed off each entry's recall build while its
+    // codes are still persisted — full runs only, and skipping an entry
+    // skips its curve (SKIP's cost contract).
+    val sweepPoints = Map(
+      "sim7_ivfpq_topk" -> Seq(8, 16, 24, 32),
+      "sim7c_ivfpq_cell" -> Seq(8, 12, 16, 24))
+    val nprobeCurves =
+      scala.collection.mutable.Map[String, Seq[(Int, Double)]]()
     val recalls: Seq[(String, Double, Double, Double)] =
       (caseFilter match {
         case None => recallDefs
@@ -315,14 +364,15 @@ object BenchScale {
               (e, b, r)
             }
             sweepProbe.filter(_ => caseFilter.isEmpty).foreach { sp =>
-              nprobeCurve = Seq(8, 16, 24, 32).map { np =>
+              nprobeCurves(name) = sweepPoints.getOrElse(name,
+                  Seq(8, 16, 24, 32)).map { np =>
                 val rrNp = recallQs.zip(truths).map { case (q, (truth, _)) =>
                   val reranked = ids(graft.ops.Similarity.rerankTopK(
                     sp(q, kRecall * 8, np), emb, "vec_id", "embedding", q,
                     kRecall))
                   truth.intersect(reranked).size.toDouble / truth.size
                 }.sum / recallQs.size
-                System.err.println(f"[scale] sim7 nprobe curve  " +
+                System.err.println(f"[scale] $name nprobe curve  " +
                   f"nprobe=$np%-3d rerank $rrNp%6.3f")
                 (np, rrNp)
               }
@@ -415,7 +465,7 @@ object BenchScale {
           "embedding",
           graft.ops.Similarity.ivfTrain(emb, "vec_id", "embedding",
             k = 64, iters = 2, trainLimit = Some(8192)),
-          threshold = 0.9, kernelAssign = true)
+          threshold = 0.9, kernelAssign = true, probes = 2)
         val perFam = kept
           .select(expr(s"vec_id div $factor").as("grp"))
           .groupBy(col("grp")).agg(count(lit(1)).as("kept"))
@@ -521,9 +571,10 @@ object BenchScale {
     val dupRecallJson = dupRecalls.map { case (n, pr, dr) =>
       s""""$n":{"pair":${f(pr)},"doc":${f(dr)}}"""
     }.mkString("{", ",", "}")
-    val curveJson = nprobeCurve.map { case (np, rr) =>
-      s""""$np":${f(rr)}"""
-    }.mkString("{", ",", "}")
+    def curveJson(name: String): String =
+      nprobeCurves.getOrElse(name, Nil).map { case (np, rr) =>
+        s""""$np":${f(rr)}"""
+      }.mkString("{", ",", "}")
     val semJson = semDedupStats.map { case (kept, fams, ok, dr) =>
       s"""{"kept":$kept,"families":$fams,"one_kept_frac":${f(ok)},""" +
         s""""drop_recall":${f(dr)}}"""
@@ -535,7 +586,8 @@ object BenchScale {
       s""""n_events":$nEvents,"cpus":$cpus,"skipped":$skippedJson,""" +
       s""""queries":$qs,"recall_queries":$nRecallQ,""" +
       s""""recall_at_$kRecall":$recallJson,""" +
-      s""""sim7_nprobe_curve":$curveJson,""" +
+      s""""sim7_nprobe_curve":${curveJson("sim7_ivfpq_topk")},""" +
+      s""""sim7c_nprobe_curve":${curveJson("sim7c_ivfpq_cell")},""" +
       s""""dup_recall":$dupRecallJson,"sem_dedup":$semJson,""" +
       s""""promote_cycle":$cycle,"sf":"$sfDir"}"""
     println(line)

@@ -337,6 +337,84 @@ object PlanAudit {
       println(f"${if (ok) "OK  " else "FAIL"}  ${"ts38_curation_pipeline"}%-22s " +
         "scrub+rules stages add zero exchanges over the passage scrub")
     }
+    // full curation front-end composition: PII scrub (ts36) + blocklist
+    // scrub (ts32/ts33) + heuristic stats gates + Gopher hard gates
+    // (ts37) composed in TextPipeline.curate must read the documents
+    // table EXACTLY ONCE — every stage is a projection/filter riding the
+    // same scan (the scrubs are expression-level automata, the stats and
+    // Gopher verdicts map-level token arithmetic), never a second pass
+    {
+      val plan = graft.ops.TextPipeline.curate(
+        Tables.documents(spark, sfDir), "doc_id", "text", "source",
+        graft.ops.CurationConfig(scrubPii = true,
+          blocklist = Seq("merge batch", "spark row"),
+          minTokens = 5, minQuality = 0.1, gopherGates = true,
+          dedupExact = false))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      // detail-section headers only — the tree line repeats the name
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+      val ok = scans == 1 && plan.contains("blocklist_scrub")
+      if (!ok) {
+        failed += 1
+        println(s"curate scans=$scans")
+        println(plan.linesIterator.take(60).mkString("\n"))
+      }
+      println(f"${if (ok) "OK  " else "FAIL"}  ${"curate_frontend"}%-22s " +
+        "PII+blocklist+stats+Gopher gates are ONE documents scan")
+      spark.catalog.clearCache()
+    }
+    // PageRank iteration shape: the pinned u-partitioned adjacency cache
+    // must make a round's plan reuse the edge layout — strictly fewer
+    // SHUFFLES than the unpinned counterfactual (whose broadcasted
+    // degree join leaves eDeg in file layout, so every round's rank
+    // join re-shuffles the whole edge table), and few in absolute
+    // terms (rank-flow only). Counted on the physical plan TREE
+    // (ShuffleExchangeExec nodes; InMemoryTableScan is a leaf, so the
+    // adjacency BUILD's one-time exchanges inside the cached relation
+    // never count — a plan-string grep would see them and invert the
+    // comparison). Broadcast + AQE are off at round-plan time to model
+    // the at-scale case: the 400-row fixture's ranks would broadcast
+    // and mask the edge-table re-shuffle that dominates at real |V|;
+    // the caches are built BEFORE the flip, exactly as pageRank does.
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit}
+      val pairs = (1L to 400L)
+        .map(i => (i, (i % 37) + 1000L)).toDF("id_a", "id_b")
+      def roundShuffles(pin: Boolean): Int = {
+        val (eDeg, nodes) = graft.ops.Dedup.pageRankAdjacency(pairs, pin)
+        eDeg.count(); nodes.count() // materialize the caches
+        val ranks = org.apache.spark.sql.graftbridge.PlanBridge
+          .truncated(nodes.select(col("id"), lit(100L).as("r"))).persist()
+        ranks.count()
+        val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val n = try {
+          graft.ops.Dedup.pageRankRound(eDeg, nodes, ranks, 1L)
+            .queryExecution.executedPlan.collect {
+              case e: org.apache.spark.sql.execution.exchange
+                  .ShuffleExchangeExec => e
+            }.size
+        } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+        ranks.unpersist()
+        n
+      }
+      val pinned = roundShuffles(pin = true)
+      val plain = roundShuffles(pin = false)
+      graft.ops.Dedup.releaseCaches()
+      val ok = pinned < plain && pinned <= 3
+      if (!ok) {
+        failed += 1
+        println(s"pageRank round exchanges: pinned=$pinned plain=$plain")
+      }
+      println(f"${if (ok) "OK  " else "FAIL"}  ${"pagerank_round"}%-22s " +
+        s"pinned adjacency removes the per-round edge shuffle " +
+        s"($pinned vs $plain round shuffles)")
+      spark.catalog.clearCache()
+    }
     // catalog fact-table layout: a time-range read over bucketed appends
     // must plan a partition filter on the derived bucket column
     {

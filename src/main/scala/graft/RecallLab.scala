@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{IvfPqIndex, IvfPqSharedPackedIndex, PqPackedIndex,
-  ScaleStress, Similarity}
+import graft.ops.{IvfPqCellPackedIndex, IvfPqIndex, IvfPqSharedPackedIndex,
+  PqPackedIndex, ScaleStress, Similarity}
 
 /** Dev harness for the ANN speed/recall trade: replays BenchScale's
   * recall@k measurement (exact / base-neighborhood / rerank views, same
@@ -81,6 +81,16 @@ object RecallLab {
             trainLimit = p.get("train").filter(_ > 0))
           idx.codes.cache().count()
           (q, kk) => idx.probe(q, k = kk, nprobe = opt(p, "nprobe", 8))
+        case "ivfpq_cell" =>
+          val idx = IvfPqCellPackedIndex.buildTrained(emb, "vec_id",
+            "embedding", kc = opt(p, "kc", 64), m = opt(p, "m", 16),
+            dims = 64, ksub = opt(p, "ksub", 256),
+            iters = opt(p, "iters", 3),
+            trainLimit = p.get("train").filter(_ > 0),
+            perCellTrainLimit = p.get("celltrain").filter(_ > 0),
+            assigns = opt(p, "assigns", 1))
+          idx.codes.cache().count()
+          (q, kk) => idx.probe(q, k = kk, nprobe = opt(p, "nprobe", 8))
         case "ivfpq_seeded" =>
           val idx = IvfPqIndex.build(emb, "vec_id", "embedding",
             kc = opt(p, "kc", 16), m = opt(p, "m", 8), dims = 64,
@@ -89,7 +99,7 @@ object RecallLab {
           (q, kk) => idx.probe(q, k = kk, nprobe = opt(p, "nprobe", 4))
         case other =>
           sys.error(s"unknown variant kind '$other' (want pq | ivfpq | " +
-            "ivfpq_seeded), e.g. pq:m=16,ksub=256")
+            "ivfpq_cell | ivfpq_seeded), e.g. pq:m=16,ksub=256")
       }
       val rerankMult = opt(p, "rr", 8)
       val tBuild = (System.nanoTime() - t0) / 1e9

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -87,6 +88,28 @@ object QuantKernels {
     */
   private[graft] def ltNanGreatest(a: Double, b: Double): Boolean =
     a < b || (b != b && a == a)
+
+  /** Shared analysis-time check: the kernel input must be an array of a
+    * numeric type [[toDoubles]] can decode — anything else fails at
+    * analysis with the expression name instead of a runtime
+    * ClassCastException on an executor.
+    */
+  private[graft] def checkNumericArray(t: DataType,
+      name: String): TypeCheckResult = t match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<float|double|int|bigint>, got " +
+        other.catalogString)
+  }
+
+  /** Analysis-time check for packed code inputs: array<bigint>. */
+  private[graft] def checkCodesArray(t: DataType,
+      name: String): TypeCheckResult = t match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects codes array<bigint>, got " + other.catalogString)
+  }
 }
 
 /** Collected coarse-centroid table: ids ASCENDING (the tie-break order),
@@ -119,6 +142,24 @@ final class CodebooksLocal(val ids: Array[Array[Long]],
   override def toString: String = s"codebooks(m=$m,ksub=${ids(0).length})"
 }
 
+/** Collected PER-CELL PQ codebooks (classic IVFADC with local codebooks:
+  * each coarse cell quantizes its residuals against its OWN trained
+  * codebook set). Sidecar bound: kc·m·ksub codewords — suits moderate
+  * kc·ksub products (the bench shape, 64·256, is ~8 MB); at the kc where
+  * the product outgrows a broadcast sidecar, the SHARED-codebook family
+  * ([[CodebooksLocal]] + [[AdcDistCell]]) is the scale choice — that
+  * trade is exactly FAISS's shared-vs-local codebook knob.
+  */
+final class CellCodebooksLocal(val m: Int,
+    val cells: scala.collection.mutable.LongMap[CodebooksLocal])
+    extends Serializable {
+  require(cells.nonEmpty, "empty per-cell codebooks")
+  cells.foreach { case (cid, cb) =>
+    require(cb.m == m, s"cell $cid has ${cb.m} subspaces, expected $m")
+  }
+  override def toString: String = s"cell_codebooks(m=$m,kc=${cells.size})"
+}
+
 /** Argmax-cosine cell id — the kernel twin of [[graft.ops.Similarity.assign]]:
   * sim = dot/(|v|·|c|) with NaN (zero-norm either side) mapped to −∞ so a
   * degenerate centroid never wins, ties to the LOWEST centroid id. One
@@ -129,6 +170,9 @@ case class NearestCentroidId(child: Expression, cents: CentroidsLocal)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    QuantKernels.checkNumericArray(child.dataType, prettyName)
 
   @transient private lazy val elemT =
     child.dataType.asInstanceOf[ArrayType].elementType
@@ -156,6 +200,68 @@ case class NearestCentroidId(child: Expression, cents: CentroidsLocal)
     copy(child = c)
 }
 
+/** The p NEAREST cell ids of a vector, best first — the multi-probe /
+  * multi-assignment generalization of [[NearestCentroidId]] under the
+  * identical ordering (cosine desc with NaN→−∞, ties to the LOWEST
+  * centroid id; position 0 equals [[NearestCentroidId]] exactly).
+  * Serves two scale paths: SPANN-style redundant assignment (a vector's
+  * codes are stored in its p nearest inverted lists, so a fixed nprobe
+  * misses fewer true neighbors on loosely clustered corpora) and
+  * multi-cell SemDeDup pair scans (clone families straddling a Lloyd
+  * boundary still meet in SOME shared cell). Returns array<long> of
+  * min(p, kc) ids.
+  */
+case class NearestCentroidIds(child: Expression, cents: CentroidsLocal,
+    p: Int) extends UnaryExpression with CodegenFallback {
+  require(p >= 1, s"need at least one probe cell, got $p")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    QuantKernels.checkNumericArray(child.dataType, prettyName)
+
+  @transient private lazy val elemT =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(in: Any): Any = {
+    val v = QuantKernels.toDoubles(in.asInstanceOf[ArrayData], elemT)
+    val va = math.sqrt(QuantKernels.selfDot(v))
+    val n = math.min(p, cents.ids.length)
+    val topSim = new Array[Double](n)
+    val topId = new Array[Long](n)
+    var filled = 0
+    var k = 0
+    while (k < cents.ids.length) {
+      val np = va * cents.norms(k)
+      var sim = Double.NegativeInfinity
+      if (np != 0.0) {
+        val s0 = QuantKernels.dot(v, cents.vecs(k)) / np
+        if (s0 == s0) sim = s0
+      }
+      // insertion position: strictly-better sims move up; equal sims
+      // keep the earlier (lower) id first — ids iterate ascending, so
+      // this IS the (sim desc, id asc) order
+      if (filled < n || sim > topSim(n - 1)) {
+        var pos = if (filled < n) filled else n - 1
+        while (pos > 0 && sim > topSim(pos - 1)) {
+          topSim(pos) = topSim(pos - 1); topId(pos) = topId(pos - 1)
+          pos -= 1
+        }
+        topSim(pos) = sim; topId(pos) = cents.ids(k)
+        if (filled < n) filled += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(
+      if (filled == n) topId
+      else java.util.Arrays.copyOfRange(topId, 0, filled))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** All m PQ codes of a vector in one pass — the kernel twin of
   * [[graft.ops.Similarity.pqEncode]]: per subspace j the code minimizing
   * |c|² − 2·v_j·c (the |v_j|² term is constant under the argmin), NaN
@@ -167,6 +273,9 @@ case class PqCodes(child: Expression, cb: CodebooksLocal, sd: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    QuantKernels.checkNumericArray(child.dataType, prettyName)
 
   @transient private lazy val elemT =
     child.dataType.asInstanceOf[ArrayType].elementType
@@ -200,6 +309,69 @@ case class PqCodes(child: Expression, cb: CodebooksLocal, sd: Int)
     copy(child = c)
 }
 
+/** All m PQ codes of a residual against ITS OWN cell's codebooks — the
+  * kernel twin of [[graft.ops.Similarity.ivfPqEncode]] (the relational
+  * per-cell encoder the sim7 oracle replays): per subspace j, the code of
+  * the probed cell's codebook minimizing |c|² − 2·r_j·c, NaN scores lose,
+  * ties to the LOWEST code id — identical discipline to [[PqCodes]], the
+  * codebook lookup keyed by the row's cell. NULL for a cell with no
+  * codebook (a cell empty at build time has no quantizer — callers either
+  * guarantee coverage, as a build over the same corpus does, or treat
+  * NULL as un-indexable). Returns array<long> of length m.
+  */
+case class PqCodesCell(left: Expression, right: Expression,
+    cb: CellCodebooksLocal, sd: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_codes_cell"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a bigint cell id, got " +
+          left.dataType.catalogString)
+    else QuantKernels.checkNumericArray(right.dataType, prettyName)
+
+  @transient private lazy val elemT =
+    right.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(cell: Any, in: Any): Any = {
+    val cbc = cb.cells.getOrNull(cell.asInstanceOf[Long])
+    if (cbc == null) null
+    else {
+      val v = QuantKernels.toDoubles(in.asInstanceOf[ArrayData], elemT)
+      val out = new Array[Long](cbc.m)
+      var j = 0
+      while (j < cbc.m) {
+        val off = j * sd
+        val ids = cbc.ids(j)
+        val cws = cbc.vecs(j)
+        val ccs = cbc.ccs(j)
+        var bestScore =
+          ccs(0) - 2.0 * QuantKernels.sliceDot(v, off, sd, cws(0))
+        var bestCode = ids(0)
+        var k = 1
+        while (k < ids.length) {
+          val score =
+            ccs(k) - 2.0 * QuantKernels.sliceDot(v, off, sd, cws(k))
+          if (QuantKernels.ltNanGreatest(score, bestScore)) {
+            bestScore = score; bestCode = ids(k)
+          }
+          k += 1
+        }
+        out(j) = bestCode
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Per-subspace ADC lookup tables for one query: tabs(j) maps code id →
   * the query's squared-L2 contribution in subspace j, exactly the dj
   * values the relational distance table carries.
@@ -225,6 +397,9 @@ case class AdcDist(child: Expression, tabs: AdcTablesLocal)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "adc_dist"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    QuantKernels.checkCodesArray(child.dataType, prettyName)
 
   override protected def nullSafeEval(in: Any): Any = {
     val codes = in.asInstanceOf[ArrayData]
@@ -271,6 +446,13 @@ case class AdcDistCell(left: Expression, right: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "adc_dist_cell"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a bigint cell id, got " +
+          left.dataType.catalogString)
+    else QuantKernels.checkCodesArray(right.dataType, prettyName)
+
   override protected def nullSafeEval(cell: Any, codesIn: Any): Any = {
     val perCell = tabs.cells.getOrNull(cell.asInstanceOf[Long])
     if (perCell == null) null
@@ -302,8 +484,17 @@ object QuantKernelCols {
     ColumnBridge.column(
       NearestCentroidId(ColumnBridge.expression(vec), cents))
 
+  def nearestCentroids(vec: Column, cents: CentroidsLocal, p: Int): Column =
+    ColumnBridge.column(
+      NearestCentroidIds(ColumnBridge.expression(vec), cents, p))
+
   def pqCodes(vec: Column, cb: CodebooksLocal, sd: Int): Column =
     ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), cb, sd))
+
+  def pqCodesCell(cell: Column, vec: Column, cb: CellCodebooksLocal,
+      sd: Int): Column =
+    ColumnBridge.column(PqCodesCell(ColumnBridge.expression(cell),
+      ColumnBridge.expression(vec), cb, sd))
 
   def adcDist(codes: Column, tabs: AdcTablesLocal): Column =
     ColumnBridge.column(AdcDist(ColumnBridge.expression(codes), tabs))

@@ -243,6 +243,17 @@ object Dedup {
     * 8-byte shingle hash over hot occurrences only. Exact verification
     * downstream is unchanged — surfaced pairs always carry true
     * similarity; chaining only widens WHICH true pairs can surface.
+    *
+    * SKEW BOUND: the lag window sorts each hot bucket on ONE task —
+    * candidate count is O(df) but the per-key sort is single-task
+    * O(df · log df), unbounded by `maxDocFreq` (that cap gates which
+    * buckets are hot, not how big a hot bucket is). A single
+    * mega-shingle occurring in a large fraction of a 100 TB corpus
+    * makes that task the straggler. When bucket sizes can reach that
+    * regime, pre-filter such stop-shingles out (they carry no dedup
+    * signal — any doc pair collides on them) or derive predecessors
+    * with a salted range-bucketed sort with boundary stitching; the
+    * star source (bucket-minimum pairing) is skew-free either way.
     */
   def jaccardPairsCappedChain(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double, maxDocFreq: Int)
@@ -438,6 +449,31 @@ object Dedup {
     selfPairs(banded, sets, threshold)
   }
 
+  /** [[minhashLshPairs]] with a ONE-PERMUTATION signature
+    * (TextExprs.ophSig: one universal rehash per shingle routed into
+    * `numHashes` bins, empty bins densified by rotation) — the hashing
+    * pass drops from O(shingles × numHashes) to O(shingles), the cost
+    * that dominates signature building on long documents at corpus
+    * scale. Banding, candidate join and the exact-Jaccard verify are
+    * [[selfPairs]] verbatim, so every emitted pair is TRUE at
+    * `threshold` regardless of signature flavor — only candidate
+    * recall can differ from the classic signature (OPH bin minima are
+    * a slightly higher-variance Jaccard estimator at small
+    * `numHashes`; Li, Owen & Zhang, NIPS 2012).
+    */
+  def ophLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val base = df
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig",
+        graft.functions.TextExprs.ophSig(col("sh"), numHashes))
+    tracked(base)
+    selfPairs(bandedOf(base, numHashes, rowsPerBand),
+      base.select(col("doc"), col("sh"), col("sig")), threshold)
+  }
+
   /** Banded self-join + exact-Jaccard verify over (banded, sets) index
     * tables — THE pair-finding implementation, shared by
     * [[minhashLshPairs]], [[indexPairs]] and incremental batch
@@ -558,28 +594,62 @@ object Dedup {
     */
   def pageRank(pairs: DataFrame, idCol: String, iters: Int = 3,
       scale: Long = 1000000000000L): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val eDeg = tracked(edges.join(deg, Seq("u")))
-    val nodes = tracked(deg.select(col("u").as("id")))
+    val (eDeg, nodes) = pageRankAdjacency(pairs)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty graph")
     val base = 15L * scale / 100L / n
     var ranks = roundCache(nodes.select(col("id"), lit(scale / n).as("r")))
     for (_ <- 1 to iters) {
-      val inflow = eDeg.join(ranks, col("u") === col("id"))
-        .select(col("v"), expr("r div deg").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("s"))
       val prev = ranks
-      ranks = roundCache(nodes.join(inflow, col("id") === col("v"), "left")
-        .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
-            .as("r")))
+      ranks = roundCache(pageRankRound(eDeg, nodes, ranks, base))
       ranks.count() // materialize before dropping the round we read from
       prev.unpersist()
     }
     ranks.select(col("id").as(idCol), col("r").as("rank_fp"))
+  }
+
+  /** The prepared PageRank adjacency: (eDeg, nodes), both cached. The
+    * adjacency's hash layout is pinned on u ONCE (explicit partition
+    * count so AQE can't coalesce it, sorted within partitions so a
+    * sort-merge iteration join reads it sort-free): the degree join
+    * broadcasts at typical |V| sizes, which would leave eDeg in the
+    * file layout and every iteration's rank join re-shuffling the FULL
+    * edge table — the one-time layout shuffle replaces `iters`
+    * edge-table shuffles, the catalog-bucketize trade applied to
+    * iteration state (PlanAudit asserts the round-plan shape).
+    * `pin = false` skips the layout repartition — audit-only, the
+    * counterfactual PlanAudit measures the pinned layout against.
+    */
+  private[graft] def pageRankAdjacency(pairs: DataFrame,
+      pin: Boolean = true): (DataFrame, DataFrame) = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val joined = edges.join(deg, Seq("u"))
+    val shufN = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val eDeg = tracked(
+      if (pin) joined.repartition(shufN, col("u"))
+        .sortWithinPartitions(col("u"))
+      else joined)
+    (eDeg, tracked(deg.select(col("u").as("id"))))
+  }
+
+  /** One PageRank round over the prepared (u-partitioned, cached)
+    * adjacency — split out so PlanAudit can assert the iteration shape
+    * on a plan object: the rank join reuses the edge table's OWN cached
+    * hash layout (no edge-table exchange), so a round's exchanges are
+    * rank-flow-sized only (the ranks-to-join shuffle and the inflow
+    * aggregate), never edge-table-sized.
+    */
+  private[graft] def pageRankRound(eDeg: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, base: Long): DataFrame = {
+    val inflow = eDeg.join(ranks, col("u") === col("id"))
+      .select(col("v"), expr("r div deg").as("c"))
+      .groupBy(col("v")).agg(sum(col("c")).as("s"))
+    nodes.join(inflow, col("id") === col("v"), "left")
+      .select(col("id"),
+        (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+          .as("r"))
   }
 
   /** Banded MinHash index of a STATIC corpus for incremental near-dup

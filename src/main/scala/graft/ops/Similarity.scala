@@ -144,22 +144,28 @@ object Similarity {
 
   /** IVF (inverted-file) coarse quantizer: k-means centroids trained with
     * a fixed number of Lloyd iterations as pure DataFrame aggregations —
-    * deterministic (seed-free: initial centroids are the first k vectors
-    * by id), so index builds are reproducible. Returns the centroid table
-    * (centroid_id, centroid: array<double>).
+    * deterministic AND seed-free: initial centroids are the first k
+    * vectors under the [[spreadKey]] golden-ratio ordering (a
+    * deterministic pseudo-random draw, immune to id-clustered corpora;
+    * see [[ivfSpreadSeedCentroids]]). When `trainLimit` is set, BOTH the
+    * seeds and every Lloyd iteration run over that bounded spread-sample
+    * — k-means quality depends on points-per-centroid, not corpus size,
+    * so the train scan must not grow with the corpus (the 100 TB shape;
+    * FAISS trains its quantizers the same way). Returns the centroid
+    * table (centroid_id, centroid: array<double>) as a materialized
+    * local relation — the training sample's cache is released before
+    * returning, so repeated builds (RecallLab sweeps, buildTrained
+    * callers) leak no executor storage.
     *
     * At scale each iteration is one scan + one groupBy(centroid) shuffle;
     * k centroids broadcast to the scan.
     */
   def ivfTrain(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 3, trainLimit: Option[Int] = None): DataFrame = {
-    // Lloyd iterations run over a bounded spread-sample when trainLimit
-    // is set (points-per-centroid, not corpus size, governs quality —
-    // the 100 TB shape); seeds come from the spread ordering so an
-    // id-clustered corpus cannot collapse the initial codebook (see
-    // [[spreadKey]]).
-    val train = trainLimit.map(spreadSample(df, idCol, _).cache())
-      .getOrElse(df)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cached = trainLimit.map(spreadSample(df, idCol, _).cache())
+    val train = cached.getOrElse(df)
     var centroids = ivfSpreadSeedCentroids(train, idCol, vecCol, k)
     for (_ <- 0 until iters) {
       // the k-row centroid table is collected and assignment runs as the
@@ -182,7 +188,15 @@ object Similarity {
         .select(col("centroid_id"),
           transform(col("dm"), s => s.getField("m")).as("centroid"))
     }
-    centroids
+    // materialize the final table (k rows — sidecar scale) so the train
+    // sample's cache can be released NOW rather than leaking until the
+    // caller's first action (same values, bit-for-bit: collect reorders
+    // nothing, and the rows were computed before unpersist)
+    val local = collectCentroids(centroids)
+    cached.foreach { c => c.unpersist(); () }
+    local.ids.indices
+      .map(i => (local.ids(i), local.vecs(i).toSeq))
+      .toDF("centroid_id", "centroid")
   }
 
   /** Assign each vector to its nearest centroid (max cosine; deterministic
@@ -293,8 +307,8 @@ object Similarity {
     import spark.implicits._
     val sd = dims / m
     // bounded spread-sample training + spread seeding, as [[ivfTrain]]
-    val train = trainLimit.map(spreadSample(df, idCol, _).cache())
-      .getOrElse(df)
+    val cached = trainLimit.map(spreadSample(df, idCol, _).cache())
+    val train = cached.getOrElse(df)
     var codebooks = pqSpreadSeedCodebooks(train, idCol, vecCol, m, dims, ksub)
     for (_ <- 0 until iters) {
       // nearest codeword per (vector, subspace) via the kernel twin of
@@ -331,7 +345,13 @@ object Similarity {
         .select(col("sub"), col("centroid_id"),
           coalesce(col("refined"), col("centroid")).as("centroid"))
     }
-    codebooks
+    // materialize (m·ksub rows — sidecar scale) and release the train
+    // sample's cache before returning, as [[ivfTrain]]
+    val local = collectCodebooks(codebooks, m)
+    cached.foreach { c => c.unpersist(); () }
+    local.ids.indices.flatMap(j => local.ids(j).indices.map(kk =>
+        (j, local.ids(j)(kk), local.vecs(j)(kk).toSeq)))
+      .toDF("sub", "centroid_id", "centroid")
   }
 
   /** PQ-encode the corpus: per (vector, subspace), the codebook entry
@@ -786,18 +806,40 @@ object Similarity {
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double,
-      kernelAssign: Boolean = false): DataFrame = {
+      kernelAssign: Boolean = false, probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"need at least one probe cell, got $probes")
     // kernelAssign: evaluate the cell argmax through the map-only
     // kernel twin (bit-identical, spec-pinned) instead of the
     // crossJoin + argmax shuffle — the at-scale choice; default stays
     // the relational oracle-replayable form the dd17 gate exercises
     val assigned =
-      if (kernelAssign) assignFast(df, idCol, vecCol, centroids)
+      if (kernelAssign || probes > 1)
+        assignFast(df, idCol, vecCol, centroids)
       else assign(df, idCol, vecCol, centroids)
     val cells = df.select(col(idCol), col(vecCol))
       .join(assigned, Seq(idCol))
-    val sides = cells.select(col(idCol).as("id"), col("centroid_id"),
-      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    // probes > 1: the pair scan runs over each vector's `probes` nearest
+    // cells instead of only the argmax cell, so a clone family straddling
+    // a Lloyd boundary (the measured ×30 one_kept_frac dip: two
+    // sub-families in adjacent cells never meet) still meets in SOME
+    // shared host cell. The kept rows keep the PRIMARY (argmax) cell —
+    // output schema and keep rule are unchanged, only the candidate
+    // generation widens (×probes join input; pairs seen through two
+    // shared cells dedup in the DISTINCT below). probes=1 keeps the
+    // exact dd17-gated plan.
+    val sides =
+      if (probes == 1)
+        cells.select(col(idCol).as("id"), col("centroid_id"),
+          col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      else {
+        val local = collectCentroids(centroids)
+        df.select(col(idCol).as("id"), col(vecCol).as("v"),
+            norm(col(vecCol)).as("nrm"),
+            explode(graft.functions.QuantKernelCols
+              .nearestCentroids(col(vecCol), local, probes))
+              .as("centroid_id"))
+          .select(col("id"), col("centroid_id"), col("v"), col("nrm"))
+      }
     val dropped = sides.as("a").join(sides.as("b"),
         col("a.centroid_id") === col("b.centroid_id")
           && col("a.id") < col("b.id"))
@@ -1309,6 +1351,238 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------- per-cell codebooks (IVFADC)
+  //
+  // The shared-codebook family above quantizes EVERY cell's residuals
+  // against one codebook set — broadcast-minimal, but on loosely
+  // clustered corpora the residual distribution differs per cell and the
+  // shared quantizer averages across them (the measured sim7 recall
+  // plateau: rerank 0.946 at nprobe 32+ while plain PQ reranks to 0.988).
+  // Per-cell codebooks train each cell's quantizer on that cell's own
+  // residuals — classic IVFADC with local codebooks — trading a kc-fold
+  // bigger (still sidecar-bounded; see CellCodebooksLocal) quantizer for
+  // much tighter residual coding. The relational per-cell forms
+  // (ivfPqSeedCodebooks / ivfPqEncode / ivfPqTopK) already carry the sim7
+  // oracle; these are their TRAINED, kernel-packed production twins.
+
+  /** Collect a per-cell codebook table (centroid_id, sub, code_id,
+    * codeword) into the kernel holder — per cell, per subspace, code ids
+    * ascending (the tie-break order). kc·m·ksub rows: sidecar scale for
+    * moderate kc·ksub (see [[graft.functions.CellCodebooksLocal]]).
+    */
+  def collectCellCodebooks(cb: DataFrame, m: Int)
+      : graft.functions.CellCodebooksLocal = {
+    val rows = cb.select(col("centroid_id"), col("sub"), col("code_id"),
+        col("codeword"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getSeq[Double](3).toArray))
+    val cells = new scala.collection.mutable.LongMap[
+      graft.functions.CodebooksLocal]
+    rows.groupBy(_._1).foreach { case (cid, rs) =>
+      val bySub = rs.groupBy(_._2)
+      val perSub = Array.tabulate(m) { j =>
+        bySub.getOrElse(j, Array.empty[(Long, Int, Long, Array[Double])])
+          .sortBy(_._3)
+      }
+      cells(cid) = new graft.functions.CodebooksLocal(
+        perSub.map(_.map(_._3)), perSub.map(_.map(_._4)))
+    }
+    new graft.functions.CellCodebooksLocal(m, cells)
+  }
+
+  /** Per-CELL Lloyd-trained residual codebooks — classic IVFADC with
+    * local codebooks: every cell's subspace-j quantizer trains on THAT
+    * cell's residual slices only, all kc·m codebooks in the SAME
+    * distributed loop ((centroid_id, sub) is just the grouping key, so
+    * one scan + one shuffle per iteration trains everything). Seeds are
+    * each cell's first `ksub` members under the [[spreadKey]] ordering
+    * (code_id = dense rank 0..ksub−1), and when `perCellTrainLimit` is
+    * set each cell trains on at most that many members — points-per-
+    * codeword governs quality, so the train scan stays bounded per cell
+    * no matter the corpus (the 100 TB shape). Deterministic like
+    * [[pqTrain]] and like it spec-tested rather than oracle-gated
+    * (iterative means are float-order-sensitive); the SEEDED per-cell
+    * variant ([[ivfPqSeedCodebooks]]) carries the sim7 oracle.
+    *
+    * Skew note: the per-cell rank window sorts each cell's sampled
+    * members on one task — cells are ~N/kc rows, so a degenerate coarse
+    * quantizer (one cell swallowing the corpus) would straggle; the
+    * spread-seeded Lloyd coarse quantizer upstream is what bounds that.
+    *
+    * Returns (centroid_id, sub, code_id, codeword) — kc·m·ksub rows,
+    * materialized local (train-sample cache released before returning).
+    */
+  def ivfPqTrainPerCell(residuals: DataFrame, idCol: String, m: Int,
+      dims: Int, ksub: Int, iters: Int = 3,
+      perCellTrainLimit: Option[Int] = None): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by $m subspaces")
+    val sd = dims / m
+    val spark = residuals.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id"))
+      .orderBy(spreadKey(col(idCol)), col(idCol))
+    val ranked = residuals
+      .select(col(idCol), col("centroid_id"), col("resid"))
+      .withColumn("__rn", row_number().over(w))
+    // the sample must at least cover the seeds
+    val bound = perCellTrainLimit.map(n => math.max(n, ksub))
+    val train = bound.map(n => ranked.where(col("__rn") <= n))
+      .getOrElse(ranked).cache()
+    var cb = train.where(col("__rn") <= ksub)
+      .select(col("centroid_id"),
+        (col("__rn") - 1).cast("long").as("code_id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"),
+            slice(col("resid"), j * sd + 1, sd).as("cw"))): _*)).as("sc"))
+      .select(col("centroid_id"), col("sc.sub").as("sub"), col("code_id"),
+        col("sc.cw").as("codeword"))
+    for (_ <- 0 until iters) {
+      // per-cell kernel argmin (map-only, all m subspaces in one pass) —
+      // the same no-join, no-plan-nesting discipline as [[pqTrain]]
+      val local = collectCellCodebooks(cb, m)
+      val assigned = train
+        .select(col("centroid_id"),
+          posexplode(graft.functions.QuantKernelCols.pqCodesCell(
+            col("centroid_id"), col("resid"), local, sd))
+            .as(Seq("sub", "code_id")),
+          col("resid"))
+        .select(col("centroid_id"), col("sub"), col("code_id"),
+          slice(col("resid"), col("sub") * lit(sd) + lit(1), lit(sd))
+            .as("v"))
+      val means = assigned
+        .select(col("centroid_id"), col("sub"), col("code_id"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("sub"), col("code_id"), col("dim"))
+        .agg(avg(col("x")).as("mu"))
+        .groupBy(col("centroid_id"), col("sub"), col("code_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mu"))))
+          .as("dm"))
+        .select(col("centroid_id"), col("sub"), col("code_id"),
+          transform(col("dm"), s => s.getField("mu")).as("refined"))
+      val prior = local.cells.toSeq.flatMap { case (cid, cbc) =>
+        cbc.ids.indices.flatMap(j => cbc.ids(j).indices.map(kk =>
+          (cid, j, cbc.ids(j)(kk), cbc.vecs(j)(kk).toSeq)))
+      }.toDF("centroid_id", "sub", "code_id", "codeword")
+      // empty codes keep their previous codeword, as [[pqTrain]]
+      cb = prior.join(means, Seq("centroid_id", "sub", "code_id"), "left")
+        .select(col("centroid_id"), col("sub"), col("code_id"),
+          coalesce(col("refined"), col("codeword")).as("codeword"))
+    }
+    val local = collectCellCodebooks(cb, m)
+    train.unpersist()
+    local.cells.toSeq.flatMap { case (cid, cbc) =>
+      cbc.ids.indices.flatMap(j => cbc.ids(j).indices.map(kk =>
+        (cid, j, cbc.ids(j)(kk), cbc.vecs(j)(kk).toSeq)))
+    }.toDF("centroid_id", "sub", "code_id", "codeword")
+  }
+
+  /** Multi-assignment residuals — SPANN-style redundant assignment: each
+    * vector lands in its `r` nearest cells (kernel top-p, [[spreadKey]]-
+    * free and deterministic: cosine desc, id asc — position 0 is exactly
+    * the single-assignment cell), with the residual computed against EACH
+    * host cell. Storage and encode cost grow ×r; what it buys is probe
+    * recall at fixed nprobe on loosely clustered corpora, where a true
+    * neighbor's single cell often ranks outside the query's probe set but
+    * one of its r host cells ranks inside. One corpus scan, broadcast
+    * joins only — zero shuffle, like [[ivfResidualsFast]].
+    */
+  def ivfResidualsMultiFast(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, r: Int): DataFrame = {
+    val local = collectCentroids(centroids)
+    df.select(col(idCol),
+        explode(graft.functions.QuantKernelCols
+          .nearestCentroids(col(vecCol), local, r)).as("centroid_id"),
+        col(vecCol))
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"),
+        residual(col(vecCol), col("centroid")).as("resid"))
+  }
+
+  /** Kernel encode against per-cell codebooks in PACKED layout:
+    * (id, centroid_id, codes array<long>) — one map-only projection, the
+    * per-cell twin of [[ivfPqEncodeSharedPacked]]. A row whose cell has
+    * no codebook (impossible when the codebooks were trained over this
+    * corpus's own residuals) encodes to NULL codes.
+    */
+  def ivfPqEncodeCellPacked(residuals: DataFrame, idCol: String,
+      local: graft.functions.CellCodebooksLocal, dims: Int): DataFrame = {
+    require(dims % local.m == 0,
+      s"dims $dims not divisible by ${local.m} subspaces")
+    residuals.select(col(idCol), col("centroid_id"),
+      graft.functions.QuantKernelCols.pqCodesCell(col("centroid_id"),
+        col("resid"), local, dims / local.m).as("codes"))
+  }
+
+  /** Packed PER-CELL IVFADC probe — the trained-local-codebook twin of
+    * [[ivfPqTopKSharedPacked]]: cells ranked driver-side (same
+    * cosine/NaN/tie ordering as the relational [[ivfPqTopK]]), one ADC
+    * table family per probed cell built from that cell's OWN codebook
+    * against the query's residual in that cell, then a partition-prunable
+    * `centroid_id IN (probed)` filter + map-only distance + TakeOrdered.
+    * Shuffles nothing; scan cost is the probed lists.
+    */
+  def ivfPqTopKCellPacked(codes: DataFrame,
+      cents: graft.functions.CentroidsLocal,
+      cellCb: graft.functions.CellCodebooksLocal, query: Seq[Float], k: Int,
+      nprobe: Int, idCol: String = "vec_id",
+      dedupIds: Boolean = false): DataFrame = {
+    val K = graft.functions.QuantKernels
+    val dims = query.length
+    require(dims % cellCb.m == 0,
+      s"query has $dims dims, not divisible into ${cellCb.m} subspaces — " +
+        "wrong query length for this index")
+    val sd = dims / cellCb.m
+    val qd = query.map(_.toDouble).toArray
+    val qn = math.sqrt(K.selfDot(qd))
+    val ranked = cents.ids.indices.map { i =>
+      val np = cents.norms(i) * qn
+      val s0 = if (np == 0.0) Double.NaN else K.dot(cents.vecs(i), qd) / np
+      ((if (s0 != s0) Double.NegativeInfinity else s0), cents.ids(i), i)
+    }.sortBy { case (s, id, _) => (-s, id) }.take(nprobe)
+    val cellTabs = new scala.collection.mutable.LongMap[Array[
+      scala.collection.mutable.LongMap[Double]]]
+    ranked.foreach { case (_, cid, ci) =>
+      val cbc = cellCb.cells.getOrNull(cid)
+      // a probed cell with no codebook was empty at build — it has no
+      // codes either, so skipping its tables drops nothing
+      if (cbc != null) {
+        val cent = cents.vecs(ci)
+        val rq = Array.tabulate(dims)(i => qd(i) - cent(i))
+        cellTabs(cid) = Array.tabulate(cellCb.m) { j =>
+          val rqj = java.util.Arrays.copyOfRange(rq, j * sd, j * sd + sd)
+          val qq = K.selfDot(rqj)
+          val t = new scala.collection.mutable.LongMap[Double](
+            math.max(8, cbc.ids(j).length * 2))
+          var kk = 0
+          while (kk < cbc.ids(j).length) {
+            t(cbc.ids(j)(kk)) =
+              (cbc.ccs(j)(kk) - 2.0 * K.dot(rqj, cbc.vecs(j)(kk))) + qq
+            kk += 1
+          }
+          t
+        }
+      }
+    }
+    val probedIds = ranked.map(_._2)
+    val scored = codes.where(col("centroid_id").isin(probedIds: _*))
+      .select(col(idCol), graft.functions.QuantKernelCols.adcDistCell(
+        col("centroid_id"), col("codes"),
+        new graft.functions.CellAdcTablesLocal(cellCb.m, cellTabs))
+        .as("adist"))
+      .where(col("adist").isNotNull)
+    // multi-assigned indexes can surface the same id from several probed
+    // host cells — rank each id by its BEST (min) estimate, one
+    // map-side-combining agg over the probed candidates only (the
+    // single-assignment path stays the pure map + TakeOrdered plan)
+    val unique =
+      if (dedupIds)
+        scored.groupBy(col(idCol)).agg(min(col("adist")).as("adist"))
+      else scored
+    unique.orderBy(col("adist"), col(idCol)).limit(k)
+  }
+
   /** Incremental-ingest guard shared by the index `addVectors` paths:
     * re-ingesting an existing id would leave two index rows racing at
     * probe time, so clash = hard error (the [[Dedup.DupClusterIndex]]
@@ -1515,12 +1789,12 @@ object PqIndex {
   def buildTrained(df: DataFrame, idCol: String, vecCol: String, m: Int,
       dims: Int, ksub: Int, iters: Int = 3,
       trainLimit: Option[Int] = None): PqIndex = {
-    // materialize the m·ksub-row codebooks once: every probe (and the
-    // corpus encode) reuses them, and an unmaterialized plan would
-    // re-run the whole Lloyd loop per probe. The corpus encode runs the
-    // kernel twin (bit-identical rows, map-only — no n·m·ksub join).
+    // pqTrain returns the m·ksub-row codebooks as a materialized local
+    // relation — every probe (and the corpus encode) reuses the rows
+    // without re-running the Lloyd loop, no cache entry to leak. The
+    // corpus encode runs the kernel twin (bit-identical rows, map-only).
     val cb = Similarity.pqTrain(df, idCol, vecCol, m, dims, ksub, iters,
-      trainLimit).cache()
+      trainLimit)
     PqIndex(m, dims, cb,
       Similarity.pqEncodeFast(df, idCol, vecCol, cb, m, dims))
   }
@@ -1692,7 +1966,7 @@ object IvfPqSharedIndex {
       m: Int, dims: Int, ksub: Int, iters: Int = 3,
       trainLimit: Option[Int] = None): IvfPqSharedIndex = {
     val centroids =
-      Similarity.ivfTrain(df, idCol, vecCol, kc, iters, trainLimit).cache()
+      Similarity.ivfTrain(df, idCol, vecCol, kc, iters, trainLimit)
     // kernel assignment fused into the residual pass: one corpus scan
     val residuals =
       Similarity.ivfResidualsFast(df, idCol, vecCol, centroids)
@@ -1701,7 +1975,7 @@ object IvfPqSharedIndex {
     // frame by the same id mix draws the matching rows); cache = the
     // same one-materialization discipline as the coarse centroids
     val cb = Similarity.pqTrain(residuals, idCol, "resid", m, dims, ksub,
-      iters, trainLimit).cache()
+      iters, trainLimit)
     IvfPqSharedIndex(m, dims, centroids, cb,
       Similarity.ivfPqEncodeSharedPacked(residuals, idCol, cb, m, dims)
         .select(col(idCol), col("centroid_id"),
@@ -1819,13 +2093,19 @@ final case class PqPackedIndex(m: Int, dims: Int, codebooks: DataFrame,
   private lazy val codebooksLocal: graft.functions.CodebooksLocal =
     Similarity.collectCodebooks(codebooks, m)
 
-  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+  /** Atomic catalog commit; `lastBatchId` records the most recent
+    * streaming micro-batch folded in (see [[PqPackedIndex.maintain]]),
+    * −1 for batch-built indexes.
+    */
+  def save(cat: graft.catalog.VersionedCatalog, name: String,
+      lastBatchId: Long = -1L): Unit = {
     val spark = codebooks.sparkSession
     import spark.implicits._
     cat.commit(Map(
       s"$name.codebooks" -> codebooks,
       s"$name.codes" -> codes,
-      s"$name.params" -> Seq((m, dims)).toDF("m", "dims")))
+      s"$name.params" -> Seq((m, dims, lastBatchId))
+        .toDF("m", "dims", "last_batch_id")))
     ()
   }
 
@@ -1860,7 +2140,7 @@ object PqPackedIndex {
       dims: Int, ksub: Int, iters: Int = 3,
       trainLimit: Option[Int] = None): PqPackedIndex = {
     val cb = Similarity.pqTrain(df, idCol, vecCol, m, dims, ksub, iters,
-      trainLimit).cache()
+      trainLimit)
     PqPackedIndex(m, dims, cb,
       Similarity.pqEncodePacked(df, idCol, vecCol, cb, m, dims))
   }
@@ -1870,6 +2150,60 @@ object PqPackedIndex {
     val p = cat.read(spark, s"$name.params").head()
     PqPackedIndex(p.getAs[Int]("m"), p.getAs[Int]("dims"),
       cat.read(spark, s"$name.codebooks"), cat.read(spark, s"$name.codes"))
+  }
+
+  /** Continuous packed-index maintenance over a VECTOR STREAM — the ANN
+    * twin of [[graft.ops.Dedup.maintainDupClusters]]: the first
+    * micro-batch TRAINS the quantizer and builds the index, every later
+    * batch kernel-encodes under the FROZEN codebooks ([[PqPackedIndex
+    * .addVectors]]' contract — the stream result equals the first-batch
+    * build extended by per-batch re-encodes, bit for bit) and commits
+    * atomically to the catalog with the batch id recorded alongside.
+    * foreachBatch is at-least-once; the recorded id turns a replayed
+    * batch (crash after commit, before checkpoint) into a no-op — index
+    * maintenance is EXACTLY-ONCE end to end. State lives in the
+    * catalog, not the state store: restart-safe and probe-able
+    * mid-stream at the latest committed snapshot.
+    *
+    * Returns the configured DataStreamWriter; the caller picks trigger/
+    * checkpoint and calls start().
+    */
+  def maintain(vecs: DataFrame, idCol: String, vecCol: String,
+      cat: graft.catalog.VersionedCatalog, name: String, m: Int,
+      dims: Int, ksub: Int, iters: Int = 3,
+      trainLimit: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        applyBatch(batch.toDF(), batchId, idCol, vecCol, cat, name, m,
+          dims, ksub, iters, trainLimit)
+        ()
+    }
+
+  /** One maintenance step (the foreachBatch body, exposed for direct
+    * testing and batch-driven backfills): true when applied, false when
+    * skipped (already-recorded id or empty batch).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, cat: graft.catalog.VersionedCatalog, name: String,
+      m: Int, dims: Int, ksub: Int, iters: Int = 3,
+      trainLimit: Option[Int] = None): Boolean = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return false
+    if (!cat.exists(s"$name.params")) {
+      buildTrained(batch, idCol, vecCol, m, dims, ksub, iters, trainLimit)
+        .save(cat, name, batchId)
+      true
+    } else {
+      val p = cat.read(spark, s"$name.params").head()
+      if (batchId <= p.getAs[Long]("last_batch_id")) false // replay
+      else {
+        load(spark, cat, name).addVectors(batch, idCol, vecCol)
+          .save(cat, name, batchId)
+        true
+      }
+    }
   }
 }
 
@@ -1891,14 +2225,20 @@ final case class IvfPqSharedPackedIndex(m: Int, dims: Int,
   private lazy val codebooksLocal: graft.functions.CodebooksLocal =
     Similarity.collectCodebooks(codebooks, m)
 
-  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+  /** Atomic catalog commit; `lastBatchId` records the most recent
+    * streaming micro-batch folded in (see
+    * [[IvfPqSharedPackedIndex.maintain]]), −1 for batch-built indexes.
+    */
+  def save(cat: graft.catalog.VersionedCatalog, name: String,
+      lastBatchId: Long = -1L): Unit = {
     val spark = codebooks.sparkSession
     import spark.implicits._
     cat.commit(Map(
       s"$name.centroids" -> centroids,
       s"$name.codebooks" -> codebooks,
       s"$name.codes" -> codes,
-      s"$name.params" -> Seq((m, dims)).toDF("m", "dims")))
+      s"$name.params" -> Seq((m, dims, lastBatchId))
+        .toDF("m", "dims", "last_batch_id")))
     ()
   }
 
@@ -1937,11 +2277,11 @@ object IvfPqSharedPackedIndex {
       m: Int, dims: Int, ksub: Int, iters: Int = 3,
       trainLimit: Option[Int] = None): IvfPqSharedPackedIndex = {
     val centroids =
-      Similarity.ivfTrain(df, idCol, vecCol, kc, iters, trainLimit).cache()
+      Similarity.ivfTrain(df, idCol, vecCol, kc, iters, trainLimit)
     val residuals =
       Similarity.ivfResidualsFast(df, idCol, vecCol, centroids)
     val cb = Similarity.pqTrain(residuals, idCol, "resid", m, dims, ksub,
-      iters, trainLimit).cache()
+      iters, trainLimit)
     IvfPqSharedPackedIndex(m, dims, centroids, cb,
       Similarity.ivfPqEncodeSharedPacked(residuals, idCol, cb, m, dims))
   }
@@ -1954,5 +2294,166 @@ object IvfPqSharedPackedIndex {
       cat.read(spark, s"$name.centroids"),
       cat.read(spark, s"$name.codebooks"),
       cat.read(spark, s"$name.codes"))
+  }
+
+  /** Continuous IVFADC maintenance over a VECTOR STREAM — see
+    * [[PqPackedIndex.maintain]]: first batch trains coarse + shared
+    * residual quantizers, later batches kernel-assign + kernel-encode
+    * under the frozen pair (every cell is encodable — the shared
+    * codebook covers the whole space, which is why THIS is the
+    * streaming-safe IVFADC; frozen per-cell codebooks can't encode a
+    * vector landing in a build-time-empty cell). Exactly-once via the
+    * recorded batch id, as the Dedup maintenance loop.
+    */
+  def maintain(vecs: DataFrame, idCol: String, vecCol: String,
+      cat: graft.catalog.VersionedCatalog, name: String, kc: Int, m: Int,
+      dims: Int, ksub: Int, iters: Int = 3,
+      trainLimit: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        applyBatch(batch.toDF(), batchId, idCol, vecCol, cat, name, kc,
+          m, dims, ksub, iters, trainLimit)
+        ()
+    }
+
+  /** One maintenance step (the foreachBatch body, exposed for direct
+    * testing and batch-driven backfills): true when applied, false when
+    * skipped (already-recorded id or empty batch).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, cat: graft.catalog.VersionedCatalog, name: String,
+      kc: Int, m: Int, dims: Int, ksub: Int, iters: Int = 3,
+      trainLimit: Option[Int] = None): Boolean = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return false
+    if (!cat.exists(s"$name.params")) {
+      buildTrained(batch, idCol, vecCol, kc, m, dims, ksub, iters,
+        trainLimit).save(cat, name, batchId)
+      true
+    } else {
+      val p = cat.read(spark, s"$name.params").head()
+      if (batchId <= p.getAs[Long]("last_batch_id")) false // replay
+      else {
+        load(spark, cat, name).addVectors(batch, idCol, vecCol)
+          .save(cat, name, batchId)
+        true
+      }
+    }
+  }
+}
+
+/** The PER-CELL-codebook IVFADC index in PACKED layout — classic IVFADC
+  * with local codebooks: coarse Lloyd cells plus one Lloyd residual PQ
+  * PER CELL, each trained on that cell's own residuals
+  * ([[Similarity.ivfPqTrainPerCell]]). Same storage shape as
+  * [[IvfPqSharedPackedIndex]] ((id, centroid_id, codes array<long>),
+  * cell-partitionable, probe = `centroid_id IN (probed)` + map-only ADC
+  * + TakeOrdered, zero shuffle), with the codebook sidecar kc-fold
+  * larger — the knob that buys tight residual coding on corpora where
+  * cells are loose and the shared codebook plateaus (the measured sim7
+  * recall ceiling). The seeded relational per-cell path ([[IvfPqIndex]])
+  * carries the sim7 oracle; this is its trained production twin.
+  */
+final case class IvfPqCellPackedIndex(m: Int, dims: Int,
+    centroids: DataFrame, codebooks: DataFrame, codes: DataFrame,
+    assigns: Int = 1) {
+
+  private lazy val centroidsLocal: graft.functions.CentroidsLocal =
+    Similarity.collectCentroids(centroids)
+  private lazy val cellCodebooksLocal: graft.functions.CellCodebooksLocal =
+    Similarity.collectCellCodebooks(codebooks, m)
+
+  def save(cat: graft.catalog.VersionedCatalog, name: String): Unit = {
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    cat.commit(Map(
+      s"$name.centroids" -> centroids,
+      s"$name.codebooks" -> codebooks,
+      s"$name.codes" -> codes,
+      s"$name.params" -> Seq((m, dims, assigns))
+        .toDF("m", "dims", "assigns")))
+    ()
+  }
+
+  /** Packed per-cell IVFADC top-k (see [[Similarity.ivfPqTopKCellPacked]]);
+    * a multi-assigned index (assigns > 1) ranks each id by its best
+    * estimate across probed host cells.
+    */
+  def probe(query: Seq[Float], k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(query.length == dims,
+      s"query has ${query.length} dims, index was built at $dims")
+    Similarity.ivfPqTopKCellPacked(codes, centroidsLocal,
+      cellCodebooksLocal, query, k, nprobe, idCol,
+      dedupIds = assigns > 1)
+  }
+
+  /** Frozen-quantizer incremental ingest: kernel-assign + per-cell
+    * kernel-encode the batch only, fresh ids enforced. A batch vector
+    * assigning to a cell that was EMPTY at build time has no local
+    * quantizer — that's a hard error (un-indexable under frozen per-cell
+    * codebooks; rebuild, or use the shared-codebook index whose quantizer
+    * covers every cell).
+    */
+  def addVectors(batch: DataFrame, idCol: String,
+      vecCol: String): IvfPqCellPackedIndex = {
+    Similarity.requireFreshIds(batch, codes, idCol, "addVectors")
+    val residuals =
+      if (assigns > 1)
+        Similarity.ivfResidualsMultiFast(batch, idCol, vecCol, centroids,
+          assigns)
+      else Similarity.ivfResidualsFast(batch, idCol, vecCol, centroids)
+    val enc = Similarity.ivfPqEncodeCellPacked(residuals, idCol,
+      cellCodebooksLocal, dims)
+    val orphan = enc.where(col("codes").isNull).limit(1).collect()
+    require(orphan.isEmpty,
+      s"addVectors: vector id ${orphan.headOption.map(_.get(0)).orNull} " +
+        "assigns to a cell with no trained codebook — per-cell IVFADC " +
+        "cannot encode it; rebuild the index over the extended corpus")
+    copy(codes = codes.unionByName(enc))
+  }
+}
+
+object IvfPqCellPackedIndex {
+
+  /** Lloyd coarse + PER-CELL Lloyd residual PQs (one distributed loop
+    * trains all kc·m codebooks), corpus assigned + encoded in one kernel
+    * scan. `trainLimit` bounds the coarse Lloyd sample;
+    * `perCellTrainLimit` bounds each cell's residual-PQ sample.
+    * `assigns` > 1 stores each vector's codes in its `assigns` nearest
+    * cells (SPANN-style redundant assignment — storage ×assigns, probe
+    * recall at fixed nprobe up; each cell's codebook trains on
+    * EVERYTHING it will store, replicas included).
+    */
+  def buildTrained(df: DataFrame, idCol: String, vecCol: String, kc: Int,
+      m: Int, dims: Int, ksub: Int, iters: Int = 3,
+      trainLimit: Option[Int] = None,
+      perCellTrainLimit: Option[Int] = None,
+      assigns: Int = 1): IvfPqCellPackedIndex = {
+    val centroids =
+      Similarity.ivfTrain(df, idCol, vecCol, kc, iters, trainLimit)
+    val residuals =
+      if (assigns > 1)
+        Similarity.ivfResidualsMultiFast(df, idCol, vecCol, centroids,
+          assigns)
+      else Similarity.ivfResidualsFast(df, idCol, vecCol, centroids)
+    val cb = Similarity.ivfPqTrainPerCell(residuals, idCol, m, dims, ksub,
+      iters, perCellTrainLimit)
+    IvfPqCellPackedIndex(m, dims, centroids, cb,
+      Similarity.ivfPqEncodeCellPacked(residuals, idCol,
+        Similarity.collectCellCodebooks(cb, m), dims), assigns)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog,
+      name: String): IvfPqCellPackedIndex = {
+    val p = cat.read(spark, s"$name.params").head()
+    IvfPqCellPackedIndex(p.getAs[Int]("m"), p.getAs[Int]("dims"),
+      cat.read(spark, s"$name.centroids"),
+      cat.read(spark, s"$name.codebooks"),
+      cat.read(spark, s"$name.codes"),
+      p.getAs[Int]("assigns"))
   }
 }

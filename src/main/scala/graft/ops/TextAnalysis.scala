@@ -208,6 +208,30 @@ object TextAnalysis {
     * Returns (idCol, n_words, mean_word_len, n_alpha, n_stop, ok_words,
     * ok_mean_len, ok_alpha, ok_stopwords, keep).
     */
+  /** The [[gopherRules]] keep verdict as ONE composable Column over the
+    * text — identical integer arithmetic (`sum_len` vs `bound·n_words`,
+    * `100·n_alpha` vs `pct·n_words`, stopword hits), so a curation
+    * pipeline can apply the gates as another projection on an existing
+    * scan instead of a second pass (TextPipelineSpec pins the verdict
+    * equality against [[gopherRules]]).
+    */
+  def gopherKeepExpr(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Int = 3, maxMeanLen: Int = 10,
+      minAlphaPct: Int = 80, minStopHits: Int = 2): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    val nAlpha = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(toks, x => x.isin(gopherStopwords: _*)))
+      .cast("long")
+    nWords.between(minWords, maxWords) &&
+      (sumLen >= lit(minMeanLen.toLong) * nWords &&
+        sumLen <= lit(maxMeanLen.toLong) * nWords) &&
+      (nAlpha * 100L >= nWords * minAlphaPct.toLong) &&
+      (nStop >= minStopHits.toLong)
+  }
+
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanLen: Int = 3, maxMeanLen: Int = 10,

@@ -28,6 +28,10 @@ final case class CurationConfig(
     maxTokens: Int = 1 << 20,
     minQuality: Double = 0.0,
     langs: Set[String] = Set.empty, // empty = keep all languages
+    // published Gopher hard gates (ts37 semantics), fused into stage 1's
+    // single stats scan as one more projection-level verdict — never a
+    // second corpus pass
+    gopherGates: Boolean = false,
     // TRAINED quality gate: bootstrap-train QualityModel on the corpus
     // and drop docs whose model probability falls below this (the
     // learned smoothing of the heuristic filter above)
@@ -98,6 +102,12 @@ object TextPipeline {
         col("quality") >= cfg.minQuality)
     if (cfg.langs.nonEmpty)
       kept = kept.where(col("pred_lang").isin(cfg.langs.toSeq: _*))
+    // Gopher hard gates ride the SAME scan (projection-level verdict,
+    // TextAnalysis.gopherKeepExpr == gopherRules.keep bit for bit) —
+    // scrub + stats + heuristics + Gopher compose into one documents
+    // pass, the PlanAudit-asserted property
+    if (cfg.gopherGates)
+      kept = kept.where(TextAnalysis.gopherKeepExpr(col(textCol)))
     // every later stage (and the final consumer) re-reads the filtered
     // corpus — persist it once so the stats scan + filter runs one time,
     // not once per stage (callers release with clearCache, the repo-wide

@@ -80,6 +80,13 @@ object TextOps {
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
         n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)),
 
+    // dd3 with a ONE-PERMUTATION signature (one rehash per shingle,
+    // rotation densification) — the O(shingles) hashing pass; banding
+    // and the exact-Jaccard verify are dd3's verbatim
+    "dd24_oph_lsh" -> ((s, d) =>
+      Dedup.ophLshPairs(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)),
+
     // asymmetric containment pairs (doc-in-doc: a short doc embedded in
     // a long one clears containment while its Jaccard stays tiny)
     "dd15_containment" -> ((s, d) =>
@@ -576,6 +583,22 @@ object TextOps {
     "ts25_bpe_train" -> ((s, d) =>
       graft.ops.Bpe.train(documents(s, d), "doc_id", "text", nMerges = 8)),
 
+    // the SUPERSTEP trainer: batches of provably-sequential disjoint
+    // merges per distributed round (Bpe.selectBatch's stop-and-truncate
+    // rule) — the trajectory is train()'s exactly, so it shares ts25's
+    // oracle verbatim
+    "ts25b_bpe_train_batched" -> ((s, d) =>
+      graft.ops.Bpe.trainBatched(documents(s, d), "doc_id", "text",
+        nMerges = 8)),
+
+    // the VOCABULARY-LOCAL exact trainer (the reference-trainer shape:
+    // one distributed scan builds the weighted vocabulary, all rounds
+    // run driver-side over dictionary-sized arrays) — same trajectory,
+    // same oracle, ONE Spark job regardless of merge count
+    "ts25c_bpe_train_local" -> ((s, d) =>
+      graft.ops.Bpe.trainLocal(documents(s, d), "doc_id", "text",
+        nMerges = 8)),
+
     // frozen-tokenizer application at DICTIONARY cost: train 4 merges,
     // segment the distinct-word vocabulary once, join instances to
     // their word's piece count — tokenizing the corpus is one word
@@ -757,6 +780,64 @@ object TextOps {
        |       WHERE doc_id % 29 <> 0)
        |SELECT tr.doc_id AS doc_id, count(*) AS n_hits
        |FROM tr JOIN b USING (shingle) GROUP BY tr.doc_id""".stripMargin
+
+  /** The one-permutation signature replayed exactly in BIGINT
+    * (TextHashing.ophSigData: u = (1299721·h + 104729) mod P routed to
+    * bin u mod 8, min-u per bin, an empty bin j borrowing the first
+    * non-empty bin clockwise at offset d·7919 — the coalesce chain
+    * walks d = 0..7, so its first non-NULL term IS the smallest
+    * borrow distance), banded 4×2 like the classic pipeline.
+    */
+  private val ophSignatureCtes: String = {
+    val H = 8
+    val mins = (0 until H).map(b =>
+      s"list_min(list_filter(us, x -> x % $H = $b))")
+      .mkString(",\n         ")
+    val dens = (0 until H).map { j =>
+      val chain = (0 until H).map { d =>
+        val idx = (j + d) % H + 1
+        if (d == 0) s"mins[$idx]" else s"mins[$idx] + ${d * 7919}"
+      }.mkString(", ")
+      s"coalesce($chain)"
+    }.mkString(",\n           ")
+    val bands = (0 until 4).map { bnd =>
+      val lo = bnd * 2 + 1
+      s"SELECT doc_id, $bnd AS band, " +
+        s"array_to_string(sig[$lo:${lo + 1}], '_') AS bucket FROM sig"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |w AS (SELECT doc_id,
+       |             list_transform(toks, wd -> ${sqlCharHash("wd")}) AS wh
+       |      FROM t),
+       |s AS (SELECT doc_id, ${sqlShingleHashes(3)} AS sh
+       |      FROM w WHERE len(wh) >= 3),
+       |u AS (SELECT doc_id, sh,
+       |             list_transform(sh, h -> (1299721 * h + 104729) % $P)
+       |               AS us
+       |      FROM s),
+       |m AS (SELECT doc_id, sh, [$mins] AS mins FROM u),
+       |sig AS (SELECT doc_id, sh,
+       |           [$dens] AS sig
+       |        FROM m),
+       |banded AS ($bands)""".stripMargin
+  }
+
+  /** dd24 oracle: OPH-banded candidates verified with exact shingle
+    * Jaccard at 0.6 — dd3Sql's tail over the OPH signature CTEs.
+    */
+  private val dd24Sql: String =
+    s"""WITH $ophSignatureCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |              AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+       |FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6""".stripMargin
 
   private val minhashCandidateCtes: String =
     s"""$minhashSignatureCtes,
@@ -1047,6 +1128,10 @@ object TextOps {
         |FROM seqs""".stripMargin,
 
     "ts25_bpe_train" -> bpeSql(8),
+    // identical trajectories by construction (BpeSpec-pinned), so the
+    // batched and vocabulary-local trainers replay the SAME oracle
+    "ts25b_bpe_train_batched" -> bpeSql(8),
+    "ts25c_bpe_train_local" -> bpeSql(8),
     "ts26_bpe_tokenize" -> bpeTokenizeSql(4),
     "ts35_bpe_fertility" -> bpeFertilitySql(4),
     "dd20_leakage_split" -> dd20Sql,
@@ -1934,6 +2019,7 @@ object TextOps {
          |SELECT * FROM v WHERE greatest(cont_ab, cont_ba) >= 0.8""".stripMargin,
 
     "dd3_minhash_lsh" -> dd3Sql,
+    "dd24_oph_lsh" -> dd24Sql,
 
     "dd8_dup_clusters" -> dd8Sql,
 

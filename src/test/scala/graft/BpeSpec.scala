@@ -62,6 +62,87 @@ class BpeSpec extends SparkSpec {
       "4 merges must compress every doc below its character count")
   }
 
+  test("batched supersteps and the vocabulary-local trainer learn the " +
+      "EXACT sequential merge sequence (fixture corpus, 64 merges)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val seq = Bpe.train(docs, "doc_id", "text", 64)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val (batchedDf, steps) =
+      Bpe.trainBatchedStats(docs, "doc_id", "text", 64)
+    val batched = batchedDf.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(batched == seq,
+      s"batched trajectory diverged from sequential:\n$batched\nvs\n$seq")
+    // provably-sequential batches are interaction-limited on char-level
+    // text (see the trainBatched scaladoc) — the guarantee is "never
+    // worse than one job per merge", the big win is trainLocal below
+    assert(steps < 64, s"64 merges took $steps supersteps (want < 64)")
+    // the vocabulary-local exact trainer: identical trajectory, ONE job
+    val local = Bpe.trainLocal(docs, "doc_id", "text", 64)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(local == seq,
+      s"local trajectory diverged from sequential:\n$local\nvs\n$seq")
+  }
+
+  test("trainLocal matches sequential deep into the vocabulary " +
+      "(256 merges) and respects the frequency-ordered vocab cap") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val seq = Bpe.train(docs, "doc_id", "text", 256)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val local = Bpe.trainLocal(docs, "doc_id", "text", 256)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(local == seq)
+    // a capped vocab is the reference trainers' frequency floor:
+    // deterministic, still well-formed (ranks dense from 1)
+    val capped = Bpe.trainLocal(docs, "doc_id", "text", 16,
+        vocabLimit = 100)
+      .collect().map(_.getInt(0)).toSeq
+    assert(capped == (1 to capped.size), s"ranks not dense: $capped")
+    assert(capped.nonEmpty)
+  }
+
+  test("batched supersteps: run-heavy self-pair corpus still matches " +
+      "sequential (island logic under batches)") {
+    // self-pairs force the run-parity path; the tie round forces the
+    // strict-truncation fallback to a 1-merge batch
+    val docs = Seq((1L, "oooo booo"), (2L, "xyxy xy zz")).toDF(
+      "doc_id", "text")
+    for (n <- Seq(2, 4, 6)) {
+      val seq = Bpe.train(docs, "doc_id", "text", n).collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+      val batched = Bpe.trainBatched(docs, "doc_id", "text", n)
+        .collect().toSeq.map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getLong(3)))
+      assert(batched == seq, s"nMerges=$n: $batched vs $seq")
+    }
+  }
+
+  test("selectBatch stops at the first interacting candidate and " +
+      "truncates ties at the boundary") {
+    // (b,c) interacts with (a,b); (d,e) after it must NOT be taken
+    val c1 = Seq(("a", "b", 10L), ("b", "c", 9L), ("d", "e", 8L))
+    assert(Bpe.selectBatch(c1, complete = true) == Seq(("a", "b", 10L)))
+    // disjoint run is kept; stop-count tie truncates the equal-count
+    // member ((d,e)=9 ties the stopping (b,x)=9 — sequential could be
+    // preempted by a pair created from (a,b), so (d,e) must go)
+    val c2 = Seq(("a", "b", 10L), ("d", "e", 9L), ("b", "x", 9L))
+    assert(Bpe.selectBatch(c2, complete = true) == Seq(("a", "b", 10L)))
+    // fully disjoint complete list is taken whole
+    val c3 = Seq(("a", "b", 5L), ("c", "d", 5L), ("e", "f", 1L))
+    assert(Bpe.selectBatch(c3, complete = true) == c3)
+    // incomplete list: unfetched candidates may tie the tail — strict
+    // truncation above the LAST fetched count
+    assert(Bpe.selectBatch(c3, complete = false) ==
+      Seq(("a", "b", 5L), ("c", "d", 5L)))
+  }
+
   test("early stop: a corpus with no adjacency learns nothing past " +
       "its single merges") {
     val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")

@@ -1039,4 +1039,73 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.format("jdbc").option("url", url)
       .option("dbtable", "\"win_counts\"").load().count() == stored.size)
   }
+
+  test("streaming packed-ANN maintenance: first batch trains, later " +
+      "batches fold exactly-once under the frozen quantizer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ops.IvfPqSharedPackedIndex
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = new graft.catalog.VersionedCatalog(tmpDir("stream-annidx"))
+    val all = graft.Tables.embeddings(spark, sf)
+      .as[(Long, Seq[Float], String)].collect().toSeq
+      .map { case (id, v, _) => (id, v) }
+    val (rowsA, rowsB) = all.partition(_._1 % 3 != 0)
+
+    val src = MemoryStream[(Long, Seq[Float])]
+    val stream = src.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val q = IvfPqSharedPackedIndex.maintain(stream, "vec_id", "embedding",
+        cat, "annidx", kc = 8, m = 8, dims = 64, ksub = 16, iters = 1,
+        trainLimit = Some(300))
+      .option("checkpointLocation", tmpDir("stream-annidx-ckpt"))
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    src.addData(rowsA: _*); q.processAllAvailable()
+    // snapshot after the training batch: later equality is checked
+    // against THIS frozen quantizer (the addVectors contract)
+    val snap0codes = IvfPqSharedPackedIndex.load(spark, cat, "annidx")
+      .codes.collect().toSeq
+    src.addData(rowsB: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = IvfPqSharedPackedIndex.load(spark, cat, "annidx")
+    // stream == batch: the final code table equals the batch-0 snapshot
+    // extended by a batch addVectors fold of the SAME rows under the
+    // SAME frozen quantizer, bit for bit
+    val expect = IvfPqSharedPackedIndex.load(spark, cat, "annidx")
+      .copy(codes = spark.createDataFrame(
+        spark.sparkContext.parallelize(snap0codes),
+        streamed.codes.schema))
+      .addVectors(rowsB.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(streamed.codes.exceptAll(expect.codes).isEmpty &&
+      expect.codes.exceptAll(streamed.codes).isEmpty)
+    // every ingested vector is probe-able
+    assert(streamed.codes.count() == all.size.toLong)
+    val qv = all.head._2
+    val a = streamed.probe(qv, k = 15, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = expect.probe(qv, k = 15, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+
+    // at-least-once replay (crash after commit, before checkpoint):
+    // re-applying a recorded batch id is a no-op — the double-fire does
+    // not duplicate codes (which would also trip the fresh-id guard)
+    assert(!IvfPqSharedPackedIndex.applyBatch(
+      rowsB.toDF("vec_id", "embedding"), batchId = 1L, "vec_id",
+      "embedding", cat, "annidx", kc = 8, m = 8, dims = 64, ksub = 16,
+      iters = 1, trainLimit = Some(300)))
+    assert(IvfPqSharedPackedIndex.load(spark, cat, "annidx")
+      .codes.count() == all.size.toLong)
+    // a genuinely new batch applies through the same (backfill) entry
+    val extra = Seq((999001L, all.head._2), (999002L, all(1)._2))
+    assert(IvfPqSharedPackedIndex.applyBatch(
+      extra.toDF("vec_id", "embedding"), batchId = 2L, "vec_id",
+      "embedding", cat, "annidx", kc = 8, m = 8, dims = 64, ksub = 16,
+      iters = 1, trainLimit = Some(300)))
+    assert(IvfPqSharedPackedIndex.load(spark, cat, "annidx")
+      .codes.count() == all.size.toLong + 2)
+  }
 }

@@ -168,4 +168,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(straddle.isEmpty, "a near-dup pair straddles train/eval")
     spark.catalog.clearCache()
   }
+
+  test("Gopher gates fuse into curate: verdicts == gopherRules, " +
+      "survivors == the rules' keep set intersected with the heuristics") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text", $"source")
+    // expression twin == the ts37-gated operator, verdict for verdict
+    val viaExpr = corpus.select($"doc_id",
+      graft.ops.TextAnalysis.gopherKeepExpr($"text").as("keep"))
+    val viaRules = graft.ops.TextAnalysis
+      .gopherRules(corpus, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    assert(viaExpr.exceptAll(viaRules).isEmpty &&
+      viaRules.exceptAll(viaExpr).isEmpty)
+    // fused into curate: survivors = heuristic survivors ∩ rules.keep
+    val base = TextPipeline.curate(corpus, "doc_id", "text", "source",
+      CurationConfig(minTokens = 1, dedupExact = false))
+    val gated = TextPipeline.curate(corpus, "doc_id", "text", "source",
+      CurationConfig(minTokens = 1, dedupExact = false,
+        gopherGates = true))
+    val expect = base.select($"doc_id")
+      .join(viaRules.where($"keep").select($"doc_id"), Seq("doc_id"))
+    val got = gated.select($"doc_id")
+    assert(expect.exceptAll(got).isEmpty && got.exceptAll(expect).isEmpty)
+    spark.catalog.clearCache()
+  }
 }

@@ -39,15 +39,19 @@ class TextStatsSpec extends SparkSpec {
         TextExprs.shingleHashes($"text", 3).as("shh"),
         TextExprs.shingleStrings($"text", 3).as("shs"),
         TextExprs.minhashSig(TextExprs.shingleHashes($"text", 3), 4)
-          .as("sig")).collect()
+          .as("sig"),
+        TextExprs.ophSig(TextExprs.shingleHashes($"text", 3), 4)
+          .as("osig")).collect()
       assert(rows.length == 2)
       val r = rows.find(!_.isNullAt(1)).get
       assert(r.getAs[Long]("ch") ==
         graft.functions.TextHashing.charHash("a b c d e"))
       assert(r.getSeq[Long](r.fieldIndex("sig")).length == 4)
+      assert(r.getSeq[Long](r.fieldIndex("osig")).length == 4)
       // null text: stats/hashes null, minhash sig = 4 null slots
       val n = rows.find(_.isNullAt(1)).get
       assert(n.getSeq[Any](n.fieldIndex("sig")).forall(_ == null))
+      assert(n.getSeq[Any](n.fieldIndex("osig")).forall(_ == null))
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
