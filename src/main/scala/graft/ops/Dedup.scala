@@ -244,16 +244,14 @@ object Dedup {
     * downstream is unchanged — surfaced pairs always carry true
     * similarity; chaining only widens WHICH true pairs can surface.
     *
-    * SKEW BOUND: the lag window sorts each hot bucket on ONE task —
-    * candidate count is O(df) but the per-key sort is single-task
-    * O(df · log df), unbounded by `maxDocFreq` (that cap gates which
-    * buckets are hot, not how big a hot bucket is). A single
-    * mega-shingle occurring in a large fraction of a 100 TB corpus
-    * makes that task the straggler. When bucket sizes can reach that
-    * regime, pre-filter such stop-shingles out (they carry no dedup
-    * signal — any doc pair collides on them) or derive predecessors
-    * with a salted range-bucketed sort with boundary stitching; the
-    * star source (bucket-minimum pairing) is skew-free either way.
+    * SKEW BOUND: predecessors come from [[adjacencyChainEdges]] — a
+    * range-bucketed lag (64 contiguous doc-id ranges per shingle, each
+    * sorted on its own task, boundaries stitched from the tiny
+    * per-range min/max summary) that reproduces the per-shingle-window
+    * edge set exactly, so a mega-shingle occurring in a large fraction
+    * of a 100 TB corpus costs O(df/64 · log(df/64)) on the largest task
+    * instead of a single-task O(df · log df) straggler. The star source
+    * (bucket-minimum pairing) is skew-free either way.
     */
   def jaccardPairsCappedChain(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double, maxDocFreq: Int)
@@ -350,18 +348,18 @@ object Dedup {
             lit(0L).as("ck"))
         // adjacency chain over hot buckets (see jaccardPairsCappedChain):
         // each hot occurrence pairs with its predecessor in doc-id order
-        // within the bucket — O(df) rows per bucket, one lag window
-        // keyed on the 8-byte shingle hash over hot occurrences only
+        // within the bucket — O(df) rows per bucket. The predecessor
+        // derivation is RANGE-BUCKETED (adjacencyChainEdges): no single
+        // task ever sorts a whole mega-hot bucket, yet the edge set is
+        // exactly the one a per-shingle window would produce
         val chain =
           if (!chainHot) rareCk.limit(0)
           else {
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("shingle")).orderBy(col("doc"))
-            ex.join(broadcast(hotSet), Seq("shingle"), "left_semi")
-              .withColumn("prev", lag(col("doc"), 1).over(w))
-              .where(col("prev").isNotNull)
-              .select(col("prev").as("id_a"), col("doc").as("id_b"),
-                lit(0L).as("ck"))
+            val b = sh.agg(min(col("doc")), max(col("doc"))).head()
+            adjacencyChainEdges(
+              ex.join(broadcast(hotSet), Seq("shingle"), "left_semi"),
+              b.getLong(0), b.getLong(1), chainBuckets)
+              .select(col("id_a"), col("id_b"), lit(0L).as("ck"))
           }
         rareCk.unionByName(star).unionByName(chain)
           .groupBy("id_a", "id_b").agg(max("ck").as("ck"))
@@ -392,6 +390,51 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           .as("common"),
         col("cnt_a"), col("cnt_b"))
+  }
+
+  /** Contiguous doc-id range buckets for the chain derivation: bounds the
+    * largest per-task sort at df/64 for a uniformly-spread hot bucket
+    * while the boundary-stitch summary stays ≤ 64 rows per shingle.
+    */
+  private val chainBuckets = 64
+
+  /** Doc-id-order adjacency edges per shingle WITHOUT a per-shingle
+    * single-task sort: occurrences are split into `buckets` contiguous
+    * doc-id ranges, the lag window runs per (shingle, range) — each task
+    * sorts only that range's slice of the bucket, so a mega-hot
+    * stop-shingle spreads over `buckets` tasks instead of one straggler —
+    * and consecutive ranges are stitched through the per-(shingle, range)
+    * min/max summary (≤ `buckets` rows per shingle, a trivial second
+    * window). Because the ranges partition the doc-id axis contiguously,
+    * concatenating the per-range sorted runs IS the bucket's global sorted
+    * order, so within-range lag edges plus (prev range max → next range
+    * min) stitch edges reproduce EXACTLY the edge set of a single
+    * `Window.partitionBy(shingle).orderBy(doc)` lag (DedupSpec pins the
+    * equality). Input: one row per (shingle, doc) occurrence, (shingle,
+    * doc) unique. Output: (id_a, id_b) with id_a < id_b.
+    */
+  private[graft] def adjacencyChainEdges(occ: DataFrame, docLo: Long,
+      docHi: Long, buckets: Int): DataFrame = {
+    val width = math.max(1L, (docHi - docLo) / buckets.toLong + 1L)
+    // integer `div`, not floor(a/b): double division drops bits past 2^53
+    // and ids at the top of the long range would land in the wrong bucket
+    val ranged = occ.withColumn("bkt",
+      expr(s"(doc - ${docLo}L) div ${width}L"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle"), col("bkt")).orderBy(col("doc"))
+    val within = ranged
+      .withColumn("prev", lag(col("doc"), 1).over(wIn))
+      .where(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("doc").as("id_b"))
+    val summary = ranged.groupBy(col("shingle"), col("bkt"))
+      .agg(min(col("doc")).as("mn"), max(col("doc")).as("mx"))
+    val wStitch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle")).orderBy(col("bkt"))
+    val stitch = summary
+      .withColumn("pmx", lag(col("mx"), 1).over(wStitch))
+      .where(col("pmx").isNotNull)
+      .select(col("pmx").as("id_a"), col("mn").as("id_b"))
+    within.unionByName(stitch)
   }
 
   /** All ordered (a,b) element pairs of a sorted array — the in-bucket

@@ -623,6 +623,44 @@ class DedupSpec extends SparkSpec {
       chain.map(p => (p._1, p._2)).toSet))
   }
 
+  test("adjacencyChainEdges: range-bucketed derivation equals the " +
+      "single-window edge set on skewed, gappy doc ids") {
+    // adversarial shape for the bucketing: one mega-hot shingle (every
+    // doc), several medium ones, doc ids clumped at both ends of the
+    // range with a huge hole in the middle (so many ranges are empty and
+    // clump boundaries fall mid-bucket), plus a shingle whose docs all
+    // land in ONE range (stitch must emit nothing for it)
+    val rnd = new scala.util.Random(7)
+    val ids = ((1L to 400L) ++ (900000L to 900400L)).filter(_ => rnd.nextBoolean())
+    val occ = ids.flatMap { d =>
+      val hot = Seq(77L)                        // mega-hot: every doc
+      val med = if (d % 3 == 0) Seq(11L) else Nil
+      val clump = if (d < 500L) Seq(22L) else Nil // single-range shingle
+      (hot ++ med ++ clump).map(s => (s, d))
+    }.toDF("shingle", "doc")
+    val lo = ids.min
+    val hi = ids.max
+    val got = Dedup.adjacencyChainEdges(occ, lo, hi, buckets = 64)
+      .as[(Long, Long)].collect().toSet
+    // reference: plain per-shingle window lag (the skew-prone original)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle")).orderBy(col("doc"))
+    val want = occ.withColumn("prev", lag(col("doc"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("prev"), col("doc"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"edge sets differ: extra=${got -- want} " +
+      s"missing=${want -- got}")
+    assert(got.forall(p => p._1 < p._2))
+    // degenerate bucket counts: a single bucket (collapses to the pure
+    // window) and a far-oversized count (most ranges empty, clumps
+    // spread across many stitches) must both reproduce the same set
+    assert(Dedup.adjacencyChainEdges(occ, lo, hi, buckets = 1)
+      .as[(Long, Long)].collect().toSet == want)
+    assert(Dedup.adjacencyChainEdges(occ, lo, hi, buckets = 4096)
+      .as[(Long, Long)].collect().toSet == want)
+  }
+
   test("pageRank: hand-computed fixed point on a path graph; hub wins") {
     // path a(1)–b(2)–c(3): deg 1/2/1, n=3, scale=1200 → r0=400 each,
     // base=(15·1200/100)/3=60
