@@ -44,26 +44,41 @@ object BenchScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val shuffleTally = new java.util.concurrent.atomic.AtomicLong
+    // per-case high-water mark of any single task's execution memory
+    // (sort/agg/join buffers) — the "does one partition fit an executor"
+    // number the 100× posture is judged on; peaks well under the
+    // per-core share mean the partitioning survives a memory-constrained
+    // cluster, not just this 128 GiB host
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) shuffleTally.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        if (m != null) {
+          shuffleTally.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          val p = m.peakExecutionMemory
+          var cur = peakTaskMem.get()
+          while (p > cur && !peakTaskMem.compareAndSet(cur, p))
+            cur = peakTaskMem.get()
+        }
         ()
       }
     })
-    /** Shuffle records attributable to `body` (listener bus drained). */
-    def shuffled(body: => Unit): Long = {
+    /** Shuffle records and max per-task execution memory attributable to
+      * `body` (listener bus drained before and after).
+      */
+    def shuffled(body: => Unit): (Long, Long) = {
       // drain events from previous work first
       var last = -1L
       while (shuffleTally.get() != last) { last = shuffleTally.get(); Thread.sleep(200L) }
       val before = shuffleTally.get()
+      peakTaskMem.set(0L)
       body
       var waited = 0
       last = -1L
       while (waited < 20000 && shuffleTally.get() != last) {
         last = shuffleTally.get(); Thread.sleep(200L); waited += 200
       }
-      shuffleTally.get() - before
+      (shuffleTally.get() - before, peakTaskMem.get())
     }
 
     val docs = ScaleStress.inflateDocs(Tables.documents(spark, sfDir), factor)
@@ -250,13 +265,14 @@ object BenchScale {
     val results = selected.map { case (name, mk) =>
       var rows = 0L
       val t0 = System.nanoTime()
-      val recs = shuffled { rows = forceCount(mk()) }
+      val (recs, peak) = shuffled { rows = forceCount(mk()) }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       Dedup.releaseCaches()
       System.err.println(f"[scale] $name%-26s $sec%8.1f s  " +
-        f"$recs%12d shuffle recs  $rows%10d rows")
-      (name, sec, recs, rows)
+        f"$recs%12d shuffle recs  $rows%10d rows  " +
+        f"${peak / (1L << 20)}%6d MiB peak task")
+      (name, sec, recs, rows, peak)
     }
 
     // ---- ANN recall@k at scale: the speed/accuracy trade measured where
@@ -552,8 +568,9 @@ object BenchScale {
     rmTree(tmp)
 
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (n, s, r, c) =>
-      s""""$n":{"sec":${f(s)},"shuffle_records":$r,"rows":$c}"""
+    val qs = results.map { case (n, s, r, c, p) =>
+      s""""$n":{"sec":${f(s)},"shuffle_records":$r,"rows":$c,""" +
+        s""""peak_task_mem_bytes":$p}"""
     }.mkString("{", ",", "}")
     val timers = timerTable.toSeq.sortBy(_._1).map { case (m, (n, s)) =>
       s""""$m":{"n":$n,"total_s":${f(s)}}"""

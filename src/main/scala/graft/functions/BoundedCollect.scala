@@ -116,10 +116,124 @@ case class BoundedCollectLong(child: Expression, cap: Int,
     copy(child = newChildren.head)
 }
 
+/** Buffer for the keyed variant: parallel min-k arrays of (key, payload). */
+final class BoundedKeyedBuf(val keys: ArrayBuffer[Long],
+    val pays: ArrayBuffer[Long])
+
+/** [[BoundedCollectLong]] with a separate ORDER KEY: keeps the `cap`
+  * (key, payload) pairs with the smallest (key, payload) lexicographic
+  * order and returns the payloads sorted in that order. This is the
+  * skew-safe per-group deterministic SAMPLER: `groupBy(g).agg(
+  * bounded_collect_keyed(spreadKey(id), id, n))` reproduces exactly the
+  * first n rows of `row_number() over (partition by g order by
+  * spreadKey(id), id)` — the payload array's position IS the rank —
+  * without the window's full-corpus sort-shuffle: partial aggregation
+  * emits ONE row per group per map task (≤ cap pairs each), so the
+  * shuffle is O(groups · tasks) records at any corpus size.
+  */
+case class BoundedCollectKeyedLong(key: Expression, payload: Expression,
+    cap: Int, mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BoundedKeyedBuf] {
+
+  override def children: Seq[Expression] = Seq(key, payload)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == LongType && payload.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bounded_collect_keyed requires BIGINT (key, payload), got " +
+        s"(${key.dataType.simpleString}, ${payload.dataType.simpleString})")
+  override def nullable: Boolean = false
+  override def prettyName: String = "bounded_collect_keyed"
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): BoundedKeyedBuf =
+    new BoundedKeyedBuf(new ArrayBuffer[Long](math.min(cap, 16)),
+      new ArrayBuffer[Long](math.min(cap, 16)))
+
+  @inline private def lt(k1: Long, p1: Long, k2: Long, p2: Long): Boolean =
+    k1 < k2 || (k1 == k2 && p1 < p2)
+
+  private def keep(buf: BoundedKeyedBuf, k: Long, p: Long): Unit =
+    if (buf.keys.length < cap) { buf.keys += k; buf.pays += p }
+    else {
+      var mi = 0
+      var i = 1
+      while (i < buf.keys.length) {
+        if (lt(buf.keys(mi), buf.pays(mi), buf.keys(i), buf.pays(i))) mi = i
+        i += 1
+      }
+      if (lt(k, p, buf.keys(mi), buf.pays(mi))) {
+        buf.keys(mi) = k; buf.pays(mi) = p
+      }
+    }
+
+  override def update(buf: BoundedKeyedBuf, input: InternalRow)
+      : BoundedKeyedBuf = {
+    val k = key.eval(input)
+    val p = payload.eval(input)
+    if (k != null && p != null)
+      keep(buf, k.asInstanceOf[Long], p.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: BoundedKeyedBuf, other: BoundedKeyedBuf)
+      : BoundedKeyedBuf = {
+    var i = 0
+    while (i < other.keys.length) {
+      keep(buf, other.keys(i), other.pays(i)); i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: BoundedKeyedBuf): Any = {
+    val order = buf.keys.indices.sortBy(i => (buf.keys(i), buf.pays(i)))
+    new GenericArrayData(order.map(buf.pays(_)).toArray)
+  }
+
+  override def serialize(buf: BoundedKeyedBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.keys.length)
+    bb.putInt(buf.keys.length)
+    var i = 0
+    while (i < buf.keys.length) {
+      bb.putLong(buf.keys(i)); bb.putLong(buf.pays(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedKeyedBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val len = bb.getInt
+    val keys = new ArrayBuffer[Long](len)
+    val pays = new ArrayBuffer[Long](len)
+    var i = 0
+    while (i < len) { keys += bb.getLong; pays += bb.getLong; i += 1 }
+    new BoundedKeyedBuf(keys, pays)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedCollectKeyedLong =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedCollectKeyedLong =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0), payload = newChildren(1))
+}
+
 object BoundedCollect {
   /** struct(df, ds): exact group count + up to `cap` sorted values. */
   def boundedCollect(v: Column, cap: Int): Column =
     ColumnBridge.column(
       BoundedCollectLong(ColumnBridge.expression(v), cap)
+        .toAggregateExpression())
+
+  /** The `cap` payloads with the smallest (key, payload) pairs, sorted in
+    * that order — a partially-aggregating replacement for
+    * `row_number() over (partition by g order by key, payload) <= cap`.
+    */
+  def boundedCollectKeyed(key: Column, payload: Column, cap: Int): Column =
+    ColumnBridge.column(
+      BoundedCollectKeyedLong(ColumnBridge.expression(key),
+        ColumnBridge.expression(payload), cap)
         .toAggregateExpression())
 }

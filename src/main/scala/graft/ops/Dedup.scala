@@ -245,12 +245,15 @@ object Dedup {
     * similarity; chaining only widens WHICH true pairs can surface.
     *
     * SKEW BOUND: predecessors come from [[adjacencyChainEdges]] — a
-    * range-bucketed lag (64 contiguous doc-id ranges per shingle, each
-    * sorted on its own task, boundaries stitched from the tiny
-    * per-range min/max summary) that reproduces the per-shingle-window
-    * edge set exactly, so a mega-shingle occurring in a large fraction
-    * of a 100 TB corpus costs O(df/64 · log(df/64)) on the largest task
-    * instead of a single-task O(df · log df) straggler. The star source
+    * per-shingle range-bucketed lag (a shingle whose df exceeds
+    * [[chainRowsPerTask]] splits into up to [[chainBuckets]] contiguous
+    * doc-id ranges, each sorted on its own task, boundaries stitched
+    * from the tiny per-range min/max summary; ordinary hot shingles
+    * keep one bucket, so the machinery is free until a bucket would
+    * actually straggle) that reproduces the per-shingle-window edge set
+    * exactly. A mega-shingle occurring in a large fraction of a 100 TB
+    * corpus costs O(df/64 · log(df/64)) on its largest task instead of
+    * a single-task O(df · log df) straggler. The star source
     * (bucket-minimum pairing) is skew-free either way.
     */
   def jaccardPairsCappedChain(df: DataFrame, idCol: String,
@@ -349,17 +352,40 @@ object Dedup {
         // adjacency chain over hot buckets (see jaccardPairsCappedChain):
         // each hot occurrence pairs with its predecessor in doc-id order
         // within the bucket — O(df) rows per bucket. The predecessor
-        // derivation is RANGE-BUCKETED (adjacencyChainEdges): no single
-        // task ever sorts a whole mega-hot bucket, yet the edge set is
-        // exactly the one a per-shingle window would produce
+        // derivation is RANGE-BUCKETED per shingle (adjacencyChainEdges):
+        // a shingle whose bucket is big enough to straggle a single-task
+        // sort (df > chainRowsPerTask) splits across up to chainBuckets
+        // ranges, every other shingle keeps the plain one-window shape —
+        // the edge set is exactly the per-shingle window's either way
         val chain =
           if (!chainHot) rareCk.limit(0)
           else {
-            val b = sh.agg(min(col("doc")), max(col("doc"))).head()
+            // doc-id bounds come from the RAW input — NOT from the
+            // cached `sh`: an eager action on a cached frame would
+            // materialize the cache before the main query plans, and
+            // the accurate InMemoryRelation sizes then flip every
+            // downstream stats/verification join from broadcast to
+            // sort-merge (measured 2.4M → 9.9M shuffle records on the
+            // ×10 star query from exactly that). The raw min/max scan is
+            // a column-pruned aggregate that shares no plan fragment
+            // with the caches.
+            val b = df.agg(min(col(idCol)), max(col(idCol))).head()
+            if (b.isNullAt(0)) rareCk.limit(0)
+            else {
+            // per-shingle nb (inside the broadcast, evaluated lazily as
+            // part of the main query): 1 for every ordinary hot shingle
+            // — the plain-window derivation — and up to chainBuckets for
+            // a mega one, so the skew split engages exactly where a
+            // single-task sort would straggle
+            val hotNb = freq.where(col("bc.df") > maxDocFreq)
+              .select(col("shingle"),
+                expr(s"least(greatest(bc.df div ${chainRowsPerTask}L, " +
+                  s"1L), ${chainBuckets}L)").as("nb"))
             adjacencyChainEdges(
-              ex.join(broadcast(hotSet), Seq("shingle"), "left_semi"),
-              b.getLong(0), b.getLong(1), chainBuckets)
+              ex.join(broadcast(hotNb), Seq("shingle")),
+              b.getLong(0), b.getLong(1))
               .select(col("id_a"), col("id_b"), lit(0L).as("ck"))
+            }
           }
         rareCk.unionByName(star).unionByName(chain)
           .groupBy("id_a", "id_b").agg(max("ck").as("ck"))
@@ -392,41 +418,59 @@ object Dedup {
         col("cnt_a"), col("cnt_b"))
   }
 
-  /** Contiguous doc-id range buckets for the chain derivation: bounds the
-    * largest per-task sort at df/64 for a uniformly-spread hot bucket
-    * while the boundary-stitch summary stays ≤ 64 rows per shingle.
+  /** Occurrence count above which a hot shingle's chain derivation splits
+    * into range buckets (one extra bucket per this many rows, capped at
+    * [[chainBuckets]]). Shingles under the bound keep nb = 1 — the plain
+    * per-shingle window derivation, with the boundary machinery reduced
+    * to an empty branch — so the skew split costs nothing until a bucket
+    * is actually big enough to straggle a task. A `var` only as a test
+    * seam (DedupSpec lowers it to drive the bucketed path end-to-end on
+    * a fixture-sized corpus); production never writes it.
+    */
+  private[graft] var chainRowsPerTask = 1L << 20
+
+  /** Bucket-count cap for one shingle's chain derivation: the largest
+    * per-task sort for a uniformly-spread mega-shingle is df/64 while
+    * the boundary-stitch summary stays ≤ 64 rows per shingle.
     */
   private val chainBuckets = 64
 
   /** Doc-id-order adjacency edges per shingle WITHOUT a per-shingle
-    * single-task sort: occurrences are split into `buckets` contiguous
-    * doc-id ranges, the lag window runs per (shingle, range) — each task
-    * sorts only that range's slice of the bucket, so a mega-hot
-    * stop-shingle spreads over `buckets` tasks instead of one straggler —
-    * and consecutive ranges are stitched through the per-(shingle, range)
-    * min/max summary (≤ `buckets` rows per shingle, a trivial second
+    * single-task sort: each shingle's occurrences are split into `nb`
+    * contiguous doc-id ranges (`nb` is a per-row column — 1 for ordinary
+    * hot shingles, up to [[chainBuckets]] for mega ones, so the split is
+    * paid ONLY where a single-task sort would straggle), the lag window
+    * runs per (shingle, range) — each task sorts only that range's slice
+    * — and consecutive ranges are stitched through the per-(shingle,
+    * range) min/max summary (≤ nb rows per shingle, a trivial second
     * window). Because the ranges partition the doc-id axis contiguously,
     * concatenating the per-range sorted runs IS the bucket's global sorted
     * order, so within-range lag edges plus (prev range max → next range
     * min) stitch edges reproduce EXACTLY the edge set of a single
     * `Window.partitionBy(shingle).orderBy(doc)` lag (DedupSpec pins the
-    * equality). Input: one row per (shingle, doc) occurrence, (shingle,
-    * doc) unique. Output: (id_a, id_b) with id_a < id_b.
+    * equality). Input: one row per (shingle, doc, nb) occurrence,
+    * (shingle, doc) unique, nb constant within a shingle. Output:
+    * (id_a, id_b) with id_a < id_b.
     */
   private[graft] def adjacencyChainEdges(occ: DataFrame, docLo: Long,
-      docHi: Long, buckets: Int): DataFrame = {
-    val width = math.max(1L, (docHi - docLo) / buckets.toLong + 1L)
+      docHi: Long): DataFrame = {
+    val range = docHi - docLo
     // integer `div`, not floor(a/b): double division drops bits past 2^53
     // and ids at the top of the long range would land in the wrong bucket
     val ranged = occ.withColumn("bkt",
-      expr(s"(doc - ${docLo}L) div ${width}L"))
+      expr(s"(doc - ${docLo}L) div ((${range}L div nb) + 1L)"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shingle"), col("bkt")).orderBy(col("doc"))
     val within = ranged
       .withColumn("prev", lag(col("doc"), 1).over(wIn))
       .where(col("prev").isNotNull)
       .select(col("prev").as("id_a"), col("doc").as("id_b"))
-    val summary = ranged.groupBy(col("shingle"), col("bkt"))
+    // boundary stitching only exists for split shingles (nb > 1) — an
+    // unsplit shingle has exactly one range, so the summary aggregation
+    // runs over the (typically empty) mega-shingle sliver, not the whole
+    // occurrence table
+    val summary = ranged.where(col("nb") > 1L)
+      .groupBy(col("shingle"), col("bkt"))
       .agg(min(col("doc")).as("mn"), max(col("doc")).as("mx"))
     val wStitch = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shingle")).orderBy(col("bkt"))

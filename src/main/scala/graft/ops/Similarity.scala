@@ -1405,10 +1405,14 @@ object Similarity {
     * (iterative means are float-order-sensitive); the SEEDED per-cell
     * variant ([[ivfPqSeedCodebooks]]) carries the sim7 oracle.
     *
-    * Skew note: the per-cell rank window sorts each cell's sampled
-    * members on one task — cells are ~N/kc rows, so a degenerate coarse
-    * quantizer (one cell swallowing the corpus) would straggle; the
-    * spread-seeded Lloyd coarse quantizer upstream is what bounds that.
+    * Skew note: with `perCellTrainLimit` set the sample comes from a
+    * partially-aggregating bounded keyed collect (never a full-corpus
+    * sort; a mega-cell costs `cap` pairs per map task), so the build's
+    * shuffle volume is corpus-independent. Only the unbounded path
+    * (`perCellTrainLimit = None`) ranks whole cells on single tasks —
+    * there a degenerate coarse quantizer (one cell swallowing the
+    * corpus) would straggle; the spread-seeded Lloyd coarse quantizer
+    * upstream is what bounds that.
     *
     * Returns (centroid_id, sub, code_id, codeword) — kc·m·ksub rows,
     * materialized local (train-sample cache released before returning).
@@ -1420,16 +1424,45 @@ object Similarity {
     val sd = dims / m
     val spark = residuals.sparkSession
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("centroid_id"))
-      .orderBy(spreadKey(col(idCol)), col(idCol))
-    val ranked = residuals
-      .select(col(idCol), col("centroid_id"), col("resid"))
-      .withColumn("__rn", row_number().over(w))
     // the sample must at least cover the seeds
     val bound = perCellTrainLimit.map(n => math.max(n, ksub))
-    val train = bound.map(n => ranked.where(col("__rn") <= n))
-      .getOrElse(ranked).cache()
+    val train = (bound match {
+      case Some(n) =>
+        // CORPUS-INDEPENDENT sampling: the bounded keyed collect keeps
+        // each cell's first n members under the (spreadKey, id) ordering
+        // with partial aggregation — one array row per cell per map
+        // task on the wire, O(kc · tasks) shuffle records at ANY corpus
+        // size — and the payload position is exactly the row_number()
+        // the full-sort window would assign, so the train set and seed
+        // ranks are bit-identical to the window formulation (pinned by
+        // QuantKernelsSpec). The kc·n sample then broadcast-joins back
+        // onto the residual scan: no full-corpus sort-shuffle anywhere
+        // in the per-cell build (requires a BIGINT id, the repo-wide id
+        // shape).
+        val sample = residuals.groupBy(col("centroid_id"))
+          .agg(graft.functions.BoundedCollect.boundedCollectKeyed(
+            spreadKey(col(idCol)), col(idCol), n).as("ids"))
+          .select(col("centroid_id"),
+            posexplode(col("ids")).as(Seq("__pos", idCol)))
+          .select(col("centroid_id"), col(idCol),
+            (col("__pos") + 1).cast("int").as("__rn"))
+        // cluster the cached sample by cell (ONE bounded shuffle of kc·n
+        // rows): the Lloyd iterations aggregate on (centroid_id, sub,
+        // code_id, dim), and with each map task holding a couple of
+        // cells the partial aggregation collapses ~kc-fold better than
+        // over scan-ordered rows — measured 4× fewer shuffle records per
+        // iteration at ×10
+        residuals.select(col(idCol), col("centroid_id"), col("resid"))
+          .join(broadcast(sample), Seq(idCol, "centroid_id"))
+          .repartition(col("centroid_id"))
+      case None =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("centroid_id"))
+          .orderBy(spreadKey(col(idCol)), col(idCol))
+        residuals
+          .select(col(idCol), col("centroid_id"), col("resid"))
+          .withColumn("__rn", row_number().over(w))
+    }).cache()
     var cb = train.where(col("__rn") <= ksub)
       .select(col("centroid_id"),
         (col("__rn") - 1).cast("long").as("code_id"),

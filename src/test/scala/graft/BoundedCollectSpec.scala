@@ -49,4 +49,36 @@ class BoundedCollectSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(run() == run())
   }
+
+  test("keyed collect reproduces the rank window's first-n payloads, " +
+      "positions and all, under any partitioning") {
+    // the per-cell-trainer contract: bounded_collect_keyed(key, id, n)
+    // == the ids of row_number() over (partition by g order by key, id)
+    // <= n, in rank order — including duplicate keys (tie-break on id)
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 500L).map { id =>
+      (id % 7L, rnd.nextInt(40).toLong, id) // many key ties per group
+    }
+    val df = rows.toDF("g", "key", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"key", $"id")
+    val want = df.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 9).orderBy($"g", $"rn")
+      .select($"g", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val got = df.repartition(parts).groupBy($"g")
+        .agg(BoundedCollect.boundedCollectKeyed($"key", $"id", 9).as("ids"))
+        .select($"g", $"ids").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got == want, s"parts=$parts")
+    }
+    // groups smaller than the cap come back complete, still key-ordered
+    val small = Seq((1L, 5L, 10L), (1L, 2L, 11L), (2L, 9L, 12L))
+      .toDF("g", "key", "id").repartition(3)
+      .groupBy($"g")
+      .agg(BoundedCollect.boundedCollectKeyed($"key", $"id", 9).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(small == Map(1L -> Seq(11L, 10L), 2L -> Seq(12L)))
+  }
 }

@@ -621,6 +621,19 @@ class DedupSpec extends SparkSpec {
     // chain candidates only ADD to the star's: A's pairs survive intact
     assert(star.map(p => (p._1, p._2)).toSet.subsetOf(
       chain.map(p => (p._1, p._2)).toSet))
+    // mega-shingle regime end-to-end: lowering the per-task row bound
+    // forces the bucketed predecessor derivation (probe finds an
+    // over-bound shingle) — the surfaced pair set must be identical to
+    // the plain-window plan's
+    val saved = Dedup.chainRowsPerTask
+    try {
+      Dedup.chainRowsPerTask = 8L
+      val bucketed = Dedup
+        .jaccardPairsCappedChain(df, "doc_id", "text", 3, 0.6, maxDocFreq = 20)
+        .as[(Long, Long, Double)].collect()
+      assert(bucketed.toSet == chain.toSet,
+        "bucketed mega-path must surface exactly the window plan's pairs")
+    } finally Dedup.chainRowsPerTask = saved
   }
 
   test("adjacencyChainEdges: range-bucketed derivation equals the " +
@@ -632,15 +645,18 @@ class DedupSpec extends SparkSpec {
     // land in ONE range (stitch must emit nothing for it)
     val rnd = new scala.util.Random(7)
     val ids = ((1L to 400L) ++ (900000L to 900400L)).filter(_ => rnd.nextBoolean())
-    val occ = ids.flatMap { d =>
+    def occWith(nb: Long => Long) = ids.flatMap { d =>
       val hot = Seq(77L)                        // mega-hot: every doc
       val med = if (d % 3 == 0) Seq(11L) else Nil
       val clump = if (d < 500L) Seq(22L) else Nil // single-range shingle
-      (hot ++ med ++ clump).map(s => (s, d))
-    }.toDF("shingle", "doc")
+      (hot ++ med ++ clump).map(s => (s, d, nb(s)))
+    }.toDF("shingle", "doc", "nb")
     val lo = ids.min
     val hi = ids.max
-    val got = Dedup.adjacencyChainEdges(occ, lo, hi, buckets = 64)
+    // mega shingle split 7 ways, medium split 3, clumped one unsplit —
+    // heterogeneous nb is the production shape (split ∝ df)
+    val occ = occWith { s => if (s == 77L) 7L else if (s == 11L) 3L else 1L }
+    val got = Dedup.adjacencyChainEdges(occ, lo, hi)
       .as[(Long, Long)].collect().toSet
     // reference: plain per-shingle window lag (the skew-prone original)
     val w = org.apache.spark.sql.expressions.Window
@@ -652,12 +668,12 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"edge sets differ: extra=${got -- want} " +
       s"missing=${want -- got}")
     assert(got.forall(p => p._1 < p._2))
-    // degenerate bucket counts: a single bucket (collapses to the pure
-    // window) and a far-oversized count (most ranges empty, clumps
-    // spread across many stitches) must both reproduce the same set
-    assert(Dedup.adjacencyChainEdges(occ, lo, hi, buckets = 1)
+    // degenerate bucket counts: all-1 (collapses to the pure window) and
+    // a far-oversized count (most ranges empty, clumps spread across
+    // many stitches) must both reproduce the same set
+    assert(Dedup.adjacencyChainEdges(occWith(_ => 1L), lo, hi)
       .as[(Long, Long)].collect().toSet == want)
-    assert(Dedup.adjacencyChainEdges(occ, lo, hi, buckets = 4096)
+    assert(Dedup.adjacencyChainEdges(occWith(_ => 4096L), lo, hi)
       .as[(Long, Long)].collect().toSet == want)
   }
 
