@@ -229,6 +229,19 @@ object BenchScale {
         graft.ops.Similarity.ivfTrain(emb, "vec_id", "embedding", k = 64,
           iters = 2, trainLimit = Some(8192)),
         threshold = 0.9, kernelAssign = true, probes = 2)),
+      // the PRODUCTION cell sizing next to the fixed-k comparability row
+      // above: k = sqrt(n) (semDedupCellCount) bounds the in-cell
+      // compare count at n^1.5 where dd17b's held k = 64 degrades to
+      // n²/64 — the pair measures exactly the fixed-k wall (505 s at
+      // ×100) the sizing rule removes; keep quality is scored for BOTH
+      // in the sem_dedup block below
+      "dd17c_semdedup_sqrtk" -> (() => {
+        val k = graft.ops.Similarity.semDedupCellCount(nVecs)
+        graft.ops.Similarity.semDedup(emb, "vec_id", "embedding",
+          graft.ops.Similarity.ivfTrain(emb, "vec_id", "embedding", k,
+            iters = 2, trainLimit = Some(math.max(8192, 32 * k))),
+          threshold = 0.9, kernelAssign = true, probes = 2)
+      }),
       // CDC chunk ledger at x10: chunk text hashed away map-side, both
       // shuffles carry 32-byte hashes — linear in corpus bytes
       "dd21_cdc_dedup" -> (() => Dedup.cdcDedup(docs, "doc_id", "text",
@@ -474,31 +487,42 @@ object BenchScale {
     // the kept set scores exactly: drop_recall = dropped / should-drop
     // (over-drop is impossible at this threshold — any loss is a family
     // straddling a cell boundary, which one_kept_frac exposes).
+    def scoreSemDedup(tag: String, k: Int, trainLimit: Int)
+        : (Long, Long, Double, Double) = {
+      val kept = graft.ops.Similarity.semDedup(emb, "vec_id",
+        "embedding",
+        graft.ops.Similarity.ivfTrain(emb, "vec_id", "embedding", k,
+          iters = 2, trainLimit = Some(trainLimit)),
+        threshold = 0.9, kernelAssign = true, probes = 2)
+      val perFam = kept
+        .select(expr(s"vec_id div $factor").as("grp"))
+        .groupBy(col("grp")).agg(count(lit(1)).as("kept"))
+        .persist()
+      val families = perFam.count()
+      val keptRows = perFam.agg(sum(col("kept"))).head().getLong(0)
+      val oneKept = perFam.where(col("kept") === 1).count()
+      perFam.unpersist()
+      spark.catalog.clearCache()
+      val shouldDrop = (nVecs - families).toDouble
+      val dropRecall =
+        if (shouldDrop <= 0) 1.0 else (nVecs - keptRows) / shouldDrop
+      val oneKeptFrac = oneKept.toDouble / math.max(families, 1L)
+      System.err.println(f"[scale] $tag%s kept $keptRows%d of " +
+        f"$nVecs%d (families $families%d, one_kept $oneKeptFrac%5.3f, " +
+        f"drop_recall $dropRecall%5.3f)")
+      (keptRows, families, oneKeptFrac, dropRecall)
+    }
     val semDedupStats: Option[(Long, Long, Double, Double)] =
       if (caseFilter.nonEmpty || skip.contains("dd17b_semdedup_scale")) None
+      else Some(scoreSemDedup("sem_dedup", 64, 8192))
+    // keep quality under the production sqrt(n) cell sizing — must match
+    // the fixed-k row (cells only LOCALIZE the scan; probes=2 covers the
+    // boundary straddles regardless of how fine the cells are)
+    val semDedupSqrtStats: Option[(Long, Long, Double, Double)] =
+      if (caseFilter.nonEmpty || skip.contains("dd17c_semdedup_sqrtk")) None
       else {
-        val kept = graft.ops.Similarity.semDedup(emb, "vec_id",
-          "embedding",
-          graft.ops.Similarity.ivfTrain(emb, "vec_id", "embedding",
-            k = 64, iters = 2, trainLimit = Some(8192)),
-          threshold = 0.9, kernelAssign = true, probes = 2)
-        val perFam = kept
-          .select(expr(s"vec_id div $factor").as("grp"))
-          .groupBy(col("grp")).agg(count(lit(1)).as("kept"))
-          .persist()
-        val families = perFam.count()
-        val keptRows = perFam.agg(sum(col("kept"))).head().getLong(0)
-        val oneKept = perFam.where(col("kept") === 1).count()
-        perFam.unpersist()
-        spark.catalog.clearCache()
-        val shouldDrop = (nVecs - families).toDouble
-        val dropRecall =
-          if (shouldDrop <= 0) 1.0 else (nVecs - keptRows) / shouldDrop
-        val oneKeptFrac = oneKept.toDouble / math.max(families, 1L)
-        System.err.println(f"[scale] sem_dedup kept $keptRows%d of " +
-          f"$nVecs%d (families $families%d, one_kept $oneKeptFrac%5.3f, " +
-          f"drop_recall $dropRecall%5.3f)")
-        Some((keptRows, families, oneKeptFrac, dropRecall))
+        val k = graft.ops.Similarity.semDedupCellCount(nVecs)
+        Some(scoreSemDedup("sem_dedup_sqrtk", k, math.max(8192, 32 * k)))
       }
 
     // ---- the full replicate→upload→stage→promote service cycle at the
@@ -592,10 +616,13 @@ object BenchScale {
       nprobeCurves.getOrElse(name, Nil).map { case (np, rr) =>
         s""""$np":${f(rr)}"""
       }.mkString("{", ",", "}")
-    val semJson = semDedupStats.map { case (kept, fams, ok, dr) =>
-      s"""{"kept":$kept,"families":$fams,"one_kept_frac":${f(ok)},""" +
-        s""""drop_recall":${f(dr)}}"""
-    }.getOrElse("{}")
+    def semBlock(s: Option[(Long, Long, Double, Double)]): String =
+      s.map { case (kept, fams, ok, dr) =>
+        s"""{"kept":$kept,"families":$fams,"one_kept_frac":${f(ok)},""" +
+          s""""drop_recall":${f(dr)}}"""
+      }.getOrElse("{}")
+    val semJson = semBlock(semDedupStats)
+    val semSqrtJson = semBlock(semDedupSqrtStats)
     val skippedJson = skip.toSeq.sorted.map(s => s""""$s"""")
       .mkString("[", ",", "]")
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
@@ -606,6 +633,7 @@ object BenchScale {
       s""""sim7_nprobe_curve":${curveJson("sim7_ivfpq_topk")},""" +
       s""""sim7c_nprobe_curve":${curveJson("sim7c_ivfpq_cell")},""" +
       s""""dup_recall":$dupRecallJson,"sem_dedup":$semJson,""" +
+      s""""sem_dedup_sqrtk":$semSqrtJson,""" +
       s""""promote_cycle":$cycle,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may replace the committed artifact — a filtered

@@ -802,8 +802,23 @@ object Similarity {
     * quadratic term is confined to cells instead of the corpus), norms
     * hoist out of the pair loop, and the final keep-set is one left-anti
     * join against the dropped ids. Cell count k is the knob trading
-    * cross-cell recall for in-cell pair cost — exactly the IVF posture.
+    * cross-cell recall for in-cell pair cost — exactly the IVF posture;
+    * size it with [[semDedupCellCount]] (k ≈ √N keeps the total in-cell
+    * compare count linear in N), not a constant — the dd17b (fixed k)
+    * vs dd17c (√N) BenchScale pair measures exactly that trade.
     */
+  /** Production cell count for [[semDedup]]: k ≈ √n (clamped to
+    * [64, 65536]) bounds the expected in-cell compare count at
+    * k · (n/k)² = n²/k = n^1.5 — sub-quadratic, vs the n²/64 a fixed k
+    * degrades to (SemDeDup itself sizes k with the corpus for the same
+    * reason; constant-cell-size k = n/c is the fully-linear endpoint,
+    * bought with a centroid table that outgrows a broadcast). Training
+    * cost is unaffected (the Lloyd sample is bounded separately); the
+    * sidecar stays a broadcastable k-row table through the clamp range.
+    */
+  def semDedupCellCount(n: Long): Int =
+    math.min(65536L, math.max(64L, math.round(math.sqrt(n.toDouble)))).toInt
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double,
       kernelAssign: Boolean = false, probes: Int = 1): DataFrame = {

@@ -634,6 +634,15 @@ class SimilaritySpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("semDedupCellCount: sqrt sizing inside the broadcastable clamp") {
+    import Similarity.semDedupCellCount
+    assert(semDedupCellCount(0L) == 64, "floor")
+    assert(semDedupCellCount(4096L) == 64, "sqrt(4096) = 64 boundary")
+    assert(semDedupCellCount(1000000L) == 1000)
+    assert(semDedupCellCount(200000L) == 447, "the x100 bench point")
+    assert(semDedupCellCount(Long.MaxValue) == 65536, "ceiling")
+  }
+
   test("hard negatives: labels always differ, anchors never list " +
       "themselves, and nprobe = all cells equals the brute-force filter") {
     val centroids =
