@@ -151,6 +151,17 @@ object PlanAudit {
       p => !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct") &&
         p.contains("ObjectHashAggregate")),
+    Check("dd2d_jaccard_capped_chain",
+      "chain predecessors derive via the broadcast hot-frequency join " +
+        "and the per-shingle range-bucketed lag window (bkt in the " +
+        "window keys), and every stats/verification join stays " +
+        "broadcast at gate scale — pins the round-13 regression where " +
+        "an eager action on a cached frame flipped them to sort-merge",
+      p => p.contains("bkt") &&
+        p.contains("BroadcastHashJoin") &&
+        !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")),
     Check("ts7b_decontaminate_bloom",
       "bloom prefilter inside codegen BEFORE the deliberately " +
         "non-broadcast exact join (the large-benchmark shape)",
