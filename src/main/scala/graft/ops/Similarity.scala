@@ -2504,4 +2504,26 @@ object IvfPqCellPackedIndex {
       cat.read(spark, s"$name.codes"),
       p.getAs[Int]("assigns"))
   }
+
+  /** SEEDED per-cell build — the oracle-replayable twin of
+    * [[buildTrained]]: coarse cells are the first `kc` corpus vectors by
+    * id, each cell's residual codebook is its first `ksub` members under
+    * the ([[Similarity.spreadKey]], id) ordering (code_id = rank 0..),
+    * zero Lloyd refinement. Every step is deterministic, portable SQL —
+    * the sim7c gate replays the WHOLE kernel pipeline (bounded keyed
+    * collect sample, packed cell encode, packed ADC probe) in DuckDB —
+    * while the plan shapes are exactly [[buildTrained]]'s production
+    * shapes (corpus-independent build shuffle, map-only encode,
+    * zero-shuffle probe).
+    */
+  def buildSeeded(df: DataFrame, idCol: String, vecCol: String, kc: Int,
+      m: Int, dims: Int, ksub: Int): IvfPqCellPackedIndex = {
+    val centroids = Similarity.ivfSeedCentroids(df, idCol, vecCol, kc)
+    val residuals = Similarity.ivfResidualsFast(df, idCol, vecCol, centroids)
+    val cb = Similarity.ivfPqTrainPerCell(residuals, idCol, m, dims, ksub,
+      iters = 0, perCellTrainLimit = Some(ksub))
+    IvfPqCellPackedIndex(m, dims, centroids, cb,
+      Similarity.ivfPqEncodeCellPacked(residuals, idCol,
+        Similarity.collectCellCodebooks(cb, m), dims))
+  }
 }

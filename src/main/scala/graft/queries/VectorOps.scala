@@ -157,6 +157,22 @@ object VectorOps {
       idx.probe(queryVec(s, d), k = 30, nprobe = 2)
     }),
 
+    // per-cell IVFADC through the PACKED KERNEL pipeline (the production
+    // path: bounded-keyed-collect per-cell sample, kernel cell encode to
+    // packed codes, per-cell ADC tables, zero-shuffle probe) with SEEDED
+    // quantizers so every step stays SQL-replayable: coarse cells = first
+    // 8 vectors by id (sim7's), per-cell codebooks = each cell's first 8
+    // members under the (spreadKey, id) ordering with code_id = rank.
+    // This gate covers exactly what sim7's relational oracle does NOT:
+    // BoundedCollect sampling, PqCodesCell, AdcDistCell, and the packed
+    // probe's driver-side cell ranking
+    "sim7c_ivfpq_cell" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val idx = graft.ops.IvfPqCellPackedIndex.buildSeeded(
+        e, "vec_id", "embedding", kc = 8, m = 4, dims = DIMS, ksub = 8)
+      idx.probe(queryVec(s, d), k = 30, nprobe = 2)
+    }),
+
     // rotated PQ (OPQ-lite): a seeded orthogonal pre-rotation mixes
     // dimensions across subspace boundaries before the per-subspace
     // quantizers cut them apart, then the plain sim6 PQ pipeline runs in
@@ -565,6 +581,72 @@ object VectorOps {
          |seeds AS (SELECT centroid_id, vec_id AS code_id, resid FROM (
          |            SELECT r.*, row_number() OVER (PARTITION BY centroid_id
          |                     ORDER BY vec_id) AS rn FROM r) WHERE rn <= 8),
+         |cb AS (SELECT s.centroid_id, t.sub, s.code_id,
+         |              list_slice(s.resid, t.sub*16+1, t.sub*16+16)
+         |                AS codeword
+         |       FROM seeds s
+         |       CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) t),
+         |codes AS (SELECT vec_id, centroid_id, sub, code_id AS code FROM (
+         |            SELECT r.vec_id, r.centroid_id, cb.sub, cb.code_id,
+         |                   row_number() OVER (PARTITION BY r.vec_id, cb.sub
+         |                     ORDER BY ($n2cw) - (2.0 *
+         |                       (${sqlDotN(rsub("r.resid"), "codeword", 16)})),
+         |                       cb.code_id) AS rn
+         |            FROM r JOIN cb ON r.centroid_id = cb.centroid_id)
+         |          WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |p AS (SELECT c.centroid_id,
+         |             list_transform(range(1, ${DIMS + 1}),
+         |               i -> CAST(q.qv[i] AS DOUBLE) - c.centroid[i]) AS rq
+         |      FROM c CROSS JOIN q
+         |      ORDER BY ${sqlCosine("c.centroid", "q.qv")} DESC, c.centroid_id
+         |      LIMIT 2),
+         |dt AS (SELECT cb.centroid_id, cb.sub, cb.code_id AS code,
+         |              (($n2cw) - (2.0 *
+         |                 (${sqlDotN(rsub("p.rq"), "codeword", 16)})))
+         |                + (${sqlDotN(rsub("p.rq"), rsub("p.rq"), 16)}) AS dj
+         |       FROM cb JOIN p USING (centroid_id)),
+         |ad AS (SELECT co.vec_id,
+         |              max(CASE WHEN co.sub = 0 THEN dt.dj END) AS d0,
+         |              max(CASE WHEN co.sub = 1 THEN dt.dj END) AS d1,
+         |              max(CASE WHEN co.sub = 2 THEN dt.dj END) AS d2,
+         |              max(CASE WHEN co.sub = 3 THEN dt.dj END) AS d3
+         |       FROM codes co JOIN dt ON co.centroid_id = dt.centroid_id
+         |         AND co.sub = dt.sub AND co.code = dt.code
+         |       GROUP BY co.vec_id)
+         |SELECT vec_id, ((d0 + d1) + d2) + d3 AS adist
+         |FROM ad ORDER BY adist, vec_id LIMIT 30""".stripMargin
+    },
+
+    // per-cell IVFADC (packed kernel path): sim7's oracle with ONE
+    // change — seeds rank by the spreadKey Weyl mix ((id % P)·A % P,
+    // P = 2^31−1, A = 1327217884) instead of raw id, and code_id is the
+    // dense rank 0.. (the trained-build contract), so the bounded keyed
+    // collect, kernel encode, and packed ADC probe all replay exactly
+    "sim7c_ivfpq_cell" -> {
+      val n2cw = sqlDotN("codeword", "codeword", 16)
+      val rsub = (e: String) => s"list_slice($e, sub*16+1, sub*16+16)"
+      s"""WITH c AS (SELECT vec_id AS centroid_id,
+         |                  list_transform(embedding,
+         |                    x -> CAST(x AS DOUBLE)) AS centroid
+         |           FROM embeddings ORDER BY vec_id LIMIT 8),
+         |a AS (SELECT vec_id, centroid_id FROM (
+         |        SELECT e.vec_id, c.centroid_id,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY ${sqlCosine("e.embedding", "c.centroid")}
+         |                   DESC, c.centroid_id) AS rn
+         |        FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |r AS (SELECT e.vec_id, a.centroid_id,
+         |             list_transform(range(1, ${DIMS + 1}),
+         |               i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+         |               AS resid
+         |      FROM embeddings e
+         |      JOIN a USING (vec_id) JOIN c USING (centroid_id)),
+         |seeds AS (SELECT centroid_id, rn - 1 AS code_id, resid FROM (
+         |            SELECT r.*, row_number() OVER (PARTITION BY centroid_id
+         |                     ORDER BY ((vec_id % 2147483647) * 1327217884)
+         |                       % 2147483647, vec_id) AS rn FROM r)
+         |          WHERE rn <= 8),
          |cb AS (SELECT s.centroid_id, t.sub, s.code_id,
          |              list_slice(s.resid, t.sub*16+1, t.sub*16+16)
          |                AS codeword
