@@ -884,23 +884,66 @@ object Similarity {
     * Scale shape: the kept-rep table is the post-dedup representative
     * set keyed by cell — the equi-join on cell localizes comparisons to
     * ~|kept|/k reps per row, and nothing corpus-sized shuffles.
+    *
+    * `probes` > 1 widens admission to the arrival's `probes` nearest
+    * cells with the kept reps re-hosted in THEIR `probes` nearest cells
+    * — the stream twin of [[semDedup]]'s multi-probe pair scan, so a
+    * boundary-straddling arrival is rejected exactly where the batch
+    * path would drop it (probes = 1 admitted it: the rep's primary cell
+    * isn't the arrival's argmax cell). StreamingSpec pins stream == batch
+    * on that fixture.
     */
   def semDedupAdmitStream(docs: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Long, Array[Double])], kept: DataFrame,
-      keptVecCol: String, threshold: Double): DataFrame = {
+      keptVecCol: String, threshold: Double, probes: Int = 1): DataFrame = {
     require(centroids.nonEmpty, "empty centroid table")
+    require(probes >= 1, s"need at least one probe cell, got $probes")
     val sorted = centroids.sortBy(_._1)
     val local = new graft.functions.CentroidsLocal(
       sorted.map(_._1), sorted.map(_._2))
-    val assigned = docs.withColumn("__cell",
-      graft.functions.QuantKernelCols.nearestCentroid(col(vecCol), local))
-    val reps = kept.select(col("centroid_id").as("__k_cell"),
-      col(keptVecCol).as("__k_vec"))
-    assigned.join(reps,
-        col("__cell") === col("__k_cell") &&
-          cosine(col(vecCol), col("__k_vec")) >= threshold,
-        "left_anti")
-      .withColumnRenamed("__cell", "centroid_id")
+    if (probes == 1) {
+      val assigned = docs.withColumn("__cell",
+        graft.functions.QuantKernelCols.nearestCentroid(col(vecCol), local))
+      val reps = kept.select(col("centroid_id").as("__k_cell"),
+        col(keptVecCol).as("__k_vec"))
+      assigned.join(reps,
+          col("__cell") === col("__k_cell") &&
+            cosine(col(vecCol), col("__k_vec")) >= threshold,
+          "left_anti")
+        .withColumnRenamed("__cell", "centroid_id")
+    } else {
+      // Multi-probe admission — batch-parity with [[semDedup]](probes):
+      // the arrival carries its `probes` nearest cells, and the kept
+      // reps are RE-HOSTED in their own `probes` nearest cells
+      // (recomputed from the vector; position 0 is exactly the
+      // centroid_id the batch keep emitted), so a (rep, arrival) pair
+      // is compared iff their probe sets intersect — the identical
+      // meet rule to the batch pair scan. One chained equi anti-join
+      // per probe position keeps the plan stateless and append-legal:
+      // exploding the STREAM side instead would need a "survived all
+      // probes" re-aggregation that append mode cannot run, and a
+      // single array_contains join would lose the equi key (nested-
+      // loop at scale). A pair sharing two host cells just matches
+      // twice inside one anti-join — anti-joins absorb multiplicity.
+      val assigned = docs.withColumn("__cells",
+        graft.functions.QuantKernelCols
+          .nearestCentroids(col(vecCol), local, probes))
+      val reps = kept.select(col(keptVecCol).as("__k_vec"),
+        explode(graft.functions.QuantKernelCols
+          .nearestCentroids(col(keptVecCol), local, probes)).as("__k_cell"))
+      val admitted = (0 until probes).foldLeft(assigned) { (cur, p) =>
+        // get() not element_at(): a kc < probes centroid table yields a
+        // short probe array, and under ANSI element_at would throw where
+        // the batch path just has fewer host cells (null never equi-matches)
+        cur.join(reps,
+          get(col("__cells"), lit(p)) === col("__k_cell") &&
+            cosine(col(vecCol), col("__k_vec")) >= threshold,
+          "left_anti")
+      }
+      admitted
+        .withColumn("centroid_id", get(col("__cells"), lit(0)))
+        .drop("__cells")
+    }
   }
 
   // -------------------------------------------------- streaming assignment

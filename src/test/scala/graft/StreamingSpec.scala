@@ -281,6 +281,83 @@ class StreamingSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("2-probe streaming admission == batch semDedup on a boundary-" +
+      "straddling fixture; 1-probe admitted exactly the straddler") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def v(xs: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    def deg(d: Double) = math.toRadians(d)
+    // centroids (= first 3 by id): e_x, e_y, e_z. Base also keeps a rep
+    // at 44° in the x-y plane — primary cell e_x, second probe e_y —
+    // and a far-off rep on dim 3. All base pairs are < 0.9 apart, so
+    // the frozen kept set is the whole base.
+    val base = Seq(
+      (0L, v(0 -> 1.0)), (1L, v(1 -> 1.0)), (2L, v(2 -> 1.0)),
+      (3L, v(0 -> math.cos(deg(44)), 1 -> math.sin(deg(44)))),
+      (4L, v(3 -> 1.0)))
+    // arrivals: 10 = the STRADDLER (47°: argmax cell e_y, but its true
+    // near-dup is rep 3 whose primary cell is e_x — only the second
+    // probe meets it); 11 = genuinely novel; 12 = plain same-cell dup
+    // of rep 0
+    val arrivals = Seq(
+      (10L, v(0 -> math.cos(deg(47)), 1 -> math.sin(deg(47)))),
+      (11L, v(4 -> 1.0)),
+      (12L, v(0 -> math.cos(deg(2)), 1 -> math.sin(deg(2)))))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val centroidsDf = Similarity.ivfSeedCentroids(baseDf, "vec_id",
+      "embedding", 3)
+    val cents = centroidsDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val kept = Similarity.semDedup(baseDf, "vec_id", "embedding",
+        centroidsDf, threshold = 0.9, probes = 2)
+      .join(baseDf, Seq("vec_id"))
+      .select(col("centroid_id"), col("embedding").as("k_vec"))
+      .cache()
+    assert(kept.count() == base.size, "fixture: base must be all-kept")
+
+    val src = MemoryStream[(Long, Seq[Float])]
+    val stream = src.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val q = Similarity.semDedupAdmitStream(stream, "vec_id", "embedding",
+        cents, kept, "k_vec", threshold = 0.9, probes = 2)
+      .select("vec_id", "centroid_id")
+      .writeStream.format("memory").queryName("sem_admit2")
+      .outputMode("append").start()
+    src.addData(arrivals.take(1): _*)
+    q.processAllAvailable()
+    src.addData(arrivals.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sem_admit2").as[(Long, Long)].collect().toSet
+
+    // batch replay: semDedup over base ∪ arrivals at the same probes —
+    // the arrivals the batch keeps are exactly the stream-admitted ones
+    // (base is all-kept and mutually distant, so intra-arrival pairs
+    // can't differ either)
+    val allDf = (base ++ arrivals).toDF("vec_id", "embedding")
+    val batchKept = Similarity.semDedup(allDf, "vec_id", "embedding",
+        centroidsDf, threshold = 0.9, probes = 2)
+      .where(col("vec_id") >= 10L).as[(Long, Long)].collect().toSet
+    assert(got == batchKept, s"stream $got != batch $batchKept")
+    assert(got.map(_._1) == Set(11L),
+      "fixture: straddler 10 and same-cell dup 12 must both be rejected")
+
+    // the 1-probe path admits the straddler (the gap probes = 2 closes):
+    // rep 3's primary cell is e_x, arrival 10's argmax cell is e_y
+    val one = Similarity.semDedupAdmitStream(
+        arrivals.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cents, kept, "k_vec", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(one == Set(10L, 11L), s"1-probe admitted $one, expected 10 & 11")
+    kept.unpersist()
+  }
+
   test("windowed top-k: streaming (complete) equals batch on real events") {
     val srcDir = tmpDir("stream-wtopk")
     graft.Tables.events(spark, sf).write.mode("overwrite").parquet(srcDir)
