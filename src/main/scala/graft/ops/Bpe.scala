@@ -341,6 +341,56 @@ object Bpe {
     out.result()
   }
 
+  /** Greedy-left merge of (a, b) in one word — run parity by scan: a
+    * merged position consumes its right neighbor and the scan resumes
+    * after it. Returns the input array unchanged (same reference) when
+    * the pair never occurs.
+    */
+  private def mergeWord(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    var touched = false
+    var j = 0
+    while (!touched && j < syms.length - 1) {
+      touched = syms(j) == a && syms(j + 1) == b
+      j += 1
+    }
+    if (!touched) syms
+    else {
+      val out = Array.newBuilder[String]
+      j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+          out += a + b; j += 2
+        } else {
+          out += syms(j); j += 1
+        }
+      }
+      out.result()
+    }
+  }
+
+  /** "x sorts strictly before y" in the merge PICK order: weighted count
+    * desc, then lhs, then rhs in unsigned UTF-8 byte order — exactly
+    * [[topPair]]'s `orderBy(c desc, sym, nxt)`.
+    */
+  private def pickLess(xa: String, xb: String, xc: Long,
+      ya: String, yb: String, yc: Long): Boolean =
+    xc > yc || (xc == yc && (utf8Less(xa, ya) ||
+      (xa == ya && utf8Less(xb, yb))))
+
+  /** The one distributed job both local trainers share: tokenize, count
+    * word frequencies, TakeOrdered the top `vocabLimit` words (freq
+    * desc, word asc — never a full sort), split to code-point symbols.
+    */
+  private def collectVocab(docs: DataFrame, textCol: String,
+      vocabLimit: Int): Array[(Array[String], Long)] = docs
+    .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    .where(length(col("w")) > 0)
+    .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    .orderBy(col("freq").desc, col("w")).limit(vocabLimit)
+    .collect()
+    .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
+
   /** EXACT sequential BPE over the BOUNDED weighted vocabulary, trained
     * driver-side — the production trainer shape every reference BPE
     * implementation uses (Sennrich's script, SentencePiece, the HF
@@ -348,11 +398,26 @@ object Bpe {
     * ONE distributed corpus scan builds the (word, freq) table, the top
     * `vocabLimit` words by (freq desc, word asc — a TakeOrdered, never a
     * full sort) come to the driver, and all `nMerges` rounds run as
-    * plain loops over dictionary-sized arrays. Total Spark jobs: ONE,
-    * independent of vocabulary size — [[train]]'s job-per-merge loop
+    * plain loops over dictionary-sized structures. Total Spark jobs:
+    * ONE, independent of merge count — [[train]]'s job-per-merge loop
     * (the round-12 verdict's scale wall) and [[trainBatched]]'s
-    * supersteps both disappear; a 32k-merge production vocabulary is a
-    * few driver seconds.
+    * supersteps both disappear.
+    *
+    * The driver loop is INCREMENTAL (the Sennrich / SentencePiece
+    * trick): pair counts and a pair → containing-words occurrence index
+    * are built once, each round's winner comes from a lazy-deletion
+    * max-heap (an entry is live iff its count equals the pair's current
+    * count — every count change pushes a fresh entry, so the current
+    * state is always present), and applying a merge touches ONLY the
+    * words the occurrence index lists for the winning pair: each
+    * touched word's old adjacencies are subtracted, the merge applied,
+    * the new adjacencies added, and the modified pairs re-pushed. Per
+    * merge that is O(touched-word characters + log-heap), not O(vocab
+    * characters) — the full-recount loop this replaces
+    * ([[trainLocalReference]], kept as the spec's equality reference)
+    * spent ~2×10¹¹ hash updates at the 32k-merge × 2^20-word production
+    * point; BpeSpec pins trajectory equality at 4096 merges and the
+    * BenchScale bpe_local_4k case records the measured driver time.
     *
     * Equality: with `vocabLimit` covering every distinct word this is
     * [[train]] EXACTLY — same weighted pair counts, same greedy-left
@@ -370,13 +435,106 @@ object Bpe {
   def trainLocal(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int, vocabLimit: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
-    val vocab: Array[(Array[String], Long)] = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .where(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("w")).limit(vocabLimit)
-      .collect()
-      .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
+    val vocab = collectVocab(docs, textCol, vocabLimit)
+    val words: Array[Array[String]] = vocab.map(_._1)
+    val freqs: Array[Long] = vocab.map(_._2)
+    import scala.collection.mutable
+    val counts = new mutable.HashMap[(String, String), Long]
+    val occs = new mutable.HashMap[(String, String), mutable.Set[Int]]
+    // heap of (lhs, rhs, count-at-push); live iff count matches current
+    val heap = new java.util.PriorityQueue[(String, String, Long)](
+      math.max(16, words.length),
+      (x: (String, String, Long), y: (String, String, Long)) =>
+        if (x == y) 0
+        else if (pickLess(x._1, x._2, x._3, y._1, y._2, y._3)) -1 else 1)
+    var i = 0
+    while (i < words.length) {
+      val syms = words(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        val key = (syms(j), syms(j + 1))
+        counts.update(key, counts.getOrElse(key, 0L) + freqs(i))
+        occs.getOrElseUpdate(key, mutable.Set.empty[Int]) += i
+        j += 1
+      }
+      i += 1
+    }
+    counts.foreach { case (p, c) => heap.add((p._1, p._2, c)) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      // pop to the first LIVE entry (stale counts discard; a pair whose
+      // count reverted to an old pushed value is live under that value,
+      // which is exactly its current state)
+      var top: (String, String, Long) = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (counts.getOrElse((e._1, e._2), -1L) == e._3) top = e
+      }
+      if (top == null) done = true
+      else {
+        val (a, b, c) = top
+        merges += ((rank, a, b, c))
+        val touched = occs.getOrElse((a, b), mutable.Set.empty[Int]).toArray
+        val modified = mutable.Set[(String, String)]()
+        touched.foreach { w =>
+          val old = words(w)
+          val next = mergeWord(old, a, b)
+          // the occurrence index listed w, so the pair occurs in it
+          var j = 0
+          while (j < old.length - 1) {
+            val p = (old(j), old(j + 1))
+            val nc = counts(p) - freqs(w)
+            if (nc == 0L) counts.remove(p) else counts(p) = nc
+            modified += p
+            j += 1
+          }
+          words(w) = next
+          val newPairs = mutable.Set[(String, String)]()
+          j = 0
+          while (j < next.length - 1) {
+            val p = (next(j), next(j + 1))
+            counts.update(p, counts.getOrElse(p, 0L) + freqs(w))
+            newPairs += p
+            modified += p
+            j += 1
+          }
+          // index maintenance: w leaves pairs its new form lost, joins
+          // the ones it gained
+          j = 0
+          while (j < old.length - 1) {
+            val p = (old(j), old(j + 1))
+            if (!newPairs.contains(p)) occs.get(p).foreach { s =>
+              s -= w
+              if (s.isEmpty) occs.remove(p)
+            }
+            j += 1
+          }
+          newPairs.foreach(p =>
+            occs.getOrElseUpdate(p, mutable.Set.empty[Int]) += w)
+        }
+        modified.foreach(p =>
+          counts.get(p).foreach(nc => heap.add((p._1, p._2, nc))))
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "lhs", "rhs", "pair_count")
+      .select(col("rank").cast("int"), col("lhs"), col("rhs"),
+        col("pair_count"))
+  }
+
+  /** The full-recount reference loop [[trainLocal]] replaced — every
+    * round rebuilds the complete pair-count table over ALL vocab words
+    * and rescans every word on apply (O(vocab characters) per merge).
+    * Kept package-private as BpeSpec's independent equality reference
+    * for the incremental trainer; never a production call site.
+    */
+  private[graft] def trainLocalReference(docs: DataFrame, idCol: String,
+      textCol: String, nMerges: Int, vocabLimit: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab = collectVocab(docs, textCol, vocabLimit)
     val words: Array[Array[String]] = vocab.map(_._1)
     val freqs: Array[Long] = vocab.map(_._2)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -400,37 +558,15 @@ object Bpe {
       else {
         var best: ((String, String), Long) = null
         counts.foreach { e =>
-          if (best == null || e._2 > best._2 ||
-            (e._2 == best._2 && (utf8Less(e._1._1, best._1._1) ||
-              (e._1._1 == best._1._1 && utf8Less(e._1._2, best._1._2)))))
+          if (best == null || pickLess(e._1._1, e._1._2, e._2,
+            best._1._1, best._1._2, best._2))
             best = e
         }
         val ((a, b), c) = best
         merges += ((rank, a, b, c))
-        // greedy-left application (the scan IS run parity: a merged
-        // position consumes its right neighbor and the scan resumes
-        // after it)
         i = 0
         while (i < words.length) {
-          val syms = words(i)
-          var touched = false
-          var j = 0
-          while (!touched && j < syms.length - 1) {
-            touched = syms(j) == a && syms(j + 1) == b
-            j += 1
-          }
-          if (touched) {
-            val out = Array.newBuilder[String]
-            j = 0
-            while (j < syms.length) {
-              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
-                out += a + b; j += 2
-              } else {
-                out += syms(j); j += 1
-              }
-            }
-            words(i) = out.result()
-          }
+          words(i) = mergeWord(words(i), a, b)
           i += 1
         }
         rank += 1

@@ -739,6 +739,101 @@ object Dedup {
           .as("r"))
   }
 
+  /** PageRank over the near-dup graph CONTRACTED to one super-node per
+    * connected component — the production variant for dup graphs, where
+    * the edge set is in-group-quadratic (a family of f clones is a
+    * clique: f·(f−1)/2 edges) and raw [[pageRank]] moves O(E) records
+    * per round through joins that mostly shuffle rank mass AROUND INSIDE
+    * each family. Contraction runs the rank recurrence per FAMILY: one
+    * CC pass labels components (hash-min, the [[dupClusters]] machinery),
+    * one aggregation derives each family's size k and regular degree
+    * d = (2·E_intra) div k, and the `iters` rounds become map-only
+    * column updates over the family table plus a groupBy over CROSS-
+    * family edges only — O(real cross-family edges) per round, zero on
+    * a pure clone corpus, vs raw PR's O(E).
+    *
+    * Exactness: on a DEGREE-REGULAR component with no cross edges (a
+    * planted clone clique — every dup-graph family the inflation
+    * fixtures generate) every member holds the identical rank each
+    * round, so the member recurrence
+    * {{{ u' = base + (85 · d·(u div d)) div 100 }}}
+    * reproduces raw [[pageRank]] BIT-EXACTLY, per node and per family
+    * (DedupSpec pins it on mixed-size cliques). On irregular components
+    * the regular-degree d and the uniform spread of cross-family inflow
+    * (F div k per member) are approximations — family MASS stays the
+    * signal; raw pageRank remains the exact oracle-gated form (g2).
+    * Returns (`idCol`, rank_fp) like [[pageRank]].
+    *
+    * `labels` overrides the contraction key with caller-supplied
+    * (id, c) family labels — e.g. a community detector's output, or
+    * planted group ids — which is where cross-family edges actually
+    * flow; under the default CC labels cross edges are empty by
+    * definition of connectedness and every round is map-only.
+    */
+  def pageRankContracted(pairs: DataFrame, idCol: String, iters: Int = 3,
+      scale: Long = 1000000000000L,
+      labels: Option[DataFrame] = None): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val nodes = edges.select(col("u").as("id")).distinct()
+    val comp = tracked(labels.getOrElse(dupClusters(nodes, "id", pairs)
+      .select(col("id"), col("cluster_id").as("c"))))
+    val n = nodes.count()
+    require(n > 0, "pageRankContracted over an empty graph")
+    val base = 15L * scale / 100L / n
+    // per-endpoint component labels; intra edges collapse to (k, e2) per
+    // family, cross edges to a (ca, cb, w) multiplicity table (empty on
+    // clone corpora — the whole point)
+    val eLab = edges
+      .join(comp.withColumnRenamed("id", "u").withColumnRenamed("c", "ca"),
+        Seq("u"))
+      .join(comp.withColumnRenamed("id", "v").withColumnRenamed("c", "cb"),
+        Seq("v"))
+    val sizes = comp.groupBy(col("c")).agg(count(lit(1)).as("k"))
+    val intra = eLab.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e2"))
+    val cross = eLab.where(col("ca") =!= col("cb"))
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w"))
+      .persist()
+    val hasCross = cross.limit(1).count() > 0
+    var fam = roundCache(sizes.join(intra, Seq("c"), "left")
+      .select(col("c"), col("k"),
+        greatest(expr("coalesce(e2, CAST(0 AS BIGINT)) div k"), lit(1L))
+          .as("d"),
+        lit(scale / n).as("u")))
+    for (_ <- 1 to iters) {
+      val prev = fam
+      val stepped =
+        if (!hasCross)
+          fam.select(col("c"), col("k"), col("d"),
+            (lit(base) + expr("(85 * (d * (u div d))) div 100")).as("u"))
+        else {
+          // per-member cross inflow: each directed cross edge carries the
+          // source family's member contribution, spread uniformly over
+          // the destination family (F div k) — the documented
+          // approximation; the intra term is the regular-degree identity
+          val flow = cross
+            .join(fam.select(col("c").as("ca"), col("u").as("su"),
+              col("d").as("sd")), Seq("ca"))
+            .select(col("cb").as("c"),
+              (col("w") * expr("su div sd")).as("f"))
+            .groupBy(col("c")).agg(sum(col("f")).as("fin"))
+          fam.join(flow, Seq("c"), "left")
+            .select(col("c"), col("k"), col("d"),
+              (lit(base) + expr("(85 * (d * (u div d) + " +
+                "coalesce(fin, CAST(0 AS BIGINT)) div k)) div 100"))
+                .as("u"))
+        }
+      fam = roundCache(stepped)
+      fam.count()
+      prev.unpersist()
+    }
+    val out = comp.join(fam.select(col("c"), col("u")), Seq("c"))
+      .select(col("id").as(idCol), col("u").as("rank_fp"))
+    cross.unpersist()
+    out
+  }
+
   /** Banded MinHash index of a STATIC corpus for incremental near-dup
     * checks — the Jaccard-verified analogue of [[simhashIndex]]: `banded`
     * holds one (doc, band, bucket) row per band per corpus doc, `sets`

@@ -602,10 +602,14 @@ object TextOps {
     // frozen-tokenizer application at DICTIONARY cost: train 4 merges,
     // segment the distinct-word vocabulary once, join instances to
     // their word's piece count — tokenizing the corpus is one word
-    // explode + one vocab equi-join, never per-instance windows
+    // explode + one vocab equi-join, never per-instance windows. The
+    // merge table comes from trainLocal — the PRODUCTION trainer (one
+    // distributed job; BpeSpec pins its trajectory == train's), so the
+    // gate exercises the path real pipelines run
     "ts26_bpe_tokenize" -> ((s, d) => {
       val docs = documents(s, d)
-      val merges = graft.ops.Bpe.train(docs, "doc_id", "text", nMerges = 4)
+      val merges = graft.ops.Bpe.trainLocal(docs, "doc_id", "text",
+          nMerges = 4)
         .collect().sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
@@ -618,7 +622,9 @@ object TextOps {
     "ts35_bpe_fertility" -> ((s, d) => {
       import s.implicits._
       val docs = documents(s, d)
-      val merges = graft.ops.Bpe.train(docs, "doc_id", "text", nMerges = 4)
+      // trainLocal, like ts26: the production trainer, identical merges
+      val merges = graft.ops.Bpe.trainLocal(docs, "doc_id", "text",
+          nMerges = 4)
         .collect().sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val counts = graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)

@@ -107,6 +107,36 @@ class BpeSpec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
+  test("incremental trainLocal == full-recount reference at 4096 merges " +
+      "on a synthetic vocabulary (heap + occurrence-index maintenance)") {
+    // deterministic LCG corpus: 4000 distinct words, lengths 6..13 over
+    // a-z, frequencies 1..3 — enough adjacency mass (~30k merge-able
+    // positions) to run 4096 rounds deep, with heavy count ties so the
+    // UTF-8 tie-break is exercised constantly
+    var s = 0x2545F4914F6CDD1DL
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    def word(): String = {
+      val len = 6 + (math.abs(nxt()) % 8).toInt
+      (0 until len).map(_ => ('a' + (math.abs(nxt()) % 26).toInt).toChar)
+        .mkString
+    }
+    val words = (0 until 4000).map(_ => word()).distinct
+    val rows = words.zipWithIndex.flatMap { case (w, i) =>
+      (0 to i % 3).map(r => (i.toLong * 4 + r, w))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val inc = Bpe.trainLocal(docs, "doc_id", "text", 4096)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val ref = Bpe.trainLocalReference(docs, "doc_id", "text", 4096)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(inc.size == 4096, s"fixture too shallow: ${inc.size} merges")
+    val firstDiff = inc.zip(ref).find { case (x, y) => x != y }
+    assert(inc == ref,
+      s"sizes ${inc.size}/${ref.size}, first divergence: $firstDiff")
+  }
+
   test("batched supersteps: run-heavy self-pair corpus still matches " +
       "sequential (island logic under batches)") {
     // self-pairs force the run-parity path; the tie round forces the

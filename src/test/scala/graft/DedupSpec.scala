@@ -697,6 +697,55 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("contracted PageRank == raw pageRank BIT-EXACTLY on planted " +
+      "clone cliques (per node, mixed family sizes), zero cross edges") {
+    // three disjoint cliques — sizes 3, 5, 2: the dup-graph family shape
+    // the inflation fixtures plant. Regular degree per family, so the
+    // per-member scalar recurrence must reproduce raw PR exactly.
+    def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))
+    val pairs = (clique(Seq(1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L, 14L)) ++
+      clique(Seq(20L, 21L))).toDF("id_a", "id_b")
+    for (it <- Seq(1, 3)) {
+      val raw = graft.ops.Dedup.pageRank(pairs, "doc_id", iters = it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val con = graft.ops.Dedup
+        .pageRankContracted(pairs, "doc_id", iters = it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(con == raw, s"iters=$it: contracted $con != raw $raw")
+    }
+    // a bridge merges the families under CC labels (one irregular
+    // component — the documented approximation regime): output still
+    // covers all nodes with positive mass
+    val bridged = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(20L, 21L)) ++
+      Seq((3L, 20L))).toDF("id_a", "id_b")
+    val con = graft.ops.Dedup.pageRankContracted(bridged, "doc_id",
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(con.keySet == Set(1L, 2L, 3L, 20L, 21L) &&
+      con.values.forall(_ > 0), con)
+    // caller-supplied labels keep the families separate — the bridge
+    // becomes a real CROSS edge and rank flows from the bigger family
+    // into the smaller through the spread-inflow term
+    val lab = Seq((1L, 100L), (2L, 100L), (3L, 100L), (20L, 200L),
+      (21L, 200L)).toDF("id", "c")
+    val conL = graft.ops.Dedup.pageRankContracted(bridged, "doc_id",
+        iters = 3, labels = Some(lab))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conL.keySet == con.keySet && conL.values.forall(_ > 0), conL)
+    // family 200 receives cross inflow on top of its own recurrence: its
+    // members outrank what an ISOLATED 2-clique would hold
+    val iso = graft.ops.Dedup.pageRankContracted(
+        (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(20L, 21L)))
+          .toDF("id_a", "id_b"), "doc_id", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conL(20L) > iso(20L),
+      s"cross inflow missing: ${conL(20L)} <= ${iso(20L)}")
+    spark.catalog.clearCache()
+  }
+
   test("one-permutation signature: codegen == interpreted == the " +
     "published algorithm, including rotation densification") {
     // pure-Scala replay of ophSigData (Li/Owen/Zhang binning +
