@@ -44,6 +44,11 @@ object BenchScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val shuffleTally = new java.util.concurrent.atomic.AtomicLong
+    // monotone task-end counter: the drain criterion. Draining on
+    // shuffleTally alone left a window where task-end events from ZERO-
+    // shuffle tasks of the previous case arrived after the reset and
+    // inflated the next case's peak_task_mem_bytes
+    val tasksEnded = new java.util.concurrent.atomic.AtomicLong
     // per-case high-water mark of any single task's execution memory
     // (sort/agg/join buffers) — the "does one partition fit an executor"
     // number the 100× posture is judged on; peaks well under the
@@ -60,23 +65,25 @@ object BenchScale {
           while (p > cur && !peakTaskMem.compareAndSet(cur, p))
             cur = peakTaskMem.get()
         }
+        tasksEnded.incrementAndGet()
         ()
       }
     })
     /** Shuffle records and max per-task execution memory attributable to
-      * `body` (listener bus drained before and after).
+      * `body` (listener bus drained before and after on the MONOTONE
+      * task-end counter, so stragglers of earlier work can't leak into
+      * this case's tallies).
       */
     def shuffled(body: => Unit): (Long, Long) = {
-      // drain events from previous work first
       var last = -1L
-      while (shuffleTally.get() != last) { last = shuffleTally.get(); Thread.sleep(200L) }
+      while (tasksEnded.get() != last) { last = tasksEnded.get(); Thread.sleep(200L) }
       val before = shuffleTally.get()
       peakTaskMem.set(0L)
       body
       var waited = 0
       last = -1L
-      while (waited < 20000 && shuffleTally.get() != last) {
-        last = shuffleTally.get(); Thread.sleep(200L); waited += 200
+      while (waited < 20000 && tasksEnded.get() != last) {
+        last = tasksEnded.get(); Thread.sleep(200L); waited += 200
       }
       (shuffleTally.get() - before, peakTaskMem.get())
     }
@@ -131,6 +138,18 @@ object BenchScale {
       // sources and the k-core peel must keep exactly the dense families;
       // both run the bounded-round semantics the oracles replay
       "g2_pagerank" -> (() => Dedup.pageRank(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+          numHashes = 8, rowsPerBand = 2, threshold = 0.6),
+        "doc_id", iters = 3)),
+      // the PRODUCTION PageRank row for dup graphs: contract connected
+      // components (one CC pass + one size/degree aggregate), then every
+      // rank round is a map-only update over the FAMILY table — rank
+      // mass no longer shuffles around inside each in-group-quadratic
+      // clique (g2 at ×100: 594M records, mostly intra-family flow).
+      // Bit-exact per node on degree-regular families (DedupSpec); the
+      // pagerank_contracted block below scores per-family mass against
+      // the raw run at this factor
+      "g2b_pagerank_contracted" -> (() => Dedup.pageRankContracted(
         Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
           numHashes = 8, rowsPerBand = 2, threshold = 0.6),
         "doc_id", iters = 3)),
@@ -205,6 +224,18 @@ object BenchScale {
       // would be 256 full jobs — the round-12 job-count wall, removed.
       "ts25c_bpe_local256" -> (() => graft.ops.Bpe.trainLocal(
         docs, "doc_id", "text", nMerges = 256)),
+      // the incremental driver loop measured at REAL merge depth: 4096
+      // merges, still ONE Spark job (the distributed vocab scan) — the
+      // row that makes the "driver seconds, not hours" claim a
+      // measurement. The fixture text draws from ~31 distinct words, so
+      // vocabStress bolts on a Heaps-law-sized vocabulary (n_docs·8
+      // distinct words) the trajectory can actually train 4096 merges
+      // into. Wall here = vocab job + driver loop; the loop is
+      // O(touched chars + log heap) per merge (occurrence index +
+      // lazy-deletion heap), where the replaced full-recount loop paid
+      // O(vocab chars) per merge
+      "ts25e_bpe_local4k" -> (() => graft.ops.Bpe.trainLocal(
+        ScaleStress.vocabStress(docs), "doc_id", "text", nMerges = 4096)),
       // build+probe of the inverted index at x10: posting lists only
       "ts24_bm25_probe" -> (() => graft.ops.Bm25Index
         .build(docs, "doc_id", "text")
@@ -224,11 +255,16 @@ object BenchScale {
       // never met) still meet in a shared host cell; join input ×2,
       // still cell-local. The sem_dedup block below scores the kept set
       // against the known family structure.
+      // maxCellRows: the worst-case guard (triangle-bucketed pair scan)
+      // rides along dormant on this healthy corpus (every cell under the
+      // bound → nb = 1, keep set unchanged by construction); the
+      // sem_dedup_skew block below is where it earns its keep
       "dd17b_semdedup_scale" -> (() => graft.ops.Similarity.semDedup(emb,
         "vec_id", "embedding",
         graft.ops.Similarity.ivfTrain(emb, "vec_id", "embedding", k = 64,
           iters = 2, trainLimit = Some(8192)),
-        threshold = 0.9, kernelAssign = true, probes = 2)),
+        threshold = 0.9, kernelAssign = true, probes = 2,
+        maxCellRows = Some(8192))),
       // the PRODUCTION cell sizing next to the fixed-k comparability row
       // above: k = sqrt(n) (semDedupCellCount) bounds the in-cell
       // compare count at n^1.5 where dd17b's held k = 64 degrades to
@@ -240,7 +276,8 @@ object BenchScale {
         graft.ops.Similarity.semDedup(emb, "vec_id", "embedding",
           graft.ops.Similarity.ivfTrain(emb, "vec_id", "embedding", k,
             iters = 2, trainLimit = Some(math.max(8192, 32 * k))),
-          threshold = 0.9, kernelAssign = true, probes = 2)
+          threshold = 0.9, kernelAssign = true, probes = 2,
+          maxCellRows = Some(8192))
       }),
       // CDC chunk ledger at x10: chunk text hashed away map-side, both
       // shuffles carry 32-byte hashes — linear in corpus bytes
@@ -525,6 +562,85 @@ object BenchScale {
         Some(scoreSemDedup("sem_dedup_sqrtk", k, math.max(8192, 32 * k)))
       }
 
+    // ---- the worst-case cell guard under REAL skew: 90% of the corpus
+    // forced onto one exact direction (the near-constant-embedding
+    // failure mode √n sizing cannot fix — Lloyd puts them all in one
+    // cell), semDedup'd with the triangle-bucketed guard. Records wall,
+    // shuffle, kept rows and the split census — without the guard this
+    // cell is an all-pairs scan on ONE task (0.9·nVecs rows sorted, ~
+    // (0.9·nVecs)² pair evaluations on a single core)
+    val skewGuardStats: Option[(Double, Long, Long, Long, Long, Int)] =
+      if (caseFilter.nonEmpty || skip.contains("dd17d_semdedup_skewguard"))
+        None
+      else {
+        val constVec = array((0 until 64).map(i =>
+          lit(if (i == 0) 1.0f else 0.0f)): _*)
+        val skewed = emb.select(col("vec_id"),
+          when(col("vec_id") % 10 =!= 0, constVec)
+            .otherwise(col("embedding")).as("embedding"))
+        val k = graft.ops.Similarity.semDedupCellCount(nVecs)
+        val cents = graft.ops.Similarity.ivfTrain(skewed, "vec_id",
+          "embedding", k, iters = 2,
+          trainLimit = Some(math.max(8192, 32 * k)))
+        // tighter than the healthy rows' 8192: the mega-cell must split
+        // at every bench factor (≥2048 constant vectors from ×1 up)
+        val bound = 2048
+        var kept = 0L
+        val t0 = System.nanoTime()
+        val (recs, _) = shuffled {
+          kept = forceCount(graft.ops.Similarity.semDedup(skewed, "vec_id",
+            "embedding", cents, threshold = 0.9, kernelAssign = true,
+            probes = 2, maxCellRows = Some(bound)))
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (nCells, nSplit, maxNb) = graft.ops.Similarity
+          .semDedupSplitStats(skewed, "vec_id", "embedding", cents, bound,
+            probes = 2)
+        spark.catalog.clearCache()
+        System.err.println(f"[scale] sem_dedup_skew $sec%8.1f s  " +
+          f"$recs%12d shuffle recs  kept $kept%d  " +
+          f"cells $nCells%d split $nSplit%d max_nb $maxNb%d")
+        Some((sec, recs, kept, nCells, nSplit, maxNb))
+      }
+
+    // ---- contracted-PageRank fidelity at this factor: per-family rank
+    // mass of the contracted run vs the raw g2 run over the SAME pair
+    // set (families = planted clone groups = doc_id div factor). The
+    // planted cliques are degree-regular, so mass should match exactly
+    // up to LSH pair-recall noise; max_rel_diff records whatever it is
+    val prContractStats: Option[(Long, Long, Double)] =
+      if (caseFilter.nonEmpty || skip.contains("g2b_pagerank_contracted"))
+        None
+      else {
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+          numHashes = 8, rowsPerBand = 2, threshold = 0.6).persist()
+        def famMass(r: DataFrame) = r
+          .select(expr(s"doc_id div $factor").as("grp"), col("rank_fp"))
+          .groupBy(col("grp")).agg(sum(col("rank_fp")).as("mass"))
+        val raw = famMass(Dedup.pageRank(pairs, "doc_id", iters = 3))
+          .withColumnRenamed("mass", "raw_mass").persist()
+        val con = famMass(
+          Dedup.pageRankContracted(pairs, "doc_id", iters = 3))
+          .withColumnRenamed("mass", "con_mass").persist()
+        val j = raw.join(con, Seq("grp"), "full")
+          .select(coalesce(col("raw_mass"), lit(0L)).as("r"),
+            coalesce(col("con_mass"), lit(0L)).as("c"))
+          .agg(count(lit(1)).as("fams"),
+            sum(when(col("r") === col("c"), 1L).otherwise(0L)).as("eq"),
+            max(abs(col("r") - col("c")).cast("double") /
+              greatest(abs(col("r")).cast("double"), lit(1.0)))
+              .as("max_rel"))
+          .head()
+        pairs.unpersist(); raw.unpersist(); con.unpersist()
+        spark.catalog.clearCache()
+        Dedup.releaseCaches()
+        val (fams, eq, rel) =
+          (j.getLong(0), j.getLong(1), j.getDouble(2))
+        System.err.println(f"[scale] pagerank_contracted families " +
+          f"$fams%d mass_equal $eq%d max_rel_diff $rel%.2e")
+        Some((fams, eq, rel))
+      }
+
     // ---- the full replicate→upload→stage→promote service cycle at the
     // same ×factor scale, recorded with the reference's named timers
     // (BASELINE.md §1). The APDB side is generated executor-side
@@ -533,31 +649,41 @@ object BenchScale {
     // exercising the LWW patch merge inside the same promote commit.
     val nObj = 10000L * factor
     val nChunks = 3
+    // update volume PROPORTIONAL to the corpus (nObj/10 per chunk — 100k
+    // at ×100): the MERGE/patch path measured under the reference's real
+    // CDC load, not a 200-row token batch. update_validity_time lands in
+    // the timers block; per-phase shuffle records land next to the walls
+    val updPerChunk = math.max(200L, nObj / 10L).toInt
     val tmp = java.nio.file.Files.createTempDirectory("graft-scale").toFile
     val catalog = new VersionedCatalog(s"$tmp/catalog")
     val promoter = new Promoter(spark, catalog, s"$tmp/export")
     promoter.init()
     val apdb = new ScaleStress.ScaleApdb(spark, nObj, nChunks,
-      updatesPerChunk = 200)
+      updatesPerChunk = updPerChunk)
     val replicator = new Replicator(spark, apdb, new PpdbStaged(spark, promoter))
     graft.Metrics.reset()
-    def phaseSec(body: => Unit): Double = {
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    def phaseSec(body: => Unit): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val (recs, _) = shuffled(body)
+      ((System.nanoTime() - t0) / 1e9, recs)
     }
-    val repS = phaseSec {
+    val (repS, repRecs) = phaseSec {
       replicator.runOnce(nowUs = Long.MaxValue / 4)
     }
-    System.err.println(f"[scale] promote_cycle.replicate  $repS%8.1f s")
-    val upS = phaseSec {
+    System.err.println(f"[scale] promote_cycle.replicate  $repS%8.1f s" +
+      f"  $repRecs%12d shuffle recs")
+    val (upS, upRecs) = phaseSec {
       new ChunkUploader(spark, promoter, s"$tmp/remote").runOnce()
     }
-    System.err.println(f"[scale] promote_cycle.upload     $upS%8.1f s")
+    System.err.println(f"[scale] promote_cycle.upload     $upS%8.1f s" +
+      f"  $upRecs%12d shuffle recs")
     var promoted: Seq[Long] = Nil
-    val promoteS = phaseSec {
+    val (promoteS, promoteRecs) = phaseSec {
       promoter.stageUploaded()
       promoted = promoter.promote()
     }
-    System.err.println(f"[scale] promote_cycle.promote    $promoteS%8.1f s")
+    System.err.println(f"[scale] promote_cycle.promote    $promoteS%8.1f s" +
+      f"  $promoteRecs%12d shuffle recs")
     val snapRows = catalog.read(spark, "public.DiaObjectLast").count()
     val objRows = catalog.read(spark, "internal.DiaObject").count()
     require(promoted.size == nChunks && objRows == nObj * nChunks &&
@@ -571,8 +697,8 @@ object BenchScale {
     val jdbcUrl = graft.replicate.PpdbJdbc.derbyUrl(s"$tmp/jdbcdb")
     val jppdb = graft.replicate.PpdbJdbc.open(spark, jdbcUrl)
     val japdb = new ScaleStress.ScaleApdb(spark, nObj, nChunks,
-      updatesPerChunk = 200)
-    val jdbcS = phaseSec {
+      updatesPerChunk = updPerChunk)
+    val (jdbcS, _) = phaseSec {
       new Replicator(spark, japdb, jppdb).runOnce(nowUs = Long.MaxValue / 4)
     }
     val jObjRows = jppdb.read("DiaObject").count()
@@ -600,8 +726,11 @@ object BenchScale {
       s""""$m":{"n":$n,"total_s":${f(s)}}"""
     }.mkString("{", ",", "}")
     val cycle = s"""{"n_objects":$nObj,"n_chunks":$nChunks,""" +
-      s""""updates_per_chunk":200,"replicate_s":${f(repS)},""" +
-      s""""upload_s":${f(upS)},"promote_s":${f(promoteS)},""" +
+      s""""updates_per_chunk":$updPerChunk,"replicate_s":${f(repS)},""" +
+      s""""replicate_shuffle_records":$repRecs,""" +
+      s""""upload_s":${f(upS)},"upload_shuffle_records":$upRecs,""" +
+      s""""promote_s":${f(promoteS)},""" +
+      s""""promote_shuffle_records":$promoteRecs,""" +
       s""""object_rows":$objRows,"snapshot_rows":$snapRows,""" +
       s""""jdbc_replicate_s":${f(jdbcS)},"jdbc_object_rows":$jObjRows,""" +
       s""""timers":$timers}"""
@@ -623,6 +752,13 @@ object BenchScale {
       }.getOrElse("{}")
     val semJson = semBlock(semDedupStats)
     val semSqrtJson = semBlock(semDedupSqrtStats)
+    val skewJson = skewGuardStats.map { case (s, r, kept, nc, ns, mx) =>
+      s"""{"sec":${f(s)},"shuffle_records":$r,"kept":$kept,""" +
+        s""""cells":$nc,"cells_split":$ns,"max_buckets":$mx}"""
+    }.getOrElse("{}")
+    val prConJson = prContractStats.map { case (fams, eq, rel) =>
+      s"""{"families":$fams,"mass_equal":$eq,"max_rel_diff":${f(rel)}}"""
+    }.getOrElse("{}")
     val skippedJson = skip.toSeq.sorted.map(s => s""""$s"""")
       .mkString("[", ",", "]")
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
@@ -634,6 +770,8 @@ object BenchScale {
       s""""sim7c_nprobe_curve":${curveJson("sim7c_ivfpq_cell")},""" +
       s""""dup_recall":$dupRecallJson,"sem_dedup":$semJson,""" +
       s""""sem_dedup_sqrtk":$semSqrtJson,""" +
+      s""""sem_dedup_skew":$skewJson,""" +
+      s""""pagerank_contracted":$prConJson,""" +
       s""""promote_cycle":$cycle,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may replace the committed artifact — a filtered

@@ -745,12 +745,14 @@ object Dedup {
     * clique: f·(f−1)/2 edges) and raw [[pageRank]] moves O(E) records
     * per round through joins that mostly shuffle rank mass AROUND INSIDE
     * each family. Contraction runs the rank recurrence per FAMILY: one
-    * CC pass labels components (hash-min, the [[dupClusters]] machinery),
-    * one aggregation derives each family's size k and regular degree
-    * d = (2·E_intra) div k, and the `iters` rounds become map-only
-    * column updates over the family table plus a groupBy over CROSS-
-    * family edges only — O(real cross-family edges) per round, zero on
-    * a pure clone corpus, vs raw PR's O(E).
+    * map-combined min-neighbor pass roots every clique, the residual
+    * cross-label graph (empty for clique families) stitches at LABEL
+    * scale via [[dupClusters]], node-sized aggregations derive each
+    * family's size k and regular degree d = (2·E_intra) div k, and the
+    * `iters` rounds become map-only column updates over the family
+    * table plus a groupBy over CROSS-family edges only — the edge table
+    * is scanned but never shuffled on the default path, vs raw PR's
+    * O(E) shuffle per round.
     *
     * Exactness: on a DEGREE-REGULAR component with no cross edges (a
     * planted clone clique — every dup-graph family the inflation
@@ -775,27 +777,74 @@ object Dedup {
       labels: Option[DataFrame] = None): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-    val nodes = edges.select(col("u").as("id")).distinct()
-    val comp = tracked(labels.getOrElse(dupClusters(nodes, "id", pairs)
-      .select(col("id"), col("cluster_id").as("c"))))
-    val n = nodes.count()
+      .persist()
+    // node degrees — map-side-combined, so the shuffle is node-sized
+    val degT = tracked(edges.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    val n = degT.count()
     require(n > 0, "pageRankContracted over an empty graph")
     val base = 15L * scale / 100L / n
-    // per-endpoint component labels; intra edges collapse to (k, e2) per
-    // family, cross edges to a (ca, cb, w) multiplicity table (empty on
-    // clone corpora — the whole point)
-    val eLab = edges
-      .join(comp.withColumnRenamed("id", "u").withColumnRenamed("c", "ca"),
-        Seq("u"))
-      .join(comp.withColumnRenamed("id", "v").withColumnRenamed("c", "cb"),
-        Seq("v"))
+    // component labels. The default path NEVER shuffles the edge table:
+    // one map-combined min-neighbor pass roots every clique instantly
+    // (L0(v) = min(v, min nbr)), the residual LABEL graph (distinct
+    // (L0(u), L0(v)) cross-label edges — empty for clique families,
+    // tiny for anything near-clique) is stitched to convergence with
+    // [[dupClusters]] at label scale, and L0 rides back through a
+    // broadcast map. Labels are |V|-sized (the dup-graph participants,
+    // not the corpus) — broadcastable far past the bench scales; beyond
+    // ~4M nodes the label joins degrade to shuffle joins of NODE-sized
+    // tables, still never edge-sized.
+    val bcast: DataFrame => DataFrame =
+      if (n <= 4000000L) d => broadcast(d) else d => d
+    val comp = tracked(labels.getOrElse {
+      val l0 = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("id"), least(col("id"), col("mn")).as("l"))
+      val le = edges
+        .join(bcast(l0.select(col("id").as("u"), col("l").as("lu"))),
+          Seq("u"))
+        .join(bcast(l0.select(col("id").as("v"), col("l").as("lv"))),
+          Seq("v"))
+        .where(col("lu") =!= col("lv"))
+        .select(least(col("lu"), col("lv")).as("id_a"),
+          greatest(col("lu"), col("lv")).as("id_b"))
+        .distinct().persist()
+      val out =
+        if (le.limit(1).count() == 0)
+          l0.select(col("id"), col("l").as("c"))
+        else {
+          val roots = dupClusters(
+            le.select(col("id_a").as("id"))
+              .unionByName(le.select(col("id_b").as("id"))).distinct(),
+            "id", le)
+            .select(col("id").as("l"), col("cluster_id").as("root"))
+          l0.join(bcast(roots), Seq("l"), "left")
+            .select(col("id"), coalesce(col("root"), col("l")).as("c"))
+        }
+      le.unpersist()
+      out
+    })
     val sizes = comp.groupBy(col("c")).agg(count(lit(1)).as("k"))
-    val intra = eLab.where(col("ca") === col("cb"))
-      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e2"))
-    val cross = eLab.where(col("ca") =!= col("cb"))
-      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w"))
-      .persist()
-    val hasCross = cross.limit(1).count() > 0
+    // intra/cross split: under the default CC labels cross edges are
+    // empty BY DEFINITION of connectedness, so e2 = Σ member degrees —
+    // node-sized aggregation, no edge-table join. Caller labels can cut
+    // through components, so only that path pays the edge relabel join.
+    val (intra, cross) = labels match {
+      case None =>
+        (degT.join(bcast(comp.withColumnRenamed("id", "u")), Seq("u"))
+          .groupBy(col("c")).agg(sum(col("deg")).as("e2")),
+          edges.sparkSession.emptyDataFrame)
+      case Some(_) =>
+        val eLab = edges
+          .join(comp.withColumnRenamed("id", "u")
+            .withColumnRenamed("c", "ca"), Seq("u"))
+          .join(comp.withColumnRenamed("id", "v")
+            .withColumnRenamed("c", "cb"), Seq("v"))
+        (eLab.where(col("ca") === col("cb"))
+          .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e2")),
+          eLab.where(col("ca") =!= col("cb"))
+            .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w"))
+            .persist())
+    }
+    val hasCross = labels.nonEmpty && cross.limit(1).count() > 0
     var fam = roundCache(sizes.join(intra, Seq("c"), "left")
       .select(col("c"), col("k"),
         greatest(expr("coalesce(e2, CAST(0 AS BIGINT)) div k"), lit(1L))
@@ -831,6 +880,7 @@ object Dedup {
     val out = comp.join(fam.select(col("c"), col("u")), Seq("c"))
       .select(col("id").as(idCol), col("u").as("rank_fp"))
     cross.unpersist()
+    edges.unpersist()
     out
   }
 

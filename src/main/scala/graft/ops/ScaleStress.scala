@@ -35,6 +35,30 @@ object ScaleStress {
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
 
+  /** documents with a REALISTIC VOCABULARY bolted on: the synthetic
+    * fixture text draws from ~31 distinct words (plus the ≤89·(n−1)
+    * inflation noise tokens), so a BPE trajectory exhausts after a few
+    * hundred merges — real corpora carry 10^5..10^6 distinct words
+    * (Heaps' law) and train 32k+ merges. Appends `wordsPerDoc`
+    * deterministic pseudo-random 8-letter words per doc (a Weyl mix of
+    * (doc_id, position, letter slot) — pure projection, executor-side,
+    * no driver data), giving vocab ≈ n_docs·wordsPerDoc distinct words.
+    * Used by the ts25e BenchScale row to measure the incremental
+    * trainer at real merge depth.
+    */
+  def vocabStress(docs: DataFrame, wordsPerDoc: Int = 8): DataFrame = {
+    // per-letter xxhash64 of (doc_id, word slot, letter slot): affine
+    // integer mixes mod 26 collapse to arithmetic progressions (≤26²
+    // distinct words no matter how many docs); a real hash per letter
+    // samples the full 26^8 word space
+    val words = transform(sequence(lit(0), lit(wordsPerDoc - 1)),
+      j => concat_ws("", transform(sequence(lit(0), lit(7)), i =>
+        chr(lit(97) + pmod(xxhash64(col("doc_id"), j, i), lit(26))))))
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" "), concat_ws(" ", words)).as("text"),
+      col("lang"), col("source"))
+  }
+
   /** events ×n: event_id' = event_id·n + rep; variants keep their
     * window (same ts) and group (same event_type) but perturb `value`
     * by a deterministic per-rep cent so the per-group value sets GROW

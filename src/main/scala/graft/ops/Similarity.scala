@@ -821,8 +821,11 @@ object Similarity {
 
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double,
-      kernelAssign: Boolean = false, probes: Int = 1): DataFrame = {
+      kernelAssign: Boolean = false, probes: Int = 1,
+      maxCellRows: Option[Int] = None): DataFrame = {
     require(probes >= 1, s"need at least one probe cell, got $probes")
+    require(maxCellRows.forall(_ >= 2),
+      s"maxCellRows must be >= 2, got $maxCellRows")
     // kernelAssign: evaluate the cell argmax through the map-only
     // kernel twin (bit-identical, spec-pinned) instead of the
     // crossJoin + argmax shuffle — the at-scale choice; default stays
@@ -855,14 +858,88 @@ object Similarity {
               .as("centroid_id"))
           .select(col("id"), col("centroid_id"), col("v"), col("nrm"))
       }
-    val dropped = sides.as("a").join(sides.as("b"),
-        col("a.centroid_id") === col("b.centroid_id")
-          && col("a.id") < col("b.id"))
-      .where(hoistedCosine(col("a.v"), col("b.v"),
-        col("a.nrm"), col("b.nrm")) >= threshold)
-      .select(col("b.id").as(idCol)).distinct()
+    val dropped = (maxCellRows match {
+      case None =>
+        sides.as("a").join(sides.as("b"),
+            col("a.centroid_id") === col("b.centroid_id")
+              && col("a.id") < col("b.id"))
+          .where(hoistedCosine(col("a.v"), col("b.v"),
+            col("a.nrm"), col("b.nrm")) >= threshold)
+          .select(col("b.id").as(idCol))
+      case Some(bound) =>
+        // WORST-CASE CELL GUARD — bounded per-task rows under any skew:
+        // √n sizing bounds the EXPECTED in-cell compare count, but a
+        // degenerate corpus (a near-constant embedding column drops most
+        // vectors into one Lloyd cell) would put the whole cell — and
+        // its all-pairs scan — on ONE task. The guard is the triangle-
+        // join decomposition: a cell of s rows splits into
+        // nb = ceil(s / bound) hash buckets, every unordered bucket pair
+        // (u ≤ v) becomes its own join group (left emits its row to
+        // (bkt..nb-1) as v, right to (0..bkt) as u), so no task ever
+        // holds more than ~2·bound rows while EVERY cross-bucket pair is
+        // still compared exactly once — the keep rule is unchanged, only
+        // the work layout (SimilaritySpec pins keep-set equality on both
+        // the dd17 fixture and a 90%-degenerate corpus). Replication is
+        // nb+1 copies per mega-cell row — the price of de-skewing an
+        // inherently quadratic cell; ordinary cells have nb = 1 and pay
+        // one extra broadcast join. Pairs dedup through the DISTINCT:
+        // same-bucket pairs meet in both orientations, so the drop id is
+        // greatest(a, b) under an a ≠ b guard rather than a < b.
+        val nbT = semDedupCellBuckets(
+          sides.select(col("id"), col("centroid_id")), bound)
+        val bucketed = sides.join(broadcast(nbT), Seq("centroid_id"))
+          .withColumn("bkt",
+            pmod(spreadKey(col("id")), col("nb")).cast("int"))
+        val lhs = bucketed.withColumn("pv",
+          explode(sequence(col("bkt"), col("nb") - 1)))
+        val rhs = bucketed.withColumn("pu",
+          explode(sequence(lit(0), col("bkt"))))
+        lhs.as("a").join(rhs.as("b"),
+            col("a.centroid_id") === col("b.centroid_id")
+              && col("a.bkt") === col("b.pu") && col("a.pv") === col("b.bkt")
+              && col("a.id") =!= col("b.id"))
+          .where(hoistedCosine(col("a.v"), col("b.v"),
+            col("a.nrm"), col("b.nrm")) >= threshold)
+          .select(greatest(col("a.id"), col("b.id")).as(idCol))
+    }).distinct()
     cells.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("centroid_id"))
+  }
+
+  /** Per-cell bucket counts for [[semDedup]]'s worst-case guard:
+    * (centroid_id, cnt, nb = ceil(cnt / bound)) over the pair-scan input
+    * — k rows, broadcastable. Exposed so callers (the BenchScale skew
+    * case) can record how many cells the guard actually split.
+    */
+  private[graft] def semDedupCellBuckets(sides: DataFrame,
+      bound: Int): DataFrame =
+    sides.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("centroid_id"), col("cnt"),
+        ceil(col("cnt") / lit(bound.toDouble)).cast("int").as("nb"))
+
+  /** The guard's split census on a corpus: (n_cells, n_split, max_nb)
+    * for the given centroids/probes/bound — what a production run logs
+    * next to the kept count.
+    */
+  def semDedupSplitStats(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, bound: Int, probes: Int = 1)
+      : (Long, Long, Int) = {
+    val sides =
+      if (probes == 1)
+        assignFast(df, idCol, vecCol, centroids)
+          .select(col(idCol).as("id"), col("centroid_id"))
+      else {
+        val local = collectCentroids(centroids)
+        df.select(col(idCol).as("id"),
+          explode(graft.functions.QuantKernelCols
+            .nearestCentroids(col(vecCol), local, probes))
+            .as("centroid_id"))
+      }
+    val r = semDedupCellBuckets(sides, bound)
+      .agg(count(lit(1)), sum(when(col("nb") > 1, 1L).otherwise(0L)),
+        max(col("nb"))).head()
+    (r.getLong(0), r.getLong(1), r.getInt(2))
   }
 
   /** Streaming admission against a FROZEN semantic-dedup kept set: an

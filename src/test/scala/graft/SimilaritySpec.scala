@@ -634,6 +634,71 @@ class SimilaritySpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("semDedup cell guard: keep set UNCHANGED under the triangle-" +
+      "bucketed pair scan on the dd17 fixture and on a 90%-degenerate " +
+      "corpus, with bounded per-task rows and splits recorded") {
+    import spark.implicits._
+    // dd17 fixture: any bound, including one small enough to split real
+    // cells, must leave the keep set bit-identical (the guard changes
+    // the WORK LAYOUT, not the keep rule)
+    val centroids = Similarity.ivfSeedCentroids(emb, "vec_id", "embedding", 8)
+    val plain = Similarity.semDedup(emb, "vec_id", "embedding",
+      centroids, 0.4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (bound <- Seq(8, 64, 1 << 20)) {
+      val guarded = Similarity.semDedup(emb, "vec_id", "embedding",
+        centroids, 0.4, maxCellRows = Some(bound)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(guarded == plain, s"bound=$bound changed the keep set")
+    }
+    // degenerate corpus: 90% of vectors share ONE near-constant
+    // direction (they all land in the same Lloyd cell); the guard must
+    // split that cell, bound the per-bucket-pair task input, and still
+    // keep exactly the unguarded set (here: the one lowest-id constant
+    // doc plus every distinct non-constant survivor)
+    val n = 600
+    // constants are EXACTLY equal: every constant centroid scores cos
+    // 1.0, the lowest-centroid-id tie-break routes all 540 into ONE cell
+    val deg = (0 until n).map { i =>
+      val v = Array.fill(8)(0.0f)
+      if (i % 10 != 0) v(0) = 1.0f
+      else v(1 + i % 7) = 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val degCents = Similarity.ivfSpreadSeedCentroids(deg, "vec_id",
+      "embedding", 8)
+    val bound = 32
+    val unguarded = Similarity.semDedup(deg, "vec_id", "embedding",
+      degCents, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Similarity.semDedup(deg, "vec_id", "embedding",
+      degCents, 0.9, maxCellRows = Some(bound)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == unguarded, "degenerate corpus changed the keep set")
+    assert(guarded.size < n / 5, "fixture degenerate enough to mass-drop")
+    // the split census sees the mega-cell
+    val (nCells, nSplit, maxNb) = Similarity.semDedupSplitStats(
+      deg, "vec_id", "embedding", degCents, bound)
+    assert(nSplit >= 1 && maxNb >= (n * 9 / 10) / bound,
+      s"mega-cell not split: cells=$nCells split=$nSplit maxNb=$maxNb")
+    // bounded per-task rows: each bucket-pair join group holds ≤ ~2·bound
+    // rows per side (hash balance; 3× head-room) — replay the bucket
+    // assignment and check the largest bucket
+    val sizes = Similarity.assignFast(deg, "vec_id", "embedding", degCents)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("cnt"))
+      .select(col("centroid_id"), ceil(col("cnt") / lit(bound.toDouble))
+        .cast("int").as("nb"))
+    val maxBucket = Similarity.assignFast(deg, "vec_id", "embedding",
+        degCents)
+      .join(sizes, Seq("centroid_id"))
+      .select(col("centroid_id"),
+        pmod(Similarity.spreadKey(col("vec_id")), col("nb")).as("bkt"))
+      .groupBy(col("centroid_id"), col("bkt")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    assert(maxBucket <= 3L * bound,
+      s"bucket of $maxBucket rows exceeds 3x bound $bound")
+  }
+
   test("semDedupCellCount: sqrt sizing inside the broadcastable clamp") {
     import Similarity.semDedupCellCount
     assert(semDedupCellCount(0L) == 64, "floor")
