@@ -140,16 +140,24 @@ object PlanAudit {
         "BroadcastNestedLoopJoin Cross".r.findAllIn(p).size <= 3 &&
         p.contains("TakeOrderedAndProject")),
     Check("dd2b_jaccard_capped",
-      "capped candidates expand in-bucket (bounded-collect agg), " +
-        "never via a pair nested-loop",
+      "capped candidates expand in-bucket (bounded-collect agg), never " +
+        "via a pair nested-loop, and EVERY stats/verification join is " +
+        "broadcast (no sort-merge anywhere) — the round-13→14 autopsy " +
+        "shape: the 1.4→2.0 s bench drift was NOT a plan flip (this " +
+        "property would catch one); shuffle records at ×10 are back at " +
+        "the pre-regression 205k",
       p => !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastHashJoin") &&
         p.contains("ObjectHashAggregate")),
     Check("dd15b_containment_capped",
-      "capped candidates expand in-bucket (bounded-collect agg), " +
-        "never via a pair nested-loop",
+      "capped candidates expand in-bucket (bounded-collect agg), never " +
+        "via a pair nested-loop, every stats/verification join broadcast",
       p => !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastHashJoin") &&
         p.contains("ObjectHashAggregate")),
     Check("dd2d_jaccard_capped_chain",
       "chain predecessors derive via the broadcast hot-frequency join " +

@@ -255,13 +255,26 @@ object Dedup {
     * corpus costs O(df/64 · log(df/64)) on its largest task instead of
     * a single-task O(df · log df) straggler. The star source
     * (bucket-minimum pairing) is skew-free either way.
+    *
+    * EAGER NOTE: CONSTRUCTING this plan runs one Spark job — a
+    * column-pruned min/max aggregate over the raw `df` that derives the
+    * chain's doc-id range buckets. It reads the raw input (never the
+    * pipeline's caches: materializing those before the main query flips
+    * downstream broadcast joins to sort-merge — the documented cache-
+    * materialization planner trap), so callers composing plans should
+    * build this one last or accept the extra input pass even if the
+    * returned DataFrame is never evaluated.
+    *
+    * `rowsPerTask` overrides the [[chainRowsPerTask]] skew bound —
+    * a test seam (DedupSpec drives the bucketed path on fixture-sized
+    * corpora with it); production call sites take the default.
     */
   def jaccardPairsCappedChain(df: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double, maxDocFreq: Int)
-      : DataFrame =
+      textCol: String, n: Int, threshold: Double, maxDocFreq: Int,
+      rowsPerTask: Long = chainRowsPerTask): DataFrame =
     cappedCommon(df, idCol, textCol, n, maxDocFreq,
       (ubc, ca, cb) => ubc / (ca + cb - ubc) >= threshold,
-      sampleHot = true, chainHot = true)
+      sampleHot = true, chainHot = true, rowsPerTask = rowsPerTask)
       .select(col("id_a"), col("id_b"),
         (col("common") / (col("cnt_a") + col("cnt_b") - col("common")))
           .as("jaccard"))
@@ -271,11 +284,11 @@ object Dedup {
     * adjacency chaining.
     */
   def containmentPairsCappedChain(df: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double, maxDocFreq: Int)
-      : DataFrame =
+      textCol: String, n: Int, threshold: Double, maxDocFreq: Int,
+      rowsPerTask: Long = chainRowsPerTask): DataFrame =
     cappedCommon(df, idCol, textCol, n, maxDocFreq,
       (ubc, ca, cb) => greatest(ubc / ca, ubc / cb) >= threshold,
-      sampleHot = true, chainHot = true)
+      sampleHot = true, chainHot = true, rowsPerTask = rowsPerTask)
       .select(col("id_a"), col("id_b"),
         col("common").cast("long").as("common"),
         (col("common") / col("cnt_a")).as("cont_ab"),
@@ -291,7 +304,8 @@ object Dedup {
   private def cappedCommon(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDocFreq: Int,
       bound: (Column, Column, Column) => Column,
-      sampleHot: Boolean = false, chainHot: Boolean = false): DataFrame = {
+      sampleHot: Boolean = false, chainHot: Boolean = false,
+      rowsPerTask: Long = chainRowsPerTask): DataFrame = {
     // hash shingles (8-byte elements): the candidate explode and the
     // verification arrays shuffle long[]s, not strings
     val sh = tracked(df
@@ -379,7 +393,7 @@ object Dedup {
             // single-task sort would straggle
             val hotNb = freq.where(col("bc.df") > maxDocFreq)
               .select(col("shingle"),
-                expr(s"least(greatest(bc.df div ${chainRowsPerTask}L, " +
+                expr(s"least(greatest(bc.df div ${rowsPerTask}L, " +
                   s"1L), ${chainBuckets}L)").as("nb"))
             adjacencyChainEdges(
               ex.join(broadcast(hotNb), Seq("shingle")),
@@ -423,11 +437,11 @@ object Dedup {
     * [[chainBuckets]]). Shingles under the bound keep nb = 1 — the plain
     * per-shingle window derivation, with the boundary machinery reduced
     * to an empty branch — so the skew split costs nothing until a bucket
-    * is actually big enough to straggle a task. A `var` only as a test
-    * seam (DedupSpec lowers it to drive the bucketed path end-to-end on
-    * a fixture-sized corpus); production never writes it.
+    * is actually big enough to straggle a task. Tests drive the bucketed
+    * path through the chain variants' `rowsPerTask` parameter instead of
+    * mutating shared state.
     */
-  private[graft] var chainRowsPerTask = 1L << 20
+  private[graft] val chainRowsPerTask = 1L << 20
 
   /** Bucket-count cap for one shingle's chain derivation: the largest
     * per-task sort for a uniformly-spread mega-shingle is df/64 while
@@ -454,6 +468,13 @@ object Dedup {
     */
   private[graft] def adjacencyChainEdges(occ: DataFrame, docLo: Long,
       docHi: Long): DataFrame = {
+    // an inverted or overflowing span would compute a garbage bucket
+    // width and silently scatter an nb = 1 shingle into spurious buckets
+    // with no stitch (the nb > 1 filter) — dropped chain edges. Repo ids
+    // are non-negative BIGINTs so this cannot fire today; fail loud if a
+    // future caller feeds negative ids whose span exceeds Long range
+    require(docHi >= docLo && docHi - docLo >= 0L,
+      s"doc id span [$docLo, $docHi] inverted or overflows Long")
     val range = docHi - docLo
     // integer `div`, not floor(a/b): double division drops bits past 2^53
     // and ids at the top of the long range would land in the wrong bucket

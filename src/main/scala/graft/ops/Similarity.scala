@@ -1569,8 +1569,10 @@ object Similarity {
         // task on the wire, O(kc · tasks) shuffle records at ANY corpus
         // size — and the payload position is exactly the row_number()
         // the full-sort window would assign, so the train set and seed
-        // ranks are bit-identical to the window formulation (pinned by
-        // QuantKernelsSpec). The kc·n sample then broadcast-joins back
+        // ranks are bit-identical to the window formulation (the keyed-
+        // collect-vs-rank-window equivalence is pinned by
+        // BoundedCollectSpec; QuantKernelsSpec pins build determinism
+        // and round-trip). The kc·n sample then broadcast-joins back
         // onto the residual scan: no full-corpus sort-shuffle anywhere
         // in the per-cell build (requires a BIGINT id, the repo-wide id
         // shape).

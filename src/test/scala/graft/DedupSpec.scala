@@ -625,15 +625,12 @@ class DedupSpec extends SparkSpec {
     // forces the bucketed predecessor derivation (probe finds an
     // over-bound shingle) — the surfaced pair set must be identical to
     // the plain-window plan's
-    val saved = Dedup.chainRowsPerTask
-    try {
-      Dedup.chainRowsPerTask = 8L
-      val bucketed = Dedup
-        .jaccardPairsCappedChain(df, "doc_id", "text", 3, 0.6, maxDocFreq = 20)
-        .as[(Long, Long, Double)].collect()
-      assert(bucketed.toSet == chain.toSet,
-        "bucketed mega-path must surface exactly the window plan's pairs")
-    } finally Dedup.chainRowsPerTask = saved
+    val bucketed = Dedup
+      .jaccardPairsCappedChain(df, "doc_id", "text", 3, 0.6,
+        maxDocFreq = 20, rowsPerTask = 8L)
+      .as[(Long, Long, Double)].collect()
+    assert(bucketed.toSet == chain.toSet,
+      "bucketed mega-path must surface exactly the window plan's pairs")
   }
 
   test("adjacencyChainEdges: range-bucketed derivation equals the " +
