@@ -244,6 +244,19 @@ object VectorOps {
         threshold = 0.4)
     }),
 
+    // the worst-case cell GUARD oracle-gated: same semantics as dd17
+    // (the keep rule is untouched — the guard only re-layouts the pair
+    // scan into bounded bucket-pair join groups), run with a bound small
+    // enough that every real cell SPLITS at gate scale. Shares dd17's
+    // oracle verbatim: hash-equality IS the proof the guard preserves
+    // the keep set
+    "dd17e_semdedup_guard" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.semDedup(e, "vec_id", "embedding",
+        Similarity.ivfSeedCentroids(e, "vec_id", "embedding", 16),
+        threshold = 0.4, maxCellRows = Some(64))
+    }),
+
     // cluster-balanced corpus draw (topic balance): nearest seeded
     // centroid per embedding, equal per-cluster quota in deterministic
     // hash order — the embedding-space twin of per-source mixture
@@ -270,6 +283,29 @@ object VectorOps {
           count(lit(1)).as("n"))
     })
   )
+
+  /** The dd17 SemDeDup oracle — shared verbatim by dd17e (the guarded
+    * engine path keeps the keep rule bit-identical).
+    */
+  private def semDedupSql: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id,
+       |                  list_transform(embedding,
+       |                    x -> CAST(x AS DOUBLE)) AS centroid
+       |           FROM embeddings ORDER BY vec_id LIMIT 16),
+       |a AS (SELECT vec_id, centroid_id FROM (
+       |        SELECT e.vec_id, c.centroid_id,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY ${sqlCosine("e.embedding", "c.centroid")}
+       |                   DESC, c.centroid_id) AS rn
+       |        FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+       |w AS (SELECT e.vec_id, e.embedding, a.centroid_id
+       |      FROM embeddings e JOIN a USING (vec_id)),
+       |d AS (SELECT DISTINCT y.vec_id
+       |      FROM w x JOIN w y ON x.centroid_id = y.centroid_id
+       |        AND x.vec_id < y.vec_id
+       |      WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.4)
+       |SELECT w.vec_id, w.centroid_id FROM w
+       |LEFT JOIN d USING (vec_id) WHERE d.vec_id IS NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // SQ8: per-dim min/max (exact order-independent aggregates), code =
@@ -496,25 +532,11 @@ object VectorOps {
 
     // SemDeDup: sim4's seeded cells, then a doc drops iff a lower-id
     // in-cell doc sits at cosine >= 0.4
-    "dd17_semdedup" ->
-      s"""WITH c AS (SELECT vec_id AS centroid_id,
-         |                  list_transform(embedding,
-         |                    x -> CAST(x AS DOUBLE)) AS centroid
-         |           FROM embeddings ORDER BY vec_id LIMIT 16),
-         |a AS (SELECT vec_id, centroid_id FROM (
-         |        SELECT e.vec_id, c.centroid_id,
-         |               row_number() OVER (PARTITION BY e.vec_id
-         |                 ORDER BY ${sqlCosine("e.embedding", "c.centroid")}
-         |                   DESC, c.centroid_id) AS rn
-         |        FROM embeddings e CROSS JOIN c) WHERE rn = 1),
-         |w AS (SELECT e.vec_id, e.embedding, a.centroid_id
-         |      FROM embeddings e JOIN a USING (vec_id)),
-         |d AS (SELECT DISTINCT y.vec_id
-         |      FROM w x JOIN w y ON x.centroid_id = y.centroid_id
-         |        AND x.vec_id < y.vec_id
-         |      WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.4)
-         |SELECT w.vec_id, w.centroid_id FROM w
-         |LEFT JOIN d USING (vec_id) WHERE d.vec_id IS NULL""".stripMargin,
+    "dd17_semdedup" -> semDedupSql,
+
+    // the guarded engine path must reproduce the identical keep set —
+    // the guard is a work layout, not a semantics change
+    "dd17e_semdedup_guard" -> semDedupSql,
 
     // rotated PQ: the sim6 chain verbatim, over Householder-rotated
     // vectors (rv) and the rotated query (q reads rv, so the rotation
