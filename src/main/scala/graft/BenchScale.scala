@@ -234,8 +234,17 @@ object BenchScale {
       // O(touched chars + log heap) per merge (occurrence index +
       // lazy-deletion heap), where the replaced full-recount loop paid
       // O(vocab chars) per merge
-      "ts25e_bpe_local4k" -> (() => graft.ops.Bpe.trainLocal(
-        ScaleStress.vocabStress(docs), "doc_id", "text", nMerges = 4096)),
+      "ts25e_bpe_local4k" -> (() => {
+        val out = graft.ops.Bpe.trainLocal(
+          ScaleStress.vocabStress(docs), "doc_id", "text", nMerges = 4096)
+        // trainLocal is eager (vocab collect + driver loop run inside),
+        // so the loop seam is final here — the number that tests the
+        // "driver seconds, not hours" claim, separate from the vocab job
+        System.err.println(f"[scale] ts25e_bpe_local4k driver loop " +
+          f"${graft.ops.Bpe.lastTrainLocalLoopNanos / 1e9}%.1f s " +
+          f"(4096 merges, incremental)")
+        out
+      }),
       // build+probe of the inverted index at x10: posting lists only
       "ts24_bm25_probe" -> (() => graft.ops.Bm25Index
         .build(docs, "doc_id", "text")

@@ -432,10 +432,17 @@ object Bpe {
     * even at 100 TB corpus scale (the corpus-sized work — tokenize,
     * count — stays distributed).
     */
+  /** Driver-loop wall of the LAST [[trainLocal]] call, in nanoseconds —
+    * a bench seam (BenchScale reports the incremental loop separately
+    * from the distributed vocab job), not an API contract.
+    */
+  @volatile private[graft] var lastTrainLocalLoopNanos: Long = 0L
+
   def trainLocal(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int, vocabLimit: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
     val vocab = collectVocab(docs, textCol, vocabLimit)
+    val tLoop0 = System.nanoTime()
     val words: Array[Array[String]] = vocab.map(_._1)
     val freqs: Array[Long] = vocab.map(_._2)
     import scala.collection.mutable
@@ -519,6 +526,7 @@ object Bpe {
         rank += 1
       }
     }
+    lastTrainLocalLoopNanos = System.nanoTime() - tLoop0
     import spark.implicits._
     merges.result().toDF("rank", "lhs", "rhs", "pair_count")
       .select(col("rank").cast("int"), col("lhs"), col("rhs"),

@@ -799,9 +799,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
-    // node degrees — map-side-combined, so the shuffle is node-sized
-    val degT = tracked(edges.groupBy(col("u")).agg(count(lit(1)).as("deg")))
-    val n = degT.count()
+    // degree AND min-neighbor in ONE map-combined aggregation — the only
+    // edge-table pass the default path makes, and its shuffle is
+    // node-sized partials, never edges
+    val nodeAgg = tracked(edges.groupBy(col("u"))
+      .agg(count(lit(1)).as("deg"), min(col("v")).as("mn")))
+    val degT = nodeAgg.select(col("u"), col("deg"))
+    val n = nodeAgg.count()
     require(n > 0, "pageRankContracted over an empty graph")
     val base = 15L * scale / 100L / n
     // component labels. The default path NEVER shuffles the edge table:
@@ -817,8 +821,8 @@ object Dedup {
     val bcast: DataFrame => DataFrame =
       if (n <= 4000000L) d => broadcast(d) else d => d
     val comp = tracked(labels.getOrElse {
-      val l0 = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u").as("id"), least(col("id"), col("mn")).as("l"))
+      val l0 = nodeAgg
+        .select(col("u").as("id"), least(col("u"), col("mn")).as("l"))
       val le = edges
         .join(bcast(l0.select(col("id").as("u"), col("l").as("lu"))),
           Seq("u"))
