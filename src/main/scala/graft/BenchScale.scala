@@ -576,18 +576,26 @@ object BenchScale {
     // failure mode √n sizing cannot fix — Lloyd puts them all in one
     // cell), semDedup'd with the triangle-bucketed guard. Records wall,
     // shuffle, kept rows and the split census — without the guard this
-    // cell is an all-pairs scan on ONE task (0.9·nVecs rows sorted, ~
-    // (0.9·nVecs)² pair evaluations on a single core)
+    // cell is an all-pairs scan on ONE task (0.9·n rows sorted,
+    // ~(0.9·n)² pair evaluations on a single core). FIXED-SIZE fixture
+    // (×10-equivalent, whatever the bench factor): every constant pair
+    // is a TRUE duplicate, so total pair-scan work is inherently
+    // quadratic in the fixture — the case measures the GUARD's task
+    // bound and split census, not corpus linearity, and scaling the
+    // fixture with the factor would only multiply true-answer work
     val skewGuardStats: Option[(Double, Long, Long, Long, Long, Int)] =
       if (caseFilter.nonEmpty || skip.contains("dd17d_semdedup_skewguard"))
         None
       else {
         val constVec = array((0 until 64).map(i =>
           lit(if (i == 0) 1.0f else 0.0f)): _*)
-        val skewed = emb.select(col("vec_id"),
+        val skewBase = ScaleStress.inflateEmbeddings(
+          Tables.embeddings(spark, sfDir), 10)
+        val nSkew = nVecs / factor * 10
+        val skewed = skewBase.select(col("vec_id"),
           when(col("vec_id") % 10 =!= 0, constVec)
             .otherwise(col("embedding")).as("embedding"))
-        val k = graft.ops.Similarity.semDedupCellCount(nVecs)
+        val k = graft.ops.Similarity.semDedupCellCount(nSkew)
         val cents = graft.ops.Similarity.ivfTrain(skewed, "vec_id",
           "embedding", k, iters = 2,
           trainLimit = Some(math.max(8192, 32 * k)))
