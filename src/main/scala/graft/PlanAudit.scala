@@ -421,8 +421,15 @@ object PlanAudit {
         ranks.unpersist()
         n
       }
-      val pinned = roundShuffles(pin = true)
+      // counterfactual FIRST and caches released between the variants:
+      // the pinned build tracks the pair projection, and CacheManager
+      // substitutes that cache into any later identical plan — the
+      // unpinned build would inherit a u-partitioned layout by accident
+      // (its degree join flips to sort-merge under the cache's accurate
+      // stats) and the comparison would invert
       val plain = roundShuffles(pin = false)
+      graft.ops.Dedup.releaseCaches()
+      val pinned = roundShuffles(pin = true)
       graft.ops.Dedup.releaseCaches()
       val ok = pinned < plain && pinned <= 3
       if (!ok) {

@@ -730,8 +730,19 @@ object Dedup {
     */
   private[graft] def pageRankAdjacency(pairs: DataFrame,
       pin: Boolean = true): (DataFrame, DataFrame) = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // cache the pair projection BEFORE the symmetrizing union: both
+    // union branches otherwise re-execute the whole upstream pair
+    // pipeline (measured at ×100: the LSH pair generation alone is
+    // 77.8M shuffle records — paid twice without this). Production
+    // (pin = true) only: the audit-only counterfactual keeps the raw
+    // double-eval file-layout shape, because the cache's accurate stats
+    // flip its degree join to sort-merge and would hand the UNPINNED
+    // variant a u-partitioned layout by accident — inverting exactly
+    // the comparison the pagerank_round property measures
+    val p =
+      if (pin) tracked(pairs.select(col("id_a"), col("id_b"))) else pairs
+    val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(p.select(col("id_b").as("u"), col("id_a").as("v")))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val joined = edges.join(deg, Seq("u"))
     val shufN = pairs.sparkSession.sessionState.conf.numShufflePartitions
@@ -796,8 +807,12 @@ object Dedup {
   def pageRankContracted(pairs: DataFrame, idCol: String, iters: Int = 3,
       scale: Long = 1000000000000L,
       labels: Option[DataFrame] = None): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // cache the pair projection before the symmetrizing union (the
+    // pageRankAdjacency lesson: both branches re-run the pair pipeline
+    // otherwise), then the edge table itself
+    val p = tracked(pairs.select(col("id_a"), col("id_b")))
+    val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
     // degree AND min-neighbor in ONE map-combined aggregation — the only
     // edge-table pass the default path makes, and its shuffle is
@@ -1403,8 +1418,12 @@ object Dedup {
     */
   private[graft] def dupClustersWithCache(ids: DataFrame, idCol: String,
       pairs: DataFrame, maxIters: Int = 50): (DataFrame, Option[DataFrame]) = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // cache the pair projection before the symmetrizing union — both
+    // branches would re-run the whole pair pipeline otherwise (the
+    // pageRankAdjacency lesson)
+    val p = tracked(pairs.select(col("id_a"), col("id_b")))
+    val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
     var cached = roundCache(
       ids.select(col(idCol).as("id"), col(idCol).as("label")))
