@@ -894,10 +894,17 @@ object Similarity {
           explode(sequence(col("bkt"), col("nb") - 1)))
         val rhs = bucketed.withColumn("pu",
           explode(sequence(lit(0), col("bkt"))))
+        // same-bucket groups (u = v) meet in BOTH orientations, so the
+        // strict a < b keeps the old single evaluation per unordered
+        // pair — with nb = 1 everywhere this is EXACTLY the unguarded
+        // join's predicate work; cross-bucket groups meet once in an
+        // arbitrary orientation, so they take the orientation-free form
         lhs.as("a").join(rhs.as("b"),
             col("a.centroid_id") === col("b.centroid_id")
               && col("a.bkt") === col("b.pu") && col("a.pv") === col("b.bkt")
-              && col("a.id") =!= col("b.id"))
+              && (when(col("a.bkt") === col("b.bkt"),
+                   col("a.id") < col("b.id"))
+                 .otherwise(col("a.id") =!= col("b.id"))))
           .where(hoistedCosine(col("a.v"), col("b.v"),
             col("a.nrm"), col("b.nrm")) >= threshold)
           .select(greatest(col("a.id"), col("b.id")).as(idCol))
