@@ -74,18 +74,29 @@ object BenchScale {
       * task-end counter, so stragglers of earlier work can't leak into
       * this case's tallies).
       */
-    def shuffled(body: => Unit): (Long, Long) = {
+    // (shuffle records, peak task memory, BODY wall seconds): the wall
+    // clock starts after the pre-drain and stops before the post-drain,
+    // so recorded phase walls measure the work, not the listener-bus
+    // drain sleeps (~0.4 s fixed + up to 20 s post-drain) — comparisons
+    // against pre-drain-era artifacts stay apples-to-apples
+    def shuffledTimed(body: => Unit): (Long, Long, Double) = {
       var last = -1L
       while (tasksEnded.get() != last) { last = tasksEnded.get(); Thread.sleep(200L) }
       val before = shuffleTally.get()
       peakTaskMem.set(0L)
+      val t0 = System.nanoTime()
       body
+      val bodySec = (System.nanoTime() - t0) / 1e9
       var waited = 0
       last = -1L
       while (waited < 20000 && tasksEnded.get() != last) {
         last = tasksEnded.get(); Thread.sleep(200L); waited += 200
       }
-      (shuffleTally.get() - before, peakTaskMem.get())
+      (shuffleTally.get() - before, peakTaskMem.get(), bodySec)
+    }
+    def shuffled(body: => Unit): (Long, Long) = {
+      val (recs, peak, _) = shuffledTimed(body)
+      (recs, peak)
     }
 
     val docs = ScaleStress.inflateDocs(Tables.documents(spark, sfDir), factor)
@@ -323,9 +334,7 @@ object BenchScale {
     }).filterNot { case (n, _) => skip.contains(n) }
     val results = selected.map { case (name, mk) =>
       var rows = 0L
-      val t0 = System.nanoTime()
-      val (recs, peak) = shuffled { rows = forceCount(mk()) }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val (recs, peak, sec) = shuffledTimed { rows = forceCount(mk()) }
       spark.catalog.clearCache()
       Dedup.releaseCaches()
       System.err.println(f"[scale] $name%-26s $sec%8.1f s  " +
@@ -603,13 +612,11 @@ object BenchScale {
         // at every bench factor (≥2048 constant vectors from ×1 up)
         val bound = 2048
         var kept = 0L
-        val t0 = System.nanoTime()
-        val (recs, _) = shuffled {
+        val (recs, _, sec) = shuffledTimed {
           kept = forceCount(graft.ops.Similarity.semDedup(skewed, "vec_id",
             "embedding", cents, threshold = 0.9, kernelAssign = true,
             probes = 2, maxCellRows = Some(bound)))
         }
-        val sec = (System.nanoTime() - t0) / 1e9
         val (nCells, nSplit, maxNb) = graft.ops.Similarity
           .semDedupSplitStats(skewed, "vec_id", "embedding", cents, bound,
             probes = 2)
@@ -680,9 +687,8 @@ object BenchScale {
     val replicator = new Replicator(spark, apdb, new PpdbStaged(spark, promoter))
     graft.Metrics.reset()
     def phaseSec(body: => Unit): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val (recs, _) = shuffled(body)
-      ((System.nanoTime() - t0) / 1e9, recs)
+      val (recs, _, sec) = shuffledTimed(body)
+      (sec, recs)
     }
     val (repS, repRecs) = phaseSec {
       replicator.runOnce(nowUs = Long.MaxValue / 4)

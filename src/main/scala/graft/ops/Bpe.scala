@@ -432,11 +432,16 @@ object Bpe {
     * even at 100 TB corpus scale (the corpus-sized work — tokenize,
     * count — stays distributed).
     */
-  /** Driver-loop wall of the LAST [[trainLocal]] call, in nanoseconds —
-    * a bench seam (BenchScale reports the incremental loop separately
-    * from the distributed vocab job), not an API contract.
+  /** Driver-loop wall of this thread's LAST [[trainLocal]] call, in
+    * nanoseconds — a bench seam (BenchScale reports the incremental loop
+    * separately from the distributed vocab job), not an API contract.
+    * ThreadLocal so concurrent trainers (parallel test suites) can't race
+    * the bench's read with another call's timing.
     */
-  @volatile private[graft] var lastTrainLocalLoopNanos: Long = 0L
+  private val trainLocalLoopNanos: ThreadLocal[java.lang.Long] =
+    ThreadLocal.withInitial(() => java.lang.Long.valueOf(0L))
+  private[graft] def lastTrainLocalLoopNanos: Long =
+    trainLocalLoopNanos.get()
 
   def trainLocal(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int, vocabLimit: Int = 1 << 20): DataFrame = {
@@ -526,7 +531,7 @@ object Bpe {
         rank += 1
       }
     }
-    lastTrainLocalLoopNanos = System.nanoTime() - tLoop0
+    trainLocalLoopNanos.set(System.nanoTime() - tLoop0)
     import spark.implicits._
     merges.result().toDF("rank", "lhs", "rhs", "pair_count")
       .select(col("rank").cast("int"), col("lhs"), col("rhs"),

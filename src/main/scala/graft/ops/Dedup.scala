@@ -862,6 +862,18 @@ object Dedup {
       le.unpersist()
       out
     })
+    // caller-supplied labels that miss a graph node would silently drop
+    // it from every inner join below (wrong family sizes, incomplete rank
+    // table) — fail fast instead; the default CC path covers every node
+    // with an edge by construction, so only the Some path pays the probe
+    labels.foreach { _ =>
+      val uncovered = nodeAgg.select(col("u").as("id"))
+        .join(comp, Seq("id"), "left_anti").limit(1).collect()
+      require(uncovered.isEmpty,
+        s"pageRankContracted: node ${uncovered.headOption.map(_.get(0)).orNull} " +
+          "has an edge but no label — caller labels must cover every node " +
+          "with an edge")
+    }
     val sizes = comp.groupBy(col("c")).agg(count(lit(1)).as("k"))
     // intra/cross split: under the default CC labels cross edges are
     // empty BY DEFINITION of connectedness, so e2 = Σ member degrees —

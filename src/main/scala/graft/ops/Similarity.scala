@@ -943,9 +943,12 @@ object Similarity {
             .nearestCentroids(col(vecCol), local, probes))
             .as("centroid_id"))
       }
+    // coalesce the sum/max: on an EMPTY corpus the agg row is
+    // (count = 0, sum = null, max = null) and the bare getters would NPE
     val r = semDedupCellBuckets(sides, bound)
-      .agg(count(lit(1)), sum(when(col("nb") > 1, 1L).otherwise(0L)),
-        max(col("nb"))).head()
+      .agg(count(lit(1)),
+        coalesce(sum(when(col("nb") > 1, 1L).otherwise(0L)), lit(0L)),
+        coalesce(max(col("nb")), lit(0))).head()
     (r.getLong(0), r.getLong(1), r.getInt(2))
   }
 
