@@ -390,6 +390,23 @@ object TextOps {
           n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6),
         "doc_id", iters = 3)),
 
+    // CONTRACTED PageRank on its exact regime: planted clone-clique
+    // families (fam = floor(sqrt(doc_id)) → mixed sizes 3,5,7,…), where
+    // every member of a degree-regular component holds the identical
+    // rank each round, so the per-family recurrence
+    // u' = base + (85·d·(u div d)) div 100 reproduces raw pageRank
+    // bit-exactly — the oracle replays it per family with the rounds
+    // unrolled; g2 stays the raw-PR gate on the organic LSH graph
+    "g2b_pagerank_contracted" -> ((s, d) => {
+      val fam = documents(s, d).select(col("doc_id"),
+        floor(sqrt(col("doc_id").cast("double"))).cast("long").as("fam"))
+      val pairs = fam.as("a").join(fam.as("b"),
+          col("a.fam") === col("b.fam") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      graft.ops.Dedup.pageRankContracted(pairs, "doc_id", iters = 3)
+    }),
+
     // exact-quota stratified sample: first 5 docs per source in
     // deterministic hash order (guaranteed size, unlike rate sampling)
     "ts13_stratified" -> ((s, d) =>
@@ -1301,6 +1318,31 @@ object TextOps {
          |r0 AS (SELECT u AS id, $sc // nn.n AS r FROM deg, nn),
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT id AS doc_id, r AS rank_fp FROM r3""".stripMargin
+    },
+
+    // contracted-PR oracle: clone-clique families are degree-regular
+    // (k members, d = k−1 = (k·(k−1)) // k), so the whole graph reduces
+    // to the per-family scalar recurrence with the rounds unrolled —
+    // n = nodes with an edge = Σ k over families of size ≥ 2, singleton
+    // families never enter the pair table and are absent on both sides
+    "g2b_pagerank_contracted" -> {
+      val sc = "1000000000000"
+      def round(k: Int): String =
+        s"""f$k AS (SELECT fam, k, deg,
+           |    ((15 * $sc) // 100 // nn.n)
+           |      + (85 * (deg * (u // deg))) // 100 AS u
+           |  FROM f${k - 1}, nn)"""
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(floor(sqrt(doc_id)) AS BIGINT) AS fam FROM documents),
+         |fs AS (SELECT fam, count(*) AS k FROM d GROUP BY fam
+         |       HAVING count(*) >= 2),
+         |nn AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM fs),
+         |f0 AS (SELECT fam, k,
+         |    greatest((k * (k - 1)) // k, CAST(1 AS BIGINT)) AS deg,
+         |    $sc // nn.n AS u FROM fs, nn),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT d.doc_id, CAST(f3.u AS BIGINT) AS rank_fp
+         |FROM d JOIN f3 USING (fam)""".stripMargin
     },
 
     // the ts2 quality expression + per-source percent_rank (an exact
