@@ -665,6 +665,48 @@ object BenchScale {
         Some((fams, eq, rel))
       }
 
+    // ---- pair-graph index reuse: the LSH pair pipeline is a fixed
+    // multi-hundred-second / 77.8M-record floor at ×100 that every graph
+    // consumer (g1–g3, dd8–dd10, dd18, dd20) pays inline. Build the edge
+    // table ONCE into the catalog, then run two consumers off the
+    // committed edges — their shuffle excludes pair generation entirely
+    // (compare g2i_records here against the g2_pagerank case row, which
+    // regenerates pairs inline).
+    val pairGraphStats
+        : Option[(Double, Long, Double, Long, Double, Long, Long)] =
+      if (caseFilter.nonEmpty || skip.contains("pair_graph_index")) None
+      else {
+        val pgTmp =
+          java.nio.file.Files.createTempDirectory("graft-pgidx").toFile
+        val pgCat = new VersionedCatalog(s"$pgTmp/catalog")
+        var edgeRows = 0L
+        val (bRecs, _, bSec) = shuffledTimed {
+          val idx = Dedup.pairGraphIndex(docs, "doc_id", "text", n = 3,
+            numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+          idx.save(pgCat, "pair_graph")
+          idx.release()
+        }
+        Dedup.releaseCaches()
+        spark.catalog.clearCache()
+        val loaded = Dedup.loadPairGraphIndex(spark, pgCat, "pair_graph")
+        edgeRows = loaded.edges.count()
+        val (gRecs, _, gSec) = shuffledTimed {
+          forceCount(loaded.pageRank("doc_id", iters = 3))
+        }
+        Dedup.releaseCaches()
+        spark.catalog.clearCache()
+        val (cRecs, _, cSec) = shuffledTimed {
+          forceCount(loaded.dupClusters(
+            docs.select(col("doc_id")), "doc_id"))
+        }
+        Dedup.releaseCaches()
+        spark.catalog.clearCache()
+        System.err.println(f"[scale] pair_graph_index build $bSec%8.1f s " +
+          f"$bRecs%12d recs  edges $edgeRows%d  |  g2i $gSec%8.1f s " +
+          f"$gRecs%12d recs  |  dd8i $cSec%8.1f s  $cRecs%12d recs")
+        Some((bSec, bRecs, gSec, gRecs, cSec, cRecs, edgeRows))
+      }
+
     // ---- the full replicate→upload→stage→promote service cycle at the
     // same ×factor scale, recorded with the reference's named timers
     // (BASELINE.md §1). The APDB side is generated executor-side
@@ -782,6 +824,12 @@ object BenchScale {
     val prConJson = prContractStats.map { case (fams, eq, rel) =>
       s"""{"families":$fams,"mass_equal":$eq,"max_rel_diff":${f(rel)}}"""
     }.getOrElse("{}")
+    val pairGraphJson = pairGraphStats.map {
+      case (bS, bR, gS, gR, cS, cR, e) =>
+        s"""{"build_sec":${f(bS)},"build_records":$bR,"edges":$e,""" +
+          s""""g2i_sec":${f(gS)},"g2i_records":$gR,""" +
+          s""""dd8i_sec":${f(cS)},"dd8i_records":$cR}"""
+    }.getOrElse("{}")
     val skippedJson = skip.toSeq.sorted.map(s => s""""$s"""")
       .mkString("[", ",", "]")
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
@@ -795,6 +843,7 @@ object BenchScale {
       s""""sem_dedup_sqrtk":$semSqrtJson,""" +
       s""""sem_dedup_skew":$skewJson,""" +
       s""""pagerank_contracted":$prConJson,""" +
+      s""""pair_graph_index":$pairGraphJson,""" +
       s""""promote_cycle":$cycle,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may replace the committed artifact — a filtered

@@ -1069,6 +1069,195 @@ object Dedup {
   def indexPairs(index: MinhashIndex, threshold: Double): DataFrame =
     selfPairs(index.banded, index.sets, threshold)
 
+  /** A materialized near-dup PAIR GRAPH: the MinHash tables for
+    * incremental candidate generation PLUS the verified edge table
+    * (id_a < id_b, jaccard), persisted together in the versioned
+    * catalog. The graph family (pageRank, kCore, dupClusters,
+    * leakageFreeSplit, trianglePairs) otherwise regenerates the LSH
+    * pair pipeline INLINE per query — at corpus scale a fixed
+    * multi-hundred-second / tens-of-millions-of-shuffle-records floor
+    * paid by every consumer (BENCH_SCALE ×100: 77.8M records for the
+    * pair pass alone). Build the edges once, read them many times —
+    * the same build-once/probe-many composition as [[MinhashIndex]] and
+    * [[DupClusterIndex]], applied to the edge set itself.
+    */
+  final case class PairGraphIndex(minhash: MinhashIndex, threshold: Double,
+      edges: DataFrame, caches: Seq[DataFrame] = Nil) {
+
+    /** Unpersist every cached frame this index holds (its own plus the
+      * minhash tables'). Call once the index is discarded.
+      */
+    def release(): Unit = {
+      (caches :+ edges).foreach(_.unpersist())
+      minhash.release()
+    }
+
+    /** Atomic commit of minhash tables + edge table + params.
+      * `lastBatchId` records the most recent streaming micro-batch
+      * folded in (see [[maintainPairGraph]]); −1 for batch builds.
+      */
+    def save(cat: graft.catalog.VersionedCatalog, name: String,
+        lastBatchId: Long = -1L): Unit = {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val params = Seq((minhash.n, minhash.numHashes, minhash.rowsPerBand,
+        threshold, lastBatchId))
+        .toDF("n", "num_hashes", "rows_per_band", "threshold",
+          "last_batch_id")
+      cat.commit(Map(
+        s"$name.banded" -> minhash.banded,
+        s"$name.sets" -> minhash.sets,
+        s"$name.edges" -> edges,
+        s"$name.params" -> params))
+      ()
+    }
+
+    /** Undirected pair view (id_a, id_b) — the drop-in replacement for
+      * an inline `minhashLshPairs(corpus, …)` call in every graph
+      * consumer.
+      */
+    def pairs: DataFrame = edges.select(col("id_a"), col("id_b"))
+
+    /** [[Dedup.pageRank]] over the persisted edges — no pair pipeline. */
+    def pageRank(idCol: String = "doc_id", iters: Int = 3): DataFrame =
+      Dedup.pageRank(pairs, idCol, iters)
+
+    /** [[Dedup.pageRankContracted]] over the persisted edges. */
+    def pageRankContracted(idCol: String = "doc_id",
+        iters: Int = 3): DataFrame =
+      Dedup.pageRankContracted(pairs, idCol, iters)
+
+    /** [[Dedup.kCore]] over the persisted edges. */
+    def kCore(k: Int): DataFrame = Dedup.kCore(pairs, k)
+
+    /** [[Dedup.trianglePairs]] over the persisted edges. */
+    def triangles: DataFrame = Dedup.trianglePairs(pairs)
+
+    /** [[Dedup.dupClusters]] over the persisted edges. */
+    def dupClusters(ids: DataFrame, idCol: String): DataFrame =
+      Dedup.dupClusters(ids, idCol, pairs)
+
+    /** [[Dedup.leakageFreeSplit]] over the persisted edges. */
+    def leakageFreeSplit(ids: DataFrame, idCol: String,
+        trainPct: Int = 80, valPct: Int = 10): DataFrame =
+      Dedup.leakageFreeSplit(ids, idCol, pairs, trainPct, valPct)
+
+    /** Fold a batch of NEW documents into the graph — the edge set
+      * equals a full rebuild over old ∪ new EXACTLY, at the cost of the
+      * batch: a rebuild's edges partition into old↔old (unchanged —
+      * the old banded/sets tables are untouched), old↔new (the index
+      * probe: identical banding and exact-Jaccard verify, each pair
+      * emitted once), and new↔new (the batch self-join through the
+      * same [[selfPairs]]). DedupSpec pins rebuild equality.
+      */
+    def addDocs(newDocs: DataFrame, idCol: String,
+        textCol: String): PairGraphIndex = {
+      // an id in both old and new would silently duplicate edges and
+      // misorient least/greatest canonicalization; fail fast (docs too
+      // short to shingle never enter `sets` OR the edge table, so they
+      // cannot clash)
+      val clash = newDocs.select(col(idCol).as("doc"))
+        .join(minhash.sets.select(col("doc")), Seq("doc"), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"addDocs: doc id ${clash.headOption.map(_.get(0)).orNull} already " +
+          "in the index — re-ingesting an existing id is not a merge")
+      val (newBase, nb, ns) = indexTables(newDocs, idCol, textCol,
+        minhash.n, minhash.numHashes, minhash.rowsPerBand)
+      newBase.persist()
+      val crossEdges = probeMatches(
+        ns.select(col("doc").as("p_doc"), col("sh").as("p_sh"),
+          col("sig").as("p_sig")),
+        minhash, threshold)
+        .select(least(col("probe_id"), col("corpus_id")).as("id_a"),
+          greatest(col("probe_id"), col("corpus_id")).as("id_b"),
+          col("jaccard"))
+      val newEdges = selfPairs(nb, ns, threshold)
+      // truncate the returned plans (PlanBridge + persist, untracked):
+      // repeated folding would otherwise nest one union layer per batch
+      import org.apache.spark.sql.graftbridge.PlanBridge
+      def indexPlan(df: DataFrame): DataFrame =
+        PlanBridge.truncated(df).persist()
+      PairGraphIndex(
+        MinhashIndex(minhash.n, minhash.numHashes, minhash.rowsPerBand,
+          indexPlan(minhash.banded.unionByName(nb)),
+          indexPlan(minhash.sets.unionByName(ns)),
+          caches = Seq(newBase)),
+        threshold,
+        indexPlan(edges.unionByName(crossEdges).unionByName(newEdges)))
+    }
+  }
+
+  /** Build the pair-graph index: minhash tables once, verified edges
+    * from those tables, both materialized together on [[PairGraphIndex.save]].
+    * `corpus` ids must be unique.
+    */
+  def pairGraphIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): PairGraphIndex = {
+    val mh = minhashIndex(corpus, idCol, textCol, n, numHashes, rowsPerBand)
+    PairGraphIndex(mh, threshold, indexPairs(mh, threshold))
+  }
+
+  def loadPairGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.VersionedCatalog, name: String): PairGraphIndex = {
+    val p = cat.read(spark, s"$name.params").head()
+    PairGraphIndex(
+      MinhashIndex(p.getAs[Int]("n"), p.getAs[Int]("num_hashes"),
+        p.getAs[Int]("rows_per_band"),
+        cat.read(spark, s"$name.banded"), cat.read(spark, s"$name.sets")),
+      p.getAs[Double]("threshold"),
+      cat.read(spark, s"$name.edges"))
+  }
+
+  /** Continuous pair-graph maintenance over a DOCUMENT STREAM — the
+    * edge-table twin of [[maintainDupClusters]]: each micro-batch folds
+    * into the persisted graph (first batch builds it, later ones go
+    * through [[PairGraphIndex.addDocs]]) and commits atomically with the
+    * batch id recorded alongside, so a replayed batch (at-least-once
+    * foreachBatch, crash after commit before checkpoint) is a no-op and
+    * maintenance is EXACTLY-ONCE end to end. Consumers read the latest
+    * committed edge snapshot mid-stream.
+    */
+  def maintainPairGraph(docs: DataFrame, idCol: String, textCol: String,
+      cat: graft.catalog.VersionedCatalog, name: String, n: Int,
+      numHashes: Int, rowsPerBand: Int, threshold: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        applyPairGraphBatch(batch.toDF(), batchId, idCol, textCol, cat,
+          name, n, numHashes, rowsPerBand, threshold)
+        ()
+    }
+
+  /** One pair-graph maintenance step (the foreachBatch body, exposed for
+    * direct testing and batch-driven backfills): true when applied,
+    * false when skipped (already-applied id or empty batch).
+    */
+  def applyPairGraphBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, cat: graft.catalog.VersionedCatalog, name: String,
+      n: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): Boolean = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return false
+    def commitAndRelease(idx: PairGraphIndex): Boolean = {
+      idx.save(cat, name, batchId)
+      idx.release()
+      releaseCaches()
+      true
+    }
+    if (!cat.exists(s"$name.params")) {
+      commitAndRelease(pairGraphIndex(batch, idCol, textCol, n, numHashes,
+        rowsPerBand, threshold))
+    } else {
+      val p = cat.read(spark, s"$name.params").head()
+      if (batchId <= p.getAs[Long]("last_batch_id")) false // replay
+      else commitAndRelease(
+        loadPairGraphIndex(spark, cat, name).addDocs(batch, idCol, textCol))
+    }
+  }
+
   /** A materialized duplicate-cluster index: the MinHash tables for
     * candidate generation PLUS the (doc_id, cluster_id) connected-
     * components labeling, persisted together. This is the production

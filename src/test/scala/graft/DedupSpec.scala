@@ -486,6 +486,125 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 3L -> 1L), "clean docs are absent")
   }
 
+  private def edgeSet(df: org.apache.spark.sql.DataFrame) =
+    df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+  test("pair-graph index: index-fed graph consumers equal inline-fed") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(7)
+    // clone families: base sentences plus light perturbations, so the
+    // LSH graph has real multi-node components
+    val docs = (0L until 60L).map { id =>
+      val fam = (id / 4L).toInt
+      val base = Seq.tabulate(8)(i => vocab(((fam * 3) + i) % vocab.size))
+      val text = (base :+ vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val (n, h, r, t) = (3, 8, 2, 0.5)
+    val inline = Dedup.minhashLshPairs(df, "doc_id", "text", n, h, r, t)
+      .select($"id_a", $"id_b").persist()
+    val idx = Dedup.pairGraphIndex(df, "doc_id", "text", n, h, r, t)
+    assert(edgeSet(idx.edges) == edgeSet(inline), "edge sets differ")
+    assert(inline.count() > 10, "fixture produced a trivial graph")
+    // every consumer fed from the index equals the inline-fed run
+    def prMap(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long)].collect().toMap
+    assert(prMap(idx.pageRank("doc_id", 3)) ==
+      prMap(Dedup.pageRank(inline, "doc_id", 3)))
+    assert(clusterMap(idx.dupClusters(df.select($"doc_id"), "doc_id")
+        .withColumnRenamed("doc_id", "doc_id")) ==
+      clusterMap(Dedup.dupClusters(df.select($"doc_id"), "doc_id", inline)))
+    assert(idx.kCore(2).as[(Long, Long)].collect().toSet ==
+      Dedup.kCore(inline, 2).as[(Long, Long)].collect().toSet)
+    val si = idx.leakageFreeSplit(df.select($"doc_id"), "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val sf = Dedup.leakageFreeSplit(df.select($"doc_id"), "doc_id", inline)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(si == sf)
+    inline.unpersist()
+    idx.release()
+    Dedup.releaseCaches()
+  }
+
+  test("pair-graph index: addDocs == full rebuild; save/load round-trip") {
+    val batchA = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "red green blue yellow purple orange pink white"))
+      .toDF("doc_id", "text")
+    // 10 bridges {1,2} and {3}; 11 pairs with nothing; 12 near-dups 4
+    val batchB = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta one two three " +
+        "four five six seven eight nine"),
+      (11L, "totally novel content unlike anything else in any corpus"),
+      (12L, "red green blue yellow purple orange pink black"))
+      .toDF("doc_id", "text")
+    val (n, h, r, t) = (3, 8, 1, 0.25)
+    val idx = Dedup.pairGraphIndex(batchA, "doc_id", "text", n, h, r, t)
+    val incr = idx.addDocs(batchB, "doc_id", "text")
+    val full = Dedup.pairGraphIndex(batchA.unionByName(batchB),
+      "doc_id", "text", n, h, r, t)
+    assert(edgeSet(incr.edges) == edgeSet(full.edges),
+      "incremental edge set != full rebuild")
+    // cross edges actually appeared (old↔new), not just batch self-pairs
+    assert(edgeSet(incr.edges).exists { case (a, b) => a <= 4L && b >= 10L })
+    // jaccard values survive the fold identically too
+    def jmap(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(jmap(incr.edges) == jmap(full.edges))
+    // re-ingesting an existing id fails fast
+    val ex = intercept[IllegalArgumentException] {
+      incr.addDocs(Seq((1L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("already"))
+    // save/load: consumers read the committed edges verbatim
+    val cat = new graft.catalog.VersionedCatalog(tmpDir("pgidx"))
+    incr.save(cat, "pair_graph")
+    val reopened = Dedup.loadPairGraphIndex(spark, cat, "pair_graph")
+    assert(reopened.threshold == t)
+    assert(edgeSet(reopened.edges) == edgeSet(incr.edges))
+    incr.release(); idx.release(); full.release()
+    Dedup.releaseCaches()
+  }
+
+  test("pair-graph maintenance: exactly-once replay and no cache leak") {
+    val cat = new graft.catalog.VersionedCatalog(tmpDir("pg-maint"))
+    Dedup.releaseCaches()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta iota")),
+      Seq((10L, "one two three four five six seven eight nine")),
+      Seq((11L, "alpha beta gamma delta epsilon zeta eta kappa")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(Dedup.applyPairGraphBatch(b.toDF("doc_id", "text"),
+        batchId = i.toLong, "doc_id", "text", cat, "pg_idx",
+        n = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.25))
+    }
+    val committed = edgeSet(
+      Dedup.loadPairGraphIndex(spark, cat, "pg_idx").edges)
+    // a REPLAYED batch id (at-least-once foreachBatch) is a no-op: not
+    // applied, edge table byte-identical
+    assert(!Dedup.applyPairGraphBatch(
+      batches(2).toDF("doc_id", "text"), batchId = 2L, "doc_id", "text",
+      cat, "pg_idx", n = 3, numHashes = 8, rowsPerBand = 1,
+      threshold = 0.25))
+    assert(edgeSet(Dedup.loadPairGraphIndex(spark, cat, "pg_idx").edges)
+      == committed)
+    // and equals a batch rebuild over everything ingested
+    val all = batches.flatten.toDF("doc_id", "text")
+    val rebuilt = Dedup.pairGraphIndex(all, "doc_id", "text", 3, 8, 1, 0.25)
+    assert(committed == edgeSet(rebuilt.edges))
+    rebuilt.release(); Dedup.releaseCaches()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("dup-cluster maintenance releases its caches per batch") {
     val cat = new graft.catalog.VersionedCatalog(tmpDir("dc-release"))
     Dedup.releaseCaches()
