@@ -291,14 +291,11 @@ object BenchScale {
       // n²/64 — the pair measures exactly the fixed-k wall (505 s at
       // ×100) the sizing rule removes; keep quality is scored for BOTH
       // in the sem_dedup block below
-      "dd17c_semdedup_sqrtk" -> (() => {
-        val k = graft.ops.Similarity.semDedupCellCount(nVecs)
-        graft.ops.Similarity.semDedup(emb, "vec_id", "embedding",
-          graft.ops.Similarity.ivfTrain(emb, "vec_id", "embedding", k,
-            iters = 2, trainLimit = Some(math.max(8192, 32 * k))),
-          threshold = 0.9, kernelAssign = true, probes = 2,
-          maxCellRows = Some(8192))
-      }),
+      // the DEFAULT scale-safe entry point (semDedupAtScale): √n cells,
+      // bounded Lloyd sample, kernel assignment, probes = 2, guard armed
+      // — the composition the rows above hand-assemble, now one call
+      "dd17c_semdedup_sqrtk" -> (() => graft.ops.Similarity
+        .semDedupAtScale(emb, "vec_id", "embedding", threshold = 0.9)),
       // CDC chunk ledger at x10: chunk text hashed away map-side, both
       // shuffles carry 32-byte hashes — linear in corpus bytes
       "dd21_cdc_dedup" -> (() => Dedup.cdcDedup(docs, "doc_id", "text",
@@ -586,37 +583,37 @@ object BenchScale {
     // cell), semDedup'd with the triangle-bucketed guard. Records wall,
     // shuffle, kept rows and the split census — without the guard this
     // cell is an all-pairs scan on ONE task (0.9·n rows sorted,
-    // ~(0.9·n)² pair evaluations on a single core). FIXED-SIZE fixture
-    // (×10-equivalent, whatever the bench factor): every constant pair
-    // is a TRUE duplicate, so total pair-scan work is inherently
-    // quadratic in the fixture — the case measures the GUARD's task
-    // bound and split census, not corpus linearity, and scaling the
-    // fixture with the factor would only multiply true-answer work
+    // ~(0.9·n)² pair evaluations on a single core). FACTOR-PROPORTIONAL
+    // fixture: every constant pair is a TRUE duplicate, so the wall is
+    // inherently quadratic in the fixture — the case measures the
+    // GUARD's per-task bound and split census AT the round's scale
+    // (the ×100 artifact carries a ×100-sized mega-cell), never corpus
+    // linearity. Runs through the DEFAULT entry point (semDedupAtScale,
+    // bound tightened to 2048 so the mega-cell splits from ×1 up).
     val skewGuardStats: Option[(Double, Long, Long, Long, Long, Int)] =
       if (caseFilter.nonEmpty || skip.contains("dd17d_semdedup_skewguard"))
         None
       else {
         val constVec = array((0 until 64).map(i =>
           lit(if (i == 0) 1.0f else 0.0f)): _*)
-        val skewBase = ScaleStress.inflateEmbeddings(
-          Tables.embeddings(spark, sfDir), 10)
-        val nSkew = nVecs / factor * 10
-        val skewed = skewBase.select(col("vec_id"),
+        val nSkew = nVecs
+        val skewed = emb.select(col("vec_id"),
           when(col("vec_id") % 10 =!= 0, constVec)
             .otherwise(col("embedding")).as("embedding"))
-        val k = graft.ops.Similarity.semDedupCellCount(nSkew)
-        val cents = graft.ops.Similarity.ivfTrain(skewed, "vec_id",
-          "embedding", k, iters = 2,
-          trainLimit = Some(math.max(8192, 32 * k)))
         // tighter than the healthy rows' 8192: the mega-cell must split
         // at every bench factor (≥2048 constant vectors from ×1 up)
         val bound = 2048
         var kept = 0L
         val (recs, _, sec) = shuffledTimed {
-          kept = forceCount(graft.ops.Similarity.semDedup(skewed, "vec_id",
-            "embedding", cents, threshold = 0.9, kernelAssign = true,
-            probes = 2, maxCellRows = Some(bound)))
+          kept = forceCount(graft.ops.Similarity.semDedupAtScale(skewed,
+            "vec_id", "embedding", threshold = 0.9, maxCellRows = bound))
         }
+        // census with centroids trained exactly as the wrapper trains
+        // them (√n cells, bounded spread sample, 2 Lloyd iters)
+        val k = graft.ops.Similarity.semDedupCellCount(nSkew)
+        val cents = graft.ops.Similarity.ivfTrain(skewed, "vec_id",
+          "embedding", k, iters = 2,
+          trainLimit = Some(math.max(8192, 32 * k)))
         val (nCells, nSplit, maxNb) = graft.ops.Similarity
           .semDedupSplitStats(skewed, "vec_id", "embedding", cents, bound,
             probes = 2)

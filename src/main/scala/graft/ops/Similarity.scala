@@ -913,6 +913,35 @@ object Similarity {
       .select(col(idCol), col("centroid_id"))
   }
 
+  /** The scale-safe SemDeDup DEFAULT entry point — the composition
+    * BenchScale's production cases assemble by hand, packaged so a
+    * library user cannot accidentally run the unguarded single-probe
+    * caller-sized-cell form at corpus scale: √n cell count
+    * ([[semDedupCellCount]]), spread-sampled Lloyd centroids with a
+    * bounded training sample, kernel (map-only) cell assignment,
+    * probes = 2 (boundary-straddling clone families still meet in a
+    * shared host cell) and the triangle-bucketed worst-case cell guard
+    * ([[semDedup]]'s `maxCellRows`) armed by default. Returns kept
+    * (`idCol`, centroid_id) exactly like [[semDedup]] — SimilaritySpec
+    * pins equality against the hand-assembled form on both the healthy
+    * and the 90%-degenerate fixtures.
+    *
+    * The one eager job is a column-pruned count of `df` for the √n cell
+    * sizing — derived from the input frame directly (never from a
+    * cached/tracked derivative, the cache-materialization planner trap).
+    */
+  def semDedupAtScale(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, probes: Int = 2, maxCellRows: Int = 8192,
+      trainIters: Int = 2): DataFrame = {
+    val n = df.select(col(idCol)).count()
+    val k = semDedupCellCount(n)
+    val centroids = ivfTrain(df, idCol, vecCol, k, iters = trainIters,
+      trainLimit = Some(math.max(8192, 32 * k)))
+    semDedup(df, idCol, vecCol, centroids, threshold,
+      kernelAssign = true, probes = probes,
+      maxCellRows = Some(maxCellRows))
+  }
+
   /** Per-cell bucket counts for [[semDedup]]'s worst-case guard:
     * (centroid_id, cnt, nb = ceil(cnt / bound)) over the pair-scan input
     * — k rows, broadcastable. Exposed so callers (the BenchScale skew

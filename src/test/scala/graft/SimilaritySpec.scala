@@ -699,6 +699,52 @@ class SimilaritySpec extends SparkSpec {
       s"bucket of $maxBucket rows exceeds 3x bound $bound")
   }
 
+  test("semDedupAtScale == the hand-assembled scale composition on the " +
+      "dd17 fixture and the 90%-degenerate corpus; guard armed by default") {
+    import spark.implicits._
+    def handAssembled(df: org.apache.spark.sql.DataFrame, thr: Double,
+        bound: Int): Set[(Long, Long)] = {
+      val n = df.select(col("vec_id")).count()
+      val k = Similarity.semDedupCellCount(n)
+      val cents = Similarity.ivfTrain(df, "vec_id", "embedding", k,
+        iters = 2, trainLimit = Some(math.max(8192, 32 * k)))
+      Similarity.semDedup(df, "vec_id", "embedding", cents, thr,
+        kernelAssign = true, probes = 2, maxCellRows = Some(bound))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def viaWrapper(df: org.apache.spark.sql.DataFrame, thr: Double,
+        bound: Int): Set[(Long, Long)] =
+      Similarity.semDedupAtScale(df, "vec_id", "embedding", thr,
+        maxCellRows = bound)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // healthy fixture (the dd17 embeddings)
+    assert(viaWrapper(emb, 0.4, 8192) == handAssembled(emb, 0.4, 8192),
+      "wrapper diverged from the hand-assembled form on the dd17 fixture")
+    // degenerate fixture: 90% of vectors on one exact direction, with a
+    // bound tight enough that the default-armed guard must split the
+    // mega-cell — keep set still equals the hand-assembled composition
+    val n = 600
+    val deg = (0 until n).map { i =>
+      val v = Array.fill(8)(0.0f)
+      if (i % 10 != 0) v(0) = 1.0f else v(1 + i % 7) = 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val keptDeg = viaWrapper(deg, 0.9, 32)
+    assert(keptDeg == handAssembled(deg, 0.9, 32),
+      "wrapper diverged on the degenerate corpus")
+    assert(keptDeg.size < n / 5, "fixture degenerate enough to mass-drop")
+    // and the guard really engaged under the wrapper's own sizing
+    val k = Similarity.semDedupCellCount(n.toLong)
+    val cents = Similarity.ivfTrain(deg, "vec_id", "embedding", k,
+      iters = 2, trainLimit = Some(math.max(8192, 32 * k)))
+    val (_, nSplit, maxNb) = Similarity.semDedupSplitStats(
+      deg, "vec_id", "embedding", cents, 32, probes = 2)
+    assert(nSplit >= 1 && maxNb >= (n * 9 / 10) / 32,
+      s"mega-cell not split under wrapper sizing: split=$nSplit maxNb=$maxNb")
+  }
+
   test("semDedupCellCount: sqrt sizing inside the broadcastable clamp") {
     import Similarity.semDedupCellCount
     assert(semDedupCellCount(0L) == 64, "floor")
