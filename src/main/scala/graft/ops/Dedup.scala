@@ -35,6 +35,20 @@ object Dedup {
   private val transientCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** Register an ALREADY-persisted frame in the transient registry —
+    * for returned round-state caches (the final dupClusters/pageRank/
+    * kCore round) that the operator cannot unpersist itself because the
+    * returned plan still reads them. Registered frames release through
+    * [[releaseCaches]] / [[withCaches]] exactly like [[tracked]] ones;
+    * `spark.catalog.clearCache()` (the older convention) keeps working.
+    */
+  private[graft] def trackExisting(df: DataFrame): DataFrame = {
+    transientCaches.removeIf(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    transientCaches.add(df)
+    df
+  }
+
   private def tracked(df: DataFrame): DataFrame = {
     // purge entries already released elsewhere (spark.catalog.clearCache,
     // the repo-wide convention) so the registry itself stays bounded in
@@ -53,6 +67,31 @@ object Dedup {
   def releaseCaches(): Unit = {
     var df = transientCaches.poll()
     while (df != null) { df.unpersist(); df = transientCaches.poll() }
+  }
+
+  /** Run `body` and release every transient pair-finding cache it
+    * registered, scoped: caches registered BEFORE the block (another
+    * in-flight composition's) are left alone, so a long-lived service
+    * can wrap each dedup/curation call without stepping on concurrent
+    * work — and without the unbounded storage-memory growth of never
+    * calling [[releaseCaches]] at all.
+    *
+    * MATERIALIZE results inside the block (count/collect/write): a
+    * lazily-returned DataFrame is still correct afterwards but
+    * recomputes its pair pipeline uncached on first use.
+    */
+  def withCaches[T](body: => T): T = {
+    val before = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+    transientCaches.forEach(df => { before.add(df); () })
+    try body
+    finally {
+      val it = transientCaches.iterator()
+      while (it.hasNext) {
+        val df = it.next()
+        if (!before.contains(df)) { df.unpersist(); it.remove() }
+      }
+    }
   }
 
   /** Ordered polynomial char hash — reproducible in any engine with an
@@ -713,6 +752,7 @@ object Dedup {
       ranks.count() // materialize before dropping the round we read from
       prev.unpersist()
     }
+    trackExisting(ranks) // final round backs the returned plan
     ranks.select(col("id").as(idCol), col("r").as("rank_fp"))
   }
 
@@ -933,6 +973,7 @@ object Dedup {
       .select(col("id").as(idCol), col("u").as("rank_fp"))
     cross.unpersist()
     edges.unpersist()
+    trackExisting(fam) // final round backs the returned plan
     out
   }
 
@@ -1567,8 +1608,14 @@ object Dedup {
     * persisted query internals.
     */
   def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame =
-    dupClustersWithCache(ids, idCol, pairs, maxIters)._1
+      maxIters: Int = 50): DataFrame = {
+    val (labels, cache) = dupClustersWithCache(ids, idCol, pairs, maxIters)
+    // the final round's cache backs the returned plan — register it so
+    // releaseCaches()/withCaches scopes it (callers that drop the result
+    // without materializing just recompute)
+    cache.foreach(trackExisting)
+    labels
+  }
 
   /** Leakage-free train/val/test split (dd20): every document inherits
     * its near-dup CLUSTER's split, so no near-duplicate pair ever
@@ -1756,11 +1803,14 @@ object Dedup {
     // refuse unless the caller explicitly asked for the bounded-round
     // semantic (requireConverged = false: exactly-maxRounds
     // simultaneous peel, the form a fixed-unroll oracle replays)
-    if (requireConverged && !done)
+    if (requireConverged && !done) {
+      edges.unpersist() // nothing is returned, so nothing holds the cache
       throw new IllegalStateException(
         s"kCore did not converge in $maxRounds rounds (deep peel " +
           "cascade — raise maxRounds, or pass requireConverged = false " +
           "for the bounded-round semantic)")
+    }
+    trackExisting(edges) // final round backs the returned plan
     edges.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
   }
@@ -1934,6 +1984,7 @@ object Dedup {
       .join(edges, col("id") === col("u"), "left")
       .select(col("id").as(idCol),
         coalesce(col("v"), col("id")).as("cluster_id"))
+    trackExisting(edges) // final round backs the returned plan
     labels
   }
 

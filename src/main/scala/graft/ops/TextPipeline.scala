@@ -110,9 +110,10 @@ object TextPipeline {
       kept = kept.where(TextAnalysis.gopherKeepExpr(col(textCol)))
     // every later stage (and the final consumer) re-reads the filtered
     // corpus — persist it once so the stats scan + filter runs one time,
-    // not once per stage (callers release with clearCache, the repo-wide
-    // convention for persisted query internals)
-    kept = kept.persist()
+    // not once per stage. Registered with Dedup's transient registry so
+    // Dedup.withCaches { curate(...) } / releaseCaches() scopes it;
+    // spark.catalog.clearCache() (the older convention) works too
+    kept = Dedup.trackExisting(kept.persist())
 
     // 1b. TRAINED quality gate: bootstrap-train the classifier on the
     // heuristic-filtered corpus (16 one-agg GD rounds), then drop docs

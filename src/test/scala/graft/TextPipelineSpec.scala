@@ -27,6 +27,42 @@ class TextPipelineSpec extends SparkSpec {
     (100L, "the secret eval answer is different here")
   ).toDF("doc_id", "text")
 
+  test("Dedup.withCaches: two sequential curate runs leak no cached plans") {
+    graft.ops.Dedup.releaseCaches()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cfg = CurationConfig(minTokens = 5, langs = Set("en"),
+      dedupExact = true, nearDupThreshold = Some(0.5),
+      benchmark = Some(bench))
+    // the long-lived-service shape: each call scoped, results
+    // materialized inside the block
+    val ids1 = graft.ops.Dedup.withCaches {
+      TextPipeline.curate(docs, "doc_id", "text", "source", cfg)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val leaked1 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked1.isEmpty, s"first run leaked cached RDDs: $leaked1")
+    val ids2 = graft.ops.Dedup.withCaches {
+      TextPipeline.curate(docs, "doc_id", "text", "source", cfg)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(ids2 == ids1, "second scoped run changed the answer")
+    val leaked2 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked2.isEmpty, s"second run leaked cached RDDs: $leaked2")
+    // scoping: a cache registered BEFORE the block survives it
+    val outer = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+    outer.count()
+    val outerCached = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(outerCached.nonEmpty, "fixture: outer call registered no cache")
+    graft.ops.Dedup.withCaches {
+      TextPipeline.curate(docs, "doc_id", "text", "source", cfg).count()
+    }
+    val stillCached = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(stillCached == outerCached,
+      "withCaches released a cache registered before the block")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("curate removes junk, dups, near-dups, contamination; keeps canon") {
     val out = TextPipeline.curate(docs, "doc_id", "text", "source",
       CurationConfig(
