@@ -52,6 +52,15 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // record host load around the run: apparent cross-round regressions
+    // have repeatedly been pure host contention (same binaries, 1.1-1.5x
+    // uniform drift), so regression triage needs the load signal IN the
+    // artifact, not reconstructed after the fact
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
+    var loadPeak = loadStart
     for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true }
@@ -61,6 +70,7 @@ object Bench {
       // the execution memory of the queries after it
       spark.catalog.clearCache()
       samples(name) = (if (ok) dt else -1.0) :: samples.getOrElse(name, Nil)
+      loadPeak = math.max(loadPeak, loadAvg)
     }
     val results = names.map { case (name, _) =>
       val times = samples(name)
@@ -72,8 +82,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadJson = s""""load_avg_start":${f(loadStart)},""" +
+      s""""load_avg_peak":${f(loadPeak)},"load_avg_end":${f(loadAvg)}"""
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist to a file: the driver's stdout capture keeps only a
     // bounded tail, so the printed line alone can be lost mid-stream
@@ -101,6 +113,7 @@ object Bench {
       }
     }
     val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+      s"""$loadJson,""" +
       s""""n_queries":${results.size},"queries_kept":$kept,""" +
       s""""queries_full":"BENCH_LOCAL.json",""" +
       s""""queries":${picked.result().mkString("{", ",", "}")},""" +

@@ -256,6 +256,25 @@ object BenchScale {
           f"(4096 merges, incremental)")
         out
       }),
+      // the 32k-merge PRODUCTION point (a real tokenizer's merge count)
+      // over the vocabLimit-capped dictionary (2^20 words at x100 —
+      // vocabStress exceeds the cap there, so this IS the 1M-word
+      // datapoint the trainLocal scaladoc claims): one distributed
+      // vocab job + the incremental driver loop to depth 32768. Driver
+      // heap before/after brackets the occurrence-index + heap cost.
+      "ts25f_bpe_local32k" -> (() => {
+        val rt = Runtime.getRuntime
+        System.gc()
+        val heap0 = rt.totalMemory() - rt.freeMemory()
+        val out = graft.ops.Bpe.trainLocal(
+          ScaleStress.vocabStress(docs), "doc_id", "text", nMerges = 32768)
+        val heap1 = rt.totalMemory() - rt.freeMemory()
+        System.err.println(f"[scale] ts25f_bpe_local32k driver loop " +
+          f"${graft.ops.Bpe.lastTrainLocalLoopNanos / 1e9}%.1f s " +
+          f"(32768 merges, incremental), driver heap " +
+          f"${heap0 / (1L << 20)}%d -> ${heap1 / (1L << 20)}%d MiB")
+        out
+      }),
       // build+probe of the inverted index at x10: posting lists only
       "ts24_bm25_probe" -> (() => graft.ops.Bm25Index
         .build(docs, "doc_id", "text")
@@ -704,6 +723,51 @@ object BenchScale {
         Some((bSec, bRecs, gSec, gRecs, cSec, cRecs, edgeRows))
       }
 
+    // ---- the full curation pipeline end-to-end at this factor: the
+    // "one real 100 TB job" composition — PII scrub + blocklist +
+    // heuristics/Gopher (one fused scan), trained quality gate, frozen
+    // bigram-LM filter, exact dedup, MinHash near-dedup, benchmark
+    // decontamination and the leakage-free split annotation, in ONE
+    // TextPipeline.curate call. Per-stage survivor counts come through
+    // the stage tap (persist + count feeding forward, so instrumentation
+    // never re-executes a stage); wall/shuffle/peak cover the whole job.
+    val curateStats
+        : Option[(Double, Long, Long, Long, Seq[(String, Long)])] =
+      if (caseFilter.nonEmpty || skip.contains("curate_pipeline")) None
+      else {
+        val bench = docs.where(col("doc_id") % 997 === 0)
+        val lmRef = docs.where(col("doc_id") % 211 === 0)
+        val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var kept = 0L
+        val (recs, peak, sec) = shuffledTimed {
+          kept = forceCount(graft.ops.TextPipeline.curate(docs, "doc_id",
+            "text", "source",
+            graft.ops.CurationConfig(
+              scrubPii = true,
+              blocklist = Seq("click here", "buy now"),
+              minTokens = 5, minQuality = 0.2,
+              gopherGates = true,
+              minModelQuality = Some(0.2),
+              lmFilter = Some((lmRef, 16.0)),
+              dedupExact = true,
+              nearDupThreshold = Some(0.6),
+              benchmark = Some(bench),
+              split = Some((80, 10))),
+            stageTap = (name, df) => {
+              val p = Dedup.trackExisting(df.persist())
+              stages += name -> p.count()
+              p
+            }))
+        }
+        Dedup.releaseCaches()
+        spark.catalog.clearCache()
+        val stageStr = stages.map { case (n, c) => s"$n=$c" }.mkString(" ")
+        System.err.println(f"[scale] curate_pipeline $sec%8.1f s  " +
+          f"$recs%12d shuffle recs  ${peak / (1L << 20)}%6d MiB peak  " +
+          f"kept $kept%d  [$stageStr]")
+        Some((sec, recs, peak, kept, stages.toSeq))
+      }
+
     // ---- the full replicate→upload→stage→promote service cycle at the
     // same ×factor scale, recorded with the reference's named timers
     // (BASELINE.md §1). The APDB side is generated executor-side
@@ -827,6 +891,12 @@ object BenchScale {
           s""""g2i_sec":${f(gS)},"g2i_records":$gR,""" +
           s""""dd8i_sec":${f(cS)},"dd8i_records":$cR}"""
     }.getOrElse("{}")
+    val curateJson = curateStats.map { case (s, r, p, kept, stages) =>
+      val st = stages.map { case (n, c) => s""""$n":$c""" }
+        .mkString("{", ",", "}")
+      s"""{"sec":${f(s)},"shuffle_records":$r,"peak_task_mem":$p,""" +
+        s""""kept":$kept,"stages":$st}"""
+    }.getOrElse("{}")
     val skippedJson = skip.toSeq.sorted.map(s => s""""$s"""")
       .mkString("[", ",", "]")
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
@@ -841,6 +911,7 @@ object BenchScale {
       s""""sem_dedup_skew":$skewJson,""" +
       s""""pagerank_contracted":$prConJson,""" +
       s""""pair_graph_index":$pairGraphJson,""" +
+      s""""curate_pipeline":$curateJson,""" +
       s""""promote_cycle":$cycle,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may replace the committed artifact — a filtered

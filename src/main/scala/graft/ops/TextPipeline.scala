@@ -63,10 +63,19 @@ object TextPipeline {
 
   /** Curate `docs` (idCol, textCol, sourceCol) per `cfg`. Deterministic:
     * every stage keeps the minimum-id canonical document.
+    *
+    * `stageTap` sees each configured stage's surviving frame and its
+    * result FEEDS FORWARD (identity by default, zero extra jobs) — a
+    * bench/monitoring seam: a tap that persists + counts gets per-stage
+    * survivor counts while later stages read the materialized frame, so
+    * instrumentation never re-executes a stage.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, cfg: CurationConfig): DataFrame = {
+      sourceCol: String, cfg: CurationConfig,
+      stageTap: (String, DataFrame) => DataFrame =
+        (_, df) => df): DataFrame = {
     val id: Column = col(idCol)
+    def tap(stage: String, df: DataFrame): DataFrame = stageTap(stage, df)
 
     // 0. PII scrub — BEFORE analysis/dedup so every downstream hash,
     // signature, and emitted row sees only the redacted text
@@ -114,6 +123,7 @@ object TextPipeline {
     // Dedup.withCaches { curate(...) } / releaseCaches() scopes it;
     // spark.catalog.clearCache() (the older convention) works too
     kept = Dedup.trackExisting(kept.persist())
+    kept = tap("heuristics", kept)
 
     // 1b. TRAINED quality gate: bootstrap-train the classifier on the
     // heuristic-filtered corpus (16 one-agg GD rounds), then drop docs
@@ -123,7 +133,7 @@ object TextPipeline {
       val keep = QualityModel.trainScore(kept, textCol, idCol = idCol)
         .where(col("score_fx") >= math.round(t * QualityModel.Scale))
         .select(id)
-      kept = kept.join(keep, Seq(idCol), "left_semi")
+      kept = tap("model_quality", kept.join(keep, Seq(idCol), "left_semi"))
     }
 
     // 1c. CCNet LM filter: frozen reference bigram LM, drop docs that
@@ -140,14 +150,14 @@ object TextPipeline {
         .bigramSurprisalAgainst(kept, ref, idCol, textCol)
         .where(col("mean_surprise") <= maxBits)
         .select(col("doc_id").as(idCol))
-      kept = kept.join(keepIds, Seq(idCol), "left_semi")
+      kept = tap("lm_filter", kept.join(keepIds, Seq(idCol), "left_semi"))
     }
 
     // 2. exact dedup: keep the canonical (min id) doc per content hash
     if (cfg.dedupExact) {
       val canon = Dedup.exactDedup(kept, idCol, textCol)
         .select(col("canonical_id").as(idCol))
-      kept = kept.join(canon, Seq(idCol), "left_semi")
+      kept = tap("exact_dedup", kept.join(canon, Seq(idCol), "left_semi"))
     }
 
     // 3. near dedup: keep each cluster's canonical doc
@@ -156,9 +166,9 @@ object TextPipeline {
         n = 3, numHashes = 8, rowsPerBand = 2, threshold = t)
         .select("id_a", "id_b")
       val clusters = Dedup.dupClusters(kept.select(id), idCol, pairs)
-      kept = kept.join(
+      kept = tap("near_dedup", kept.join(
         clusters.where(col(idCol) === col("cluster_id")).select(id),
-        Seq(idCol), "left_semi")
+        Seq(idCol), "left_semi"))
     }
 
     // 4. decontamination: drop docs sharing any n-gram with the benchmark.
@@ -172,7 +182,7 @@ object TextPipeline {
         else bench0
       val hits = Dedup.decontaminate(kept, bench, idCol, textCol,
         cfg.decontaminateN).select(id)
-      kept = kept.join(hits, Seq(idCol), "left_anti")
+      kept = tap("decontaminate", kept.join(hits, Seq(idCol), "left_anti"))
     }
 
     // 5. per-source token budget (approximate rate-based scale variant),
@@ -181,7 +191,7 @@ object TextPipeline {
     cfg.budgetPerSource.foreach { budget =>
       val sample = TextAnalysis.tokenBudgetSampleApproxCounted(
         kept, idCol, "n_tokens", sourceCol, budget).select(id)
-      kept = kept.join(sample, Seq(idCol), "left_semi")
+      kept = tap("budget", kept.join(sample, Seq(idCol), "left_semi"))
     }
 
     // 5b. leakage-free split annotation. With near-dedup ON, every
