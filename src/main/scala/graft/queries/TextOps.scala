@@ -260,6 +260,19 @@ object TextOps {
         "doc_id", "text", "source", budgetTokens = 700L)
     }),
 
+    // the PERSISTED pair-graph path: build the edge index once, feed a
+    // graph consumer from it — output contract identical to dd8 (the
+    // oracle is shared verbatim: the hash match IS the proof that the
+    // index-fed consumer equals the inline LSH pipeline). Production
+    // callers would save/load the index through the versioned catalog;
+    // the gate keeps the build in-plan so DuckDB can replay it.
+    "dd22_pair_graph_clusters" -> ((s, d) => {
+      val docs = documents(s, d)
+      val idx = Dedup.pairGraphIndex(docs, "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+      idx.dupClusters(docs.select(col("doc_id")), "doc_id")
+    }),
+
     // near-dup clusters via large-star/small-star — same output contract
     // as dd8 (hash-min), different round structure: O(log² n) shuffle
     // rounds on ANY graph shape, including the adversarial drift-chains
@@ -2070,6 +2083,9 @@ object TextOps {
     "dd24_oph_lsh" -> dd24Sql,
 
     "dd8_dup_clusters" -> dd8Sql,
+    // index-fed consumer: same clustering oracle verbatim (see the
+    // dd22 query comment — the hash match is the equivalence proof)
+    "dd22_pair_graph_clusters" -> dd8Sql,
 
     "ts7_decontaminate" -> ts7Sql,
 
