@@ -273,6 +273,17 @@ object TextOps {
       idx.dupClusters(docs.select(col("doc_id")), "doc_id")
     }),
 
+    // second index-fed consumer FAMILY: leakage-free split reading the
+    // persisted edge table — output contract identical to dd20 (oracle
+    // shared verbatim), so the hash match proves the split a user gets
+    // from the catalog index equals the inline-LSH split
+    "dd25_pair_graph_split" -> ((s, d) => {
+      val docs = documents(s, d)
+      val idx = Dedup.pairGraphIndex(docs, "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+      idx.leakageFreeSplit(docs.select(col("doc_id")), "doc_id")
+    }),
+
     // near-dup clusters via large-star/small-star — same output contract
     // as dd8 (hash-min), different round structure: O(log² n) shuffle
     // rounds on ANY graph shape, including the adversarial drift-chains
@@ -2086,6 +2097,9 @@ object TextOps {
     // index-fed consumer: same clustering oracle verbatim (see the
     // dd22 query comment — the hash match is the equivalence proof)
     "dd22_pair_graph_clusters" -> dd8Sql,
+    // index-fed split: dd20's oracle verbatim (same equivalence proof
+    // for the leakageFreeSplit consumer family)
+    "dd25_pair_graph_split" -> dd20Sql,
 
     "ts7_decontaminate" -> ts7Sql,
 
