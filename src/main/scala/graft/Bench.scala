@@ -83,7 +83,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadJson = s""""load_avg_start":${f(loadStart)},""" +
-      s""""load_avg_peak":${f(loadPeak)},"load_avg_end":${f(loadAvg)}"""
+      s""""load_avg_peak":${f(loadPeak)},"load_avg_end":${f(loadAvg)},""" +
+      HostCalib.json(32)
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec",$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)

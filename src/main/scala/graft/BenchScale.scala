@@ -901,7 +901,8 @@ object BenchScale {
       .mkString("[", ",", "]")
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
       s""""unit":"sec","factor":$factor,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
-      s""""n_events":$nEvents,"cpus":$cpus,"skipped":$skippedJson,""" +
+      s""""n_events":$nEvents,"cpus":$cpus,""" +
+      s"""${HostCalib.json(cpus.toInt)},"skipped":$skippedJson,""" +
       s""""queries":$qs,"recall_queries":$nRecallQ,""" +
       s""""recall_at_$kRecall":$recallJson,""" +
       s""""sim7_nprobe_curve":${curveJson("sim7_ivfpq_topk")},""" +
