@@ -898,8 +898,26 @@ object Similarity {
         // strict a < b keeps the old single evaluation per unordered
         // pair — with nb = 1 everywhere this is EXACTLY the unguarded
         // join's predicate work; cross-bucket groups meet once in an
-        // arbitrary orientation, so they take the orientation-free form
-        lhs.as("a").join(rhs.as("b"),
+        // arbitrary orientation, so they take the orientation-free form.
+        //
+        // LAYOUT MUST BE PINNED, NOT LEFT TO AQE: the exploded sides are
+        // small in BYTES (per-row vectors, ~10⁵ rows) but quadratic in
+        // JOIN WORK (each (cell, u, v) group is a bound² pair scan).
+        // AQE's byte-based coalescing saw a sub-advisory-size input and
+        // collapsed the probe side to ONE partition — at ×100 the whole
+        // 1.6×10¹⁰-pair mega-cell scan ran on a single core (measured:
+        // one 20-min-plus task, 31 cores idle). Explicit-count
+        // repartition by the group key pins one-exchange parallel
+        // layout (REPARTITION_BY_NUM is exempt from AQE coalescing),
+        // and the merge hint stops the size-misestimated broadcast of
+        // the other exploded side — group sizes are ≤ ~2·bound by
+        // construction, so the SMJ's per-key buffer is bounded too.
+        val np = sides.sparkSession.sessionState.conf.numShufflePartitions
+        val lhsP = lhs.repartition(np,
+          col("centroid_id"), col("bkt"), col("pv"))
+        val rhsP = rhs.repartition(np,
+          col("centroid_id"), col("pu"), col("bkt"))
+        lhsP.as("a").hint("merge").join(rhsP.as("b"),
             col("a.centroid_id") === col("b.centroid_id")
               && col("a.bkt") === col("b.pu") && col("a.pv") === col("b.bkt")
               && (when(col("a.bkt") === col("b.bkt"),
