@@ -39,6 +39,15 @@ object Bench {
     try force(SparkEntry.queries.head._2(spark, sfDir))
     catch { case _: Throwable => () }
 
+    // calibrate BEFORE the timed loop (and again after): the pair
+    // brackets the host's delivered CPU across the run, and the mean is
+    // what the normalized walls divide by. Thread count follows the
+    // session's actual parallelism, never a hardcoded 32 — on a
+    // different host the key name and value must describe that host.
+    val nThreads = cpus.toInt
+    val calibStart = HostCalib.measure(nThreads)
+    var calibEnd = -1.0 // measured after the loop
+
     // Multiple runs per query, keep the fastest: a single run is hostage
     // to transient host load (observed 2-4x swings between rounds on an
     // otherwise identical build). The reps are INTERLEAVED — the full
@@ -72,6 +81,7 @@ object Bench {
       samples(name) = (if (ok) dt else -1.0) :: samples.getOrElse(name, Nil)
       loadPeak = math.max(loadPeak, loadAvg)
     }
+    calibEnd = HostCalib.mops(nThreads)
     val results = names.map { case (name, _) =>
       val times = samples(name)
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
@@ -82,17 +92,49 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Mops-normalized walls: wall × (delivered_mops / ref_mops), i.e.
+    // "what this wall would read on the reference host". RefMops is the
+    // round-15 quiet-baseline host's measured all-core throughput
+    // (~15500 M mix-ops/s at 32 threads — the run both the stored
+    // BASELINE subset and BENCH_LOCAL @c05dd6c were taken on), so
+    // cross-round regression triage starts from normalized numbers
+    // instead of hand-waving host load. Normalization uses the
+    // start/end calibration MEAN; if either measurement hit the stall
+    // sentinel the normalized fields are emitted as -1 (unusable).
+    val RefMops = 15500.0
+    val calibMean =
+      if (calibStart.mopsNt > 0 && calibEnd > 0)
+        (calibStart.mopsNt + calibEnd) / 2.0
+      else -1.0
+    val normFactor = if (calibMean > 0) calibMean / RefMops else -1.0
+    def norm(v: Double): Double =
+      if (v < 0 || normFactor <= 0) -1.0 else v * normFactor
+    val qsNorm = results.map { case (k, v) => s"\"" + k + "\":" + f(norm(v)) }
+      .mkString("{", ",", "}")
     val loadJson = s""""load_avg_start":${f(loadStart)},""" +
       s""""load_avg_peak":${f(loadPeak)},"load_avg_end":${f(loadAvg)},""" +
-      HostCalib.json(32)
+      calibStart.json +
+      s""","host_mops_${nThreads}t_end":""" +
+      "%.1f".formatLocal(java.util.Locale.ROOT, calibEnd) +
+      s""","ref_mops":${f(RefMops)},"norm_factor":${f(normFactor)}"""
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$loadJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+        s""""value_norm":${f(norm(total))},$loadJson,"queries":$qs,""" +
+        s""""queries_norm":$qsNorm,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist to a file: the driver's stdout capture keeps only a
     // bounded tail, so the printed line alone can be lost mid-stream
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => () }
+    // quiet-run hygiene: BENCH_LOCAL.json is overwritten by whichever
+    // run executed LAST (a contended driver run can clobber a quiet
+    // builder run), so a run that started on an idle host also writes
+    // the QUIET artifact — commit discipline keeps that one canonical
+    if (loadStart < 2.0)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL_QUIET.json"), line + "\n")
+      catch { case _: Throwable => () }
     // The driver artifact stores only the LAST ~2000 chars of stdout and
     // parses the bench line out of that window; with 100+ gate queries
     // the full line is ~4.5 KB, so its head falls outside the window and
@@ -114,7 +156,7 @@ object Bench {
       }
     }
     val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
-      s"""$loadJson,""" +
+      s""""value_norm":${f(norm(total))},$loadJson,""" +
       s""""n_queries":${results.size},"queries_kept":$kept,""" +
       s""""queries_full":"BENCH_LOCAL.json",""" +
       s""""queries":${picked.result().mkString("{", ",", "}")},""" +

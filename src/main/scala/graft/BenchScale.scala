@@ -108,8 +108,30 @@ object BenchScale {
     val nVecs = Tables.embeddings(spark, sfDir).count() * factor
     val nEvents = Tables.events(spark, sfDir).count() * factor
 
+    // ---- the pair-graph spine: built & committed BEFORE the case sweep
+    // (assigned below, after the skip/filter vars parse) — every graph
+    // case reads the persisted edge table instead of regenerating the
+    // LSH pair pipeline inline. The pair pass is a fixed multi-hundred-
+    // second / 77.8M-record floor at ×100; paying it once in the
+    // pair_graph_index build row and never again is the production
+    // composition, and the case rows below then measure the graph
+    // algorithms themselves. (Inline-vs-index comparison: r15's
+    // artifact carries the inline numbers — g2 99.5 s/223M recs at
+    // ×100 — vs this round's index-fed rows.)
+    var pgLoaded: Option[Dedup.PairGraphIndex] = None
+    def graphPairs: DataFrame = pgLoaded.map(_.pairs).getOrElse(
+      // fallback (pair_graph_index skipped but a graph case requested):
+      // the old inline pipeline
+      Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, numHashes = 8,
+        rowsPerBand = 2, threshold = 0.6).select(col("id_a"), col("id_b")))
+
     // the scale-path headliners: banded/capped dedup, ANN indexes, the
-    // bloom-prefiltered decontamination join, event sessionization
+    // bloom-prefiltered decontamination join, event sessionization.
+    // (No triangle case: trianglePairs output is cubic in clique size by
+    // semantics — a ×100 clone family of 100 contributes C(100,3)
+    // triangles, ~800M output rows corpus-wide — the dd6-class
+    // documented exception; the index-fed operator is oracle-gated at
+    // sf0.01 as g1b_triangles_indexed instead.)
     val cases: Seq[(String, () => DataFrame)] = Seq(
       "dd3_minhash_lsh" -> (() => Dedup.minhashLshPairs(docs, "doc_id",
         "text", n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)),
@@ -144,31 +166,29 @@ object BenchScale {
       // below measure the star→chain doc-recall lift
       "dd2d_jaccard_capped_chain" -> (() => Dedup.jaccardPairsCappedChain(
         docs, "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 20)),
-      // graph analytics over the near-dup graph at scale: the variant
-      // farms are k-cliques, so PageRank concentrates rank on canonical
-      // sources and the k-core peel must keep exactly the dense families;
-      // both run the bounded-round semantics the oracles replay
+      // graph analytics over the near-dup graph at scale, ALL reading
+      // the committed pair-graph edges (no inline pair regeneration —
+      // the build cost sits once in the pair_graph_index row): the
+      // variant farms are k-cliques, so PageRank concentrates rank on
+      // canonical sources and the k-core peel must keep exactly the
+      // dense families; all run the bounded-round semantics the oracles
+      // replay
       "g2_pagerank" -> (() => Dedup.pageRank(
-        Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
-          numHashes = 8, rowsPerBand = 2, threshold = 0.6),
-        "doc_id", iters = 3)),
+        graphPairs, "doc_id", iters = 3)),
       // the PRODUCTION PageRank row for dup graphs: contract connected
       // components (one CC pass + one size/degree aggregate), then every
       // rank round is a map-only update over the FAMILY table — rank
       // mass no longer shuffles around inside each in-group-quadratic
-      // clique (g2 at ×100: 594M records, mostly intra-family flow).
-      // Bit-exact per node on degree-regular families (DedupSpec); the
-      // pagerank_contracted block below scores per-family mass against
-      // the raw run at this factor
+      // clique. From the committed edges this is the full production
+      // composition: no pair floor AND no per-round intra-family flow
+      // (r15 measured contracted INLINE slower than raw at ×100 —
+      // 138 vs 99.5 s — precisely because both paid the ~360 s-class
+      // pair pass and contraction added overhead on top; this row is
+      // the index-fed number that removes the floor)
       "g2b_pagerank_contracted" -> (() => Dedup.pageRankContracted(
-        Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
-          numHashes = 8, rowsPerBand = 2, threshold = 0.6),
-        "doc_id", iters = 3)),
+        graphPairs, "doc_id", iters = 3)),
       "g3_kcore" -> (() => Dedup.kCore(
-        Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
-          numHashes = 8, rowsPerBand = 2, threshold = 0.6)
-          .select(col("id_a"), col("id_b")),
-        k = 10, maxRounds = 12, requireConverged = false)),
+        graphPairs, k = 10, maxRounds = 12, requireConverged = false)),
       "ts7b_decontaminate_bloom" -> (() => Dedup.decontaminateBloom(
         docs.where(col("doc_id") % 29 =!= 0),
         docs.where(col("doc_id") % 29 === 0),
@@ -348,6 +368,68 @@ object BenchScale {
       case None => cases
       case Some(f) => cases.filter { case (n, _) => f.contains(n) }
     }).filterNot { case (n, _) => skip.contains(n) }
+
+    // ---- build + commit the pair-graph index (the graph cases' spine).
+    // Timed as its own row; also measures the incremental addDocs fold:
+    // a standing index over 95% of the corpus is committed and loaded
+    // back (the production maintenance shape), then the 5% batch folds
+    // in through PairGraphIndex.addDocs — proving the increment is
+    // batch-bounded, not another full build.
+    val graphCaseNames = Set("g1_triangles", "g2_pagerank",
+      "g2b_pagerank_contracted", "g3_kcore")
+    val pgNeeded = !skip.contains("pair_graph_index") &&
+      caseFilter.forall(f =>
+        f.contains("pair_graph_index") || f.exists(graphCaseNames))
+    var pgBuild: Option[(Double, Long, Long)] = None // sec, recs, edges
+    // sec, recs, batch docs, edges after the fold
+    var pgAdd: Option[(Double, Long, Long, Long)] = None
+    val pgTmp =
+      java.nio.file.Files.createTempDirectory("graft-pgidx").toFile
+    val pgCat = new VersionedCatalog(s"$pgTmp/catalog")
+    if (pgNeeded) {
+      val (bRecs, _, bSec) = shuffledTimed {
+        val idx = Dedup.pairGraphIndex(docs, "doc_id", "text", n = 3,
+          numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+        idx.save(pgCat, "pair_graph")
+        idx.release()
+      }
+      Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      val loaded = Dedup.loadPairGraphIndex(spark, pgCat, "pair_graph")
+      val edgeRows = loaded.edges.count()
+      pgBuild = Some((bSec, bRecs, edgeRows))
+      pgLoaded = Some(loaded)
+      System.err.println(f"[scale] pair_graph_index build $bSec%8.1f s  " +
+        f"$bRecs%12d shuffle recs  edges $edgeRows%d")
+      if (caseFilter.isEmpty && !skip.contains("pair_graph_addDocs")) {
+        val standing0 = Dedup.pairGraphIndex(
+          docs.where(col("doc_id") % 20 =!= 0), "doc_id", "text", n = 3,
+          numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+        standing0.save(pgCat, "pair_graph_standing")
+        standing0.release()
+        Dedup.releaseCaches()
+        spark.catalog.clearCache()
+        val batch = docs.where(col("doc_id") % 20 === 0)
+        val batchDocs = batch.count()
+        val standing =
+          Dedup.loadPairGraphIndex(spark, pgCat, "pair_graph_standing")
+        val (aRecs, _, aSec) = shuffledTimed {
+          val folded = standing.addDocs(batch, "doc_id", "text")
+          folded.save(pgCat, "pair_graph_standing")
+          folded.release()
+        }
+        Dedup.releaseCaches()
+        spark.catalog.clearCache()
+        val edgesAfter = Dedup
+          .loadPairGraphIndex(spark, pgCat, "pair_graph_standing")
+          .edges.count()
+        pgAdd = Some((aSec, aRecs, batchDocs, edgesAfter))
+        System.err.println(f"[scale] pair_graph_addDocs $aSec%8.1f s  " +
+          f"$aRecs%12d shuffle recs  batch $batchDocs%d docs  " +
+          f"edges_after $edgesAfter%d")
+      }
+    }
+
     val results = selected.map { case (name, mk) =>
       var rows = 0L
       val (recs, peak, sec) = shuffledTimed { rows = forceCount(mk()) }
@@ -652,8 +734,9 @@ object BenchScale {
       if (caseFilter.nonEmpty || skip.contains("g2b_pagerank_contracted"))
         None
       else {
-        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
-          numHashes = 8, rowsPerBand = 2, threshold = 0.6).persist()
+        // from the committed edges (the same graph the case rows read):
+        // the comparison isolates contraction fidelity, pair-floor-free
+        val pairs = graphPairs.persist()
         def famMass(r: DataFrame) = r
           .select(expr(s"doc_id div $factor").as("grp"), col("rank_fp"))
           .groupBy(col("grp")).agg(sum(col("rank_fp")).as("mass"))
@@ -681,31 +764,17 @@ object BenchScale {
         Some((fams, eq, rel))
       }
 
-    // ---- pair-graph index reuse: the LSH pair pipeline is a fixed
-    // multi-hundred-second / 77.8M-record floor at ×100 that every graph
-    // consumer (g1–g3, dd8–dd10, dd18, dd20) pays inline. Build the edge
-    // table ONCE into the catalog, then run two consumers off the
-    // committed edges — their shuffle excludes pair generation entirely
-    // (compare g2i_records here against the g2_pagerank case row, which
-    // regenerates pairs inline).
+    // ---- pair-graph index consumers beyond the case rows: dupClusters
+    // (dd8i — the keep-best/dedup spine) and the continuity anchor g2i
+    // (directly comparable to r15's g2i row), both off the edges
+    // committed up top. Build/addDocs stats come from the hoisted
+    // measurement.
     val pairGraphStats
         : Option[(Double, Long, Double, Long, Double, Long, Long)] =
-      if (caseFilter.nonEmpty || skip.contains("pair_graph_index")) None
+      if (caseFilter.nonEmpty || pgLoaded.isEmpty || pgBuild.isEmpty) None
       else {
-        val pgTmp =
-          java.nio.file.Files.createTempDirectory("graft-pgidx").toFile
-        val pgCat = new VersionedCatalog(s"$pgTmp/catalog")
-        var edgeRows = 0L
-        val (bRecs, _, bSec) = shuffledTimed {
-          val idx = Dedup.pairGraphIndex(docs, "doc_id", "text", n = 3,
-            numHashes = 8, rowsPerBand = 2, threshold = 0.6)
-          idx.save(pgCat, "pair_graph")
-          idx.release()
-        }
-        Dedup.releaseCaches()
-        spark.catalog.clearCache()
-        val loaded = Dedup.loadPairGraphIndex(spark, pgCat, "pair_graph")
-        edgeRows = loaded.edges.count()
+        val loaded = pgLoaded.get
+        val (bSec, bRecs, edgeRows) = pgBuild.get
         val (gRecs, _, gSec) = shuffledTimed {
           forceCount(loaded.pageRank("doc_id", iters = 3))
         }
@@ -717,8 +786,7 @@ object BenchScale {
         }
         Dedup.releaseCaches()
         spark.catalog.clearCache()
-        System.err.println(f"[scale] pair_graph_index build $bSec%8.1f s " +
-          f"$bRecs%12d recs  edges $edgeRows%d  |  g2i $gSec%8.1f s " +
+        System.err.println(f"[scale] pair_graph_index g2i $gSec%8.1f s " +
           f"$gRecs%12d recs  |  dd8i $cSec%8.1f s  $cRecs%12d recs")
         Some((bSec, bRecs, gSec, gRecs, cSec, cRecs, edgeRows))
       }
@@ -887,9 +955,13 @@ object BenchScale {
     }.getOrElse("{}")
     val pairGraphJson = pairGraphStats.map {
       case (bS, bR, gS, gR, cS, cR, e) =>
+        val add = pgAdd.map { case (aS, aR, bd, ea) =>
+          s""","addDocs_sec":${f(aS)},"addDocs_records":$aR,""" +
+            s""""addDocs_batch_docs":$bd,"addDocs_edges_after":$ea"""
+        }.getOrElse("")
         s"""{"build_sec":${f(bS)},"build_records":$bR,"edges":$e,""" +
           s""""g2i_sec":${f(gS)},"g2i_records":$gR,""" +
-          s""""dd8i_sec":${f(cS)},"dd8i_records":$cR}"""
+          s""""dd8i_sec":${f(cS)},"dd8i_records":$cR$add}"""
     }.getOrElse("{}")
     val curateJson = curateStats.map { case (s, r, p, kept, stages) =>
       val st = stages.map { case (n, c) => s""""$n":$c""" }

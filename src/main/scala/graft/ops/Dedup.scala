@@ -1168,8 +1168,14 @@ object Dedup {
         iters: Int = 3): DataFrame =
       Dedup.pageRankContracted(pairs, idCol, iters)
 
-    /** [[Dedup.kCore]] over the persisted edges. */
-    def kCore(k: Int): DataFrame = Dedup.kCore(pairs, k)
+    /** [[Dedup.kCore]] over the persisted edges — same bounded-round
+      * knobs as the inline form so the unrolled oracle's semantic
+      * (exactly-maxRounds simultaneous peel) is reachable from the
+      * index too.
+      */
+    def kCore(k: Int, maxRounds: Int = 50,
+        requireConverged: Boolean = true): DataFrame =
+      Dedup.kCore(pairs, k, maxRounds, requireConverged)
 
     /** [[Dedup.trianglePairs]] over the persisted edges. */
     def triangles: DataFrame = Dedup.trianglePairs(pairs)

@@ -284,6 +284,27 @@ object TextOps {
       idx.leakageFreeSplit(docs.select(col("doc_id")), "doc_id")
     }),
 
+    // index-fed TRIANGLES: PairGraphIndex.triangles reading the
+    // persisted edge table — output contract identical to g1 (oracle
+    // shared verbatim), so the hash match proves the index-fed wedge
+    // enumeration equals the inline-LSH pipeline
+    "g1b_triangles_indexed" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.pairGraphIndex(docs, "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6).triangles
+    }),
+
+    // index-fed K-CORE over the SAME doc near-dup graph: the bounded-
+    // round peel (12 simultaneous rounds — what the unrolled oracle
+    // replays; the sf0.01 graph converges well inside that) reading
+    // the committed edges instead of regenerating the pair pipeline
+    "g3b_kcore_indexed" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.pairGraphIndex(docs, "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+        .kCore(k = 2, maxRounds = 12, requireConverged = false)
+    }),
+
     // near-dup clusters via large-star/small-star — same output contract
     // as dd8 (hash-min), different round structure: O(log² n) shuffle
     // rounds on ANY graph shape, including the adversarial drift-chains
@@ -935,6 +956,41 @@ object TextOps {
        |SELECT u AS doc_id, min(lbl) AS cluster_id
        |FROM walk GROUP BY u""".stripMargin
 
+  /** g1 oracle (shared verbatim by the index-fed g1b gate): triangle
+    * closure over the dd3 edge list.
+    */
+  private val g1Sql: String =
+    s"""WITH e AS (SELECT id_a, id_b FROM ($dd3Sql) dd3)
+       |SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+       |FROM e e1
+       |JOIN e e2 ON e1.id_b = e2.id_a
+       |JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin
+
+  /** g3b oracle: the g3 bounded peel (12 simultaneous rounds unrolled)
+    * applied to the DOC near-dup graph (dd3 edges) at k = 2 — what the
+    * index-fed `PairGraphIndex.kCore` gate computes from the committed
+    * edge table.
+    */
+  private val g3bSql: String = {
+    val rounds = (1 to 12).map { i =>
+      val p = i - 1
+      s"""d$i AS MATERIALIZED (
+         |  SELECT id, count(*) AS deg FROM (
+         |    SELECT id_a AS id FROM e$p
+         |    UNION ALL SELECT id_b FROM e$p) GROUP BY id),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.id_a, e.id_b FROM e$p e
+         |  JOIN d$i x ON e.id_a = x.id AND x.deg >= 2
+         |  JOIN d$i y ON e.id_b = y.id AND y.deg >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT id_a, id_b FROM ($dd3Sql) dd3),
+       |$rounds
+       |SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+       |  SELECT id_a AS id FROM e12
+       |  UNION ALL SELECT id_b FROM e12) GROUP BY id""".stripMargin
+  }
+
   /** dd10 oracle (also the representative CTE of dd18): longest doc per
     * cluster, ties to the smaller id.
     */
@@ -1313,12 +1369,11 @@ object TextOps {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
-    "g1_triangles" ->
-      s"""WITH e AS (SELECT id_a, id_b FROM ($dd3Sql) dd3)
-         |SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
-         |FROM e e1
-         |JOIN e e2 ON e1.id_b = e2.id_a
-         |JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin,
+    "g1_triangles" -> g1Sql,
+    // the index-fed twin shares g1's oracle VERBATIM: a hash match is
+    // the proof that PairGraphIndex.triangles == the inline pipeline
+    "g1b_triangles_indexed" -> g1Sql,
+    "g3b_kcore_indexed" -> g3bSql,
 
     // PageRank rounds unrolled as CTEs — DuckDB `//` floors like Spark's
     // `div` on the all-positive BIGINTs here; sums cast back to BIGINT
