@@ -51,7 +51,8 @@ object Cli {
       extends RuntimeException(msg)
 
   private val knownCommands = Set("create", "run", "list-chunks",
-    "seed-apdb", "upload", "promote", "vacuum", "demo", "snapshot")
+    "seed-apdb", "upload", "promote", "vacuum", "demo", "snapshot",
+    "pair-graph")
 
   def main(args: Array[String]): Unit = args.toList match {
     case "vacuum" :: root :: rest =>
@@ -94,6 +95,13 @@ object Cli {
       parseCreateOpts(rest).felisPath.foreach { p =>
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
           throw UsageError(s"felis schema file not found: $p")
+      }
+    case "pair-graph" :: rest =>
+      rest.headOption match {
+        case Some(sub) if pgSubcommands(sub) =>
+          // flags only — positional paths are validated in dispatch
+          parsePgOpts(rest.tail.dropWhile(a => !a.startsWith("--"))); ()
+        case _ => throw UsageError(usageFor(List("pair-graph")))
       }
     case _ => ()
   }
@@ -233,12 +241,61 @@ object Cli {
           "[--max-chunks N] [--check-interval S] | " +
           "vacuum <root> [--retain-commits N] [--dry-run] | " +
           "demo <root> [nObjects nChunks] | " +
-          "snapshot <root|jdbcUrl> <destRoot>"
+          "snapshot <root|jdbcUrl> <destRoot> | " +
+          "pair-graph build|add <root> <docsParquet> [--name N] " +
+          "[--id-col C] [--text-col C] [--n K] [--num-hashes H] " +
+          "[--rows-per-band R] [--threshold T] | " +
+          "pair-graph clusters|rank|core <root> [--name N] [--iters I] " +
+          "[--contracted] [--k K] [--max-rounds R]"
       case _ =>
         s"unknown command: ${args.mkString(" ")}\n" +
           "commands: create | run | list-chunks | seed-apdb | upload | " +
-          "promote | vacuum | demo | snapshot"
+          "promote | vacuum | demo | snapshot | pair-graph"
     }
+
+  private[graft] val pgSubcommands =
+    Set("build", "add", "clusters", "rank", "core")
+
+  /** pair-graph knobs — the LSH parameters mirror the library defaults
+    * used by every gate query (3-gram shingles, 8 hashes, 2 rows/band,
+    * Jaccard 0.6).
+    */
+  private[graft] final case class PgOpts(name: String = "pair_graph",
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.6, iters: Int = 3, k: Int = 2,
+      maxRounds: Int = 50, contracted: Boolean = false)
+
+  private[graft] def parsePgOpts(rest: List[String]): PgOpts = {
+    def dblArg(what: String, v: String): Double =
+      try v.toDouble
+      catch {
+        case _: NumberFormatException =>
+          throw UsageError(s"$what expects a number, got: $v")
+      }
+    @annotation.tailrec
+    def go(args: List[String], o: PgOpts): PgOpts = args match {
+      case "--name" :: v :: t => go(t, o.copy(name = v))
+      case "--id-col" :: v :: t => go(t, o.copy(idCol = v))
+      case "--text-col" :: v :: t => go(t, o.copy(textCol = v))
+      case "--n" :: v :: t => go(t, o.copy(n = numArg("--n", v).toInt))
+      case "--num-hashes" :: v :: t =>
+        go(t, o.copy(numHashes = numArg("--num-hashes", v).toInt))
+      case "--rows-per-band" :: v :: t =>
+        go(t, o.copy(rowsPerBand = numArg("--rows-per-band", v).toInt))
+      case "--threshold" :: v :: t =>
+        go(t, o.copy(threshold = dblArg("--threshold", v)))
+      case "--iters" :: v :: t =>
+        go(t, o.copy(iters = numArg("--iters", v).toInt))
+      case "--k" :: v :: t => go(t, o.copy(k = numArg("--k", v).toInt))
+      case "--max-rounds" :: v :: t =>
+        go(t, o.copy(maxRounds = numArg("--max-rounds", v).toInt))
+      case "--contracted" :: t => go(t, o.copy(contracted = true))
+      case Nil => o
+      case bad :: _ => throw UsageError(s"unknown pair-graph option: $bad")
+    }
+    go(rest, PgOpts())
+  }
 
   /** Replication-loop knobs (defaults from P/cli/options.py:105-124). */
   private[graft] final case class RunOpts(
@@ -534,6 +591,77 @@ object Cli {
         graft.Metrics.summary().toSeq.sortBy(_._1).foreach {
           case (m, (n, s)) => println(f"  $m%-24s n=$n%-4d total=${s}%.2f s")
         }
+
+      // the near-dup pair graph as a catalog citizen: build/refresh the
+      // persisted edge index from a documents parquet, fold new batches
+      // in incrementally, and derive the graph products (dup-cluster
+      // labels, PageRank, k-core) as committed tables — every output
+      // lands in the versioned catalog, so `GraftSession.mount` exposes
+      // it to SQL as <name>_edges / <name>_clusters / <name>_rank /
+      // <name>_core views alongside every other index family.
+      case "pair-graph" :: "build" :: root :: docsPath :: rest =>
+        val o = parsePgOpts(rest)
+        val cat = new VersionedCatalog(root)
+        val idx = graft.ops.Dedup.pairGraphIndex(
+          spark.read.parquet(docsPath), o.idCol, o.textCol,
+          o.n, o.numHashes, o.rowsPerBand, o.threshold)
+        idx.save(cat, o.name)
+        idx.release()
+        graft.ops.Dedup.releaseCaches()
+        val edges = cat.read(spark, s"${o.name}.edges").count()
+        println(s"pair-graph ${o.name}: committed $edges edges to $root")
+
+      case "pair-graph" :: "add" :: root :: docsPath :: rest =>
+        val o = parsePgOpts(rest)
+        val cat = new VersionedCatalog(root)
+        val folded = graft.ops.Dedup.loadPairGraphIndex(spark, cat, o.name)
+          .addDocs(spark.read.parquet(docsPath), o.idCol, o.textCol)
+        folded.save(cat, o.name)
+        folded.release()
+        graft.ops.Dedup.releaseCaches()
+        val edges = cat.read(spark, s"${o.name}.edges").count()
+        println(s"pair-graph ${o.name}: folded $docsPath, now $edges edges")
+
+      case "pair-graph" :: "clusters" :: root :: rest =>
+        val o = parsePgOpts(rest)
+        val cat = new VersionedCatalog(root)
+        val idx = graft.ops.Dedup.loadPairGraphIndex(spark, cat, o.name)
+        // node universe = every indexed doc (too-short-to-shingle docs
+        // never entered the index and have no near-dups by construction)
+        val ids = idx.minhash.sets
+          .select(org.apache.spark.sql.functions.col("doc").as(o.idCol))
+        cat.commit(Map(s"${o.name}.clusters" -> idx.dupClusters(ids, o.idCol)))
+        graft.ops.Dedup.releaseCaches()
+        val cl = cat.read(spark, s"${o.name}.clusters")
+        val nClusters = cl.select("cluster_id").distinct().count()
+        println(s"pair-graph ${o.name}: labeled ${cl.count()} docs in " +
+          s"$nClusters clusters -> table ${o.name}.clusters")
+
+      case "pair-graph" :: "rank" :: root :: rest =>
+        val o = parsePgOpts(rest)
+        val cat = new VersionedCatalog(root)
+        val idx = graft.ops.Dedup.loadPairGraphIndex(spark, cat, o.name)
+        val r = if (o.contracted) idx.pageRankContracted(o.idCol, o.iters)
+          else idx.pageRank(o.idCol, o.iters)
+        cat.commit(Map(s"${o.name}.rank" -> r))
+        graft.ops.Dedup.releaseCaches()
+        val ranked = cat.read(spark, s"${o.name}.rank")
+        println(s"pair-graph ${o.name}: ranked ${ranked.count()} nodes " +
+          s"-> table ${o.name}.rank (top: " +
+          ranked.orderBy(org.apache.spark.sql.functions.col("rank_fp").desc,
+            org.apache.spark.sql.functions.col(o.idCol))
+            .limit(3).collect()
+            .map(row => s"${row.get(0)}=${row.get(1)}").mkString(", ") + ")")
+
+      case "pair-graph" :: "core" :: root :: rest =>
+        val o = parsePgOpts(rest)
+        val cat = new VersionedCatalog(root)
+        val idx = graft.ops.Dedup.loadPairGraphIndex(spark, cat, o.name)
+        cat.commit(Map(s"${o.name}.core" -> idx.kCore(o.k, o.maxRounds)))
+        graft.ops.Dedup.releaseCaches()
+        val n = cat.read(spark, s"${o.name}.core").count()
+        println(s"pair-graph ${o.name}: ${o.k}-core holds $n nodes " +
+          s"-> table ${o.name}.core")
 
       case other =>
         throw UsageError(usageFor(other))

@@ -46,6 +46,7 @@ object Dedup {
     transientCaches.removeIf(
       _.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     transientCaches.add(df)
+    registerScoped(df)
     df
   }
 
@@ -57,6 +58,7 @@ object Dedup {
       _.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     val p = df.persist()
     transientCaches.add(p)
+    registerScoped(p)
     p
   }
 
@@ -69,27 +71,49 @@ object Dedup {
     while (df != null) { df.unpersist(); df = transientCaches.poll() }
   }
 
-  /** Run `body` and release every transient pair-finding cache it
-    * registered, scoped: caches registered BEFORE the block (another
-    * in-flight composition's) are left alone, so a long-lived service
-    * can wrap each dedup/curation call without stepping on concurrent
-    * work — and without the unbounded storage-memory growth of never
-    * calling [[releaseCaches]] at all.
+  // Per-THREAD scope stack for withCaches: each open block records only
+  // the frames ITS OWN thread registered, so two services running
+  // concurrent scoped compositions can interleave freely — the old
+  // before/after registry diff released the OTHER block's frames
+  // whenever the blocks finished out of registration order.
+  private val scopeStack = new ThreadLocal[List[
+      java.util.IdentityHashMap[DataFrame, java.lang.Boolean]]] {
+    override def initialValue
+        : List[java.util.IdentityHashMap[DataFrame, java.lang.Boolean]] = Nil
+  }
+
+  private def registerScoped(df: DataFrame): Unit =
+    scopeStack.get() match {
+      case top :: _ => top.put(df, java.lang.Boolean.TRUE); ()
+      case Nil => ()
+    }
+
+  /** Run `body` and release every transient pair-finding cache THIS
+    * THREAD registered inside the block — concurrent scopes on other
+    * threads (another in-flight composition's) and caches registered
+    * before the block are left alone, so a long-lived service can wrap
+    * each dedup/curation call without stepping on concurrent work — and
+    * without the unbounded storage-memory growth of never calling
+    * [[releaseCaches]] at all. Nested blocks scope independently: the
+    * inner block releases what it registered, the outer the rest.
     *
     * MATERIALIZE results inside the block (count/collect/write): a
     * lazily-returned DataFrame is still correct afterwards but
-    * recomputes its pair pipeline uncached on first use.
+    * recomputes its pair pipeline uncached on first use. A composition
+    * that spawns ITS OWN threads registering caches must release those
+    * through [[releaseCaches]] — the scope is thread-local by design.
     */
   def withCaches[T](body: => T): T = {
-    val before = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
-    transientCaches.forEach(df => { before.add(df); () })
+    val scope =
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
+    scopeStack.set(scope :: scopeStack.get())
     try body
     finally {
+      scopeStack.set(scopeStack.get().tail)
       val it = transientCaches.iterator()
       while (it.hasNext) {
         val df = it.next()
-        if (!before.contains(df)) { df.unpersist(); it.remove() }
+        if (scope.containsKey(df)) { df.unpersist(); it.remove() }
       }
     }
   }
@@ -1246,15 +1270,23 @@ object Dedup {
     PairGraphIndex(mh, threshold, indexPairs(mh, threshold))
   }
 
+  /** Load a committed pair-graph index. SNAPSHOT-CONSISTENT: all four
+    * tables are read at ONE pinned commit — a concurrent maintenance
+    * commit landing between per-table reads would otherwise hand the
+    * caller batch k+1's edge table against batch k's params/minhash
+    * tables (observed shape: a mid-stream reader racing
+    * [[maintainPairGraph]]).
+    */
   def loadPairGraphIndex(spark: org.apache.spark.sql.SparkSession,
       cat: graft.catalog.VersionedCatalog, name: String): PairGraphIndex = {
-    val p = cat.read(spark, s"$name.params").head()
+    val c = cat.currentCommit
+    def rd(t: String) = cat.readAt(spark, s"$name.$t", c)
+    val p = rd("params").head()
     PairGraphIndex(
       MinhashIndex(p.getAs[Int]("n"), p.getAs[Int]("num_hashes"),
-        p.getAs[Int]("rows_per_band"),
-        cat.read(spark, s"$name.banded"), cat.read(spark, s"$name.sets")),
+        p.getAs[Int]("rows_per_band"), rd("banded"), rd("sets")),
       p.getAs[Double]("threshold"),
-      cat.read(spark, s"$name.edges"))
+      rd("edges"))
   }
 
   /** Continuous pair-graph maintenance over a DOCUMENT STREAM — the

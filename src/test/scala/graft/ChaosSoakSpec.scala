@@ -170,4 +170,110 @@ class ChaosSoakSpec extends SparkSpec {
       assert(reopened.read(spark, t).count() >= 0L, s"reopen failed: $t")
     }
   }
+
+  test("pair-graph maintenance soak: mid-commit crash + at-least-once " +
+      "replay under concurrent readers — end state == serial fold, every " +
+      "reader snapshot a committed prefix") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val cat = new VersionedCatalog(tmpDir("soak-pg"), orphanGraceMs = 300L)
+    val (n, h, r, t) = (3, 8, 1, 0.25)
+    val name = "pg_soak"
+    // cross-batch near-dups: 11/30 pair into batch 0's family, 20 into
+    // batch 1's — every fold adds old↔new edges, not just self-pairs
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta iota")),
+      Seq((10L, "one two three four five six seven eight nine"),
+        (11L, "alpha beta gamma delta epsilon zeta eta kappa")),
+      Seq((20L, "one two three four five six seven eight ten")),
+      Seq((30L, "alpha beta gamma delta epsilon zeta eta theta again"),
+        (31L, "quick brown fox jumps over the lazy dog today")))
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // serial-fold ground truth: edge COUNT after each prefix (what any
+    // reader snapshot must match) and the final edge SET
+    val prefixCounts = (1 to batches.size).map { i =>
+      val idx = Dedup.pairGraphIndex(
+        batches.take(i).flatten.toDF("doc_id", "text"),
+        "doc_id", "text", n, h, r, t)
+      val c = idx.edges.count()
+      idx.release(); Dedup.releaseCaches()
+      c
+    }.toSet
+    assert(prefixCounts.max >= 4, "fixture produced a trivial graph")
+
+    // concurrent readers: load the committed index mid-maintenance and
+    // assert every snapshot is a CONSISTENT committed prefix (the
+    // pinned-commit loadPairGraphIndex contract — a reader interleaving
+    // per-table reads across a maintenance commit would see edge/params
+    // tables from different folds)
+    @volatile var stop = false
+    val readerErrors =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val readers = (1 to 2).map(i => new Thread(() => {
+      while (!stop) {
+        try if (cat.exists(s"$name.params")) {
+          val idx = Dedup.loadPairGraphIndex(spark, cat, name)
+          val e = idx.edges.count()
+          observed.add(e)
+          if (!prefixCounts.contains(e))
+            readerErrors.add(s"snapshot edge count $e not a serial " +
+              s"prefix of $prefixCounts")
+        } catch {
+          case ex: Throwable => readerErrors.add(s"reader died: $ex")
+        }
+        Thread.sleep(10L)
+      }
+    }, s"pg-soak-reader-$i"))
+    readers.foreach(_.start())
+
+    def apply(id: Long): Boolean = Dedup.applyPairGraphBatch(
+      batches(id.toInt).toDF("doc_id", "text"), id, "doc_id", "text",
+      cat, name, n, h, r, t)
+
+    assert(apply(0L))
+    // induced crash BETWEEN data writes and the pointer move on batch 1's
+    // first attempt: the commit must abort invisibly and the redelivery
+    // re-applies in full (the pointer never moved, so nothing was folded)
+    val armKill = new AtomicBoolean(true)
+    val prevHook = cat.beforePointerMove
+    cat.beforePointerMove = () =>
+      if (armKill.getAndSet(false))
+        throw new RuntimeException("induced-crash mid-commit")
+    val crashed = intercept[RuntimeException] { apply(1L) }
+    assert(crashed.getMessage.contains("induced-crash"))
+    cat.beforePointerMove = prevHook
+    Dedup.releaseCaches() // the aborted fold's transient caches
+    assert(apply(1L), "redelivery after mid-commit crash must re-apply")
+    assert(apply(2L))
+    // crash AFTER save, BEFORE checkpoint: the stream redelivers batch 2
+    // — must be an exactly-once no-op (params.last_batch_id gates it)
+    assert(!apply(2L), "replayed batch id must be a no-op")
+    assert(apply(3L))
+
+    stop = true
+    readers.foreach(_.join(30000L))
+    assert(readerErrors.isEmpty,
+      s"reader violations: ${readerErrors.toArray.take(3).mkString("; ")}")
+    assert(!observed.isEmpty, "readers never observed a committed snapshot")
+
+    // end state == one serial fold over everything ingested, and the
+    // index-fed consumer agrees with the inline pipeline on the union
+    val all = batches.flatten.toDF("doc_id", "text")
+    val rebuilt = Dedup.pairGraphIndex(all, "doc_id", "text", n, h, r, t)
+    val committed = Dedup.loadPairGraphIndex(spark, cat, name)
+    assert(edgeSet(committed.edges) == edgeSet(rebuilt.edges),
+      "soaked fold != serial rebuild")
+    val fromIndex = committed.dupClusters(all.select($"doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val inline = Dedup.dupClusters(all.select($"doc_id"), "doc_id",
+        Dedup.minhashLshPairs(all, "doc_id", "text", n, h, r, t)
+          .select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(fromIndex == inline, "index-fed clusters diverged after soak")
+    rebuilt.release()
+    Dedup.releaseCaches()
+  }
 }

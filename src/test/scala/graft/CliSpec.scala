@@ -527,6 +527,74 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("pair-graph CLI: build the committed edge index, derive " +
+      "clusters/rank/core, fold a batch, read labels back via SQL") {
+    import spark.implicits._
+    val root = tmpDir("cli-pg")
+    val docsPath = s"${tmpDir("cli-pg-docs")}/docs"
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (10L, "one two three four five six seven eight"),
+      (11L, "one two three four five six seven nine"),
+      (20L, "completely different text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text").write.parquet(docsPath)
+
+    val built = dispatchCapturing("pair-graph", "build", root, docsPath)
+    assert(built.contains("committed") && built.contains("edges"), built)
+    assert(dispatchCapturing("pair-graph", "clusters", root)
+      .contains("clusters"), "clusters output")
+    assert(dispatchCapturing("pair-graph", "rank", root)
+      .contains("rank"), "rank output")
+    assert(dispatchCapturing("pair-graph", "core", root, "--k", "1")
+      .contains("core"), "core output")
+
+    // SQL surface: the committed tables mount as views like every other
+    // persisted index family — labels must equal the inline library
+    // pipeline at the same LSH parameters
+    val cat = new VersionedCatalog(root)
+    val viaSql = GraftSession.sql(spark, cat,
+      "SELECT doc_id, cluster_id FROM pair_graph_clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docs = spark.read.parquet(docsPath)
+    val inline = graft.ops.Dedup.dupClusters(docs.select(col("doc_id")),
+        "doc_id",
+        graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+          .select("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaSql == inline, s"CLI labels $viaSql != inline $inline")
+    // rank/core tables committed and SQL-readable
+    assert(GraftSession.sql(spark, cat,
+      "SELECT count(*) FROM pair_graph_rank").head().getLong(0) >= 2L)
+    assert(GraftSession.sql(spark, cat,
+      "SELECT count(*) FROM pair_graph_core").head().getLong(0) >= 2L)
+
+    // incremental maintenance: a verbatim clone of doc 1 folds in and
+    // must land in doc 1's cluster after a label refresh
+    val batchPath = s"${tmpDir("cli-pg-batch")}/docs"
+    Seq((4L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text").write.parquet(batchPath)
+    assert(dispatchCapturing("pair-graph", "add", root, batchPath)
+      .contains("folded"), "add output")
+    dispatchCapturing("pair-graph", "clusters", root)
+    val refreshed = GraftSession.sql(spark, cat,
+      "SELECT doc_id, cluster_id FROM pair_graph_clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(refreshed.contains(4L), s"batch doc missing: $refreshed")
+    assert(refreshed(4L) == refreshed(1L),
+      s"clone must join doc 1's cluster: $refreshed")
+
+    // flag validation goes through the usage path, not a stack trace
+    intercept[Cli.UsageError] {
+      Cli.dispatch(spark, List("pair-graph", "rank", root, "--nope"))
+    }
+    intercept[Cli.UsageError] {
+      Cli.dispatch(spark, List("pair-graph", "core", root, "--k", "one"))
+    }
+  }
+
   test("non-strict mismatch warns and continues; strict raises") {
     val apdb = new TestApdb(spark, nObjects = 2, nChunks = 1)
     val ppdb = new PpdbSpark(spark, new VersionedCatalog(tmpDir("mism")))

@@ -63,6 +63,46 @@ class TextPipelineSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("withCaches: two CONCURRENT interleaved scopes release only their " +
+      "own frames (per-thread scoping)") {
+    graft.ops.Dedup.releaseCaches()
+    val dfA = Seq(1L).toDF("a")
+    val dfB = Seq(2L).toDF("b")
+    val aRegistered = new java.util.concurrent.CountDownLatch(1)
+    val bRegistered = new java.util.concurrent.CountDownLatch(1)
+    // scope A opens first and registers first, but FINISHES while scope
+    // B is still open — under the old before/after registry diff A's
+    // exit would have unpersisted B's frame (registered after A's
+    // snapshot); per-thread scoping must leave it cached
+    @volatile var threadErr: Option[Throwable] = None
+    val tA = new Thread(() => {
+      try graft.ops.Dedup.withCaches {
+        graft.ops.Dedup.trackExisting(dfA.persist())
+        dfA.count()
+        aRegistered.countDown()
+        assert(bRegistered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      } catch { case e: Throwable => threadErr = Some(e) }
+    }, "withcaches-scope-a")
+    tA.start()
+    graft.ops.Dedup.withCaches {
+      assert(aRegistered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      graft.ops.Dedup.trackExisting(dfB.persist())
+      dfB.count()
+      bRegistered.countDown()
+      tA.join(30000L) // A's scope exits here, while B is still open
+      assert(threadErr.isEmpty, s"scope A failed: $threadErr")
+      assert(dfA.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE,
+        "A's exit must release A's own frame")
+      assert(dfB.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "A's exit must NOT release B's in-flight frame")
+    }
+    assert(dfB.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "B's exit must release B's frame")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("curate removes junk, dups, near-dups, contamination; keeps canon") {
     val out = TextPipeline.curate(docs, "doc_id", "text", "source",
       CurationConfig(
