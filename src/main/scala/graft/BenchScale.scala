@@ -799,15 +799,37 @@ object BenchScale {
     // TextPipeline.curate call. Per-stage survivor counts come through
     // the stage tap (persist + count feeding forward, so instrumentation
     // never re-executes a stage); wall/shuffle/peak cover the whole job.
-    val curateStats
-        : Option[(Double, Long, Long, Long, Seq[(String, Long)])] =
-      if (caseFilter.nonEmpty || skip.contains("curate_pipeline")) None
+    // lm_filter threshold: the corpus-derived operating point. The old
+    // 16.0 never fired (the inflated fixture's cross-LM scores top out
+    // at ~5.7 mean bits — measured ×10: min 4.13, median 4.79, p97
+    // 5.15), so the stage passed 100% at every scale and its production
+    // cost under a real drop rate was unmeasured. 4.8 drops ~28% of the
+    // quality survivors at ×10 (18329→13250) while every downstream
+    // stage keeps real volume; bitlen-surprisal is ratio-based, so the
+    // point holds across factors as the ref LM grows with the corpus.
+    // Env-tunable for operating-point iteration without a rebuild.
+    val curateLmBits = sys.env
+      .getOrElse("SPARK_GRAFT_CURATE_LM_BITS", "4.8").toDouble
+    val curateStats: Option[(Double, Long, Long, Long,
+        Seq[(String, Long, Double, Long)])] =
+      if (skip.contains("curate_pipeline") ||
+          !caseFilter.forall(_.contains("curate_pipeline"))) None
       else {
         val bench = docs.where(col("doc_id") % 997 === 0)
         val lmRef = docs.where(col("doc_id") % 211 === 0)
-        val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        // per-stage cost through the tap: each stage's frame is persisted
+        // and counted as it forms, so wall/shuffle deltas between taps
+        // attribute to that stage (approximate: listener tallies lag
+        // in-flight tasks by up to an event-bus flush; stage walls sum to
+        // within noise of the job wall)
+        val stages = scala.collection.mutable
+          .ArrayBuffer.empty[(String, Long, Double, Long)]
         var kept = 0L
+        var lastT = 0L
+        var lastRecs = 0L
         val (recs, peak, sec) = shuffledTimed {
+          lastT = System.nanoTime()
+          lastRecs = shuffleTally.get()
           kept = forceCount(graft.ops.TextPipeline.curate(docs, "doc_id",
             "text", "source",
             graft.ops.CurationConfig(
@@ -816,23 +838,29 @@ object BenchScale {
               minTokens = 5, minQuality = 0.2,
               gopherGates = true,
               minModelQuality = Some(0.2),
-              lmFilter = Some((lmRef, 16.0)),
+              lmFilter = Some((lmRef, curateLmBits)),
               dedupExact = true,
               nearDupThreshold = Some(0.6),
               benchmark = Some(bench),
               split = Some((80, 10))),
             stageTap = (name, df) => {
               val p = Dedup.trackExisting(df.persist())
-              stages += name -> p.count()
+              val c = p.count()
+              val now = System.nanoTime()
+              val nowRecs = shuffleTally.get()
+              stages += ((name, c, (now - lastT) / 1e9, nowRecs - lastRecs))
+              lastT = now
+              lastRecs = nowRecs
               p
             }))
         }
         Dedup.releaseCaches()
         spark.catalog.clearCache()
-        val stageStr = stages.map { case (n, c) => s"$n=$c" }.mkString(" ")
+        val stageStr = stages.map { case (n, c, s, r) =>
+          f"$n=$c (${s}%.1f s, $r recs)" }.mkString("  ")
         System.err.println(f"[scale] curate_pipeline $sec%8.1f s  " +
           f"$recs%12d shuffle recs  ${peak / (1L << 20)}%6d MiB peak  " +
-          f"kept $kept%d  [$stageStr]")
+          f"kept $kept%d  lm_bits $curateLmBits%.1f  [$stageStr]")
         Some((sec, recs, peak, kept, stages.toSeq))
       }
 
@@ -964,10 +992,14 @@ object BenchScale {
           s""""dd8i_sec":${f(cS)},"dd8i_records":$cR$add}"""
     }.getOrElse("{}")
     val curateJson = curateStats.map { case (s, r, p, kept, stages) =>
-      val st = stages.map { case (n, c) => s""""$n":$c""" }
+      val st = stages.map { case (n, c, _, _) => s""""$n":$c""" }
+        .mkString("{", ",", "}")
+      val cost = stages.map { case (n, _, ss, rr) =>
+        s""""$n":{"sec":${f(ss)},"records":$rr}""" }
         .mkString("{", ",", "}")
       s"""{"sec":${f(s)},"shuffle_records":$r,"peak_task_mem":$p,""" +
-        s""""kept":$kept,"stages":$st}"""
+        s""""kept":$kept,"lm_bits":${f(curateLmBits)},"stages":$st,""" +
+        s""""stage_cost":$cost}"""
     }.getOrElse("{}")
     val skippedJson = skip.toSeq.sorted.map(s => s""""$s"""")
       .mkString("[", ",", "]")
