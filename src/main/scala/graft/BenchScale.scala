@@ -99,6 +99,16 @@ object BenchScale {
       (recs, peak)
     }
 
+    // calibrate at RUN START as well as at artifact emission: delivered
+    // CPU swings within a single long run (round-16 saw the pair-graph
+    // build wall move 6.6× between rounds at IDENTICAL shuffle records
+    // with only an end-of-run calibration to arbitrate), so the pair
+    // brackets the window every early case ran in
+    val calibStart = HostCalib.measure(cpus.toInt)
+    System.err.println(f"[scale] host calib start: " +
+      f"1t ${calibStart.mops1t}%.0f Mops, ${cpus}t " +
+      f"${calibStart.mopsNt}%.0f Mops")
+
     val docs = ScaleStress.inflateDocs(Tables.documents(spark, sfDir), factor)
     val emb = ScaleStress.inflateEmbeddings(Tables.embeddings(spark, sfDir), factor)
     val events = ScaleStress.inflateEvents(Tables.events(spark, sfDir), factor)
@@ -799,24 +809,55 @@ object BenchScale {
     // TextPipeline.curate call. Per-stage survivor counts come through
     // the stage tap (persist + count feeding forward, so instrumentation
     // never re-executes a stage); wall/shuffle/peak cover the whole job.
-    // lm_filter threshold: the corpus-derived operating point. The old
-    // 16.0 never fired (the inflated fixture's cross-LM scores top out
-    // at ~5.7 mean bits — measured ×10: min 4.13, median 4.79, p97
-    // 5.15), so the stage passed 100% at every scale and its production
-    // cost under a real drop rate was unmeasured. 4.8 drops ~28% of the
-    // quality survivors at ×10 (18329→13250) while every downstream
-    // stage keeps real volume; bitlen-surprisal is ratio-based, so the
-    // point holds across factors as the ref LM grows with the corpus.
-    // Env-tunable for operating-point iteration without a rebuild.
-    val curateLmBits = sys.env
-      .getOrElse("SPARK_GRAFT_CURATE_LM_BITS", "4.8").toDouble
     val curateStats: Option[(Double, Long, Long, Long,
-        Seq[(String, Long, Double, Long)])] =
+        Seq[(String, Long, Double, Long)], Double)] =
       if (skip.contains("curate_pipeline") ||
           !caseFilter.forall(_.contains("curate_pipeline"))) None
       else {
         val bench = docs.where(col("doc_id") % 997 === 0)
         val lmRef = docs.where(col("doc_id") % 211 === 0)
+        // lm_filter operating point: CALIBRATED ON THE DISTRIBUTION THE
+        // STAGE ACTUALLY SEES (the CCNet shape — percentile thresholds
+        // measured on the corpus, applied as absolute bits), never a
+        // fixed bit count. Two failed simpler forms, kept on record:
+        // a fixed 16.0 never fired at any scale (×10 scores top out at
+        // ~5.7 mean bits); a fixed 4.8 dropped 28% at ×10 but 100% at
+        // ×100 (the integer-surprisal OOV penalty is
+        // bitlen(context_freq)+1, which grows ~log(factor) as the ref
+        // LM's counts scale); and a percentile over ALL docs never
+        // fired either — the top surprisal quintile is concentrated in
+        // exactly the docs the heuristic/model gates already removed.
+        // So an UNTIMED pre-pass runs the same gates (heuristics +
+        // trained quality, no dedup), scores the survivors against the
+        // same scrubbed ref LM, and cuts at their p75: the timed stage
+        // drops ~25% of its real input at every factor by construction.
+        // Env override for operating-point iteration.
+        val curateGateCfg = graft.ops.CurationConfig(
+          scrubPii = true,
+          blocklist = Seq("click here", "buy now"),
+          minTokens = 5, minQuality = 0.2,
+          gopherGates = true,
+          minModelQuality = Some(0.2),
+          dedupExact = false)
+        val curateLmBits = sys.env.get("SPARK_GRAFT_CURATE_LM_BITS")
+          .map(_.toDouble).getOrElse {
+            val gated = graft.ops.TextPipeline.curate(docs, "doc_id",
+              "text", "source", curateGateCfg)
+            val scrubbedRef = lmRef
+              .withColumn("text",
+                graft.ops.TextAnalysis.redactPii(col("text")))
+              .withColumn("text", graft.functions.TextExprs
+                .blocklistScrub(col("text"), Seq("click here", "buy now")))
+            val cut = graft.ops.TextAnalysis
+              .bigramSurprisalAgainst(gated, scrubbedRef, "doc_id", "text")
+              .select(expr("percentile(mean_surprise, 0.75)"))
+              .head().getDouble(0)
+            Dedup.releaseCaches()
+            spark.catalog.clearCache()
+            cut
+          }
+        System.err.println(
+          f"[scale] curate lm_bits operating point $curateLmBits%.3f")
         // per-stage cost through the tap: each stage's frame is persisted
         // and counted as it forms, so wall/shuffle deltas between taps
         // attribute to that stage (approximate: listener tallies lag
@@ -861,7 +902,7 @@ object BenchScale {
         System.err.println(f"[scale] curate_pipeline $sec%8.1f s  " +
           f"$recs%12d shuffle recs  ${peak / (1L << 20)}%6d MiB peak  " +
           f"kept $kept%d  lm_bits $curateLmBits%.1f  [$stageStr]")
-        Some((sec, recs, peak, kept, stages.toSeq))
+        Some((sec, recs, peak, kept, stages.toSeq, curateLmBits))
       }
 
     // ---- the full replicate→upload→stage→promote service cycle at the
@@ -991,14 +1032,14 @@ object BenchScale {
           s""""g2i_sec":${f(gS)},"g2i_records":$gR,""" +
           s""""dd8i_sec":${f(cS)},"dd8i_records":$cR$add}"""
     }.getOrElse("{}")
-    val curateJson = curateStats.map { case (s, r, p, kept, stages) =>
+    val curateJson = curateStats.map { case (s, r, p, kept, stages, lm) =>
       val st = stages.map { case (n, c, _, _) => s""""$n":$c""" }
         .mkString("{", ",", "}")
       val cost = stages.map { case (n, _, ss, rr) =>
         s""""$n":{"sec":${f(ss)},"records":$rr}""" }
         .mkString("{", ",", "}")
       s"""{"sec":${f(s)},"shuffle_records":$r,"peak_task_mem":$p,""" +
-        s""""kept":$kept,"lm_bits":${f(curateLmBits)},"stages":$st,""" +
+        s""""kept":$kept,"lm_bits":${f(lm)},"stages":$st,""" +
         s""""stage_cost":$cost}"""
     }.getOrElse("{}")
     val skippedJson = skip.toSeq.sorted.map(s => s""""$s"""")
@@ -1006,7 +1047,10 @@ object BenchScale {
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
       s""""unit":"sec","factor":$factor,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
       s""""n_events":$nEvents,"cpus":$cpus,""" +
-      s"""${HostCalib.json(cpus.toInt)},"skipped":$skippedJson,""" +
+      s"""${calibStart.json},"host_mops_${cpus}t_end":""" +
+      "%.1f".formatLocal(java.util.Locale.ROOT,
+        HostCalib.mops(cpus.toInt)) +
+      s""","skipped":$skippedJson,""" +
       s""""queries":$qs,"recall_queries":$nRecallQ,""" +
       s""""recall_at_$kRecall":$recallJson,""" +
       s""""sim7_nprobe_curve":${curveJson("sim7_ivfpq_topk")},""" +
