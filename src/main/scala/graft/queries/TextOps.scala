@@ -294,6 +294,15 @@ object TextOps {
         n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6).triangles
     }),
 
+    // index-fed PAGERANK: PairGraphIndex.pageRank over the persisted
+    // edges — output contract identical to g2 (oracle shared verbatim)
+    "g2c_pagerank_indexed" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.pairGraphIndex(docs, "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+        .pageRank("doc_id", iters = 3)
+    }),
+
     // index-fed K-CORE over the SAME doc near-dup graph: the bounded-
     // round peel (12 simultaneous rounds — what the unrolled oracle
     // replays; the sf0.01 graph converges well inside that) reading
@@ -991,6 +1000,32 @@ object TextOps {
        |  UNION ALL SELECT id_b FROM e12) GROUP BY id""".stripMargin
   }
 
+  /** g2 oracle (shared verbatim by the index-fed g2c gate): PageRank
+    * rounds unrolled as CTEs — DuckDB `//` floors like Spark's `div` on
+    * the all-positive BIGINTs here; sums cast back to BIGINT (DuckDB
+    * sum -> HUGEINT); p0 MATERIALIZED so the LSH pipeline runs once,
+    * not once per symmetrized half.
+    */
+  private val g2Sql: String = {
+    val sc = "1000000000000"
+    def round(k: Int): String =
+      s"""i$k AS (SELECT ed.v, CAST(sum(r${k - 1}.r // ed.deg) AS BIGINT) AS s
+         |  FROM ed JOIN r${k - 1} ON ed.u = r${k - 1}.id GROUP BY ed.v),
+         |r$k AS (SELECT d.u AS id,
+         |    ((15 * $sc) // 100 // nn.n)
+         |      + (85 * coalesce(i$k.s, 0)) // 100 AS r
+         |  FROM deg d LEFT JOIN i$k ON d.u = i$k.v, nn)"""
+    s"""WITH p0 AS MATERIALIZED (SELECT id_a, id_b FROM ($dd3Sql) dd3),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p0
+       |      UNION ALL SELECT id_b AS u, id_a AS v FROM p0),
+       |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+       |ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT u AS id, $sc // nn.n AS r FROM deg, nn),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT id AS doc_id, r AS rank_fp FROM r3""".stripMargin
+  }
+
   /** dd10 oracle (also the representative CTE of dd18): longest doc per
     * cluster, ties to the smaller id.
     */
@@ -1375,29 +1410,12 @@ object TextOps {
     "g1b_triangles_indexed" -> g1Sql,
     "g3b_kcore_indexed" -> g3bSql,
 
-    // PageRank rounds unrolled as CTEs — DuckDB `//` floors like Spark's
-    // `div` on the all-positive BIGINTs here; sums cast back to BIGINT
-    // (DuckDB sum -> HUGEINT); p0 MATERIALIZED so the LSH pipeline runs
-    // once, not once per symmetrized half
-    "g2_pagerank" -> {
-      val sc = "1000000000000"
-      def round(k: Int): String =
-        s"""i$k AS (SELECT ed.v, CAST(sum(r${k - 1}.r // ed.deg) AS BIGINT) AS s
-           |  FROM ed JOIN r${k - 1} ON ed.u = r${k - 1}.id GROUP BY ed.v),
-           |r$k AS (SELECT d.u AS id,
-           |    ((15 * $sc) // 100 // nn.n)
-           |      + (85 * coalesce(i$k.s, 0)) // 100 AS r
-           |  FROM deg d LEFT JOIN i$k ON d.u = i$k.v, nn)"""
-      s"""WITH p0 AS MATERIALIZED (SELECT id_a, id_b FROM ($dd3Sql) dd3),
-         |e AS (SELECT id_a AS u, id_b AS v FROM p0
-         |      UNION ALL SELECT id_b AS u, id_a AS v FROM p0),
-         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
-         |ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
-         |nn AS (SELECT count(*) AS n FROM deg),
-         |r0 AS (SELECT u AS id, $sc // nn.n AS r FROM deg, nn),
-         |${(1 to 3).map(round).mkString(",\n")}
-         |SELECT id AS doc_id, r AS rank_fp FROM r3""".stripMargin
-    },
+    "g2_pagerank" -> g2Sql,
+    // the index-fed twin shares g2's oracle VERBATIM — with dd22 (dup
+    // clusters), dd25 (split), g1b (triangles) and g3b (k-core), every
+    // PairGraphIndex consumer is now oracle-proved against its inline
+    // form
+    "g2c_pagerank_indexed" -> g2Sql,
 
     // contracted-PR oracle: clone-clique families are degree-regular
     // (k members, d = k−1 = (k·(k−1)) // k), so the whole graph reduces
