@@ -616,9 +616,16 @@ object Cli {
         val cat = new VersionedCatalog(root)
         val folded = graft.ops.Dedup.loadPairGraphIndex(spark, cat, o.name)
           .addDocs(spark.read.parquet(docsPath), o.idCol, o.textCol)
+        // loaded-then-saved to the same catalog/name: this commits the
+        // fold's APPEND delta (O(batch) write), not a corpus rewrite
         folded.save(cat, o.name)
         folded.release()
         graft.ops.Dedup.releaseCaches()
+        // bound delta-dir growth under repeated adds, like the
+        // streaming maintenance loop does
+        Seq("banded", "sets", "edges").foreach { t =>
+          cat.compactIfNeeded(spark, s"${o.name}.$t")
+        }
         val edges = cat.read(spark, s"${o.name}.edges").count()
         println(s"pair-graph ${o.name}: folded $docsPath, now $edges edges")
 

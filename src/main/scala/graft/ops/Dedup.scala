@@ -1146,8 +1146,27 @@ object Dedup {
     * the same build-once/probe-many composition as [[MinhashIndex]] and
     * [[DupClusterIndex]], applied to the edge set itself.
     */
+  /** The rows an [[PairGraphIndex.addDocs]] fold ADDED on top of the
+    * loaded snapshot — exactly the per-table delta an append commit
+    * writes. Successive in-memory folds merge their deltas, so the
+    * delta always equals "everything since [[origin]]".
+    */
+  final case class PairGraphDelta(banded: DataFrame, sets: DataFrame,
+      edges: DataFrame)
+
+  /** Where a [[PairGraphIndex]] was loaded from: catalog root, index
+    * name, and the PINNED commit the load read at. An append-commit
+    * save targets exactly this snapshot (`expected = commit`), so a
+    * concurrent writer's interleaved commit fails the save loudly
+    * instead of silently appending onto a base the delta wasn't
+    * computed against.
+    */
+  final case class PairGraphOrigin(root: String, name: String, commit: Long)
+
   final case class PairGraphIndex(minhash: MinhashIndex, threshold: Double,
-      edges: DataFrame, caches: Seq[DataFrame] = Nil) {
+      edges: DataFrame, caches: Seq[DataFrame] = Nil,
+      delta: Option[PairGraphDelta] = None,
+      origin: Option[PairGraphOrigin] = None) {
 
     /** Unpersist every cached frame this index holds (its own plus the
       * minhash tables'). Call once the index is discarded.
@@ -1160,20 +1179,51 @@ object Dedup {
     /** Atomic commit of minhash tables + edge table + params.
       * `lastBatchId` records the most recent streaming micro-batch
       * folded in (see [[maintainPairGraph]]); −1 for batch builds.
+      *
+      * COMMIT COST IS O(WHAT CHANGED), not O(corpus): when this index
+      * is an [[addDocs]] fold of a SNAPSHOT LOADED FROM `cat` under the
+      * same `name` (delta + origin both present), only the fold's new
+      * rows are written — banded/sets/edges go in as APPEND deltas
+      * labeled with the batch id, and only `params` (5 columns, 1 row)
+      * is rewritten. The append targets the pinned origin commit
+      * (`expected`), so a concurrent writer fails the save with
+      * [[graft.catalog.ConcurrentCommitException]] instead of the delta
+      * landing on a base it wasn't computed against. A fresh build, a
+      * save into a DIFFERENT catalog/name, or `appendDelta = false`
+      * falls back to the full rewrite (the only correct form there —
+      * an append without its base would publish a partial index).
+      * Either way the commit is one atomic pointer move.
       */
     def save(cat: graft.catalog.VersionedCatalog, name: String,
-        lastBatchId: Long = -1L): Unit = {
+        lastBatchId: Long = -1L, appendDelta: Boolean = true): Unit = {
       val spark = edges.sparkSession
       import spark.implicits._
+      import graft.catalog.TableDelta
       val params = Seq((minhash.n, minhash.numHashes, minhash.rowsPerBand,
         threshold, lastBatchId))
         .toDF("n", "num_hashes", "rows_per_band", "threshold",
           "last_batch_id")
-      cat.commit(Map(
-        s"$name.banded" -> minhash.banded,
-        s"$name.sets" -> minhash.sets,
-        s"$name.edges" -> edges,
-        s"$name.params" -> params))
+      val appendable = delta.filter(_ => appendDelta).filter(_ =>
+        origin.exists(o => o.root == cat.root && o.name == name))
+      appendable match {
+        case Some(d) =>
+          // batch-labeled append dirs: the label records WHICH fold a
+          // dir came from (ops can dropLabels a bad batch in O(metadata));
+          // physical paths stay unique regardless (commit id + nonce)
+          val label = s"b$lastBatchId"
+          cat.commitAll(Map(
+            s"$name.banded" -> TableDelta(appends = Seq((d.banded, label))),
+            s"$name.sets" -> TableDelta(appends = Seq((d.sets, label))),
+            s"$name.edges" -> TableDelta(appends = Seq((d.edges, label))),
+            s"$name.params" -> TableDelta(rewrite = Some(params))),
+            expected = origin.map(_.commit))
+        case None =>
+          cat.commit(Map(
+            s"$name.banded" -> minhash.banded,
+            s"$name.sets" -> minhash.sets,
+            s"$name.edges" -> edges,
+            s"$name.params" -> params))
+      }
       ()
     }
 
@@ -1249,13 +1299,35 @@ object Dedup {
       import org.apache.spark.sql.graftbridge.PlanBridge
       def indexPlan(df: DataFrame): DataFrame =
         PlanBridge.truncated(df).persist()
+      val addedEdges = crossEdges.unionByName(newEdges)
+      // the fold's delta: this batch's new rows, merged with any delta
+      // already pending from earlier in-memory folds — so save()'s
+      // append commit always carries "everything since origin", however
+      // many addDocs calls ran between load and save
+      val mergedDelta = delta match {
+        case Some(prev) => PairGraphDelta(
+          indexPlan(prev.banded.unionByName(nb)),
+          indexPlan(prev.sets.unionByName(ns)),
+          indexPlan(prev.edges.unionByName(addedEdges)))
+        case None => PairGraphDelta(nb, ns, addedEdges)
+      }
+      // merged-delta frames are persisted (indexPlan) — register them so
+      // release() frees them with everything else
+      val deltaCaches = delta match {
+        case Some(_) => Seq(mergedDelta.banded, mergedDelta.sets,
+          mergedDelta.edges)
+        case None => Nil
+      }
       PairGraphIndex(
         MinhashIndex(minhash.n, minhash.numHashes, minhash.rowsPerBand,
           indexPlan(minhash.banded.unionByName(nb)),
           indexPlan(minhash.sets.unionByName(ns)),
           caches = Seq(newBase)),
         threshold,
-        indexPlan(edges.unionByName(crossEdges).unionByName(newEdges)))
+        indexPlan(edges.unionByName(crossEdges).unionByName(newEdges)),
+        caches = deltaCaches,
+        delta = Some(mergedDelta),
+        origin = origin)
     }
   }
 
@@ -1286,7 +1358,11 @@ object Dedup {
       MinhashIndex(p.getAs[Int]("n"), p.getAs[Int]("num_hashes"),
         p.getAs[Int]("rows_per_band"), rd("banded"), rd("sets")),
       p.getAs[Double]("threshold"),
-      rd("edges"))
+      rd("edges"),
+      // remember where (and AT WHICH COMMIT) this snapshot came from:
+      // an addDocs fold saved back to the same catalog/name commits its
+      // delta as an append against exactly this commit
+      origin = Some(PairGraphOrigin(cat.root, name, c)))
   }
 
   /** Continuous pair-graph maintenance over a DOCUMENT STREAM — the
@@ -1300,30 +1376,45 @@ object Dedup {
     */
   def maintainPairGraph(docs: DataFrame, idCol: String, textCol: String,
       cat: graft.catalog.VersionedCatalog, name: String, n: Int,
-      numHashes: Int, rowsPerBand: Int, threshold: Double)
+      numHashes: Int, rowsPerBand: Int, threshold: Double,
+      maxDeltaDirs: Int = 16)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
         applyPairGraphBatch(batch.toDF(), batchId, idCol, textCol, cat,
-          name, n, numHashes, rowsPerBand, threshold)
+          name, n, numHashes, rowsPerBand, threshold,
+          maxDeltaDirs = maxDeltaDirs)
         ()
     }
 
   /** One pair-graph maintenance step (the foreachBatch body, exposed for
     * direct testing and batch-driven backfills): true when applied,
     * false when skipped (already-applied id or empty batch).
+    *
+    * Folds commit as APPEND deltas (O(batch) write, not O(corpus) — see
+    * [[PairGraphIndex.save]]); `appendCommits = false` keeps the legacy
+    * full-rewrite commits. Under append commits delta dirs accumulate
+    * one per fold, so once any of the three data tables exceeds
+    * `maxDeltaDirs` dirs it is compacted back to one — bounding file
+    * counts (and so footer reads + planning time) under continuous
+    * maintenance. Compaction never disturbs readers: open snapshots
+    * pinned at an older commit keep reading the old dirs (they stay on
+    * disk until [[graft.catalog.VersionedCatalog.vacuum]]).
     */
   def applyPairGraphBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, cat: graft.catalog.VersionedCatalog, name: String,
-      n: Int, numHashes: Int, rowsPerBand: Int,
-      threshold: Double): Boolean = {
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
+      appendCommits: Boolean = true, maxDeltaDirs: Int = 16): Boolean = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return false
     def commitAndRelease(idx: PairGraphIndex): Boolean = {
-      idx.save(cat, name, batchId)
+      idx.save(cat, name, batchId, appendDelta = appendCommits)
       idx.release()
       releaseCaches()
+      Seq("banded", "sets", "edges").foreach { t =>
+        cat.compactIfNeeded(spark, s"$name.$t", maxDirs = maxDeltaDirs)
+      }
       true
     }
     if (!cat.exists(s"$name.params")) {

@@ -171,12 +171,16 @@ class ChaosSoakSpec extends SparkSpec {
     }
   }
 
-  test("pair-graph maintenance soak: mid-commit crash + at-least-once " +
-      "replay under concurrent readers — end state == serial fold, every " +
-      "reader snapshot a committed prefix") {
+  // the pair-graph maintenance soak, parameterized over the two save
+  // paths: append-delta commits (the production O(batch) fold) and
+  // legacy full-rewrite commits. Both must satisfy the same invariants —
+  // append commits change the snapshot surface (a pinned reader must see
+  // exactly its prefix of delta dirs), which is what the readers check.
+  private def pairGraphSoak(appendCommits: Boolean, tag: String): Unit = {
     import spark.implicits._
     import graft.ops.Dedup
-    val cat = new VersionedCatalog(tmpDir("soak-pg"), orphanGraceMs = 300L)
+    val cat = new VersionedCatalog(tmpDir(s"soak-pg-$tag"),
+      orphanGraceMs = 300L)
     val (n, h, r, t) = (3, 8, 1, 0.25)
     val name = "pg_soak"
     // cross-batch near-dups: 11/30 pair into batch 0's family, 20 into
@@ -231,7 +235,7 @@ class ChaosSoakSpec extends SparkSpec {
 
     def apply(id: Long): Boolean = Dedup.applyPairGraphBatch(
       batches(id.toInt).toDF("doc_id", "text"), id, "doc_id", "text",
-      cat, name, n, h, r, t)
+      cat, name, n, h, r, t, appendCommits = appendCommits)
 
     assert(apply(0L))
     // induced crash BETWEEN data writes and the pointer move on batch 1's
@@ -273,6 +277,142 @@ class ChaosSoakSpec extends SparkSpec {
           .select("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
     assert(fromIndex == inline, "index-fed clusters diverged after soak")
+    // commit-cost shape check: append folds accumulate one delta dir per
+    // applied batch on top of the build's dir; rewrite folds keep one
+    val edgeDirs = cat.current._2(s"$name.edges").size
+    if (appendCommits)
+      assert(edgeDirs == batches.size,
+        s"append saves should leave one dir per fold, got $edgeDirs")
+    else assert(edgeDirs == 1,
+      s"rewrite saves should leave exactly one dir, got $edgeDirs")
+    rebuilt.release()
+    Dedup.releaseCaches()
+  }
+
+  test("pair-graph maintenance soak (append-delta commits): mid-commit " +
+      "crash + at-least-once replay under concurrent readers — end state " +
+      "== serial fold, every reader snapshot a committed prefix") {
+    pairGraphSoak(appendCommits = true, tag = "append")
+  }
+
+  test("pair-graph maintenance soak (full-rewrite commits): same " +
+      "invariants on the legacy save path") {
+    pairGraphSoak(appendCommits = false, tag = "rewrite")
+  }
+
+  test("pair-graph compaction soak: 12 append folds with compaction " +
+      "firing mid-stream under two pinned readers + one induced crash — " +
+      "end state == serial fold, content identical across compaction " +
+      "commits") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val cat = new VersionedCatalog(tmpDir("soak-pg-compact"),
+      orphanGraceMs = 300L)
+    val (n, h, r, t) = (3, 8, 1, 0.25)
+    val name = "pg_cmp"
+    // 12 batches drawn from 3 recurring families + per-batch noise, so
+    // every fold adds cross-batch edges and the graph keeps growing
+    val fams = Seq(
+      "alpha beta gamma delta epsilon zeta eta",
+      "one two three four five six seven",
+      "red green blue yellow purple orange pink")
+    val batches: Seq[Seq[(Long, String)]] = (0 until 12).map { b =>
+      Seq((b * 10L + 1L, s"${fams(b % 3)} tail$b"),
+        (b * 10L + 2L, s"unique content window $b nothing shared here $b"))
+    }
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val prefixCounts = (1 to batches.size).map { i =>
+      val idx = Dedup.pairGraphIndex(
+        batches.take(i).flatten.toDF("doc_id", "text"),
+        "doc_id", "text", n, h, r, t)
+      val c = idx.edges.count()
+      idx.release(); Dedup.releaseCaches()
+      c
+    }.toSet
+    assert(prefixCounts.max >= 10, "fixture produced a trivial graph")
+
+    @volatile var stop = false
+    val readerErrors = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val readers = (1 to 2).map(i => new Thread(() => {
+      while (!stop) {
+        try if (cat.exists(s"$name.params")) {
+          val idx = Dedup.loadPairGraphIndex(spark, cat, name)
+          val e = idx.edges.count()
+          observed.add(e)
+          if (!prefixCounts.contains(e))
+            readerErrors.add(s"snapshot edge count $e not a serial " +
+              s"prefix of $prefixCounts")
+        } catch {
+          case ex: Throwable => readerErrors.add(s"reader died: $ex")
+        }
+        Thread.sleep(10L)
+      }
+    }, s"pg-compact-reader-$i"))
+    readers.foreach(_.start())
+
+    // low dir bound: compaction fires repeatedly mid-stream (each fold
+    // appends one dir to each data table; past 3 dirs the table rewrites
+    // back to one)
+    def apply(id: Long): Boolean = Dedup.applyPairGraphBatch(
+      batches(id.toInt).toDF("doc_id", "text"), id, "doc_id", "text",
+      cat, name, n, h, r, t, maxDeltaDirs = 3)
+
+    var compactionsSeen = 0
+    var crashUsed = false
+    (0 until batches.size).foreach { i =>
+      val dirsBefore = if (cat.exists(s"$name.edges"))
+        cat.current._2(s"$name.edges").size else 0
+      if (i == 5 && !crashUsed) {
+        // induced crash between a fold's data writes and its pointer
+        // move: the append commit must abort invisibly and redelivery
+        // re-applies in full
+        val armKill = new AtomicBoolean(true)
+        val prevHook = cat.beforePointerMove
+        cat.beforePointerMove = () =>
+          if (armKill.getAndSet(false))
+            throw new RuntimeException("induced-crash mid-append")
+        val crashed = intercept[RuntimeException] { apply(i.toLong) }
+        assert(crashed.getMessage.contains("induced-crash"))
+        cat.beforePointerMove = prevHook
+        Dedup.releaseCaches()
+        crashUsed = true
+      }
+      assert(apply(i.toLong), s"batch $i must apply")
+      val dirsAfter = cat.current._2(s"$name.edges").size
+      if (dirsAfter < dirsBefore) {
+        compactionsSeen += 1
+        // content across the compaction boundary is identical: the
+        // pre-compaction commit (pinned history) reads bit-equal to the
+        // post-compaction current snapshot
+        val cur = cat.currentCommit
+        val preCompact = cat.commits.filter(_ < cur).max
+        assert(
+          edgeSet(cat.readAt(spark, s"$name.edges", preCompact)) ==
+            edgeSet(cat.read(spark, s"$name.edges")),
+          "compaction changed table content")
+      }
+      // replay gate stays exact under append commits + compaction
+      assert(!apply(i.toLong), s"replayed batch $i must be a no-op")
+    }
+    assert(compactionsSeen >= 2,
+      s"compaction never cycled (saw $compactionsSeen) — raise batches " +
+        "or lower maxDeltaDirs")
+
+    stop = true
+    readers.foreach(_.join(30000L))
+    assert(readerErrors.isEmpty,
+      s"reader violations: ${readerErrors.toArray.take(3).mkString("; ")}")
+    assert(!observed.isEmpty, "readers never observed a committed snapshot")
+
+    // end state == one serial fold over everything ingested
+    val all = batches.flatten.toDF("doc_id", "text")
+    val rebuilt = Dedup.pairGraphIndex(all, "doc_id", "text", n, h, r, t)
+    val committed = Dedup.loadPairGraphIndex(spark, cat, name)
+    assert(edgeSet(committed.edges) == edgeSet(rebuilt.edges),
+      "soaked append+compact fold != serial rebuild")
     rebuilt.release()
     Dedup.releaseCaches()
   }
