@@ -249,9 +249,9 @@ object PlanAudit {
       p => p.contains("blocklist_hits") && !p.contains("Exchange") &&
         !p.contains("SortExec")),
     Check("g3_kcore",
-      "iterative peel: the returned plan reads the truncated cached " +
-        "final edge set (one degree agg), never re-deriving the " +
-        "co-occurrence join",
+      "delta peel: the returned plan reads the truncated cached " +
+        "maintained-degree table (no join, no re-aggregation), never " +
+        "re-deriving the co-occurrence join",
       p => p.contains("ExistingRDD") && !p.contains("SortMergeJoin") &&
         !p.contains("BroadcastHashJoin")),
     Check("st11_interpolate",

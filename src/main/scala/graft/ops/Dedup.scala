@@ -1893,12 +1893,23 @@ object Dedup {
     * page a variant of every other) survive any k up to their size.
     * Returns (id, degree) over the survivors.
     *
-    * Each round is one degree aggregation + two semi-joins; rounds are
-    * bounded by the peel depth (≤ the degeneracy ordering length, in
-    * practice a handful), with per-round [[roundCache]] plan
-    * truncation like the connected-components loops. The two counts
-    * per round read cached data — control flow only, never a rescan of
-    * the pair source.
+    * DELTA PEEL: degrees are computed ONCE from the full edge set, then
+    * maintained incrementally — each round touches only the edges
+    * incident to the nodes that just peeled (usually a shrinking
+    * frontier), instead of re-aggregating all E edges every round (the
+    * r16-measured O(E·rounds) shape: 200M shuffle records at ×100 for a
+    * 27.1M-edge graph). The peeled set is small after round one, so its
+    * edge-marking joins broadcast under AQE and the surviving edges
+    * never shuffle; the per-round shuffle is the removed-edge loss
+    * aggregate, linear in the CASCADE, not the graph. Rounds carry
+    * [[roundCache]] plan truncation like the connected-components
+    * loops; per-round counts read cached data — control flow only,
+    * never a rescan of the pair source. The SEMANTICS are unchanged
+    * from the full-reaggregation form (g3/g3b gates): round r
+    * simultaneously removes every node whose degree in the surviving
+    * subgraph is below k, and a node whose maintained degree hits 0
+    * drops out exactly as it vanished from the old per-round degree
+    * aggregate.
     */
   def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 50,
       requireConverged: Boolean = true): DataFrame = {
@@ -1909,22 +1920,49 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .where(col("id_a") =!= col("id_b")).distinct())
-    var before = edges.count()
+    // the ONE full-graph degree aggregation; deg holds every node with
+    // >= 1 surviving edge, exactly the old per-round aggregate's domain
+    var deg = roundCache(edges
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg")))
     var round = 0
-    var done = before == 0L
+    var done = false
     while (!done && round < maxRounds) {
-      val deg = edges
-        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      val keep = deg.where(col("deg") >= k).select(col("id"))
-      val pruned = roundCache(edges
-        .join(keep.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
-        .join(keep.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi"))
-      val after = pruned.count()
-      edges.unpersist()
-      edges = pruned
-      done = after == before
-      before = after
+      val peeled = deg.where(col("deg") < k).select(col("id"))
+      if (peeled.isEmpty) done = true // fixpoint: nothing below k
+      else {
+        // mark each edge's endpoints against the peeled set (one pass,
+        // broadcast-sized right sides after round one)
+        val pa = peeled.select(col("id").as("id_a"), lit(true).as("_pa"))
+        val pb = peeled.select(col("id").as("id_b"), lit(true).as("_pb"))
+        val marked = roundCache(edges
+          .join(pa, Seq("id_a"), "left")
+          .join(pb, Seq("id_b"), "left"))
+        val surviving = roundCache(marked
+          .where(col("_pa").isNull && col("_pb").isNull)
+          .select(col("id_a"), col("id_b")))
+        // each removed edge decrements its SURVIVING endpoint (an edge
+        // with both endpoints peeled decrements nobody left alive)
+        val loss = marked
+          .where(col("_pa").isNotNull || col("_pb").isNotNull)
+          .select(explode(array(
+            when(col("_pa").isNull, col("id_a")),
+            when(col("_pb").isNull, col("id_b")))).as("id"))
+          .where(col("id").isNotNull)
+          .groupBy(col("id")).agg(count(lit(1)).as("lost"))
+        val nextDeg = roundCache(deg.where(col("deg") >= k)
+          .join(loss, Seq("id"), "left")
+          .select(col("id"),
+            (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+          .where(col("deg") >= 1L))
+        // materialize the new round state while this round's caches are
+        // still live, THEN release them
+        nextDeg.count()
+        surviving.count()
+        edges.unpersist(); deg.unpersist(); marked.unpersist()
+        edges = surviving
+        deg = nextDeg
+      }
       round += 1
     }
     // the documented contract is a FIXPOINT (every survivor holds >= k
@@ -1933,15 +1971,15 @@ object Dedup {
     // semantic (requireConverged = false: exactly-maxRounds
     // simultaneous peel, the form a fixed-unroll oracle replays)
     if (requireConverged && !done) {
-      edges.unpersist() // nothing is returned, so nothing holds the cache
+      edges.unpersist(); deg.unpersist() // nothing is returned
       throw new IllegalStateException(
         s"kCore did not converge in $maxRounds rounds (deep peel " +
           "cascade — raise maxRounds, or pass requireConverged = false " +
           "for the bounded-round semantic)")
     }
-    trackExisting(edges) // final round backs the returned plan
-    edges.select(explode(array(col("id_a"), col("id_b"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    edges.unpersist() // the output reads the maintained degrees only
+    trackExisting(deg) // final round backs the returned plan
+    deg.select(col("id"), col("deg").as("degree"))
   }
 
   /** Merge CDC ledgers: counts and doc spreads are ADDITIVE provided no
