@@ -779,12 +779,14 @@ object BenchScale {
     // (directly comparable to r15's g2i row), both off the edges
     // committed up top. Build/addDocs stats come from the hoisted
     // measurement.
-    val pairGraphStats
-        : Option[(Double, Long, Double, Long, Double, Long, Long)] =
+    // consumer rows (g2i/dd8i) are full-run-only; the build/addDocs
+    // stats emit whenever the build actually ran — a CASES-filtered
+    // graph run otherwise publishes index-fed walls with the pair floor
+    // measured but silently dropped
+    val pairGraphConsumerStats: Option[(Double, Long, Double, Long)] =
       if (caseFilter.nonEmpty || pgLoaded.isEmpty || pgBuild.isEmpty) None
       else {
         val loaded = pgLoaded.get
-        val (bSec, bRecs, edgeRows) = pgBuild.get
         val (gRecs, _, gSec) = shuffledTimed {
           forceCount(loaded.pageRank("doc_id", iters = 3))
         }
@@ -798,7 +800,7 @@ object BenchScale {
         spark.catalog.clearCache()
         System.err.println(f"[scale] pair_graph_index g2i $gSec%8.1f s " +
           f"$gRecs%12d recs  |  dd8i $cSec%8.1f s  $cRecs%12d recs")
-        Some((bSec, bRecs, gSec, gRecs, cSec, cRecs, edgeRows))
+        Some((gSec, gRecs, cSec, cRecs))
       }
 
     // ---- the full curation pipeline end-to-end at this factor: the
@@ -905,6 +907,63 @@ object BenchScale {
         Some((sec, recs, peak, kept, stages.toSeq, curateLmBits))
       }
 
+    // ---- WHERE the fused heuristics scan spends its wall: the curate
+    // stage_cost block shows heuristics dominating (129.5 of 174.8 s at
+    // ×100 in r16) but it is ONE exchange-free pass, so stage deltas
+    // can't attribute within it. Cumulative single-scan variants peel
+    // the gates apart — each adds one gate to the previous composition
+    // in curate's exact order (PII scrub → blocklist scrub → stats
+    // annotate+filter → Gopher), so successive wall differences are the
+    // marginal cost of each gate (same forced-eval sink hashing the
+    // surviving text, so the decode+hash floor is constant across
+    // variants). A reorder probe runs the Gopher gate BEFORE the stats
+    // filters (the only semantics-preserving reorder: the scrubs must
+    // precede everything that hashes or scores text) to measure whether
+    // gate order inside the one codegen stage matters.
+    val gateBreakdown: Option[Seq[(String, Double, Long)]] =
+      if (curateStats.isEmpty) None
+      else {
+        import graft.ops.TextAnalysis
+        import graft.functions.TextExprs
+        val bl = Seq("click here", "buy now")
+        def scrubbed = docs
+          .withColumn("text", TextAnalysis.redactPii(col("text")))
+        def blocked = scrubbed
+          .withColumn("text", TextExprs.blocklistScrub(col("text"), bl))
+        def annotated(d: DataFrame) = {
+          val st = TextAnalysis.stats(col("text"))
+          d.select(col("doc_id"), col("text"),
+            TextAnalysis.tokenCountOf(st).as("n_tokens"),
+            TextAnalysis.qualityScoreOf(st).as("quality"),
+            TextAnalysis.langIdOf(st).as("pred_lang"))
+        }
+        def statsGate(d: DataFrame) = annotated(d)
+          .where(col("n_tokens") >= 5 && col("n_tokens") <= (1 << 20) &&
+            col("quality") >= 0.2)
+        val variants: Seq[(String, () => DataFrame)] = Seq(
+          "scan" -> (() => docs.select(col("doc_id"), col("text"))),
+          "pii_scrub" -> (() => scrubbed.select(col("doc_id"), col("text"))),
+          "blocklist_scrub" -> (() =>
+            blocked.select(col("doc_id"), col("text"))),
+          "stats_filter" -> (() => statsGate(blocked)),
+          "gopher" -> (() => statsGate(blocked)
+            .where(TextAnalysis.gopherKeepExpr(col("text")))),
+          // reorder probe: Gopher verdict evaluated before the stats
+          // filters (same fused scan, different conjunct order)
+          "reorder_gopher_first" -> (() => annotated(blocked)
+            .where(TextAnalysis.gopherKeepExpr(col("text")))
+            .where(col("n_tokens") >= 5 && col("n_tokens") <= (1 << 20) &&
+              col("quality") >= 0.2)))
+        Some(variants.map { case (gname, mk) =>
+          var rows = 0L
+          val (_, _, gsec) = shuffledTimed { rows = forceCount(mk()) }
+          spark.catalog.clearCache()
+          System.err.println(f"[scale] heuristics_gate $gname%-22s " +
+            f"$gsec%8.1f s  $rows%10d rows")
+          (gname, gsec, rows)
+        })
+      }
+
     // ---- the full replicate→upload→stage→promote service cycle at the
     // same ×factor scale, recorded with the reference's named timers
     // (BASELINE.md §1). The APDB side is generated executor-side
@@ -981,8 +1040,24 @@ object BenchScale {
     rmTree(tmp)
 
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Mops normalization, same convention as Bench: wall × (bracket-mean
+    // delivered Mops / reference-host Mops). Per-CASE normalized walls
+    // make scale artifacts comparable across rounds without hand
+    // arbitration (the r16 766 s-vs-230 s build episode); the bracket is
+    // coarse for a multi-hour run, but each case at least carries the
+    // run-level delivery context explicitly.
+    val calibEnd = HostCalib.mops(cpus.toInt)
+    val RefMops = 15500.0
+    val calibMean =
+      if (calibStart.mopsNt > 0 && calibEnd > 0)
+        (calibStart.mopsNt + calibEnd) / 2.0
+      else -1.0
+    val normFactor = if (calibMean > 0) calibMean / RefMops else -1.0
+    def nrm(v: Double): Double =
+      if (v < 0 || normFactor <= 0) -1.0 else v * normFactor
     val qs = results.map { case (n, s, r, c, p) =>
-      s""""$n":{"sec":${f(s)},"shuffle_records":$r,"rows":$c,""" +
+      s""""$n":{"sec":${f(s)},"sec_norm":${f(nrm(s))},""" +
+        s""""shuffle_records":$r,"rows":$c,""" +
         s""""peak_task_mem_bytes":$p}"""
     }.mkString("{", ",", "}")
     val timers = timerTable.toSeq.sortBy(_._1).map { case (m, (n, s)) =>
@@ -990,9 +1065,11 @@ object BenchScale {
     }.mkString("{", ",", "}")
     val cycle = s"""{"n_objects":$nObj,"n_chunks":$nChunks,""" +
       s""""updates_per_chunk":$updPerChunk,"replicate_s":${f(repS)},""" +
+      s""""replicate_s_norm":${f(nrm(repS))},""" +
       s""""replicate_shuffle_records":$repRecs,""" +
       s""""upload_s":${f(upS)},"upload_shuffle_records":$upRecs,""" +
       s""""promote_s":${f(promoteS)},""" +
+      s""""promote_s_norm":${f(nrm(promoteS))},""" +
       s""""promote_shuffle_records":$promoteRecs,""" +
       s""""object_rows":$objRows,"snapshot_rows":$snapRows,""" +
       s""""jdbc_replicate_s":${f(jdbcS)},"jdbc_object_rows":$jObjRows,""" +
@@ -1022,15 +1099,30 @@ object BenchScale {
     val prConJson = prContractStats.map { case (fams, eq, rel) =>
       s"""{"families":$fams,"mass_equal":$eq,"max_rel_diff":${f(rel)}}"""
     }.getOrElse("{}")
-    val pairGraphJson = pairGraphStats.map {
-      case (bS, bR, gS, gR, cS, cR, e) =>
-        val add = pgAdd.map { case (aS, aR, bd, ea) =>
-          s""","addDocs_sec":${f(aS)},"addDocs_records":$aR,""" +
-            s""""addDocs_batch_docs":$bd,"addDocs_edges_after":$ea"""
-        }.getOrElse("")
-        s"""{"build_sec":${f(bS)},"build_records":$bR,"edges":$e,""" +
-          s""""g2i_sec":${f(gS)},"g2i_records":$gR,""" +
-          s""""dd8i_sec":${f(cS)},"dd8i_records":$cR$add}"""
+    val pairGraphJson = pgBuild.map { case (bS, bR, e) =>
+      val add = pgAdd.map { case (aS, aR, bd, ea) =>
+        s""","addDocs_sec":${f(aS)},"addDocs_sec_norm":${f(nrm(aS))},""" +
+          s""""addDocs_records":$aR,""" +
+          s""""addDocs_batch_docs":$bd,"addDocs_edges_after":$ea"""
+      }.getOrElse("")
+      val consumers = pairGraphConsumerStats.map { case (gS, gR, cS, cR) =>
+        s""","g2i_sec":${f(gS)},"g2i_records":$gR,""" +
+          s""""dd8i_sec":${f(cS)},"dd8i_records":$cR"""
+      }.getOrElse("")
+      s"""{"build_sec":${f(bS)},"build_sec_norm":${f(nrm(bS))},""" +
+        s""""build_records":$bR,"edges":$e$consumers$add}"""
+    }.getOrElse("{}")
+    val gatesJson = gateBreakdown.map { gates =>
+      // marginal_sec = this variant minus the previous cumulative one
+      // (the reorder probe is NOT cumulative — it re-runs the full gate
+      // set in the alternate order, so it carries no marginal field)
+      val entries = gates.zipWithIndex.map { case ((gname, gsec, rows), i) =>
+        val marginal =
+          if (gname.startsWith("reorder") || i == 0) ""
+          else s""","marginal_sec":${f(gsec - gates(i - 1)._2)}"""
+        s""""$gname":{"sec":${f(gsec)},"rows":$rows$marginal}"""
+      }
+      entries.mkString("{", ",", "}")
     }.getOrElse("{}")
     val curateJson = curateStats.map { case (s, r, p, kept, stages, lm) =>
       val st = stages.map { case (n, c, _, _) => s""""$n":$c""" }
@@ -1038,19 +1130,21 @@ object BenchScale {
       val cost = stages.map { case (n, _, ss, rr) =>
         s""""$n":{"sec":${f(ss)},"records":$rr}""" }
         .mkString("{", ",", "}")
-      s"""{"sec":${f(s)},"shuffle_records":$r,"peak_task_mem":$p,""" +
+      s"""{"sec":${f(s)},"sec_norm":${f(nrm(s))},""" +
+        s""""shuffle_records":$r,"peak_task_mem":$p,""" +
         s""""kept":$kept,"lm_bits":${f(lm)},"stages":$st,""" +
-        s""""stage_cost":$cost}"""
+        s""""stage_cost":$cost,"heuristics_gates":$gatesJson}"""
     }.getOrElse("{}")
     val skippedJson = skip.toSeq.sorted.map(s => s""""$s"""")
       .mkString("[", ",", "]")
     val line = s"""{"metric":"scale_x$factor","value":${f(total)},""" +
+      s""""value_norm":${f(nrm(total))},""" +
       s""""unit":"sec","factor":$factor,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
       s""""n_events":$nEvents,"cpus":$cpus,""" +
       s"""${calibStart.json},"host_mops_${cpus}t_end":""" +
-      "%.1f".formatLocal(java.util.Locale.ROOT,
-        HostCalib.mops(cpus.toInt)) +
-      s""","skipped":$skippedJson,""" +
+      "%.1f".formatLocal(java.util.Locale.ROOT, calibEnd) +
+      s""","ref_mops":${f(RefMops)},"norm_factor":${f(normFactor)},""" +
+      s""""skipped":$skippedJson,""" +
       s""""queries":$qs,"recall_queries":$nRecallQ,""" +
       s""""recall_at_$kRecall":$recallJson,""" +
       s""""sim7_nprobe_curve":${curveJson("sim7_ivfpq_topk")},""" +
