@@ -52,7 +52,7 @@ object Cli {
 
   private val knownCommands = Set("create", "run", "list-chunks",
     "seed-apdb", "upload", "promote", "vacuum", "demo", "snapshot",
-    "pair-graph")
+    "pair-graph", "curate")
 
   def main(args: Array[String]): Unit = args.toList match {
     case "vacuum" :: root :: rest =>
@@ -103,6 +103,8 @@ object Cli {
           parsePgOpts(rest.tail.dropWhile(a => !a.startsWith("--"))); ()
         case _ => throw UsageError(usageFor(List("pair-graph")))
       }
+    case "curate" :: rest =>
+      parseCurateOpts(rest.dropWhile(a => !a.startsWith("--"))); ()
     case _ => ()
   }
 
@@ -246,11 +248,22 @@ object Cli {
           "[--id-col C] [--text-col C] [--n K] [--num-hashes H] " +
           "[--rows-per-band R] [--threshold T] | " +
           "pair-graph clusters|rank|core <root> [--name N] [--iters I] " +
-          "[--contracted] [--k K] [--max-rounds R]"
+          "[--contracted] [--k K] [--max-rounds R] [--docs <parquet>] " +
+          "(clusters without --docs labels INDEXED docs only — " +
+          "too-short-to-shingle docs are absent; pass --docs for the " +
+          "full id universe) | " +
+          "curate <root> <docsParquet> [--name N] [--id-col C] " +
+          "[--text-col C] [--source-col C] [--scrub-pii] " +
+          "[--blocklist p1,p2] [--min-tokens N] [--max-tokens N] " +
+          "[--min-quality X] [--langs l1,l2] [--gopher] " +
+          "[--min-model-quality X] [--lm-ref <parquet>] " +
+          "[--lm-max-bits X] [--no-exact-dedup] [--near-dup T] " +
+          "[--benchmark <parquet>] [--budget-per-source N] " +
+          "[--split TR,VAL] [--chunk K,OVERLAP]"
       case _ =>
         s"unknown command: ${args.mkString(" ")}\n" +
           "commands: create | run | list-chunks | seed-apdb | upload | " +
-          "promote | vacuum | demo | snapshot | pair-graph"
+          "promote | vacuum | demo | snapshot | pair-graph | curate"
     }
 
   private[graft] val pgSubcommands =
@@ -264,7 +277,8 @@ object Cli {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.6, iters: Int = 3, k: Int = 2,
-      maxRounds: Int = 50, contracted: Boolean = false)
+      maxRounds: Int = 50, contracted: Boolean = false,
+      docs: Option[String] = None)
 
   private[graft] def parsePgOpts(rest: List[String]): PgOpts = {
     def dblArg(what: String, v: String): Double =
@@ -291,10 +305,81 @@ object Cli {
       case "--max-rounds" :: v :: t =>
         go(t, o.copy(maxRounds = numArg("--max-rounds", v).toInt))
       case "--contracted" :: t => go(t, o.copy(contracted = true))
+      case "--docs" :: v :: t => go(t, o.copy(docs = Some(v)))
       case Nil => o
       case bad :: _ => throw UsageError(s"unknown pair-graph option: $bad")
     }
     go(rest, PgOpts())
+  }
+
+  /** `curate` knobs — each maps 1:1 to a [[graft.ops.CurationConfig]]
+    * field; stage defaults mirror the library's (exact dedup on,
+    * everything else opt-in).
+    */
+  private[graft] final case class CurateOpts(name: String = "curated",
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source",
+      scrubPii: Boolean = false, blocklist: Seq[String] = Nil,
+      minTokens: Int = 10, maxTokens: Int = 1 << 20,
+      minQuality: Double = 0.0, langs: Set[String] = Set.empty,
+      gopher: Boolean = false, minModelQuality: Option[Double] = None,
+      lmRef: Option[String] = None, lmMaxBits: Double = 16.0,
+      exactDedup: Boolean = true, nearDup: Option[Double] = None,
+      benchmark: Option[String] = None, budgetPerSource: Option[Long] = None,
+      split: Option[(Int, Int)] = None, chunk: Option[(Int, Int)] = None)
+
+  private[graft] def parseCurateOpts(rest: List[String]): CurateOpts = {
+    def dblArg(what: String, v: String): Double =
+      try v.toDouble
+      catch {
+        case _: NumberFormatException =>
+          throw UsageError(s"$what expects a number, got: $v")
+      }
+    def pairArg(what: String, v: String): (Int, Int) = v.split(",") match {
+      case Array(a, b) => (numArg(what, a).toInt, numArg(what, b).toInt)
+      case _ => throw UsageError(s"$what expects A,B — got: $v")
+    }
+    @annotation.tailrec
+    def go(args: List[String], o: CurateOpts): CurateOpts = args match {
+      case "--name" :: v :: t => go(t, o.copy(name = v))
+      case "--id-col" :: v :: t => go(t, o.copy(idCol = v))
+      case "--text-col" :: v :: t => go(t, o.copy(textCol = v))
+      case "--source-col" :: v :: t => go(t, o.copy(sourceCol = v))
+      case "--scrub-pii" :: t => go(t, o.copy(scrubPii = true))
+      case "--blocklist" :: v :: t =>
+        go(t, o.copy(blocklist = v.split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty)))
+      case "--min-tokens" :: v :: t =>
+        go(t, o.copy(minTokens = numArg("--min-tokens", v).toInt))
+      case "--max-tokens" :: v :: t =>
+        go(t, o.copy(maxTokens = numArg("--max-tokens", v).toInt))
+      case "--min-quality" :: v :: t =>
+        go(t, o.copy(minQuality = dblArg("--min-quality", v)))
+      case "--langs" :: v :: t =>
+        go(t, o.copy(langs = v.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSet))
+      case "--gopher" :: t => go(t, o.copy(gopher = true))
+      case "--min-model-quality" :: v :: t =>
+        go(t, o.copy(minModelQuality =
+          Some(dblArg("--min-model-quality", v))))
+      case "--lm-ref" :: v :: t => go(t, o.copy(lmRef = Some(v)))
+      case "--lm-max-bits" :: v :: t =>
+        go(t, o.copy(lmMaxBits = dblArg("--lm-max-bits", v)))
+      case "--no-exact-dedup" :: t => go(t, o.copy(exactDedup = false))
+      case "--near-dup" :: v :: t =>
+        go(t, o.copy(nearDup = Some(dblArg("--near-dup", v))))
+      case "--benchmark" :: v :: t => go(t, o.copy(benchmark = Some(v)))
+      case "--budget-per-source" :: v :: t =>
+        go(t, o.copy(budgetPerSource =
+          Some(numArg("--budget-per-source", v))))
+      case "--split" :: v :: t =>
+        go(t, o.copy(split = Some(pairArg("--split", v))))
+      case "--chunk" :: v :: t =>
+        go(t, o.copy(chunk = Some(pairArg("--chunk", v))))
+      case Nil => o
+      case bad :: _ => throw UsageError(s"unknown curate option: $bad")
+    }
+    go(rest, CurateOpts())
   }
 
   /** Replication-loop knobs (defaults from P/cli/options.py:105-124). */
@@ -633,10 +718,19 @@ object Cli {
         val o = parsePgOpts(rest)
         val cat = new VersionedCatalog(root)
         val idx = graft.ops.Dedup.loadPairGraphIndex(spark, cat, o.name)
-        // node universe = every indexed doc (too-short-to-shingle docs
-        // never entered the index and have no near-dups by construction)
-        val ids = idx.minhash.sets
-          .select(org.apache.spark.sql.functions.col("doc").as(o.idCol))
+        // node universe: WITHOUT --docs it is every INDEXED doc — docs
+        // too short to shingle never entered the index, so they are
+        // absent from the committed table (a reduced contract vs the
+        // inline dupClusters, which labels every supplied id as a
+        // singleton). Pass --docs <parquet> to supply the full id
+        // universe; short docs then get their singleton labels exactly
+        // like the inline pipeline.
+        val ids = o.docs match {
+          case Some(p) => spark.read.parquet(p)
+            .select(org.apache.spark.sql.functions.col(o.idCol))
+          case None => idx.minhash.sets
+            .select(org.apache.spark.sql.functions.col("doc").as(o.idCol))
+        }
         cat.commit(Map(s"${o.name}.clusters" -> idx.dupClusters(ids, o.idCol)))
         graft.ops.Dedup.releaseCaches()
         val cl = cat.read(spark, s"${o.name}.clusters")
@@ -669,6 +763,48 @@ object Cli {
         val n = cat.read(spark, s"${o.name}.core").count()
         println(s"pair-graph ${o.name}: ${o.k}-core holds $n nodes " +
           s"-> table ${o.name}.core")
+
+      // the flagship curation composition as a JOB: run
+      // TextPipeline.curate over a documents parquet and commit the
+      // survivors plus a per-stage survivor-count table atomically —
+      // both land in the versioned catalog, so GraftSession.mount
+      // exposes them to SQL like every other index family.
+      case "curate" :: root :: docsPath :: rest =>
+        val o = parseCurateOpts(rest)
+        val cat = new VersionedCatalog(root)
+        val docs = spark.read.parquet(docsPath)
+        val cfg = graft.ops.CurationConfig(
+          scrubPii = o.scrubPii, blocklist = o.blocklist,
+          minTokens = o.minTokens, maxTokens = o.maxTokens,
+          minQuality = o.minQuality, langs = o.langs,
+          gopherGates = o.gopher, minModelQuality = o.minModelQuality,
+          lmFilter = o.lmRef.map(p => (spark.read.parquet(p), o.lmMaxBits)),
+          dedupExact = o.exactDedup, nearDupThreshold = o.nearDup,
+          benchmark = o.benchmark.map(spark.read.parquet(_)),
+          budgetPerSource = o.budgetPerSource,
+          split = o.split, chunk = o.chunk)
+        // per-stage survivor counts through the tap (persist + count
+        // feeding forward — instrumentation never re-executes a stage)
+        val stages =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+        val survivors = graft.ops.TextPipeline.curate(docs, o.idCol,
+          o.textCol, o.sourceCol, cfg, stageTap = (stage, df) => {
+            val p = graft.ops.Dedup.trackExisting(df.persist())
+            stages += ((stages.size + 1, stage, p.count()))
+            p
+          })
+        val statsRows = (0, "input", docs.count()) +: stages.toSeq
+        val statsDf = spark.createDataFrame(statsRows).toDF(
+          "stage_idx", "stage", "n_docs")
+        cat.commit(Map(
+          o.name -> survivors,
+          s"${o.name}.stage_stats" -> statsDf))
+        graft.ops.Dedup.releaseCaches()
+        val kept = cat.read(spark, o.name).count()
+        val stageStr = statsRows.map { case (_, s, c) => s"$s=$c" }
+          .mkString(", ")
+        println(s"curate ${o.name}: $kept rows committed to $root " +
+          s"(stages: $stageStr) -> tables ${o.name}, ${o.name}.stage_stats")
 
       case other =>
         throw UsageError(usageFor(other))

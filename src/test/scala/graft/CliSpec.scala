@@ -595,6 +595,104 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("pair-graph clusters --docs supplies the full id universe: " +
+      "too-short-to-shingle docs get singleton labels like the inline " +
+      "pipeline; without --docs they are absent (documented contract)") {
+    import spark.implicits._
+    val root = tmpDir("cli-pg-short")
+    val docsPath = s"${tmpDir("cli-pg-short-docs")}/docs"
+    // doc 30 has fewer words than the 3-gram shingle window — it never
+    // enters the minhash sets table
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (30L, "hi"))
+      .toDF("doc_id", "text").write.parquet(docsPath)
+    dispatchCapturing("pair-graph", "build", root, docsPath)
+    val cat = new VersionedCatalog(root)
+    dispatchCapturing("pair-graph", "clusters", root)
+    val indexedOnly = cat.read(spark, "pair_graph.clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!indexedOnly.contains(30L),
+      s"short doc should be absent without --docs: $indexedOnly")
+    dispatchCapturing("pair-graph", "clusters", root, "--docs", docsPath)
+    val full = cat.read(spark, "pair_graph.clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full.get(30L).contains(30L),
+      s"short doc must label as its own singleton: $full")
+    // and the full-universe labels equal the inline pipeline's
+    val docs = spark.read.parquet(docsPath)
+    val inline = graft.ops.Dedup.dupClusters(docs.select(col("doc_id")),
+        "doc_id",
+        graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+          .select("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full == inline, s"CLI --docs labels $full != inline $inline")
+  }
+
+  test("curate CLI: runs the curation pipeline over a documents parquet " +
+      "and commits survivors + per-stage counts, equal to the inline " +
+      "library composition") {
+    import spark.implicits._
+    val root = tmpDir("cli-curate")
+    val docsPath = s"${tmpDir("cli-curate-docs")}/docs"
+    val fixture = Seq(
+      // near-dup family: one canonical survivor after near-dedup
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota", "web"),
+      // exact duplicate of doc 1 — exact dedup drops it
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+      // distinct keeper from another source
+      (10L, "one two three four five six seven eight nine ten", "books"),
+      // too short for --min-tokens 4
+      (20L, "tiny doc", "web"),
+      // distinct keeper
+      (30L, "quick brown fox jumps over the lazy dog today friends", "web"))
+    fixture.toDF("doc_id", "text", "source").write.parquet(docsPath)
+    val out = dispatchCapturing("curate", root, docsPath,
+      "--name", "cur", "--min-tokens", "4", "--near-dup", "0.25",
+      "--split", "80,10")
+    assert(out.contains("committed"), out)
+
+    val cat = new VersionedCatalog(root)
+    val survivors = cat.read(spark, "cur")
+    val ids = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    // inline library composition with the identical config
+    val inline = graft.ops.TextPipeline.curate(
+      spark.read.parquet(docsPath), "doc_id", "text", "source",
+      graft.ops.CurationConfig(minTokens = 4,
+        nearDupThreshold = Some(0.25), split = Some((80, 10))))
+    val inlineIds = inline.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == inlineIds, s"CLI $ids != inline $inlineIds")
+    // survivors carry the annotations + the split column
+    assert(Set("n_tokens", "quality", "pred_lang", "split")
+      .subsetOf(survivors.columns.toSet), survivors.columns.mkString(","))
+
+    // stage stats: input row + one row per configured stage, counts
+    // monotone non-increasing, final == committed survivor count
+    val stats = cat.read(spark, "cur.stage_stats")
+      .orderBy("stage_idx")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(stats.head == ("input", fixture.size.toLong), stats.mkString(","))
+    assert(stats.map(_._1).toSeq ==
+      Seq("input", "heuristics", "exact_dedup", "near_dedup"),
+      stats.mkString(","))
+    assert(stats.map(_._2).toSeq == stats.map(_._2).toSeq.sorted.reverse,
+      s"stage counts must be non-increasing: ${stats.mkString(",")}")
+    assert(stats.last._2 == survivors.count(), stats.mkString(","))
+    // SQL surface: both tables mount as views
+    assert(GraftSession.sql(spark, cat,
+      "SELECT count(*) FROM cur_stage_stats").head().getLong(0) ==
+      stats.length.toLong)
+    // bad flags fail through the usage path
+    intercept[Cli.UsageError] {
+      Cli.dispatch(spark, List("curate", root, docsPath, "--split", "80"))
+    }
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("non-strict mismatch warns and continues; strict raises") {
     val apdb = new TestApdb(spark, nObjects = 2, nChunks = 1)
     val ppdb = new PpdbSpark(spark, new VersionedCatalog(tmpDir("mism")))
