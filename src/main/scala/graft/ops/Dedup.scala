@@ -1303,21 +1303,30 @@ object Dedup {
       // the fold's delta: this batch's new rows, merged with any delta
       // already pending from earlier in-memory folds — so save()'s
       // append commit always carries "everything since origin", however
-      // many addDocs calls ran between load and save
+      // many addDocs calls ran between load and save.
+      //
+      // The delta plans are TRUNCATED HERE, not at save time: truncation
+      // compiles the physical plan NOW, while the batch cache (newBase)
+      // is unmaterialized, so the probe join plans with estimated
+      // batch-side stats and broadcasts the probe into the index tables.
+      // Deferring planning to the write (a raw plan handed to save)
+      // re-plans AFTER the sibling table writes materialized newBase —
+      // its accurate InMemoryRelation stats flip the probe join to a
+      // sort-merge that shuffles the WHOLE corpus index (measured at
+      // ×100: 2.37M shuffle records — exactly banded+sets — vs 184k;
+      // the round-13 cache-trap in its save-ordering form).
       val mergedDelta = delta match {
         case Some(prev) => PairGraphDelta(
           indexPlan(prev.banded.unionByName(nb)),
           indexPlan(prev.sets.unionByName(ns)),
           indexPlan(prev.edges.unionByName(addedEdges)))
-        case None => PairGraphDelta(nb, ns, addedEdges)
+        case None => PairGraphDelta(indexPlan(nb), indexPlan(ns),
+          indexPlan(addedEdges))
       }
-      // merged-delta frames are persisted (indexPlan) — register them so
+      // delta frames are persisted (indexPlan) — register them so
       // release() frees them with everything else
-      val deltaCaches = delta match {
-        case Some(_) => Seq(mergedDelta.banded, mergedDelta.sets,
-          mergedDelta.edges)
-        case None => Nil
-      }
+      val deltaCaches = Seq(mergedDelta.banded, mergedDelta.sets,
+        mergedDelta.edges)
       PairGraphIndex(
         MinhashIndex(minhash.n, minhash.numHashes, minhash.rowsPerBand,
           indexPlan(minhash.banded.unionByName(nb)),
