@@ -1097,34 +1097,76 @@ object Dedup {
     * document).
     */
   private def probeMatches(base: DataFrame, index: MinhashIndex,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastProbe: Boolean = false): DataFrame = {
     val r = index.rowsPerBand
     val numBands = index.numHashes / r
-    val pb = base
-      .select(col("p_doc"), col("p_sh"), col("p_sig"),
+    def explodedBands(df: DataFrame, keep: Seq[String]): DataFrame = df
+      .select(keep.map(col) :+
         explode(array((0 until numBands).map { b =>
           struct(lit(b).as("band"),
             concat_ws("_",
               slice(col("p_sig"), b * r + 1, r)).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("p_doc"), col("p_sh"), col("p_sig"),
-        col("bb.band"), col("bb.bucket"))
-    // static side: bucket rows joined with their doc's sets ONCE (the
-    // "_"-join of longs is injective, so bucket equality == slice
-    // equality and the earlier-band comparison below is consistent)
-    val idxSide = index.banded.join(index.sets, Seq("doc"))
+        }: _*)).as("bb"): _*)
+      .select(keep.map(col) :+ col("bb.band") :+ col("bb.bucket"): _*)
+    // the "_"-join of longs is injective, so bucket equality == slice
+    // equality and the earlier-band comparison here is consistent
     val firstMatch = (0 until numBands).map { bp =>
       lit(bp) >= col("band") ||
         slice(col("p_sig"), bp * r + 1, r) =!=
           slice(col("sig"), bp * r + 1, r)
     }.reduce(_ && _)
-    pb.join(idxSide, Seq("band", "bucket"))
-      .where(firstMatch)
-      .select(col("p_doc").as("probe_id"), col("doc").as("corpus_id"),
-        (size(array_intersect(col("p_sh"), col("sh"))).cast("double") /
-          size(array_union(col("p_sh"), col("sh"))).cast("double"))
-          .as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    val jacc =
+      (size(array_intersect(col("p_sh"), col("sh"))).cast("double") /
+        size(array_union(col("p_sh"), col("sh"))).cast("double"))
+        .as("jaccard")
+    if (broadcastProbe) {
+      // micro-batch probe of a corpus-scale index: the corpus tables
+      // must be SCANNED, never shuffled — a planner-chosen sort-merge
+      // here moves banded+sets (O(corpus)) for an O(batch) probe
+      // (measured at ×100: 2.37M shuffle records per 25k-doc fold,
+      // exactly banded+sets, regardless of when the plan is compiled —
+      // the corpus⋈corpus `banded ⋈ sets` prejoin shuffles by
+      // construction). Only two things are ever broadcast, both
+      // provably small: the LITE probe (p_doc, band, bucket — no
+      // signatures, no shingle arrays; O(batch·bands)) into the banded
+      // scan, and the DISTINCT candidate doc ids (O(batch-incident
+      // docs), bounded by batch × bucket-degree, corpus-independent)
+      // into the sets scan. The candidate PAIRS themselves stay
+      // distributed — at ×100 the inflated corpus has avg degree ~100,
+      // so a 25k-doc fold's bucket hits are millions of rows: a
+      // candidate-side broadcast OOMs exactly where it matters.
+      // Every shuffle left is batch-incident (bucket hits, candidate
+      // sets rows, the final p_sh attach) — fold cost scales with the
+      // batch and its duplicate degree, never the corpus.
+      // Caller contract: `base` is micro-batch-sized.
+      val pbLite = broadcast(explodedBands(base, Seq("p_doc")))
+      // one (p_doc, doc) row per probe/corpus pair: the multi-band
+      // dedup is a plain distinct here — the first-matching-band
+      // device below exists only for the stateless STREAMING path
+      val cand = tracked(
+        index.banded.join(pbLite, Seq("band", "bucket"))
+          .select(col("p_doc"), col("doc")).distinct())
+      val candIds = cand.select(col("doc")).distinct()
+      val candSets = index.sets.join(broadcast(candIds), Seq("doc"))
+        .select(col("doc"), col("sh"))
+      cand.join(candSets, Seq("doc"))
+        .join(base.select(col("p_doc"), col("p_sh")), Seq("p_doc"))
+        .select(col("p_doc").as("probe_id"), col("doc").as("corpus_id"),
+          jacc)
+        .where(col("jaccard") >= threshold)
+    } else {
+      // stream-safe shape: probe stays on the left through two inner
+      // equi-joins against static tables (left-deep — the corpus tables
+      // are never pre-joined with each other), p_sh rides the probe rows
+      // so no probe self-join is ever needed
+      val pb = explodedBands(base, Seq("p_doc", "p_sh", "p_sig"))
+      pb.join(index.banded, Seq("band", "bucket"))
+        .join(index.sets, Seq("doc"))
+        .where(firstMatch)
+        .select(col("p_doc").as("probe_id"), col("doc").as("corpus_id"),
+          jacc)
+        .where(col("jaccard") >= threshold)
+    }
   }
 
   /** Near-dup pairs straight from a built [[MinhashIndex]] — the banded
@@ -1289,7 +1331,7 @@ object Dedup {
       val crossEdges = probeMatches(
         ns.select(col("doc").as("p_doc"), col("sh").as("p_sh"),
           col("sig").as("p_sig")),
-        minhash, threshold)
+        minhash, threshold, broadcastProbe = true)
         .select(least(col("probe_id"), col("corpus_id")).as("id_a"),
           greatest(col("probe_id"), col("corpus_id")).as("id_b"),
           col("jaccard"))
@@ -1305,16 +1347,13 @@ object Dedup {
       // append commit always carries "everything since origin", however
       // many addDocs calls ran between load and save.
       //
-      // The delta plans are TRUNCATED HERE, not at save time: truncation
-      // compiles the physical plan NOW, while the batch cache (newBase)
-      // is unmaterialized, so the probe join plans with estimated
-      // batch-side stats and broadcasts the probe into the index tables.
-      // Deferring planning to the write (a raw plan handed to save)
-      // re-plans AFTER the sibling table writes materialized newBase —
-      // its accurate InMemoryRelation stats flip the probe join to a
-      // sort-merge that shuffles the WHOLE corpus index (measured at
-      // ×100: 2.37M shuffle records — exactly banded+sets — vs 184k;
-      // the round-13 cache-trap in its save-ordering form).
+      // The delta plans are truncated HERE so repeated folding can't
+      // nest a union layer per batch. The probe join's shape does NOT
+      // depend on when these plans compile: probeMatches runs with
+      // broadcastProbe = true, which pins the batch-broadcast plan by
+      // hint — planner size estimates (which flip with newBase's
+      // materialization state, the round-13 cache-trap) never get a
+      // vote on whether the corpus index shuffles.
       val mergedDelta = delta match {
         case Some(prev) => PairGraphDelta(
           indexPlan(prev.banded.unionByName(nb)),
@@ -1552,7 +1591,7 @@ object Dedup {
       val hits = probeMatches(
         ns.select(col("doc").as("p_doc"), col("sh").as("p_sh"),
           col("sig").as("p_sig")),
-        minhash, threshold)
+        minhash, threshold, broadcastProbe = true)
       val newPairs = selfPairs(nb, ns, threshold)
       val clusterEdges = hits
         .join(clusters.withColumnRenamed("doc_id", "corpus_id"),
