@@ -389,7 +389,8 @@ object BenchScale {
       "g2b_pagerank_contracted", "g3_kcore")
     val pgNeeded = !skip.contains("pair_graph_index") &&
       caseFilter.forall(f =>
-        f.contains("pair_graph_index") || f.exists(graphCaseNames))
+        f.contains("pair_graph_index") || f.contains("pair_graph_addDocs") ||
+          f.exists(graphCaseNames))
     var pgBuild: Option[(Double, Long, Long)] = None // sec, recs, edges
     // sec, recs, batch docs, edges after the fold
     var pgAdd: Option[(Double, Long, Long, Long)] = None
@@ -411,7 +412,10 @@ object BenchScale {
       pgLoaded = Some(loaded)
       System.err.println(f"[scale] pair_graph_index build $bSec%8.1f s  " +
         f"$bRecs%12d shuffle recs  edges $edgeRows%d")
-      if (caseFilter.isEmpty && !skip.contains("pair_graph_addDocs")) {
+      // runs on a full sweep AND when a CASES filter names it — the
+      // filtered form is the iteration loop for maintenance-path work
+      if (caseFilter.forall(_.contains("pair_graph_addDocs")) &&
+          !skip.contains("pair_graph_addDocs")) {
         val standing0 = Dedup.pairGraphIndex(
           docs.where(col("doc_id") % 20 =!= 0), "doc_id", "text", n = 3,
           numHashes = 8, rowsPerBand = 2, threshold = 0.6)
@@ -937,21 +941,24 @@ object BenchScale {
             TextAnalysis.qualityScoreOf(st).as("quality"),
             TextAnalysis.langIdOf(st).as("pred_lang"))
         }
-        def statsGate(d: DataFrame) = annotated(d)
-          .where(col("n_tokens") >= 5 && col("n_tokens") <= (1 << 20) &&
-            col("quality") >= 0.2)
+        // curate's real stage-1 shape: gate first with the one-pass
+        // verdict scalar, then annotate the survivors
+        def statsGate(d: DataFrame, gopher: Boolean) = annotated(
+          d.where(TextAnalysis.heuristicKeep(col("text"),
+            5, 1 << 20, 0.2, gopherGates = gopher)))
         val variants: Seq[(String, () => DataFrame)] = Seq(
           "scan" -> (() => docs.select(col("doc_id"), col("text"))),
           "pii_scrub" -> (() => scrubbed.select(col("doc_id"), col("text"))),
           "blocklist_scrub" -> (() =>
             blocked.select(col("doc_id"), col("text"))),
-          "stats_filter" -> (() => statsGate(blocked)),
-          "gopher" -> (() => statsGate(blocked)
-            .where(TextAnalysis.gopherKeepExpr(col("text")))),
-          // reorder probe: Gopher verdict evaluated before the stats
-          // filters (same fused scan, different conjunct order)
-          "reorder_gopher_first" -> (() => annotated(blocked)
-            .where(TextAnalysis.gopherKeepExpr(col("text")))
+          "stats_filter" -> (() => statsGate(blocked, gopher = false)),
+          "gopher" -> (() => statsGate(blocked, gopher = true)),
+          // the r16 composition kept for the record: annotate, then
+          // filter on the annotation columns — pushdown inlines the full
+          // scrub→stats chain into every predicate reference and
+          // FilterExec has no CSE (15 evals/row measured; the trap
+          // HeuristicGateExpr exists to close)
+          "legacy_filter_inline" -> (() => annotated(blocked)
             .where(col("n_tokens") >= 5 && col("n_tokens") <= (1 << 20) &&
               col("quality") >= 0.2)))
         Some(variants.map { case (gname, mk) =>

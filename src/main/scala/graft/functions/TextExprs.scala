@@ -461,8 +461,8 @@ object TextHashing {
 case class TextStatsExpr(child: Expression, lexicons: Seq[Seq[String]])
     extends UnaryExpression {
 
-  @transient private lazy val lexSets: Array[Set[String]] =
-    lexicons.map(_.toSet).toArray
+  @transient private lazy val packed: TextScan.PackedLexicons =
+    TextScan.packLexicons(lexicons)
 
   /** codegen entry point (the expression instance rides into the
     * generated class as a reference object so the lexicon sets come
@@ -478,7 +478,34 @@ case class TextStatsExpr(child: Expression, lexicons: Seq[Seq[String]])
     defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
-  override def dataType: DataType = new StructType()
+  override def dataType: DataType = TextStatsExpr.statsType
+  override def prettyName: String = "text_stats"
+
+  // One pass over the raw UTF-8 BYTES — no String decode, no per-token
+  // substring allocation, no codePointCount re-scan. Code points are
+  // counted at their lead byte ((b & 0xC0) != 0x80); the whitespace /
+  // letter / digit classes are pure-ASCII by the semantics above, so a
+  // non-ASCII lead byte is always a punct code point and never a token
+  // boundary. Byte-exact with the previous String formulation on any
+  // valid UTF-8 input (TextStatsSpec pins the fused == composable
+  // equality; the ts1–ts4 oracles pin it against DuckDB).
+  override protected def nullSafeEval(v: Any): Any = {
+    val c = TextScan.scan(v.asInstanceOf[UTF8String].getBytes, packed)
+    org.apache.spark.sql.catalyst.InternalRow(
+      c.nTokens, c.sumLen, c.nPunct, c.nChars, c.nBpe,
+      new GenericArrayData(c.lexHits))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TextStatsExpr {
+  /** The stats struct type — exposed so a caller building a
+    * CommonExpressionRef over a still-unresolved stats column can state
+    * the ref's type without asking the unresolved child.
+    */
+  val statsType: StructType = new StructType()
     .add("n_tokens", IntegerType, nullable = false)
     .add("sum_tok_len", LongType, nullable = false)
     .add("n_punct", IntegerType, nullable = false)
@@ -486,56 +513,260 @@ case class TextStatsExpr(child: Expression, lexicons: Seq[Seq[String]])
     .add("n_bpe", IntegerType, nullable = false)
     .add("lex_hits", ArrayType(IntegerType, containsNull = false),
       nullable = false)
-  override def prettyName: String = "text_stats"
+}
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    val len = s.length
+/** The shared byte-level text scan behind [[TextStatsExpr]] and
+  * [[HeuristicGateExpr]] — ONE pass over the raw UTF-8 bytes, no String
+  * decode, no per-token substring allocation, no codePointCount re-scan.
+  *
+  * Semantics replicate the composable column formulation EXACTLY (so the
+  * DuckDB oracles replay them):
+  *  - tokens = Java `split("\\s+", -1)`: segments between maximal ASCII
+  *    whitespace runs, with a leading empty token when the text starts
+  *    with whitespace, a trailing one when it ends with it, and `[""]`
+  *    for the empty string;
+  *  - code points are counted at their lead byte ((b & 0xC0) != 0x80);
+  *    the whitespace / letter / digit classes are pure-ASCII, so a
+  *    non-ASCII lead byte is always a punct code point and never a token
+  *    boundary;
+  *  - n_punct counts code points outside [A-Za-z0-9] and ASCII
+  *    whitespace (the `[^A-Za-z0-9\s]` per-char regex);
+  *  - n_bpe counts maximal letter runs + digit runs + single other
+  *    non-whitespace chars (the `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`
+  *    alternation's greedy scan);
+  *  - lexHits(i) counts tokens contained in lexicon i (exact string
+  *    equality — see [[TextScan.packLexicons]]);
+  *  - nAlpha counts tokens containing at least one ASCII letter (the
+  *    `rlike("[A-Za-z]")` token filter of the Gopher rules).
+  */
+private[graft] object TextScan {
+  /** Lexicon words prepared for allocation-free byte-level probing: a
+    * word of <= 7 UTF-8 bytes packs losslessly into one Long (length tag
+    * in the top byte, bytes little-endian below — the tag makes "ab" !=
+    * "ab\u0000"), probed with a binary search over a sorted Long[];
+    * rarer longer words fall back to exact byte-wise comparison. Both
+    * paths are EXACT string equality (UTF-8 is injective), identical to
+    * Set[String].contains on the decoded token.
+    */
+  final case class PackedLexicons(
+      short: Array[Array[Long]],
+      long: Array[Array[Array[Byte]]],
+      anyLong: Boolean) {
+    def n: Int = short.length
+  }
+
+  def packLexicons(lexicons: Seq[Seq[String]]): PackedLexicons = {
+    val shortW = lexicons.map { lex =>
+      lex.iterator
+        .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .filter(_.length <= 7)
+        .map { w =>
+          var p = w.length.toLong << 56
+          var k = 0
+          while (k < w.length) { p |= (w(k) & 0xFFL) << (8 * k); k += 1 }
+          p
+        }
+        .toArray.sorted
+    }.toArray
+    val longW = lexicons.map(_.iterator
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .filter(_.length > 7).toArray).toArray
+    PackedLexicons(shortW, longW, longW.exists(_.nonEmpty))
+  }
+
+  final class Counts(nLex: Int) {
     var nTokens = 0
     var sumLen = 0L
     var nPunct = 0
     var nChars = 0
     var nBpe = 0
-    val lexHits = new Array[Int](lexSets.length)
+    var nAlpha = 0
+    val lexHits = new Array[Int](nLex)
+  }
 
-    var start = 0       // current token start (char index)
+  def scan(bytes: Array[Byte], lex: PackedLexicons): Counts = {
+    val n = bytes.length
+    val c = new Counts(lex.n)
+    val lexShort = lex.short
+    val lexLongWords = lex.long
+
+    var start = 0       // current token start (byte index)
     var inWs = false    // inside a whitespace run
     var bpeRun = 0      // 0 = none, 1 = letter run, 2 = digit run
 
-    def emitToken(end: Int): Unit = {
-      val t = s.substring(start, end)
-      nTokens += 1
-      sumLen += t.codePointCount(0, t.length)
-      var li = 0
-      while (li < lexSets.length) {
-        if (lexSets(li).contains(t)) lexHits(li) += 1
-        li += 1
+    def emitToken(st: Int, end: Int): Unit = {
+      c.nTokens += 1
+      var cp = 0
+      var alpha = false
+      var k = st
+      while (k < end) {
+        val b = bytes(k)
+        if ((b & 0xC0) != 0x80) cp += 1
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) alpha = true
+        k += 1
+      }
+      c.sumLen += cp
+      if (alpha) c.nAlpha += 1
+      val tl = end - st
+      if (tl <= 7) {
+        var packed = tl.toLong << 56
+        var k2 = 0
+        while (k2 < tl) {
+          packed |= (bytes(st + k2) & 0xFFL) << (8 * k2); k2 += 1
+        }
+        var li = 0
+        while (li < lexShort.length) {
+          if (java.util.Arrays.binarySearch(lexShort(li), packed) >= 0)
+            c.lexHits(li) += 1
+          li += 1
+        }
+      } else if (lex.anyLong) {
+        var li = 0
+        while (li < lexLongWords.length) {
+          val words = lexLongWords(li)
+          var wi = 0
+          var hit = false
+          while (!hit && wi < words.length) {
+            val w = words(wi)
+            if (w.length == tl) {
+              var k3 = 0
+              while (k3 < tl && w(k3) == bytes(st + k3)) k3 += 1
+              hit = k3 == tl
+            }
+            wi += 1
+          }
+          if (hit) c.lexHits(li) += 1
+          li += 1
+        }
       }
     }
 
     var i = 0
-    while (i < len) {
-      val cp = s.codePointAt(i)
-      nChars += 1
-      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == '\u000B' ||
-        cp == '\f' || cp == '\r'
-      val letter = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
-      val digit = cp >= '0' && cp <= '9'
-      if (!ws && !letter && !digit) nPunct += 1
-      if (ws) bpeRun = 0
-      else if (letter) { if (bpeRun != 1) { nBpe += 1; bpeRun = 1 } }
-      else if (digit) { if (bpeRun != 2) { nBpe += 1; bpeRun = 2 } }
-      else { nBpe += 1; bpeRun = 0 } // each punct char is its own match
-      if (ws) {
-        if (!inWs) { emitToken(i); inWs = true }
-      } else if (inWs) { start = i; inWs = false }
-      i += Character.charCount(cp)
+    while (i < n) {
+      val b = bytes(i)
+      if ((b & 0xC0) != 0x80) { // lead byte = one code point
+        c.nChars += 1
+        val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+          b == '\f' || b == '\r'
+        val letter = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+        val digit = b >= '0' && b <= '9'
+        if (!ws && !letter && !digit) c.nPunct += 1
+        if (ws) bpeRun = 0
+        else if (letter) { if (bpeRun != 1) { c.nBpe += 1; bpeRun = 1 } }
+        else if (digit) { if (bpeRun != 2) { c.nBpe += 1; bpeRun = 2 } }
+        else { c.nBpe += 1; bpeRun = 0 } // each punct char: its own match
+        if (ws) {
+          if (!inWs) { emitToken(start, i); inWs = true }
+        } else if (inWs) { start = i; inWs = false }
+      }
+      i += 1
     }
-    if (inWs) { start = len; emitToken(len) } // trailing empty token
-    else emitToken(len)
+    if (inWs) emitToken(n, n) // trailing empty token
+    else emitToken(start, n)
+    c
+  }
+}
 
-    org.apache.spark.sql.catalyst.InternalRow(
-      nTokens, sumLen, nPunct, nChars, nBpe, new GenericArrayData(lexHits))
+/** The full stage-1 curation verdict — token-count bounds, quality
+  * floor, language allowlist, optional Gopher hard gates — as ONE
+  * boolean scalar over ONE [[TextScan]] byte pass.
+  *
+  * Why a dedicated expression instead of a filter over annotation
+  * columns: `FilterExec` codegen has no subexpression elimination (only
+  * `ProjectExec` does), and Catalyst's filter pushdown +
+  * `CollapseProject` inline an annotation column's FULL definition into
+  * every predicate reference — a gate written as
+  * `where(n_tokens >= a && n_tokens <= b && quality >= q)` re-evaluates
+  * the whole scrub->stats chain once per reference (measured at the
+  * x100 bench shape: 15 inlined copies, 341 s for a pass whose one-scan
+  * cost is ~20 s). One scalar in the predicate = one evaluation, and the
+  * verdict fuses the Gopher token-filter terms (nAlpha, stopword hits)
+  * into the same pass that computes the stats, so the gate does not even
+  * pay a second `split()`.
+  *
+  * The verdict arithmetic below replicates the composable Column
+  * formulation BIT FOR BIT — same integer comparisons, same IEEE double
+  * op order as qualityScoreOf / langIdOf / gopherKeepExpr, same
+  * short-circuit conjunction — TextStatsSpec pins the equivalence
+  * against the annotate-then-filter formulation on edge + random
+  * corpora, and the ts38 curate oracle replays it in SQL.
+  *
+  * `lexicons` are the language lexicons in [[langIdOf]] slot order
+  * (quality's stopword ratio reads slot 0); `gopherStop` lands in the
+  * trailing slot only when `gopherGates` is on.
+  */
+case class HeuristicGateExpr(child: Expression,
+    lexicons: Seq[Seq[String]], langNames: Seq[String],
+    gopherStop: Seq[String], minTokens: Int, maxTokens: Int,
+    minQuality: Double, langs: Seq[String], gopherGates: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "heuristic_keep"
+
+  @transient private lazy val packed: TextScan.PackedLexicons =
+    TextScan.packLexicons(
+      lexicons ++ (if (gopherGates) Seq(gopherStop) else Nil))
+  @transient private lazy val langAllow: Set[String] = langs.toSet
+
+  def keep(s: UTF8String): Boolean = {
+    val c = TextScan.scan(s.getBytes, packed)
+    // token-count bounds (tokenCountOf(st) >= minTokens && <= maxTokens)
+    if (c.nTokens < minTokens || c.nTokens > maxTokens) return false
+    // qualityScoreOf, identical when/otherwise guards and IEEE op order
+    val sr =
+      if (c.nTokens == 0) 0.0
+      else c.lexHits(0).toDouble / c.nTokens.toDouble
+    val mtl =
+      if (c.nTokens == 0) 0.0
+      else c.sumLen.toDouble / c.nTokens.toDouble
+    val lenOk = if (mtl >= 3.0 && mtl <= 10.0) 1.0 else 0.0
+    val pr =
+      if (c.nChars == 0) 0.0
+      else c.nPunct.toDouble / c.nChars.toDouble
+    val quality = sr * 0.4 + lenOk * 0.4 + (1.0 - pr) * 0.2
+    if (!(quality >= minQuality)) return false
+    // langIdOf: argmax with first-slot precedence on ties, 'und' when no
+    // lexicon matched
+    if (langs.nonEmpty) {
+      var best = 0
+      var i = 0
+      while (i < langNames.length) {
+        if (c.lexHits(i) > best) best = c.lexHits(i)
+        i += 1
+      }
+      var lang = "und"
+      if (best > 0) {
+        var j = 0
+        var found = false
+        while (!found && j < langNames.length) {
+          if (c.lexHits(j) == best) { lang = langNames(j); found = true }
+          j += 1
+        }
+      }
+      if (!langAllow.contains(lang)) return false
+    }
+    // gopherKeepExpr: pure integer arithmetic (sum_len vs bound*n_words,
+    // 100*n_alpha vs n_words*pct, stopword hits) — replayable exactly
+    if (gopherGates) {
+      val nW = c.nTokens.toLong
+      val stopHits = c.lexHits(lexicons.length)
+      if (!(nW >= 50L && nW <= 100000L &&
+          c.sumLen >= 3L * nW && c.sumLen <= 10L * nW &&
+          c.nAlpha * 100L >= nW * 80L &&
+          stopHits >= 2L)) return false
+    }
+    true
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    keep(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("heuristicGateExpr", this,
+      classOf[HeuristicGateExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.keep($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -218,8 +218,18 @@ object TextAnalysis {
   def gopherKeepExpr(text: Column,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanLen: Int = 3, maxMeanLen: Int = 10,
-      minAlphaPct: Int = 80, minStopHits: Int = 2): Column = {
-    val toks = tokens(text)
+      minAlphaPct: Int = 80, minStopHits: Int = 2): Column =
+    gopherKeepFromTokens(tokens(text), minWords, maxWords, minMeanLen,
+      maxMeanLen, minAlphaPct, minStopHits)
+
+  /** [[gopherKeepExpr]] over an already-computed token array — lets a
+    * caller share ONE `tokens(text)` evaluation across the four verdict
+    * terms (see [[heuristicKeep]]); the expr form re-splits per term.
+    */
+  private def gopherKeepFromTokens(toks: Column,
+      minWords: Int, maxWords: Int,
+      minMeanLen: Int, maxMeanLen: Int,
+      minAlphaPct: Int, minStopHits: Int): Column = {
     val nWords = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
     val nAlpha = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
@@ -230,6 +240,23 @@ object TextAnalysis {
         sumLen <= lit(maxMeanLen.toLong) * nWords) &&
       (nAlpha * 100L >= nWords * minAlphaPct.toLong) &&
       (nStop >= minStopHits.toLong)
+  }
+
+  /** The full stage-1 curation verdict (token-count bounds, quality
+    * floor, language allowlist, optional Gopher hard gates) as ONE
+    * boolean scalar computed in a single byte pass —
+    * [[graft.functions.HeuristicGateExpr]], which carries the why (the
+    * FilterExec-has-no-CSE / pushdown-inlining trap) and the bit-parity
+    * contract with the composable formulation TextStatsSpec pins.
+    */
+  def heuristicKeep(text: Column, minTokens: Int, maxTokens: Int,
+      minQuality: Double, langs: Seq[String] = Nil,
+      gopherGates: Boolean = false): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.HeuristicGateExpr(
+      ColumnBridge.expression(text),
+      langLexicons.map(_._2), langLexicons.map(_._1), gopherStopwords,
+      minTokens, maxTokens, minQuality, langs, gopherGates))
   }
 
   def gopherRules(df: DataFrame, idCol: String, textCol: String,

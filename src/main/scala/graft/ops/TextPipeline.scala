@@ -100,23 +100,21 @@ object TextPipeline {
     val stale = scrubbed.columns
       .filter(Set("n_tokens", "quality", "pred_lang"))
     val clean = stale.foldLeft(scrubbed)(_ drop _)
+    // gate FIRST with the single-evaluation fused verdict (including the
+    // Gopher hard gates — scrub + stats + heuristics + Gopher stay one
+    // documents pass, the PlanAudit-asserted property), THEN annotate
+    // only the survivors. Filtering on annotation columns instead
+    // re-evaluates the whole scrub→stats chain once per predicate
+    // reference after pushdown (FilterExec has no subexpression
+    // elimination — see heuristicKeep's scaladoc; measured 15× at ×100).
+    val gated = clean.where(TextAnalysis.heuristicKeep(col(textCol),
+      cfg.minTokens, cfg.maxTokens, cfg.minQuality, cfg.langs.toSeq,
+      cfg.gopherGates))
     val st = TextAnalysis.stats(col(textCol))
-    val annotated = clean.select(clean.columns.map(col) :+
+    var kept = gated.select(gated.columns.map(col) :+
         TextAnalysis.tokenCountOf(st).as("n_tokens") :+
         TextAnalysis.qualityScoreOf(st).as("quality") :+
         TextAnalysis.langIdOf(st).as("pred_lang"): _*)
-    var kept = annotated
-      .where(col("n_tokens") >= cfg.minTokens &&
-        col("n_tokens") <= cfg.maxTokens &&
-        col("quality") >= cfg.minQuality)
-    if (cfg.langs.nonEmpty)
-      kept = kept.where(col("pred_lang").isin(cfg.langs.toSeq: _*))
-    // Gopher hard gates ride the SAME scan (projection-level verdict,
-    // TextAnalysis.gopherKeepExpr == gopherRules.keep bit for bit) —
-    // scrub + stats + heuristics + Gopher compose into one documents
-    // pass, the PlanAudit-asserted property
-    if (cfg.gopherGates)
-      kept = kept.where(TextAnalysis.gopherKeepExpr(col(textCol)))
     // every later stage (and the final consumer) re-reads the filtered
     // corpus — persist it once so the stats scan + filter runs one time,
     // not once per stage. Registered with Dedup's transient registry so

@@ -93,6 +93,66 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("lexicon probing: >7-byte and non-ASCII lexicon words hit exactly " +
+      "(the packed-Long fast path covers ≤7 UTF-8 bytes; longer words " +
+      "take the byte-compare fallback)") {
+    import graft.functions.TextExprs
+    // "therefore" = 9 ASCII bytes (fallback); "tötö" = 6 UTF-8 bytes
+    // (packed path, multi-byte chars); "straßenbahn" = 12 bytes
+    val lex = Seq(Seq("therefore", "tötö", "a"),
+      Seq("straßenbahn", "of"))
+    val df = Seq(
+      (1L, "therefore tötö a thereford straßenbahn of"),
+      (2L, "THEREFORE x"), // case-sensitive: no hit
+      (3L, "")).toDF("id", "text")
+    val got = df.select($"id",
+        TextExprs.textStats($"text", lex).getField("lex_hits").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(3, 2), got(1L))
+    assert(got(2L) == Seq(0, 0))
+    assert(got(3L) == Seq(0, 0)) // the empty-string token matches nothing
+  }
+
+  test("heuristicKeep: the one-pass gate expression equals the composable " +
+      "annotate-then-filter formulation on every threshold/lang/gopher " +
+      "combination") {
+    val df = (edge ++ random ++ Seq(
+      // gopher-boundary rows: exactly 50 words, alpha-share and
+      // stopword-count extremes
+      Seq.fill(50)("the").mkString(" "),
+      (1 to 50).map(_.toString).mkString(" "),
+      Seq.fill(49)("word").mkString(" ") + " the",
+      ("the be " + Seq.fill(48)("abc").mkString(" "))))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val st = TextAnalysis.stats($"text")
+    val annotated = df.select($"id", $"text",
+      TextAnalysis.tokenCountOf(st).as("n_tokens"),
+      TextAnalysis.qualityScoreOf(st).as("quality"),
+      TextAnalysis.langIdOf(st).as("pred_lang"))
+    val cases = Seq(
+      (0, 1 << 20, 0.0, Nil, false),
+      (1, 10, 0.2, Nil, false),
+      (0, 1 << 20, 0.35, Seq("en", "de"), false),
+      (0, 1 << 20, 0.0, Nil, true),
+      (2, 60, 0.1, Seq("en"), true))
+    for ((minT, maxT, minQ, langs, gopher) <- cases) {
+      var composable = annotated
+        .where($"n_tokens" >= minT && $"n_tokens" <= maxT &&
+          $"quality" >= minQ)
+      if (langs.nonEmpty)
+        composable = composable.where($"pred_lang".isin(langs: _*))
+      if (gopher)
+        composable = composable.where(TextAnalysis.gopherKeepExpr($"text"))
+      val fused = df.where(TextAnalysis.heuristicKeep($"text",
+        minT, maxT, minQ, langs, gopher))
+      val want = composable.select($"id").collect().map(_.getLong(0)).toSet
+      val got = fused.select($"id").collect().map(_.getLong(0)).toSet
+      assert(got == want,
+        s"case ($minT,$maxT,$minQ,$langs,$gopher): " +
+          s"only-fused=${got -- want} only-composable=${want -- got}")
+    }
+  }
+
   test("unigramSurprisal: exact integer bit-length surprise, hand-checked") {
     // corpus freqs: a=3 (bitlen 2 -> surp 40-(2-1)=39), b=1, c=1
     // (bitlen 1 -> surp 40). Integer arithmetic means the sums are exact.
