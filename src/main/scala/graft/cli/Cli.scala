@@ -258,6 +258,8 @@ object Cli {
           "[--min-quality X] [--langs l1,l2] [--gopher] " +
           "[--min-model-quality X] [--lm-ref <parquet>] " +
           "[--lm-max-bits X] [--no-exact-dedup] [--near-dup T] " +
+          "[--pair-graph NAME (near-dedup from the committed pair " +
+          "graph in <root> instead of re-hashing)] " +
           "[--benchmark <parquet>] [--budget-per-source N] " +
           "[--split TR,VAL] [--chunk K,OVERLAP]"
       case _ =>
@@ -325,6 +327,7 @@ object Cli {
       gopher: Boolean = false, minModelQuality: Option[Double] = None,
       lmRef: Option[String] = None, lmMaxBits: Double = 16.0,
       exactDedup: Boolean = true, nearDup: Option[Double] = None,
+      pairGraphName: Option[String] = None,
       benchmark: Option[String] = None, budgetPerSource: Option[Long] = None,
       split: Option[(Int, Int)] = None, chunk: Option[(Int, Int)] = None)
 
@@ -368,6 +371,8 @@ object Cli {
       case "--no-exact-dedup" :: t => go(t, o.copy(exactDedup = false))
       case "--near-dup" :: v :: t =>
         go(t, o.copy(nearDup = Some(dblArg("--near-dup", v))))
+      case "--pair-graph" :: v :: t =>
+        go(t, o.copy(pairGraphName = Some(v)))
       case "--benchmark" :: v :: t => go(t, o.copy(benchmark = Some(v)))
       case "--budget-per-source" :: v :: t =>
         go(t, o.copy(budgetPerSource =
@@ -780,6 +785,12 @@ object Cli {
           gopherGates = o.gopher, minModelQuality = o.minModelQuality,
           lmFilter = o.lmRef.map(p => (spark.read.parquet(p), o.lmMaxBits)),
           dedupExact = o.exactDedup, nearDupThreshold = o.nearDup,
+          // committed pair-graph edges from THIS catalog: near-dedup
+          // becomes two semi-joins on the edge list instead of
+          // re-hashing the corpus (the index must cover these docs at
+          // the same scrub level — see CurationConfig.nearDupPairs)
+          nearDupPairs = o.pairGraphName.map(n =>
+            graft.ops.Dedup.loadPairGraphIndex(spark, cat, n).pairs),
           benchmark = o.benchmark.map(spark.read.parquet(_)),
           budgetPerSource = o.budgetPerSource,
           split = o.split, chunk = o.chunk)

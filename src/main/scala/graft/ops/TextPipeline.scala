@@ -44,6 +44,18 @@ final case class CurationConfig(
     lmFilter: Option[(DataFrame, Double)] = None,
     dedupExact: Boolean = true,
     nearDupThreshold: Option[Double] = None, // e.g. Some(0.6)
+    // near-dup pairs ALREADY COMPUTED — e.g. a committed
+    // PairGraphIndex's `pairs` frame (id_a, id_b). When set, the
+    // near-dedup stage prunes these edges to the surviving ids instead
+    // of re-running the LSH pipeline over the corpus: LSH pair
+    // existence is a function of the two documents alone (banding is
+    // per-doc deterministic, the verify is pairwise), so the committed
+    // graph restricted to survivors IS the inline pair set — the
+    // equivalence TextPipelineSpec pins. Caller contract: the pairs
+    // were built with the SAME (n, numHashes, rowsPerBand, threshold)
+    // family over a superset of `docs`, on the same scrub level this
+    // config applies (scrubbed text hashes differently)
+    nearDupPairs: Option[DataFrame] = None,
     benchmark: Option[DataFrame] = None,     // docs with the text column
     decontaminateN: Int = 4,
     budgetPerSource: Option[Long] = None,
@@ -158,12 +170,23 @@ object TextPipeline {
       kept = tap("exact_dedup", kept.join(canon, Seq(idCol), "left_semi"))
     }
 
-    // 3. near dedup: keep each cluster's canonical doc
-    cfg.nearDupThreshold.foreach { t =>
-      val pairs = Dedup.minhashLshPairs(kept, idCol, textCol,
-        n = 3, numHashes = 8, rowsPerBand = 2, threshold = t)
-        .select("id_a", "id_b")
-      val clusters = Dedup.dupClusters(kept.select(id), idCol, pairs)
+    // 3. near dedup: keep each cluster's canonical doc. With committed
+    // pairs supplied (cfg.nearDupPairs), the stage is two semi-joins on
+    // the edge list + CC over batch-incident edges — the corpus is never
+    // re-hashed; otherwise the inline LSH pipeline runs here
+    if (cfg.nearDupPairs.isDefined || cfg.nearDupThreshold.isDefined) {
+      val keptIds = kept.select(id)
+      val pairs = cfg.nearDupPairs match {
+        case Some(committed) => committed
+          .select(col("id_a"), col("id_b"))
+          .join(keptIds.select(id.as("id_a")), Seq("id_a"), "left_semi")
+          .join(keptIds.select(id.as("id_b")), Seq("id_b"), "left_semi")
+        case None => Dedup.minhashLshPairs(kept, idCol, textCol,
+          n = 3, numHashes = 8, rowsPerBand = 2,
+          threshold = cfg.nearDupThreshold.get)
+          .select("id_a", "id_b")
+      }
+      val clusters = Dedup.dupClusters(keptIds, idCol, pairs)
       kept = tap("near_dedup", kept.join(
         clusters.where(col(idCol) === col("cluster_id")).select(id),
         Seq(idCol), "left_semi"))

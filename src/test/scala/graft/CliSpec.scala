@@ -690,6 +690,19 @@ class CliSpec extends SparkSpec {
     intercept[Cli.UsageError] {
       Cli.dispatch(spark, List("curate", root, docsPath, "--split", "80"))
     }
+
+    // --pair-graph: build the committed edge index in the same catalog,
+    // then curate reading near-dup pairs from it — survivor set equal to
+    // the inline-LSH run above (same LSH family, threshold from the
+    // index build)
+    dispatchCapturing("pair-graph", "build", root, docsPath,
+      "--name", "pg", "--threshold", "0.25")
+    dispatchCapturing("curate", root, docsPath,
+      "--name", "cur2", "--min-tokens", "4", "--pair-graph", "pg",
+      "--split", "80,10")
+    val viaIndex = cat.read(spark, "cur2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == ids, s"index-fed $viaIndex != inline-LSH $ids")
     graft.ops.Dedup.releaseCaches()
   }
 

@@ -120,6 +120,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.where($"doc_id" === 1L).head().getAs[String]("pred_lang") == "en")
   }
 
+  test("near-dedup from a committed pair graph == the inline LSH stage " +
+      "(edges pruned to survivors; no corpus re-hash)") {
+    // the index is built over the FULL corpus with the same LSH family
+    // curate uses inline (n=3, 8 hashes, 2 rows/band) — its edges
+    // restricted to the heuristic survivors must be exactly the pairs
+    // the inline stage computes, so the survivor sets match
+    val idx = graft.ops.Dedup.pairGraphIndex(docs, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+    val cfgInline = CurationConfig(minTokens = 5, langs = Set("en"),
+      dedupExact = true, nearDupThreshold = Some(0.5),
+      benchmark = Some(bench))
+    val cfgIndexed = cfgInline.copy(nearDupThreshold = None,
+      nearDupPairs = Some(idx.pairs))
+    val inline = TextPipeline.curate(docs, "doc_id", "text", "source",
+      cfgInline).select("doc_id").as[Long].collect().toSet
+    val indexed = TextPipeline.curate(docs, "doc_id", "text", "source",
+      cfgIndexed).select("doc_id").as[Long].collect().toSet
+    idx.release()
+    assert(indexed == inline, s"indexed $indexed vs inline $inline")
+    assert(inline == Set(1L, 6L))
+  }
+
   test("stages toggle independently") {
     val noDedup = TextPipeline.curate(docs, "doc_id", "text", "source",
       CurationConfig(minTokens = 5, dedupExact = false))
