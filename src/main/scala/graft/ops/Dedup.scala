@@ -650,7 +650,7 @@ object Dedup {
     * [[minhashLshPairs]], [[indexPairs]] and incremental batch
     * self-pairing so the candidate and verify rules can never diverge.
     */
-  private def selfPairs(banded: DataFrame, sets: DataFrame,
+  private[ops] def selfPairs(banded: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -1096,7 +1096,7 @@ object Dedup {
     * was a stateful streaming dedup whose state grew with every ingested
     * document).
     */
-  private def probeMatches(base: DataFrame, index: MinhashIndex,
+  private[ops] def probeMatches(base: DataFrame, index: MinhashIndex,
       threshold: Double, broadcastProbe: Boolean = false): DataFrame = {
     val r = index.rowsPerBand
     val numBands = index.numHashes / r
@@ -1729,7 +1729,7 @@ object Dedup {
     * the text-hash pipeline (shingling + minhash signatures, the
     * dominant cost) runs once, not once per derived table.
     */
-  private def indexTables(df: DataFrame, idCol: String, textCol: String,
+  private[ops] def indexTables(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int,
       rowsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
     val base = df

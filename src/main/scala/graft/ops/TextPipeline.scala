@@ -249,4 +249,287 @@ object TextPipeline {
     }
     kept
   }
+
+  // ------------------------------------------------------------------
+  // Continuous curated ingestion: curate as a STREAM, not a batch job.
+
+  /** One curated-ingestion step (the foreachBatch body of
+    * [[curatedIngestStream]], exposed for direct testing and
+    * batch-driven backfills): gate → exact-dedup → near-dup ADMISSION
+    * against the already-admitted corpus → decontaminate → one atomic
+    * commit of (survivors append + rejections append + minhash-index
+    * append + batch id). Returns true when applied, false when skipped
+    * (replayed batch id or empty batch) — maintenance is EXACTLY-ONCE
+    * end to end under at-least-once foreachBatch delivery, the same
+    * contract as [[Dedup.applyPairGraphBatch]].
+    *
+    * SEMANTICS. Per-batch stages reuse [[curate]] VERBATIM (scrub, the
+    * fused heuristic gate + annotations, batch-internal exact dedup), so
+    * a single batch admits exactly what batch curation keeps — the
+    * parity TextIngestSpec pins. Across batches the near-dedup rule is
+    * GREEDY ADMISSION against the frozen admitted set (the
+    * [[Similarity.semDedupAdmitStream]] contract, in MinHash space): an
+    * arrival near-dupping any ADMITTED doc is rejected; survivors of the
+    * corpus probe then collapse batch-internally to cluster
+    * representatives exactly like curate's near_dedup stage. Greedy
+    * admission equals batch curation whenever no cross-batch dup CHAIN
+    * spans a rejected middleman (clusters that are cliques, or clusters
+    * wholly inside one batch); on an a–b–c chain split a,b | c the batch
+    * path keeps {a} while the stream admits {a, c} — c's only near-dup
+    * was never admitted. Both sets are valid maximal independent
+    * pickings; the spec pins the divergence explicitly.
+    *
+    * STATE. Five catalog tables under `name`: `survivors` (admitted docs
+    * + annotations + content_sha + ingest_batch), `rejections` (doc id,
+    * reason ∈ {gate, exact_batch, exact_corpus, near_corpus, near_batch,
+    * contaminated}, matched admitted/canonical id where one exists,
+    * ingest_batch), `banded`/`sets` (the admitted corpus's MinHash
+    * tables — [[Dedup.MinhashIndex]] layout), `params` (near-dup family
+    * + last_batch_id; threshold −1 when near-dedup is off). All five
+    * move in ONE [[graft.catalog.VersionedCatalog.commitAll]] targeting
+    * the batch's pinned load commit, so a concurrent writer fails loudly
+    * and readers never see survivors without their index rows.
+    *
+    * SCALE SHAPE (the point of the design): per batch, everything
+    * corpus-sized is SCANNED, never shuffled — the exact-dup probe
+    * broadcasts the batch's sha set into the survivors scan
+    * (batch-incident hits come back), the near-dup probe is
+    * [[Dedup.probeMatches]]'s broadcast path (lite probe + candidate doc
+    * ids broadcast; banded/sets scanned), and the commit APPENDS
+    * O(batch) rows (params alone rewrites — 1 row). Delta dirs are
+    * compacted past `maxDeltaDirs`, readers pinned at older commits
+    * unaffected. Batch-internal work (gate, sha groupBy, selfPairs + CC)
+    * is batch-sized by construction.
+    *
+    * Contract: `cfg` must be a STREAMABLE curation config —
+    * model/LM-quality gates (bootstrap-train per corpus), per-source
+    * budgets, split annotation and chunking are whole-corpus stages;
+    * run those over the committed survivors table instead. Doc ids must
+    * be fresh across the stream (the [[Dedup.PairGraphIndex.addDocs]]
+    * contract; fail-fast probe against admitted ids).
+    */
+  def applyCuratedIngestBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      cat: graft.catalog.VersionedCatalog, name: String,
+      cfg: CurationConfig,
+      n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxDeltaDirs: Int = 16): Boolean = {
+    require(cfg.minModelQuality.isEmpty && cfg.lmFilter.isEmpty,
+      "model/LM quality gates bootstrap-train on their corpus — a " +
+        "per-batch model drifts with arrival order; gate with the " +
+        "heuristics here and run the trained gates over the committed " +
+        "survivors")
+    require(cfg.budgetPerSource.isEmpty && cfg.split.isEmpty &&
+      cfg.chunk.isEmpty,
+      "budget/split/chunk are whole-corpus stages — run them on the " +
+        "committed survivors table, not per micro-batch")
+    require(cfg.nearDupPairs.isEmpty,
+      "the ingest maintains its own near-dup state; nearDupPairs is " +
+        "the batch-mode shortcut")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    import graft.catalog.TableDelta
+    if (batch.isEmpty) return false
+    val pinned = cat.currentCommit
+    val hasState = cat.exists(s"$name.params")
+    if (hasState) {
+      val p = cat.readAt(spark, s"$name.params", pinned).head()
+      require(p.getAs[Int]("n") == n &&
+        p.getAs[Int]("num_hashes") == numHashes &&
+        p.getAs[Int]("rows_per_band") == rowsPerBand &&
+        p.getAs[Double]("threshold") ==
+          cfg.nearDupThreshold.getOrElse(-1.0),
+        s"ingest $name: near-dup family (n/hashes/bands/threshold) " +
+          "differs from the committed one — admission rules must not " +
+          "drift mid-stream")
+      if (batchId <= p.getAs[Long]("last_batch_id")) return false // replay
+      // fresh-id fail-fast (bounded collect: limit 1)
+      val clash = cat.readAt(spark, s"$name.survivors", pinned)
+        .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"ingest $name: doc id ${clash.headOption.map(_.get(0)).orNull} " +
+          "already admitted — re-ingesting an existing id is not a merge")
+    }
+    Dedup.withCaches {
+      // scrub ONCE, before anything hashes: the content sha, the minhash
+      // tables and every stage must see the identical redacted text.
+      // curate() then runs with scrubbing OFF on the pre-scrubbed rows —
+      // literally the same expressions, hoisted.
+      var scrubbed = batch
+      if (cfg.scrubPii) scrubbed = scrubbed.withColumn(textCol,
+        TextAnalysis.redactPii(col(textCol)))
+      if (cfg.blocklist.nonEmpty) scrubbed = scrubbed.withColumn(textCol,
+        graft.functions.TextExprs.blocklistScrub(col(textCol),
+          cfg.blocklist))
+      val shaed = scrubbed.withColumn("content_sha", sha2(col(textCol), 256))
+      val taps = scala.collection.mutable.LinkedHashMap
+        .empty[String, DataFrame]
+      val staged = curate(shaed, idCol, textCol, idCol,
+        cfg.copy(scrubPii = false, blocklist = Nil,
+          nearDupThreshold = None, nearDupPairs = None, benchmark = None),
+        (s, df) => {
+          val p = Dedup.trackExisting(df.persist()); taps(s) = p; p
+        })
+      val idT = batch.schema(idCol).dataType
+      val nullId = lit(null).cast(idT)
+      def rej(df: DataFrame, reason: String, matched: Column): DataFrame =
+        df.select(col(idCol), lit(reason).as("reason"),
+          matched.cast(idT).as("matched_id"),
+          lit(batchId).as("ingest_batch"))
+      val gateKept = taps("heuristics")
+      var rejections = rej(shaed.join(gateKept.select(col(idCol)),
+        Seq(idCol), "left_anti"), "gate", nullId)
+      if (cfg.dedupExact) {
+        // batch-internal exact losers, each pointing at its canonical
+        val canon = Dedup.exactDedup(gateKept, idCol, textCol)
+          .select(col("content_sha"), col("canonical_id"))
+        val lost = gateKept
+          .join(taps("exact_dedup").select(col(idCol)), Seq(idCol),
+            "left_anti")
+          .select(col(idCol), col("content_sha"))
+          .join(canon, Seq("content_sha"))
+        rejections = rejections.unionByName(
+          rej(lost, "exact_batch", col("canonical_id")))
+      }
+      // exact vs the ADMITTED corpus: batch shas broadcast INTO the
+      // survivors scan; hits (batch-bounded) broadcast back into the
+      // batch-side anti-join — the corpus is scanned, never shuffled
+      val afterCorpusExact =
+        if (hasState && cfg.dedupExact) {
+          val surv = cat.readAt(spark, s"$name.survivors", pinned)
+          val hits = Dedup.trackExisting(surv
+            .join(broadcast(staged.select(col("content_sha")).distinct()),
+              Seq("content_sha"))
+            .groupBy(col("content_sha"))
+            .agg(min(col(idCol)).as("__matched"))
+            .persist())
+          rejections = rejections.unionByName(
+            rej(staged.join(broadcast(hits), Seq("content_sha")),
+              "exact_corpus", col("__matched")))
+          staged.join(broadcast(hits), Seq("content_sha"), "left_anti")
+        } else staged
+      // near-dup admission + batch-internal representative collapse
+      var nbns: Option[(DataFrame, DataFrame)] = None
+      val admittedPre = cfg.nearDupThreshold match {
+        case None => afterCorpusExact
+        case Some(t) =>
+          val (base, nb, ns) = Dedup.indexTables(afterCorpusExact, idCol,
+            textCol, n, numHashes, rowsPerBand)
+          Dedup.trackExisting(base.persist())
+          nbns = Some((nb, ns))
+          val afterCorpusNear =
+            if (hasState) {
+              val idx = Dedup.MinhashIndex(n, numHashes, rowsPerBand,
+                cat.readAt(spark, s"$name.banded", pinned),
+                cat.readAt(spark, s"$name.sets", pinned))
+              // one audit row per rejected arrival: its strongest
+              // admitted match
+              val cr = Dedup.trackExisting(Dedup.probeMatches(
+                  ns.select(col("doc").as("p_doc"), col("sh").as("p_sh"),
+                    col("sig").as("p_sig")),
+                  idx, t, broadcastProbe = true)
+                .groupBy(col("probe_id"))
+                .agg(max_by(col("corpus_id"), col("jaccard"))
+                  .as("__matched"))
+                .persist())
+              rejections = rejections.unionByName(
+                rej(afterCorpusExact.join(broadcast(cr),
+                    col(idCol) === col("probe_id")),
+                  "near_corpus", col("__matched")))
+              afterCorpusExact.join(broadcast(cr),
+                col(idCol) === col("probe_id"), "left_anti")
+            } else afterCorpusExact
+          // curate's near_dedup rule on what's left of the batch: CC over
+          // the batch-internal pair set, keep each cluster's canonical.
+          // Docs too short to shingle have no pairs — singletons, kept,
+          // and absent from banded/sets exactly like the batch build.
+          val keepDocs =
+            broadcast(afterCorpusNear.select(col(idCol).as("doc")))
+          val pairs = Dedup.selfPairs(
+              nb.join(keepDocs, Seq("doc"), "left_semi"),
+              ns.join(keepDocs, Seq("doc"), "left_semi"), t)
+            .select(col("id_a"), col("id_b"))
+          val clusters = Dedup.dupClusters(
+            afterCorpusNear.select(col(idCol)), idCol, pairs)
+          val nonReps = clusters.where(col(idCol) =!= col("cluster_id"))
+          rejections = rejections.unionByName(
+            rej(afterCorpusNear.join(
+                broadcast(nonReps.select(col(idCol), col("cluster_id"))),
+                Seq(idCol)),
+              "near_batch", col("cluster_id")))
+          afterCorpusNear.join(broadcast(nonReps.select(col(idCol))),
+            Seq(idCol), "left_anti")
+      }
+      // decontamination LAST — curate's stage order (near-dedup first
+      // means a cluster whose representative is contaminated vanishes
+      // entirely; stream and batch must agree on that)
+      val admitted = cfg.benchmark match {
+        case Some(b0) =>
+          var b = b0
+          if (cfg.scrubPii) b = b.withColumn(textCol,
+            TextAnalysis.redactPii(col(textCol)))
+          if (cfg.blocklist.nonEmpty) b = b.withColumn(textCol,
+            graft.functions.TextExprs.blocklistScrub(col(textCol),
+              cfg.blocklist))
+          val hits = Dedup.trackExisting(
+            Dedup.decontaminate(admittedPre, b, idCol, textCol,
+              cfg.decontaminateN).select(col(idCol)).persist())
+          rejections = rejections.unionByName(
+            rej(admittedPre.join(broadcast(hits), Seq(idCol), "left_semi"),
+              "contaminated", nullId))
+          admittedPre.join(broadcast(hits), Seq(idCol), "left_anti")
+        case None => admittedPre
+      }
+      val admittedP = Dedup.trackExisting(admitted.persist())
+      val params = Seq((n, numHashes, rowsPerBand,
+        cfg.nearDupThreshold.getOrElse(-1.0), batchId))
+        .toDF("n", "num_hashes", "rows_per_band", "threshold",
+          "last_batch_id")
+      val label = s"b$batchId"
+      var deltas = Map(
+        s"$name.survivors" -> TableDelta(appends = Seq(
+          (admittedP.withColumn("ingest_batch", lit(batchId)), label))),
+        s"$name.rejections" -> TableDelta(appends = Seq((rejections, label))),
+        s"$name.params" -> TableDelta(rewrite = Some(params)))
+      nbns.foreach { case (nb, ns) =>
+        // index rows for the ADMITTED docs only (the frozen-kept-set
+        // invariant: the index IS the admitted corpus)
+        val adm = broadcast(admittedP.select(col(idCol).as("doc")))
+        deltas ++= Map(
+          s"$name.banded" -> TableDelta(appends = Seq(
+            (nb.join(adm, Seq("doc"), "left_semi"), label))),
+          s"$name.sets" -> TableDelta(appends = Seq(
+            (ns.join(adm, Seq("doc"), "left_semi"), label))))
+      }
+      cat.commitAll(deltas, expected = Some(pinned))
+      (Seq("survivors", "rejections") ++
+        (if (nbns.isDefined) Seq("banded", "sets") else Nil))
+        .foreach(t =>
+          cat.compactIfNeeded(spark, s"$name.$t", maxDirs = maxDeltaDirs))
+      true
+    }
+  }
+
+  /** Continuous curated ingestion over a document stream: each
+    * micro-batch runs [[applyCuratedIngestBatch]] — curate's gates,
+    * exact + near dedup against everything already admitted, and one
+    * atomic exactly-once commit of survivors + rejections + index.
+    * Consumers read the latest committed `<name>.survivors` mid-stream;
+    * whole-corpus stages (budget, split, chunk, trained quality gates)
+    * run over that table on whatever cadence the pipeline needs.
+    */
+  def curatedIngestStream(docs: DataFrame, idCol: String, textCol: String,
+      cat: graft.catalog.VersionedCatalog, name: String,
+      cfg: CurationConfig,
+      n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxDeltaDirs: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        applyCuratedIngestBatch(batch.toDF(), batchId, idCol, textCol,
+          cat, name, cfg, n, numHashes, rowsPerBand, maxDeltaDirs)
+        ()
+    }
 }
