@@ -185,8 +185,13 @@ object PlanAudit {
         "shuffle, no sort)",
       p => !p.contains("Exchange") && !p.contains("SortExec")),
     Check("mm6_image_decode",
-      "render + real ImageIO decode is one map-only pass (no shuffle)",
-      p => !p.contains("Exchange") && !p.contains("SortExec")),
+      "render + real ImageIO decode is one map pass over the spread " +
+        "dims rows: the only exchange is the scale-adaptive round-robin " +
+        "spread of the pre-encode (id, dims) tuples — media payloads " +
+        "never shuffle, and no hash exchange or sort appears",
+      p => !p.contains("Exchange hashpartitioning") &&
+        !p.contains("SortExec") &&
+        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1),
     Check("mm5_feature_argmax",
       "feature extraction + summary is map-only (no shuffle)",
       p => !p.contains("Exchange") && !p.contains("SortExec")),
@@ -294,15 +299,25 @@ object PlanAudit {
         !p.contains("Join") &&
         "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 2),
     Check("mm12_image_resize",
-      "render + resize + re-decode is one map-only pass (no shuffle)",
-      p => !p.contains("Exchange") && !p.contains("SortExec")),
+      "render + resize + re-decode is one map pass over the spread dims " +
+        "(round-robin of pre-encode tuples only; payloads never shuffle)",
+      p => !p.contains("Exchange hashpartitioning") &&
+        !p.contains("SortExec") &&
+        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1),
     Check("mm13_audio_decimate",
-      "synthesize + decimate + re-decode is one map-only pass (no " +
-        "shuffle)",
-      p => !p.contains("Exchange") && !p.contains("SortExec")),
+      "synthesize + decimate + re-decode is one map pass over the " +
+        "spread dims (round-robin of pre-encode tuples only; payloads " +
+        "never shuffle)",
+      p => !p.contains("Exchange hashpartitioning") &&
+        !p.contains("SortExec") &&
+        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1),
     Check("mm14_channel_stats",
-      "render + decode + channel sums is one map-only pass (no shuffle)",
-      p => !p.contains("Exchange") && !p.contains("SortExec")))
+      "render + decode + channel sums is one map pass over the spread " +
+        "dims (round-robin of pre-encode tuples only; payloads never " +
+        "shuffle)",
+      p => !p.contains("Exchange hashpartitioning") &&
+        !p.contains("SortExec") &&
+        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

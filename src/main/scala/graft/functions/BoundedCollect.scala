@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
 /** Aggregation buffer: exact element count plus at most `cap` collected
   * elements (collection stops at the cap, the count never does).
   */
-final class BoundedBuf(var n: Long, val elems: ArrayBuffer[Long])
+final class BoundedBuf(var n: Long, val elems: ArrayBuffer[Long],
+    var mx: Long = Long.MinValue)
 
 /** Size-capped collect with an exact count — the skew-safe primitive for
   * frequency-capped dedup: `groupBy(key).agg(bounded_collect(v, cap))`
@@ -48,7 +49,13 @@ case class BoundedCollectLong(child: Expression, cap: Int,
   override def dataType: DataType = StructType(Seq(
     StructField("df", LongType, nullable = false),
     StructField("ds", ArrayType(LongType, containsNull = false),
-      nullable = false)))
+      nullable = false),
+    // exact group MAXIMUM — with ds(0) (the exact minimum) this gives
+    // every over-cap bucket its exact value range for free, which the
+    // chain variants use as per-shingle range-bucket bounds instead of
+    // paying an eager whole-input min/max job (Long.MinValue only for
+    // an empty group, which a groupBy can't produce)
+    StructField("mx", LongType, nullable = false)))
 
   override def createAggregationBuffer(): BoundedBuf =
     new BoundedBuf(0L, new ArrayBuffer[Long](math.min(cap, 16)))
@@ -72,13 +79,16 @@ case class BoundedCollectLong(child: Expression, cap: Int,
     val v = child.eval(input)
     if (v != null) {
       buf.n += 1L
-      keepMinK(buf.elems, v.asInstanceOf[Long])
+      val l = v.asInstanceOf[Long]
+      if (l > buf.mx) buf.mx = l
+      keepMinK(buf.elems, l)
     }
     buf
   }
 
   override def merge(buf: BoundedBuf, other: BoundedBuf): BoundedBuf = {
     buf.n += other.n
+    if (other.mx > buf.mx) buf.mx = other.mx
     var i = 0
     while (i < other.elems.length) {
       keepMinK(buf.elems, other.elems(i)); i += 1
@@ -88,11 +98,11 @@ case class BoundedCollectLong(child: Expression, cap: Int,
 
   override def eval(buf: BoundedBuf): Any =
     InternalRow(buf.n,
-      new GenericArrayData(buf.elems.toArray.sorted[Long]))
+      new GenericArrayData(buf.elems.toArray.sorted[Long]), buf.mx)
 
   override def serialize(buf: BoundedBuf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 + 4 + 8 * buf.elems.length)
-    bb.putLong(buf.n).putInt(buf.elems.length)
+    val bb = ByteBuffer.allocate(8 + 8 + 4 + 8 * buf.elems.length)
+    bb.putLong(buf.n).putLong(buf.mx).putInt(buf.elems.length)
     buf.elems.foreach(bb.putLong)
     bb.array()
   }
@@ -100,11 +110,12 @@ case class BoundedCollectLong(child: Expression, cap: Int,
   override def deserialize(bytes: Array[Byte]): BoundedBuf = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getLong
+    val mx = bb.getLong
     val len = bb.getInt
     val elems = new ArrayBuffer[Long](len)
     var i = 0
     while (i < len) { elems += bb.getLong; i += 1 }
-    new BoundedBuf(n, elems)
+    new BoundedBuf(n, elems, mx)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): BoundedCollectLong =

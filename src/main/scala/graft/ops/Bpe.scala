@@ -68,7 +68,7 @@ object Bpe {
     */
   def vocabSymbols(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs
+    graft.ops.Dedup.spread(docs)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))

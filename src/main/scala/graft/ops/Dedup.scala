@@ -50,6 +50,25 @@ object Dedup {
     df
   }
 
+  /** Scale-adaptive parallelism for CPU-heavy map work over small
+    * inputs: a small corpus reads as 1-2 splits (a parquet row group is
+    * the split floor), so a many-core session runs heavy per-row
+    * expressions (shingling, MinHash signatures, media codecs, stats
+    * structs) on one task while the rest of the machine idles. When the
+    * incoming partition count is below the session's default
+    * parallelism, round-robin the ROWS across it — what shuffles is the
+    * raw pre-compute input (ids, dims, text), once, before the expensive
+    * expressions; at scale the split count already exceeds
+    * defaultParallelism and this is an exact no-op (no exchange in the
+    * plan). Deterministic under retries: sortBeforeRepartition (default
+    * on) pins the row→partition assignment.
+    */
+  private[graft] def spread[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val target = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+  }
+
   private def tracked(df: DataFrame): DataFrame = {
     // purge entries already released elsewhere (spark.catalog.clearCache,
     // the repo-wide convention) so the registry itself stays bounded in
@@ -152,8 +171,9 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // persisted: read by the pair self-join (twice) and the count join
-    val sh = tracked(df
+    // persisted: read by the pair self-join (twice) and the count join;
+    // spread first — the shingling pass is the CPU-heavy stage
+    val sh = tracked(spread(df)
       .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0))
     val counts = sh.select(col("doc"), size(col("sh")).as("cnt"))
@@ -194,8 +214,9 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // persisted: read by the pair self-join (twice) and the count join
-    val sh = tracked(df
+    // persisted: read by the pair self-join (twice) and the count join;
+    // spread first — the shingling pass is the CPU-heavy stage
+    val sh = tracked(spread(df)
       .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0))
     val counts = sh.select(col("doc"), size(col("sh")).as("cnt"))
@@ -319,14 +340,10 @@ object Dedup {
     * a single-task O(df · log df) straggler. The star source
     * (bucket-minimum pairing) is skew-free either way.
     *
-    * EAGER NOTE: CONSTRUCTING this plan runs one Spark job — a
-    * column-pruned min/max aggregate over the raw `df` that derives the
-    * chain's doc-id range buckets. It reads the raw input (never the
-    * pipeline's caches: materializing those before the main query flips
-    * downstream broadcast joins to sort-merge — the documented cache-
-    * materialization planner trap), so callers composing plans should
-    * build this one last or accept the extra input pass even if the
-    * returned DataFrame is never evaluated.
+    * (r17: the former EAGER NOTE no longer applies — the chain's range
+    * buckets now use PER-SHINGLE bounds that ride the bounded-collect
+    * aggregate (ds(0)/mx), so constructing this plan runs no Spark job
+    * and the cache-materialization planner trap cannot arise here.)
     *
     * `rowsPerTask` overrides the [[chainRowsPerTask]] skew bound —
     * a test seam (DedupSpec drives the bucketed path on fixture-sized
@@ -370,8 +387,9 @@ object Dedup {
       sampleHot: Boolean = false, chainHot: Boolean = false,
       rowsPerTask: Long = chainRowsPerTask): DataFrame = {
     // hash shingles (8-byte elements): the candidate explode and the
-    // verification arrays shuffle long[]s, not strings
-    val sh = tracked(df
+    // verification arrays shuffle long[]s, not strings; spread first —
+    // the shingle hashing is the CPU-heavy stage
+    val sh = tracked(spread(df)
       .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("cnt", size(col("sh"))))
@@ -437,32 +455,27 @@ object Dedup {
         val chain =
           if (!chainHot) rareCk.limit(0)
           else {
-            // doc-id bounds come from the RAW input — NOT from the
-            // cached `sh`: an eager action on a cached frame would
-            // materialize the cache before the main query plans, and
-            // the accurate InMemoryRelation sizes then flip every
-            // downstream stats/verification join from broadcast to
-            // sort-merge (measured 2.4M → 9.9M shuffle records on the
-            // ×10 star query from exactly that). The raw min/max scan is
-            // a column-pruned aggregate that shares no plan fragment
-            // with the caches.
-            val b = df.agg(min(col(idCol)), max(col(idCol))).head()
-            if (b.isNullAt(0)) rareCk.limit(0)
-            else {
             // per-shingle nb (inside the broadcast, evaluated lazily as
             // part of the main query): 1 for every ordinary hot shingle
             // — the plain-window derivation — and up to chainBuckets for
             // a mega one, so the skew split engages exactly where a
-            // single-task sort would straggle
+            // single-task sort would straggle. The range-bucket BOUNDS
+            // are PER-SHINGLE and ride the freq aggregate for free
+            // (bc.ds(0) is the bucket's exact minimum, bc.mx its exact
+            // maximum), so the chain needs NO eager whole-input min/max
+            // job at plan-construction time — the r16 form paid one
+            // extra raw-input scan for global bounds (reading the RAW
+            // input to dodge the cache-materialization planner trap);
+            // tighter per-shingle spans also balance the buckets better
             val hotNb = freq.where(col("bc.df") > maxDocFreq)
               .select(col("shingle"),
                 expr(s"least(greatest(bc.df div ${rowsPerTask}L, " +
-                  s"1L), ${chainBuckets}L)").as("nb"))
-            adjacencyChainEdges(
-              ex.join(broadcast(hotNb), Seq("shingle")),
-              b.getLong(0), b.getLong(1))
+                  s"1L), ${chainBuckets}L)").as("nb"),
+                element_at(col("bc.ds"), 1).as("lo"),
+                col("bc.mx").as("hi"))
+            adjacencyChainEdgesCols(
+              ex.join(broadcast(hotNb), Seq("shingle")))
               .select(col("id_a"), col("id_b"), lit(0L).as("ck"))
-            }
           }
         rareCk.unionByName(star).unionByName(chain)
           .groupBy("id_a", "id_b").agg(max("ck").as("ck"))
@@ -538,11 +551,22 @@ object Dedup {
     // future caller feeds negative ids whose span exceeds Long range
     require(docHi >= docLo && docHi - docLo >= 0L,
       s"doc id span [$docLo, $docHi] inverted or overflows Long")
-    val range = docHi - docLo
+    adjacencyChainEdgesCols(
+      occ.withColumn("lo", lit(docLo)).withColumn("hi", lit(docHi)))
+  }
+
+  /** [[adjacencyChainEdges]] with PER-ROW range bounds: `occ` carries
+    * (shingle, doc, nb, lo, hi) where [lo, hi] spans every doc of the
+    * row's shingle (constant within a shingle). The production path
+    * feeds per-shingle exact bounds straight out of the bounded-collect
+    * aggregate (ds(0)/mx), removing the eager global min/max job the
+    * constant-bounds form needs.
+    */
+  private[graft] def adjacencyChainEdgesCols(occ: DataFrame): DataFrame = {
     // integer `div`, not floor(a/b): double division drops bits past 2^53
     // and ids at the top of the long range would land in the wrong bucket
     val ranged = occ.withColumn("bkt",
-      expr(s"(doc - ${docLo}L) div ((${range}L div nb) + 1L)"))
+      expr("(doc - lo) div (((hi - lo) div nb) + 1L)"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shingle"), col("bkt")).orderBy(col("doc"))
     val within = ranged
@@ -769,16 +793,39 @@ object Dedup {
     val n = nodes.count()
     require(n > 0, "pageRank over an empty graph")
     val base = 15L * scale / 100L / n
-    var ranks = roundCache(nodes.select(col("id"), lit(scale / n).as("r")))
-    for (_ <- 1 to iters) {
-      val prev = ranks
-      ranks = roundCache(pageRankRound(eDeg, nodes, ranks, base))
-      ranks.count() // materialize before dropping the round we read from
-      prev.unpersist()
+    // Rounds CHAIN inside one plan: each intermediate rank table is
+    // referenced exactly once (by the next round's inflow join), so
+    // lineage cannot fan out, and the whole recurrence runs as ONE
+    // Spark job instead of a job + node-sized cache write per round —
+    // the round arithmetic is bit-identical, only the materialization
+    // points moved. Blocks of [[prChainBlock]] rounds bound plan depth
+    // for large `iters`; a block boundary materializes through
+    // roundCache exactly as the old per-round loop did every round.
+    var ranks = nodes.select(col("id"), lit(scale / n).as("r"))
+    var mat: DataFrame = null
+    var sinceMat = 0
+    for (i <- 1 to iters) {
+      ranks = pageRankRound(eDeg, nodes, ranks, base)
+      sinceMat += 1
+      if (sinceMat == prChainBlock && i < iters) {
+        val next = roundCache(ranks)
+        next.count() // materialize before dropping the block we read from
+        if (mat != null) mat.unpersist()
+        mat = next
+        ranks = next
+        sinceMat = 0
+      }
     }
-    trackExisting(ranks) // final round backs the returned plan
+    if (mat != null) trackExisting(mat) // last block backs the returned plan
     ranks.select(col("id").as(idCol), col("r").as("rank_fp"))
   }
+
+  /** Rounds per chained PageRank plan segment: joins/aggregates nest this
+    * many rounds deep before a roundCache boundary truncates the plan —
+    * deep enough that the gate's iters=3 runs as one job, shallow enough
+    * that a long recurrence can't blow up planning time.
+    */
+  private[graft] val prChainBlock = 4
 
   /** The prepared PageRank adjacency: (eDeg, nodes), both cached. The
     * adjacency's hash layout is pinned on u ONCE (explicit partition
@@ -961,13 +1008,27 @@ object Dedup {
             .persist())
     }
     val hasCross = labels.nonEmpty && cross.limit(1).count() > 0
-    var fam = roundCache(sizes.join(intra, Seq("c"), "left")
+    // Rounds CHAIN inside one plan exactly like raw [[pageRank]]'s: the
+    // !hasCross recurrence is a map-only column update (Catalyst
+    // collapses the chained projections into one), the cross variant
+    // nests one label-scale join/aggregate per round; [[prChainBlock]]
+    // bounds plan depth for large `iters` with the same roundCache
+    // block boundaries. Round arithmetic is bit-identical — only the
+    // per-round materialization points moved.
+    val fam0 = tracked(sizes.join(intra, Seq("c"), "left")
       .select(col("c"), col("k"),
         greatest(expr("coalesce(e2, CAST(0 AS BIGINT)) div k"), lit(1L))
           .as("d"),
         lit(scale / n).as("u")))
-    for (_ <- 1 to iters) {
-      val prev = fam
+    var fam = fam0
+    var mat: DataFrame = null
+    var sinceMat = 0
+    // the cross recurrence references fam TWICE per round (flow + join),
+    // so chaining would double the plan per round — materialize every
+    // round there, exactly the old loop; the map-only default path
+    // references fam once per round and chains safely
+    val block = if (hasCross) 1 else prChainBlock
+    for (i <- 1 to iters) {
       val stepped =
         if (!hasCross)
           fam.select(col("c"), col("k"), col("d"),
@@ -989,15 +1050,22 @@ object Dedup {
                 "coalesce(fin, CAST(0 AS BIGINT)) div k)) div 100"))
                 .as("u"))
         }
-      fam = roundCache(stepped)
-      fam.count()
-      prev.unpersist()
+      fam = stepped
+      sinceMat += 1
+      if (sinceMat == block && i < iters) {
+        val next = roundCache(fam)
+        next.count() // materialize before dropping the block we read from
+        if (mat != null) mat.unpersist()
+        mat = next
+        fam = next
+        sinceMat = 0
+      }
     }
     val out = comp.join(fam.select(col("c"), col("u")), Seq("c"))
       .select(col("id").as(idCol), col("u").as("rank_fp"))
     cross.unpersist()
     edges.unpersist()
-    trackExisting(fam) // final round backs the returned plan
+    if (mat != null) trackExisting(mat) // last block backs the returned plan
     out
   }
 
@@ -1732,7 +1800,9 @@ object Dedup {
   private[ops] def indexTables(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int,
       rowsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
-    val base = df
+    // spread first: shingling + the numHashes-way signature fold is the
+    // CPU-heavy stage of every LSH consumer
+    val base = spread(df)
       .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", signatureOf(col("sh"), numHashes))
@@ -1842,7 +1912,7 @@ object Dedup {
     * set per invocation.
     */
   private[graft] def dupClustersWithCache(ids: DataFrame, idCol: String,
-      pairs: DataFrame, maxIters: Int = 50): (DataFrame, Option[DataFrame]) = {
+      pairs: DataFrame, maxIters: Int = 50): (DataFrame, Seq[DataFrame]) = {
     // cache the pair projection before the symmetrizing union — both
     // branches would re-run the whole pair pipeline otherwise (the
     // pageRankAdjacency lesson)
@@ -1850,34 +1920,74 @@ object Dedup {
     val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
-    var cached = roundCache(
-      ids.select(col(idCol).as("id"), col(idCol).as("label")))
-    var labels = cached
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < maxIters) {
-      val nbrMin = edges.join(labels, col("v") === col("id"))
-        .groupBy(col("u")).agg(min("label").as("nbr"))
-      val step = roundCache(labels.join(nbrMin, col("id") === col("u"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label")))
-            .as("label"),
-          (col("nbr") < col("label")).as("chg")))
-      changed = step.where(col("chg")).count() // materializes the cache
-      cached.unpersist()
-      cached = step
-      labels = step.select("id", "label")
-      iters += 1
-    }
+    // CONTRACTION pass (the pageRankContracted label derivation, applied
+    // to the CC loop itself): l0 = min(self, min neighbor) — exactly the
+    // old loop's first round over the identity seed — roots every clique
+    // in ONE map-combined aggregation; the remaining hash-min rounds run
+    // on the residual LABEL graph (distinct cross-label edges — EMPTY
+    // for clique families, tiny for anything near-clique) instead of
+    // re-scanning the full edge table every round. Components and their
+    // min ids are preserved by the quotient, so the fixpoint labels are
+    // bit-identical; on the adversarial path graph the label graph
+    // halves, so non-convergence inside maxIters still throws exactly
+    // like the uncontracted loop (DedupSpec pins that on a 200-chain).
+    val l0 = roundCache(edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("l")))
+    val le = roundCache(edges
+      .join(l0.select(col("id").as("u"), col("l").as("lu")), Seq("u"))
+      .join(l0.select(col("id").as("v"), col("l").as("lv")), Seq("v"))
+      .where(col("lu") =!= col("lv"))
+      .select(col("lu").as("u"), col("lv").as("v")).distinct())
+    val leCnt = le.count() // materializes edges, l0 and le in one job
     edges.unpersist()
-    if (changed > 0) {
-      cached.unpersist() // nothing is returned, so nothing holds the cache
-      throw new IllegalStateException(
-        s"dupClusters did not converge in $maxIters rounds " +
-          "(component diameter exceeds the cap; raise maxIters)")
+    // hash-min to fixpoint over the contracted graph (label-scale state;
+    // the loop never touches the full edge table again)
+    var rootsCache: Option[DataFrame] = None
+    var roots: DataFrame = null
+    if (leCnt > 0) {
+      var cached = roundCache(le.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
+      var labels = cached
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < maxIters) {
+        val nbrMin = le.join(labels, col("v") === col("id"))
+          .groupBy(col("u")).agg(min("label").as("nbr"))
+        val step = roundCache(labels
+          .join(nbrMin, col("id") === col("u"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr"), col("label")))
+              .as("label"),
+            (col("nbr") < col("label")).as("chg")))
+        changed = step.where(col("chg")).count() // materializes the cache
+        cached.unpersist()
+        cached = step
+        labels = step.select("id", "label")
+        iters += 1
+      }
+      if (changed > 0) {
+        // nothing is returned, so nothing holds the caches
+        cached.unpersist(); le.unpersist(); l0.unpersist()
+        throw new IllegalStateException(
+          s"dupClusters did not converge in $maxIters rounds " +
+            "(component diameter exceeds the cap; raise maxIters)")
+      }
+      rootsCache = Some(cached)
+      roots = labels.select(col("id").as("l"), col("label").as("root"))
     }
-    (labels.select(col("id").as(idCol), col("label").as("cluster_id")),
-      Some(cached))
+    le.unpersist()
+    // map back through the contraction, then onto the caller's universe
+    // (ids outside the pair graph stay their own singleton cluster —
+    // the identity-seed loop's exact behavior for them)
+    val full =
+      if (roots == null) l0.select(col("id"), col("l").as("label"))
+      else l0.join(roots, Seq("l"), "left")
+        .select(col("id"), coalesce(col("root"), col("l")).as("label"))
+    val out = ids.select(col(idCol).as("id"))
+      .join(full, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("cluster_id"))
+    (out, l0 +: rootsCache.toSeq)
   }
 
   /** Round-state cache for the iterative loops: truncate the logical plan
@@ -1941,30 +2051,41 @@ object Dedup {
     * page a variant of every other) survive any k up to their size.
     * Returns (id, degree) over the survivors.
     *
-    * DELTA PEEL: degrees are computed ONCE from the full edge set, then
-    * maintained incrementally — each round touches only the edges
-    * incident to the nodes that just peeled (usually a shrinking
-    * frontier), instead of re-aggregating all E edges every round (the
-    * r16-measured O(E·rounds) shape: 200M shuffle records at ×100 for a
-    * 27.1M-edge graph). The peeled set is small after round one, so its
-    * edge-marking joins broadcast under AQE and the surviving edges
-    * never shuffle; the per-round shuffle is the removed-edge loss
-    * aggregate, linear in the CASCADE, not the graph. Rounds carry
-    * [[roundCache]] plan truncation like the connected-components
-    * loops; per-round counts read cached data — control flow only,
-    * never a rescan of the pair source. The SEMANTICS are unchanged
-    * from the full-reaggregation form (g3/g3b gates): round r
-    * simultaneously removes every node whose degree in the surviving
-    * subgraph is below k, and a node whose maintained degree hits 0
-    * drops out exactly as it vanished from the old per-round degree
-    * aggregate.
+    * DELTA PEEL over a STATIC edge table: degrees are computed ONCE from
+    * the full edge set, then maintained incrementally — the edge table
+    * is cached once and NEVER rewritten (the r16 delta form still
+    * materialized a shrinking edge copy every round: two full edge-set
+    * cache writes + three jobs per round; the r15 full-reaggregation
+    * form re-shuffled all E edges per round — 200M shuffle records at
+    * ×100 for a 27.1M-edge graph). An edge decrements exactly one
+    * maintained degree, in the round its FIRST endpoint peels: the loss
+    * aggregate joins the static edges against the just-peeled set on
+    * either endpoint and emits the opposite endpoint, so the per-round
+    * SHUFFLE is the matched endpoints only — ≤ 2·E records across ALL
+    * rounds combined, linear in the cascade, never O(E·rounds). Emitted
+    * endpoints that are already dead (peeled earlier, or peeling this
+    * same round) fall out of the deg ≥ k join target — exactly the old
+    * form's "an edge with both endpoints peeled decrements nobody left
+    * alive" rule; an edge with a LONG-dead endpoint cannot emit against
+    * a live one because the edge already decremented it the round that
+    * endpoint died (by induction the static-edges-matched-on-peel set
+    * and the old surviving-edge set remove the same decrements in the
+    * same round). The fixpoint probe rides the same job that
+    * materializes the round's degree cache (count of sub-k rows), so a
+    * round is ONE Spark job and one node-sized cache write. The
+    * SEMANTICS are unchanged from the full-reaggregation form (g3/g3b
+    * gates): round r simultaneously removes every node whose degree in
+    * the surviving subgraph is below k, and a node whose maintained
+    * degree hits 0 drops out exactly as it vanished from the old
+    * per-round degree aggregate (a degree reaches 0 only when all the
+    * node's edges lost their other endpoint).
     */
   def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 50,
       requireConverged: Boolean = true): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
     // canonicalize orientation first: a producer emitting BOTH (a,b)
     // and (b,a) would otherwise double-count every degree
-    var edges = roundCache(pairs
+    val edges = roundCache(pairs
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .where(col("id_a") =!= col("id_b")).distinct())
@@ -1973,42 +2094,40 @@ object Dedup {
     var deg = roundCache(edges
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg")))
+    // materializes edges + deg and probes the first round's peel in the
+    // same job; later rounds fold the probe into their cache-fill count
+    var nBelow = deg.where(col("deg") < k).count()
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val peeled = deg.where(col("deg") < k).select(col("id"))
-      if (peeled.isEmpty) done = true // fixpoint: nothing below k
+      if (nBelow == 0L) done = true // fixpoint: nothing below k
       else {
-        // mark each edge's endpoints against the peeled set (one pass,
-        // broadcast-sized right sides after round one)
-        val pa = peeled.select(col("id").as("id_a"), lit(true).as("_pa"))
-        val pb = peeled.select(col("id").as("id_b"), lit(true).as("_pb"))
-        val marked = roundCache(edges
-          .join(pa, Seq("id_a"), "left")
-          .join(pb, Seq("id_b"), "left"))
-        val surviving = roundCache(marked
-          .where(col("_pa").isNull && col("_pb").isNull)
-          .select(col("id_a"), col("id_b")))
-        // each removed edge decrements its SURVIVING endpoint (an edge
-        // with both endpoints peeled decrements nobody left alive)
-        val loss = marked
-          .where(col("_pa").isNotNull || col("_pb").isNotNull)
-          .select(explode(array(
-            when(col("_pa").isNull, col("id_a")),
-            when(col("_pb").isNull, col("id_b")))).as("id"))
-          .where(col("id").isNotNull)
-          .groupBy(col("id")).agg(count(lit(1)).as("lost"))
+        val np = deg.where(col("deg") < k)
+        // loss per surviving node: the STATIC edge table matched against
+        // the just-peeled set on either endpoint, projected to the OTHER
+        // endpoint — ONE scan of the cached edges (each edge exploded
+        // into its two directions in the map stage, then a semi-join on
+        // the peeled src). Contributions aimed at dead or
+        // same-round-peeling nodes fall out of the deg >= k join below;
+        // a live endpoint is hit exactly once per lost edge, in the
+        // round the edge's first endpoint peels
+        val dir = edges.select(explode(array(
+            struct(col("id_a").as("src"), col("id_b").as("dst")),
+            struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val loss = dir
+          .join(np.select(col("id").as("src")), Seq("src"), "left_semi")
+          .groupBy(col("dst")).agg(count(lit(1)).as("lost"))
+          .withColumnRenamed("dst", "id")
         val nextDeg = roundCache(deg.where(col("deg") >= k)
           .join(loss, Seq("id"), "left")
           .select(col("id"),
             (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
           .where(col("deg") >= 1L))
-        // materialize the new round state while this round's caches are
-        // still live, THEN release them
-        nextDeg.count()
-        surviving.count()
-        edges.unpersist(); deg.unpersist(); marked.unpersist()
-        edges = surviving
+        // ONE job fills the new round's cache AND carries the next
+        // fixpoint probe (sub-k survivor count) back to the driver
+        nBelow = nextDeg.where(col("deg") < k).count()
+        deg.unpersist()
         deg = nextDeg
       }
       round += 1
@@ -2044,7 +2163,7 @@ object Dedup {
 
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long, maxDocFreq: Int): DataFrame = {
-    val fp = df.select(col(idCol).as("doc"),
+    val fp = spread(df).select(col(idCol).as("doc"),
         graft.functions.TextExprs.winnowFingerprints(col(textCol), k, w)
           .as("fps"))
       .where(size(col("fps")) > 0)
@@ -2072,7 +2191,7 @@ object Dedup {
     */
   def winnowSpanPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long, maxDocFreq: Int): DataFrame = {
-    val e = tracked(df.select(col(idCol).as("doc"),
+    val e = tracked(spread(df).select(col(idCol).as("doc"),
         explode(graft.functions.TextExprs
           .winnowPositions(col(textCol), k, w)).as("s"))
       .select(col("doc"), col("s.fp").as("f"), col("s.pos").as("pos")))
@@ -2421,7 +2540,7 @@ object Dedup {
     // persisted: read by the band-balance stats aggregate and both sides
     // of the banded self-join
     val sig = tracked(
-      df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh")))
+      spread(df).select(col(idCol).as("doc"), simhash(col(textCol)).as("sh")))
     // Entropy-balanced band assignment. Pigeonhole only needs the 64 bit
     // POSITIONS partitioned into maxDist+1 disjoint groups — any partition
     // is complete — but contiguous bands degenerate on real corpora:
@@ -2506,7 +2625,7 @@ object Dedup {
     val numBands = maxDist + 1
     val masks = contiguousBandMasks(numBands)
     val sig = tracked(
-      df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh")))
+      spread(df).select(col(idCol).as("doc"), simhash(col(textCol)).as("sh")))
     val banded = sig.select(col("doc"),
       posexplode(array(masks.map(m =>
         col("sh").bitwiseAND(lit(m))): _*)).as(Seq("band", "bits")))

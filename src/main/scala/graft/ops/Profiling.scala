@@ -154,7 +154,12 @@ object Profiling {
       Seq(count(col(c)).as(s"n|$c"), nd.as(s"nd|$c"),
         min(cents).as(s"lo|$c"), max(cents).as(s"hi|$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // spread before the partial aggregate: the exact form's Expand
+    // multiplies every input row by the profiled-column count, so a
+    // 1-split input runs that fan-out single-task; the spread shuffles
+    // only the projected profile columns and is a no-op at scale
+    val wide = Dedup.spread(df.select(cols.map(c => col(c._1)): _*))
+      .agg(aggs.head, aggs.tail: _*)
     // unpivot via explode over Column objects (never string-interpolated
     // SQL, so arbitrary column names — quotes, backticks, commas — are
     // safe); same generator shape as stack()

@@ -52,7 +52,7 @@ object QualityModel {
     */
   def rawFeatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    docs
+    graft.ops.Dedup.spread(docs)
       .select(col(idCol), TextAnalysis.stats(col(textCol)).as("st"))
       .select(
         col(idCol),

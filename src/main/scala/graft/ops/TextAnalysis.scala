@@ -672,31 +672,55 @@ object TextAnalysis {
   def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int): DataFrame = {
     require(n >= 2, s"span length $n must be >= 2")
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(k => lead(col("w"), k).over(wOrd))
-    val toks = df.select(col(idCol).as("doc_id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-    // positions are dense per doc, so lead(n-1) non-null <=> a full
-    // n-token span starts here
-    val grams = toks.select(col("doc_id"), col("pos"), col("w"),
-      when(leads.last.isNotNull,
-        concat_ws(" ", (col("w") +: leads): _*)).as("gram"))
-    val hot = grams.where(col("gram").isNotNull)
-      .groupBy(col("gram"))
+    // grams build MAP-ONLY from each doc's token array (array slices —
+    // the bigramRows trick at span length n) instead of a corpus-wide
+    // lead-chain window: the old shape shuffled the full token stream
+    // once to window it and once more through the gram join, then
+    // rebuilt docs via collect_list + array_sort. Here only (a) the
+    // gram-frequency aggregate and (b) the HOT-gram start positions
+    // shuffle — the token stream itself shuffles exactly once, as
+    // doc-sized arrays into the final join — and the rebuild is array
+    // arithmetic on the doc row. Output is bit-identical (same gram
+    // strings, same coverage rule: token i is cut iff a hot gram starts
+    // in [i-n+1, i]).
+    // both cached: toks feeds the gram explode AND the final rebuild
+    // join; occ feeds the frequency aggregate AND the hot-occurrence
+    // semi-join — uncached, each would tokenize + re-concat the whole
+    // corpus twice
+    val toks = graft.ops.Dedup.trackExisting(graft.ops.Dedup.spread(df)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) > 0).persist())
+    val occ = graft.ops.Dedup.trackExisting(toks.select(col("doc_id"),
+        when(size(col("tk")) >= n,
+          transform(sequence(lit(0), size(col("tk")) - n),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
+          .otherwise(expr("CAST(array() AS array<string>)")).as("gr"))
+      .select(col("doc_id"), posexplode(col("gr")).as(Seq("pos", "gram")))
+      .persist())
+    val hot = occ.groupBy(col("gram"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .where(col("df") >= minDf)
-      .select(col("gram"), lit(1).as("bp"))
-    val wCover = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-(n - 1), Window.currentRow)
-    grams.join(hot, Seq("gram"), "left")
-      .withColumn("cov", max(coalesce(col("bp"), lit(0))).over(wCover))
+      .select(col("gram"))
+    // hot spans join back by equi-join on the gram key (deliberately NOT
+    // broadcast: at 100 TB the repeated-span set is as unbounded as the
+    // near-dup rate), then collapse to per-doc start-position lists —
+    // the only post-aggregate stream is hot OCCURRENCES, not all grams
+    val starts = occ.join(hot, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(
-        array_join(transform(array_sort(collect_list(
-            when(col("cov") === 0, struct(col("pos"), col("w"))))),
-          _.getField("w")), " ").as("clean_text"),
-        count(when(col("cov") === 0, lit(1))).as("n_kept"),
-        count(when(col("cov") === 1, lit(1))).as("n_dropped"))
+      .agg(collect_list(col("pos")).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tk"),
+        array_distinct(flatten(transform(
+          coalesce(col("starts"), expr("CAST(array() AS array<int>)")),
+          s => sequence(s, s + n - 1)))).as("cov"))
+      .select(col("doc_id"), col("tk"),
+        array_except(sequence(lit(0), size(col("tk")) - 1), col("cov"))
+          .as("keep"))
+      .select(col("doc_id"),
+        array_join(transform(col("keep"),
+          p => element_at(col("tk"), p + 1)), " ").as("clean_text"),
+        size(col("keep")).cast("long").as("n_kept"),
+        (size(col("tk")) - size(col("keep"))).cast("long").as("n_dropped"))
   }
 
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
@@ -774,7 +798,8 @@ object TextAnalysis {
     */
   private def bigramRows(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+    graft.ops.Dedup.spread(df)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(arrays_zip(
         slice(col("tk"), lit(1), size(col("tk")) - 1).as("w1"),
@@ -978,10 +1003,34 @@ object TextAnalysis {
   def dsirSelect(corpus: DataFrame, target: DataFrame, idCol: String,
       textCol: String, quota: Int): DataFrame = {
     require(quota > 0, s"dsirSelect needs quota >= 1, got $quota")
-    val sTgt = bigramSurprisalAgainst(corpus, target, idCol, textCol)
+    // ONE cached bigram stream serves all three consumers (the target-LM
+    // scoring pass, the raw-LM frequency tables, and the raw-LM scoring
+    // pass) — the unshared form tokenized + windowed the corpus three
+    // times; arithmetic per pass is bigramSurprisalAgainst's verbatim
+    val bi = graft.ops.Dedup.trackExisting(
+      bigramRows(corpus, idCol, textCol).persist())
+    def lm(ref: DataFrame): (DataFrame, DataFrame) = {
+      val bf = ref.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("bfreq"))
+      (bf, bf.groupBy(col("w1")).agg(sum(col("bfreq")).as("cfreq")))
+    }
+    def scoreAgainst(bf: DataFrame, cf: DataFrame): DataFrame = bi
+      .join(bf, Seq("w1", "w2"), "left")
+      .join(cf, Seq("w1"), "left")
+      .select(col("doc_id"),
+        when(col("cfreq").isNull, lit(32L))
+          .when(col("bfreq").isNull,
+            (length(bin(col("cfreq"))) + 1).cast("long"))
+          .otherwise((length(bin(col("cfreq"))) -
+            length(bin(col("bfreq")))).cast("long")).as("surp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("surprise"))
+    val (bfT, cfT) = lm(bigramRows(target, idCol, textCol))
+    val (bfR, cfR) = lm(bi)
+    val sTgt = scoreAgainst(bfT, cfT)
       .select(col("doc_id"), col("n_bigrams"),
         col("surprise").as("tgt_bits"))
-    val sRaw = bigramSurprisalAgainst(corpus, corpus, idCol, textCol)
+    val sRaw = scoreAgainst(bfR, cfR)
       .select(col("doc_id"), col("surprise").as("raw_bits"))
     sTgt.join(sRaw, Seq("doc_id"))
       .select(col("doc_id"), col("n_bigrams"), col("raw_bits"),

@@ -193,7 +193,7 @@ object StreamOps {
         (pmod(h, lit(64L)) + 1L).cast("int").as("w"),
         (pmod(floor(h / 64.0).cast("long"), lit(48L)) + 1L).cast("int")
           .as("h")).as[(Long, Int, Int)]
-      val media = dims.mapPartitions(_.map { case (id, w, hh) =>
+      val media = graft.ops.Dedup.spread(dims).mapPartitions(_.map { case (id, w, hh) =>
         graft.ops.Multimodal.MediaItem(id, "image",
           graft.ops.Multimodal.encodePng(w, hh, id))
       })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
@@ -219,7 +219,7 @@ object StreamOps {
         (pmod(floor(h / 4.0).cast("long"), lit(2L)) + 1L).cast("int").as("ch"),
         (pmod(floor(h / 8.0).cast("long"), lit(500L)) + 50L).cast("int")
           .as("n")).as[(Long, Int, Int, Int)]
-      val media = dims.mapPartitions(_.map { case (id, sr, ch, n) =>
+      val media = graft.ops.Dedup.spread(dims).mapPartitions(_.map { case (id, sr, ch, n) =>
         graft.ops.Multimodal.MediaItem(id, "audio",
           graft.ops.Multimodal.encodeWav(n, sr, ch, id))
       })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
@@ -246,7 +246,7 @@ object StreamOps {
         element_at(array(lit(10), lit(20), lit(25), lit(50)),
           (pmod(h, lit(4L)) + 1L).cast("int")).as("fps"))
         .as[(Long, Int, Int, Int, Int)]
-      val media = dims.mapPartitions(_.map { case (id, w, hh, n, fps) =>
+      val media = graft.ops.Dedup.spread(dims).mapPartitions(_.map { case (id, w, hh, n, fps) =>
         graft.ops.Multimodal.MediaItem(id, "video",
           graft.ops.Multimodal.encodeAvi(w, hh, n, fps, id))
       })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
@@ -271,7 +271,7 @@ object StreamOps {
         element_at(array(lit(10), lit(20), lit(25), lit(50)),
           (pmod(h, lit(4L)) + 1L).cast("int")).as("fps"))
         .as[(Long, Int, Int)]
-      val media = dims.mapPartitions(_.map { case (id, n, fps) =>
+      val media = graft.ops.Dedup.spread(dims).mapPartitions(_.map { case (id, n, fps) =>
         graft.ops.Multimodal.MediaItem(id, "video",
           graft.ops.Multimodal.encodeAvi(32, 24, n, fps, id))
       })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
@@ -286,7 +286,8 @@ object StreamOps {
     // encode→demux→bottom-up-BGR-decode chain must be bit-faithful
     "mm10_pixel_checksum" -> ((s, d) => {
       import s.implicits._
-      val media = documents(s, d).select($"doc_id").as[Long]
+      val media = graft.ops.Dedup
+        .spread(documents(s, d).select($"doc_id").as[Long])
         .mapPartitions(_.map { id =>
           graft.ops.Multimodal.MediaItem(id, "video",
             graft.ops.Multimodal.encodeAviRgb(8, 6, 2, 25, id))
@@ -316,7 +317,7 @@ object StreamOps {
         (pmod(h, lit(20L)) + 6L).cast("int").as("w"),
         (pmod(floor(h / 20.0).cast("long"), lit(15L)) + 6L).cast("int")
           .as("h")).as[(Long, Int, Int)]
-      val media = dims.mapPartitions(_.map { case (id, w, hh) =>
+      val media = graft.ops.Dedup.spread(dims).mapPartitions(_.map { case (id, w, hh) =>
         graft.ops.Multimodal.MediaItem(id, "video",
           graft.ops.Multimodal.encodeAviRgb(w, hh, 2, 25, id))
       })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
@@ -347,7 +348,7 @@ object StreamOps {
         (pmod(h, lit(20L)) + 6L).cast("int").as("w"),
         (pmod(floor(h / 20.0).cast("long"), lit(15L)) + 6L).cast("int")
           .as("h")).as[(Long, Int, Int)]
-      val media = dims.mapPartitions(_.map { case (id, w, hh) =>
+      val media = graft.ops.Dedup.spread(dims).mapPartitions(_.map { case (id, w, hh) =>
         graft.ops.Multimodal.MediaItem(id, "image",
           graft.ops.Multimodal.encodePng(w, hh, id))
       })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
@@ -379,7 +380,7 @@ object StreamOps {
         (pmod(floor(h / 4.0).cast("long"), lit(2L)) + 1L).cast("int").as("ch"),
         (pmod(floor(h / 8.0).cast("long"), lit(500L)) + 50L).cast("int")
           .as("n")).as[(Long, Int, Int, Int)]
-      val media = dims.mapPartitions(_.map { case (id, sr, ch, n) =>
+      val media = graft.ops.Dedup.spread(dims).mapPartitions(_.map { case (id, sr, ch, n) =>
         graft.ops.Multimodal.MediaItem(id, "audio",
           graft.ops.Multimodal.encodeWav(n, sr, ch, id))
       })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
@@ -408,7 +409,7 @@ object StreamOps {
         (pmod(h, lit(24L)) + 2L).cast("int").as("w"),
         (pmod(floor(h / 24.0).cast("long"), lit(18L)) + 2L).cast("int")
           .as("h")).as[(Long, Int, Int)]
-      val media = dims.mapPartitions(_.map { case (id, w, hh) =>
+      val media = graft.ops.Dedup.spread(dims).mapPartitions(_.map { case (id, w, hh) =>
         graft.ops.Multimodal.MediaItem(id, "image",
           graft.ops.Multimodal.encodePng(w, hh, id))
       })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
