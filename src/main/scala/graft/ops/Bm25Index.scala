@@ -120,6 +120,11 @@ object PositionalIndex {
     */
   def build(docs: DataFrame, idCol: String, textCol: String)
       : PositionalIndex =
+    // deliberately NOT cached: a phrase probe's per-term filters push
+    // below this aggregate (term is a grouping key), so each term's
+    // pass shuffles only ITS postings — measured 7.7k records vs 116k
+    // when a cache boundary blocked the pushdown. The n-term re-tokenize
+    // is map-only CPU; the persisted/save() path prunes at the scan.
     PositionalIndex(docs
       .select(col(idCol).as("doc_id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
@@ -137,10 +142,16 @@ object Bm25Index {
   def build(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    val postings = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val docLens = postings.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("dl"))
+    // postings feeds FOUR consumers (docLens, the stats row, and the
+    // probe's hits + df-count sides); uncached, each re-runs the corpus
+    // tokenize+explode+aggregate — the build-time stats job below
+    // materializes the cache so one tokenization pass serves them all
+    val postings = graft.ops.Dedup.trackExisting(
+      toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")).persist())
+    val docLens = graft.ops.Dedup.trackExisting(
+      postings.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl")).persist())
     val r = docLens.agg(count(lit(1)), sum(col("dl"))).head()
     // sum over zero rows is NULL: an empty corpus (or an addDocs batch
     // that filtered to nothing) builds a valid empty index, not an NPE

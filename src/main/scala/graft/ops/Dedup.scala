@@ -65,8 +65,14 @@ object Dedup {
     */
   private[graft] def spread[T](ds: org.apache.spark.sql.Dataset[T])
       : org.apache.spark.sql.Dataset[T] = {
-    val target = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+    // a streaming plan has no batch RDD to inspect (ds.rdd trips the
+    // batch-only checker) and its micro-batch parallelism is the
+    // source's concern — pass it through untouched
+    if (ds.isStreaming) ds
+    else {
+      val target = ds.sparkSession.sparkContext.defaultParallelism
+      if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+    }
   }
 
   private def tracked(df: DataFrame): DataFrame = {
@@ -702,7 +708,7 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int,
       maxRel: Double): DataFrame = {
-    val base = tracked(df
+    val base = tracked(spread(df)
       .select(col(idCol).as("doc"), col(textCol).as("txt"),
         shingleHashes(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
@@ -750,7 +756,13 @@ object Dedup {
     * means whole boilerplate families, not chance collisions).
     */
   def trianglePairs(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("id_a"), col("id_b"))
+    // the edge list is referenced THREE times (both wedge sides + the
+    // closure probe); without a cache boundary the whole upstream
+    // pair-finding pipeline (banded self-join + exact-Jaccard verify)
+    // re-executes per reference — measured 3x the verify subtree in
+    // g1's plan. Persist once; index-fed callers pay one cheap extra
+    // cache of an already-committed edge table.
+    val e = tracked(edges.select(col("id_a"), col("id_b")))
     val wedges = e.as("e1").join(e.as("e2"),
         col("e1.id_b") === col("e2.id_a"))
       .select(col("e1.id_a").as("a"), col("e1.id_b").as("b"),

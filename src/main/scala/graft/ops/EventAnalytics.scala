@@ -140,12 +140,15 @@ object EventAnalytics {
   def forwardFillDaily(events: DataFrame): DataFrame = {
     val wDay = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    val daily = events
+    // daily feeds BOTH the per-user grid bounds and the grid join;
+    // uncached, the event scan + per-(user,day) dedup window runs twice
+    val daily = graft.ops.Dedup.trackExisting(events
       .select(col("user_id"), col("event_id"), col("ts"),
         datediff(to_date(col("ts")), lit(EpochDay0)).cast("long").as("day"),
         round(col("value") * 100).cast("long").as("cents"))
       .withColumn("rn", row_number().over(wDay)).where(col("rn") === 1)
       .select(col("user_id"), col("day"), col("cents"))
+      .persist())
     val grid = daily.groupBy(col("user_id"))
       .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
@@ -178,12 +181,15 @@ object EventAnalytics {
   def interpolateDaily(events: DataFrame): DataFrame = {
     val wDay = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    val daily = events
+    // daily feeds BOTH the per-user grid bounds and the grid join;
+    // uncached, the event scan + per-(user,day) dedup window runs twice
+    val daily = graft.ops.Dedup.trackExisting(events
       .select(col("user_id"), col("event_id"), col("ts"),
         datediff(to_date(col("ts")), lit(EpochDay0)).cast("long").as("day"),
         round(col("value") * 100).cast("long").as("cents"))
       .withColumn("rn", row_number().over(wDay)).where(col("rn") === 1)
       .select(col("user_id"), col("day"), col("cents"))
+      .persist())
     val grid = daily.groupBy(col("user_id"))
       .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))

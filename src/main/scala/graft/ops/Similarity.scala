@@ -67,6 +67,25 @@ object Similarity {
       when(dot(vec, planeArr) >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Driver-side twin of [[lshSignature]] for a LITERAL query vector —
+    * the same IEEE accumulation order as [[dot]] (acc = 0.0, += x·p in
+    * index order), so the folded constant is bit-equal to what the
+    * expression form would compute. Folding matters because FilterExec
+    * codegen has no common-subexpression elimination: a probe predicate
+    * that references the signature EXPRESSION k times inlines k full
+    * recomputations per row (measured: the 17-probe multiprobe filter
+    * evaluated 16 dot products x 34 times per row).
+    */
+  private def lshSignatureLocal(query: Seq[Float], bits: Int): Long =
+    (0 until bits).map { i =>
+      var acc = 0.0
+      var d = 0
+      while (d < query.length) {
+        acc += query(d).toDouble * plane(i, d); d += 1
+      }
+      if (acc >= 0.0) 1L << i else 0L
+    }.sum
+
   /** Bucket assignment for the whole corpus. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
       bits: Int, dims: Int): DataFrame =
@@ -78,11 +97,10 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], bits: Int, k: Int): DataFrame = {
-    val dims = query.length
     val q = array(query.map(lit): _*)
-    val qSig = lshSignature(q, bits, dims)
-    lshBuckets(df, idCol, vecCol, bits, dims)
-      .where(col("bucket") === qSig)
+    val qSig = lshSignatureLocal(query, bits)
+    lshBuckets(df, idCol, vecCol, bits, query.length)
+      .where(col("bucket") === lit(qSig))
       .select(col(idCol), cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -641,12 +659,11 @@ object Similarity {
     */
   def lshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], bits: Int, k: Int): DataFrame = {
-    val dims = query.length
     val q = array(query.map(lit): _*)
-    val qSig = lshSignature(q, bits, dims)
-    val probes = qSig +: (0 until bits).map(i => qSig.bitwiseXOR(1L << i))
-    lshBuckets(df, idCol, vecCol, bits, dims)
-      .where(probes.map(col("bucket") === _).reduce(_ || _))
+    val qSig = lshSignatureLocal(query, bits)
+    val probes = qSig +: (0 until bits).map(i => qSig ^ (1L << i))
+    lshBuckets(df, idCol, vecCol, bits, query.length)
+      .where(col("bucket").isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -677,8 +694,10 @@ object Similarity {
     */
   def exactNearPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"))
+    // spread: the O(N^2) pair pass parallelizes by the STREAM side's
+    // partition count, and a small corpus reads as one split
+    val e = graft.ops.Dedup.spread(df.select(col(idCol).as("id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm")))
     e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hoistedCosine(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm"))
@@ -2115,8 +2134,12 @@ object IvfPqIndex {
       m: Int, dims: Int, ksub: Int): IvfPqIndex = {
     val centroids = Similarity.ivfSeedCentroids(df, idCol, vecCol, kc)
     val assignments = Similarity.assign(df, idCol, vecCol, centroids)
-    val residuals =
+    // residuals feed BOTH the per-cell codebook seeding and the encode;
+    // uncached, the whole assign subtree (corpus x kc argmax) re-ran per
+    // reference — the probe plan carried it three times
+    val residuals = graft.ops.Dedup.trackExisting(
       Similarity.ivfResiduals(df, idCol, vecCol, centroids, assignments)
+        .persist())
     val cb = Similarity.ivfPqSeedCodebooks(residuals, idCol, m, dims, ksub)
     IvfPqIndex(m, dims, centroids, cb,
       Similarity.ivfPqEncode(residuals, idCol, cb, m, dims))

@@ -617,11 +617,15 @@ object TextAnalysis {
     */
   def topTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val tf = df
+    // tf feeds BOTH the corpus df-count and the per-doc rank join;
+    // uncached, the tokenize+explode+aggregate pass runs twice (spread:
+    // the tokenize is CPU-heavy and a small input reads as 1-2 splits)
+    val tf = graft.ops.Dedup.trackExisting(graft.ops.Dedup.spread(df)
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist())
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)

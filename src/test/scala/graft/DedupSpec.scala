@@ -1049,4 +1049,23 @@ class DedupSpec extends SparkSpec {
     pairs.unpersist(); split.unpersist()
     Dedup.releaseCaches()
   }
+
+  test("spread: streaming inputs pass through untouched (no .rdd probe); " +
+    "few-partition batch inputs round-robin to default parallelism") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Long]
+    val streamDf = src.toDF()
+    // .rdd on a streaming plan throws; spread must return it as-is
+    val passed = Dedup.spread(streamDf)
+    assert(passed.isStreaming)
+    assert(passed eq streamDf)
+    // batch: 1 input partition on a many-core session spreads out
+    val one = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
+    val sp = Dedup.spread(one)
+    assert(sp.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // and row set is untouched
+    assert(sp.agg(sum(col("id"))).head().getLong(0) == 4950L)
+  }
 }
