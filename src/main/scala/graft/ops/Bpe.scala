@@ -66,24 +66,12 @@ object Bpe {
     * vocabulary characters — the difference between re-windowing 100 TB
     * of text per round and re-windowing a dictionary.
     */
-  /** The (word, corpus frequency) table — ONE tokenize+count pass,
-    * persisted and shared: [[trainLocal]]'s vocab collect and
-    * [[tokenCounts]]' vocabulary segmentation both consume it, and the
-    * two call sites build the IDENTICAL plan so Spark's cache manager
-    * serves the second from the first's materialized cache instead of
-    * re-tokenizing the corpus. Dictionary-sized (Heaps' law), so the
-    * cache stays small even at corpus scale.
-    */
-  private[graft] def wordFreq(docs: DataFrame, textCol: String): DataFrame =
-    graft.ops.Dedup.trackExisting(graft.ops.Dedup.spread(docs)
+  def vocabSymbols(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .persist())
-
-  def vocabSymbols(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    wordFreq(docs, textCol)
       .select(col("w"), col("freq"),
         posexplode(expr("regexp_extract_all(w, '.', 0)")).as(Seq("j", "sym")))
       .select(col("w"), col("freq"),
@@ -395,11 +383,13 @@ object Bpe {
     * desc, word asc — never a full sort), split to code-point symbols.
     */
   private def collectVocab(docs: DataFrame, textCol: String,
-      vocabLimit: Int): Array[(Array[String], Long)] =
-    wordFreq(docs, textCol)
-      .orderBy(col("freq").desc, col("w")).limit(vocabLimit)
-      .collect()
-      .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
+      vocabLimit: Int): Array[(Array[String], Long)] = docs
+    .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    .where(length(col("w")) > 0)
+    .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    .orderBy(col("freq").desc, col("w")).limit(vocabLimit)
+    .collect()
+    .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
 
   /** EXACT sequential BPE over the BOUNDED weighted vocabulary, trained
     * driver-side — the production trainer shape every reference BPE
@@ -626,9 +616,7 @@ object Bpe {
         case (st, (a, b)) => applyMerge(st, a, b, Seq("w"))
       }
       .groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
-    // spread: the corpus-instance tokenize is the CPU-heavy pass here
-    // (a small input reads as 1-2 splits; no-op at scale)
-    graft.ops.Dedup.spread(docs)
+    docs
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)

@@ -618,9 +618,9 @@ object TextAnalysis {
   def topTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     // tf feeds BOTH the corpus df-count and the per-doc rank join;
-    // uncached, the tokenize+explode+aggregate pass runs twice (spread:
-    // the tokenize is CPU-heavy and a small input reads as 1-2 splits)
-    val tf = graft.ops.Dedup.trackExisting(graft.ops.Dedup.spread(df)
+    // uncached, the tokenize+explode+aggregate pass runs twice (no
+    // spread: a whitespace tokenize is too cheap to buy its exchange)
+    val tf = graft.ops.Dedup.trackExisting(df
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -802,7 +802,7 @@ object TextAnalysis {
     */
   private def bigramRows(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    graft.ops.Dedup.spread(df)
+    df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(arrays_zip(
@@ -1007,12 +1007,12 @@ object TextAnalysis {
   def dsirSelect(corpus: DataFrame, target: DataFrame, idCol: String,
       textCol: String, quota: Int): DataFrame = {
     require(quota > 0, s"dsirSelect needs quota >= 1, got $quota")
-    // ONE cached bigram stream serves all three consumers (the target-LM
-    // scoring pass, the raw-LM frequency tables, and the raw-LM scoring
-    // pass) — the unshared form tokenized + windowed the corpus three
-    // times; arithmetic per pass is bigramSurprisalAgainst's verbatim
-    val bi = graft.ops.Dedup.trackExisting(
-      bigramRows(corpus, idCol, textCol).persist())
+    // the bigram stream is DELIBERATELY re-derived per consumer (three
+    // map-only passes), not cached: bigramRows is a tokenize + zip
+    // explode straight off the parquet scan, and materializing the
+    // EXPLODED stream (far wider than the source text) measured 1.5x
+    // slower normalized than re-deriving it — the ts28 lesson again
+    val bi = bigramRows(corpus, idCol, textCol)
     def lm(ref: DataFrame): (DataFrame, DataFrame) = {
       val bf = ref.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("bfreq"))

@@ -219,7 +219,7 @@ object StreamOps {
         (pmod(floor(h / 4.0).cast("long"), lit(2L)) + 1L).cast("int").as("ch"),
         (pmod(floor(h / 8.0).cast("long"), lit(500L)) + 50L).cast("int")
           .as("n")).as[(Long, Int, Int, Int)]
-      val media = graft.ops.Dedup.spread(dims).mapPartitions(_.map { case (id, sr, ch, n) =>
+      val media = dims.mapPartitions(_.map { case (id, sr, ch, n) =>
         graft.ops.Multimodal.MediaItem(id, "audio",
           graft.ops.Multimodal.encodeWav(n, sr, ch, id))
       })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
@@ -286,8 +286,7 @@ object StreamOps {
     // encode→demux→bottom-up-BGR-decode chain must be bit-faithful
     "mm10_pixel_checksum" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Dedup
-        .spread(documents(s, d).select($"doc_id").as[Long])
+      val media = documents(s, d).select($"doc_id").as[Long]
         .mapPartitions(_.map { id =>
           graft.ops.Multimodal.MediaItem(id, "video",
             graft.ops.Multimodal.encodeAviRgb(8, 6, 2, 25, id))
@@ -380,7 +379,7 @@ object StreamOps {
         (pmod(floor(h / 4.0).cast("long"), lit(2L)) + 1L).cast("int").as("ch"),
         (pmod(floor(h / 8.0).cast("long"), lit(500L)) + 50L).cast("int")
           .as("n")).as[(Long, Int, Int, Int)]
-      val media = graft.ops.Dedup.spread(dims).mapPartitions(_.map { case (id, sr, ch, n) =>
+      val media = dims.mapPartitions(_.map { case (id, sr, ch, n) =>
         graft.ops.Multimodal.MediaItem(id, "audio",
           graft.ops.Multimodal.encodeWav(n, sr, ch, id))
       })(org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaItem])
