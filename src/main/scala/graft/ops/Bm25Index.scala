@@ -143,15 +143,17 @@ object Bm25Index {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     // postings feeds FOUR consumers (docLens, the stats row, and the
-    // probe's hits + df-count sides); uncached, each re-runs the corpus
-    // tokenize+explode+aggregate — the build-time stats job below
-    // materializes the cache so one tokenization pass serves them all
-    val postings = graft.ops.Dedup.trackExisting(
-      toks.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf")).persist())
-    val docLens = graft.ops.Dedup.trackExisting(
-      postings.groupBy(col("doc_id"))
-        .agg(sum(col("tf")).as("dl")).persist())
+    // probe's hits + df-count sides) but is deliberately NOT cached:
+    // each consumer re-runs the tokenize+explode+aggregate, which is
+    // map-only CPU over the corpus — the r17 persist cut the plan to one
+    // tokenize but the cache write + IMR scans cost 1.36× normalized at
+    // the bench (and the transient-registry lifetime was wrong for an
+    // index-owned frame: releaseCaches() would unpersist under a live
+    // index, silently reverting every later probe to re-tokenization)
+    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docLens = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
     val r = docLens.agg(count(lit(1)), sum(col("dl"))).head()
     // sum over zero rows is NULL: an empty corpus (or an addDocs batch
     // that filtered to nothing) builds a valid empty index, not an NPE

@@ -52,7 +52,10 @@ object QualityModel {
     */
   def rawFeatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    graft.ops.Dedup.spread(docs)
+    // no spread: stats() is one pass of per-row counters (token counts,
+    // ratios) — cheap enough that the exchange loses (r17 measured the
+    // spread 1.31× normalized slower on ts23)
+    docs
       .select(col(idCol), TextAnalysis.stats(col(textCol)).as("st"))
       .select(
         col(idCol),

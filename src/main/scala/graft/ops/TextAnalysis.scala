@@ -617,15 +617,17 @@ object TextAnalysis {
     */
   def topTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    // tf feeds BOTH the corpus df-count and the per-doc rank join;
-    // uncached, the tokenize+explode+aggregate pass runs twice (no
-    // spread: a whitespace tokenize is too cheap to buy its exchange)
-    val tf = graft.ops.Dedup.trackExisting(df
+    // tf feeds BOTH the corpus df-count and the per-doc rank join but is
+    // deliberately NOT cached: the duplicated tokenize+aggregate is
+    // map-side-combinable and cheap, and the r17 persist measured 1.19×
+    // normalized slower at sf0.1 (cache write + IMR scan > the saved
+    // pass). No spread either: a whitespace tokenize is too cheap to buy
+    // its exchange.
+    val tf = df
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist())
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
