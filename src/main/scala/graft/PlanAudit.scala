@@ -17,6 +17,20 @@ object PlanAudit {
   final case class Check(query: String, property: String,
       test: String => Boolean)
 
+  /** Every RoundRobin exchange in the formatted plan carries ONLY
+    * pre-encode scalar tuples (id + dims/params) — the property the mm
+    * spread claims ("payloads never shuffle"): a regression that
+    * round-robins post-encode media bytes would show the generated
+    * payload column in the exchange's Input list and fail here.
+    */
+  private def roundRobinPreEncodeOnly(p: String): Boolean =
+    "(?m)^\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]\\nArguments: RoundRobinPartitioning".r
+      .findAllMatchIn(p).forall { m =>
+        m.group(1).split(",").map(_.trim).forall(c =>
+          "^(doc_id|vec_id|w|h|sr|n|nf|dur|secs|seed|fps|ch|rate|len)#\\d+L?$"
+            .r.findFirstIn(c).isDefined)
+      }
+
   /** the plan joins with a hash/merge equi-join, never a nested loop */
   private def isEquiJoin(p: String): Boolean =
     !p.contains("BroadcastNestedLoopJoin") &&
@@ -64,10 +78,14 @@ object PlanAudit {
       p => p.contains("Window") && p.contains("hashpartitioning(source") &&
         "(?m)^\\s*(\\+-|:-)? *Exchange".r.findAllIn(p).size == 1),
     Check("ts18_bm25",
-      "BM25: df/dl joins are broadcast-hash; the only nested loop is " +
-        "the 1-row corpus-stats cross join; top-k as TakeOrdered",
+      "BM25 (r18 map-only shape): one text_stats pass per row, tf/dl " +
+        "from the stats struct — no (doc,term) explode shuffle, no dl " +
+        "rollup join; the only nested loop is the 1-row corpus-stats " +
+        "cross join; top-k as TakeOrdered",
       p => p.contains("TakeOrderedAndProject") &&
-        p.contains("BroadcastHashJoin") &&
+        p.contains("text_stats") &&
+        !p.contains("hashpartitioning") &&
+        !p.contains("SortMergeJoin") &&
         // tree lines name the join type ("BroadcastNestedLoopJoin Cross
         // BuildRight"); the detail section's bare operator-name line has
         // no trailing space, so this matches typed tree lines only
@@ -191,7 +209,8 @@ object PlanAudit {
         "never shuffle, and no hash exchange or sort appears",
       p => !p.contains("Exchange hashpartitioning") &&
         !p.contains("SortExec") &&
-        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1),
+        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1 &&
+        roundRobinPreEncodeOnly(p)),
     Check("mm5_feature_argmax",
       "feature extraction + summary is map-only (no shuffle)",
       p => !p.contains("Exchange") && !p.contains("SortExec")),
@@ -303,21 +322,24 @@ object PlanAudit {
         "(round-robin of pre-encode tuples only; payloads never shuffle)",
       p => !p.contains("Exchange hashpartitioning") &&
         !p.contains("SortExec") &&
-        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1),
+        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1 &&
+        roundRobinPreEncodeOnly(p)),
     Check("mm13_audio_decimate",
       "synthesize + decimate + re-decode is one map pass over the " +
         "spread dims (round-robin of pre-encode tuples only; payloads " +
         "never shuffle)",
       p => !p.contains("Exchange hashpartitioning") &&
         !p.contains("SortExec") &&
-        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1),
+        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1 &&
+        roundRobinPreEncodeOnly(p)),
     Check("mm14_channel_stats",
       "render + decode + channel sums is one map pass over the spread " +
         "dims (round-robin of pre-encode tuples only; payloads never " +
         "shuffle)",
       p => !p.contains("Exchange hashpartitioning") &&
         !p.contains("SortExec") &&
-        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1))
+        "Exchange RoundRobinPartitioning".r.findAllIn(p).size <= 1 &&
+        roundRobinPreEncodeOnly(p)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -454,6 +476,52 @@ object PlanAudit {
       println(f"${if (ok) "OK  " else "FAIL"}  ${"pagerank_round"}%-22s " +
         s"pinned adjacency removes the per-round edge shuffle " +
         s"($pinned vs $plain round shuffles)")
+      spark.catalog.clearCache()
+    }
+    // PlanBridge partitioning carry: a truncated round-state leaf must
+    // REPORT the hash layout its rows actually have (under AQE the
+    // executedPlan is AdaptiveSparkPlanExec, which hides the final
+    // plan's partitioning — the r17 dumps showed UnknownPartitioning on
+    // every truncated leaf), and a same-key aggregate over the leaf must
+    // plan ZERO new exchanges
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, sum => fsum}
+      val state = (1L to 1000L).map(i => (i % 97, i)).toDF("k", "v")
+        .groupBy(col("k")).agg(fsum(col("v")).as("s"))
+      val t = org.apache.spark.sql.graftbridge.PlanBridge
+        .truncated(state, carryPartitioning = true)
+      val leafPart = t.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.outputPartitioning
+      }.orNull
+      val hashExprs = leafPart match {
+        case h: org.apache.spark.sql.catalyst.plans.physical
+            .HashPartitioning => h.expressions
+        case c: org.apache.spark.sql.catalyst.plans.physical
+            .CoalescedHashPartitioning => c.from.expressions
+        case _ => Nil
+      }
+      val okLeaf =
+        hashExprs.flatMap(_.references.toSeq).map(_.name) == Seq("k")
+      val saved = Seq("spark.sql.adaptive.enabled")
+        .map(k => k -> spark.conf.get(k))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val roundEx = try {
+        t.groupBy(col("k")).agg(fsum(col("s")).as("s2"))
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec => e
+          }.size
+      } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      val ok = okLeaf && roundEx == 0
+      if (!ok) {
+        failed += 1
+        println(s"truncated leaf partitioning=$leafPart, " +
+          s"same-key re-aggregate exchanges=$roundEx")
+      }
+      println(f"${if (ok) "OK  " else "FAIL"}  ${"planbridge_carry"}%-22s " +
+        "truncated leaf keeps hash layout; same-key round adds 0 exchanges")
       spark.catalog.clearCache()
     }
     // catalog fact-table layout: a time-range read over bucketed appends

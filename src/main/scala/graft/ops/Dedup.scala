@@ -69,9 +69,35 @@ object Dedup {
     // batch-only checker) and its micro-batch parallelism is the
     // source's concern — pass it through untouched
     if (ds.isStreaming) ds
+    // an input with upstream exchanges must NOT be probed with .rdd:
+    // under AQE that finalizes and RUNS the shuffle stages eagerly in a
+    // separate QueryExecution the real query never reuses (the same
+    // eager-construction trap r17 removed from the chain variants). The
+    // exchange already distributes the rows across the session's shuffle
+    // partitions, so spread would be a no-op there anyway — pass through.
+    else if (!scanRooted(ds.queryExecution.optimizedPlan)) ds
     else {
+      // narrow scan-rooted lineage: .rdd runs no jobs (partition count
+      // comes from the file index), so the probe is free
       val target = ds.sparkSession.sparkContext.defaultParallelism
       if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+    }
+  }
+
+  /** True when every operator between the plan's leaves and its root is
+    * narrow (projection/filter/generate-shaped) — i.e. computing `.rdd`
+    * partition metadata cannot trigger shuffle-stage execution under AQE.
+    */
+  private def scanRooted(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: SubqueryAlias | _: Generate |
+          _: Sample | _: Union | _: TypedFilter | _: SerializeFromObject |
+          _: DeserializeToObject | _: Expand =>
+        p.children.forall(scanRooted)
+      case _ => false
     }
   }
 
@@ -1077,6 +1103,19 @@ object Dedup {
         sinceMat = 0
       }
     }
+    // hasCross: the loop's `i < iters` guard never materialized the FINAL
+    // round, yet cross/edges unpersist below — every action on the
+    // returned plan would re-run the cross-edge relabel join and flow
+    // aggregate from scratch. Materialize the last round first (the
+    // map-only default path chains safely and recomputes from the tracked
+    // fam0/comp caches, so it keeps the cheap unmaterialized form).
+    if (hasCross && sinceMat > 0) {
+      val last = roundCache(fam)
+      last.count()
+      if (mat != null) mat.unpersist()
+      mat = last
+      fam = last
+    }
     val out = comp.join(fam.select(col("c"), col("u")), Seq("c"))
       .select(col("id").as(idCol), col("u").as("rank_fp"))
     cross.unpersist()
@@ -1860,8 +1899,14 @@ object Dedup {
     * small-star variant halves round count; dup graphs don't need it.)
     *
     * `ids` = one row per doc (singletons get their own cluster);
-    * `pairs` = (id_a, id_b) undirected edges. Returns (idCol,
-    * cluster_id), deterministic.
+    * `pairs` = (id_a, id_b) undirected edges, whose endpoints MUST be
+    * drawn from `ids` — the r17 contraction builds its label seed from
+    * the pair graph alone, so an out-of-universe endpoint would bridge
+    * components and can surface as a cluster_id that exists in no `ids`
+    * row (the old identity-seeded loop left such endpoints inert). Every
+    * internal caller satisfies this by construction; external callers
+    * with a wider pair set must semi-join both endpoints to `ids` first.
+    * Returns (idCol, cluster_id), deterministic.
     *
     * Each round's labels go through [[roundCache]]: persist alone keeps
     * the full logical plan, which after k rounds nests k joins and blows

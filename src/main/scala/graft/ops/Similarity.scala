@@ -847,13 +847,16 @@ object Similarity {
       s"maxCellRows must be >= 2, got $maxCellRows")
     // kernelAssign: evaluate the cell argmax through the map-only
     // kernel twin (bit-identical, spec-pinned) instead of the
-    // crossJoin + argmax shuffle — the at-scale choice; default stays
-    // the relational oracle-replayable form the dd17 gate exercises
-    val assigned =
+    // crossJoin + argmax shuffle — the at-scale choice; the library
+    // default keeps the relational oracle-replayable form (the dd17/
+    // dd17e GATE queries pass kernelAssign = true since r18: identical
+    // rows, and the probes == 1 kernel path below is one projection
+    // with no join at all)
+    lazy val assigned =
       if (kernelAssign || probes > 1)
         assignFast(df, idCol, vecCol, centroids)
       else assign(df, idCol, vecCol, centroids)
-    val cells = df.select(col(idCol), col(vecCol))
+    lazy val cells = df.select(col(idCol), col(vecCol))
       .join(assigned, Seq(idCol))
     // probes > 1: the pair scan runs over each vector's `probes` nearest
     // cells instead of only the argmax cell, so a clone family straddling
@@ -864,8 +867,21 @@ object Similarity {
     // generation widens (×probes join input; pairs seen through two
     // shared cells dedup in the DISTINCT below). probes=1 keeps the
     // exact dd17-gated plan.
-    val sides =
-      if (probes == 1)
+    // persisted: the assign subtree (crossJoin + argmax window on the
+    // relational path) is the expensive stage, and sides feeds the pair
+    // scan TWICE (both join sides) plus — under the cell guard — the
+    // bucket-count aggregate; uncached, one action re-ran assign 4×
+    // (measured r17: dd17e was the most expensive untouched query)
+    val sides = graft.ops.Dedup.trackExisting((
+      if (probes == 1 && kernelAssign) {
+        // the whole pair-scan input is ONE projection: kernel argmax
+        // inline, no crossJoin, no join-back of the vectors
+        val local = collectCentroids(centroids)
+        df.select(col(idCol).as("id"),
+          graft.functions.QuantKernelCols
+            .nearestCentroid(col(vecCol), local).as("centroid_id"),
+          col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      } else if (probes == 1)
         cells.select(col(idCol).as("id"), col("centroid_id"),
           col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       else {
@@ -876,7 +892,7 @@ object Similarity {
               .nearestCentroids(col(vecCol), local, probes))
               .as("centroid_id"))
           .select(col("id"), col("centroid_id"), col("v"), col("nrm"))
-      }
+      }).persist())
     val dropped = (maxCellRows match {
       case None =>
         sides.as("a").join(sides.as("b"),
@@ -946,7 +962,14 @@ object Similarity {
             col("a.nrm"), col("b.nrm")) >= threshold)
           .select(greatest(col("a.id"), col("b.id")).as(idCol))
     }).distinct()
-    cells.join(dropped, Seq(idCol), "left_anti")
+    // probes == 1: sides IS cells plus the norm column — derive the kept
+    // set from the cached frame instead of re-running the assign subtree
+    // a second time through cells. probes > 1 must keep cells (sides is
+    // exploded per probe cell; the output keeps the PRIMARY argmax cell).
+    val kept =
+      if (probes == 1) sides.select(col("id").as(idCol), col("centroid_id"))
+      else cells
+    kept.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("centroid_id"))
   }
 
@@ -2024,7 +2047,14 @@ object PqIndex {
   def build(df: DataFrame, idCol: String, vecCol: String, m: Int,
       dims: Int, ksub: Int): PqIndex = {
     val cb = Similarity.pqSeedCodebooks(df, idCol, vecCol, m, dims, ksub)
-    PqIndex(m, dims, cb, Similarity.pqEncode(df, idCol, vecCol, cb, m, dims))
+    // kernel twin of the relational pqEncode: bit-identical (id, sub,
+    // code) rows (QuantKernelsSpec/QuantKernelPropertySpec pin it), but
+    // map-only — the relational form paid a per-subvector explode +
+    // broadcast join + argmin SORT aggregate with its exchange on every
+    // corpus encode (the dominant stage of sim6/sim9). Same shape
+    // buildTrained has used since r16.
+    PqIndex(m, dims, cb,
+      Similarity.pqEncodeFast(df, idCol, vecCol, cb, m, dims))
   }
 
   /** Lloyd-refined build ([[Similarity.pqTrain]]): better codebooks when

@@ -529,32 +529,44 @@ object TextAnalysis {
     *    resolution; the default keeps all products < 2⁶³ through ~10⁹
     *    corpus tokens — beyond that lower `scale` (or widen to decimal).
     *
-    * Plan shape: the corpus tokenizes once into (doc, term) rows; query
-    * terms filter BEFORE any aggregation (an `isin` over a literal list,
-    * pushed into the scan's generated-column filter), so tf/df
-    * aggregates run over the matching slice only. Doc lengths are a
-    * corpus-wide rollup (one shuffle on doc_id) joined back to the
-    * slice; per-term df broadcasts; final ranking is
-    * TakeOrderedAndProject (PlanAudit ts18). Returns (doc_id, score).
+    * Plan shape (r18): one [[graft.functions.TextExprs.textStats]] scan
+    * per row — each query term its own singleton lexicon, so
+    * `lex_hits(i)` IS tf_i and `n_tokens` IS dl — replaces the old
+    * explode → (doc,term) shuffle → dl-rollup-join pipeline. The whole
+    * probe is two map-only corpus passes (the 1-row corpus-stats rollup,
+    * then scoring into TakeOrderedAndProject) with NO wide shuffle and
+    * no join but the 1-row stats cross join (PlanAudit ts18). The
+    * integer arithmetic is unchanged term by term — docs with zero
+    * query-term hits contribute tfn = 0 exactly as their absent (doc,
+    * term) rows did — so the oracle replays bit-identically. Returns
+    * (doc_id, score).
     */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, scale: Long = 100000L): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
-    val qtf = toks.where(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    qtf.join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq("doc_id"))
+    val st = graft.functions.TextExprs.textStats(col(textCol),
+      terms.map(Seq(_)))
+    // dl >= 1 for every non-null text (split("\\s+",-1) never returns an
+    // empty array); the guard drops null-text rows exactly as the old
+    // explode did
+    val perDoc = df.select((col(idCol).as("doc_id") +:
+        st.getField("n_tokens").cast("long").as("dl") +:
+        terms.indices.map(i =>
+          st.getField("lex_hits").getItem(i).cast("long").as(s"tf$i"))): _*)
+      .where(col("dl") >= 1L)
+    val stats = perDoc.agg(count(lit(1)).as("nd"), (sum(col("dl")).as("tt") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0L, 1L).otherwise(0L)).as(s"df$i"))): _*)
+    val score = terms.indices.map { i =>
+      val idf = (length(bin(col("nd"))) - length(bin(col(s"df$i"))))
+        .cast("long")
+      val tfn = expr(s"($scale * 220 * tf$i * tt) div " +
+        s"(100 * tf$i * tt + 30 * tt + 90 * dl * nd)")
+      idf * tfn
+    }.reduce(_ + _)
+    perDoc
+      .where(terms.indices.map(i => col(s"tf$i") > 0L).reduce(_ || _))
       .crossJoin(broadcast(stats))
-      .withColumn("idf_bits",
-        (length(bin(col("nd"))) - length(bin(col("df")))).cast("long"))
-      .withColumn("tfn", expr(s"($scale * 220 * tf * tt) div " +
-        "(100 * tf * tt + 30 * tt + 90 * dl * nd)"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("idf_bits") * col("tfn")).as("score"))
+      .select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
